@@ -1,38 +1,674 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query (TPC-H-Q1-style grouped
+aggregation) at sf0.001. ``queries()`` exposes one callable per
+implemented operator from SURVEY.md §2; ``oracle_sql()`` gives the
+DuckDB-equivalent SQL for each (same column names — the driver's
+compare hashes values after sorting columns by name).
+
+Aggregates over doubles are rounded (2-4 decimals) IN BOTH the Spark
+query and the oracle SQL so cross-engine floating-point summation-order
+noise cannot flip the value hash.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from declarative_dataflow_spark import (
+    Aggregate,
+    AggregationFn,
+    Antijoin,
+    AttributeBinding,
+    BinaryPredicateBinding,
+    ConstantBinding,
+    Filter,
+    Function,
+    Join,
+    MatchA,
+    MatchAV,
+    MatchEA,
+    NameExpr,
+    Negate,
+    Predicate,
+    Project,
+    Pull,
+    PullAll,
+    PullLevel,
+    Transform,
+    Union,
+    q,
+)
+from declarative_dataflow_spark.engine import Engine, InputSemantics
+from declarative_dataflow_spark.plan.plans import Scan
+from declarative_dataflow_spark.sources.testdata import load_engine
+
+DEFAULT_SF = "/root/testdata/sf0.001"
+
+_ENGINES: dict[tuple[int, str], Engine] = {}
+
+
+def _engine(spark: SparkSession, sf_dir: str) -> Engine:
+    key = (id(spark), sf_dir)
+    if key not in _ENGINES:
+        eng = load_engine(spark, sf_dir)
+        # Input-semantics attributes over the events stream table
+        # (reference: src/operators/last_write_wins.rs and
+        # src/server/mod.rs:355-361).
+        eng.register_table_attribute(
+            "user/last_value", "events", "user_id", "value", "ts",
+            InputSemantics.LAST_WRITE_WINS,
+        )
+        eng.register_table_attribute(
+            "user/event_type", "events", "user_id", "event_type",
+            semantics=InputSemantics.DISTINCT,
+        )
+        _ENGINES[key] = eng
+    return _ENGINES[key]
+
+
+# ---------------------------------------------------------------------------
+# Core relational operators (SURVEY §2.1)
+# ---------------------------------------------------------------------------
+
+
+def q_match_a(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = _engine(spark, sf_dir)
+    return eng.implement(MatchA("?o", "orders/totalprice", "?tp"), ["e", "v"])
+
+
+def q_match_ea(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = _engine(spark, sf_dir)
+    return eng.implement(MatchEA(42, "event/value", "?v"), ["v"])
+
+
+def q_match_av(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = _engine(spark, sf_dir)
+    return eng.implement(
+        MatchAV("?c", "customer/mktsegment", "BUILDING"), ["e"]
+    )
+
+
+def q_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = _engine(spark, sf_dir)
+    plan = Project(["?tp"], MatchA("?o", "orders/totalprice", "?tp"))
+    return eng.implement(plan, ["v"])
+
+
+def q_join_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = _engine(spark, sf_dir)
+    plan = Join(
+        ["?o"],
+        MatchA("?o", "orders/totalprice", "?tp"),
+        MatchA("?o", "orders/custkey", "?c"),
+    )
+    return eng.implement(plan, ["o", "tp", "c"])
+
+
+def q_hector_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiway conjunction; same-entity bindings fuse into one scan."""
+
+    eng = _engine(spark, sf_dir)
+    plan = q(
+        ["?o", "?cname", "?nname"],
+        [
+            AttributeBinding("?o", "orders/custkey", "?c"),
+            AttributeBinding("?o", "orders/totalprice", "?tp"),
+            AttributeBinding("?c", "customer/name", "?cname"),
+            AttributeBinding("?c", "customer/nationkey", "?n"),
+            AttributeBinding("?n", "nation/name", "?nname"),
+            BinaryPredicateBinding(["?tp", "?lim"], Predicate.GT),
+            ConstantBinding("?lim", 100000.0),
+        ],
+    )
+    return eng.implement(plan, ["o", "cname", "nname"])
+
+
+def q_hector_constants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constant + predicate bindings push into the scan."""
+
+    eng = _engine(spark, sf_dir)
+    plan = q(
+        ["?c", "?bal"],
+        [
+            AttributeBinding("?c", "customer/mktsegment", "?seg"),
+            AttributeBinding("?c", "customer/acctbal", "?bal"),
+            ConstantBinding("?seg", "MACHINERY"),
+            BinaryPredicateBinding(["?bal", "?zero"], Predicate.GTE),
+            ConstantBinding("?zero", 0.0),
+        ],
+    )
+    return eng.implement(plan, ["c", "bal"])
+
+
+def q_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no orders (reference: src/plan/antijoin.rs)."""
+
+    eng = _engine(spark, sf_dir)
+    plan = Antijoin(
+        ["?c"],
+        MatchA("?c", "customer/name", "?name"),
+        MatchA("?o", "orders/custkey", "?c"),
+    )
+    return eng.implement(plan, ["c", "name"])
+
+
+def q_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datalog or: BUILDING or MACHINERY customers, set semantics."""
+
+    eng = _engine(spark, sf_dir)
+    plan = Union(
+        ["?c"],
+        [
+            MatchAV("?c", "customer/mktsegment", "BUILDING"),
+            MatchAV("?c", "customer/mktsegment", "MACHINERY"),
+        ],
+    )
+    return eng.implement(plan, ["c"])
+
+
+def q_negate_setdiff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set difference via Union + Negate (reference: Plan::Negate)."""
+
+    eng = _engine(spark, sf_dir)
+    neg_bal = q(
+        ["?c"],
+        [
+            AttributeBinding("?c", "customer/acctbal", "?bal"),
+            BinaryPredicateBinding(["?bal", "?zero"], Predicate.LT),
+            ConstantBinding("?zero", 0.0),
+        ],
+    )
+    plan = Union(
+        ["?c"],
+        [
+            MatchAV("?c", "customer/mktsegment", "BUILDING"),
+            Negate(neg_bal),
+        ],
+    )
+    return eng.implement(plan, ["c"])
+
+
+def q_filter_lt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = _engine(spark, sf_dir)
+    plan = Filter(
+        ["?qty"],
+        Predicate.LT,
+        Scan("lineitem", {"l_orderkey": "?o", "l_quantity": "?qty"}),
+        {1: 5.0},
+    )
+    return eng.implement(plan, ["o", "qty"])
+
+
+def q_filter_vars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate over two variables: discount > tax."""
+
+    eng = _engine(spark, sf_dir)
+    plan = Filter(
+        ["?d", "?t"],
+        Predicate.GT,
+        Scan(
+            "lineitem",
+            {"l_orderkey": "?o", "l_discount": "?d", "l_tax": "?t"},
+        ),
+    )
+    return eng.implement(plan, ["o", "d", "t"])
+
+
+def q_transform_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = _engine(spark, sf_dir)
+    plan = Transform(
+        ["?d"],
+        "?day",
+        MatchA("?o", "orders/date", "?d"),
+        Function.TRUNCATE,
+        {1: "day"},
+    )
+    return eng.implement(Project(["?o", "?day"], plan), ["o", "day"])
+
+
+def q_transform_add(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = _engine(spark, sf_dir)
+    plan = Transform(
+        ["?ep", "?tax"],
+        "?s",
+        Scan(
+            "lineitem",
+            {"l_orderkey": "?o", "l_extendedprice": "?ep", "l_tax": "?tax"},
+        ),
+        Function.ADD,
+    )
+    return eng.implement(Project(["?o", "?s"], plan), ["o", "s"])
+
+
+def q_transform_subtract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = _engine(spark, sf_dir)
+    plan = Transform(
+        ["?ep", "?disc"],
+        "?s",
+        Scan(
+            "lineitem",
+            {"l_orderkey": "?o", "l_extendedprice": "?ep", "l_discount": "?disc"},
+        ),
+        Function.SUBTRACT,
+    )
+    return eng.implement(Project(["?o", "?s"], plan), ["o", "s"])
+
+
+# ---------------------------------------------------------------------------
+# Aggregation (SURVEY §2.2) — grouped by order status / return flag
+# ---------------------------------------------------------------------------
+
+
+def _status_price_plan() -> Aggregate:
+    hector = q(
+        ["?s", "?tp"],
+        [
+            AttributeBinding("?o", "orders/status", "?s"),
+            AttributeBinding("?o", "orders/totalprice", "?tp"),
+        ],
+    )
+    return hector
+
+
+def _agg(fn: AggregationFn) -> Aggregate:
+    return Aggregate(
+        ["?s", "?tp"], _status_price_plan(), [fn], ["?s"], ["?tp"]
+    )
+
+
+def q_agg_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _engine(spark, sf_dir).implement(_agg(AggregationFn.MIN), ["s", "v"])
+
+
+def q_agg_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _engine(spark, sf_dir).implement(_agg(AggregationFn.MAX), ["s", "v"])
+
+
+def q_agg_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _engine(spark, sf_dir).implement(_agg(AggregationFn.COUNT), ["s", "v"])
+
+
+def q_agg_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _engine(spark, sf_dir).implement(_agg(AggregationFn.SUM), ["s", "v"])
+    return df.select("s", F.round("v", 2).alias("v"))
+
+
+def q_agg_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _engine(spark, sf_dir).implement(_agg(AggregationFn.AVG), ["s", "v"])
+    return df.select("s", F.round("v", 4).alias("v"))
+
+
+def q_agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _engine(spark, sf_dir).implement(
+        _agg(AggregationFn.MEDIAN), ["s", "v"]
+    )
+
+
+def q_agg_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    plan = Aggregate(
+        ["?rf", "?qty"],
+        Scan("lineitem", {"l_returnflag": "?rf", "l_quantity": "?qty"}),
+        [AggregationFn.VARIANCE],
+        ["?rf"],
+        ["?qty"],
+    )
+    df = _engine(spark, sf_dir).implement(plan, ["rf", "v"])
+    return df.select("rf", F.round("v", 4).alias("v"))
+
+
+def q_agg_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: TPC-H-Q1-style multi-aggregate over lineitem."""
+
+    plan = Aggregate(
+        ["?rf", "?ls", "?q", "?ep", "?disc", "?ok"],
+        Scan(
+            "lineitem",
+            {
+                "l_returnflag": "?rf",
+                "l_linestatus": "?ls",
+                "l_quantity": "?q",
+                "l_extendedprice": "?ep",
+                "l_discount": "?disc",
+                "l_orderkey": "?ok",
+            },
+        ),
+        [
+            AggregationFn.SUM,
+            AggregationFn.SUM,
+            AggregationFn.AVG,
+            AggregationFn.COUNT,
+        ],
+        ["?rf", "?ls"],
+        ["?q", "?ep", "?disc", "?ok"],
+    )
+    df = _engine(spark, sf_dir).implement(
+        plan, ["rf", "ls", "sum_qty", "sum_price", "avg_disc", "cnt"]
+    )
+    return df.select(
+        "rf",
+        "ls",
+        F.round("sum_qty", 2).alias("sum_qty"),
+        F.round("sum_price", 2).alias("sum_price"),
+        F.round("avg_disc", 4).alias("avg_disc"),
+        "cnt",
+    )
+
+
+def q_agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global (keyless) aggregation."""
+
+    plan = Aggregate(
+        ["?tp"],
+        Project(["?tp"], MatchA("?o", "orders/totalprice", "?tp")),
+        [AggregationFn.MAX],
+        [],
+        ["?tp"],
+    )
+    return _engine(spark, sf_dir).implement(plan, ["v"])
+
+
+# ---------------------------------------------------------------------------
+# Rules, composition, recursion (SURVEY §2.1 #13)
+# ---------------------------------------------------------------------------
+
+
+def q_name_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule composition: big_orders referenced by another rule."""
+
+    eng = _engine(spark, sf_dir)
+    eng.register(
+        "big_orders",
+        q(
+            ["?o", "?c"],
+            [
+                AttributeBinding("?o", "orders/custkey", "?c"),
+                AttributeBinding("?o", "orders/totalprice", "?tp"),
+                BinaryPredicateBinding(["?tp", "?lim"], Predicate.GT),
+                ConstantBinding("?lim", 200000.0),
+            ],
+        ),
+    )
+    eng.register(
+        "big_order_customers",
+        Join(
+            ["?c"],
+            NameExpr(["?o", "?c"], "big_orders"),
+            MatchA("?c", "customer/name", "?name"),
+        ),
+    )
+    return eng.interest("big_order_customers", ["c", "o", "name"])
+
+
+def q_tclosure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive transitive closure over a derived 100-node graph
+    (reference: iterative scope + Variables, src/lib.rs:943-1019)."""
+
+    eng = _engine(spark, sf_dir)
+    eng.register(
+        "reach",
+        Union(
+            ["?x", "?z"],
+            [
+                Scan(
+                    "events",
+                    {"user_id % 100": "?x", "event_id % 100": "?z"},
+                ),
+                Join(
+                    ["?y"],
+                    NameExpr(["?x", "?y"], "reach"),
+                    Scan(
+                        "events",
+                        {"user_id % 100": "?y", "event_id % 100": "?z"},
+                    ),
+                ),
+            ],
+        ),
+    )
+    return eng.interest("reach", ["x", "z"])
+
+
+# ---------------------------------------------------------------------------
+# Input semantics (SURVEY §2.3)
+# ---------------------------------------------------------------------------
+
+
+def q_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LastWriteWins: latest event value per user."""
+
+    eng = _engine(spark, sf_dir)
+    return eng.implement(MatchA("?u", "user/last_value", "?v"), ["u", "v"])
+
+
+def q_distinct_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct input semantics: distinct (user, event_type)."""
+
+    eng = _engine(spark, sf_dir)
+    return eng.implement(MatchA("?u", "user/event_type", "?t"), ["u", "t"])
+
+
+# ---------------------------------------------------------------------------
+# Pull queries (SURVEY §2.1 #14-16)
+# ---------------------------------------------------------------------------
+
+
+def q_pull_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = _engine(spark, sf_dir)
+    base = q(
+        ["?o"],
+        [
+            AttributeBinding("?o", "orders/totalprice", "?tp"),
+            BinaryPredicateBinding(["?tp", "?lim"], Predicate.GT),
+            ConstantBinding("?lim", 300000.0),
+        ],
+    )
+    plan = PullLevel(
+        ["?o"],
+        base,
+        "?o",
+        ["orders/custkey", "orders/status"],
+    )
+    return eng.implement(plan, ["o", "a", "v"])
+
+
+def q_pull_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = _engine(spark, sf_dir)
+    plan = PullAll(["?e"], ["nation/name", "nation/regionkey"])
+    return eng.implement(plan, ["e", "a", "v"])
+
+
+# ---------------------------------------------------------------------------
+# Contract
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+
+    return q_agg_multi(spark, DEFAULT_SF)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "match_a": q_match_a,
+        "match_ea": q_match_ea,
+        "match_av": q_match_av,
+        "project": q_project,
+        "join_binary": q_join_binary,
+        "hector_fused": q_hector_fused,
+        "hector_constants": q_hector_constants,
+        "antijoin": q_antijoin,
+        "union": q_union,
+        "negate_setdiff": q_negate_setdiff,
+        "filter_lt": q_filter_lt,
+        "filter_vars": q_filter_vars,
+        "transform_truncate": q_transform_truncate,
+        "transform_add": q_transform_add,
+        "transform_subtract": q_transform_subtract,
+        "agg_min": q_agg_min,
+        "agg_max": q_agg_max,
+        "agg_count": q_agg_count,
+        "agg_sum": q_agg_sum,
+        "agg_avg": q_agg_avg,
+        "agg_median": q_agg_median,
+        "agg_variance": q_agg_variance,
+        "agg_multi": q_agg_multi,
+        "agg_global": q_agg_global,
+        "name_expr": q_name_expr,
+        "tclosure": q_tclosure,
+        "lww": q_lww,
+        "distinct_ingest": q_distinct_ingest,
+        "pull_level": q_pull_level,
+        "pull_all": q_pull_all,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "match_a": (
+            "SELECT o_orderkey AS e, o_totalprice AS v FROM orders "
+            "WHERE o_totalprice IS NOT NULL"
+        ),
+        "match_ea": "SELECT value AS v FROM events WHERE event_id = 42",
+        "match_av": (
+            "SELECT c_custkey AS e FROM customer "
+            "WHERE c_mktsegment = 'BUILDING'"
+        ),
+        "project": (
+            "SELECT o_totalprice AS v FROM orders "
+            "WHERE o_totalprice IS NOT NULL"
+        ),
+        "join_binary": (
+            "SELECT o_orderkey AS o, o_totalprice AS tp, o_custkey AS c "
+            "FROM orders WHERE o_totalprice IS NOT NULL "
+            "AND o_custkey IS NOT NULL"
+        ),
+        "hector_fused": (
+            "SELECT o.o_orderkey AS o, c.c_name AS cname, n.n_name AS nname "
+            "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+            "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+            "WHERE o.o_totalprice > 100000.0"
+        ),
+        "hector_constants": (
+            "SELECT c_custkey AS c, c_acctbal AS bal FROM customer "
+            "WHERE c_mktsegment = 'MACHINERY' AND c_acctbal >= 0.0"
+        ),
+        "antijoin": (
+            "SELECT c_custkey AS c, c_name AS name FROM customer "
+            "WHERE c_custkey NOT IN (SELECT o_custkey FROM orders "
+            "WHERE o_custkey IS NOT NULL)"
+        ),
+        "union": (
+            "SELECT DISTINCT c_custkey AS c FROM customer "
+            "WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')"
+        ),
+        "negate_setdiff": (
+            "SELECT c_custkey AS c FROM customer "
+            "WHERE c_mktsegment = 'BUILDING' "
+            "EXCEPT SELECT c_custkey AS c FROM customer WHERE c_acctbal < 0.0"
+        ),
+        "filter_lt": (
+            "SELECT l_orderkey AS o, l_quantity AS qty FROM lineitem "
+            "WHERE l_quantity < 5.0"
+        ),
+        "filter_vars": (
+            "SELECT l_orderkey AS o, l_discount AS d, l_tax AS t "
+            "FROM lineitem WHERE l_discount > l_tax"
+        ),
+        "transform_truncate": (
+            "SELECT o_orderkey AS o, "
+            "CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day "
+            "FROM orders WHERE o_orderdate IS NOT NULL"
+        ),
+        "transform_add": (
+            "SELECT l_orderkey AS o, l_extendedprice + l_tax AS s "
+            "FROM lineitem"
+        ),
+        "transform_subtract": (
+            "SELECT l_orderkey AS o, l_extendedprice - l_discount AS s "
+            "FROM lineitem"
+        ),
+        "agg_min": (
+            "SELECT o_orderstatus AS s, min(o_totalprice) AS v "
+            "FROM orders GROUP BY 1"
+        ),
+        "agg_max": (
+            "SELECT o_orderstatus AS s, max(o_totalprice) AS v "
+            "FROM orders GROUP BY 1"
+        ),
+        "agg_count": (
+            "SELECT o_orderstatus AS s, count(*) AS v FROM orders GROUP BY 1"
+        ),
+        "agg_sum": (
+            "SELECT o_orderstatus AS s, round(sum(o_totalprice), 2) AS v "
+            "FROM orders GROUP BY 1"
+        ),
+        "agg_avg": (
+            "SELECT o_orderstatus AS s, round(avg(o_totalprice), 4) AS v "
+            "FROM orders GROUP BY 1"
+        ),
+        "agg_median": (
+            "SELECT s, v FROM ("
+            "SELECT o_orderstatus AS s, o_totalprice AS v, "
+            "row_number() OVER (PARTITION BY o_orderstatus "
+            "ORDER BY o_totalprice) AS rn, "
+            "count(*) OVER (PARTITION BY o_orderstatus) AS n "
+            "FROM orders) WHERE rn = (n // 2) + 1"
+        ),
+        "agg_variance": (
+            "SELECT l_returnflag AS rf, "
+            "round(sum(l_quantity * l_quantity) / count(*) "
+            "- (sum(l_quantity) / count(*)) * (sum(l_quantity) / count(*)), "
+            "4) AS v FROM lineitem GROUP BY 1"
+        ),
+        "agg_multi": (
+            "SELECT l_returnflag AS rf, l_linestatus AS ls, "
+            "round(sum(l_quantity), 2) AS sum_qty, "
+            "round(sum(l_extendedprice), 2) AS sum_price, "
+            "round(avg(l_discount), 4) AS avg_disc, "
+            "count(*) AS cnt FROM lineitem GROUP BY 1, 2"
+        ),
+        "agg_global": "SELECT max(o_totalprice) AS v FROM orders",
+        "name_expr": (
+            "SELECT o.o_custkey AS c, o.o_orderkey AS o, c.c_name AS name "
+            "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+            "WHERE o.o_totalprice > 200000.0"
+        ),
+        "tclosure": (
+            "WITH RECURSIVE edges AS ("
+            "SELECT DISTINCT user_id % 100 AS src, event_id % 100 AS dst "
+            "FROM events), "
+            "reach(x, z) AS ("
+            "SELECT src, dst FROM edges "
+            "UNION "
+            "SELECT r.x, e.dst FROM reach r JOIN edges e ON r.z = e.src) "
+            "SELECT x, z FROM reach"
+        ),
+        "lww": (
+            "SELECT user_id AS u, value AS v FROM ("
+            "SELECT user_id, value, "
+            "row_number() OVER (PARTITION BY user_id ORDER BY ts DESC) AS rn "
+            "FROM events) WHERE rn = 1"
+        ),
+        "distinct_ingest": (
+            "SELECT DISTINCT user_id AS u, event_type AS t FROM events"
+        ),
+        "pull_level": (
+            "SELECT o_orderkey AS o, 'orders/custkey' AS a, "
+            "CAST(o_custkey AS VARCHAR) AS v FROM orders "
+            "WHERE o_totalprice > 300000.0 "
+            "UNION ALL "
+            "SELECT o_orderkey AS o, 'orders/status' AS a, "
+            "CAST(o_orderstatus AS VARCHAR) AS v FROM orders "
+            "WHERE o_totalprice > 300000.0"
+        ),
+        "pull_all": (
+            "SELECT n_nationkey AS e, 'nation/name' AS a, "
+            "CAST(n_name AS VARCHAR) AS v FROM nation "
+            "UNION ALL "
+            "SELECT n_nationkey AS e, 'nation/regionkey' AS a, "
+            "CAST(n_regionkey AS VARCHAR) AS v FROM nation"
+        ),
+    }

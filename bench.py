@@ -1,0 +1,65 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric", "value", "unit", "queries", "sf"}.
+
+Each query is forced with a count() action (full compute, no
+driver-side result materialization beyond the count).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+HEADLINE = [
+    "agg_multi",       # flagship grouped multi-aggregate (TPC-H Q1 shape)
+    "hector_fused",    # multiway join with scan fusion
+    "join_binary",     # binary equijoin
+    "antijoin",        # negation
+    "agg_median",      # exact median (windowed)
+    "tclosure",        # recursive fixpoint
+    "lww",             # last-write-wins input semantics
+    "union",           # set union
+    "pull_level",      # document projection
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    from declarative_dataflow_spark.session import build_session
+
+    spark = build_session("bench")
+
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    # Warm the JVM + parquet footers with a trivial action.
+    spark.read.parquet(f"{sf_dir}/nation.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in qs:
+            continue
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,401 @@
+"""The Engine: attribute catalog + rule registry + query lifecycle.
+
+Plays the role of the reference's ``Server``/``Domain`` pair
+(reference: src/server/mod.rs, src/domain/mod.rs): clients create
+attributes, transact weighted (e, a, v) datoms, register named rules
+(plans), and ``interest`` in a rule to obtain results. Spark-first
+differences:
+
+- Attributes are DataFrames, not differential arrangements. A
+  transacted attribute accumulates datom batches; a table-backed
+  attribute is a lazy column-pruned view over a parquet table
+  (the analog of the reference's per-attribute collections,
+  docs/adr/0002-data-model.md) and carries lineage so the Hector
+  compiler can fuse same-entity scans.
+- ``interest`` compiles the rule bottom-up via ``plan.compiler`` and
+  returns a DataFrame; recursion runs a driver-side semi-naive
+  fixpoint (the reference's iterative scope + Variables,
+  src/lib.rs:943-1019).
+- Input semantics (Raw / LastWriteWins / Distinct,
+  reference: src/lib.rs:341-357) are applied when an attribute is
+  read, as window/dedup transformations.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from enum import Enum
+from typing import Any, Iterable, Optional
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from .plan.compiler import (
+    DIFF,
+    AttributeSource,
+    Catalog,
+    Relation,
+    UnboundRule,
+    compile_plan,
+    vcol,
+)
+from .plan.plans import NameExpr, Plan
+
+
+class InputSemantics(str, Enum):
+    """Reference: src/lib.rs:341-357."""
+
+    RAW = "Raw"
+    LAST_WRITE_WINS = "LastWriteWins"
+    DISTINCT = "Distinct"
+
+
+@dataclass
+class AttributeConfig:
+    """Per-attribute configuration (reference: src/lib.rs:389-401).
+
+    ``trace_slack``/``index_direction``/``query_support`` govern
+    arrangement maintenance in the reference; on Spark indexes are not
+    materialized (Catalyst plans scans/joins), so they are accepted for
+    API parity and used only as hints (``index_direction`` may trigger
+    a cached reverse projection in future rounds).
+    """
+
+    input_semantics: InputSemantics = InputSemantics.RAW
+    trace_slack: Optional[int] = None
+    index_direction: str = "Forward"
+    query_support: str = "Basic"
+
+
+@dataclass
+class Datom:
+    """(e, a, v, t, diff) — reference: src/lib.rs:216-239."""
+
+    e: Any
+    a: str
+    v: Any
+    t: Optional[int] = None
+    diff: int = 1
+
+    @staticmethod
+    def add(e: Any, a: str, v: Any, t: Optional[int] = None) -> "Datom":
+        return Datom(e, a, v, t, 1)
+
+    @staticmethod
+    def retract(e: Any, a: str, v: Any, t: Optional[int] = None) -> "Datom":
+        return Datom(e, a, v, t, -1)
+
+
+@dataclass
+class Rule:
+    """Named plan (reference: src/lib.rs:456-462)."""
+
+    name: str
+    plan: Plan
+
+
+class _TransactedAttribute:
+    """Accumulates datom batches for one attribute."""
+
+    def __init__(self, spark: SparkSession, config: AttributeConfig):
+        self.spark = spark
+        self.config = config
+        self.rows: list[tuple] = []  # (e, v, t, diff)
+        self._cached: Optional[DataFrame] = None
+
+    def append(self, rows: Iterable[tuple]) -> None:
+        self.rows.extend(rows)
+        self._cached = None
+
+    def dataframe(self) -> DataFrame:
+        if self._cached is None:
+            if self.rows:
+                df = self.spark.createDataFrame(self.rows).toDF(
+                    "e", "v", "t", "diff"
+                )
+            else:
+                df = self.spark.createDataFrame(
+                    [], schema="e long, v string, t long, diff long"
+                )
+            self._cached = _apply_input_semantics(df, self.config)
+        return self._cached
+
+
+def _apply_input_semantics(df: DataFrame, config: AttributeConfig) -> DataFrame:
+    """Reference applies these at ingest (src/server/mod.rs:355-361)."""
+
+    if config.input_semantics == InputSemantics.DISTINCT:
+        # Set semantics per (e, v): present iff net weight > 0
+        # (reference: src/server/mod.rs:360).
+        return (
+            df.groupBy("e", "v")
+            .agg(F.sum("diff").alias("__w"), F.max("t").alias("t"))
+            .filter(F.col("__w") > 0)
+            .select("e", "v", "t", F.lit(1).cast("long").alias("diff"))
+        )
+    if config.input_semantics == InputSemantics.LAST_WRITE_WINS:
+        # Latest write per entity wins; ties broken by transaction
+        # order via the monotone t (reference sorts batches by time and
+        # runs a per-entity state machine,
+        # src/operators/last_write_wins.rs:57-101). Out-of-order input
+        # is handled because the window orders by event time, not
+        # arrival order. Retractions (diff<0) delete the entity's value
+        # if they match the current winner.
+        w = Window.partitionBy("e").orderBy(F.col("t").desc(), F.col("__seq").desc())
+        ranked = (
+            df.withColumn("__seq", F.monotonically_increasing_id())
+            .withColumn("__rn", F.row_number().over(w))
+        )
+        return (
+            ranked.filter((F.col("__rn") == 1) & (F.col("diff") > 0))
+            .select("e", "v", "t", F.lit(1).cast("long").alias("diff"))
+        )
+    return df.select("e", "v", "t", "diff")
+
+
+class Engine:
+    """Catalog of attributes + rules; compiles plans to DataFrames."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self._attributes: dict[str, AttributeSource] = {}
+        self._transacted: dict[str, _TransactedAttribute] = {}
+        self.rules: dict[str, Plan] = {}
+        self.next_tx: int = 0
+        self._table_cache: dict[str, DataFrame] = {}
+
+    # -- attribute management -------------------------------------------
+
+    def create_attribute(
+        self, name: str, config: Optional[AttributeConfig] = None
+    ) -> None:
+        """Reference: CreateAttribute (src/server/mod.rs:142-149)."""
+
+        if name in self._attributes:
+            raise ValueError(f"attribute {name} already exists")
+        ta = _TransactedAttribute(self.spark, config or AttributeConfig())
+        self._transacted[name] = ta
+        self._attributes[name] = AttributeSource(
+            loader=ta.dataframe, has_diff=True
+        )
+
+    def register_table(self, table_name: str, df: DataFrame) -> None:
+        """Register a base table for table-backed attributes."""
+
+        self._table_cache[table_name] = df
+
+    def register_table_attribute(
+        self,
+        aid: str,
+        table_name: str,
+        e_expr: str,
+        v_expr: str,
+        t_expr: Optional[str] = None,
+        semantics: InputSemantics = InputSemantics.RAW,
+    ) -> None:
+        """Declare an attribute as a column view over a registered table:
+        ``SELECT e_expr AS e, v_expr AS v FROM table WHERE v IS NOT NULL``.
+
+        This is the scale path: the attribute is a column-pruned parquet
+        scan (the analog of the reference's per-attribute collections),
+        and the Hector compiler fuses same-entity attributes of one
+        table into a single scan. With ``semantics=LAST_WRITE_WINS`` and
+        a ``t_expr``, the view keeps only the latest write per entity
+        (reference: src/operators/last_write_wins.rs); such attributes
+        are not fusable.
+        """
+
+        if table_name not in self._table_cache:
+            raise KeyError(f"unknown table {table_name}")
+        table_df = self._table_cache[table_name]
+
+        def loader() -> DataFrame:
+            df = table_df.filter(F.expr(v_expr).isNotNull())
+            if semantics == InputSemantics.LAST_WRITE_WINS:
+                w = Window.partitionBy(F.expr(e_expr)).orderBy(
+                    F.expr(t_expr).desc()
+                )
+                df = df.withColumn("__rn", F.row_number().over(w)).filter(
+                    F.col("__rn") == 1
+                )
+            out = df.select(F.expr(e_expr).alias("e"), F.expr(v_expr).alias("v"))
+            if semantics == InputSemantics.DISTINCT:
+                out = out.dropDuplicates(["e", "v"])
+            return out
+
+        plain = semantics == InputSemantics.RAW
+        self._attributes[aid] = AttributeSource(
+            loader=loader,
+            has_diff=False,
+            table=table_name if plain else None,
+            e_expr=e_expr if plain else None,
+            v_expr=v_expr if plain else None,
+            table_loader=(lambda: table_df) if plain else None,
+        )
+
+    def register_table_attributes(
+        self, table_name: str, e_expr: str, mapping: dict[str, str]
+    ) -> None:
+        for aid, v_expr in mapping.items():
+            self.register_table_attribute(aid, table_name, e_expr, v_expr)
+
+    # -- transactions ----------------------------------------------------
+
+    def transact(self, datoms: Iterable[Datom]) -> int:
+        """Append a transaction batch (reference: Request::Transact,
+        src/server/mod.rs:284-296). Returns the tx id."""
+
+        tx = self.next_tx
+        by_attr: dict[str, list[tuple]] = {}
+        for d in datoms:
+            t = d.t if d.t is not None else tx
+            by_attr.setdefault(d.a, []).append((d.e, d.v, t, d.diff))
+        for aid, rows in by_attr.items():
+            if aid not in self._transacted:
+                raise KeyError(f"attribute {aid} not created")
+            self._transacted[aid].append(rows)
+        self.next_tx = tx + 1
+        return tx
+
+    # -- rules & queries ---------------------------------------------------
+
+    def register(self, name: str, plan: Plan) -> None:
+        """Reference: Request::Register (src/server/mod.rs:324-338)."""
+
+        self.rules[name] = plan
+
+    def catalog(
+        self,
+        bound: Optional[dict[str, Relation]] = None,
+        unbound: Optional[set[str]] = None,
+    ) -> Catalog:
+        cat = Catalog(self._attributes, self.rules, bound or {}, unbound)
+        cat.tables = {
+            name: (lambda df=df: df) for name, df in self._table_cache.items()
+        }
+        return cat
+
+    def interest(
+        self, name: str, as_names: Optional[list[str]] = None
+    ) -> DataFrame:
+        """Compile a registered rule and return its consolidated result
+        (reference: server.interest -> implement, src/server/mod.rs:304-308).
+        """
+
+        if name not in self.rules:
+            raise KeyError(f"unknown rule {name}")
+        rec = self._recursive_rules(name)
+        if rec:
+            rel = self._fixpoint(name, rec)
+        else:
+            rel = compile_plan(self.rules[name], self.catalog()).consolidated()
+        return self._finish(rel, as_names)
+
+    def implement(self, plan: Plan, as_names: Optional[list[str]] = None) -> DataFrame:
+        """Compile an ad-hoc plan (test harness path, reference:
+        Server::test_single, src/server/mod.rs:511-529)."""
+
+        rel = compile_plan(plan, self.catalog()).consolidated()
+        return self._finish(rel, as_names)
+
+    def _finish(self, rel: Relation, as_names: Optional[list[str]]) -> DataFrame:
+        names = as_names or [str(v) for v in rel.variables]
+        cols = [F.col(vcol(v)).alias(n) for v, n in zip(rel.variables, names)]
+        if rel.has_diff:
+            cols.append(F.col(DIFF).alias("diff"))
+        return rel.df.select(*cols)
+
+    # -- recursion ---------------------------------------------------------
+
+    def _dependencies(self, plan: Plan) -> set[str]:
+        deps: set[str] = set()
+
+        def walk(p: Any) -> None:
+            if isinstance(p, NameExpr):
+                deps.add(p.name)
+            for attr in getattr(p, "__dataclass_fields__", {}):
+                v = getattr(p, attr)
+                if isinstance(v, Plan):
+                    walk(v)
+                elif isinstance(v, list):
+                    for item in v:
+                        if isinstance(item, Plan):
+                            walk(item)
+
+        walk(plan)
+        return deps
+
+    def _recursive_rules(self, name: str) -> set[str]:
+        """Rules in the dependency cycle(s) reachable from ``name``."""
+
+        graph: dict[str, set[str]] = {}
+        stack = [name]
+        while stack:
+            n = stack.pop()
+            if n in graph or n not in self.rules:
+                continue
+            graph[n] = {d for d in self._dependencies(self.rules[n]) if d in self.rules}
+            stack.extend(graph[n])
+
+        # A rule is recursive if it can reach itself.
+        def reaches(start: str, target: str) -> bool:
+            seen: set[str] = set()
+            todo = list(graph.get(start, ()))
+            while todo:
+                n = todo.pop()
+                if n == target:
+                    return True
+                if n in seen:
+                    continue
+                seen.add(n)
+                todo.extend(graph.get(n, ()))
+            return False
+
+        return {n for n in graph if reaches(n, n)}
+
+    def _fixpoint(
+        self, name: str, recursive: set[str], max_iterations: int = 200
+    ) -> Relation:
+        """Driver-side semi-naive fixpoint with set semantics.
+
+        Mirrors the reference's iterative scope where each rule gets a
+        differential Variable and all advance together
+        (src/lib.rs:943-1019, distinct per Variable at 1012-1017).
+        ``localCheckpoint`` truncates lineage each iteration so the plan
+        does not grow unboundedly — the plan-blowup hazard called out in
+        SURVEY §7 Phase 3.
+        """
+
+        current: dict[str, Relation] = {}
+        counts: dict[str, int] = {}
+
+        for it in range(max_iterations):
+            changed = False
+            for rn in sorted(recursive):
+                cat = self.catalog(
+                    bound=dict(current), unbound=recursive - set(current)
+                )
+                try:
+                    new_rel = compile_plan(self.rules[rn], cat).distinct()
+                except UnboundRule:
+                    # Whole rule depends on a not-yet-bound variable
+                    # outside a Union base case; try again next pass.
+                    changed = True
+                    continue
+                df = new_rel.df.localCheckpoint(eager=True)
+                new_rel = Relation(new_rel.variables, df, new_rel.has_diff)
+                new_count = df.count()
+                old = current.get(rn)
+                if (
+                    old is None
+                    or new_count != counts[rn]
+                    or not df.exceptAll(old.df.select(*df.columns)).isEmpty()
+                ):
+                    changed = True
+                    current[rn] = new_rel
+                    counts[rn] = new_count
+            if name in current and not changed:
+                return current[name]
+        raise RuntimeError(
+            f"fixpoint did not converge in {max_iterations} iterations"
+        )

@@ -1,0 +1,364 @@
+"""Logical query plan algebra.
+
+Mirrors the reference's serializable ``Plan`` enum
+(reference: src/plan/mod.rs:153-190) and the ``Binding`` constraint
+language used by the worst-case-optimal join operator
+(reference: src/binding/mod.rs:52-62). These dataclasses are the
+engine's IR: clients construct (or JSON-decode) a Plan tree and the
+compiler in ``plan.compiler`` lowers it to a PySpark DataFrame and
+lets Catalyst choose the physical strategy.
+
+Variables are plain strings or ints (reference uses ``Var = u64``,
+src/plan/mod.rs:22). Aggregation functions mirror
+src/plan/aggregate_neu.rs:21-39; transform functions mirror
+src/plan/transform.rs:16-24; predicates mirror
+src/binding/mod.rs:283-297.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from enum import Enum
+import typing
+from typing import Any, Optional
+
+Var = typing.Union[str, int]
+Aid = str
+
+
+class Predicate(str, Enum):
+    """Binary predicates (reference: src/binding/mod.rs:283-297)."""
+
+    LT = "LT"
+    GT = "GT"
+    LTE = "LTE"
+    GTE = "GTE"
+    EQ = "EQ"
+    NEQ = "NEQ"
+
+
+class Function(str, Enum):
+    """Scalar transform functions (reference: src/plan/transform.rs:16-24)."""
+
+    TRUNCATE = "TRUNCATE"
+    ADD = "ADD"
+    SUBTRACT = "SUBTRACT"
+
+
+class AggregationFn(str, Enum):
+    """Aggregates (reference: src/plan/aggregate_neu.rs:21-39)."""
+
+    MIN = "MIN"
+    MAX = "MAX"
+    MEDIAN = "MEDIAN"
+    COUNT = "COUNT"
+    SUM = "SUM"
+    AVG = "AVG"
+    VARIANCE = "VARIANCE"
+
+
+class Plan:
+    """Base class for all plan nodes."""
+
+    def variables(self) -> list[Var]:  # pragma: no cover - overridden
+        raise NotImplementedError
+
+
+# ---------------------------------------------------------------------------
+# Leaf scans (reference: src/plan/mod.rs:173-178, impl 341-401)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class MatchA(Plan):
+    """Scan an attribute, binding ``[?e a ?v]``."""
+
+    e: Var
+    attribute: Aid
+    v: Var
+
+    def variables(self) -> list[Var]:
+        return [self.e, self.v]
+
+
+@dataclass
+class MatchEA(Plan):
+    """Scan with a constant entity: ``[e a ?v]``."""
+
+    entity: Any
+    attribute: Aid
+    v: Var
+
+    def variables(self) -> list[Var]:
+        return [self.v]
+
+
+@dataclass
+class MatchAV(Plan):
+    """Scan with a constant value: ``[?e a v]``."""
+
+    e: Var
+    attribute: Aid
+    value: Any
+
+    def variables(self) -> list[Var]:
+        return [self.e]
+
+
+# ---------------------------------------------------------------------------
+# Relational operators
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class Scan(Plan):
+    """Whole-table relation leaf — a Spark-first EXTENSION beyond the
+    reference's attribute-only data model, for tables without a unique
+    entity key (e.g. fact tables like lineitem). Binds each selected
+    column to a variable; rows keep bag semantics.
+    """
+
+    table: str
+    columns: dict[str, Var]  # column name -> variable
+
+    def variables(self) -> list[Var]:
+        return list(self.columns.values())
+
+
+@dataclass
+class Project(Plan):
+    """Reorder/select variables, bag semantics (reference: src/plan/project.rs:20-64)."""
+
+    variables_: list[Var]
+    plan: Plan
+
+    def variables(self) -> list[Var]:
+        return list(self.variables_)
+
+
+@dataclass
+class Join(Plan):
+    """Binary equijoin on shared ``variables`` (reference: src/plan/join.rs:26-33).
+
+    Output column order is key ++ left rest ++ right rest, matching the
+    reference's tuple layout.
+    """
+
+    variables_: list[Var]
+    left_plan: Plan
+    right_plan: Plan
+
+    def variables(self) -> list[Var]:
+        key = list(self.variables_)
+        rest_l = [v for v in self.left_plan.variables() if v not in key]
+        rest_r = [v for v in self.right_plan.variables() if v not in key]
+        return key + rest_l + rest_r
+
+
+@dataclass
+class Antijoin(Plan):
+    """Left tuples whose key has no match in right, set semantics
+    (reference: src/plan/antijoin.rs:20-27, both sides distinct at 95-97)."""
+
+    variables_: list[Var]
+    left_plan: Plan
+    right_plan: Plan
+
+    def variables(self) -> list[Var]:
+        return list(self.left_plan.variables())
+
+
+@dataclass
+class Negate(Plan):
+    """Negate multiplicities (reference: src/plan/mod.rs:167-168, impl 320-336)."""
+
+    plan: Plan
+
+    def variables(self) -> list[Var]:
+        return self.plan.variables()
+
+
+@dataclass
+class Union(Plan):
+    """N-ary union + distinct (reference: src/plan/union.rs:20-25, distinct at 77)."""
+
+    variables_: list[Var]
+    plans: list[Plan]
+
+    def variables(self) -> list[Var]:
+        return list(self.variables_)
+
+
+@dataclass
+class Filter(Plan):
+    """Binary predicate over two variables or variable vs constant
+    (reference: src/plan/filter.rs:45-55, impl 96-131).
+
+    ``constants`` maps position (0/1) -> literal, like the reference's
+    ``Vec<Option<Value>>``.
+    """
+
+    variables_: list[Var]
+    predicate: Predicate
+    plan: Plan
+    constants: dict[int, Any] = field(default_factory=dict)
+
+    def variables(self) -> list[Var]:
+        return self.plan.variables()
+
+
+@dataclass
+class Transform(Plan):
+    """Scalar function appending ``result_variable``
+    (reference: src/plan/transform.rs:16-42)."""
+
+    variables_: list[Var]
+    result_variable: Var
+    plan: Plan
+    function: Function
+    constants: dict[int, Any] = field(default_factory=dict)
+
+    def variables(self) -> list[Var]:
+        return self.plan.variables() + [self.result_variable]
+
+
+@dataclass
+class Aggregate(Plan):
+    """Grouped aggregation (reference: src/plan/aggregate_neu.rs:44-58).
+
+    ``key_variables`` group; each ``aggregation_fns[i]`` applies to
+    ``aggregation_variables[i]``; ``with_variables`` keep duplicate
+    contributions distinct without appearing in the output (Datomic
+    ``:with``, reference: aggregate_neu.rs:128-143).
+    """
+
+    variables_: list[Var]
+    plan: Plan
+    aggregation_fns: list[AggregationFn]
+    key_variables: list[Var]
+    aggregation_variables: list[Var]
+    with_variables: list[Var] = field(default_factory=list)
+
+    def variables(self) -> list[Var]:
+        return list(self.key_variables) + list(self.aggregation_variables)
+
+
+@dataclass
+class NameExpr(Plan):
+    """Reference a named rule; enables composition and recursion
+    (reference: src/plan/mod.rs:179-180, recursion src/lib.rs:968-1019)."""
+
+    variables_: list[Var]
+    name: str
+
+    def variables(self) -> list[Var]:
+        return list(self.variables_)
+
+
+# ---------------------------------------------------------------------------
+# Hector (n-way join over bindings) — reference: src/plan/hector.rs:128-134
+# and the Binding language src/binding/mod.rs:52-62. We compile the
+# conjunction to a Catalyst join chain (with same-entity scan fusion)
+# instead of a delta-pipeline WCO join; see compiler.
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class AttributeBinding:
+    """``[?e a ?v]`` constraint (reference: src/binding/mod.rs:109-147)."""
+
+    e: Var
+    attribute: Aid
+    v: Var
+
+
+@dataclass
+class ConstantBinding:
+    """``?x = c`` (reference: src/binding/mod.rs:149-176)."""
+
+    variable: Var
+    value: Any
+
+
+@dataclass
+class BinaryPredicateBinding:
+    """``pred(?x, ?y)`` (reference: src/binding/mod.rs:235-281)."""
+
+    variables_: list[Var]
+    predicate: Predicate
+
+
+@dataclass
+class AntijoinBinding:
+    """Negated attribute binding (reference: src/binding/mod.rs:205-233)."""
+
+    e: Var
+    attribute: Aid
+    v: Var
+
+
+Binding = typing.Union[
+    AttributeBinding, ConstantBinding, BinaryPredicateBinding, AntijoinBinding
+]
+
+
+@dataclass
+class Hector(Plan):
+    """Conjunction of bindings, projected to ``variables_``
+    (reference: src/plan/hector.rs:128-134)."""
+
+    variables_: list[Var]
+    bindings: list[Binding]
+
+    def variables(self) -> list[Var]:
+        return list(self.variables_)
+
+
+# ---------------------------------------------------------------------------
+# Pull (document projection) — reference: src/plan/pull.rs
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class PullLevel(Plan):
+    """For each entity bound by ``plan``, emit ``[path.., e, aid, v]`` per
+    pulled attribute (reference: src/plan/pull.rs:22-36, impl 94-236)."""
+
+    variables_: list[Var]
+    plan: Plan
+    pull_variable: Var
+    pull_attributes: list[Aid]
+    path_attributes: list[Aid] = field(default_factory=list)
+    cardinality_many: bool = False
+
+    def variables(self) -> list[Var]:
+        return list(self.variables_)
+
+
+@dataclass
+class Pull(Plan):
+    """Union of PullLevel paths (reference: src/plan/pull.rs:44-50)."""
+
+    variables_: list[Var]
+    paths: list[PullLevel]
+
+    def variables(self) -> list[Var]:
+        return list(self.variables_)
+
+
+@dataclass
+class PullAll(Plan):
+    """Dump all (e, a, v) for a set of attributes
+    (reference: src/plan/pull.rs:288-294)."""
+
+    variables_: list[Var]
+    pull_attributes: list[Aid]
+
+    def variables(self) -> list[Var]:
+        return list(self.variables_)
+
+
+def q(target_variables: list[Var], bindings: list[Binding]) -> Hector:
+    """Canonical query constructor (reference: src/lib.rs:867-875)."""
+
+    return Hector(variables_=list(target_variables), bindings=list(bindings))

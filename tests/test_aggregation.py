@@ -1,0 +1,189 @@
+"""Aggregation semantics on transacted datoms
+(ports the shape of reference tests/aggregation_test.rs)."""
+
+import pytest
+
+from declarative_dataflow_spark import (
+    Aggregate,
+    AggregationFn,
+    Datom,
+    Join,
+    MatchA,
+    Project,
+)
+
+from conftest import rows
+
+
+def _amounts(engine):
+    engine.create_attribute("amount")
+    engine.transact(
+        [
+            Datom.add(1, "amount", 5),
+            Datom.add(2, "amount", 10),
+            Datom.add(3, "amount", 10),
+            Datom.add(4, "amount", 2),
+        ]
+    )
+    return engine
+
+
+def test_global_min_max(engine):
+    _amounts(engine)
+    for fn, expected in [(AggregationFn.MIN, 2), (AggregationFn.MAX, 10)]:
+        plan = Aggregate(
+            ["?v"],
+            Project(["?v"], MatchA("?e", "amount", "?v")),
+            [fn],
+            [],
+            ["?v"],
+        )
+        assert rows(engine.implement(plan, ["v"])) == [(expected,)]
+
+
+def test_global_count_sum_avg(engine):
+    _amounts(engine)
+    plan = Aggregate(
+        ["?v"],
+        Project(["?v"], MatchA("?e", "amount", "?v")),
+        [AggregationFn.COUNT],
+        [],
+        ["?v"],
+    )
+    assert rows(engine.implement(plan, ["n"])) == [(4,)]
+
+    plan = Aggregate(
+        ["?v"],
+        Project(["?v"], MatchA("?e", "amount", "?v")),
+        [AggregationFn.SUM],
+        [],
+        ["?v"],
+    )
+    assert rows(engine.implement(plan, ["s"])) == [(27,)]
+
+    plan = Aggregate(
+        ["?v"],
+        Project(["?v"], MatchA("?e", "amount", "?v")),
+        [AggregationFn.AVG],
+        [],
+        ["?v"],
+    )
+    assert rows(engine.implement(plan, ["a"])) == [(27 / 4,)]
+
+
+def test_sum_with_semantics(engine):
+    """:with keeps duplicate contributions
+    (reference: tests/aggregation_test.rs:273
+    ``[:find (sum ?amount) :with ?e ...]``).
+
+    Without :with, projecting to just ?amount consolidates the two
+    (10) contributions from different entities; :with ?e keeps them.
+    """
+
+    _amounts(engine)
+    plan = Aggregate(
+        ["?v"],
+        Project(["?v"], MatchA("?e", "amount", "?v")),
+        [AggregationFn.SUM],
+        [],
+        ["?v"],
+        with_variables=[],
+    )
+    # Bag semantics: projection keeps weight 2 for the duplicate 10s,
+    # weighted SUM counts both.
+    assert rows(engine.implement(plan, ["s"])) == [(27,)]
+
+    plan = Aggregate(
+        ["?e", "?v"],
+        MatchA("?e", "amount", "?v"),
+        [AggregationFn.SUM],
+        [],
+        ["?v"],
+        with_variables=["?e"],
+    )
+    assert rows(engine.implement(plan, ["s"])) == [(27,)]
+
+
+def test_median_upper_middle(engine):
+    """Reference picks vals[len/2] — upper-middle, no interpolation
+    (aggregate_neu.rs:160-166)."""
+
+    _amounts(engine)  # sorted: 2, 5, 10, 10 -> index 2 -> 10
+    plan = Aggregate(
+        ["?v"],
+        Project(["?v"], MatchA("?e", "amount", "?v")),
+        [AggregationFn.MEDIAN],
+        [],
+        ["?v"],
+    )
+    assert rows(engine.implement(plan, ["m"])) == [(10,)]
+
+
+def test_grouped_aggregate(engine):
+    engine.create_attribute("group")
+    engine.create_attribute("amount")
+    engine.transact(
+        [
+            Datom.add(1, "group", "a"),
+            Datom.add(2, "group", "a"),
+            Datom.add(3, "group", "b"),
+            Datom.add(1, "amount", 5),
+            Datom.add(2, "amount", 10),
+            Datom.add(3, "amount", 2),
+        ]
+    )
+    plan = Aggregate(
+        ["?g", "?v"],
+        Join(["?e"], MatchA("?e", "group", "?g"), MatchA("?e", "amount", "?v")),
+        [AggregationFn.SUM],
+        ["?g"],
+        ["?v"],
+    )
+    assert rows(engine.implement(plan, ["g", "s"])) == [("a", 15), ("b", 2)]
+
+
+def test_variance(engine):
+    _amounts(engine)
+    plan = Aggregate(
+        ["?v"],
+        Project(["?v"], MatchA("?e", "amount", "?v")),
+        [AggregationFn.VARIANCE],
+        [],
+        ["?v"],
+    )
+    # values 5, 10, 10, 2: mean=6.75, var = (sum sq)/4 - 6.75^2
+    expected = (25 + 100 + 100 + 4) / 4 - 6.75**2
+    got = rows(engine.implement(plan, ["v"]))
+    assert len(got) == 1
+    assert got[0][0] == pytest.approx(expected)
+
+
+def test_multiple_aggregations(engine):
+    """Reference: tests/aggregation_test.rs:478-640."""
+
+    engine.create_attribute("group")
+    engine.create_attribute("amount")
+    engine.create_attribute("other")
+    engine.transact(
+        [
+            Datom.add(1, "group", "a"),
+            Datom.add(2, "group", "a"),
+            Datom.add(1, "amount", 5),
+            Datom.add(2, "amount", 10),
+            Datom.add(1, "other", 100),
+            Datom.add(2, "other", 200),
+        ]
+    )
+    inner = Join(
+        ["?e"],
+        Join(["?e"], MatchA("?e", "group", "?g"), MatchA("?e", "amount", "?v")),
+        MatchA("?e", "other", "?w"),
+    )
+    plan = Aggregate(
+        ["?g", "?v", "?w"],
+        inner,
+        [AggregationFn.MIN, AggregationFn.MAX],
+        ["?g"],
+        ["?v", "?w"],
+    )
+    assert rows(engine.implement(plan, ["g", "minv", "maxw"])) == [("a", 5, 200)]

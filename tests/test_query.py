@@ -1,0 +1,193 @@
+"""Core relational operator semantics on transacted datoms.
+
+Ports the shape of the reference's tests/query_test.rs: create
+attributes, transact weighted datoms, implement a plan, assert the
+exact consolidated multiset.
+"""
+
+from declarative_dataflow_spark import (
+    Antijoin,
+    AttributeBinding,
+    BinaryPredicateBinding,
+    ConstantBinding,
+    Datom,
+    Filter,
+    Join,
+    MatchA,
+    MatchAV,
+    MatchEA,
+    Negate,
+    Predicate,
+    Project,
+    Union,
+    q,
+)
+
+from conftest import rows
+
+
+def _people(engine):
+    engine.create_attribute("name")
+    engine.create_attribute("age")
+    engine.transact(
+        [
+            Datom.add(1, "name", "Dipper"),
+            Datom.add(1, "age", 12),
+            Datom.add(2, "name", "Mabel"),
+            Datom.add(2, "age", 13),
+            Datom.add(3, "name", "Soos"),
+        ]
+    )
+    return engine
+
+
+def test_match_a(engine):
+    _people(engine)
+    df = engine.implement(MatchA("?e", "age", "?v"), ["e", "v"])
+    assert rows(df) == [(1, 12, 1), (2, 13, 1)]
+
+
+def test_match_ea(engine):
+    _people(engine)
+    df = engine.implement(MatchEA(1, "name", "?v"), ["v"])
+    assert rows(df) == [("Dipper", 1)]
+
+
+def test_match_av(engine):
+    _people(engine)
+    df = engine.implement(MatchAV("?e", "name", "Mabel"), ["e"])
+    assert rows(df) == [(2, 1)]
+
+
+def test_join(engine):
+    """Reference: tests/query_test.rs:263-287."""
+
+    _people(engine)
+    plan = Join(["?e"], MatchA("?e", "name", "?n"), MatchA("?e", "age", "?a"))
+    df = engine.implement(plan, ["e", "n", "a"])
+    assert rows(df) == [(1, "Dipper", 12, 1), (2, "Mabel", 13, 1)]
+
+
+def test_project_bag_semantics(engine):
+    """Projection keeps duplicates as weights
+    (reference: tests/query_test.rs:169 expects diff=2)."""
+
+    engine.create_attribute("aka")
+    engine.transact(
+        [
+            Datom.add(1, "aka", "Grunkle"),
+            Datom.add(1, "aka", "Stan"),
+        ]
+    )
+    plan = Project(["?e"], MatchA("?e", "aka", "?v"))
+    df = engine.implement(plan, ["e"])
+    # Two (e=1) tuples consolidate to one row with weight 2.
+    assert rows(df) == [(1, 2)]
+
+
+def test_retraction(engine):
+    engine.create_attribute("name")
+    engine.transact([Datom.add(1, "name", "Dipper")])
+    engine.transact([Datom.retract(1, "name", "Dipper")])
+    df = engine.implement(MatchA("?e", "name", "?v"), ["e", "v"])
+    assert rows(df) == []
+
+
+def test_negate_union_set_difference(engine):
+    engine.create_attribute("x")
+    engine.transact(
+        [
+            Datom.add(1, "x", 1),
+            Datom.add(2, "x", 1),
+            Datom.add(3, "x", 2),
+        ]
+    )
+    plan = Union(
+        ["?e"],
+        [
+            MatchAV("?e", "x", 1),
+            Negate(MatchAV("?e", "x", 2)),
+        ],
+    )
+    df = engine.implement(plan, ["e"])
+    assert rows(df) == [(1,), (2,)]
+
+
+def test_antijoin(engine):
+    _people(engine)
+    plan = Antijoin(
+        ["?e"],
+        MatchA("?e", "name", "?n"),
+        MatchA("?e", "age", "?a"),
+    )
+    df = engine.implement(plan, ["e", "n"])
+    assert rows(df) == [(3, "Soos")]
+
+
+def test_filter_var_const(engine):
+    _people(engine)
+    plan = Filter(["?v"], Predicate.GT, MatchA("?e", "age", "?v"), {1: 12})
+    df = engine.implement(plan, ["e", "v"])
+    assert rows(df) == [(2, 13, 1)]
+
+
+def test_hector_triangle(engine):
+    """WCO-style triangle conjunction [?a e ?b][?b e ?c][?a e ?c]
+    (reference: tests/hector_test.rs:230-251)."""
+
+    engine.create_attribute("edge")
+    engine.transact(
+        [
+            Datom.add(1, "edge", 2),
+            Datom.add(2, "edge", 3),
+            Datom.add(1, "edge", 3),
+            Datom.add(3, "edge", 4),
+            Datom.add(1, "edge", 4),  # 1-3-4 triangle too
+        ]
+    )
+    plan = q(
+        ["?a", "?b", "?c"],
+        [
+            AttributeBinding("?a", "edge", "?b"),
+            AttributeBinding("?b", "edge", "?c"),
+            AttributeBinding("?a", "edge", "?c"),
+        ],
+    )
+    df = engine.implement(plan, ["a", "b", "c"])
+    assert rows(df) == [(1, 2, 3, 1), (1, 3, 4, 1)]
+
+
+def test_hector_constant_and_predicate(engine):
+    _people(engine)
+    plan = q(
+        ["?e", "?n"],
+        [
+            AttributeBinding("?e", "name", "?n"),
+            AttributeBinding("?e", "age", "?a"),
+            BinaryPredicateBinding(["?a", "?lim"], Predicate.LTE),
+            ConstantBinding("?lim", 12),
+        ],
+    )
+    df = engine.implement(plan, ["e", "n"])
+    assert rows(df) == [(1, "Dipper", 1)]
+
+
+def test_join_multiplicities(engine):
+    """Self-join duplicates multiply weights
+    (reference: tests/query_test.rs:329-345)."""
+
+    engine.create_attribute("aka")
+    engine.transact(
+        [
+            Datom.add(1, "aka", "A"),
+            Datom.add(1, "aka", "B"),
+        ]
+    )
+    plan = Join(["?e"], MatchA("?e", "aka", "?x"), MatchA("?e", "aka", "?y"))
+    df = engine.implement(plan, ["e", "x", "y"])
+    assert rows(df) == [
+        (1, "A", "A", 1),
+        (1, "A", "B", 1),
+        (1, "B", "A", 1),
+        (1, "B", "B", 1),
+    ]

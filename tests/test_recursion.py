@@ -1,0 +1,97 @@
+"""Recursive rules: driver-side semi-naive fixpoint
+(reference: iterative scope, src/lib.rs:943-1019; labelprop experiment)."""
+
+from declarative_dataflow_spark import (
+    Datom,
+    Join,
+    MatchA,
+    NameExpr,
+    Union,
+)
+
+from conftest import rows
+
+
+def _edges(engine, pairs):
+    engine.create_attribute("edge")
+    engine.transact([Datom.add(a, "edge", b) for a, b in pairs])
+
+
+def test_transitive_closure_chain(engine):
+    _edges(engine, [(1, 2), (2, 3), (3, 4)])
+    engine.register(
+        "reach",
+        Union(
+            ["?x", "?y"],
+            [
+                MatchA("?x", "edge", "?y"),
+                Join(
+                    ["?m"],
+                    NameExpr(["?x", "?m"], "reach"),
+                    MatchA("?m", "edge", "?y"),
+                ),
+            ],
+        ),
+    )
+    df = engine.interest("reach", ["x", "y"])
+    assert rows(df) == sorted(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    )
+
+
+def test_transitive_closure_cycle_terminates(engine):
+    _edges(engine, [(1, 2), (2, 3), (3, 1)])
+    engine.register(
+        "reach",
+        Union(
+            ["?x", "?y"],
+            [
+                MatchA("?x", "edge", "?y"),
+                Join(
+                    ["?m"],
+                    NameExpr(["?x", "?m"], "reach"),
+                    MatchA("?m", "edge", "?y"),
+                ),
+            ],
+        ),
+    )
+    df = engine.interest("reach", ["x", "y"])
+    # full 3x3 reachability
+    assert len(rows(df)) == 9
+
+
+def test_mutual_recursion(engine):
+    """Two rules referencing each other advance together
+    (reference: all rule Variables advance in one scope)."""
+
+    _edges(engine, [(1, 2), (2, 3)])
+    # even(x,y): edge path of even length >= 2; odd: odd length >= 1
+    engine.register(
+        "odd",
+        Union(
+            ["?x", "?y"],
+            [
+                MatchA("?x", "edge", "?y"),
+                Join(
+                    ["?m"],
+                    NameExpr(["?x", "?m"], "even"),
+                    MatchA("?m", "edge", "?y"),
+                ),
+            ],
+        ),
+    )
+    engine.register(
+        "even",
+        Union(
+            ["?x", "?y"],
+            [
+                Join(
+                    ["?m"],
+                    NameExpr(["?x", "?m"], "odd"),
+                    MatchA("?m", "edge", "?y"),
+                ),
+            ],
+        ),
+    )
+    assert rows(engine.interest("even", ["x", "y"])) == [(1, 3)]
+    assert rows(engine.interest("odd", ["x", "y"])) == [(1, 2), (2, 3)]
