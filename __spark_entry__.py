@@ -42,8 +42,9 @@ from declarative_dataflow_spark import (
     q,
 )
 from declarative_dataflow_spark.engine import Engine, InputSemantics
+from declarative_dataflow_spark.operators import dedup, multimodal, similarity, text
 from declarative_dataflow_spark.plan.plans import Scan
-from declarative_dataflow_spark.sources.testdata import load_engine
+from declarative_dataflow_spark.sources.testdata import load_engine, load_table
 
 DEFAULT_SF = "/root/testdata/sf0.001"
 
@@ -480,6 +481,79 @@ def q_pull_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Training-data pipeline operators (beyond-reference, BASELINE.json)
+# ---------------------------------------------------------------------------
+
+
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.token_count(load_table(spark, sf_dir, "documents"))
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.quality_score(load_table(spark, sf_dir, "documents"))
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.lang_id(load_table(spark, sf_dir, "documents"))
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup_groups(load_table(spark, sf_dir, "documents"))
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), n=1, threshold=0.5
+    )
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"),
+        k=16,
+        bands=4,
+        n=3,
+        threshold=0.2,
+    )
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash(load_table(spark, sf_dir, "documents"))
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.cosine_topk(
+        load_table(spark, sf_dir, "embeddings"), query_ids=list(range(10)), k=5
+    )
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN via hyperplane LSH buckets (scale path; no SQL
+    oracle — checked rows-only, exactness covered by cosine_topk)."""
+
+    return similarity.lsh_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        query_ids=list(range(10)),
+        k=5,
+        planes=6,
+    )
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.decode_image(multimodal.attach_binary(docs), fake=True)
+
+
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.frame_sample(multimodal.attach_binary(docs))
+
+
+# ---------------------------------------------------------------------------
 # Contract
 # ---------------------------------------------------------------------------
 
@@ -522,7 +596,69 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_ingest": q_distinct_ingest,
         "pull_level": q_pull_level,
         "pull_all": q_pull_all,
+        "text_tokens": q_text_tokens,
+        "text_quality": q_text_quality,
+        "lang_id": q_lang_id,
+        "fingerprint": q_fingerprint,
+        "dedup_exact": q_dedup_exact,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash": q_simhash,
+        "cosine_topk": q_cosine_topk,
+        "ann_lsh": q_ann_lsh,
+        "multimodal_meta": q_multimodal_meta,
+        "frame_sample": q_frame_sample,
     }
+
+
+def _sql_set(words) -> str:
+    return "(" + ", ".join(f"'{w}'" for w in words) + ")"
+
+
+_SQL_STOP = _sql_set(text.STOPWORDS)
+_SQL_EN = _sql_set(text.LANG_MARKERS["en"])
+_SQL_ES = _sql_set(text.LANG_MARKERS["es"])
+_SQL_DE = _sql_set(text.LANG_MARKERS["de"])
+_SQL_FR = _sql_set(text.LANG_MARKERS["fr"])
+
+# MinHash LSH oracle: k=16 signature mins, 4 bands of 4 rows, word
+# 3-gram shingles, exact-Jaccard verify at 0.2 — mirrors
+# declarative_dataflow_spark.operators.dedup.minhash_lsh_pairs
+# (linear permutations over one md5-derived uint32 per shingle).
+_MINHASH_MINS = ", ".join(
+    "min(({a} * ('0x' || substr(md5(shingle), 1, 8))::BIGINT + {b}) "
+    "% {p}) AS m{i}".format(a=a, b=b, p=dedup.MINHASH_P, i=i)
+    for i, (a, b) in enumerate(dedup.minhash_coeffs(16))
+)
+_MINHASH_BANDS = " UNION ALL ".join(
+    "SELECT doc_id, {b} AS band, {key} AS key FROM sig".format(
+        b=b,
+        key=" || '_' || ".join(f"m{b * 4 + r}::VARCHAR" for r in range(4)),
+    )
+    for b in range(4)
+)
+_MINHASH_ORACLE = (
+    "WITH words AS (SELECT doc_id, string_split(lower(text), ' ') AS w "
+    "FROM documents), "
+    "sh AS (SELECT DISTINCT doc_id, "
+    "unnest([w[i] || '_' || w[i+1] || '_' || w[i+2] "
+    "for i in range(1, len(w) - 1)]) AS shingle "
+    "FROM words WHERE len(w) >= 3), "
+    f"sig AS (SELECT doc_id, {_MINHASH_MINS} FROM sh GROUP BY doc_id), "
+    f"banded AS ({_MINHASH_BANDS}), "
+    "cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b "
+    "FROM banded l JOIN banded r ON l.band = r.band AND l.key = r.key "
+    "AND l.doc_id < r.doc_id), "
+    "sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1), "
+    "inter AS (SELECT c.a, c.b, count(*) AS i FROM cand c "
+    "JOIN sh sa ON sa.doc_id = c.a "
+    "JOIN sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle "
+    "GROUP BY 1, 2) "
+    "SELECT a, b, round(i / (za.sz + zb.sz - i), 4) AS jaccard "
+    "FROM inter JOIN sizes za ON za.doc_id = a "
+    "JOIN sizes zb ON zb.doc_id = b "
+    "WHERE round(i / (za.sz + zb.sz - i), 4) >= 0.2"
+)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -670,5 +806,99 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL "
             "SELECT n_nationkey AS e, 'nation/regionkey' AS a, "
             "CAST(n_regionkey AS VARCHAR) AS v FROM nation"
+        ),
+        "text_tokens": (
+            "SELECT doc_id, CASE WHEN len(trim(text)) = 0 THEN 0 "
+            "ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens "
+            "FROM documents"
+        ),
+        "text_quality": (
+            "SELECT doc_id, length(text) AS n_chars, "
+            "round((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) "
+            "  / greatest(length(text), 1), 4) AS punct_ratio, "
+            f"round(len(list_filter(string_split(lower(text), ' '), w -> w IN {_SQL_STOP})) "
+            "  / greatest(len(string_split(lower(text), ' ')), 1), 4) AS stopword_ratio, "
+            f"round(len(list_filter(string_split(lower(text), ' '), w -> w IN {_SQL_STOP})) "
+            "  / greatest(len(string_split(lower(text), ' ')), 1) * 0.5 "
+            "  + least(length(text) / 500.0, 1.0) * 0.3 "
+            "  + (1.0 - (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) "
+            "      / greatest(length(text), 1)) * 0.2, 4) AS quality "
+            "FROM documents"
+        ),
+        "lang_id": (
+            "WITH c AS (SELECT doc_id, "
+            f"len(list_filter(string_split(lower(text), ' '), w -> w IN {_SQL_EN})) AS c_en, "
+            f"len(list_filter(string_split(lower(text), ' '), w -> w IN {_SQL_ES})) AS c_es, "
+            f"len(list_filter(string_split(lower(text), ' '), w -> w IN {_SQL_DE})) AS c_de, "
+            f"len(list_filter(string_split(lower(text), ' '), w -> w IN {_SQL_FR})) AS c_fr "
+            "FROM documents) "
+            "SELECT doc_id, CASE "
+            "WHEN c_en = 0 AND c_es = 0 AND c_de = 0 AND c_fr = 0 THEN 'und' "
+            "WHEN c_en >= c_es AND c_en >= c_de AND c_en >= c_fr THEN 'en' "
+            "WHEN c_es >= c_de AND c_es >= c_fr THEN 'es' "
+            "WHEN c_de >= c_fr THEN 'de' ELSE 'fr' END AS lang_pred FROM c"
+        ),
+        "fingerprint": (
+            "SELECT doc_id, md5(trim(regexp_replace(regexp_replace(lower(text), "
+            "'[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp FROM documents"
+        ),
+        "dedup_exact": (
+            "SELECT md5(text) AS h, count(*) AS n, min(doc_id) AS canonical "
+            "FROM documents GROUP BY 1"
+        ),
+        "ngram_jaccard": (
+            "WITH sh AS (SELECT DISTINCT doc_id, "
+            "unnest(string_split(lower(text), ' ')) AS shingle FROM documents), "
+            "sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1), "
+            "inter AS (SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS i "
+            "FROM sh l JOIN sh r ON l.shingle = r.shingle AND l.doc_id < r.doc_id "
+            "GROUP BY 1, 2) "
+            "SELECT a, b, round(i / (za.sz + zb.sz - i), 4) AS jaccard "
+            "FROM inter JOIN sizes za ON za.doc_id = a "
+            "JOIN sizes zb ON zb.doc_id = b "
+            "WHERE round(i / (za.sz + zb.sz - i), 4) >= 0.5"
+        ),
+        "minhash_lsh": _MINHASH_ORACLE,
+        "simhash": (
+            "WITH words AS (SELECT DISTINCT doc_id, "
+            "unnest(string_split(lower(text), ' ')) AS w FROM documents), "
+            "h AS (SELECT doc_id, "
+            "('0x' || substr(md5(w), 1, 8))::BIGINT AS h FROM words), "
+            "bits AS (SELECT unnest(range(0, 32)) AS b), "
+            "bitsum AS (SELECT doc_id, b, "
+            "sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s "
+            "FROM h CROSS JOIN bits GROUP BY 1, 2) "
+            "SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN 1::BIGINT << b "
+            "ELSE 0::BIGINT END) AS BIGINT) AS simhash FROM bitsum GROUP BY 1"
+        ),
+        "cosine_topk": (
+            "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+            "FROM embeddings), "
+            "q AS (SELECT vec_id AS q, v AS qv FROM e WHERE vec_id < 10), "
+            "s AS (SELECT q.q, e.vec_id AS neighbor, "
+            "round(list_dot_product(q.qv, e.v) / "
+            "(sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))), 4) AS sim "
+            "FROM e CROSS JOIN q WHERE e.vec_id != q.q) "
+            "SELECT q, neighbor, sim, rank FROM ("
+            "SELECT *, CAST(row_number() OVER (PARTITION BY q "
+            "ORDER BY sim DESC, neighbor) AS INT) AS rank FROM s) "
+            "WHERE rank <= 5"
+        ),
+        "multimodal_meta": (
+            "SELECT doc_id, "
+            "CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, "
+            "'fake/png' AS format, "
+            "CAST(octet_length(encode(text)) % 640 + 1 AS INT) AS width, "
+            "CAST(octet_length(encode(text)) % 480 + 1 AS INT) AS height "
+            "FROM documents"
+        ),
+        "frame_sample": (
+            "WITH t AS (SELECT doc_id, "
+            "list_slice(range(0, octet_length(encode(text)) + 1, 64), 1, 8) AS offs "
+            "FROM documents) "
+            "SELECT doc_id, CAST(x.i AS INT) AS frame_idx, "
+            "CAST(x.o AS INT) AS byte_offset FROM ("
+            "SELECT doc_id, unnest([struct_pack(i := i - 1, o := offs[i]) "
+            "for i in range(1, len(offs) + 1)]) AS x FROM t)"
         ),
     }

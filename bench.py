@@ -22,6 +22,13 @@ HEADLINE = [
     "lww",             # last-write-wins input semantics
     "union",           # set union
     "pull_level",      # document projection
+    "dedup_exact",     # exact hash dedup
+    "minhash_lsh",     # MinHash LSH near-dup (banded candidates + verify)
+    "simhash",         # SimHash fingerprints
+    "cosine_topk",     # brute-force ANN baseline
+    "ann_lsh",         # hyperplane-LSH ANN (scale path)
+    "text_quality",    # quality scoring
+    "lang_id",         # language ID
 ]
 
 

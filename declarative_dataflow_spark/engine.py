@@ -39,7 +39,24 @@ from .plan.compiler import (
     compile_plan,
     vcol,
 )
-from .plan.plans import NameExpr, Plan
+from .plan.plans import Aggregate, Antijoin, NameExpr, Negate, Plan
+
+
+def _is_monotone(plan: Plan) -> bool:
+    """True if the plan contains no negation/aggregation — its fixpoint
+    iterates only grow, so count equality implies convergence."""
+
+    if isinstance(plan, (Negate, Antijoin, Aggregate)):
+        return False
+    for attr in getattr(plan, "__dataclass_fields__", {}):
+        v = getattr(plan, attr)
+        if isinstance(v, Plan) and not _is_monotone(v):
+            return False
+        if isinstance(v, list):
+            for item in v:
+                if isinstance(item, Plan) and not _is_monotone(item):
+                    return False
+    return True
 
 
 class InputSemantics(str, Enum):
@@ -368,6 +385,10 @@ class Engine:
 
         current: dict[str, Relation] = {}
         counts: dict[str, int] = {}
+        # With only monotone operators each iterate is a superset of
+        # the previous (distinct applied), so count equality implies
+        # set equality and the exceptAll shuffle can be skipped.
+        monotone = all(_is_monotone(self.rules[rn]) for rn in recursive)
 
         for it in range(max_iterations):
             changed = False
@@ -389,7 +410,12 @@ class Engine:
                 if (
                     old is None
                     or new_count != counts[rn]
-                    or not df.exceptAll(old.df.select(*df.columns)).isEmpty()
+                    or (
+                        not monotone
+                        and not df.exceptAll(
+                            old.df.select(*df.columns)
+                        ).isEmpty()
+                    )
                 ):
                     changed = True
                     current[rn] = new_rel

@@ -1,0 +1,128 @@
+"""Multimodal column plumbing: images/audio/video as opaque binary
+columns with typed metadata.
+
+Beyond-reference extension (BASELINE.json). The decode step is STUBBED
+(image/audio libraries are not in this container): ``decode_image``
+raises NotImplementedError unless ``fake=True``, in which case a
+deterministic fake decoder derives metadata from the byte content.
+Everything Spark-side is real and tested: binary schema, Arrow-batched
+mapInPandas plumbing, partitioning, batch shapes.
+
+Scale design: mapInPandas streams Arrow record batches — constant
+memory per task regardless of partition size; binary payloads never
+pass through the driver.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+try:  # real decoders, if ever present
+    from PIL import Image  # noqa: F401
+
+    _HAS_PIL = True
+except Exception:  # pragma: no cover - container has no PIL
+    _HAS_PIL = False
+
+
+IMAGE_META_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("format", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+    ]
+)
+
+
+def attach_binary(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Materialize an opaque binary payload column + media metadata
+    struct (here derived from the text column; in production this is
+    the raw image/audio bytes read from object storage)."""
+
+    return docs.select(
+        "doc_id",
+        F.encode(F.col(text_col), "UTF-8").alias("payload"),
+        F.struct(
+            F.length(F.encode(F.col(text_col), "UTF-8")).cast("long").alias(
+                "n_bytes"
+            ),
+            F.lit("fake/png").alias("format"),
+        ).alias("media_meta"),
+    )
+
+
+def _fake_decode(payload: bytes) -> tuple[str, int, int]:
+    """Deterministic fake decoder: metadata derived from byte length.
+
+    Mirrors the oracle expression: width = n % 640 + 1,
+    height = n % 480 + 1.
+    """
+
+    n = len(payload)
+    return "fake/png", n % 640 + 1, n % 480 + 1
+
+
+def decode_image(binaries: DataFrame, fake: bool = True) -> DataFrame:
+    """Decode image binaries to metadata via Arrow-batched mapInPandas.
+
+    With ``fake=False`` this requires a real image library (PIL) —
+    not available in this container -> NotImplementedError. The fake
+    path exercises the identical Spark plumbing (schema, batching,
+    binary transfer) with a deterministic decoder.
+    """
+
+    if not fake and not _HAS_PIL:
+        raise NotImplementedError(
+            "real image decode requires PIL; not available in this "
+            "container — use fake=True to exercise the pipeline"
+        )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [_fake_decode(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": [len(p) for p in pdf["payload"]],
+                    "format": [m[0] for m in metas],
+                    "width": [m[1] for m in metas],
+                    "height": [m[2] for m in metas],
+                }
+            )
+
+    return binaries.select("doc_id", "payload").mapInPandas(
+        decode, schema=IMAGE_META_SCHEMA
+    )
+
+
+def frame_sample(
+    binaries: DataFrame, every_n_bytes: int = 64, max_frames: int = 8
+) -> DataFrame:
+    """'Video' frame sampling stub: emit one row per sampled offset —
+    the real implementation would decode container frames; the Spark
+    shape (explode to frame rows, bounded fanout) is the real part."""
+
+    return (
+        binaries.select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"slice(sequence(0, CAST(length(payload) AS INT), {every_n_bytes}), 1, {max_frames})"
+                )
+            ).alias("frame_idx", "byte_offset"),
+        )
+    )

@@ -1,0 +1,94 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Beyond-reference extensions (BASELINE.json north star): language ID,
+quality scoring, token counting, document fingerprinting — all
+expressed with built-in JVM-side SQL functions (no Python UDFs in the
+hot path), so they stay inside whole-stage codegen and scale linearly
+with input splits at 100 TB. Each has an exact DuckDB-SQL twin used by
+the correctness gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# Deliberately small, deterministic marker sets: the point is the
+# dataflow shape (tokenize -> filter -> argmax), not linguistics.
+STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "on", "for")
+
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "is"),
+    "es": ("el", "la", "los", "y", "de"),
+    "de": ("der", "die", "und", "ist"),
+    "fr": ("le", "les", "et", "est"),
+}
+
+PUNCT_CLASS = "[.,!?;:]"
+
+
+def _count_in_set(col: str, words: tuple[str, ...]) -> Column:
+    lst = ", ".join(f"'{w}'" for w in words)
+    return F.expr(f"size(filter(split(lower({col}), ' '), w -> w IN ({lst})))")
+
+
+def token_count(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count per document."""
+
+    return docs.select(
+        "doc_id",
+        F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0))
+        .otherwise(F.size(F.split(F.trim(F.col(text_col)), r"\s+")))
+        .alias("n_tokens"),
+    )
+
+
+def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic document quality: length, punctuation and stopword
+    ratios combined into one score (all integer counts + one rounded
+    division — deterministic across engines)."""
+
+    length = F.length(F.col(text_col))
+    punct = length - F.length(F.regexp_replace(F.col(text_col), PUNCT_CLASS, ""))
+    n_tokens = F.size(F.split(F.lower(F.col(text_col)), " "))
+    n_stop = _count_in_set(text_col, STOPWORDS)
+    punct_ratio = punct / F.greatest(length, F.lit(1))
+    stop_ratio = n_stop / F.greatest(n_tokens, F.lit(1))
+    len_score = F.least(length / F.lit(500.0), F.lit(1.0))
+    score = stop_ratio * 0.5 + len_score * 0.3 + (1.0 - punct_ratio) * 0.2
+    return docs.select(
+        "doc_id",
+        length.alias("n_chars"),
+        F.round(punct_ratio, 4).alias("punct_ratio"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(score, 4).alias("quality"),
+    )
+
+
+def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-word language ID: argmax of per-language marker counts,
+    ties broken by fixed language order, zero hits -> 'und'."""
+
+    counts = {lang: _count_in_set(text_col, ws) for lang, ws in LANG_MARKERS.items()}
+    best = F.lit("und")
+    best_n = F.lit(0)
+    # Iterate in reverse priority so earlier languages win ties.
+    for lang in reversed(list(LANG_MARKERS)):
+        c = counts[lang]
+        best = F.when(c >= best_n, F.lit(lang)).otherwise(best)
+        best_n = F.when(c >= best_n, c).otherwise(best_n)
+    best = F.when(best_n > 0, best).otherwise(F.lit("und"))
+    return docs.select("doc_id", best.alias("lang_pred"))
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic document fingerprint: md5 of the
+    lowercased/punctuation-stripped/whitespace-collapsed text."""
+
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9 ]", ""),
+            " +",
+            " ",
+        )
+    )
+    return docs.select("doc_id", F.md5(norm).alias("fp"))

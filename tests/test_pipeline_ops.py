@@ -1,0 +1,129 @@
+"""Training-data pipeline operators on hand-built inputs."""
+
+import pytest
+
+from declarative_dataflow_spark.operators import dedup, multimodal, similarity, text
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),  # exact dup
+            (3, "the quick brown fox jumps over the lazy cat"),  # near dup
+            (4, "completely different words entirely unrelated text"),
+            (5, ""),
+        ],
+        ["doc_id", "text"],
+    )
+
+
+def test_exact_dedup(docs):
+    groups = {
+        r["canonical"]: r["n"]
+        for r in dedup.exact_dedup_groups(docs).collect()
+    }
+    assert groups[1] == 2  # docs 1 and 2 collapse
+    assert groups[3] == 1
+
+
+def test_jaccard_identical_docs(docs):
+    pairs = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in dedup.jaccard_pairs(docs, n=1, threshold=0.1).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    # 8 distinct words each ("the" repeats), 7 shared -> 7/9
+    assert pairs[(1, 3)] == pytest.approx(7 / 9, abs=1e-4)
+    assert (1, 4) not in pairs
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    pairs = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in dedup.minhash_lsh_pairs(
+            docs, k=16, bands=4, n=3, threshold=0.2
+        ).collect()
+    }
+    assert pairs[(1, 2)] == 1.0  # identical docs always collide
+    assert all(j >= 0.2 for j in pairs.values())
+
+
+def test_simhash_identical_equal(docs):
+    sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
+    assert sh[1] == sh[2]
+    assert sh[1] != sh[4]
+    # near-dup hamming distance should be small
+    ham = bin(sh[1] ^ sh[3]).count("1")
+    assert ham <= 8
+
+
+def test_token_count(docs):
+    n = {r["doc_id"]: r["n_tokens"] for r in text.token_count(docs).collect()}
+    assert n[1] == 9
+    assert n[5] == 0
+
+
+def test_quality_and_langid(docs):
+    ql = {r["doc_id"]: r["quality"] for r in text.quality_score(docs).collect()}
+    assert 0 <= ql[1] <= 1
+    lang = {r["doc_id"]: r["lang_pred"] for r in text.lang_id(docs).collect()}
+    assert lang[1] == "en"
+    assert lang[4] == "und"
+
+
+def test_fingerprint_normalization(spark):
+    docs = spark.createDataFrame(
+        [(1, "Hello,  World!"), (2, "hello world")], ["doc_id", "text"]
+    )
+    fp = {r["doc_id"]: r["fp"] for r in text.fingerprint(docs).collect()}
+    assert fp[1] == fp[2]
+
+
+def test_cosine_topk_identical_vector(spark):
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.0, 1.0, 0.0]),
+            (3, [0.9, 0.1, 0.0]),
+        ],
+        ["vec_id", "embedding"],
+    )
+    top = similarity.cosine_topk(emb, query_ids=[0], k=2).collect()
+    ranked = sorted(top, key=lambda r: r["rank"])
+    assert ranked[0]["neighbor"] == 1 and ranked[0]["sim"] == 1.0
+    assert ranked[1]["neighbor"] == 3
+
+
+def test_lsh_bucket_determinism(spark):
+    emb = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0]), (1, [1.0, 2.0, 3.0]), (2, [-1.0, -2.0, -3.0])],
+        ["vec_id", "embedding"],
+    )
+    sig = {r["vec_id"]: r["bucket"] for r in similarity.hyperplane_signature(emb, planes=4).collect()}
+    assert sig[0] == sig[1]  # identical vectors share a bucket
+    assert sig[0] != sig[2]  # antipodal vectors do not
+
+
+def test_multimodal_decode_stub(docs):
+    out = multimodal.decode_image(multimodal.attach_binary(docs), fake=True)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    r1 = rows[1]
+    assert r1["n_bytes"] == len("the quick brown fox jumps over the lazy dog")
+    assert r1["width"] == r1["n_bytes"] % 640 + 1
+    assert r1["height"] == r1["n_bytes"] % 480 + 1
+
+
+def test_multimodal_real_decode_raises(docs):
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(multimodal.attach_binary(docs), fake=False)
+
+
+def test_frame_sample_bounded(docs):
+    out = multimodal.frame_sample(multimodal.attach_binary(docs), 16, 3)
+    per_doc = (
+        out.groupBy("doc_id").count().collect()
+    )
+    assert all(r["count"] <= 3 for r in per_doc)
