@@ -43,6 +43,8 @@ from declarative_dataflow_spark import (
 )
 from declarative_dataflow_spark.engine import Engine, InputSemantics
 from declarative_dataflow_spark.operators import dedup, multimodal, similarity, text
+from declarative_dataflow_spark.operators.bitemporal import as_of
+from declarative_dataflow_spark.plan import graphql
 from declarative_dataflow_spark.plan.plans import Scan
 from declarative_dataflow_spark.sources.testdata import load_engine, load_table
 
@@ -480,6 +482,35 @@ def q_pull_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.implement(plan, ["e", "a", "v"])
 
 
+def q_graphql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GraphQL document query compiled to nested Pull plans
+    (reference: src/plan/graphql.rs). Returns the flat path rows; the
+    AssocIn sink assembles nested JSON (tested in pytest)."""
+
+    eng = _engine(spark, sf_dir)
+    plan = graphql.compile_graphql(
+        'query { orders(status: "F") { priority custkey { name nationkey } } }',
+        ref_namespaces={"custkey": "customer"},
+    )
+    return eng.implement(plan, ["root", "child", "a", "v"])
+
+
+def q_bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitemporal as-of: the latest correction per (entity, event day)
+    visible at system time 2024-01-15 (reference: Pair timestamps,
+    tests/input_semantics.rs:337-510)."""
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("u"),
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.col("ts").alias("sys_t"),
+        F.col("value").alias("v"),
+    )
+    return as_of(
+        ev, "2024-01-15 00:00:00", ["u"], ev_col="day", sys_col="sys_t"
+    ).select("u", "day", "v")
+
+
 # ---------------------------------------------------------------------------
 # Training-data pipeline operators (beyond-reference, BASELINE.json)
 # ---------------------------------------------------------------------------
@@ -596,6 +627,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_ingest": q_distinct_ingest,
         "pull_level": q_pull_level,
         "pull_all": q_pull_all,
+        "graphql": q_graphql,
+        "bitemporal_asof": q_bitemporal_asof,
         "text_tokens": q_text_tokens,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
@@ -806,6 +839,27 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL "
             "SELECT n_nationkey AS e, 'nation/regionkey' AS a, "
             "CAST(n_regionkey AS VARCHAR) AS v FROM nation"
+        ),
+        "graphql": (
+            "SELECT CAST(o_orderkey AS VARCHAR) AS root, "
+            "CAST(NULL AS VARCHAR) AS child, 'orders/priority' AS a, "
+            "o_orderpriority AS v FROM orders WHERE o_orderstatus = 'F' "
+            "UNION ALL "
+            "SELECT CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR), "
+            "'customer/name', c_name FROM orders "
+            "JOIN customer ON c_custkey = o_custkey WHERE o_orderstatus = 'F' "
+            "UNION ALL "
+            "SELECT CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR), "
+            "'customer/nationkey', CAST(c_nationkey AS VARCHAR) FROM orders "
+            "JOIN customer ON c_custkey = o_custkey WHERE o_orderstatus = 'F'"
+        ),
+        "bitemporal_asof": (
+            "SELECT u, day, v FROM ("
+            "SELECT user_id AS u, "
+            "CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, value AS v, "
+            "row_number() OVER (PARTITION BY user_id, date_trunc('day', ts) "
+            "ORDER BY ts DESC) AS rn FROM events "
+            "WHERE ts <= TIMESTAMP '2024-01-15 00:00:00') WHERE rn = 1"
         ),
         "text_tokens": (
             "SELECT doc_id, CASE WHEN len(trim(text)) = 0 THEN 0 "

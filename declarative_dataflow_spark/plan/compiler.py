@@ -774,16 +774,18 @@ def _pull_level(plan: PullLevel, catalog: Catalog) -> Relation:
 def _pull(plan: Pull, catalog: Catalog) -> Relation:
     rels = [_pull_level(p, catalog) for p in plan.paths]
     width = max(len(r.variables) for r in rels)
-    # Pad narrower paths with NULL path segments for a uniform schema.
+    # Pad narrower paths with NULL path segments for a uniform schema;
+    # all path segments are cast to string so the union's column types
+    # do not depend on engine-specific coercion rules.
     dfs = []
     for r in rels:
         df = r.df
         for i in range(len(r.variables) - 2, width - 2):
             df = df.withColumn(f"__pad_{i}", F.lit(None).cast("string"))
         cols = (
-            [vcol(v) for v in r.variables[:-2]]
-            + [f"__pad_{i}" for i in range(len(r.variables) - 2, width - 2)]
-            + [vcol(r.variables[-2]), vcol(r.variables[-1])]
+            [F.col(vcol(v)).cast("string") for v in r.variables[:-2]]
+            + [F.col(f"__pad_{i}") for i in range(len(r.variables) - 2, width - 2)]
+            + [F.col(vcol(r.variables[-2])), F.col(vcol(r.variables[-1]))]
         )
         dfs.append(df.select(*cols).toDF(*[f"c{i}" for i in range(width)]))
     out = dfs[0]

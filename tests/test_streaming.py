@@ -1,0 +1,151 @@
+"""Structured Streaming: stateful LWW, windowed aggregation with
+watermark, diff-emitting sink. File-based micro-batch tests."""
+
+import json
+import os
+import time
+
+import pytest
+
+from declarative_dataflow_spark.streaming.diff_sink import DiffSink
+from declarative_dataflow_spark.streaming.lww import stream_last_write_wins
+from declarative_dataflow_spark.streaming.windows import coarsen, tumbling_agg
+
+
+def _write_jsonl(path: str, rows: list[dict]) -> None:
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def test_stream_lww_late_arrival(spark, tmp_path):
+    """Out-of-order write with older t does not displace newer state
+    (reference: last_write_wins.rs + input_semantics.rs:272-297)."""
+
+    src = tmp_path / "in"
+    src.mkdir()
+    _write_jsonl(str(src / "b1.json"), [
+        {"e": 1, "v": "new", "t": 10},
+        {"e": 2, "v": "x", "t": 1},
+    ])
+
+    stream = (
+        spark.readStream.schema("e long, v string, t long")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    out = stream_last_write_wins(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("lww_test")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # late arrival for e=1, new write for e=2
+        _write_jsonl(str(src / "b2.json"), [
+            {"e": 1, "v": "late", "t": 5},
+            {"e": 2, "v": "y", "t": 2},
+        ])
+        q.processAllAvailable()
+        rows = spark.sql(
+            "SELECT e, v FROM lww_test ORDER BY e"
+        ).collect()
+        # last update row per entity reflects final state
+        final = {}
+        for r in spark.table("lww_test").collect():
+            final[r["e"]] = r["v"]  # later rows overwrite in arrival order
+        assert final[1] == "new"  # late arrival rejected
+        assert final[2] == "y"
+    finally:
+        q.stop()
+
+
+def test_tumbling_agg_watermark(spark, tmp_path):
+    src = tmp_path / "win_in"
+    src.mkdir()
+    _write_jsonl(str(src / "b1.json"), [
+        {"k": "a", "ts": "2024-01-01 00:00:05", "value": 1.0},
+        {"k": "a", "ts": "2024-01-01 00:00:15", "value": 2.0},
+        {"k": "b", "ts": "2024-01-01 00:00:07", "value": 5.0},
+    ])
+    stream = (
+        spark.readStream.schema("k string, ts timestamp, value double")
+        .json(str(src))
+    )
+    agg = tumbling_agg(
+        stream,
+        "ts",
+        "10 seconds",
+        "30 seconds",
+        ["k"],
+        {"n": "count(*)", "total": "sum(value)"},
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_test")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "win_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = {
+            (r["k"], str(r["window_start"])): (r["n"], r["total"])
+            for r in spark.table("win_test").collect()
+        }
+        assert rows[("a", "2024-01-01 00:00:00")] == (1, 1.0)
+        assert rows[("a", "2024-01-01 00:00:10")] == (1, 2.0)
+        assert rows[("b", "2024-01-01 00:00:00")] == (1, 5.0)
+    finally:
+        q.stop()
+
+
+def test_diff_sink_emits_retractions(spark, tmp_path):
+    """foreachBatch diff emission: adds as +1, removals as -1
+    (the reference's ResultDiff output contract)."""
+
+    src = tmp_path / "diff_in"
+    src.mkdir()
+    _write_jsonl(str(src / "b1.json"), [{"k": "a"}, {"k": "a"}, {"k": "b"}])
+
+    stream = (
+        spark.readStream.schema("k string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    counts = stream.groupBy("k").count()
+    sink = DiffSink()
+    q = (
+        counts.writeStream.outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "diff_ckpt"))
+        .foreachBatch(sink)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _write_jsonl(str(src / "b2.json"), [{"k": "a"}])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # epoch 0: all additions; epoch 1: a's count 2 -> 3 (one add, one retract)
+    assert len(sink.history) >= 2
+    first = {(r["k"], r["count"]): r["diff"] for _, rows in sink.history[:1] for r in rows}
+    assert first[("a", 2)] == 1 and first[("b", 1)] == 1
+    last_epoch_rows = sink.history[-1][1]
+    changes = {(r["k"], r["count"]): r["diff"] for r in last_epoch_rows}
+    assert changes[("a", 3)] == 1
+    assert changes[("a", 2)] == -1
+    assert ("b", 1) not in changes  # unchanged tuples emit nothing
+
+
+def test_coarsen_batch(spark):
+    df = spark.createDataFrame(
+        [("2024-01-01 00:00:04",), ("2024-01-01 00:00:11",)], ["ts"]
+    ).selectExpr("CAST(ts AS TIMESTAMP) AS ts")
+    out = {str(r["ts"]): str(r["coarsened"]) for r in coarsen(df, "ts", "10 seconds").collect()}
+    assert out["2024-01-01 00:00:04"] == "2024-01-01 00:00:10"
+    assert out["2024-01-01 00:00:11"] == "2024-01-01 00:00:20"
