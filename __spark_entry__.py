@@ -659,8 +659,9 @@ _SQL_FR = _sql_set(text.LANG_MARKERS["fr"])
 # declarative_dataflow_spark.operators.dedup.minhash_lsh_pairs
 # (linear permutations over one md5-derived uint32 per shingle).
 _MINHASH_MINS = ", ".join(
-    "min(({a} * ('0x' || substr(md5(shingle), 1, 8))::BIGINT + {b}) "
-    "% {p}) AS m{i}".format(a=a, b=b, p=dedup.MINHASH_P, i=i)
+    "min(({a} * h + {b}) % {p}) AS m{i}".format(
+        a=a, b=b, p=dedup.MINHASH_P, i=i
+    )
     for i, (a, b) in enumerate(dedup.minhash_coeffs(16))
 )
 _MINHASH_BANDS = " UNION ALL ".join(
@@ -677,15 +678,18 @@ _MINHASH_ORACLE = (
     "unnest([w[i] || '_' || w[i+1] || '_' || w[i+2] "
     "for i in range(1, len(w) - 1)]) AS shingle "
     "FROM words WHERE len(w) >= 3), "
-    f"sig AS (SELECT doc_id, {_MINHASH_MINS} FROM sh GROUP BY doc_id), "
+    # hashed shingle sets: everything downstream works on the uint32
+    "shh AS (SELECT DISTINCT doc_id, "
+    "('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h FROM sh), "
+    f"sig AS (SELECT doc_id, {_MINHASH_MINS} FROM shh GROUP BY doc_id), "
     f"banded AS ({_MINHASH_BANDS}), "
     "cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b "
     "FROM banded l JOIN banded r ON l.band = r.band AND l.key = r.key "
     "AND l.doc_id < r.doc_id), "
-    "sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1), "
+    "sizes AS (SELECT doc_id, count(*) AS sz FROM shh GROUP BY 1), "
     "inter AS (SELECT c.a, c.b, count(*) AS i FROM cand c "
-    "JOIN sh sa ON sa.doc_id = c.a "
-    "JOIN sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle "
+    "JOIN shh sa ON sa.doc_id = c.a "
+    "JOIN shh sb ON sb.doc_id = c.b AND sb.h = sa.h "
     "GROUP BY 1, 2) "
     "SELECT a, b, round(i / (za.sz + zb.sz - i), 4) AS jaccard "
     "FROM inter JOIN sizes za ON za.doc_id = a "

@@ -42,6 +42,21 @@ from .plan.compiler import (
 from .plan.plans import Aggregate, Antijoin, NameExpr, Negate, Plan
 
 
+def _self_ref_count(plan: Plan, name: str) -> int:
+    """Number of NameExpr references to ``name`` (linearity check)."""
+
+    n = 1 if isinstance(plan, NameExpr) and plan.name == name else 0
+    for attr in getattr(plan, "__dataclass_fields__", {}):
+        v = getattr(plan, attr)
+        if isinstance(v, Plan):
+            n += _self_ref_count(v, name)
+        elif isinstance(v, list):
+            for item in v:
+                if isinstance(item, Plan):
+                    n += _self_ref_count(item, name)
+    return n
+
+
 def _is_monotone(plan: Plan) -> bool:
     """True if the plan contains no negation/aggregation — its fixpoint
     iterates only grow, so count equality implies convergence."""
@@ -383,12 +398,26 @@ class Engine:
         SURVEY §7 Phase 3.
         """
 
-        current: dict[str, Relation] = {}
-        counts: dict[str, int] = {}
         # With only monotone operators each iterate is a superset of
         # the previous (distinct applied), so count equality implies
         # set equality and the exceptAll shuffle can be skipped.
         monotone = all(_is_monotone(self.rules[rn]) for rn in recursive)
+
+        # Semi-naive delta iteration for the common case: one
+        # self-recursive rule, monotone, referenced linearly (once).
+        # Each round joins only the NEW tuples against the static part
+        # instead of recomputing the whole fixpoint — the same
+        # optimization differential dataflow gets from its Variable
+        # deltas (reference: src/lib.rs:943-1019).
+        if (
+            len(recursive) == 1
+            and monotone
+            and _self_ref_count(self.rules[name], name) == 1
+        ):
+            return self._fixpoint_semi_naive(name, max_iterations)
+
+        current: dict[str, Relation] = {}
+        counts: dict[str, int] = {}
 
         for it in range(max_iterations):
             changed = False
@@ -424,4 +453,35 @@ class Engine:
                 return current[name]
         raise RuntimeError(
             f"fixpoint did not converge in {max_iterations} iterations"
+        )
+
+    def _fixpoint_semi_naive(
+        self, name: str, max_iterations: int = 200
+    ) -> Relation:
+        """delta_0 = base; delta_{i+1} = eval(plan[rule := delta_i]) - total;
+        total accumulates disjoint deltas. Correct for linear monotone
+        recursion under set semantics."""
+
+        # Iteration 0: base case (recursive branches drop as unbound).
+        base = compile_plan(
+            self.rules[name], self.catalog(unbound={name})
+        ).distinct()
+        total_df = base.df.localCheckpoint(eager=True)
+        delta = Relation(base.variables, total_df, False)
+        cols = list(total_df.columns)
+
+        for _ in range(max_iterations):
+            cat = self.catalog(bound={name: delta})
+            new_rel = compile_plan(self.rules[name], cat).distinct()
+            new_df = new_rel.df.select(*cols)
+            delta_df = new_df.join(total_df, on=cols, how="left_anti")
+            delta_df = delta_df.localCheckpoint(eager=True)
+            if delta_df.limit(1).isEmpty():
+                return Relation(base.variables, total_df, False)
+            total_df = total_df.unionByName(delta_df).localCheckpoint(
+                eager=True
+            )
+            delta = Relation(base.variables, delta_df, False)
+        raise RuntimeError(
+            f"semi-naive fixpoint did not converge in {max_iterations} iterations"
         )

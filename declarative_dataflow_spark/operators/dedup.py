@@ -150,7 +150,27 @@ def minhash_lsh_pairs(
     """
 
     rows = k // bands
-    sig = minhash_signatures(docs, k, n, text_col)
+    # One shingle pass: everything downstream (signatures, candidate
+    # bands, exact verify) works on the md5-derived uint32 per shingle —
+    # long joins instead of string joins, and the text is parsed once.
+    # Jaccard is computed over hashed shingle sets (deterministic; the
+    # oracle mirrors the same hashing).
+    sh = (
+        shingles(docs, n, text_col)
+        .select("doc_id", _h32(F.col("shingle")).alias("h"))
+        .dropDuplicates(["doc_id", "h"])
+        .persist()
+    )
+    mins = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_P)).alias(
+            f"m{i}"
+        )
+        for i, (a, b) in enumerate(minhash_coeffs(k))
+    ]
+    sig = sh.groupBy("doc_id").agg(*mins)
+    sig = sig.select(
+        "doc_id", F.array(*[F.col(f"m{i}") for i in range(k)]).alias("sig")
+    )
     banded = sig.select(
         "doc_id",
         F.explode(
@@ -180,14 +200,13 @@ def minhash_lsh_pairs(
         .dropDuplicates(["a", "b"])
     )
 
-    # Verify candidates with exact Jaccard over the same shingle sets.
-    sh = shingles(docs, n, text_col)
+    # Verify candidates with exact Jaccard over the hashed shingle sets.
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    a_sh = sh.toDF("a", "shingle")
-    b_sh = sh.toDF("b", "shingle")
+    a_sh = sh.toDF("a", "h")
+    b_sh = sh.toDF("b", "h")
     inter = (
         candidates.join(a_sh, "a")
-        .join(b_sh, ["b", "shingle"])
+        .join(b_sh, ["b", "h"])
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("i"))
     )

@@ -1,0 +1,55 @@
+"""ReactiveSession: transact -> diffs, the reference's end-to-end
+contract (ports the driver loop of tests/query_test.rs:36-113)."""
+
+from declarative_dataflow_spark import Datom, Join, MatchA
+from declarative_dataflow_spark.streaming.reactive import ReactiveSession
+
+
+def _diffs(history, epoch):
+    return {
+        tuple(r)[:-1]: r["__epoch_diff"]
+        for e, rows in history
+        if e == epoch
+        for r in rows
+    }
+
+
+def test_reactive_add_then_retract(engine):
+    engine.create_attribute("name")
+    engine.create_attribute("age")
+    engine.register(
+        "people",
+        Join(["?e"], MatchA("?e", "name", "?n"), MatchA("?e", "age", "?a")),
+    )
+    session = ReactiveSession(engine)
+    session.interest("people")
+
+    session.transact(
+        [Datom.add(1, "name", "Dipper"), Datom.add(1, "age", 12)]
+    )
+    d0 = _diffs(session.interests["people"].history, 0)
+    assert d0 == {(1, "Dipper", 12, 1): 1}
+
+    # second entity appears; first is untouched -> no diff for it
+    session.transact(
+        [Datom.add(2, "name", "Mabel"), Datom.add(2, "age", 13)]
+    )
+    d1 = _diffs(session.interests["people"].history, 1)
+    assert d1 == {(2, "Mabel", 13, 1): 1}
+
+    # retraction produces a -1 diff
+    session.transact([Datom.retract(1, "age", 12)])
+    d2 = _diffs(session.interests["people"].history, 2)
+    assert d2 == {(1, "Dipper", 12, 1): -1}
+
+
+def test_reactive_uninterest(engine):
+    engine.create_attribute("x")
+    engine.register("xs", MatchA("?e", "x", "?v"))
+    session = ReactiveSession(engine)
+    session.interest("xs")
+    session.transact([Datom.add(1, "x", 1)])
+    session.uninterest("xs")
+    assert session.interests == {}
+    # transacting after teardown does not fail
+    session.transact([Datom.add(2, "x", 2)])
