@@ -562,6 +562,29 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact all-pairs baseline;
+    the planes= variant is the LSH-bucketed scale path, checked
+    rows-only as ann_lsh is)."""
+
+    return similarity.embedding_neardup(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.4
+    )
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: deterministic seed centroids, nprobe
+    nearest cells per query, exact cosine inside probed cells."""
+
+    return similarity.ivf_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        query_ids=list(range(10)),
+        k=5,
+        n_centroids=16,
+        nprobe=4,
+    )
+
+
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate NN via hyperplane LSH buckets (scale path; no SQL
     oracle — checked rows-only, exactness covered by cosine_topk)."""
@@ -638,6 +661,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
         "cosine_topk": q_cosine_topk,
+        "embed_neardup": q_embed_neardup,
+        "ann_ivf": q_ann_ivf,
         "ann_lsh": q_ann_lsh,
         "multimodal_meta": q_multimodal_meta,
         "frame_sample": q_frame_sample,
@@ -937,6 +962,43 @@ def oracle_sql() -> dict[str, str]:
             "round(list_dot_product(q.qv, e.v) / "
             "(sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))), 4) AS sim "
             "FROM e CROSS JOIN q WHERE e.vec_id != q.q) "
+            "SELECT q, neighbor, sim, rank FROM ("
+            "SELECT *, CAST(row_number() OVER (PARTITION BY q "
+            "ORDER BY sim DESC, neighbor) AS INT) AS rank FROM s) "
+            "WHERE rank <= 5"
+        ),
+        "embed_neardup": (
+            "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+            "FROM embeddings) "
+            "SELECT a, b, sim FROM ("
+            "SELECT x.vec_id AS a, y.vec_id AS b, "
+            "round(list_dot_product(x.v, y.v) / "
+            "(sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))), 4) AS sim "
+            "FROM e x JOIN e y ON x.vec_id < y.vec_id) WHERE sim >= 0.4"
+        ),
+        "ann_ivf": (
+            "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+            "FROM embeddings), "
+            "c AS (SELECT vec_id AS cell, v AS cv FROM e "
+            "ORDER BY vec_id LIMIT 16), "
+            "assign AS (SELECT vec_id, cell FROM ("
+            "SELECT e.vec_id, c.cell, row_number() OVER ("
+            "PARTITION BY e.vec_id ORDER BY "
+            "list_dot_product(e.v, c.cv) / "
+            "(sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC, "
+            "c.cell) AS rn FROM e CROSS JOIN c) WHERE rn = 1), "
+            "probes AS (SELECT q, qv, cell FROM ("
+            "SELECT e.vec_id AS q, e.v AS qv, c.cell, row_number() OVER ("
+            "PARTITION BY e.vec_id ORDER BY "
+            "list_dot_product(e.v, c.cv) / "
+            "(sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC, "
+            "c.cell) AS rn FROM e CROSS JOIN c WHERE e.vec_id < 10) "
+            "WHERE rn <= 4), "
+            "s AS (SELECT p.q, a.vec_id AS neighbor, "
+            "round(list_dot_product(p.qv, e.v) / "
+            "(sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(e.v, e.v))), 4) AS sim "
+            "FROM probes p JOIN assign a ON a.cell = p.cell "
+            "JOIN e ON e.vec_id = a.vec_id WHERE a.vec_id != p.q) "
             "SELECT q, neighbor, sim, rank FROM ("
             "SELECT *, CAST(row_number() OVER (PARTITION BY q "
             "ORDER BY sim DESC, neighbor) AS INT) AS rank FROM s) "

@@ -271,6 +271,36 @@ class Engine:
         for aid, v_expr in mapping.items():
             self.register_table_attribute(aid, table_name, e_expr, v_expr)
 
+    def register_derived_attribute(
+        self, aid: str, plan: Plan, e_var: str, v_var: str
+    ) -> None:
+        """Attribute whose (e, v) pairs are a query result — the
+        reference's Derive mechanism (src/derive/graphql.rs:34-120),
+        where materialized pull paths become queryable attributes.
+
+        The loader closes over the plan, so the derived attribute
+        always reflects the current state of its inputs; downstream
+        queries compose it like any other attribute.
+        """
+
+        if aid in self._attributes:
+            raise ValueError(f"attribute {aid} already exists")
+
+        def loader() -> DataFrame:
+            rel = compile_plan(plan, self.catalog()).consolidated()
+            sel = [
+                F.col(vcol(e_var)).alias("e"),
+                F.col(vcol(v_var)).alias("v"),
+                (
+                    F.col(DIFF)
+                    if rel.has_diff
+                    else F.lit(1).cast("long")
+                ).alias("diff"),
+            ]
+            return rel.df.select(*sel)
+
+        self._attributes[aid] = AttributeSource(loader=loader, has_diff=True)
+
     # -- transactions ----------------------------------------------------
 
     def transact(self, datoms: Iterable[Datom]) -> int:

@@ -109,28 +109,58 @@ def minhash_coeffs(k: int) -> list[tuple[int, int]]:
     return [(2 * i + 1, i * 7919 + 1) for i in range(k)]
 
 
+def hashed_shingle_sets(
+    docs: DataFrame, n: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, hs array<bigint>): the distinct md5-uint32 hashed word
+    n-gram shingle set per document, computed entirely row-side — no
+    explode, no shuffle. At 100 TB this is a map-only pass; downstream
+    operators decide what (if anything) to shuffle.
+    """
+
+    words = F.split(F.lower(F.col(text_col)), " ")
+    base = docs.select("doc_id", words.alias("w")).filter(F.size("w") >= n)
+    if n == 1:
+        sh_expr = "w"
+    else:
+        parts = " , ".join(f"w[i + {j}]" for j in range(n))
+        sh_expr = (
+            f"transform(sequence(0, size(w) - {n}), "
+            f"i -> concat_ws('_', {parts}))"
+        )
+    hs = F.expr(
+        f"array_distinct(transform({sh_expr}, "
+        "s -> CAST(conv(substring(md5(s), 1, 8), 16, 10) AS BIGINT)))"
+    )
+    return base.select("doc_id", hs.alias("hs"))
+
+
+def _sig_array(k: int) -> Column:
+    """MinHash signature from a row-local hashed shingle set ``hs``:
+    ONE aggregate fold computes all k mins (the coefficients are the
+    closed forms a_i = 2i+1, b_i = 7919i+1 from ``minhash_coeffs``),
+    keeping the generated code small and the pass over hs single."""
+
+    return F.expr(
+        f"aggregate(hs, transform(sequence(0, {k - 1}), "
+        f"i -> CAST({MINHASH_P} AS BIGINT)), "
+        f"(acc, h) -> zip_with(acc, sequence(0, {k - 1}), "
+        f"(m, i) -> least(m, ((2 * i + 1) * h + i * 7919 + 1) % {MINHASH_P})))"
+    )
+
+
 def minhash_signatures(
     docs: DataFrame, k: int = 16, n: int = 3, text_col: str = "text"
 ) -> DataFrame:
     """k-permutation MinHash signatures: (doc_id, sig array<long>).
 
     h_i(s) = (a_i * uint32(md5(s)) + b_i) mod P; the signature is
-    fixed-width, so downstream state is O(k) per document regardless
-    of length.
+    fixed-width and computed per-row (map-only, no shuffle), so
+    downstream state is O(k) per document regardless of length.
     """
 
-    sh = shingles(docs, n, text_col).select(
-        "doc_id", _h32(F.col("shingle")).alias("h")
-    )
-    mins = [
-        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_P)).alias(
-            f"m{i}"
-        )
-        for i, (a, b) in enumerate(minhash_coeffs(k))
-    ]
-    sig = sh.groupBy("doc_id").agg(*mins)
-    return sig.select(
-        "doc_id", F.array(*[F.col(f"m{i}") for i in range(k)]).alias("sig")
+    return hashed_shingle_sets(docs, n, text_col).select(
+        "doc_id", _sig_array(k).alias("sig")
     )
 
 
@@ -150,27 +180,17 @@ def minhash_lsh_pairs(
     """
 
     rows = k // bands
-    # One shingle pass: everything downstream (signatures, candidate
-    # bands, exact verify) works on the md5-derived uint32 per shingle —
-    # long joins instead of string joins, and the text is parsed once.
-    # Jaccard is computed over hashed shingle sets (deterministic; the
-    # oracle mirrors the same hashing).
-    sh = (
-        shingles(docs, n, text_col)
-        .select("doc_id", _h32(F.col("shingle")).alias("h"))
-        .dropDuplicates(["doc_id", "h"])
-        .persist()
-    )
-    mins = [
-        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_P)).alias(
-            f"m{i}"
-        )
-        for i, (a, b) in enumerate(minhash_coeffs(k))
-    ]
-    sig = sh.groupBy("doc_id").agg(*mins)
-    sig = sig.select(
-        "doc_id", F.array(*[F.col(f"m{i}") for i in range(k)]).alias("sig")
-    )
+    # A map-only pass builds the hashed shingle set per document;
+    # signatures, banding keys, and the exact-Jaccard verify all derive
+    # from it row-side. The ONLY shuffles in this pipeline are the
+    # band-bucket self-join (uniform keys by construction) and the two
+    # candidate->set lookups — nothing proportional to shingle count
+    # ever crosses the wire. The pass is recomputed (not persisted) on
+    # the verify branch: at 100 TB a cached shingle-set table would not
+    # fit memory, and the recompute is a scan Catalyst pipelines into
+    # the join anyway. The DuckDB oracle mirrors the hashing.
+    sets = hashed_shingle_sets(docs, n, text_col).persist()
+    sig = sets.select("doc_id", _sig_array(k).alias("sig"))
     banded = sig.select(
         "doc_id",
         F.explode(
@@ -178,13 +198,9 @@ def minhash_lsh_pairs(
                 *[
                     F.struct(
                         F.lit(bi).alias("band"),
-                        F.concat_ws(
-                            "_",
-                            *[
-                                F.col("sig")[bi * rows + ri].cast("string")
-                                for ri in range(rows)
-                            ],
-                        ).alias("key"),
+                        F.slice(F.col("sig"), bi * rows + 1, rows).alias(
+                            "key"
+                        ),
                     )
                     for bi in range(bands)
                 ]
@@ -200,19 +216,21 @@ def minhash_lsh_pairs(
         .dropDuplicates(["a", "b"])
     )
 
-    # Verify candidates with exact Jaccard over the hashed shingle sets.
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    a_sh = sh.toDF("a", "h")
-    b_sh = sh.toDF("b", "h")
-    inter = (
-        candidates.join(a_sh, "a")
-        .join(b_sh, ["b", "h"])
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("i"))
-    )
+    # Verify candidates with exact Jaccard: join each pair to its two
+    # hashed sets and intersect row-side (array_intersect) — the
+    # quadratic work stays inside the candidate rows.
+    a_sets = sets.select(F.col("doc_id").alias("a"), F.col("hs").alias("ha"))
+    b_sets = sets.select(F.col("doc_id").alias("b"), F.col("hs").alias("hb"))
     jac = (
-        inter.join(sizes.toDF("a", "sz_a"), "a")
-        .join(sizes.toDF("b", "sz_b"), "b")
+        candidates.join(a_sets, "a")
+        .join(b_sets, "b")
+        .select(
+            "a",
+            "b",
+            F.size(F.array_intersect("ha", "hb")).alias("i"),
+            F.size("ha").alias("sz_a"),
+            F.size("hb").alias("sz_b"),
+        )
         .withColumn(
             "jaccard",
             F.round(
@@ -232,26 +250,22 @@ def simhash(docs: DataFrame, bits: int = 32, text_col: str = "text") -> DataFram
     is positive. Pure integer arithmetic -> portable to SQL.
     """
 
-    words = (
-        docs.select(
-            "doc_id",
-            F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("w"),
-        )
-        .dropDuplicates(["doc_id", "w"])
-        .select("doc_id", _h32(F.col("w")).alias("h"))
+    # Entirely row-local: hash the distinct word set, fold it once into
+    # a per-bit counter array, then collapse the counters into the
+    # fingerprint. Map-only — zero shuffle at any scale.
+    hw = (
+        f"transform(array_distinct(split(lower({text_col}), ' ')), "
+        "s -> CAST(conv(substring(md5(s), 1, 8), 16, 10) AS BIGINT))"
     )
-    bit = words.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b"),
-        "h",
-    ).withColumn(
-        "c", F.when(F.expr("(h >> b) & 1") == 1, F.lit(1)).otherwise(F.lit(-1))
+    zeros = f"transform(sequence(0, {bits - 1}), x -> CAST(0 AS BIGINT))"
+    counts = (
+        f"aggregate({hw}, {zeros}, (acc, h) -> "
+        f"zip_with(acc, sequence(0, {bits - 1}), "
+        "(c, b) -> c + CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END))"
     )
-    per_bit = bit.groupBy("doc_id", "b").agg(F.sum("c").alias("s"))
-    return per_bit.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("s") > 0, F.expr("CAST(1 AS BIGINT) << b")).otherwise(
-                F.lit(0).cast("long")
-            )
-        ).alias("simhash")
+    fingerprint = (
+        f"aggregate(zip_with({counts}, sequence(0, {bits - 1}), "
+        "(s, b) -> IF(s > 0, shiftleft(CAST(1 AS BIGINT), b), "
+        "CAST(0 AS BIGINT))), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
     )
+    return docs.select("doc_id", F.expr(fingerprint).alias("simhash"))

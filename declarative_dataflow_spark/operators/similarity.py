@@ -18,6 +18,8 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 
@@ -109,6 +111,160 @@ def hyperplane_signature(
         bucket = bucket + t
     return embeddings.select(
         F.col(id_col).alias("vec_id"), bucket.alias("bucket")
+    )
+
+
+def embedding_neardup(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    planes: Optional[int] = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (a, b, sim) with a < b
+    and cosine >= threshold.
+
+    ``planes=None`` is the exact all-pairs variant (the oracle-checked
+    baseline; O(n²) — fine for verification corpora). With ``planes``
+    set, the self-join is restricted to hyperplane-LSH buckets — the
+    scale path: at 100 TB the join degenerates from all-pairs to
+    per-bucket, ~2^planes fewer comparisons, same exact cosine inside
+    each bucket (near-identical vectors land in the same bucket with
+    high probability).
+    """
+
+    base = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    if planes is not None:
+        sig = hyperplane_signature(embeddings, planes, id_col, vec_col)
+        base = base.join(sig, base["id"] == sig["vec_id"]).select(
+            "id", "v", "bucket"
+        )
+        left = base.toDF("a", "va", "bucket")
+        right = base.toDF("b", "vb", "bucket")
+        pairs = left.join(right, "bucket").filter(F.col("a") < F.col("b"))
+    else:
+        left = base.toDF("a", "va")
+        right = base.toDF("b", "vb")
+        pairs = left.crossJoin(right).filter(F.col("a") < F.col("b"))
+    return (
+        pairs.withColumn(
+            "sim",
+            F.round(
+                _dot("va", "vb")
+                / F.nullif(_norm("va") * _norm("vb"), F.lit(0.0)),
+                4,
+            ),
+        )
+        .filter(F.col("sim") >= threshold)
+        .select("a", "b", "sim")
+    )
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF cell assignment: (vec_id, cell) — each vector belongs to its
+    highest-cosine centroid.
+
+    Centroids are the ``n_centroids`` lowest-id vectors — a
+    deterministic seed sample (production would refine with k-means
+    iterations; the partition/probe machinery is identical). Centroids
+    are broadcast; assignment is one pass over the corpus, no shuffle
+    of the vectors themselves.
+    """
+
+    from pyspark.sql.window import Window
+
+    cents = (
+        embeddings.orderBy(F.col(id_col).asc())
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("cell"), F.col(vec_col).alias("cv"))
+    )
+    scored = (
+        embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+        .crossJoin(F.broadcast(cents))
+        .withColumn(
+            "csim",
+            _dot("v", "cv") / F.nullif(_norm("v") * _norm("cv"), F.lit(0.0)),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("csim").desc(), F.col("cell").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("vec_id", "cell")
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: probe the ``nprobe`` nearest cells per
+    query, exact cosine only inside probed cells.
+
+    The scale path complement to LSH: comparisons drop by roughly
+    n_centroids/nprobe, and the cell assignment doubles as a
+    partitioning key for the corpus (cluster layout: repartition by
+    cell, co-locating each probe).
+    """
+
+    from pyspark.sql.window import Window
+
+    cents = (
+        embeddings.orderBy(F.col(id_col).asc())
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("cell"), F.col(vec_col).alias("cv"))
+    )
+    assign = ivf_assign(embeddings, n_centroids, id_col, vec_col)
+
+    q = embeddings.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("q"), F.col(vec_col).alias("qv")
+    )
+    qc = q.crossJoin(F.broadcast(cents)).withColumn(
+        "csim",
+        _dot("qv", "cv") / F.nullif(_norm("qv") * _norm("cv"), F.lit(0.0)),
+    )
+    wq = Window.partitionBy("q").orderBy(F.col("csim").desc(), F.col("cell").asc())
+    probes = (
+        qc.withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= nprobe)
+        .select("q", "qv", "cell")
+    )
+
+    corpus = embeddings.select(
+        F.col(id_col).alias("neighbor"), F.col(vec_col).alias("nv")
+    ).join(assign.toDF("neighbor", "cell"), "neighbor")
+    sims = (
+        corpus.join(probes, "cell")
+        .filter(F.col("q") != F.col("neighbor"))
+        .withColumn(
+            "sim",
+            F.round(
+                _dot("qv", "nv")
+                / F.nullif(_norm("qv") * _norm("nv"), F.lit(0.0)),
+                4,
+            ),
+        )
+        .filter(F.col("sim").isNotNull())
+    )
+    w = Window.partitionBy("q").orderBy(
+        F.col("sim").desc(), F.col("neighbor").asc()
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q", "neighbor", "sim", "rank")
     )
 
 

@@ -129,11 +129,71 @@ def parse(query: str) -> list[Field]:
     return _Parser(_tokenize(query)).parse_document()
 
 
+def _argument_bindings(
+    var: str, ns: str, arguments: dict[str, Any]
+) -> list[Any]:
+    """Field arguments become (attribute, constant) binding pairs on the
+    field's entity variable (reference: graphql.rs:190-214)."""
+
+    out: list[Any] = []
+    for arg, val in arguments.items():
+        arg_var = f"?__arg{var[1:]}_{arg}"
+        out.append(AttributeBinding(var, f"{ns}/{arg}", arg_var))
+        out.append(ConstantBinding(arg_var, val))
+    return out
+
+
+def _compile_level(
+    node: Field,
+    ns: str,
+    path_vars: list[str],
+    path_attrs: list[str],
+    bindings: list[Any],
+    ref_namespaces: dict[str, str],
+    paths: list[PullLevel],
+) -> None:
+    """Recursive descent: one PullLevel per nesting level, each
+    constrained by every binding accumulated along its path
+    (reference: graphql.rs:143-234). Arbitrary depth."""
+
+    var = path_vars[-1]
+    scalars = [f for f in node.selections if not f.selections]
+    objects = [f for f in node.selections if f.selections]
+    if scalars:
+        paths.append(
+            PullLevel(
+                list(path_vars),
+                Project(list(path_vars), Hector(list(path_vars), list(bindings))),
+                var,
+                [f"{ns}/{f.name}" for f in scalars],
+                path_attributes=list(path_attrs),
+            )
+        )
+    for obj in objects:
+        child_ns = ref_namespaces.get(obj.name, obj.name)
+        link = f"{ns}/{obj.name}"
+        child_var = f"{var}_{obj.name}"
+        child_bindings = (
+            list(bindings)
+            + [AttributeBinding(var, link, child_var)]
+            + _argument_bindings(child_var, child_ns, obj.arguments)
+        )
+        _compile_level(
+            obj,
+            child_ns,
+            path_vars + [child_var],
+            path_attrs + [link],
+            child_bindings,
+            ref_namespaces,
+            paths,
+        )
+
+
 def compile_graphql(
     query: str, ref_namespaces: Optional[dict[str, str]] = None
 ) -> Pull:
     """Compile a GraphQL document to a Pull plan (one PullLevel per
-    nesting level, reference: graphql.rs:143-234)."""
+    nesting level, any depth; reference: graphql.rs:143-234)."""
 
     ref_namespaces = ref_namespaces or {}
     roots = parse(query)
@@ -143,12 +203,8 @@ def compile_graphql(
     ns = root.name
     root_var = "?__root"
 
-    bindings: list[Any] = []
-    for i, (arg, val) in enumerate(root.arguments.items()):
-        bindings.append(AttributeBinding(root_var, f"{ns}/{arg}", f"?__arg{i}"))
-        bindings.append(ConstantBinding(f"?__arg{i}", val))
+    bindings = _argument_bindings(root_var, ns, root.arguments)
     scalars = [f for f in root.selections if not f.selections]
-    objects = [f for f in root.selections if f.selections]
     if not bindings:
         if not scalars:
             raise ValueError("root needs an argument or a scalar field")
@@ -156,37 +212,41 @@ def compile_graphql(
             AttributeBinding(root_var, f"{ns}/{scalars[0].name}", "?__bind0")
         )
 
-    base = Project([root_var], Hector([root_var], list(bindings)))
-    paths = []
-    if scalars:
-        paths.append(
-            PullLevel(
-                [root_var],
-                base,
-                root_var,
-                [f"{ns}/{f.name}" for f in scalars],
-            )
-        )
-    for obj in objects:
-        child_ns = ref_namespaces.get(obj.name, obj.name)
-        child_var = f"?__child_{obj.name}"
-        child_base = Project(
-            [root_var, child_var],
-            Hector(
-                [root_var, child_var],
-                list(bindings)
-                + [AttributeBinding(root_var, f"{ns}/{obj.name}", child_var)],
-            ),
-        )
-        child_scalars = [f for f in obj.selections if not f.selections]
-        if any(f.selections for f in obj.selections):
-            raise ValueError("nesting depth > 2 not supported yet")
-        paths.append(
-            PullLevel(
-                [root_var, child_var],
-                child_base,
-                child_var,
-                [f"{child_ns}/{f.name}" for f in child_scalars],
-            )
-        )
+    paths: list[PullLevel] = []
+    _compile_level(root, ns, [root_var], [], bindings, ref_namespaces, paths)
     return Pull([root_var], paths)
+
+
+def derive_graphql(
+    engine: Any,
+    query: str,
+    namespace: str,
+    ref_namespaces: Optional[dict[str, str]] = None,
+) -> list[str]:
+    """The reference's Derive variant (src/derive/graphql.rs:34-120):
+    every pulled attribute of every nesting level becomes a derived
+    attribute ``namespace/<aid>`` registered on the engine, holding the
+    (entity, value) pairs the GraphQL constraints select. Returns the
+    created attribute ids.
+
+    Spark-first: each derived attribute is a lazily-evaluated plan
+    (level constraints joined with the pulled attribute), so it always
+    reflects current inputs and composes with any other query.
+    """
+
+    from .plans import Join, MatchA
+
+    pull = compile_graphql(query, ref_namespaces)
+    created: list[str] = []
+    for level in pull.paths:
+        pv = level.pull_variable
+        for aid in level.pull_attributes:
+            val_var = "?__derive_v"
+            plan = Project(
+                [pv, val_var],
+                Join([pv], level.plan, MatchA(pv, aid, val_var)),
+            )
+            derived = f"{namespace}/{aid}"
+            engine.register_derived_attribute(derived, plan, pv, val_var)
+            created.append(derived)
+    return created

@@ -4,80 +4,84 @@ Parity with the reference's AssocIn sink (src/sinks/assoc_in.rs:22-32,
 merge_paths 140-231), which assembles `[eid, aid, eid, aid, v, ...]`
 path tuples into nested maps (Clojure assoc-in semantics).
 
-Spark-first: per nesting level, group child (a, v) pairs into a map
-with collect_list + map_from_entries, serialize with to_json — all
-JVM-side; documents are built where the data lives, never on the
-driver.
+Spark-first: the fold runs bottom-up — the deepest nesting level is
+grouped into per-entity maps, re-emitted as (link-attribute, json)
+rows at its parent level, and the loop repeats until only the root
+remains. Every step is collect_list + map_from_entries + to_json —
+all JVM-side; documents are built where the data lives, never on the
+driver. Arbitrary nesting depth.
 """
 
 from __future__ import annotations
 
+from typing import Optional, Sequence
+
 from pyspark.sql import DataFrame, functions as F
 
 
-def assoc_in(pull_rows: DataFrame, path_cols: list[str]) -> DataFrame:
+def _entries_map(df: DataFrame, keys: list[str]):
+    """Group (a, v) rows under ``keys`` into a sorted map column ``m``."""
+
+    return df.groupBy(*keys).agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("a", "v")))
+        ).alias("m")
+    )
+
+
+def assoc_in(
+    pull_rows: DataFrame,
+    path_cols: list[str],
+    links: Optional[Sequence[str]] = None,
+) -> DataFrame:
     """Fold flat pull rows into one JSON document per root entity.
 
-    ``pull_rows`` has columns path_cols (root eid, then intermediate
-    eids), then 'a' (attribute) and 'v' (string value). Returns
+    ``pull_rows`` has columns ``path_cols`` (root eid, then intermediate
+    entity ids; segments beyond a row's depth are NULL), then ``a``
+    (attribute) and ``v`` (string value). ``links[k]`` names the
+    attribute that nests depth k+2 under depth k+1 (the reference's
+    path_attributes); defaults to "children". Child documents are keyed
+    by child entity id — cardinality-many links stay lossless. Returns
     (root, doc) where doc is nested JSON.
-
-    Depth 1 (path = [e]):   {"aid": v, ...}
-    Depth 2 (path = [e, c]): child maps are nested under their parent
-    attribute per the reference's merge_paths semantics.
     """
 
-    if len(path_cols) == 1:
-        root = path_cols[0]
-        return (
-            pull_rows.groupBy(root)
-            .agg(
-                F.map_from_entries(
-                    F.sort_array(F.collect_list(F.struct("a", "v")))
-                ).alias("m")
-            )
-            .select(F.col(root).alias("root"), F.to_json("m").alias("doc"))
-        )
-    if len(path_cols) == 2:
-        root, child = path_cols
-        # Child documents: one map per (root, child entity).
-        inner = (
-            pull_rows.filter(F.col(child).isNotNull())
-            .groupBy(root, child)
-            .agg(
-                F.map_from_entries(
-                    F.sort_array(F.collect_list(F.struct("a", "v")))
-                ).alias("cm")
-            )
-            .groupBy(root)
+    depth = len(path_cols)
+    link_names = list(links) if links else ["children"] * (depth - 1)
+    if len(link_names) != depth - 1:
+        raise ValueError("need one link attribute per nesting step")
+
+    df = pull_rows
+    for d in range(depth, 1, -1):
+        leaf = path_cols[d - 1]
+        parents = path_cols[: d - 1]
+        level = df.filter(F.col(leaf).isNotNull())
+        rest = df.filter(F.col(leaf).isNull()).drop(leaf)
+        # One map per entity at this depth, then one map of child docs
+        # per parent, re-entering the fold as a single (a, v) row.
+        child_docs = _entries_map(level, parents + [leaf])
+        entries = (
+            child_docs.groupBy(*parents)
             .agg(
                 F.map_from_entries(
                     F.sort_array(
                         F.collect_list(
                             F.struct(
-                                F.col(child).cast("string").alias("k"),
-                                F.to_json("cm").alias("j"),
+                                F.col(leaf).cast("string").alias("k"),
+                                F.to_json("m").alias("j"),
                             )
                         )
                     )
-                ).alias("children")
+                ).alias("cm")
             )
-        )
-        # Root-level scalars (rows with NULL child path segment).
-        outer = (
-            pull_rows.filter(F.col(child).isNull())
-            .groupBy(root)
-            .agg(
-                F.map_from_entries(
-                    F.sort_array(F.collect_list(F.struct("a", "v")))
-                ).alias("m")
-            )
-        )
-        return (
-            outer.join(inner, root, "full_outer")
             .select(
-                F.col(root).alias("root"),
-                F.to_json(F.struct(F.col("m"), F.col("children"))).alias("doc"),
+                *parents,
+                F.lit(link_names[d - 2]).alias("a"),
+                F.to_json("cm").alias("v"),
             )
         )
-    raise ValueError("assoc_in supports path depth 1 or 2")
+        df = rest.unionByName(entries)
+
+    root = path_cols[0]
+    return _entries_map(df, [root]).select(
+        F.col(root).alias("root"), F.to_json("m").alias("doc")
+    )

@@ -65,7 +65,102 @@ def test_assoc_in_nested(engine):
         ref_namespaces={"friend": "sidekick"},
     )
     df = engine.implement(plan, ["root", "child", "a", "v"])
-    out = {r["root"]: json.loads(r["doc"]) for r in assoc_in(df, ["root", "child"]).collect()}
+    out = {
+        r["root"]: json.loads(r["doc"])
+        for r in assoc_in(df, ["root", "child"], links=["hero/friend"]).collect()
+    }
     doc = out["1"]
-    assert doc["m"] == {"hero/name": "Dipper"}
-    assert json.loads(doc["children"]["10"]) == {"sidekick/name": "Waddles"}
+    assert doc["hero/name"] == "Dipper"
+    children = json.loads(doc["hero/friend"])
+    assert json.loads(children["10"]) == {"sidekick/name": "Waddles"}
+
+
+def test_graphql_depth_three(engine):
+    """Three nesting levels + an argument on a nested field."""
+
+    for a in (
+        "hero/name",
+        "hero/friend",
+        "sidekick/name",
+        "sidekick/toy",
+        "toy/label",
+        "toy/color",
+    ):
+        engine.create_attribute(a)
+    engine.transact(
+        [
+            Datom.add(1, "hero/name", "Dipper"),
+            Datom.add(1, "hero/friend", 10),
+            Datom.add(10, "sidekick/name", "Waddles"),
+            Datom.add(10, "sidekick/toy", 100),
+            Datom.add(10, "sidekick/toy", 101),
+            Datom.add(100, "toy/label", "ball"),
+            Datom.add(100, "toy/color", "red"),
+            Datom.add(101, "toy/label", "bone"),
+            Datom.add(101, "toy/color", "red"),
+        ]
+    )
+    plan = graphql.compile_graphql(
+        'query { hero(name: "Dipper") { name friend { name toy(color: "red") '
+        "{ label } } } }",
+        ref_namespaces={"friend": "sidekick"},
+    )
+    df = engine.implement(plan, ["root", "child", "grandchild", "a", "v"])
+    got = {tuple(r) for r in df.collect()}
+    assert got == {
+        ("1", None, None, "hero/name", "Dipper"),
+        ("1", "10", None, "sidekick/name", "Waddles"),
+        ("1", "10", "100", "toy/label", "ball"),
+        ("1", "10", "101", "toy/label", "bone"),
+    }
+    out = {
+        r["root"]: json.loads(r["doc"])
+        for r in assoc_in(
+            df,
+            ["root", "child", "grandchild"],
+            links=["hero/friend", "sidekick/toy"],
+        ).collect()
+    }
+    doc = out["1"]
+    assert doc["hero/name"] == "Dipper"
+    friend = json.loads(json.loads(doc["hero/friend"])["10"])
+    assert friend["sidekick/name"] == "Waddles"
+    toys = {
+        k: json.loads(v) for k, v in json.loads(friend["sidekick/toy"]).items()
+    }
+    assert toys == {
+        "100": {"toy/label": "ball"},
+        "101": {"toy/label": "bone"},
+    }
+
+
+def test_derive_graphql(engine):
+    """Derive variant: pull paths become queryable attributes
+    (reference: src/derive/graphql.rs)."""
+
+    from declarative_dataflow_spark.plan.plans import MatchA
+
+    _hero_engine(engine)
+    created = graphql.derive_graphql(
+        engine,
+        'query { hero(name: "Dipper") { name friend { name } } }',
+        namespace="d",
+        ref_namespaces={"friend": "sidekick"},
+    )
+    assert set(created) == {"d/hero/name", "d/sidekick/name"}
+    # The derived attribute composes like any other attribute.
+    got = rows(engine.implement(MatchA("?e", "d/sidekick/name", "?v")))
+    assert got == [(10, "Waddles", 1)]
+    # It tracks input changes: a new friend appears on re-query.
+    engine.transact(
+        [
+            __import__("declarative_dataflow_spark").Datom.add(
+                1, "hero/friend", 11
+            ),
+            __import__("declarative_dataflow_spark").Datom.add(
+                11, "sidekick/name", "Gompers"
+            ),
+        ]
+    )
+    got = rows(engine.implement(MatchA("?e", "d/sidekick/name", "?v")))
+    assert got == [(10, "Waddles", 1), (11, "Gompers", 1)]

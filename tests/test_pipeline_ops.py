@@ -127,3 +127,46 @@ def test_frame_sample_bounded(docs):
         out.groupBy("doc_id").count().collect()
     )
     assert all(r["count"] <= 3 for r in per_doc)
+
+
+def test_embedding_neardup_exact_and_bucketed(spark):
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.99, 0.01, 0.0]),
+            (2, [0.0, 1.0, 0.0]),
+            (3, [-1.0, 0.0, 0.0]),
+        ],
+        ["vec_id", "embedding"],
+    )
+    exact = {
+        (r["a"], r["b"]) for r in similarity.embedding_neardup(emb, 0.9).collect()
+    }
+    assert exact == {(0, 1)}
+    # The LSH-bucketed scale path finds the same near-identical pair.
+    bucketed = {
+        (r["a"], r["b"])
+        for r in similarity.embedding_neardup(emb, 0.9, planes=4).collect()
+    }
+    assert bucketed == {(0, 1)}
+
+
+def test_ivf_topk_matches_brute_force_on_probed_cells(spark):
+    # Two well-separated clusters; centroids = the two lowest ids, one
+    # in each cluster, so probing 1 cell returns the query's cluster.
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.0, 1.0]),
+            (2, [0.95, 0.05]),
+            (3, [0.9, 0.1]),
+            (4, [0.05, 0.95]),
+        ],
+        ["vec_id", "embedding"],
+    )
+    assign = {
+        r["vec_id"]: r["cell"] for r in similarity.ivf_assign(emb, 2).collect()
+    }
+    assert assign == {0: 0, 1: 1, 2: 0, 3: 0, 4: 1}
+    top = similarity.ivf_topk(emb, [0], k=2, n_centroids=2, nprobe=1).collect()
+    assert [r["neighbor"] for r in sorted(top, key=lambda r: r["rank"])] == [2, 3]
