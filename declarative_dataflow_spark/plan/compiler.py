@@ -469,13 +469,37 @@ def _aggregate(plan: Aggregate, catalog: Catalog) -> Relation:
         elif fn == AggregationFn.SUM:
             aggs.append(F.sum(c * diff).alias(out))
         elif fn == AggregationFn.AVG:
-            aggs.append((F.sum(c * diff) / F.sum(diff)).alias(out))
+            if plan.exact:
+                # Exact-rational stand-in for the reference's Rational32
+                # result (aggregate_neu.rs:206). The reference aggregates
+                # Value::Number(i64), so the sum is integral:
+                # decimal(19,0) / decimal(18,0) yields decimal(38,19) —
+                # no precision-loss scale reduction — truncated to 18
+                # fractional digits (vs ~15 significant for double).
+                s = F.sum(c.cast("decimal(19,0)") * diff).cast("decimal(19,0)")
+                n = F.sum(diff).cast("decimal(18,0)")
+                aggs.append((s / n).cast("decimal(38,18)").alias(out))
+            else:
+                aggs.append((F.sum(c * diff) / F.sum(diff)).alias(out))
         elif fn == AggregationFn.VARIANCE:
             # sumsq/c - (sum/c)^2 (reference: aggregate_neu.rs:214-243)
-            sumsq = F.sum(c * c * diff)
-            s = F.sum(c * diff)
-            n = F.sum(diff)
-            aggs.append((sumsq / n - (s / n) * (s / n)).alias(out))
+            if plan.exact:
+                # Single exact division: (n*sumsq - s^2) / n^2 with an
+                # integral numerator (integer inputs), same decimal
+                # shape as exact AVG. Overflows past 19 digits return
+                # NULL — far beyond the reference's i32 rational range.
+                cd = c.cast("decimal(19,0)")
+                sumsq = F.sum(cd * cd * diff)
+                s = F.sum(cd * diff)
+                n = F.sum(diff)
+                num = (n * sumsq - s * s).cast("decimal(19,0)")
+                den = (n * n).cast("decimal(18,0)")
+                aggs.append((num / den).cast("decimal(38,18)").alias(out))
+            else:
+                sumsq = F.sum(c * c * diff)
+                s = F.sum(c * diff)
+                n = F.sum(diff)
+                aggs.append((sumsq / n - (s / n) * (s / n)).alias(out))
         elif fn == AggregationFn.MEDIAN:
             medians.append((av, out))
         else:  # pragma: no cover

@@ -238,6 +238,11 @@ class Aggregate(Plan):
     key_variables: list[Var]
     aggregation_variables: list[Var]
     with_variables: list[Var] = field(default_factory=list)
+    # The reference returns exact Rational32 for AVG/VARIANCE
+    # (aggregate_neu.rs:206). ``exact=True`` computes them in
+    # Decimal(38,18) — exact to 18 fractional digits — instead of
+    # binary double; default False matches SQL engines.
+    exact: bool = False
 
     def variables(self) -> list[Var]:
         return list(self.key_variables) + list(self.aggregation_variables)

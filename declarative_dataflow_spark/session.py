@@ -12,10 +12,16 @@ import os
 from pyspark.sql import SparkSession
 
 
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
 def build_session(
     app_name: str = "declarative-dataflow-spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
+    rocksdb_state: bool = False,
 ) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
@@ -35,6 +41,24 @@ def build_session(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
+    if rocksdb_state:
+        # Spill streaming state off-heap: at cluster scale (millions of
+        # keys per partition for LWW/dedup state) the default HDFS-backed
+        # in-memory store OOMs; RocksDB keeps the working set on local
+        # disk with changelog checkpointing.
+        builder = builder.config(
+            "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
+        )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     return spark
+
+
+def use_rocksdb_state(spark: SparkSession) -> None:
+    """Switch an existing session's streaming state store to RocksDB —
+    the provider is read per-query at start, so this affects queries
+    started afterwards."""
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
+    )

@@ -1,0 +1,133 @@
+"""Introspection sources: the engine's own execution events as
+queryable attributes.
+
+Parity with the reference's TimelyLogging / DifferentialLogging
+sources (src/sources/timely_logging.rs:21-34,
+src/sources/differential_logging.rs:22-32), which re-enter timely's
+log streams as attributes so users can query the engine with the
+engine. Spark-first: the corresponding event streams are
+
+- batch execution: job/stage metrics from the SparkContext status
+  tracker, polled like the reference's polling sources (csv_file.rs
+  re-polls on an interval);
+- streaming execution: StreamingQueryListener progress events,
+  pushed as they arrive.
+
+Both transact ordinary datoms into an Engine, so `[?job
+spark/job-status ?s]` composes with any other query.
+"""
+
+from __future__ import annotations
+
+from itertools import count
+from typing import Any
+
+from ..engine import Datom, Engine
+
+JOB_ATTRIBUTES = ["spark/job-status", "spark/job-num-stages"]
+STAGE_ATTRIBUTES = [
+    "spark/stage-num-tasks",
+    "spark/stage-num-completed-tasks",
+    "spark/stage-num-failed-tasks",
+]
+STREAMING_ATTRIBUTES = [
+    "spark/batch-input-rows",
+    "spark/batch-duration-ms",
+]
+
+
+class SparkLoggingSource:
+    """Poll job/stage execution metrics into engine attributes.
+
+    Each ``poll()`` transacts the CURRENT state, retracting stale
+    values via LastWriteWins input semantics — callers should create
+    the attributes with ``register(engine)`` which applies it.
+    """
+
+    def __init__(self, engine: Engine):
+        self.engine = engine
+        from ..engine import AttributeConfig, InputSemantics
+
+        lww = AttributeConfig(input_semantics=InputSemantics.LAST_WRITE_WINS)
+        for aid in JOB_ATTRIBUTES + STAGE_ATTRIBUTES:
+            engine.create_attribute(aid, lww)
+
+    def poll(self) -> int:
+        """Harvest all retained jobs/stages; returns datoms transacted."""
+
+        tracker = self.engine.spark.sparkContext.statusTracker()
+        datoms: list[Datom] = []
+        stage_ids: set[int] = set()
+        # Job ids are sequential; enumerate until the tracker runs out
+        # of retained info (the analog of reading the log stream).
+        for jid in count(0):
+            info = tracker.getJobInfo(jid)
+            if info is None:
+                break
+            datoms.append(Datom.add(jid, "spark/job-status", info.status))
+            datoms.append(
+                Datom.add(jid, "spark/job-num-stages", len(info.stageIds))
+            )
+            stage_ids.update(info.stageIds)
+        for sid in sorted(stage_ids):
+            sinfo = tracker.getStageInfo(sid)
+            if sinfo is None:
+                continue
+            datoms.append(Datom.add(sid, "spark/stage-num-tasks", sinfo.numTasks))
+            datoms.append(
+                Datom.add(
+                    sid,
+                    "spark/stage-num-completed-tasks",
+                    sinfo.numCompletedTasks,
+                )
+            )
+            datoms.append(
+                Datom.add(
+                    sid, "spark/stage-num-failed-tasks", sinfo.numFailedTasks
+                )
+            )
+        if datoms:
+            self.engine.transact(datoms)
+        return len(datoms)
+
+
+def attach_streaming_logging(engine: Engine) -> Any:
+    """Attach a StreamingQueryListener that transacts per-batch
+    progress as attributes (push path; the reference's log streams are
+    push too). Returns the listener (detach with
+    ``spark.streams.removeListener``)."""
+
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    for aid in STREAMING_ATTRIBUTES:
+        if aid not in engine._transacted:
+            engine.create_attribute(aid)
+
+    class _Listener(StreamingQueryListener):
+        def onQueryStarted(self, event):
+            pass
+
+        def onQueryProgress(self, event):
+            p = event.progress
+            engine.transact(
+                [
+                    Datom.add(
+                        p.batchId, "spark/batch-input-rows", p.numInputRows
+                    ),
+                    Datom.add(
+                        p.batchId,
+                        "spark/batch-duration-ms",
+                        p.durationMs.get("triggerExecution", 0),
+                    ),
+                ]
+            )
+
+        def onQueryIdle(self, event):
+            pass
+
+        def onQueryTerminated(self, event):
+            pass
+
+    listener = _Listener()
+    engine.spark.streams.addListener(listener)
+    return listener

@@ -187,3 +187,49 @@ def test_multiple_aggregations(engine):
         ["?v", "?w"],
     )
     assert rows(engine.implement(plan, ["g", "minv", "maxw"])) == [("a", 5, 200)]
+
+
+def test_exact_avg_variance_decimal(engine):
+    """exact=True computes AVG/VARIANCE in Decimal(38,18) — the Spark
+    stand-in for the reference's exact Rational32 results
+    (aggregate_neu.rs:206): 1/3 keeps 18 exact fractional digits."""
+
+    from decimal import Decimal
+    from declarative_dataflow_spark.plan.plans import (
+        Aggregate,
+        AggregationFn,
+        MatchA,
+    )
+
+    engine.create_attribute("amount")
+    engine.transact(
+        [
+            Datom.add(1, "amount", 1),
+            Datom.add(2, "amount", 1),
+            Datom.add(3, "amount", 0),
+        ]
+    )
+    plan = Aggregate(
+        ["?v"],
+        MatchA("?e", "amount", "?v"),
+        [AggregationFn.AVG],
+        [],
+        ["?v"],
+        with_variables=["?e"],
+        exact=True,
+    )
+    [row] = engine.implement(plan).collect()
+    assert str(row[0]) == "0.666666666666666667"  # 2/3 to 18 digits
+
+    vplan = Aggregate(
+        ["?v"],
+        MatchA("?e", "amount", "?v"),
+        [AggregationFn.VARIANCE],
+        [],
+        ["?v"],
+        with_variables=["?e"],
+        exact=True,
+    )
+    [vrow] = engine.implement(vplan).collect()
+    # sumsq/n - (sum/n)^2 = 2/3 - 4/9 = 2/9
+    assert abs(vrow[0] - Decimal(2) / Decimal(9)) <= Decimal("1e-17")

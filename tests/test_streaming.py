@@ -149,3 +149,54 @@ def test_coarsen_batch(spark):
     out = {str(r["ts"]): str(r["coarsened"]) for r in coarsen(df, "ts", "10 seconds").collect()}
     assert out["2024-01-01 00:00:04"] == "2024-01-01 00:00:10"
     assert out["2024-01-01 00:00:11"] == "2024-01-01 00:00:20"
+
+
+def test_stream_lww_rocksdb_state(spark, tmp_path):
+    """Same stateful LWW under the RocksDB state store provider — the
+    large-state scale path (state on local disk, not executor heap)."""
+
+    from declarative_dataflow_spark.session import (
+        ROCKSDB_PROVIDER,
+        use_rocksdb_state,
+    )
+
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    use_rocksdb_state(spark)
+    try:
+        src = tmp_path / "in"
+        src.mkdir()
+        _write_jsonl(str(src / "b1.json"), [
+            {"e": 1, "v": "a", "t": 1},
+            {"e": 1, "v": "b", "t": 2},
+        ])
+        stream = (
+            spark.readStream.schema("e long, v string, t long")
+            .json(str(src))
+        )
+        out = stream_last_write_wins(stream)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("lww_rocks")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            assert (
+                spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+                == ROCKSDB_PROVIDER
+            )
+            final = {r["e"]: r["v"] for r in spark.table("lww_rocks").collect()}
+            assert final == {1: "b"}
+        finally:
+            q.stop()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
