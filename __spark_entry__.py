@@ -26,6 +26,7 @@ from declarative_dataflow_spark import (
     ConstantBinding,
     Filter,
     Function,
+    Hector,
     Join,
     MatchA,
     MatchAV,
@@ -67,6 +68,9 @@ def _engine(spark: SparkSession, sf_dir: str) -> Engine:
         eng.register_table_attribute(
             "user/event_type", "events", "user_id", "event_type",
             semantics=InputSemantics.DISTINCT,
+        )
+        eng.register_table_attribute(
+            "event/bucket", "events", "event_id", "user_id % 50"
         )
         _ENGINES[key] = eng
     return _ENGINES[key]
@@ -433,6 +437,113 @@ def q_tclosure(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.interest("reach", ["x", "z"])
 
 
+def q_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label propagation to fixpoint — the reference's flagship
+    recursive benchmark (experiments/src/bin/labelprop.rs:23-47):
+    node labels flow along edges until closure."""
+
+    eng = _engine(spark, sf_dir)
+    if "labelprop" not in eng.rules:
+        eng.register(
+            "labelprop",
+            Union(
+                ["?x", "?l"],
+                [
+                    Scan(
+                        "events",
+                        {"user_id % 100": "?x", "user_id % 10": "?l"},
+                    ),
+                    Join(
+                        ["?z"],
+                        NameExpr(["?z", "?l"], "labelprop"),
+                        Scan(
+                            "events",
+                            {"user_id % 100": "?z", "event_id % 100": "?x"},
+                        ),
+                    ),
+                ],
+            ),
+        )
+    return eng.interest("labelprop", ["x", "l"])
+
+
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting over a derived edge attribute — the
+    reference's WCO benchmark (experiments/src/bin/hector_wco.rs,
+    hector_test.rs:230-251), counted with :with semantics."""
+
+    eng = _engine(spark, sf_dir)
+    if "graph/edge" not in eng._attributes:
+        # Derived DISTINCT edge attribute (Union applies set semantics).
+        eng.register_derived_attribute(
+            "graph/edge",
+            Union(
+                ["?s", "?d"],
+                [Scan("events", {"user_id % 100": "?s", "event_id % 100": "?d"})],
+            ),
+            "?s",
+            "?d",
+        )
+    triangle = Hector(
+        ["?a", "?b", "?c"],
+        [
+            AttributeBinding("?a", "graph/edge", "?b"),
+            AttributeBinding("?b", "graph/edge", "?c"),
+            AttributeBinding("?a", "graph/edge", "?c"),
+        ],
+    )
+    count = Aggregate(
+        ["?a"],
+        triangle,
+        [AggregationFn.COUNT],
+        [],
+        ["?a"],
+        with_variables=["?b", "?c"],
+    )
+    return eng.implement(count, ["n"])
+
+
+def q_confusion_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-join: constant bindings on two attributes of one entity
+    (reference: experiments/src/bin/confusion_filter.rs:23-38 — both
+    constants push into one fused scan here)."""
+
+    eng = _engine(spark, sf_dir)
+    plan = Hector(
+        ["?e", "?v"],
+        [
+            AttributeBinding("?e", "event/type", "?t"),
+            ConstantBinding("?t", "click"),
+            AttributeBinding("?e", "event/user", "?u"),
+            AttributeBinding("?e", "event/value", "?v"),
+            BinaryPredicateBinding(["?v", "?hi"], Predicate.GT),
+            ConstantBinding("?hi", 50.0),
+        ],
+    )
+    return eng.implement(plan, ["e", "v"])
+
+
+def q_confusion_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped count by (user bucket, event type) (reference:
+    experiments/src/bin/confusion_aggregate.rs:22-36)."""
+
+    eng = _engine(spark, sf_dir)
+    plan = Aggregate(
+        ["?b", "?t", "?e"],
+        Hector(
+            ["?b", "?t", "?e"],
+            [
+                AttributeBinding("?e", "event/bucket", "?b"),
+                AttributeBinding("?e", "event/type", "?t"),
+            ],
+        ),
+        [AggregationFn.COUNT],
+        ["?b", "?t"],
+        ["?e"],
+    )
+    return eng.implement(plan, ["b", "t", "n"])
+
+
 # ---------------------------------------------------------------------------
 # Input semantics (SURVEY §2.3)
 # ---------------------------------------------------------------------------
@@ -646,6 +757,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_global": q_agg_global,
         "name_expr": q_name_expr,
         "tclosure": q_tclosure,
+        "labelprop": q_labelprop,
+        "triangle_count": q_triangle_count,
+        "confusion_filter": q_confusion_filter,
+        "confusion_agg": q_confusion_agg,
         "lww": q_lww,
         "distinct_ingest": q_distinct_ingest,
         "pull_level": q_pull_level,
@@ -843,6 +958,33 @@ def oracle_sql() -> dict[str, str]:
             "UNION "
             "SELECT r.x, e.dst FROM reach r JOIN edges e ON r.z = e.src) "
             "SELECT x, z FROM reach"
+        ),
+        "labelprop": (
+            "WITH RECURSIVE edges AS ("
+            "SELECT DISTINCT user_id % 100 AS src, event_id % 100 AS dst "
+            "FROM events), "
+            "nodes AS (SELECT DISTINCT user_id % 100 AS x, "
+            "user_id % 10 AS l FROM events), "
+            "lp(x, l) AS ("
+            "SELECT x, l FROM nodes "
+            "UNION "
+            "SELECT e.dst, p.l FROM lp p JOIN edges e ON p.x = e.src) "
+            "SELECT x, l FROM lp"
+        ),
+        "triangle_count": (
+            "WITH edges AS (SELECT DISTINCT user_id % 100 AS src, "
+            "event_id % 100 AS dst FROM events) "
+            "SELECT count(*) AS n FROM edges e1 "
+            "JOIN edges e2 ON e2.src = e1.dst "
+            "JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst"
+        ),
+        "confusion_filter": (
+            "SELECT event_id AS e, value AS v FROM events "
+            "WHERE event_type = 'click' AND value > 50.0"
+        ),
+        "confusion_agg": (
+            "SELECT user_id % 50 AS b, event_type AS t, count(*) AS n "
+            "FROM events GROUP BY 1, 2"
         ),
         "lww": (
             "SELECT user_id AS u, value AS v FROM ("

@@ -19,6 +19,10 @@ HEADLINE = [
     "antijoin",        # negation
     "agg_median",      # exact median (windowed)
     "tclosure",        # recursive fixpoint
+    "labelprop",       # reference labelprop benchmark (recursive)
+    "triangle_count",  # reference WCO triangle benchmark
+    "confusion_filter",  # reference confusion q1 (fused filter scan)
+    "confusion_agg",   # reference confusion q2 (grouped count)
     "lww",             # last-write-wins input semantics
     "union",           # set union
     "pull_level",      # document projection
