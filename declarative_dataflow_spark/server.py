@@ -1,0 +1,244 @@
+"""Request protocol server: the reference's client-facing surface.
+
+Parity with the reference's ``Request`` enum and server loop
+(src/server/mod.rs:152-191; server/src/main.rs:266-354): clients send
+externally-tagged JSON requests — CreateAttribute, Transact, Register,
+Interest, Uninterest, Subscribe, Derive, AdvanceDomain, Tick,
+CloseInput, Setup, Status, Disconnect, Shutdown — and receive
+``{"QueryDiff": [name, [[tuple..., epoch, diff], ...]]}`` outputs
+(Output::QueryDiff, src/lib.rs:250-253).
+
+Spark-first: requests dispatch onto an Engine + ReactiveSession; each
+transaction/advance is a micro-epoch whose diffs are computed by
+Catalyst (see streaming/reactive.py). The reference's WebSocket
+transport is replaced by a dependency-free JSON-lines TCP listener
+(``serve``) — one JSON array of requests per line in, one JSON array
+of outputs per line out; any WebSocket layer can wrap it.
+"""
+
+from __future__ import annotations
+
+import json
+import socketserver
+import threading
+from typing import Any, Optional
+
+from pyspark.sql import SparkSession
+
+from .engine import AttributeConfig, Datom, Engine, InputSemantics
+from .plan.wire import decode_value, encode_value, plan_from_dict
+from .streaming.reactive import ReactiveSession
+
+
+def _decode_datom(raw: list) -> Datom:
+    """Reference Datom is the tuple struct (e, a, v, time, diff)
+    (src/lib.rs:216) — serialized as a 5-element JSON array."""
+
+    e, a, v, t, diff = raw
+    return Datom(decode_value(e), a, decode_value(v), t, diff)
+
+
+def _decode_config(raw: Optional[dict]) -> AttributeConfig:
+    raw = raw or {}
+    sem = raw.get("input_semantics", "Raw")
+    return AttributeConfig(
+        input_semantics=InputSemantics(sem),
+        trace_slack=raw.get("trace_slack"),
+        index_direction=raw.get("index_direction", "Forward"),
+        query_support=raw.get("query_support", "Basic"),
+    )
+
+
+class Server:
+    """Dispatch one client's requests onto an engine (the reference's
+    ``Server`` struct, src/server/mod.rs:196+)."""
+
+    def __init__(self, spark: SparkSession, engine: Optional[Engine] = None):
+        self.spark = spark
+        self.engine = engine or Engine(spark)
+        self.session = ReactiveSession(self.engine)
+        self.closed_inputs: set[str] = set()
+        self.shutdown_requested = False
+        self._outputs: list[dict] = []
+
+    # -- output plumbing -------------------------------------------------
+
+    def _emit_interest(self, name: str):
+        def callback(diffs_df, epoch: int) -> None:
+            # Transacted relations carry their multiset weight in a
+            # `diff` column; it folds into the emitted diff
+            # (weight x epoch-direction), matching the reference's
+            # weighted result diffs (ResultDiff, src/lib.rs:243).
+            cols = diffs_df.columns
+            weighted = "diff" in cols
+            drop = 2 if weighted else 1
+            rows = []
+            for r in diffs_df.collect():
+                t = tuple(r)
+                d = t[-1] * (r["diff"] if weighted else 1)
+                rows.append(
+                    [*[encode_value(v) for v in t[:-drop]], epoch, d]
+                )
+            if rows:
+                self._outputs.append({"QueryDiff": [name, rows]})
+
+        return callback
+
+    # -- request dispatch ------------------------------------------------
+
+    def handle(self, requests: list[dict]) -> list[dict]:
+        """Process one batch of requests in order; returns the outputs
+        produced (QueryDiffs of any epoch advanced in this batch,
+        Status payloads, errors)."""
+
+        self._outputs = []
+        for req in requests:
+            if isinstance(req, str):
+                tag, body = req, None
+            else:
+                tag, body = next(iter(req.items()))
+            try:
+                getattr(self, f"_on_{tag.lower()}")(body)
+            except AttributeError:
+                self._outputs.append({"Error": f"unknown request {tag}"})
+            except Exception as exc:  # surface per-request failures
+                self._outputs.append({"Error": f"{tag}: {exc}"})
+        return self._outputs
+
+    def _on_createattribute(self, body: dict) -> None:
+        self.engine.create_attribute(body["name"], _decode_config(body.get("config")))
+
+    def _on_transact(self, body: list) -> None:
+        datoms = [_decode_datom(d) for d in body]
+        blocked = {d.a for d in datoms} & self.closed_inputs
+        if blocked:
+            raise ValueError(f"closed inputs: {sorted(blocked)}")
+        self.session.transact(datoms)
+
+    def _on_register(self, body: dict) -> None:
+        for rule in body["rules"]:
+            self.engine.register(rule["name"], plan_from_dict(rule["plan"]))
+
+    def _on_interest(self, body: Any) -> None:
+        name = body if isinstance(body, str) else body["name"]
+        self.session.interest(name, self._emit_interest(name))
+        # First response: the current state as +1 diffs (the reference
+        # replays the arrangement on subscription).
+        self.session.advance()
+
+    def _on_uninterest(self, body: str) -> None:
+        self.session.uninterest(body)
+
+    def _on_subscribe(self, body: str) -> None:
+        """Interest in an entire attribute: an implicit MatchA rule."""
+
+        from .plan.plans import MatchA
+
+        rule = f"__subscribe/{body}"
+        if rule not in self.engine.rules:
+            self.engine.register(rule, MatchA("?e", body, "?v"))
+        self.session.interest(rule, self._emit_interest(rule))
+        self.session.advance()
+
+    def _on_derive(self, body: list) -> None:
+        """Derive(query, namespace) — GraphQL derived attributes
+        (reference: server/src/main.rs:433-447)."""
+
+        from .plan.graphql import derive_graphql
+
+        query, namespace = body
+        derive_graphql(self.engine, query, namespace)
+
+    def _on_registersource(self, body: dict) -> None:
+        """Source registration (reference: Source enum,
+        src/sources/mod.rs:68-80). CsvFile maps to a typed CSV-backed
+        attribute set; TimelyLogging/DifferentialLogging map to the
+        Spark introspection source."""
+
+        tag, cfg = next(iter(body.items()))
+        if tag == "CsvFile":
+            from .sources.files import ColumnSpec, register_csv_source
+
+            columns = [
+                ColumnSpec(c["aid"], c["column"], c.get("type", "string"))
+                for c in cfg["schema"]
+            ]
+            register_csv_source(
+                self.engine,
+                cfg.get("table", cfg["path"]),
+                cfg["path"],
+                cfg["eid_column"],
+                columns,
+                header=cfg.get("has_headers", True),
+                delimiter=cfg.get("delimiter", ","),
+            )
+        elif tag in ("TimelyLogging", "DifferentialLogging"):
+            from .sources.introspection import SparkLoggingSource
+
+            SparkLoggingSource(self.engine).poll()
+        else:
+            raise ValueError(f"unknown source {tag}")
+
+    def _on_advancedomain(self, body: Any) -> None:
+        self.session.advance()
+
+    def _on_tick(self, body: Any) -> None:
+        self.session.advance()
+
+    def _on_closeinput(self, body: str) -> None:
+        self.closed_inputs.add(body)
+
+    def _on_setup(self, body: Any) -> None:
+        pass
+
+    def _on_status(self, body: Any) -> None:
+        self._outputs.append(
+            {
+                "Status": {
+                    "epoch": self.session.epoch,
+                    "attributes": sorted(self.engine._attributes),
+                    "rules": sorted(self.engine.rules),
+                    "interests": sorted(self.session.interests),
+                }
+            }
+        )
+
+    def _on_disconnect(self, body: Any) -> None:
+        for name in list(self.session.interests):
+            self.session.uninterest(name)
+
+    def _on_shutdown(self, body: Any) -> None:
+        self.shutdown_requested = True
+
+
+def serve(
+    server: Server, host: str = "127.0.0.1", port: int = 0
+) -> tuple[socketserver.TCPServer, threading.Thread, int]:
+    """JSON-lines TCP transport: each request line is a JSON array of
+    requests, each response line the JSON array of outputs. Returns
+    (tcp_server, thread, bound_port); shut down with
+    ``tcp_server.shutdown()``."""
+
+    class Handler(socketserver.StreamRequestHandler):
+        def handle(self) -> None:
+            for line in self.rfile:
+                line = line.strip()
+                if not line:
+                    continue
+                try:
+                    out = server.handle(json.loads(line))
+                except Exception as exc:
+                    out = [{"Error": str(exc)}]
+                self.wfile.write((json.dumps(out) + "\n").encode())
+                self.wfile.flush()
+                if server.shutdown_requested:
+                    break
+
+    class _TCP(socketserver.ThreadingTCPServer):
+        allow_reuse_address = True
+        daemon_threads = True
+
+    tcp = _TCP((host, port), Handler)
+    thread = threading.Thread(target=tcp.serve_forever, daemon=True)
+    thread.start()
+    return tcp, thread, tcp.server_address[1]

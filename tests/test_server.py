@@ -1,0 +1,146 @@
+"""Request protocol parity (reference: src/server/mod.rs:152-191,
+Output::QueryDiff src/lib.rs:250-253, JSON shapes README.md:79-88)."""
+
+import json
+import socket
+
+from declarative_dataflow_spark.server import Server, serve
+
+
+def _requests(spark):
+    return Server(spark)
+
+
+def test_full_request_lifecycle(spark):
+    srv = Server(spark)
+    out = srv.handle(
+        [
+            {"CreateAttribute": {"name": "name", "config": {"input_semantics": "Raw"}}},
+            {"CreateAttribute": {"name": "age", "config": None}},
+            {
+                "Register": {
+                    "rules": [
+                        {
+                            "name": "people",
+                            "plan": {
+                                "Join": {
+                                    "variables": [0],
+                                    "left_plan": {"MatchA": [0, "name", 1]},
+                                    "right_plan": {"MatchA": [0, "age", 2]},
+                                }
+                            },
+                        }
+                    ],
+                    "publish": ["people"],
+                }
+            },
+            {"Interest": {"name": "people"}},
+        ]
+    )
+    assert out == []  # no data yet
+
+    out = srv.handle(
+        [
+            {
+                "Transact": [
+                    [{"Eid": 1}, "name", "Dipper", None, 1],
+                    [{"Eid": 1}, "age", {"Number": 12}, None, 1],
+                ]
+            }
+        ]
+    )
+    [(tag, (name, rows))] = [(k, v) for o in out for k, v in o.items()]
+    assert tag == "QueryDiff" and name == "people"
+    assert [r[:-2] for r in rows] == [[1, "Dipper", 12]]
+    assert [r[-1] for r in rows] == [1]
+
+    # Retraction produces a -1 diff.
+    out = srv.handle(
+        [{"Transact": [[{"Eid": 1}, "age", {"Number": 12}, None, -1]]}]
+    )
+    [(name, rows)] = [v for o in out for k, v in o.items() if k == "QueryDiff"]
+    assert [r[-1] for r in rows] == [-1]
+
+    # Status heartbeat.
+    [status] = [v for o in srv.handle(["Status"]) for k, v in o.items()]
+    assert status["rules"] == ["people"]
+    assert status["interests"] == ["people"]
+
+    # CloseInput rejects further writes to that attribute.
+    srv.handle([{"CloseInput": "age"}])
+    out = srv.handle(
+        [{"Transact": [[{"Eid": 2}, "age", {"Number": 9}, None, 1]]}]
+    )
+    assert any("Error" in o for o in out)
+
+    # Uninterest stops diffs.
+    srv.handle([{"Uninterest": "people"}])
+    out = srv.handle([{"Transact": [[{"Eid": 3}, "name", "Soos", None, 1]]}])
+    assert out == []
+
+
+def test_subscribe_whole_attribute(spark):
+    srv = Server(spark)
+    srv.handle([{"CreateAttribute": {"name": "color", "config": None}}])
+    out = srv.handle(
+        [
+            {"Transact": [[{"Eid": 7}, "color", "teal", None, 1]]},
+            {"Subscribe": "color"},
+        ]
+    )
+    [(name, rows)] = [v for o in out for k, v in o.items() if k == "QueryDiff"]
+    assert name == "__subscribe/color"
+    assert [r[:-2] for r in rows] == [[7, "teal"]]
+
+
+def test_json_lines_transport(spark):
+    srv = Server(spark)
+    tcp, thread, port = serve(srv)
+    try:
+        with socket.create_connection(("127.0.0.1", port)) as s:
+            f = s.makefile("rw")
+            f.write(
+                json.dumps(
+                    [
+                        {"CreateAttribute": {"name": "x", "config": None}},
+                        {"Transact": [[{"Eid": 1}, "x", {"Number": 5}, None, 1]]},
+                        {"Subscribe": "x"},
+                        "Status",
+                    ]
+                )
+                + "\n"
+            )
+            f.flush()
+            out = json.loads(f.readline())
+            tags = [k for o in out for k in o]
+            assert "QueryDiff" in tags and "Status" in tags
+    finally:
+        tcp.shutdown()
+        tcp.server_close()
+
+
+def test_register_csv_source(spark, tmp_path):
+    csv = tmp_path / "people.csv"
+    csv.write_text("id,name,age\n1,Dipper,12\n2,Mabel,13\n")
+    srv = Server(spark)
+    out = srv.handle(
+        [
+            {
+                "RegisterSource": {
+                    "CsvFile": {
+                        "path": str(csv),
+                        "table": "people_csv",
+                        "eid_column": "id",
+                        "has_headers": True,
+                        "schema": [
+                            {"aid": "p/name", "column": "name"},
+                            {"aid": "p/age", "column": "age", "type": "long"},
+                        ],
+                    }
+                }
+            },
+            {"Subscribe": "p/age"},
+        ]
+    )
+    [(name, rows)] = [v for o in out for k, v in o.items() if k == "QueryDiff"]
+    assert sorted(r[:-2] for r in rows) == [[1, 12], [2, 13]]
