@@ -631,6 +631,10 @@ def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.token_count(load_table(spark, sf_dir, "documents"))
 
 
+def q_text_subwords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.subword_token_count(load_table(spark, sf_dir, "documents"))
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.quality_score(load_table(spark, sf_dir, "documents"))
 
@@ -775,6 +779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
+        "text_subwords": q_text_subwords,
         "cosine_topk": q_cosine_topk,
         "embed_neardup": q_embed_neardup,
         "ann_ivf": q_ann_ivf,
@@ -1035,6 +1040,11 @@ def oracle_sql() -> dict[str, str]:
         "text_tokens": (
             "SELECT doc_id, CASE WHEN len(trim(text)) = 0 THEN 0 "
             "ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens "
+            "FROM documents"
+        ),
+        "text_subwords": (
+            "SELECT doc_id, CAST(len(regexp_extract_all(lower(text), "
+            "'[a-z]+|[0-9]|[^a-z0-9 ]')) AS BIGINT) AS n_subwords "
             "FROM documents"
         ),
         "text_quality": (

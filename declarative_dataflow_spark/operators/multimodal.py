@@ -109,6 +109,93 @@ def decode_image(binaries: DataFrame, fake: bool = True) -> DataFrame:
     )
 
 
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("payload", BinaryType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+    ]
+)
+
+
+def resize_image(
+    binaries: DataFrame, width: int = 64, height: int = 64, fake: bool = True
+) -> DataFrame:
+    """Resize stub via Arrow-batched mapInPandas: binary in, binary
+    out. The fake path emits a deterministic fixed-size payload
+    (truncate/cycle the source bytes to width*height) so the
+    binary-throughput plumbing — the real part — is exercised; a real
+    build swaps `_fake_resize` for PIL's resize."""
+
+    if not fake and not _HAS_PIL:
+        raise NotImplementedError(
+            "real image resize requires PIL; not available in this "
+            "container — use fake=True to exercise the pipeline"
+        )
+
+    target = width * height
+
+    def _fake_resize(p: bytes) -> bytes:
+        if not p:
+            return bytes(target)
+        reps = target // len(p) + 1
+        return (p * reps)[:target]
+
+    def go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [_fake_resize(p) for p in pdf["payload"]],
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return binaries.select("doc_id", "payload").mapInPandas(
+        go, schema=RESIZED_SCHEMA
+    )
+
+
+def extract_features(
+    binaries: DataFrame, dim: int = 16, fake: bool = True
+) -> DataFrame:
+    """Feature extraction stub: payload -> float vector of ``dim``
+    (the column shape the similarity operators consume). The fake
+    featurizer is a byte-value histogram folded to ``dim`` buckets and
+    L1-normalized — deterministic, vectorized with numpy over Arrow
+    batches; a real build swaps in a vision/audio model here."""
+
+    if not fake:
+        raise NotImplementedError(
+            "real feature extraction requires a model runtime; use "
+            "fake=True to exercise the pipeline"
+        )
+
+    import numpy as np
+    from pyspark.sql.types import ArrayType, FloatType
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("features", ArrayType(FloatType())),
+        ]
+    )
+
+    def go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for p in pdf["payload"]:
+                arr = np.frombuffer(p or b"\x00", dtype=np.uint8)
+                hist = np.bincount(arr % dim, minlength=dim).astype("float32")
+                total = hist.sum()
+                feats.append(hist / total if total else hist)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "features": feats})
+
+    return binaries.select("doc_id", "payload").mapInPandas(go, schema=schema)
+
+
 def frame_sample(
     binaries: DataFrame, every_n_bytes: int = 64, max_frames: int = 8
 ) -> DataFrame:

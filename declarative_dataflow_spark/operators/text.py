@@ -42,6 +42,28 @@ def token_count(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# BPE-ish pre-tokenizer: alphabetic runs are one token, digits and
+# punctuation symbols tokenize individually (the shape of GPT-2's
+# pre-tokenization, simplified to a regex that means the same thing in
+# Spark's and DuckDB's dialects).
+SUBWORD_PATTERN = "[a-z]+|[0-9]|[^a-z0-9 ]"
+
+
+def subword_token_count(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """BPE-ish subword token count: alpha runs + individual digits +
+    individual symbols. An upper-bound proxy for real BPE vocab counts
+    (a trained tokenizer merges, never splits, these pieces)."""
+
+    return docs.select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all(
+                F.lower(F.col(text_col)), F.lit(SUBWORD_PATTERN), 0
+            )
+        ).cast("long").alias("n_subwords"),
+    )
+
+
 def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic document quality: length, punctuation and stopword
     ratios combined into one score (all integer counts + one rounded

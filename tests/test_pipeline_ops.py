@@ -170,3 +170,39 @@ def test_ivf_topk_matches_brute_force_on_probed_cells(spark):
     assert assign == {0: 0, 1: 1, 2: 0, 3: 0, 4: 1}
     top = similarity.ivf_topk(emb, [0], k=2, n_centroids=2, nprobe=1).collect()
     assert [r["neighbor"] for r in sorted(top, key=lambda r: r["rank"])] == [2, 3]
+
+
+def test_resize_and_features(docs):
+    b = multimodal.attach_binary(docs)
+    resized = multimodal.resize_image(b, width=8, height=4).collect()
+    assert all(len(r["payload"]) == 32 for r in resized)
+    assert all((r["width"], r["height"]) == (8, 4) for r in resized)
+
+    feats = multimodal.extract_features(b, dim=8).collect()
+    assert all(len(r["features"]) == 8 for r in feats)
+    # L1-normalized histogram.
+    assert all(abs(sum(r["features"]) - 1.0) < 1e-5 for r in feats)
+    # Deterministic across runs.
+    again = multimodal.extract_features(b, dim=8).collect()
+    assert {r["doc_id"]: r["features"] for r in feats} == {
+        r["doc_id"]: r["features"] for r in again
+    }
+
+
+def test_resize_real_decode_raises(docs):
+    import pytest as _pytest
+
+    b = multimodal.attach_binary(docs)
+    with _pytest.raises(NotImplementedError):
+        multimodal.resize_image(b, fake=False)
+    with _pytest.raises(NotImplementedError):
+        multimodal.extract_features(b, fake=False)
+
+
+def test_subword_token_count(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello, world! 42"), (2, "")], ["doc_id", "text"]
+    )
+    got = {r["doc_id"]: r["n_subwords"] for r in text.subword_token_count(df).collect()}
+    # hello , world ! 4 2 -> 6; empty -> 0
+    assert got == {1: 6, 2: 0}
