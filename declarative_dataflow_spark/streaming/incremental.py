@@ -45,10 +45,14 @@ from ..plan.plans import (
 class DeltaJoin:
     """One incrementally-maintained Hector query.
 
-    ``bindings`` may contain attribute, constant, and binary-predicate
-    bindings (the ones the reference's delta pipelines support as
-    extenders). Antijoin bindings would need retraction-aware negation
-    state and are rejected.
+    ``bindings`` may contain attribute, constant, binary-predicate,
+    and antijoin bindings. Antijoin (negation) follows the reference's
+    AntijoinExtender (hector.rs:1494-1529) ordered LAST: positive-part
+    deltas filter against the anti-side's NEW key set, and anti-side
+    changes emit toggle diffs — keys whose membership flips retract or
+    re-derive the matching core tuples (computed over OLD snapshots,
+    semi-join-pruned to just the flipped keys, so the work tracks the
+    toggle size, not the accumulated result).
     """
 
     def __init__(
@@ -58,13 +62,17 @@ class DeltaJoin:
         bindings: list[Binding],
         initial: Optional[dict[str, DataFrame]] = None,
     ):
-        if any(isinstance(b, AntijoinBinding) for b in bindings):
-            raise ValueError("antijoin bindings are not incrementally maintained")
         self.spark = spark
         self.variables = list(variables)
         self.bindings = list(bindings)
+        self.core_bindings = [
+            b for b in bindings if not isinstance(b, AntijoinBinding)
+        ]
+        self.anti_bindings = [
+            b for b in bindings if isinstance(b, AntijoinBinding)
+        ]
         self.attr_bindings = [
-            b for b in bindings if isinstance(b, AttributeBinding)
+            b for b in self.core_bindings if isinstance(b, AttributeBinding)
         ]
         # aid -> consolidated (e, v, diff) snapshot of everything seen.
         self.snapshots: dict[str, DataFrame] = {}
@@ -102,14 +110,14 @@ class DeltaJoin:
         deltas: dict[str, DataFrame],
         news: dict[str, DataFrame],
     ) -> Optional[Any]:
-        """Compile pipeline i: binding i at its delta, j<i at new,
+        """Compile core pipeline i: binding i at its delta, j<i at new,
         j>i at old. Returns None when any required version is absent
         (the join is provably empty)."""
 
         attrs: dict[str, AttributeSource] = {}
         synth_bindings: list[Binding] = []
         ai = 0
-        for b in self.bindings:
+        for b in self.core_bindings:
             if not isinstance(b, AttributeBinding):
                 synth_bindings.append(b)
                 continue
@@ -127,6 +135,117 @@ class DeltaJoin:
             ai += 1
         cat = Catalog(attrs)
         return compile_plan(Hector(self.variables, synth_bindings), cat)
+
+    def _core_at(
+        self, versions: dict[str, DataFrame]
+    ) -> Optional[Any]:
+        """Compile the core conjunction entirely at one snapshot set."""
+
+        attrs: dict[str, AttributeSource] = {}
+        synth_bindings: list[Binding] = []
+        ai = 0
+        for b in self.core_bindings:
+            if not isinstance(b, AttributeBinding):
+                synth_bindings.append(b)
+                continue
+            df = versions.get(b.attribute)
+            if df is None:
+                return None
+            key = f"__dj{ai}"
+            attrs[key] = AttributeSource(loader=(lambda d=df: d), has_diff=True)
+            synth_bindings.append(AttributeBinding(b.e, key, b.v))
+            ai += 1
+        cat = Catalog(attrs)
+        return compile_plan(Hector(self.variables, synth_bindings), cat)
+
+    @staticmethod
+    def _positive_keys(df: Optional[DataFrame]) -> Optional[DataFrame]:
+        """Present (e, v) pairs of an anti-side snapshot (net weight
+        > 0 — the antijoin right side is a set, antijoin.rs:95-97)."""
+
+        if df is None:
+            return None
+        return df.filter(F.col("diff") > 0).select("e", "v")
+
+    def _anti_filter(self, rel, ab: AntijoinBinding, keys: Optional[DataFrame]):
+        """Drop tuples whose (ab.e, ab.v) valuation appears in keys."""
+
+        if keys is None:
+            return rel
+        k = keys.select(F.col("e").alias("__ae"), F.col("v").alias("__av"))
+        df = rel.df.join(
+            k,
+            on=[
+                rel.df[vcol(ab.e)] == k["__ae"],
+                rel.df[vcol(ab.v)] == k["__av"],
+            ],
+            how="left_anti",
+        )
+        return type(rel)(rel.variables, df, rel.has_diff)
+
+    def _toggle_terms(
+        self,
+        deltas: dict[str, DataFrame],
+        news: dict[str, DataFrame],
+        sel: list[str],
+    ) -> list[DataFrame]:
+        """Per changed anti binding k: tuples of the OLD core (pruned
+        to flipped keys) enter (+1, key left the anti set) or leave
+        (-1, key joined it); anti bindings before k apply at NEW,
+        after k at OLD."""
+
+        out: list[DataFrame] = []
+        for k, ab in enumerate(self.anti_bindings):
+            if ab.attribute not in deltas:
+                continue
+            p_old = self._positive_keys(self.snapshots.get(ab.attribute))
+            p_new = self._positive_keys(news.get(ab.attribute))
+            empty = None
+            for keys_from, keys_minus, sign in (
+                (p_old, p_new, 1),   # lost membership -> tuples return
+                (p_new, p_old, -1),  # gained membership -> tuples retract
+            ):
+                if keys_from is None:
+                    continue
+                flipped = (
+                    keys_from
+                    if keys_minus is None
+                    else keys_from.join(keys_minus, ["e", "v"], "left_anti")
+                )
+                flipped = flipped.localCheckpoint(eager=True)
+                if flipped.limit(1).isEmpty():
+                    continue
+                core = self._core_at(self.snapshots)
+                if core is None:
+                    continue
+                # Prune to the flipped keys (inner join IS the filter).
+                fk = flipped.select(
+                    F.col("e").alias("__ae"), F.col("v").alias("__av")
+                )
+                rel = core.with_diff()
+                df = rel.df.join(
+                    fk,
+                    on=[
+                        rel.df[vcol(ab.e)] == fk["__ae"],
+                        rel.df[vcol(ab.v)] == fk["__av"],
+                    ],
+                    how="inner",
+                ).drop("__ae", "__av")
+                pruned = type(rel)(rel.variables, df, True)
+                for j, other in enumerate(self.anti_bindings):
+                    if j == k:
+                        continue
+                    versions = news if j < k else self.snapshots
+                    pruned = self._anti_filter(
+                        pruned,
+                        other,
+                        self._positive_keys(versions.get(other.attribute)),
+                    )
+                term = pruned.df.select(*sel)
+                if sign < 0:
+                    term = term.withColumn(DIFF, -F.col(DIFF))
+                out.append(term)
+        return out
 
     def transact(self, datoms: Iterable[Datom]) -> DataFrame:
         """Apply one transaction; return the result diffs of this epoch
@@ -151,8 +270,16 @@ class DeltaJoin:
             if b.attribute not in deltas:
                 continue
             pipe = self._pipeline(i, deltas, news)
-            if pipe is not None:
-                pipes.append(pipe.with_diff().df.select(*sel))
+            if pipe is None:
+                continue
+            # Core deltas see the anti sides at their NEW state.
+            for ab in self.anti_bindings:
+                pipe = self._anti_filter(
+                    pipe, ab, self._positive_keys(news.get(ab.attribute))
+                )
+            pipes.append(pipe.with_diff().df.select(*sel))
+
+        pipes.extend(self._toggle_terms(deltas, news, sel))
 
         self.snapshots = news
         self.epoch += 1

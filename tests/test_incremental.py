@@ -157,15 +157,63 @@ def test_predicate_binding(spark):
     assert acc == Counter({(1, 1, 5): 1})
 
 
-def test_antijoin_rejected(spark):
+def test_antijoin_incremental_toggles(spark, engine):
+    """Negation: anti-side membership flips retract/re-derive core
+    tuples; equal to full recompute across randomized epochs."""
+
+    import random
     from declarative_dataflow_spark.plan.plans import AntijoinBinding
 
-    with pytest.raises(ValueError):
-        DeltaJoin(
-            spark,
-            ["?e"],
-            [
-                AttributeBinding("?e", "a", "?v"),
-                AntijoinBinding("?e", "b", "?v"),
-            ],
-        )
+    rng = random.Random(11)
+    bindings = [
+        AttributeBinding("?e", "name", "?n"),
+        AttributeBinding("?e", "flag", "?f"),
+        AntijoinBinding("?e", "banned", "?f"),
+    ]
+    variables = ["?e", "?n", "?f"]
+    dj = DeltaJoin(spark, variables, bindings)
+    acc: Counter = Counter()
+    log: list[Datom] = []
+    live_banned: list[tuple[int, int]] = []
+
+    for epoch in range(4):
+        batch = []
+        for _ in range(rng.randint(2, 4)):
+            e = rng.randint(1, 5)
+            roll = rng.random()
+            if roll < 0.4:
+                batch.append(Datom.add(e, "name", f"p{e}"))
+                batch.append(Datom.add(e, "flag", rng.randint(0, 2)))
+            elif roll < 0.7 or not live_banned:
+                f = rng.randint(0, 2)
+                live_banned.append((e, f))
+                batch.append(Datom.add(e, "banned", f))
+            else:
+                e2, f2 = live_banned.pop(rng.randrange(len(live_banned)))
+                batch.append(Datom.retract(e2, "banned", f2))
+        log.extend(batch)
+        acc = _apply(acc, dj.transact(batch))
+
+    assert acc == _full(engine, variables, bindings, log)
+
+
+def test_antijoin_simple_toggle(spark):
+    from declarative_dataflow_spark.plan.plans import AntijoinBinding
+
+    dj = DeltaJoin(
+        spark,
+        ["?e", "?v"],
+        [
+            AttributeBinding("?e", "val", "?v"),
+            AntijoinBinding("?e", "blocked", "?v"),
+        ],
+    )
+    acc: Counter = Counter()
+    acc = _apply(acc, dj.transact([Datom.add(1, "val", 10)]))
+    assert acc == Counter({(1, 10): 1})
+    # Key enters the anti set -> tuple retracts.
+    acc = _apply(acc, dj.transact([Datom.add(1, "blocked", 10)]))
+    assert acc == Counter()
+    # Key leaves the anti set -> tuple returns.
+    acc = _apply(acc, dj.transact([Datom.retract(1, "blocked", 10)]))
+    assert acc == Counter({(1, 10): 1})
