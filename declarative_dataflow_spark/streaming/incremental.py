@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..engine import Datom
 from ..plan.compiler import DIFF, AttributeSource, Catalog, compile_plan, vcol
 from ..plan.plans import (
+    AggregationFn,
     AntijoinBinding,
     AttributeBinding,
     Binding,
@@ -301,3 +302,89 @@ class DeltaJoin:
             *[F.col(vcol(v)).alias(v) for v in self.variables],
             F.col(DIFF).alias("diff"),
         )
+
+
+class IncrementalAggregate:
+    """Incrementally-maintained grouped aggregation over a DeltaJoin —
+    the differential reduce: state is the consolidated (key, value,
+    weight) multiset of the join result, and each epoch re-aggregates
+    ONLY the keys its delta touched (the reference's aggregates sit on
+    differential reduce with the same property,
+    src/plan/aggregate_neu.rs).
+
+    Output diffs are (key..., value, diff): the previous aggregate of a
+    touched key retracts (-1) and the new one asserts (+1); keys whose
+    group empties just retract. Supports MIN, MAX, COUNT, SUM, AVG.
+    """
+
+    def __init__(
+        self,
+        delta_join: DeltaJoin,
+        key_variables: list[str],
+        aggregation_fn: AggregationFn,
+        aggregation_variable: str,
+    ):
+        if aggregation_fn not in (
+            AggregationFn.MIN,
+            AggregationFn.MAX,
+            AggregationFn.COUNT,
+            AggregationFn.SUM,
+            AggregationFn.AVG,
+        ):
+            raise ValueError(f"unsupported incremental fn {aggregation_fn}")
+        self.dj = delta_join
+        self.keys = list(key_variables)
+        self.fn = aggregation_fn
+        self.agg_var = aggregation_variable
+        self.state: Optional[DataFrame] = None  # keys + __v + __w
+
+    def _aggregate(self, slice_df: DataFrame) -> DataFrame:
+        v, w = F.col("__v"), F.col("__w")
+        if self.fn == AggregationFn.COUNT:
+            out = F.sum(w)
+        elif self.fn == AggregationFn.SUM:
+            out = F.sum(v * w)
+        elif self.fn == AggregationFn.AVG:
+            out = F.sum(v * w) / F.sum(w)
+        elif self.fn == AggregationFn.MIN:
+            out = F.min(v)
+        else:
+            out = F.max(v)
+        return slice_df.groupBy(*self.keys).agg(out.alias("value"))
+
+    def transact(self, datoms: Iterable[Datom]) -> DataFrame:
+        diffs = self.dj.transact(datoms)
+        dproj = (
+            diffs.select(
+                *[F.col(k) for k in self.keys],
+                F.col(self.agg_var).alias("__v"),
+                F.col("diff").alias("__w"),
+            )
+            .groupBy(*self.keys, "__v")
+            .agg(F.sum("__w").alias("__w"))
+            .filter(F.col("__w") != 0)
+            .localCheckpoint(eager=True)
+        )
+        affected = dproj.select(*self.keys).distinct()
+
+        if self.state is None:
+            old_slice = dproj.limit(0)
+            merged = dproj
+        else:
+            old_slice = self.state.join(affected, self.keys, "inner")
+            merged = self.state.unionByName(dproj)
+        new_state = (
+            merged.groupBy(*self.keys, "__v")
+            .agg(F.sum("__w").alias("__w"))
+            .filter(F.col("__w") != 0)
+            .localCheckpoint(eager=True)
+        )
+        new_slice = new_state.join(affected, self.keys, "inner")
+
+        old_out = self._aggregate(old_slice)
+        new_out = self._aggregate(new_slice)
+        removed = old_out.exceptAll(new_out).withColumn("diff", F.lit(-1))
+        added = new_out.exceptAll(old_out).withColumn("diff", F.lit(1))
+
+        self.state = new_state
+        return removed.unionByName(added)
