@@ -4,12 +4,14 @@ every registered interest (README.md:12-23; server loop
 server/src/main.rs:588-656).
 
 Spark-first realization: each transaction advances the epoch
-(micro-batch analog); every interested rule is re-evaluated through
-the engine's Catalyst-compiled plan and diffed against the previous
-epoch's snapshot with a distributed exceptAll — no driver-side
-relation state. True operator-level incrementalization (differential
-arrangements) is intentionally NOT mimicked; for the streaming-source
-path the same diffing runs inside foreachBatch (see diff_sink).
+(micro-batch analog). Conjunctive rules (Hector over attribute /
+constant / predicate / antijoin bindings) are maintained
+INCREMENTALLY via DeltaJoin — per-epoch work tracks the change, the
+reference's delta-pipeline behavior. Every other rule is re-evaluated
+through the engine's Catalyst-compiled plan and diffed against the
+previous epoch's snapshot with a distributed exceptAll — no
+driver-side relation state. For the streaming-source path the same
+diffing runs inside foreachBatch (see diff_sink).
 
 Scale notes: snapshots are cached DataFrames (swap for Delta tables at
 very large results); re-evaluation cost is one Catalyst job per epoch,
@@ -35,6 +37,46 @@ class Interest:
     callback: Optional[Callable[[DataFrame, int], None]] = None
     previous: Optional[DataFrame] = None
     history: list[tuple[int, list]] = field(default_factory=list)
+    delta_join: Optional[object] = None  # incremental path, if eligible
+
+
+def _delta_join_for(engine: Engine, name: str):
+    """Build a DeltaJoin for a conjunctive rule, seeded with current
+    attribute snapshots; None if the plan shape is not eligible."""
+
+    from ..plan.plans import Hector
+    from .incremental import DeltaJoin
+
+    plan = engine.rules[name]
+    if not isinstance(plan, Hector):
+        return None
+    from ..plan.plans import (
+        AntijoinBinding,
+        AttributeBinding,
+        BinaryPredicateBinding,
+        ConstantBinding,
+    )
+
+    from ..engine import InputSemantics
+
+    aids = set()
+    for b in plan.bindings:
+        if isinstance(b, (AttributeBinding, AntijoinBinding)):
+            # Only RAW transacted attributes delta-track soundly:
+            # LWW/Distinct rewrite history at ingest, which a datom
+            # delta cannot represent.
+            ta = engine._transacted.get(b.attribute)
+            if ta is None or ta.config.input_semantics != InputSemantics.RAW:
+                return None
+            aids.add(b.attribute)
+        elif not isinstance(b, (ConstantBinding, BinaryPredicateBinding)):
+            return None
+    initial = {}
+    for aid in aids:
+        df = engine._transacted[aid].dataframe()
+        if not df.isEmpty():
+            initial[aid] = df.select("e", "v", "diff")
+    return DeltaJoin(engine.spark, plan.variables_, plan.bindings, initial)
 
 
 class ReactiveSession:
@@ -49,47 +91,77 @@ class ReactiveSession:
         self,
         name: str,
         callback: Optional[Callable[[DataFrame, int], None]] = None,
+        incremental: bool = True,
     ) -> None:
         if name not in self.engine.rules:
             raise KeyError(f"unknown rule {name}")
-        self.interests[name] = Interest(name, callback)
+        dj = _delta_join_for(self.engine, name) if incremental else None
+        self.interests[name] = Interest(name, callback, delta_join=dj)
 
     def uninterest(self, name: str) -> None:
         """Tear down a subscription (reference: Uninterest +
         ShutdownHandle, src/server/mod.rs:475-488)."""
 
         sub = self.interests.pop(name, None)
-        if sub is not None and sub.previous is not None:
+        if sub is not None and isinstance(sub.previous, DataFrame):
             sub.previous.unpersist()
 
     def transact(self, datoms: Iterable[Datom]) -> int:
-        """Append a transaction and advance the domain: re-evaluate all
-        interests and emit diffs vs the previous epoch."""
+        """Append a transaction and advance the domain: emit diffs for
+        every interest — incrementally for DeltaJoin-backed rules,
+        recompute + exceptAll otherwise."""
 
+        datoms = list(datoms)
         self.engine.transact(datoms)
-        return self.advance()
+        return self.advance(datoms)
 
-    def advance(self) -> int:
+    def advance(self, datoms: Optional[list[Datom]] = None) -> int:
         epoch = self.epoch
         for sub in self.interests.values():
-            current = self.engine.interest(sub.name).persist()
-            current.count()
-            if sub.previous is None:
-                diffs = current.withColumn("__epoch_diff", F.lit(1))
+            if sub.delta_join is not None:
+                diffs = self._advance_incremental(sub, datoms or [])
             else:
-                added = current.exceptAll(sub.previous).withColumn(
-                    "__epoch_diff", F.lit(1)
-                )
-                removed = sub.previous.exceptAll(current).withColumn(
-                    "__epoch_diff", F.lit(-1)
-                )
-                diffs = added.unionByName(removed)
+                diffs = self._advance_recompute(sub)
             if sub.callback is not None:
                 sub.callback(diffs, epoch)
             else:
                 sub.history.append((epoch, diffs.collect()))
-            if sub.previous is not None:
-                sub.previous.unpersist()
-            sub.previous = current
         self.epoch += 1
         return epoch
+
+    def _advance_incremental(
+        self, sub: Interest, datoms: list[Datom]
+    ) -> DataFrame:
+        """Delta-pipeline path: per-epoch work tracks the change. On
+        the first advance the current state replays as +1 diffs (the
+        reference replays the arrangement on subscription); the
+        weighted change rides in `diff`, `__epoch_diff` stays +1."""
+
+        if sub.previous is None:
+            sub.previous = True  # replay marker
+            full = self.engine.interest(sub.name)
+            if "diff" not in full.columns:
+                full = full.withColumn("diff", F.lit(1))
+            # Consume this epoch's datoms so they are not re-applied.
+            sub.delta_join.transact(datoms)
+            return full.withColumn("__epoch_diff", F.lit(1))
+        diffs = sub.delta_join.transact(datoms)
+        return diffs.withColumn("__epoch_diff", F.lit(1))
+
+    def _advance_recompute(self, sub: Interest) -> DataFrame:
+        current = self.engine.interest(sub.name).persist()
+        current.count()
+        if sub.previous is None:
+            diffs = current.withColumn("__epoch_diff", F.lit(1))
+        else:
+            added = current.exceptAll(sub.previous).withColumn(
+                "__epoch_diff", F.lit(1)
+            )
+            removed = sub.previous.exceptAll(current).withColumn(
+                "__epoch_diff", F.lit(-1)
+            )
+            diffs = added.unionByName(removed)
+        if sub.previous is not None:
+            sub.previous.unpersist()
+        sub.previous = current
+        return diffs

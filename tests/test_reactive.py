@@ -53,3 +53,47 @@ def test_reactive_uninterest(engine):
     assert session.interests == {}
     # transacting after teardown does not fail
     session.transact([Datom.add(2, "x", 2)])
+
+
+def test_hector_rule_uses_delta_join(engine):
+    """Conjunctive rules take the incremental path automatically and
+    produce the same accumulated result as the recompute path."""
+
+    from collections import Counter
+
+    from declarative_dataflow_spark.plan.plans import (
+        AttributeBinding,
+        Hector,
+    )
+    from declarative_dataflow_spark.streaming.reactive import ReactiveSession
+
+    for a in ("name", "age"):
+        engine.create_attribute(a)
+    # Pre-existing data: replayed on subscription.
+    engine.transact([Datom.add(1, "name", "Dipper"), Datom.add(1, "age", 12)])
+
+    engine.register(
+        "people",
+        Hector(
+            ["?e", "?n", "?a"],
+            [
+                AttributeBinding("?e", "name", "?n"),
+                AttributeBinding("?e", "age", "?a"),
+            ],
+        ),
+    )
+    session = ReactiveSession(engine)
+    session.interest("people")
+    assert session.interests["people"].delta_join is not None
+
+    session.advance()  # replay epoch
+    session.transact([Datom.add(2, "name", "Mabel"), Datom.add(2, "age", 13)])
+    session.transact([Datom.retract(1, "age", 12)])
+
+    acc: Counter = Counter()
+    for _, rows_ in session.interests["people"].history:
+        for r in rows_:
+            t = tuple(r)
+            acc[t[:-2]] += t[-2] * t[-1]  # diff * __epoch_diff
+    acc = +acc
+    assert acc == Counter({(2, "Mabel", 13): 1})
