@@ -50,16 +50,22 @@ def cosine_topk(
 
     Returns (q, neighbor, sim, rank); sim rounded to 4 decimals and
     ties broken by neighbor id so results are deterministic across
-    engines. Queries are broadcast — one scan of the corpus.
+    engines. Queries are broadcast — one scan of the corpus; norms are
+    hoisted to per-row columns so each is computed once, not once per
+    (query, neighbor) pair.
     """
 
     from pyspark.sql.window import Window
 
     q = embeddings.filter(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("q"), F.col(vec_col).alias("qv")
+        F.col(id_col).alias("q"),
+        F.col(vec_col).alias("qv"),
+        _norm(vec_col).alias("q_norm"),
     )
     n = embeddings.select(
-        F.col(id_col).alias("neighbor"), F.col(vec_col).alias("nv")
+        F.col(id_col).alias("neighbor"),
+        F.col(vec_col).alias("nv"),
+        _norm(vec_col).alias("n_norm"),
     )
     sims = (
         n.crossJoin(F.broadcast(q))
@@ -70,7 +76,7 @@ def cosine_topk(
             # they have no meaningful cosine neighbors and drop out.
             F.round(
                 _dot("qv", "nv")
-                / F.nullif(_norm("qv") * _norm("nv"), F.lit(0.0)),
+                / F.nullif(F.col("q_norm") * F.col("n_norm"), F.lit(0.0)),
                 4,
             ),
         )
@@ -133,25 +139,29 @@ def embedding_neardup(
     high probability).
     """
 
-    base = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    base = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        _norm(vec_col).alias("nrm"),
+    )
     if planes is not None:
         sig = hyperplane_signature(embeddings, planes, id_col, vec_col)
         base = base.join(sig, base["id"] == sig["vec_id"]).select(
-            "id", "v", "bucket"
+            "id", "v", "nrm", "bucket"
         )
-        left = base.toDF("a", "va", "bucket")
-        right = base.toDF("b", "vb", "bucket")
+        left = base.toDF("a", "va", "na", "bucket")
+        right = base.toDF("b", "vb", "nb", "bucket")
         pairs = left.join(right, "bucket").filter(F.col("a") < F.col("b"))
     else:
-        left = base.toDF("a", "va")
-        right = base.toDF("b", "vb")
+        left = base.toDF("a", "va", "na")
+        right = base.toDF("b", "vb", "nb")
         pairs = left.crossJoin(right).filter(F.col("a") < F.col("b"))
     return (
         pairs.withColumn(
             "sim",
             F.round(
                 _dot("va", "vb")
-                / F.nullif(_norm("va") * _norm("vb"), F.lit(0.0)),
+                / F.nullif(F.col("na") * F.col("nb"), F.lit(0.0)),
                 4,
             ),
         )
@@ -243,16 +253,18 @@ def ivf_topk(
     )
 
     corpus = embeddings.select(
-        F.col(id_col).alias("neighbor"), F.col(vec_col).alias("nv")
+        F.col(id_col).alias("neighbor"),
+        F.col(vec_col).alias("nv"),
+        _norm(vec_col).alias("n_norm"),
     ).join(assign.toDF("neighbor", "cell"), "neighbor")
     sims = (
-        corpus.join(probes, "cell")
+        corpus.join(probes.withColumn("q_norm", _norm("qv")), "cell")
         .filter(F.col("q") != F.col("neighbor"))
         .withColumn(
             "sim",
             F.round(
                 _dot("qv", "nv")
-                / F.nullif(_norm("qv") * _norm("nv"), F.lit(0.0)),
+                / F.nullif(F.col("q_norm") * F.col("n_norm"), F.lit(0.0)),
                 4,
             ),
         )
@@ -287,13 +299,22 @@ def lsh_topk(
 
     sig = hyperplane_signature(embeddings, planes, id_col, vec_col)
     emb = embeddings.join(sig, embeddings[id_col] == sig["vec_id"]).select(
-        embeddings[id_col].alias("id"), F.col(vec_col).alias("v"), "bucket"
+        embeddings[id_col].alias("id"),
+        F.col(vec_col).alias("v"),
+        _norm(vec_col).alias("nrm"),
+        "bucket",
     )
     q = emb.filter(F.col("id").isin(query_ids)).select(
-        F.col("id").alias("q"), F.col("v").alias("qv"), F.col("bucket")
+        F.col("id").alias("q"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("q_norm"),
+        F.col("bucket"),
     )
     n = emb.select(
-        F.col("id").alias("neighbor"), F.col("v").alias("nv"), F.col("bucket")
+        F.col("id").alias("neighbor"),
+        F.col("v").alias("nv"),
+        F.col("nrm").alias("n_norm"),
+        F.col("bucket"),
     )
     sims = (
         n.join(F.broadcast(q), "bucket")
@@ -302,7 +323,7 @@ def lsh_topk(
             "sim",
             F.round(
                 _dot("qv", "nv")
-                / F.nullif(_norm("qv") * _norm("nv"), F.lit(0.0)),
+                / F.nullif(F.col("q_norm") * F.col("n_norm"), F.lit(0.0)),
                 4,
             ),
         )

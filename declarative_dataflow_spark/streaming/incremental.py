@@ -330,6 +330,8 @@ class IncrementalAggregate:
             AggregationFn.COUNT,
             AggregationFn.SUM,
             AggregationFn.AVG,
+            AggregationFn.MEDIAN,
+            AggregationFn.VARIANCE,
         ):
             raise ValueError(f"unsupported incremental fn {aggregation_fn}")
         self.dj = delta_join
@@ -340,12 +342,35 @@ class IncrementalAggregate:
 
     def _aggregate(self, slice_df: DataFrame) -> DataFrame:
         v, w = F.col("__v"), F.col("__w")
+        if self.fn == AggregationFn.MEDIAN:
+            # Upper-middle element without interpolation
+            # (aggregate_neu.rs:160-166): expand weights, rank per key.
+            from pyspark.sql.window import Window
+
+            expanded = slice_df.withColumn(
+                "__rep", F.explode(F.sequence(F.lit(1), w))
+            )
+            wk = Window.partitionBy(*self.keys).orderBy(v)
+            wc = Window.partitionBy(*self.keys)
+            ranked = (
+                expanded.withColumn("__rn", F.row_number().over(wk))
+                .withColumn("__n", F.count(F.lit(1)).over(wc))
+            )
+            return ranked.filter(
+                F.col("__rn") == F.floor(F.col("__n") / 2) + 1
+            ).select(*self.keys, v.alias("value"))
         if self.fn == AggregationFn.COUNT:
             out = F.sum(w)
         elif self.fn == AggregationFn.SUM:
             out = F.sum(v * w)
         elif self.fn == AggregationFn.AVG:
             out = F.sum(v * w) / F.sum(w)
+        elif self.fn == AggregationFn.VARIANCE:
+            # sumsq/n - (sum/n)^2 (aggregate_neu.rs:214-243).
+            n = F.sum(w)
+            out = F.sum(v * v * w) / n - (F.sum(v * w) / n) * (
+                F.sum(v * w) / n
+            )
         elif self.fn == AggregationFn.MIN:
             out = F.min(v)
         else:

@@ -313,3 +313,50 @@ def test_incremental_min_retraction(spark):
     # Group empties -> aggregate row retracts entirely.
     acc = _apply(acc, agg.transact([Datom.retract(2, "amount", 9)]))
     assert acc == Counter()
+
+
+def test_incremental_median_variance(spark):
+    from declarative_dataflow_spark.plan.plans import AggregationFn
+    from declarative_dataflow_spark.streaming.incremental import (
+        IncrementalAggregate,
+    )
+
+    def fresh():
+        return DeltaJoin(
+            spark,
+            ["?e", "?g", "?x"],
+            [
+                AttributeBinding("?e", "group", "?g"),
+                AttributeBinding("?e", "amount", "?x"),
+            ],
+        )
+
+    batch = [
+        Datom.add(1, "group", 0), Datom.add(1, "amount", 1),
+        Datom.add(2, "group", 0), Datom.add(2, "amount", 5),
+        Datom.add(3, "group", 0), Datom.add(3, "amount", 100),
+        Datom.add(4, "group", 0), Datom.add(4, "amount", 7),
+    ]
+
+    med = IncrementalAggregate(fresh(), ["?g"], AggregationFn.MEDIAN, "?x")
+    acc: Counter = Counter()
+    acc = _apply(acc, med.transact(batch))
+    # Upper-middle of [1,5,7,100] -> 7 (reference: vals[len/2]).
+    assert acc == Counter({(0, 7): 1})
+    acc = _apply(acc, med.transact([Datom.retract(3, "amount", 100)]))
+    # [1,5,7] -> 5
+    assert acc == Counter({(0, 5): 1})
+
+    var = IncrementalAggregate(fresh(), ["?g"], AggregationFn.VARIANCE, "?x")
+    vacc: Counter = Counter()
+    vacc = _apply(
+        vacc,
+        var.transact(
+            [
+                Datom.add(1, "group", 0), Datom.add(1, "amount", 2),
+                Datom.add(2, "group", 0), Datom.add(2, "amount", 4),
+            ]
+        ),
+    )
+    # mean 3, sumsq/n = 10, var = 1.
+    assert vacc == Counter({(0, 1.0): 1})
