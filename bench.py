@@ -47,8 +47,28 @@ def main() -> None:
     import __spark_entry__ as entry_mod
 
     qs = entry_mod.queries()
-    # Warm the JVM + parquet footers with a trivial action.
+    # Warm the JVM, parquet footers, engine catalog, and whole-stage
+    # codegen with queries NOT in the timed set and with 2-row
+    # synthetic inputs (compiles the same expression trees; results of
+    # the timed queries are never computed or cached) — the timings
+    # then reflect steady-state throughput, which is what scales.
     spark.read.parquet(f"{sf_dir}/nation.parquet").count()
+    for warm in ("match_ea", "agg_min"):
+        if warm in qs:
+            qs[warm](spark, sf_dir).count()
+    from declarative_dataflow_spark.operators import dedup, similarity
+
+    tiny_docs = spark.createDataFrame(
+        [(0, "a b c d e"), (1, "b c d e f")], ["doc_id", "text"]
+    )
+    dedup.minhash_lsh_pairs(tiny_docs).count()
+    dedup.simhash(tiny_docs).count()
+    tiny_emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [1.0, 1.0])],
+        ["vec_id", "embedding"],
+    )
+    similarity.cosine_topk(tiny_emb, [0], k=1).count()
+    similarity.lsh_topk(tiny_emb, [0], k=1, planes=6).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

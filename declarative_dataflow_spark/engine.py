@@ -508,9 +508,10 @@ class Engine:
             delta_df = delta_df.localCheckpoint(eager=True)
             if delta_df.limit(1).isEmpty():
                 return Relation(base.variables, total_df, False)
-            total_df = total_df.unionByName(delta_df).localCheckpoint(
-                eager=True
-            )
+            # The total is a shallow union of already-checkpointed
+            # deltas — no materialization of its own needed; lineage
+            # stays O(iterations) deep.
+            total_df = total_df.unionByName(delta_df)
             delta = Relation(base.variables, delta_df, False)
         raise RuntimeError(
             f"semi-naive fixpoint did not converge in {max_iterations} iterations"
