@@ -1,0 +1,143 @@
+"""Datalog text front-end — queries are the reference's own test
+description strings (tests/query_test.rs, aggregation_test.rs,
+or_test.rs), run verbatim."""
+
+from declarative_dataflow_spark import Datom
+from declarative_dataflow_spark.plan.datalog import query
+
+from conftest import rows
+
+
+def _people(engine):
+    for a in ("name", "age"):
+        engine.create_attribute(a)
+    engine.transact(
+        [
+            Datom.add(100, "name", "Ivan"),
+            Datom.add(100, "age", 15),
+            Datom.add(200, "name", "Petr"),
+            Datom.add(200, "age", 37),
+            Datom.add(300, "name", "Mabel"),
+            Datom.add(300, "age", 26),
+            Datom.add(400, "name", "Oleg"),
+            Datom.add(400, "age", 10),
+        ]
+    )
+    return engine
+
+
+def test_match_a(engine):
+    _people(engine)
+    got = rows(query(engine, "[:find ?e ?n :where [?e :name ?n]]"))
+    assert got == [
+        (100, "Ivan", 1),
+        (200, "Petr", 1),
+        (300, "Mabel", 1),
+        (400, "Oleg", 1),
+    ]
+
+
+def test_match_ea_entity_constant(engine):
+    _people(engine)
+    got = rows(query(engine, "[:find ?n :where [100 :name ?n]]"))
+    assert got == [("Ivan", 1)]
+
+
+def test_match_av_value_constant(engine):
+    _people(engine)
+    got = rows(query(engine, "[:find ?e :where [?e :name Mabel]]"))
+    assert got == [(300, 1)]
+
+
+def test_existence_pattern(engine):
+    _people(engine)
+    got = rows(query(engine, "[:find ?e :where [?e :name]]"))
+    assert got == [(100, 1), (200, 1), (300, 1), (400, 1)]
+
+
+def test_join(engine):
+    _people(engine)
+    got = rows(query(engine, "[:find ?e ?n ?a :where [?e :age ?a] [?e :name ?n]]"))
+    assert got == [
+        (100, "Ivan", 15, 1),
+        (200, "Petr", 37, 1),
+        (300, "Mabel", 26, 1),
+        (400, "Oleg", 10, 1),
+    ]
+
+
+def test_predicate_with_constant(engine):
+    _people(engine)
+    got = rows(query(engine, "[:find ?e ?a :where [?e :age ?a] [(< ?a 18)]]"))
+    assert got == [(100, 15, 1), (400, 10, 1)]
+
+
+def test_predicate_two_vars(engine):
+    _people(engine)
+    q = (
+        "[:find ?e1 ?e2 :where [?e1 :age ?a1] [?e2 :age ?a2] "
+        "[(< ?a1 ?a2)] [(< ?e1 ?e2)]]"
+    )
+    got = {(r[0], r[1]) for r in query(engine, q).collect()}
+    # age(100)=15 < age(200)=37 and age(300)=26; other ordered pairs fail.
+    assert got == {(100, 200), (100, 300)}
+
+
+def test_not(engine):
+    _people(engine)
+    got = rows(
+        query(engine, "[:find ?e :where [?e :age ?a] (not [?e :name Mabel])]")
+    )
+    assert got == [(100,), (200,), (400,)]  # set semantics: no weight col
+
+
+def test_or(engine):
+    _people(engine)
+    got = rows(
+        query(engine, "[:find ?e :where (or [?e :name Oleg] [?e :age 10])]")
+    )
+    assert got == [(400,)]
+
+
+def test_or_two_entities(engine):
+    _people(engine)
+    got = rows(
+        query(engine, "[:find ?e :where (or [?e :name Oleg] [?e :age 15])]")
+    )
+    assert got == [(100,), (400,)]
+
+
+def test_global_aggregate(engine):
+    _people(engine)
+    got = rows(query(engine, "[:find (count ?a) :where [?e :age ?a]]"))
+    assert got == [(4,)]
+
+
+def test_keyed_aggregate(engine):
+    _people(engine)
+    got = rows(query(engine, "[:find ?e (max ?a) :where [?e :age ?a]]"))
+    assert got == [(100, 15), (200, 37), (300, 26), (400, 10)]
+
+
+def test_sum_with(engine):
+    """[:find (sum ?amount) :with ?e ...] — duplicate amounts from
+    different entities each contribute (aggregation_test.rs:273)."""
+
+    engine.create_attribute("amount")
+    engine.transact(
+        [
+            Datom.add(1, "amount", 5),
+            Datom.add(2, "amount", 5),
+            Datom.add(3, "amount", 2),
+        ]
+    )
+    got = rows(
+        query(engine, "[:find (sum ?amount) :with ?e :where [?e :amount ?amount]]")
+    )
+    assert got == [(12,)]
+
+
+def test_string_constant_quoted(engine):
+    _people(engine)
+    got = rows(query(engine, '[:find ?e :where [?e :name "Mabel"]]'))
+    assert got == [(300, 1)]
