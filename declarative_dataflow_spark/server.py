@@ -121,7 +121,15 @@ class Server:
 
     def _on_interest(self, body: Any) -> None:
         name = body if isinstance(body, str) else body["name"]
-        self.session.interest(name, self._emit_interest(name))
+        gran = 1
+        if isinstance(body, dict) and body.get("granularity") is not None:
+            g = body["granularity"]
+            # Reference Time values arrive tagged ({"TxId": n}); epochs
+            # here are transaction-counted.
+            gran = g if isinstance(g, int) else next(iter(g.values()))
+        self.session.interest(
+            name, self._emit_interest(name), granularity=gran
+        )
         # First response: the current state as +1 diffs (the reference
         # replays the arrangement on subscription).
         self.session.advance()

@@ -38,6 +38,10 @@ class Interest:
     previous: Optional[DataFrame] = None
     history: list[tuple[int, list]] = field(default_factory=list)
     delta_join: Optional[object] = None  # incremental path, if eligible
+    # Output batching: emit coalesced diffs every `granularity` epochs
+    # (the reference's delay+coarsen, server/src/main.rs:482-490).
+    granularity: int = 1
+    pending: list[DataFrame] = field(default_factory=list)
 
 
 def _delta_join_for(engine: Engine, name: str):
@@ -79,6 +83,33 @@ def _delta_join_for(engine: Engine, name: str):
     return DeltaJoin(engine.spark, plan.variables_, plan.bindings, initial)
 
 
+def _coalesce_diffs(dfs: list[DataFrame]) -> DataFrame:
+    """Coarsen a window of per-epoch diff frames into one consolidated
+    batch: net weight per tuple, zero-net tuples (asserted then
+    retracted inside the window) vanish — the reference's
+    delay(coarsen) + consolidate (server/src/main.rs:482-490)."""
+
+    normalized = []
+    cols: list[str] = []
+    for df in dfs:
+        cols = [c for c in df.columns if c not in ("diff", "__epoch_diff")]
+        net = (
+            F.col("diff") * F.col("__epoch_diff")
+            if "diff" in df.columns
+            else F.col("__epoch_diff")
+        )
+        normalized.append(df.select(*cols, net.alias("__net")))
+    out = normalized[0]
+    for df in normalized[1:]:
+        out = out.unionByName(df)
+    return (
+        out.groupBy(*cols)
+        .agg(F.sum("__net").alias("diff"))
+        .filter(F.col("diff") != 0)
+        .withColumn("__epoch_diff", F.lit(1))
+    )
+
+
 class ReactiveSession:
     """Transact -> advance -> emit diffs, per registered interest."""
 
@@ -92,11 +123,14 @@ class ReactiveSession:
         name: str,
         callback: Optional[Callable[[DataFrame, int], None]] = None,
         incremental: bool = True,
+        granularity: int = 1,
     ) -> None:
         if name not in self.engine.rules:
             raise KeyError(f"unknown rule {name}")
         dj = _delta_join_for(self.engine, name) if incremental else None
-        self.interests[name] = Interest(name, callback, delta_join=dj)
+        self.interests[name] = Interest(
+            name, callback, delta_join=dj, granularity=max(1, granularity)
+        )
 
     def uninterest(self, name: str) -> None:
         """Tear down a subscription (reference: Uninterest +
@@ -122,6 +156,12 @@ class ReactiveSession:
                 diffs = self._advance_incremental(sub, datoms or [])
             else:
                 diffs = self._advance_recompute(sub)
+            if sub.granularity > 1:
+                sub.pending.append(diffs)
+                if (epoch + 1) % sub.granularity != 0:
+                    continue
+                diffs = _coalesce_diffs(sub.pending)
+                sub.pending = []
             if sub.callback is not None:
                 sub.callback(diffs, epoch)
             else:

@@ -35,3 +35,42 @@ def test_salted_join_correct(spark):
         for (k, lv, rv) in got
     )
     assert {(k, rv) for k, _, rv in got} == {(1, "X"), (2, "Y")}
+
+
+def test_engine_bucketed_attributes_join_without_shuffle(spark, tmp_path):
+    """Engine-level arrangement analog: bucket two attributes by
+    entity, join through the plan compiler, no Exchange in the plan."""
+
+    from declarative_dataflow_spark import Datom, Engine
+    from declarative_dataflow_spark.plan.plans import (
+        AttributeBinding,
+        Hector,
+    )
+
+    eng = Engine(spark)
+    for a in ("bname", "bage"):
+        eng.create_attribute(a)
+    eng.transact(
+        [d for i in range(500) for d in (
+            Datom.add(i, "bname", f"p{i}"), Datom.add(i, "bage", i % 90)
+        )]
+    )
+    eng.bucket_attribute("bname", buckets=8, path=str(tmp_path / "n"))
+    eng.bucket_attribute("bage", buckets=8, path=str(tmp_path / "a"))
+
+    df = eng.implement(
+        Hector(
+            ["?e", "?n", "?a"],
+            [
+                AttributeBinding("?e", "bname", "?n"),
+                AttributeBinding("?e", "bage", "?a"),
+            ],
+        )
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    assert "Exchange" not in plan, plan
+    assert df.count() == 500

@@ -97,3 +97,33 @@ def test_hector_rule_uses_delta_join(engine):
             acc[t[:-2]] += t[-2] * t[-1]  # diff * __epoch_diff
     acc = +acc
     assert acc == Counter({(2, "Mabel", 13): 1})
+
+
+def test_interest_granularity_coalesces(engine):
+    """granularity=2: diffs batch every second epoch; assert-then-
+    retract inside one window cancels entirely (the reference's
+    delay+coarsen+consolidate, server/src/main.rs:482-490)."""
+
+    from declarative_dataflow_spark.plan.plans import MatchA
+    from declarative_dataflow_spark.streaming.reactive import ReactiveSession
+
+    engine.create_attribute("color")
+    engine.register("colors", MatchA("?e", "color", "?v"))
+    session = ReactiveSession(engine)
+    emitted = []
+    session.interest(
+        "colors",
+        callback=lambda df, epoch: emitted.append((epoch, df.collect())),
+        granularity=2,
+    )
+    session.transact([Datom.add(1, "color", "red")])      # epoch 0: buffered
+    assert emitted == []
+    session.transact([Datom.add(2, "color", "blue")])     # epoch 1: emit both
+    assert len(emitted) == 1
+    rows1 = {tuple(r)[:-2] + (r["diff"] * r["__epoch_diff"],) for r in emitted[0][1]}
+    assert rows1 == {(1, "red", 1), (2, "blue", 1)}
+    # add + retract inside one window -> nothing emitted for entity 3.
+    session.transact([Datom.add(3, "color", "teal")])     # epoch 2: buffered
+    session.transact([Datom.retract(3, "color", "teal")]) # epoch 3: emit
+    rows2 = emitted[1][1]
+    assert all(tuple(r)[0] != 3 for r in rows2)
