@@ -253,7 +253,27 @@ class DeltaJoin:
         as a DataFrame over ``variables + [diff]``. Cost is driven by
         the deltas, never by re-joining the full snapshots."""
 
-        deltas = self._deltas(datoms)
+        return self._advance(self._deltas(datoms))
+
+    def transact_frame(self, batch_df: DataFrame) -> DataFrame:
+        """Apply one transaction given as a DataFrame of datoms
+        (e, a, v[, diff]) — the streaming path: the batch never passes
+        through the driver; only the small distinct-attribute list
+        does."""
+
+        cols = batch_df.columns
+        diff = F.col("diff") if "diff" in cols else F.lit(1).cast("long")
+        base = batch_df.select("e", "a", "v", diff.alias("diff"))
+        aids = [r["a"] for r in base.select("a").distinct().collect()]
+        deltas = {}
+        for aid in aids:
+            deltas[aid] = (
+                self._consolidate(base.filter(F.col("a") == aid).drop("a"))
+                .localCheckpoint(eager=True)
+            )
+        return self._advance(deltas)
+
+    def _advance(self, deltas: dict[str, DataFrame]) -> DataFrame:
         news: dict[str, DataFrame] = {}
         for aid in set(self.snapshots) | set(deltas):
             if aid in deltas and aid in self.snapshots:
@@ -302,6 +322,37 @@ class DeltaJoin:
             *[F.col(vcol(v)).alias(v) for v in self.variables],
             F.col(DIFF).alias("diff"),
         )
+
+
+def stream_delta_join(
+    delta_join: DeltaJoin,
+    datom_stream: DataFrame,
+    sink,
+    checkpoint: Optional[str] = None,
+    query_name: str = "delta_join",
+):
+    """Drive a DeltaJoin from a Structured Streaming datom source:
+    each micro-batch becomes one epoch of the delta pipelines, and the
+    epoch's result diffs go to ``sink(diffs_df, batch_id)``.
+
+    The datom stream has columns (e, a, v[, t][, diff]); missing diff
+    defaults to +1. This is the full reference loop — streaming
+    transactions in, incrementally-maintained result diffs out — on
+    Spark's own micro-batch engine (foreachBatch; epoch == batch).
+    Returns the StreamingQuery.
+    """
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        sink(delta_join.transact_frame(batch_df), batch_id)
+
+    writer = (
+        datom_stream.writeStream.foreachBatch(process)
+        .queryName(query_name)
+        .outputMode("update")
+    )
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
 
 
 class IncrementalAggregate:

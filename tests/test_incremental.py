@@ -360,3 +360,64 @@ def test_incremental_median_variance(spark):
     )
     # mean 3, sumsq/n = 10, var = 1.
     assert vacc == Counter({(0, 1.0): 1})
+
+
+def test_stream_delta_join(spark, tmp_path):
+    """Streaming datoms -> delta pipelines per micro-batch -> diffs
+    (the full reference loop on Structured Streaming)."""
+
+    import json
+
+    from declarative_dataflow_spark.sources.files import stream_datom_source
+    from declarative_dataflow_spark.streaming.incremental import (
+        stream_delta_join,
+    )
+
+    src = tmp_path / "datoms"
+    src.mkdir()
+
+    def write_batch(name, rows_):
+        with open(src / name, "w") as f:
+            for r in rows_:
+                f.write(json.dumps(r) + "\n")
+
+    write_batch("b1.json", [
+        {"e": 1, "a": "name", "v": "Dipper", "t": 0, "diff": 1},
+        {"e": 1, "a": "age", "v": "12", "t": 0, "diff": 1},
+    ])
+
+    dj = DeltaJoin(
+        spark,
+        ["?e", "?n", "?a"],
+        [
+            AttributeBinding("?e", "name", "?n"),
+            AttributeBinding("?e", "age", "?a"),
+        ],
+    )
+    acc: Counter = Counter()
+    batches = []
+
+    def sink(diffs, batch_id):
+        batches.append(batch_id)
+        for r in diffs.collect():
+            t = tuple(r)
+            acc[t[:-1]] += t[-1]
+
+    q = stream_delta_join(
+        dj,
+        stream_datom_source(spark, str(src), max_files_per_trigger=1),
+        sink,
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+        assert +acc == Counter({(1, "Dipper", "12"): 1})
+        write_batch("b2.json", [
+            {"e": 2, "a": "name", "v": "Mabel", "t": 1, "diff": 1},
+            {"e": 2, "a": "age", "v": "13", "t": 1, "diff": 1},
+            {"e": 1, "a": "age", "v": "12", "t": 1, "diff": -1},
+        ])
+        q.processAllAvailable()
+        assert +acc == Counter({(2, "Mabel", "13"): 1})
+    finally:
+        q.stop()
