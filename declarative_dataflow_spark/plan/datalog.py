@@ -23,7 +23,7 @@ programmatic API.
 from __future__ import annotations
 
 import re
-from typing import Any, Optional, Union as TUnion
+from typing import Any, Optional
 
 from .plans import (
     Aggregate,
