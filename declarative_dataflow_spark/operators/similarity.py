@@ -92,6 +92,17 @@ def cosine_topk(
     )
 
 
+def _plane_weight(p: int, i: int) -> int:
+    """±1 from the parity of uint32(md5(f"{p}_{i}")) — the same value
+    the SQL expression conv(substring(md5(concat(p,'_',i)),1,8),16,10)
+    % 2 * 2 - 1 yields, precomputed driver-side."""
+
+    import hashlib
+
+    h = int(hashlib.md5(f"{p}_{i}".encode()).hexdigest()[:8], 16)
+    return h % 2 * 2 - 1
+
+
 def hyperplane_signature(
     embeddings: DataFrame,
     planes: int = 8,
@@ -100,16 +111,31 @@ def hyperplane_signature(
 ) -> DataFrame:
     """LSH bucket id per vector: ``planes``-bit random-hyperplane
     signature. Plane weights are +1/-1 from a hash of (plane, dim) —
-    deterministic, nothing to store or broadcast."""
+    deterministic, precomputed ONCE as literal arrays (not re-hashed
+    per row: at 1e9 vectors x 8 planes x d dims that is 8e9·d md5
+    calls saved), nothing to store beyond the plan itself."""
 
-    # sig bit p = 1 iff sum_i v[i] * w(p, i) > 0, w = ±1 from
-    # uint32(md5(p || '_' || i)) parity.
+    dim_row = embeddings.select(
+        F.size(F.col(vec_col)).alias("d")
+    ).first()
+    dim = dim_row["d"] if dim_row else 0
+
     sig_terms = []
     for p in range(planes):
-        dot = F.expr(
-            "aggregate(zip_with({v}, sequence(0, size({v}) - 1), "
-            "(x, i) -> CAST(x AS DOUBLE) * (CAST(conv(substring(md5(concat('{p}_', i)), 1, 8), 16, 10) AS BIGINT) % 2 * 2 - 1)), "
-            "CAST(0.0 AS DOUBLE), (acc, t) -> acc + t)".format(v=vec_col, p=p)
+        weights = F.array(
+            *[
+                F.lit(float(_plane_weight(p, i)))
+                for i in range(dim)
+            ]
+        )
+        dot = F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                weights,
+                lambda x, w: x.cast("double") * w,
+            ),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
         )
         sig_terms.append(F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0)))
     bucket = sig_terms[0]
