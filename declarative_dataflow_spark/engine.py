@@ -384,12 +384,40 @@ class Engine:
             rel = compile_plan(self.rules[name], self.catalog()).consolidated()
         return self._finish(rel, as_names)
 
-    def implement(self, plan: Plan, as_names: Optional[list[str]] = None) -> DataFrame:
+    def implement(
+        self,
+        plan: Plan,
+        as_names: Optional[list[str]] = None,
+        optimize: bool = False,
+    ) -> DataFrame:
         """Compile an ad-hoc plan (test harness path, reference:
-        Server::test_single, src/server/mod.rs:511-529)."""
+        Server::test_single, src/server/mod.rs:511-529).
 
+        ``optimize=True`` is the implement_neu path
+        (src/lib.rs:1026-1127): the plan is flattened to its Binding
+        set and recompiled as one Hector conjunction — same-entity
+        patterns then FUSE into single scans regardless of how the
+        user nested their Joins. Falls back silently for plans
+        outside the conjunctive fragment.
+        """
+
+        if optimize:
+            plan = self.optimized(plan)
         rel = compile_plan(plan, self.catalog()).consolidated()
         return self._finish(rel, as_names)
+
+    def optimized(self, plan: Plan) -> Plan:
+        """implement_neu rewrite: conjunctive plans become a single
+        Hector over their flattened bindings (the reference's
+        q(plan.variables(), plan.into_bindings()), src/lib.rs:1095);
+        other plans return unchanged."""
+
+        from .plan.plans import Hector, NotConjunctive, into_bindings
+
+        try:
+            return Hector(plan.variables(), into_bindings(plan))
+        except NotConjunctive:
+            return plan
 
     def _finish(self, rel: Relation, as_names: Optional[list[str]]) -> DataFrame:
         names = as_names or [str(v) for v in rel.variables]

@@ -307,6 +307,75 @@ Binding = typing.Union[
 ]
 
 
+class NotConjunctive(Exception):
+    """Raised by :func:`into_bindings` for plans outside the
+    conjunctive fragment (union, aggregation, recursion, ...)."""
+
+
+def into_bindings(plan: "Plan") -> list[Binding]:
+    """Flatten a conjunctive plan tree into its Binding set — the
+    reference's optimizer front door (Plan::into_bindings,
+    src/plan/mod.rs:263-297; used by implement_neu,
+    src/lib.rs:1026-1127). Raises NotConjunctive when the plan
+    contains operators bindings cannot express.
+    """
+
+    fresh = iter(range(1_000_000))
+
+    def gensym() -> str:
+        return f"?__ib{next(fresh)}"
+
+    def go(p: "Plan") -> list[Binding]:
+        if isinstance(p, MatchA):
+            return [AttributeBinding(p.e, p.attribute, p.v)]
+        if isinstance(p, MatchEA):
+            e = gensym()
+            return [
+                AttributeBinding(e, p.attribute, p.v),
+                ConstantBinding(e, p.entity),
+            ]
+        if isinstance(p, MatchAV):
+            v = gensym()
+            return [
+                AttributeBinding(p.e, p.attribute, v),
+                ConstantBinding(v, p.value),
+            ]
+        if isinstance(p, Join):
+            return go(p.left_plan) + go(p.right_plan)
+        if isinstance(p, Project):
+            return go(p.plan)
+        if isinstance(p, Hector):
+            return list(p.bindings)
+        if isinstance(p, Filter):
+            inner = go(p.plan)
+            # variables_ fill the non-constant operand slots in order.
+            operands: list[Var] = []
+            vi = iter(p.variables_)
+            for pos in (0, 1):
+                if pos in p.constants:
+                    cv = gensym()
+                    inner.append(ConstantBinding(cv, p.constants[pos]))
+                    operands.append(cv)
+                else:
+                    operands.append(next(vi))
+            inner.append(BinaryPredicateBinding(operands, p.predicate))
+            return inner
+        if isinstance(p, Antijoin):
+            right = go(p.right_plan)
+            attrs = [b for b in right if isinstance(b, AttributeBinding)]
+            if len(attrs) != 1 or len(right) != 1:
+                raise NotConjunctive(
+                    "antijoin right side must be a single pattern"
+                )
+            [ab] = attrs
+            return go(p.left_plan) + [
+                AntijoinBinding(ab.e, ab.attribute, ab.v)
+            ]
+        raise NotConjunctive(type(p).__name__)
+
+    return go(plan)
+
+
 @dataclass
 class Hector(Plan):
     """Conjunction of bindings, projected to ``variables_``

@@ -94,3 +94,39 @@ def test_join_stays_in_codegen(tpch):
     plan = _executed(tpch.implement(j))
     # '*(n)' prefixes mark whole-stage-codegen stages in plan strings.
     assert "*(1)" in plan and "*(2)" in plan, plan
+
+
+def test_optimize_fuses_nested_joins(tpch):
+    """implement_neu analog: a user-nested Join tree over one entity
+    flattens to bindings and compiles to a single fused scan."""
+
+    nested = Join(
+        ["?e"],
+        Join(
+            ["?e"],
+            MatchA("?e", "customer/name", "?n"),
+            MatchA("?e", "customer/acctbal", "?a"),
+        ),
+        MatchAV("?e", "customer/mktsegment", "BUILDING"),
+    )
+    naive = _optimized(tpch.implement(nested))
+    fused = _optimized(tpch.implement(nested, optimize=True))
+    assert "Join" in naive  # nested joins really do self-join...
+    assert "Join" not in fused, fused  # ...until the rewrite fuses them
+    # Same results either way.
+    a = {tuple(r) for r in tpch.implement(nested).collect()}
+    b = {tuple(r) for r in tpch.implement(nested, optimize=True).collect()}
+    assert a == b and a
+
+
+def test_optimize_falls_back_outside_conjunctive(tpch):
+    from declarative_dataflow_spark.plan.plans import Union as UnionPlan
+
+    u = UnionPlan(
+        ["?e"],
+        [
+            MatchAV("?e", "customer/mktsegment", "BUILDING"),
+            MatchAV("?e", "customer/mktsegment", "MACHINERY"),
+        ],
+    )
+    assert tpch.implement(u, optimize=True).count() == tpch.implement(u).count()
