@@ -188,8 +188,12 @@ def _apply_input_semantics(df: DataFrame, config: AttributeConfig) -> DataFrame:
 class Engine:
     """Catalog of attributes + rules; compiles plans to DataFrames."""
 
-    def __init__(self, spark: SparkSession):
+    def __init__(self, spark: SparkSession, enable_optimizer: bool = False):
         self.spark = spark
+        # Reference: server CLI flag `enable_optimizer` routes every
+        # registered rule through implement_neu
+        # (src/server/mod.rs:44,304-308).
+        self.enable_optimizer = enable_optimizer
         self._attributes: dict[str, AttributeSource] = {}
         self._transacted: dict[str, _TransactedAttribute] = {}
         self.rules: dict[str, Plan] = {}
@@ -381,7 +385,10 @@ class Engine:
         if rec:
             rel = self._fixpoint(name, rec)
         else:
-            rel = compile_plan(self.rules[name], self.catalog()).consolidated()
+            plan = self.rules[name]
+            if self.enable_optimizer:
+                plan = self.optimized(plan)
+            rel = compile_plan(plan, self.catalog()).consolidated()
         return self._finish(rel, as_names)
 
     def implement(

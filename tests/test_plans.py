@@ -130,3 +130,20 @@ def test_optimize_falls_back_outside_conjunctive(tpch):
         ],
     )
     assert tpch.implement(u, optimize=True).count() == tpch.implement(u).count()
+
+
+def test_enable_optimizer_engine_flag(spark):
+    """Engine(enable_optimizer=True) routes registered rules through
+    the rewrite (the reference's server flag, src/server/mod.rs:304-308)."""
+
+    from declarative_dataflow_spark import Datom, Engine
+
+    eng = Engine(spark, enable_optimizer=True)
+    for a in ("x", "y"):
+        eng.create_attribute(a)
+    eng.transact([Datom.add(1, "x", 1), Datom.add(1, "y", 2)])
+    eng.register(
+        "r",
+        Join(["?e"], MatchA("?e", "x", "?x"), MatchA("?e", "y", "?y")),
+    )
+    assert {tuple(r) for r in eng.interest("r").collect()} == {(1, 1, 2, 1)}
