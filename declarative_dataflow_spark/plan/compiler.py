@@ -564,7 +564,23 @@ def _name_expr(plan: NameExpr, catalog: Catalog) -> Relation:
     elif plan.name in catalog.unbound:
         raise UnboundRule(plan.name)
     elif plan.name in catalog.rules:
-        base = compile_plan(catalog.rules[plan.name], catalog)
+        # Cycle guard: a recursive rule reached outside a fixpoint
+        # (i.e. via Engine.implement on an ad-hoc plan) would inline
+        # forever — fail with direction instead of a RecursionError.
+        in_flight = getattr(catalog, "_inlining", None)
+        if in_flight is None:
+            in_flight = catalog._inlining = set()
+        if plan.name in in_flight:
+            raise RecursionError(
+                f"rule {plan.name!r} is recursive; evaluate it via "
+                "Engine.interest (driver-side fixpoint), not by "
+                "inlining into an ad-hoc plan"
+            )
+        in_flight.add(plan.name)
+        try:
+            base = compile_plan(catalog.rules[plan.name], catalog)
+        finally:
+            in_flight.discard(plan.name)
     else:
         raise KeyError(f"unknown rule: {plan.name}")
     if len(base.variables) != len(plan.variables_):

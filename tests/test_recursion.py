@@ -95,3 +95,43 @@ def test_mutual_recursion(engine):
     )
     assert rows(engine.interest("even", ["x", "y"])) == [(1, 3)]
     assert rows(engine.interest("odd", ["x", "y"])) == [(1, 2), (2, 3)]
+
+
+def test_adhoc_recursive_reference_fails_clearly(engine):
+    """implement() on a plan inlining a recursive rule raises a
+    directed error instead of blowing the Python stack."""
+
+    import pytest
+
+    from declarative_dataflow_spark.plan.plans import (
+        Join,
+        MatchA,
+        NameExpr,
+        Project,
+        Union,
+    )
+
+    engine.create_attribute("edge")
+    engine.transact([Datom.add(1, "edge", 2)])
+    engine.register(
+        "reach",
+        Union(
+            ["?x", "?y"],
+            [
+                MatchA("?x", "edge", "?y"),
+                Project(
+                    ["?x", "?y"],
+                    Join(
+                        ["?m"],
+                        Project(["?m", "?x"], NameExpr(["?x", "?m"], "reach")),
+                        MatchA("?m", "edge", "?y"),
+                    ),
+                ),
+            ],
+        ),
+    )
+    # interest() runs the fixpoint fine...
+    assert engine.interest("reach").count() >= 1
+    # ...but ad-hoc inlining is refused.
+    with pytest.raises(RecursionError, match="recursive"):
+        engine.implement(NameExpr(["?a", "?b"], "reach"))
