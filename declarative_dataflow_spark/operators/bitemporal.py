@@ -45,6 +45,40 @@ def as_of(
     return latest
 
 
+def lww_timeline(
+    facts: DataFrame,
+    e_cols: list[str],
+    v_col: str = "v",
+    ev_col: str = "ev_t",
+) -> DataFrame:
+    """Changelog of the last-write-wins value along EVENT time: at each
+    event time where the visible value changes, retract the previous
+    value and assert the new one — the diff stream the reference's
+    bitemporal LWW tests expect (tests/input_semantics.rs:381-510,
+    including a value toggling back to an earlier state).
+
+    Input rows are (e_cols..., v, ev_t) already reduced to one row per
+    (entity, event time) — apply :func:`as_of` first for bitemporal
+    inputs with corrections. Output: (e_cols..., v, ev_t, diff).
+    """
+
+    w = Window.partitionBy(*e_cols).orderBy(F.col(ev_col).asc())
+    cur = facts.withColumn("__prev", F.lag(v_col).over(w))
+    changed = cur.filter(
+        F.col("__prev").isNull() | (F.col(v_col) != F.col("__prev"))
+    )
+    asserts = changed.select(
+        *e_cols, F.col(v_col), F.col(ev_col), F.lit(1).alias("diff")
+    )
+    retracts = changed.filter(F.col("__prev").isNotNull()).select(
+        *e_cols,
+        F.col("__prev").alias(v_col),
+        F.col(ev_col),
+        F.lit(-1).alias("diff"),
+    )
+    return asserts.unionByName(retracts)
+
+
 def history_at_each_correction(
     facts: DataFrame,
     e_cols: list[str],
