@@ -622,6 +622,27 @@ def q_bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("u", "day", "v")
 
 
+def q_bitemporal_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time LWW changelog over the as-of snapshot: retract/assert
+    diffs at each day the visible value changes (reference: bitemporal
+    LWW diffs, tests/input_semantics.rs:381-510)."""
+
+    from declarative_dataflow_spark.operators.bitemporal import lww_timeline
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("u"),
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.col("ts").alias("sys_t"),
+        F.col("value").alias("v"),
+    )
+    snap = as_of(
+        ev, "2024-01-15 00:00:00", ["u"], ev_col="day", sys_col="sys_t"
+    ).select("u", "day", "v")
+    return lww_timeline(snap, ["u"], v_col="v", ev_col="day").select(
+        "u", "day", "v", F.col("diff").cast("long").alias("diff")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Training-data pipeline operators (beyond-reference, BASELINE.json)
 # ---------------------------------------------------------------------------
@@ -771,6 +792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pull_all": q_pull_all,
         "graphql": q_graphql,
         "bitemporal_asof": q_bitemporal_asof,
+        "bitemporal_timeline": q_bitemporal_timeline,
         "text_tokens": q_text_tokens,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
@@ -1036,6 +1058,21 @@ def oracle_sql() -> dict[str, str]:
             "row_number() OVER (PARTITION BY user_id, date_trunc('day', ts) "
             "ORDER BY ts DESC) AS rn FROM events "
             "WHERE ts <= TIMESTAMP '2024-01-15 00:00:00') WHERE rn = 1"
+        ),
+        "bitemporal_timeline": (
+            "WITH snap AS (SELECT u, day, v FROM ("
+            "SELECT user_id AS u, "
+            "CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, value AS v, "
+            "row_number() OVER (PARTITION BY user_id, date_trunc('day', ts) "
+            "ORDER BY ts DESC) AS rn FROM events "
+            "WHERE ts <= TIMESTAMP '2024-01-15 00:00:00') WHERE rn = 1), "
+            "cur AS (SELECT u, day, v, "
+            "lag(v) OVER (PARTITION BY u ORDER BY day) AS prev FROM snap) "
+            "SELECT u, day, v, CAST(1 AS BIGINT) AS diff FROM cur "
+            "WHERE prev IS NULL OR v != prev "
+            "UNION ALL "
+            "SELECT u, day, prev AS v, CAST(-1 AS BIGINT) AS diff FROM cur "
+            "WHERE prev IS NOT NULL AND v != prev"
         ),
         "text_tokens": (
             "SELECT doc_id, CASE WHEN len(trim(text)) = 0 THEN 0 "
