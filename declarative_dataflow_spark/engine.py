@@ -275,6 +275,34 @@ class Engine:
         for aid, v_expr in mapping.items():
             self.register_table_attribute(aid, table_name, e_expr, v_expr)
 
+    def cache_attribute(self, aid: str) -> None:
+        """Pin an attribute's DataFrame in executor memory — the
+        analog of the reference's shared index arrangements, built
+        once and imported by every dataflow (import_frontier,
+        src/domain/mod.rs:475-536, 605-617). Every query compiled
+        afterwards reuses the cached relation instead of re-scanning.
+        """
+
+        if aid not in self._attributes:
+            raise KeyError(f"unknown attribute {aid}")
+        if aid in self._transacted:
+            raise ValueError(
+                "transacted attributes change per transaction; cache "
+                "table-backed or derived attributes"
+            )
+        src = self._attributes[aid]
+        cached = src.dataframe().persist()
+        self._attributes[aid] = AttributeSource(
+            loader=(lambda: cached), has_diff=src.has_diff
+        )
+
+    def uncache_attribute(self, aid: str) -> None:
+        """Release a cached attribute (the reference's arrangement
+        teardown on uninterest)."""
+
+        if aid in self._attributes:
+            self._attributes[aid].dataframe().unpersist()
+
     def bucket_attribute(
         self,
         aid: str,

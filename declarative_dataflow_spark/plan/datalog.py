@@ -199,6 +199,7 @@ class _Compiler:
         bindings: list = []
         ors: list[list] = []
         nots: list[list] = []
+        rules: list[list] = []
         for c in clauses:
             head = c[0]
             if head == "[" and c[1][0] == "(":  # [(op ...)]
@@ -209,6 +210,10 @@ class _Compiler:
                 ors.append(c)
             elif head == "(" and c[1][1] == "not":
                 nots.append(c)
+            elif head == "(" and all(_is_var(t) for t in c[2:]):
+                # Rule invocation: (rulename ?a ?b ...) — a reference
+                # to a registered rule (clj-3df rule application).
+                rules.append(c)
             else:
                 raise ValueError(f"unsupported clause {c}")
 
@@ -218,6 +223,20 @@ class _Compiler:
             plan = Hector(
                 [v for v in conj_vars if not v.startswith("?__dl")], bindings
             )
+
+        from .plans import NameExpr
+
+        for r in rules:
+            name = r[1][1]
+            rule_vars = [t[1] for t in r[2:]]
+            ref: Plan = NameExpr(rule_vars, name)
+            if plan is None:
+                plan = ref
+                conj_vars = list(rule_vars)
+            else:
+                shared = [v for v in rule_vars if v in conj_vars]
+                plan = Join(shared, plan, ref)
+                conj_vars += [v for v in rule_vars if v not in conj_vars]
 
         for o in ors:
             union_plan, union_vars = self.compile_or(o)

@@ -4,6 +4,10 @@ or_test.rs), run verbatim."""
 
 from declarative_dataflow_spark import Datom
 from declarative_dataflow_spark.plan.datalog import query
+from declarative_dataflow_spark.plan.plans import (
+    BinaryPredicateBinding,
+    Predicate,
+)
 
 from conftest import rows
 
@@ -141,3 +145,29 @@ def test_string_constant_quoted(engine):
     _people(engine)
     got = rows(query(engine, '[:find ?e :where [?e :name "Mabel"]]'))
     assert got == [(300, 1)]
+
+
+def test_rule_invocation(engine):
+    """(rulename ?a ?b) references a registered rule (clj-3df rule
+    application) and joins with the surrounding patterns."""
+
+    from declarative_dataflow_spark.plan.plans import (
+        AttributeBinding,
+        ConstantBinding,
+        Hector,
+    )
+
+    _people(engine)
+    engine.register(
+        "adults",
+        Hector(
+            ["?p"],
+            [
+                AttributeBinding("?p", "age", "?a2"),
+                BinaryPredicateBinding(["?a2", "?lim"], Predicate.GTE),
+                ConstantBinding("?lim", 18),
+            ],
+        ),
+    )
+    got = rows(query(engine, "[:find ?p ?n :where (adults ?p) [?p :name ?n]]"))
+    assert [(r[0], r[1]) for r in got] == [(200, "Petr"), (300, "Mabel")]

@@ -147,3 +147,15 @@ def test_enable_optimizer_engine_flag(spark):
         Join(["?e"], MatchA("?e", "x", "?x"), MatchA("?e", "y", "?y")),
     )
     assert {tuple(r) for r in eng.interest("r").collect()} == {(1, 1, 2, 1)}
+
+
+def test_cache_attribute_shared_arrangement(tpch):
+    """cache_attribute = the shared-arrangement analog: InMemoryScan
+    replaces the file scan for every query after."""
+
+    tpch.cache_attribute("nation/name")
+    df = tpch.implement(MatchA("?e", "nation/name", "?n"))
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan, plan
+    tpch.uncache_attribute("nation/name")
