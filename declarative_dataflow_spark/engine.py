@@ -309,21 +309,29 @@ class Engine:
         table_name: Optional[str] = None,
         buckets: int = 32,
         path: Optional[str] = None,
+        key: str = "e",
     ) -> str:
-        """Materialize an attribute bucketed+sorted by entity and swap
+        """Materialize an attribute bucketed+sorted by ``key`` and swap
         its source to the bucketed table — the engine-level analog of
         the reference's maintained index arrangements
-        (src/domain/mod.rs:475-536): subsequent entity-joins between
-        bucketed attributes skip their shuffles entirely. At 100 TB,
-        bucket the hot attributes once at ingest."""
+        (src/domain/mod.rs:475-536): subsequent joins on the bucketed
+        key skip their shuffles entirely. ``key="e"`` is the forward
+        (e->v) index; ``key="v"`` is the reverse index the reference
+        builds for ``IndexDirection::Both`` (src/lib.rs:364-370) —
+        bucket both layouts for attributes queried in either direction.
+        At 100 TB, bucket the hot attributes once at ingest."""
 
         from .layout import save_bucketed
 
-        table_name = table_name or "__bucketed_" + aid.replace("/", "_")
+        if key not in ("e", "v"):
+            raise ValueError("bucket key must be 'e' or 'v'")
+        table_name = table_name or (
+            "__bucketed_" + key + "_" + aid.replace("/", "_")
+        )
         if aid not in self._attributes:
             raise KeyError(f"unknown attribute {aid}")
         src = self._attributes[aid]
-        save_bucketed(src.dataframe(), table_name, "e", buckets, path)
+        save_bucketed(src.dataframe(), table_name, key, buckets, path)
         spark = self.spark
 
         def loader() -> DataFrame:

@@ -152,6 +152,11 @@ class ReactiveSession:
     def advance(self, datoms: Optional[list[Datom]] = None) -> int:
         epoch = self.epoch
         for sub in self.interests.values():
+            if sub.delta_join is None and sub.previous is None:
+                # Attributes may appear after subscription; until the
+                # first successful epoch, keep probing for the
+                # incremental path.
+                sub.delta_join = _delta_join_for(self.engine, sub.name)
             if sub.delta_join is not None:
                 diffs = self._advance_incremental(sub, datoms or [])
             else:
@@ -189,7 +194,14 @@ class ReactiveSession:
         return diffs.withColumn("__epoch_diff", F.lit(1))
 
     def _advance_recompute(self, sub: Interest) -> DataFrame:
-        current = self.engine.interest(sub.name).persist()
+        try:
+            current = self.engine.interest(sub.name).persist()
+        except KeyError:
+            # A rule may reference attributes registered AFTER the
+            # subscription (reference: tests/registration_test.rs) —
+            # until they exist the result is empty, not an error.
+            schema = "__epoch_diff int"
+            return self.engine.spark.createDataFrame([], schema=schema)
         current.count()
         if sub.previous is None:
             diffs = current.withColumn("__epoch_diff", F.lit(1))

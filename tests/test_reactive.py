@@ -127,3 +127,23 @@ def test_interest_granularity_coalesces(engine):
     session.transact([Datom.retract(3, "color", "teal")]) # epoch 3: emit
     rows2 = emitted[1][1]
     assert all(tuple(r)[0] != 3 for r in rows2)
+
+
+def test_attribute_registered_after_subscription(engine):
+    """Subscribing to a rule whose attributes do not exist yet emits
+    empty epochs, then picks up data once the attribute is created
+    (reference: tests/registration_test.rs)."""
+
+    from declarative_dataflow_spark.plan.plans import MatchA
+    from declarative_dataflow_spark.streaming.reactive import ReactiveSession
+
+    engine.register("late", MatchA("?e", "late/attr", "?v"))
+    session = ReactiveSession(engine)
+    session.interest("late")
+    session.advance()  # attribute missing: empty epoch, no error
+    assert session.interests["late"].history[0][1] == []
+
+    engine.create_attribute("late/attr")
+    session.transact([Datom.add(1, "late/attr", "x")])
+    rows_ = session.interests["late"].history[-1][1]
+    assert [tuple(r)[:2] for r in rows_] == [(1, "x")]
