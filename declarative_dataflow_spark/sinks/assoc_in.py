@@ -20,12 +20,28 @@ from pyspark.sql import DataFrame, functions as F
 
 
 def _entries_map(df: DataFrame, keys: list[str]):
-    """Group (a, v) rows under ``keys`` into a sorted map column ``m``."""
+    """Group (a, v) rows under ``keys`` into a sorted map column ``m``.
 
-    return df.groupBy(*keys).agg(
-        F.map_from_entries(
-            F.sort_array(F.collect_list(F.struct("a", "v")))
-        ).alias("m")
+    Cardinality-many attributes (several v for one a — the reference's
+    multi-valued :aka, tests/query_test.rs:369-377) nest as a JSON
+    array; single values stay plain. Without this pre-aggregation,
+    map_from_entries would reject the duplicate keys outright.
+    """
+
+    per_attr = df.groupBy(*keys, "a").agg(
+        F.sort_array(F.collect_list("v")).alias("__vs")
+    )
+    value = F.when(F.size("__vs") == 1, F.col("__vs")[0]).otherwise(
+        F.to_json("__vs")
+    )
+    return (
+        per_attr.withColumn("v", value)
+        .groupBy(*keys)
+        .agg(
+            F.map_from_entries(
+                F.sort_array(F.collect_list(F.struct("a", "v")))
+            ).alias("m")
+        )
     )
 
 

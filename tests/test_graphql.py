@@ -164,3 +164,24 @@ def test_derive_graphql(engine):
     )
     got = rows(engine.implement(MatchA("?e", "d/sidekick/name", "?v")))
     assert got == [(10, "Waddles", 1), (11, "Gompers", 1)]
+
+
+def test_assoc_in_cardinality_many(spark):
+    """Multi-valued attributes (the reference's :aka,
+    query_test.rs:369-377) nest as JSON arrays instead of crashing
+    map construction with duplicate keys."""
+
+    from declarative_dataflow_spark.sinks.assoc_in import assoc_in
+
+    df = spark.createDataFrame(
+        [
+            ("1", "person/aka", "ivolga"),
+            ("1", "person/aka", "pi"),
+            ("1", "person/name", "Ivan"),
+        ],
+        ["root", "a", "v"],
+    )
+    [row] = assoc_in(df, ["root"]).collect()
+    doc = json.loads(row["doc"])
+    assert doc["person/name"] == "Ivan"
+    assert json.loads(doc["person/aka"]) == ["ivolga", "pi"]
