@@ -532,9 +532,14 @@ def _median(rel: Relation, keys: list[Var], av: Var, out: str) -> DataFrame:
     df = rel.df
     c = vcol(av)
     if rel.has_diff:
-        df = df.withColumn(
-            "__rep", F.explode(F.sequence(F.lit(1), F.col(DIFF)))
-        ).drop("__rep", DIFF)
+        # Guard diff > 0 before expanding: Spark's sequence(1, n) is
+        # DESCENDING for n < 1, so an over-retracted tuple (negative
+        # net weight) would expand instead of disappearing.
+        df = (
+            df.filter(F.col(DIFF) > 0)
+            .withColumn("__rep", F.explode(F.sequence(F.lit(1), F.col(DIFF))))
+            .drop("__rep", DIFF)
+        )
     key_cols = [vcol(k) for k in keys]
     w = Window.partitionBy(*key_cols).orderBy(F.col(c))
     wc = Window.partitionBy(*key_cols)

@@ -398,7 +398,9 @@ class IncrementalAggregate:
             # (aggregate_neu.rs:160-166): expand weights, rank per key.
             from pyspark.sql.window import Window
 
-            expanded = slice_df.withColumn(
+            # diff > 0 guard: sequence(1, n) descends for n < 1, so an
+            # over-retracted value would expand instead of vanishing.
+            expanded = slice_df.filter(w > 0).withColumn(
                 "__rep", F.explode(F.sequence(F.lit(1), w))
             )
             wk = Window.partitionBy(*self.keys).orderBy(v)

@@ -233,3 +233,34 @@ def test_exact_avg_variance_decimal(engine):
     [vrow] = engine.implement(vplan).collect()
     # sumsq/n - (sum/n)^2 = 2/3 - 4/9 = 2/9
     assert abs(vrow[0] - Decimal(2) / Decimal(9)) <= Decimal("1e-17")
+
+
+def test_median_ignores_overretracted(engine):
+    """A tuple retracted below zero net weight must vanish from the
+    median, not expand (sequence(1, n<1) descends in Spark)."""
+
+    from declarative_dataflow_spark.plan.plans import (
+        Aggregate,
+        AggregationFn,
+        MatchA,
+    )
+
+    engine.create_attribute("m")
+    engine.transact(
+        [
+            Datom.add(1, "m", 5),
+            Datom.add(2, "m", 7),
+            Datom.retract(3, "m", 100),  # over-retraction: net -1
+            Datom.retract(3, "m", 100),  # net -2
+        ]
+    )
+    plan = Aggregate(
+        ["?v"],
+        MatchA("?e", "m", "?v"),
+        [AggregationFn.MEDIAN],
+        [],
+        ["?v"],
+        with_variables=["?e"],
+    )
+    [row] = engine.implement(plan).collect()
+    assert row[0] == 7  # upper-middle of [5, 7]; 100 never appears
