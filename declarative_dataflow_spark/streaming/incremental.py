@@ -274,6 +274,13 @@ class DeltaJoin:
         return self._advance(deltas)
 
     def _advance(self, deltas: dict[str, DataFrame]) -> DataFrame:
+        # Ignore attributes no binding references — a shared transaction
+        # stream may carry unrelated facts; tracking them would grow
+        # snapshots without ever affecting this query.
+        relevant = {b.attribute for b in self.attr_bindings} | {
+            b.attribute for b in self.anti_bindings
+        }
+        deltas = {a: df for a, df in deltas.items() if a in relevant}
         news: dict[str, DataFrame] = {}
         for aid in set(self.snapshots) | set(deltas):
             if aid in deltas and aid in self.snapshots:
