@@ -503,6 +503,21 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.implement(count, ["n"])
 
 
+def q_triangle_wco(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Worst-case-optimal triangle count: adjacency intersection per
+    edge (|E| intermediate rows) instead of the wedge join
+    (reference's WCO extension protocol, hector.rs:934-978)."""
+
+    from declarative_dataflow_spark.operators.wco import triangle_count_wco
+
+    edges = (
+        load_table(spark, sf_dir, "events")
+        .selectExpr("user_id % 100 AS src", "event_id % 100 AS dst")
+        .distinct()
+    )
+    return triangle_count_wco(edges)
+
+
 def q_confusion_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filter-join: constant bindings on two attributes of one entity
     (reference: experiments/src/bin/confusion_filter.rs:23-38 — both
@@ -784,6 +799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tclosure": q_tclosure,
         "labelprop": q_labelprop,
         "triangle_count": q_triangle_count,
+        "triangle_wco": q_triangle_wco,
         "confusion_filter": q_confusion_filter,
         "confusion_agg": q_confusion_agg,
         "lww": q_lww,
@@ -999,6 +1015,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT x, l FROM lp"
         ),
         "triangle_count": (
+            "WITH edges AS (SELECT DISTINCT user_id % 100 AS src, "
+            "event_id % 100 AS dst FROM events) "
+            "SELECT count(*) AS n FROM edges e1 "
+            "JOIN edges e2 ON e2.src = e1.dst "
+            "JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst"
+        ),
+        "triangle_wco": (
             "WITH edges AS (SELECT DISTINCT user_id % 100 AS src, "
             "event_id % 100 AS dst FROM events) "
             "SELECT count(*) AS n FROM edges e1 "

@@ -20,7 +20,8 @@ HEADLINE = [
     "agg_median",      # exact median (windowed)
     "tclosure",        # recursive fixpoint
     "labelprop",       # reference labelprop benchmark (recursive)
-    "triangle_count",  # reference WCO triangle benchmark
+    "triangle_count",  # reference WCO triangle benchmark (join chain)
+    "triangle_wco",    # worst-case-optimal intersection variant
     "confusion_filter",  # reference confusion q1 (fused filter scan)
     "confusion_agg",   # reference confusion q2 (grouped count)
     "lww",             # last-write-wins input semantics

@@ -23,6 +23,8 @@ from declarative_dataflow_spark import (
     q,
 )
 
+from pyspark.sql import functions as F
+
 from conftest import rows
 
 
@@ -191,3 +193,33 @@ def test_join_multiplicities(engine):
         (1, "B", "A", 1),
         (1, "B", "B", 1),
     ]
+
+
+def test_triangles_wco_equals_binary_join(spark):
+    """WCO intersection triangles == Catalyst binary-join triangles."""
+
+    from declarative_dataflow_spark.operators.wco import (
+        triangle_count_wco,
+        triangles_wco,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (1, 4), (3, 1), (4, 2)],
+        ["src", "dst"],
+    )
+    wco = {tuple(r) for r in triangles_wco(edges).collect()}
+    e = edges.toDF("a", "b")
+    binary = {
+        tuple(r)
+        for r in e.alias("e1")
+        .join(e.alias("e2"), F.col("e1.b") == F.col("e2.a"))
+        .join(
+            e.alias("e3"),
+            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .select(F.col("e1.a"), F.col("e1.b"), F.col("e2.b"))
+        .collect()
+    }
+    assert wco == binary and wco
+    [cnt] = triangle_count_wco(edges).collect()
+    assert cnt["n"] == len(wco)
