@@ -171,3 +171,64 @@ def test_rule_invocation(engine):
     )
     got = rows(query(engine, "[:find ?p ?n :where (adults ?p) [?p :name ?n]]"))
     assert [(r[0], r[1]) for r in got] == [(200, "Petr"), (300, "Mabel")]
+
+
+def test_four_clause_join(engine):
+    """Reference query_test.rs:346-365 verbatim: same-age pairs where
+    ?e is named Ivan (with multi-valued name on entity 3)."""
+
+    for a in ("name", "age"):
+        engine.create_attribute(a)
+    # Reference fixture: 1 Ivan/15, 2 Petr/10, 3 {Ivan, Petr}/10.
+    engine.transact(
+        [
+            Datom.add(1, "name", "Ivan"),
+            Datom.add(1, "age", 15),
+            Datom.add(2, "name", "Petr"),
+            Datom.add(2, "age", 10),
+            Datom.add(3, "name", "Ivan"),
+            Datom.add(3, "age", 10),
+        ]
+    )
+    got = {
+        tuple(r)[:3]
+        for r in query(
+            engine,
+            "[:find ?e ?e2 ?n :where [?e :name Ivan] [?e :age ?a] "
+            "[?e2 :age ?a] [?e2 :name ?n]]",
+        ).collect()
+    }
+    # The reference's expectations verbatim (query_test.rs:359-363).
+    assert got == {(1, 1, "Ivan"), (3, 3, "Ivan"), (3, 2, "Petr")}
+
+
+def test_or_and_branches(engine):
+    """or with (and ...) branches over shared variables
+    (reference or_test.rs:244+)."""
+
+    for a in ("name", "age"):
+        engine.create_attribute(a)
+    engine.transact(
+        [
+            Datom.add(1, "name", "Ivan"),
+            Datom.add(1, "age", 10),
+            Datom.add(2, "name", "Oleg"),
+            Datom.add(2, "age", 20),
+            Datom.add(3, "name", "Petr"),
+            Datom.add(3, "age", 10),
+        ]
+    )
+    got = rows(
+        query(
+            engine,
+            "[:find ?e :where (or (and [?e :name Ivan] [?e :age 10]) "
+            "(and [?e :name Oleg] [?e :age 20]))]",
+        )
+    )
+    assert got == [(1,), (2,)]
+
+
+def test_predicate_constant_first(engine):
+    _people(engine)
+    got = rows(query(engine, "[:find ?e ?a :where [?e :age ?a] [(< 18 ?a)]]"))
+    assert got == [(200, 37, 1), (300, 26, 1)]
