@@ -143,16 +143,19 @@ def plan_to_dict(plan: Plan) -> dict:
             }
         }
     if isinstance(plan, Aggregate):
-        return {
-            "Aggregate": {
-                "variables": list(plan.variables_),
-                "plan": plan_to_dict(plan.plan),
-                "aggregation_fns": [f.value for f in plan.aggregation_fns],
-                "key_variables": list(plan.key_variables),
-                "aggregation_variables": list(plan.aggregation_variables),
-                "with_variables": list(plan.with_variables),
-            }
+        body = {
+            "variables": list(plan.variables_),
+            "plan": plan_to_dict(plan.plan),
+            "aggregation_fns": [f.value for f in plan.aggregation_fns],
+            "key_variables": list(plan.key_variables),
+            "aggregation_variables": list(plan.aggregation_variables),
+            "with_variables": list(plan.with_variables),
         }
+        # Extension over the reference wire format; omitted when False
+        # so reference-shaped documents stay byte-identical.
+        if plan.exact:
+            body["exact"] = True
+        return {"Aggregate": body}
     if isinstance(plan, Hector):
         return {
             "Hector": {
@@ -292,6 +295,7 @@ def plan_from_dict(d: dict) -> Plan:
             list(inner["key_variables"]),
             list(inner["aggregation_variables"]),
             list(inner.get("with_variables", [])),
+            exact=bool(inner.get("exact", False)),
         )
     if tag == "Hector":
         return Hector(

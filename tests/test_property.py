@@ -101,6 +101,8 @@ def _plans():
                 ),
                 st.lists(_vars, min_size=0, max_size=2),
                 st.lists(_vars, min_size=1, max_size=2),
+                st.lists(_vars, min_size=0, max_size=1),
+                st.booleans(),
             ),
         ),
         max_leaves=6,
