@@ -79,6 +79,53 @@ def main() -> None:
         qs[name](spark, sf_dir).count()
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    # Incremental maintenance latency: one 100-datom epoch of triangle
+    # delta pipelines against a LARGE graph snapshot (10k nodes, ~E
+    # edges at this sf), vs a full recompute of the same query on the
+    # same graph — the epoch cost tracks the change, the recompute the
+    # state.
+    from pyspark.sql import functions as F
+
+    from declarative_dataflow_spark.engine import Datom
+    from declarative_dataflow_spark.operators.wco import triangle_count_wco
+    from declarative_dataflow_spark.plan.plans import AttributeBinding
+    from declarative_dataflow_spark.streaming.incremental import DeltaJoin
+
+    raw_edges = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .selectExpr("user_id % 10000 AS src", "event_id % 10000 AS dst")
+        .distinct()
+    )
+    t0 = time.perf_counter()
+    triangle_count_wco(raw_edges).count()
+    timings["triangle_large_recompute"] = round(time.perf_counter() - t0, 3)
+
+    dj = DeltaJoin(
+        spark,
+        ["?a", "?b", "?c"],
+        [
+            AttributeBinding("?a", "edge", "?b"),
+            AttributeBinding("?b", "edge", "?c"),
+            AttributeBinding("?a", "edge", "?c"),
+        ],
+        initial={
+            "edge": raw_edges.selectExpr(
+                "src AS e", "dst AS v", "CAST(1 AS BIGINT) AS diff"
+            )
+        },
+    )
+    dj.transact(
+        [Datom.add(i % 10000, "edge", (i * 7 + 1) % 10000) for i in range(100)]
+    ).count()  # warm epoch
+    t0 = time.perf_counter()
+    dj.transact(
+        [
+            Datom.add((i * 3) % 10000, "edge", (i * 11 + 5) % 10000)
+            for i in range(100)
+        ]
+    ).count()
+    timings["incremental_epoch"] = round(time.perf_counter() - t0, 3)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

@@ -75,8 +75,15 @@ class DeltaJoin:
         self.attr_bindings = [
             b for b in self.core_bindings if isinstance(b, AttributeBinding)
         ]
-        # aid -> consolidated (e, v, diff) snapshot of everything seen.
+        # aid -> weighted (e, v, diff) snapshot of everything seen.
+        # Snapshots append deltas LAZILY (a weighted union is the same
+        # multiset as its consolidation) and compact+checkpoint every
+        # ``compact_every`` appends — one big materialization per N
+        # epochs instead of per epoch, the analog of differential's
+        # batched arrangement merging.
         self.snapshots: dict[str, DataFrame] = {}
+        self._appends: dict[str, int] = {}
+        self.compact_every = 8
         for aid, df in (initial or {}).items():
             self.snapshots[aid] = df.select("e", "v", "diff").localCheckpoint(
                 eager=True
@@ -99,6 +106,9 @@ class DeltaJoin:
             by_aid.setdefault(d.a, []).append((d.e, d.v, d.diff))
         out = {}
         for aid, rows in by_aid.items():
+            # Eagerly materialized: every pipeline references the
+            # delta, so one small checkpoint beats re-evaluating the
+            # consolidation per pipeline.
             df = self.spark.createDataFrame(rows).toDF("e", "v", "diff")
             out[aid] = self._consolidate(df).localCheckpoint(eager=True)
         return out
@@ -162,11 +172,17 @@ class DeltaJoin:
     @staticmethod
     def _positive_keys(df: Optional[DataFrame]) -> Optional[DataFrame]:
         """Present (e, v) pairs of an anti-side snapshot (net weight
-        > 0 — the antijoin right side is a set, antijoin.rs:95-97)."""
+        > 0 — the antijoin right side is a set, antijoin.rs:95-97).
+        Consolidates first: lazily-appended snapshots may carry an
+        assert AND its retraction as separate rows."""
 
         if df is None:
             return None
-        return df.filter(F.col("diff") > 0).select("e", "v")
+        return (
+            DeltaJoin._consolidate(df)
+            .filter(F.col("diff") > 0)
+            .select("e", "v")
+        )
 
     def _anti_filter(self, rel, ab: AntijoinBinding, keys: Optional[DataFrame]):
         """Drop tuples whose (ab.e, ab.v) valuation appears in keys."""
@@ -284,9 +300,15 @@ class DeltaJoin:
         news: dict[str, DataFrame] = {}
         for aid in set(self.snapshots) | set(deltas):
             if aid in deltas and aid in self.snapshots:
-                news[aid] = self._consolidate(
-                    self.snapshots[aid].unionByName(deltas[aid])
-                ).localCheckpoint(eager=True)
+                merged = self.snapshots[aid].unionByName(deltas[aid])
+                appends = self._appends.get(aid, 0) + 1
+                if appends >= self.compact_every:
+                    merged = self._consolidate(merged).localCheckpoint(
+                        eager=True
+                    )
+                    appends = 0
+                news[aid] = merged
+                self._appends[aid] = appends
             elif aid in deltas:
                 news[aid] = deltas[aid]
             else:
