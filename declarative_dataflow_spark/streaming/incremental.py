@@ -403,6 +403,7 @@ class IncrementalAggregate:
         key_variables: list[str],
         aggregation_fn: AggregationFn,
         aggregation_variable: str,
+        seed_from_snapshots: bool = False,
     ):
         if aggregation_fn not in (
             AggregationFn.MIN,
@@ -419,6 +420,21 @@ class IncrementalAggregate:
         self.fn = aggregation_fn
         self.agg_var = aggregation_variable
         self.state: Optional[DataFrame] = None  # keys + __v + __w
+        if seed_from_snapshots and delta_join.snapshots:
+            core = delta_join._core_at(delta_join.snapshots)
+            if core is not None:
+                rel = core.with_diff()
+                self.state = (
+                    rel.df.select(
+                        *[F.col(vcol(k)).alias(k) for k in self.keys],
+                        F.col(vcol(self.agg_var)).alias("__v"),
+                        F.col(DIFF).alias("__w"),
+                    )
+                    .groupBy(*self.keys, "__v")
+                    .agg(F.sum("__w").alias("__w"))
+                    .filter(F.col("__w") != 0)
+                    .localCheckpoint(eager=True)
+                )
 
     def _aggregate(self, slice_df: DataFrame) -> DataFrame:
         v, w = F.col("__v"), F.col("__w")

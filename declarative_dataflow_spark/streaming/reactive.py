@@ -45,15 +45,43 @@ class Interest:
 
 
 def _delta_join_for(engine: Engine, name: str):
-    """Build a DeltaJoin for a conjunctive rule, seeded with current
-    attribute snapshots; None if the plan shape is not eligible."""
+    """Build the incremental maintainer for a rule: a DeltaJoin for
+    conjunctive (Hector) rules, an IncrementalAggregate for a
+    single-function Aggregate over one; None if ineligible."""
 
-    from ..plan.plans import Hector
-    from .incremental import DeltaJoin
+    from ..plan.plans import Aggregate as AggregatePlan, Hector
+    from .incremental import DeltaJoin, IncrementalAggregate
 
     plan = engine.rules[name]
+    if (
+        isinstance(plan, AggregatePlan)
+        and isinstance(plan.plan, Hector)
+        and len(plan.aggregation_fns) == 1
+        and not plan.exact
+    ):
+        inner = _delta_join_for_plan(engine, plan.plan)
+        if inner is None:
+            return None
+        try:
+            return IncrementalAggregate(
+                inner,
+                list(plan.key_variables),
+                plan.aggregation_fns[0],
+                plan.aggregation_variables[0],
+                seed_from_snapshots=True,
+            )
+        except ValueError:
+            return None
     if not isinstance(plan, Hector):
         return None
+    return _delta_join_for_plan(engine, plan)
+
+
+def _delta_join_for_plan(engine: Engine, plan):
+    """DeltaJoin over a Hector plan's bindings, seeded from the current
+    transacted-attribute snapshots (RAW semantics only)."""
+
+    from .incremental import DeltaJoin
     from ..plan.plans import (
         AntijoinBinding,
         AttributeBinding,

@@ -147,3 +147,65 @@ def test_attribute_registered_after_subscription(engine):
     session.transact([Datom.add(1, "late/attr", "x")])
     rows_ = session.interests["late"].history[-1][1]
     assert [tuple(r)[:2] for r in rows_] == [(1, "x")]
+
+
+def test_aggregate_rule_incremental(engine):
+    """Aggregate-over-Hector rules take the incremental path: grouped
+    SUM updates arrive as retract/assert diffs per changed key."""
+
+    from collections import Counter
+
+    from declarative_dataflow_spark.plan.plans import (
+        Aggregate,
+        AggregationFn,
+        AttributeBinding,
+        Hector,
+    )
+    from declarative_dataflow_spark.streaming.reactive import ReactiveSession
+
+    for a in ("grp", "amt"):
+        engine.create_attribute(a)
+    engine.transact(
+        [
+            Datom.add(1, "grp", "a"),
+            Datom.add(1, "amt", 5),
+            Datom.add(2, "grp", "b"),
+            Datom.add(2, "amt", 7),
+        ]
+    )
+    engine.register(
+        "sums",
+        Aggregate(
+            ["?g", "?x"],
+            Hector(
+                ["?g", "?x", "?e"],
+                [
+                    AttributeBinding("?e", "grp", "?g"),
+                    AttributeBinding("?e", "amt", "?x"),
+                ],
+            ),
+            [AggregationFn.SUM],
+            ["?g"],
+            ["?x"],
+            with_variables=["?e"],
+        ),
+    )
+    session = ReactiveSession(engine)
+    session.interest("sums")
+    assert session.interests["sums"].delta_join is not None
+
+    session.advance()  # replay: current sums
+    acc: Counter = Counter()
+    for _, rows_ in session.interests["sums"].history:
+        for r in rows_:
+            t = tuple(r)
+            acc[t[:-2]] += t[-2] * t[-1]
+    assert +acc == Counter({("a", 5): 1, ("b", 7): 1})
+
+    session.transact([Datom.add(3, "grp", "a"), Datom.add(3, "amt", 10)])
+    acc = Counter()
+    for _, rows_ in session.interests["sums"].history:
+        for r in rows_:
+            t = tuple(r)
+            acc[t[:-2]] += t[-2] * t[-1]
+    assert +acc == Counter({("a", 15): 1, ("b", 7): 1})
