@@ -144,3 +144,26 @@ def test_register_csv_source(spark, tmp_path):
     )
     [(name, rows)] = [v for o in out for k, v in o.items() if k == "QueryDiff"]
     assert sorted(r[:-2] for r in rows) == [[1, 12], [2, 13]]
+
+
+def test_cli_roundtrip(spark):
+    """cli.py client functions against a live TCP server
+    (reference: cli/src/main.rs ping/req/tx)."""
+
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import cli
+
+    srv = Server(spark)
+    tcp, thread, port = serve(srv)
+    try:
+        args = ["--port", str(port)]
+        assert cli.main(args + ["req", '[{"CreateAttribute": {"name": "x", "config": null}}]']) == 0
+        assert cli.main(args + ["tx", '[[{"Eid": 1}, "x", {"Number": 5}, null, 1]]']) == 0
+        assert cli.main(args + ["ping"]) == 0
+        assert "x" in srv.engine._attributes
+        assert srv.engine._transacted["x"].rows
+    finally:
+        tcp.shutdown()
+        tcp.server_close()
