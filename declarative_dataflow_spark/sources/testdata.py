@@ -112,10 +112,22 @@ NANOS_TS_COLUMNS: dict[str, list[str]] = {
 }
 
 
+def _ensure_session_defaults(spark: SparkSession) -> None:
+    """Make table loading robust to sessions we did not build (the
+    driver may hand ``entry``/``queries`` a bare SparkSession): the
+    testdata parquet carries TIMESTAMP(NANOS) which needs the
+    nanosAsLong legacy read, and the DuckDB oracle compares timestamps
+    in UTC."""
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str):
     from pyspark.sql import functions as F
     from pyspark.sql.types import LongType
 
+    _ensure_session_defaults(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for c in NANOS_TS_COLUMNS.get(name, []):
         if isinstance(df.schema[c].dataType, LongType):
