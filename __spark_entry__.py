@@ -748,6 +748,31 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment by content
+    hash — reproducible across runs, engines, and cluster sizes."""
+
+    from declarative_dataflow_spark.operators import sampling
+
+    return sampling.hash_split(
+        load_table(spark, sf_dir, "documents"),
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+    ).select("doc_id", "split")
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language downsampling: keep 50% of 'en', 100% of 'fr',
+    drop the rest — deterministic by hash."""
+
+    from declarative_dataflow_spark.operators import sampling
+
+    return sampling.stratified_sample(
+        load_table(spark, sf_dir, "documents"),
+        {"en": 0.5, "fr": 1.0},
+        strata_col="lang",
+    ).select("doc_id", "lang")
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return multimodal.decode_image(multimodal.attach_binary(docs), fake=True)
@@ -822,6 +847,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_neardup": q_embed_neardup,
         "ann_ivf": q_ann_ivf,
         "ann_lsh": q_ann_lsh,
+        "hash_split": q_hash_split,
+        "stratified_sample": q_stratified_sample,
         "multimodal_meta": q_multimodal_meta,
         "frame_sample": q_frame_sample,
     }
@@ -854,6 +881,30 @@ _MINHASH_BANDS = " UNION ALL ".join(
     )
     for b in range(4)
 )
+# Cumulative split boundaries accumulated with the SAME float
+# arithmetic as sampling.hash_split, so the SQL literals match the
+# Spark plan bit-for-bit (0.8 + 0.1 != 0.9 exactly in binary).
+def _hash_split_oracle() -> str:
+    weights = {"train": 0.8, "val": 0.1, "test": 0.1}
+    total = sum(weights.values())
+    cases = []
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name] / total
+        cases.append(f"WHEN pos < {acc!r} THEN '{name}'")
+    return (
+        "SELECT doc_id, CASE "
+        + " ".join(cases)
+        + f" ELSE '{names[-1]}' END AS split FROM ("
+        "SELECT doc_id, "
+        "('0x' || substr(md5('split_' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT "
+        "/ 4294967296.0 AS pos FROM documents)"
+    )
+
+
+_HASH_SPLIT_ORACLE = _hash_split_oracle()
+
 _MINHASH_ORACLE = (
     "WITH words AS (SELECT doc_id, string_split(lower(text), ' ') AS w "
     "FROM documents), "
@@ -1215,6 +1266,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT *, CAST(row_number() OVER (PARTITION BY q "
             "ORDER BY sim DESC, neighbor) AS INT) AS rank FROM s) "
             "WHERE rank <= 5"
+        ),
+        "hash_split": _HASH_SPLIT_ORACLE,
+        "stratified_sample": (
+            "SELECT doc_id, lang FROM (SELECT doc_id, lang, "
+            "('0x' || substr(md5('sample_' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT "
+            "/ 4294967296.0 AS pos FROM documents) "
+            "WHERE pos < (CASE lang WHEN 'en' THEN 0.5 "
+            "WHEN 'fr' THEN 1.0 ELSE 0.0 END)"
         ),
         "multimodal_meta": (
             "SELECT doc_id, "

@@ -206,3 +206,43 @@ def test_subword_token_count(spark):
     got = {r["doc_id"]: r["n_subwords"] for r in text.subword_token_count(df).collect()}
     # hello , world ! 4 2 -> 6; empty -> 0
     assert got == {1: 6, 2: 0}
+
+
+def test_hash_split_deterministic_partition(docs):
+    from declarative_dataflow_spark.operators import sampling
+
+    out = sampling.hash_split(docs, {"train": 0.8, "val": 0.2})
+    rows1 = {(r["doc_id"], r["split"]) for r in out.collect()}
+    rows2 = {
+        (r["doc_id"], r["split"])
+        for r in sampling.hash_split(docs, {"train": 0.8, "val": 0.2}).collect()
+    }
+    assert rows1 == rows2  # reproducible
+    splits = {s for _, s in rows1}
+    assert splits <= {"train", "val"}
+    # Every doc gets exactly one split.
+    assert len(rows1) == docs.count()
+    # A different salt re-deals.
+    redeal = {
+        (r["doc_id"], r["split"])
+        for r in sampling.hash_split(
+            docs, {"train": 0.8, "val": 0.2}, salt="other"
+        ).collect()
+    }
+    assert redeal != rows1
+
+
+def test_stratified_sample_respects_fractions(spark):
+    from declarative_dataflow_spark.operators import sampling
+
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "de") for i in range(2000)],
+        ["doc_id", "lang"],
+    )
+    kept = sampling.stratified_sample(
+        docs, {"en": 0.5, "de": 0.0}, strata_col="lang"
+    )
+    langs = {r["lang"] for r in kept.select("lang").distinct().collect()}
+    assert langs == {"en"}
+    n = kept.count()
+    assert 400 <= n <= 600  # ~50% of the 1000 'en' docs
