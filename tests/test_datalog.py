@@ -232,3 +232,28 @@ def test_predicate_constant_first(engine):
     _people(engine)
     got = rows(query(engine, "[:find ?e ?a :where [?e :age ?a] [(< 18 ?a)]]"))
     assert got == [(200, 37, 1), (300, 26, 1)]
+
+
+def test_or_join_projects_branch_vars(engine):
+    """or-join with explicit unification vars: branches may bind
+    different variable sets, projected to the join vars."""
+
+    for a in ("name", "age", "likes"):
+        engine.create_attribute(a)
+    engine.transact(
+        [
+            Datom.add(1, "name", "Ivan"),
+            Datom.add(1, "likes", "pizza"),
+            Datom.add(2, "name", "Oleg"),
+            Datom.add(2, "age", 30),
+            Datom.add(3, "name", "Petr"),
+        ]
+    )
+    got = rows(
+        query(
+            engine,
+            "[:find ?e :where [?e :name ?n] "
+            "(or-join [?e] (and [?e :likes ?l]) (and [?e :age ?a]))]",
+        )
+    )
+    assert got == [(1, 1), (2, 1)]
