@@ -167,3 +167,47 @@ def test_cli_roundtrip(spark):
     finally:
         tcp.shutdown()
         tcp.server_close()
+
+
+def test_derive_request(spark):
+    """Derive(query, namespace) materializes GraphQL pull paths as
+    queryable attributes via the protocol."""
+
+    srv = Server(spark)
+    srv.handle(
+        [
+            {"CreateAttribute": {"name": "hero/name", "config": None}},
+            {"Transact": [[{"Eid": 1}, "hero/name", "Dipper", None, 1]]},
+            {"Derive": ['query { hero(name: "Dipper") { name } }', "d"]},
+            {"Subscribe": "d/hero/name"},
+        ]
+    )
+    out = srv.handle(["Status"])
+    [status] = [v for o in out for k, v in o.items() if k == "Status"]
+    assert "d/hero/name" in status["attributes"]
+
+
+def test_lww_attribute_via_protocol(spark):
+    """CreateAttribute with LastWriteWins config: an out-of-order
+    older write does not displace the newer value."""
+
+    srv = Server(spark)
+    out = srv.handle(
+        [
+            {
+                "CreateAttribute": {
+                    "name": "temp",
+                    "config": {"input_semantics": "LastWriteWins"},
+                }
+            },
+            {
+                "Transact": [
+                    [{"Eid": 1}, "temp", {"Number": 20}, 10, 1],
+                    [{"Eid": 1}, "temp", {"Number": 15}, 5, 1],  # late, older
+                ]
+            },
+            {"Subscribe": "temp"},
+        ]
+    )
+    [(name, rows)] = [v for o in out for k, v in o.items() if k == "QueryDiff"]
+    assert [r[:-2] for r in rows] == [[1, 20]]  # newer t wins
