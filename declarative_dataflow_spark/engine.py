@@ -383,9 +383,13 @@ class Engine:
         for d in datoms:
             t = d.t if d.t is not None else tx
             by_attr.setdefault(d.a, []).append((d.e, d.v, t, d.diff))
+        # Transactions are atomic: validate every referenced attribute
+        # before mutating any, so a failed transact leaves no partial
+        # state behind.
+        unknown = [aid for aid in by_attr if aid not in self._transacted]
+        if unknown:
+            raise KeyError(f"attribute {unknown[0]} not created")
         for aid, rows in by_attr.items():
-            if aid not in self._transacted:
-                raise KeyError(f"attribute {aid} not created")
             self._transacted[aid].append(rows)
         self.next_tx = tx + 1
         return tx

@@ -453,17 +453,29 @@ def _aggregate(plan: Aggregate, catalog: Catalog) -> Relation:
             seen.append(v)
     rel = rel.projected(seen)
 
+    # Consolidate diff-carrying input first: the reference's differential
+    # reduce only ever sees the consolidated multiset
+    # (aggregate_neu.rs reduce), so a value asserted then retracted
+    # (+1/-1 rows) must not reach MIN/MAX/MEDIAN. Linear aggregates
+    # (COUNT/SUM/AVG/VARIANCE) are unaffected — summing v*net over
+    # consolidated rows equals summing v*diff over raw rows — while the
+    # order statistics below additionally guard net weight > 0.
+    if rel.has_diff:
+        rel = rel.consolidated()
+
     diff = F.col(DIFF) if rel.has_diff else F.lit(1)
 
     aggs: list[Column] = []
     medians: list[tuple[Var, str]] = []
     for fn, av in zip(plan.aggregation_fns, plan.aggregation_variables):
         c = F.col(vcol(av))
+        # Order statistics ignore tuples with non-positive net weight.
+        present = F.when(F.col(DIFF) > 0, c) if rel.has_diff else c
         out = vcol(av)
         if fn == AggregationFn.MIN:
-            aggs.append(F.min(c).alias(out))
+            aggs.append(F.min(present).alias(out))
         elif fn == AggregationFn.MAX:
-            aggs.append(F.max(c).alias(out))
+            aggs.append(F.max(present).alias(out))
         elif fn == AggregationFn.COUNT:
             aggs.append(F.sum(diff).alias(out))
         elif fn == AggregationFn.SUM:
@@ -515,7 +527,13 @@ def _aggregate(plan: Aggregate, catalog: Catalog) -> Relation:
     for p in pieces[1:]:
         df = df.join(p, on=key_cols, how="inner") if key_cols else df.crossJoin(p)
 
-    out_vars = keys + list(plan.aggregation_variables)
+    # The reference supports interleaved find clauses like
+    # [:find ?key1 (min ?v1) ?key2] via output_offsets
+    # (aggregate_neu.rs:110-120): honor the plan's declared variable
+    # order whenever it covers exactly the produced columns.
+    produced = keys + list(plan.aggregation_variables)
+    declared = list(plan.variables_)
+    out_vars = declared if sorted(declared) == sorted(produced) else produced
     df = df.select(*[vcol(v) for v in out_vars])
     return Relation(out_vars, df, False)
 

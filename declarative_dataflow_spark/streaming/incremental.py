@@ -470,9 +470,12 @@ class IncrementalAggregate:
                 F.sum(v * w) / n
             )
         elif self.fn == AggregationFn.MIN:
-            out = F.min(v)
+            # Over-retracted values (net weight <= 0) are absent from the
+            # multiset — same guard as the MEDIAN branch and the batch
+            # compiler's order statistics.
+            out = F.min(F.when(w > 0, v))
         else:
-            out = F.max(v)
+            out = F.max(F.when(w > 0, v))
         return slice_df.groupBy(*self.keys).agg(out.alias("value"))
 
     def transact(self, datoms: Iterable[Datom]) -> DataFrame:

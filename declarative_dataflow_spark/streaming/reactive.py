@@ -38,6 +38,10 @@ class Interest:
     previous: Optional[DataFrame] = None
     history: list[tuple[int, list]] = field(default_factory=list)
     delta_join: Optional[object] = None  # incremental path, if eligible
+    # True when the DeltaJoin was (re)seeded inside the current advance,
+    # i.e. AFTER engine.transact — its snapshots already contain this
+    # epoch's datoms, so the replay path must not transact them again.
+    seeded_post_transact: bool = False
     # Output batching: emit coalesced diffs every `granularity` epochs
     # (the reference's delay+coarsen, server/src/main.rs:482-490).
     granularity: int = 1
@@ -183,8 +187,11 @@ class ReactiveSession:
             if sub.delta_join is None and sub.previous is None:
                 # Attributes may appear after subscription; until the
                 # first successful epoch, keep probing for the
-                # incremental path.
+                # incremental path. A DeltaJoin built here is seeded
+                # from snapshots that already include this epoch's
+                # datoms (engine.transact ran first).
                 sub.delta_join = _delta_join_for(self.engine, sub.name)
+                sub.seeded_post_transact = sub.delta_join is not None
             if sub.delta_join is not None:
                 diffs = self._advance_incremental(sub, datoms or [])
             else:
@@ -215,8 +222,13 @@ class ReactiveSession:
             full = self.engine.interest(sub.name)
             if "diff" not in full.columns:
                 full = full.withColumn("diff", F.lit(1))
-            # Consume this epoch's datoms so they are not re-applied.
-            sub.delta_join.transact(datoms)
+            # Consume this epoch's datoms so they are not re-applied —
+            # unless the DeltaJoin was seeded post-transact in this very
+            # advance, in which case its snapshots already hold them and
+            # a second transact would double the weights.
+            if not sub.seeded_post_transact:
+                sub.delta_join.transact(datoms)
+            sub.seeded_post_transact = False
             return full.withColumn("__epoch_diff", F.lit(1))
         diffs = sub.delta_join.transact(datoms)
         return diffs.withColumn("__epoch_diff", F.lit(1))

@@ -264,3 +264,53 @@ def test_median_ignores_overretracted(engine):
     )
     [row] = engine.implement(plan).collect()
     assert row[0] == 7  # upper-middle of [5, 7]; 100 never appears
+
+
+def test_order_stats_consolidate_retractions(engine):
+    """A value asserted then retracted (separate +1/-1 rows) must not
+    reach MIN/MAX/MEDIAN — the reference's differential reduce only
+    sees the consolidated multiset (aggregate_neu.rs)."""
+
+    engine.create_attribute("m2")
+    engine.transact([Datom.add(1, "m2", 5), Datom.add(2, "m2", 7)])
+    engine.transact([Datom.retract(1, "m2", 5)])
+    for fn in (AggregationFn.MIN, AggregationFn.MAX, AggregationFn.MEDIAN):
+        plan = Aggregate(
+            ["?v"],
+            MatchA("?e", "m2", "?v"),
+            [fn],
+            [],
+            ["?v"],
+            with_variables=["?e"],
+        )
+        assert rows(engine.implement(plan, ["v"])) == [(7,)]
+
+
+def test_interleaved_find_order(engine):
+    """[:find (min ?v) ?k ...] — output columns follow the plan's
+    declared variable order (reference: aggregate_neu.rs:110-120
+    output_offsets), not keys-then-aggregates."""
+
+    engine.create_attribute("k")
+    engine.create_attribute("v")
+    engine.transact(
+        [
+            Datom.add(1, "k", "a"),
+            Datom.add(1, "v", 10),
+            Datom.add(2, "k", "a"),
+            Datom.add(2, "v", 20),
+            Datom.add(3, "k", "b"),
+            Datom.add(3, "v", 30),
+        ]
+    )
+    inner = Join(["?e"], MatchA("?e", "k", "?k"), MatchA("?e", "v", "?v"))
+    plan = Aggregate(
+        ["?v", "?k"],  # aggregate first, key second
+        inner,
+        [AggregationFn.MIN],
+        ["?k"],
+        ["?v"],
+    )
+    df = engine.implement(plan, ["minv", "k"])
+    assert df.columns == ["minv", "k"]
+    assert rows(df) == [(10, "a"), (30, "b")]

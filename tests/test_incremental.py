@@ -421,3 +421,35 @@ def test_stream_delta_join(spark, tmp_path):
         assert +acc == Counter({(2, "Mabel", "13"): 1})
     finally:
         q.stop()
+
+
+def test_incremental_min_ignores_overretracted(spark):
+    """Values at net-negative weight are absent from the multiset: an
+    over-retracted low value must not win MIN (same guard as MEDIAN)."""
+
+    from declarative_dataflow_spark.plan.plans import AggregationFn
+    from declarative_dataflow_spark.streaming.incremental import (
+        IncrementalAggregate,
+    )
+
+    dj = DeltaJoin(
+        spark,
+        ["?e", "?g", "?x"],
+        [
+            AttributeBinding("?e", "group", "?g"),
+            AttributeBinding("?e", "amount", "?x"),
+        ],
+    )
+    agg = IncrementalAggregate(dj, ["?g"], AggregationFn.MIN, "?x")
+    acc = _apply(
+        Counter(),
+        agg.transact(
+            [
+                Datom.add(1, "group", 0),
+                Datom.add(1, "amount", 9),
+                Datom.add(2, "group", 0),
+                Datom.retract(2, "amount", 1),  # net weight -1
+            ]
+        ),
+    )
+    assert acc == Counter({(0, 9): 1})

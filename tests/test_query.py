@@ -223,3 +223,17 @@ def test_triangles_wco_equals_binary_join(spark):
     assert wco == binary and wco
     [cnt] = triangle_count_wco(edges).collect()
     assert cnt["n"] == len(wco)
+
+
+def test_transact_atomic_on_unknown_attribute(engine):
+    """A transaction referencing an unknown attribute fails without
+    mutating any attribute (atomicity)."""
+
+    import pytest
+
+    engine.create_attribute("known")
+    with pytest.raises(KeyError):
+        engine.transact(
+            [Datom.add(1, "known", 1), Datom.add(1, "missing", 2)]
+        )
+    assert rows(engine.implement(MatchA("?e", "known", "?v"))) == []

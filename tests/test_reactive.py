@@ -209,3 +209,34 @@ def test_aggregate_rule_incremental(engine):
             t = tuple(r)
             acc[t[:-2]] += t[-2] * t[-1]
     assert +acc == Counter({("a", 15): 1, ("b", 7): 1})
+
+
+def test_late_delta_join_no_double_count(engine):
+    """A DeltaJoin seeded during the same advance (attribute appeared
+    after subscription, engine.transact already ran) must not replay
+    that epoch's datoms on top of its snapshot seed — a later
+    retraction would otherwise emit diff=-2."""
+
+    from declarative_dataflow_spark.plan.plans import (
+        AttributeBinding,
+        Hector,
+    )
+
+    engine.register(
+        "xs2", Hector(["?e", "?v"], [AttributeBinding("?e", "x2", "?v")])
+    )
+    session = ReactiveSession(engine)
+    session.interest("xs2")  # attribute does not exist yet
+    assert session.interests["xs2"].delta_join is None
+
+    engine.create_attribute("x2")
+    session.transact([Datom.add(1, "x2", 1)])  # re-probe seeds DeltaJoin
+    assert session.interests["xs2"].delta_join is not None
+    d0 = _diffs(session.interests["xs2"].history, 0)
+    assert d0 == {(1, 1, 1): 1}
+
+    session.transact([Datom.retract(1, "x2", 1)])
+    rows1 = [r for e, rs in session.interests["xs2"].history if e == 1 for r in rs]
+    assert [(tuple(r)[:2], r["diff"] * r["__epoch_diff"]) for r in rows1] == [
+        ((1, 1), -1)
+    ]
