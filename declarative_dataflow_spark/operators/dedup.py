@@ -188,8 +188,10 @@ def minhash_lsh_pairs(
     # ever crosses the wire. The pass is recomputed (not persisted) on
     # the verify branch: at 100 TB a cached shingle-set table would not
     # fit memory, and the recompute is a scan Catalyst pipelines into
-    # the join anyway. The DuckDB oracle mirrors the hashing.
-    sets = hashed_shingle_sets(docs, n, text_col).persist()
+    # the join anyway (measured at sf0.1: persisting saves nothing —
+    # the whole pipeline is one job). The DuckDB oracle mirrors the
+    # hashing.
+    sets = hashed_shingle_sets(docs, n, text_col)
     sig = sets.select("doc_id", _sig_array(k).alias("sig"))
     banded = sig.select(
         "doc_id",

@@ -93,9 +93,9 @@ def cosine_topk(
 
 
 def _plane_weight(p: int, i: int) -> int:
-    """±1 from the parity of uint32(md5(f"{p}_{i}")) — the same value
-    the SQL expression conv(substring(md5(concat(p,'_',i)),1,8),16,10)
-    % 2 * 2 - 1 yields, precomputed driver-side."""
+    """±1 from the parity of uint32(md5(f"{p}_{i}")) — the oracle twin
+    of the SQL weight expression in :func:`hyperplane_signature` (hex
+    base is even, so uint32 parity == parity of the 8th hex digit)."""
 
     import hashlib
 
@@ -103,45 +103,62 @@ def _plane_weight(p: int, i: int) -> int:
     return h % 2 * 2 - 1
 
 
+# ±1 from md5 parity, usable verbatim in Spark SQL and DuckDB: the
+# parity of uint32(md5(..)[:8]) is the parity of its 8th hex digit.
+PLANE_WEIGHT_SQL = (
+    "CASE WHEN substring(md5(concat(CAST({p} AS STRING), '_', "
+    "CAST({i} AS STRING))), 8, 1) IN "
+    "('1','3','5','7','9','b','d','f') THEN 1.0 ELSE -1.0 END"
+)
+
+
 def hyperplane_signature(
     embeddings: DataFrame,
     planes: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: Optional[int] = None,
 ) -> DataFrame:
     """LSH bucket id per vector: ``planes``-bit random-hyperplane
-    signature. Plane weights are +1/-1 from a hash of (plane, dim) —
-    deterministic, precomputed ONCE as literal arrays (not re-hashed
-    per row: at 1e9 vectors x 8 planes x d dims that is 8e9·d md5
-    calls saved), nothing to store beyond the plan itself."""
+    signature, sign(v · r_p) per plane.
 
-    dim_row = embeddings.select(
-        F.size(F.col(vec_col)).alias("d")
-    ).first()
-    dim = dim_row["d"] if dim_row else 0
+    Plane weights are ±1 from md5-parity of (plane, index), computed
+    ONCE in a one-row broadcast DataFrame (planes x dim values total,
+    not per corpus row) — the plan carries no literal arrays, so its
+    size is independent of ``dim``, and the whole signature pass stays
+    map-only (broadcast cross join of a single row, no shuffle).
 
-    sig_terms = []
-    for p in range(planes):
-        weights = F.array(
-            *[
-                F.lit(float(_plane_weight(p, i)))
-                for i in range(dim)
-            ]
+    ``dim`` is the embedding dimensionality; pass it explicitly at
+    scale — when omitted, one tiny driver query sniffs it (convenience
+    for ad-hoc use only).
+    """
+
+    if dim is None:
+        dim_row = embeddings.select(
+            F.size(F.col(vec_col)).alias("d")
+        ).first()
+        dim = dim_row["d"] if dim_row else 0
+    if dim <= 0 or planes <= 0:
+        return embeddings.select(
+            F.col(id_col).alias("vec_id"), F.lit(0).alias("bucket")
         )
-        dot = F.aggregate(
-            F.zip_with(
-                F.col(vec_col),
-                weights,
-                lambda x, w: x.cast("double") * w,
-            ),
-            F.lit(0.0),
-            lambda acc, t: acc + t,
-        )
-        sig_terms.append(F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0)))
-    bucket = sig_terms[0]
-    for t in sig_terms[1:]:
-        bucket = bucket + t
-    return embeddings.select(
+
+    spark = embeddings.sparkSession
+    weight = PLANE_WEIGHT_SQL.format(p="p", i="i")
+    weights = spark.range(1).select(
+        F.expr(
+            f"transform(sequence(0, {planes - 1}), p -> "
+            f"transform(sequence(0, {dim - 1}), i -> "
+            f"CAST({weight} AS DOUBLE)))"
+        ).alias("__planes")
+    )
+    bucket = F.expr(
+        f"aggregate(sequence(0, {planes - 1}), 0, (acc, p) -> acc + "
+        f"IF(aggregate(zip_with({vec_col}, __planes[p], "
+        "(x, w) -> CAST(x AS DOUBLE) * w), CAST(0.0 AS DOUBLE), "
+        "(a, t) -> a + t) > 0, CAST(shiftleft(1, p) AS INT), 0))"
+    )
+    return embeddings.crossJoin(F.broadcast(weights)).select(
         F.col(id_col).alias("vec_id"), bucket.alias("bucket")
     )
 
@@ -152,6 +169,7 @@ def embedding_neardup(
     planes: Optional[int] = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: Optional[int] = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (a, b, sim) with a < b
     and cosine >= threshold.
@@ -171,7 +189,7 @@ def embedding_neardup(
         _norm(vec_col).alias("nrm"),
     )
     if planes is not None:
-        sig = hyperplane_signature(embeddings, planes, id_col, vec_col)
+        sig = hyperplane_signature(embeddings, planes, id_col, vec_col, dim=dim)
         base = base.join(sig, base["id"] == sig["vec_id"]).select(
             "id", "v", "nrm", "bucket"
         )
@@ -313,6 +331,7 @@ def lsh_topk(
     planes: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: Optional[int] = None,
 ) -> DataFrame:
     """Approximate top-k: exact cosine within hyperplane buckets.
 
@@ -323,7 +342,7 @@ def lsh_topk(
 
     from pyspark.sql.window import Window
 
-    sig = hyperplane_signature(embeddings, planes, id_col, vec_col)
+    sig = hyperplane_signature(embeddings, planes, id_col, vec_col, dim=dim)
     emb = embeddings.join(sig, embeddings[id_col] == sig["vec_id"]).select(
         embeddings[id_col].alias("id"),
         F.col(vec_col).alias("v"),

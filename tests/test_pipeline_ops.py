@@ -246,3 +246,33 @@ def test_stratified_sample_respects_fractions(spark):
     assert langs == {"en"}
     n = kept.count()
     assert 400 <= n <= 600  # ~50% of the 1000 'en' docs
+
+
+def test_lsh_signature_high_dim_plan_independent(spark):
+    """d=256: the signature matches the md5-parity formula computed in
+    Python, the plan carries no per-dimension literal arrays (its size
+    is independent of d), and no driver query runs when dim is given."""
+
+    import random
+
+    from declarative_dataflow_spark.operators.similarity import _plane_weight
+
+    rng = random.Random(11)
+    d, planes = 256, 8
+    data = [(i, [rng.uniform(-1, 1) for _ in range(d)]) for i in range(6)]
+    emb = spark.createDataFrame(data, ["vec_id", "embedding"])
+
+    sig = similarity.hyperplane_signature(emb, planes=planes, dim=d)
+    plan_str = sig._jdf.queryExecution().optimizedPlan().toString()
+    # Literal-array plans embedded O(planes*d) float literals; the
+    # SQL-generated weights keep the plan tiny.
+    assert len(plan_str) < 20_000
+
+    got = {r["vec_id"]: r["bucket"] for r in sig.collect()}
+    for vec_id, v in data:
+        expected = sum(
+            (1 << p)
+            for p in range(planes)
+            if sum(v[i] * _plane_weight(p, i) for i in range(d)) > 0
+        )
+        assert got[vec_id] == expected
