@@ -1095,9 +1095,12 @@ def oracle_sql() -> dict[str, str]:
             "FROM events GROUP BY 1, 2"
         ),
         "lww": (
+            # Tie-break on equal ts: larger value wins (same rule as the
+            # engine's table-backed LWW and the streaming state machine).
             "SELECT user_id AS u, value AS v FROM ("
             "SELECT user_id, value, "
-            "row_number() OVER (PARTITION BY user_id ORDER BY ts DESC) AS rn "
+            "row_number() OVER (PARTITION BY user_id "
+            "ORDER BY ts DESC, value DESC) AS rn "
             "FROM events) WHERE rn = 1"
         ),
         "distinct_ingest": (

@@ -132,22 +132,29 @@ class _TransactedAttribute:
     def __init__(self, spark: SparkSession, config: AttributeConfig):
         self.spark = spark
         self.config = config
-        self.rows: list[tuple] = []  # (e, v, t, diff)
+        self.rows: list[tuple] = []  # (e, v, t, diff, seq)
+        # Arrival order, assigned at append time: an explicit column in
+        # the data, so LWW tie-breaks are deterministic regardless of
+        # partition layout (monotonically_increasing_id is not).
+        self._seq = 0
         self._cached: Optional[DataFrame] = None
 
     def append(self, rows: Iterable[tuple]) -> None:
-        self.rows.extend(rows)
+        for r in rows:
+            self.rows.append((*r, self._seq))
+            self._seq += 1
         self._cached = None
 
     def dataframe(self) -> DataFrame:
         if self._cached is None:
             if self.rows:
                 df = self.spark.createDataFrame(self.rows).toDF(
-                    "e", "v", "t", "diff"
+                    "e", "v", "t", "diff", "__seq"
                 )
             else:
                 df = self.spark.createDataFrame(
-                    [], schema="e long, v string, t long, diff long"
+                    [],
+                    schema="e long, v string, t long, diff long, __seq long",
                 )
             self._cached = _apply_input_semantics(df, self.config)
         return self._cached
@@ -166,18 +173,19 @@ def _apply_input_semantics(df: DataFrame, config: AttributeConfig) -> DataFrame:
             .select("e", "v", "t", F.lit(1).cast("long").alias("diff"))
         )
     if config.input_semantics == InputSemantics.LAST_WRITE_WINS:
-        # Latest write per entity wins; ties broken by transaction
-        # order via the monotone t (reference sorts batches by time and
-        # runs a per-entity state machine,
-        # src/operators/last_write_wins.rs:57-101). Out-of-order input
-        # is handled because the window orders by event time, not
-        # arrival order. Retractions (diff<0) delete the entity's value
-        # if they match the current winner.
-        w = Window.partitionBy("e").orderBy(F.col("t").desc(), F.col("__seq").desc())
-        ranked = (
-            df.withColumn("__seq", F.monotonically_increasing_id())
-            .withColumn("__rn", F.row_number().over(w))
+        # Latest write per entity wins; equal event times resolve by
+        # the explicit arrival-order __seq column — the reference sorts
+        # batches by time and applies a per-entity state machine in
+        # arrival order (src/operators/last_write_wins.rs:57-101), and
+        # a data-carried seq keeps that total order deterministic on
+        # any cluster partitioning. Out-of-order input is handled
+        # because the window orders by event time, not arrival order.
+        # Retractions (diff<0) delete the entity's value if they match
+        # the current winner.
+        w = Window.partitionBy("e").orderBy(
+            F.col("t").desc(), F.col("__seq").desc()
         )
+        ranked = df.withColumn("__rn", F.row_number().over(w))
         return (
             ranked.filter((F.col("__rn") == 1) & (F.col("diff") > 0))
             .select("e", "v", "t", F.lit(1).cast("long").alias("diff"))
@@ -248,8 +256,12 @@ class Engine:
         def loader() -> DataFrame:
             df = table_df.filter(F.expr(v_expr).isNotNull())
             if semantics == InputSemantics.LAST_WRITE_WINS:
+                # Static tables carry no arrival order, so equal event
+                # times resolve by the larger value — the same rule the
+                # streaming state machine applies (streaming/lww.py),
+                # deterministic under any partitioning.
                 w = Window.partitionBy(F.expr(e_expr)).orderBy(
-                    F.expr(t_expr).desc()
+                    F.expr(t_expr).desc(), F.expr(v_expr).desc()
                 )
                 df = df.withColumn("__rn", F.row_number().over(w)).filter(
                     F.col("__rn") == 1

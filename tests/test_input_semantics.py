@@ -62,3 +62,47 @@ def test_lww_per_entity(engine):
     engine.transact([Datom.add(1, "val", "b")])
     df = engine.implement(MatchA("?e", "val", "?v"), ["e", "v"])
     assert rows(df) == [(1, "b", 1), (2, "x", 1)]
+
+
+def test_lww_equal_time_ties_deterministic(engine):
+    """Equal-t writes resolve by arrival order (the data-carried __seq),
+    not partition layout: the LAST transacted write wins, every run."""
+
+    engine.create_attribute(
+        "tv", AttributeConfig(input_semantics=InputSemantics.LAST_WRITE_WINS)
+    )
+    # Same entity, same explicit time, three competing values in one
+    # transaction plus one more in a later transaction at the same t.
+    engine.transact(
+        [
+            Datom.add(1, "tv", "first", 100),
+            Datom.add(1, "tv", "second", 100),
+            Datom.add(1, "tv", "third", 100),
+        ]
+    )
+    engine.transact([Datom.add(1, "tv", "fourth", 100)])
+    df = engine.implement(MatchA("?e", "tv", "?v"), ["e", "v"])
+    assert rows(df) == [(1, "fourth", 1)]
+
+
+def test_lww_table_ties_deterministic(engine):
+    """Table-backed LWW: static tables carry no arrival order, so equal
+    event times resolve by the larger value (same rule as streaming)."""
+
+    df = engine.spark.createDataFrame(
+        [
+            (1, 10, 100),
+            (1, 30, 100),  # tie on ts=100 -> larger value wins
+            (1, 20, 100),
+            (2, 5, 50),
+            (2, 7, 40),  # older ts loses regardless of value
+        ],
+        ["user_id", "value", "ts"],
+    )
+    engine.register_table("ties", df)
+    engine.register_table_attribute(
+        "u/last", "ties", "user_id", "value", "ts",
+        InputSemantics.LAST_WRITE_WINS,
+    )
+    out = engine.implement(MatchA("?u", "u/last", "?v"), ["u", "v"])
+    assert rows(out) == [(1, 30), (2, 5)]
