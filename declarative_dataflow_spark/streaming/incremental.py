@@ -514,3 +514,282 @@ class IncrementalAggregate:
 
         self.state = new_state
         return removed.unionByName(added)
+
+
+class IncrementalRecursion:
+    """Incrementally-maintained linear monotone self-recursive rule.
+
+    The reference runs recursion inside its differential scope, so
+    input deltas propagate through the fixpoint iterations instead of
+    re-running them (src/lib.rs:943-1019). Spark-first equivalent, per
+    epoch over the maintained fixpoint T:
+
+    - additions: delta-seeded semi-naive — D0 = eval(new inputs,
+      rule:=T) \\ T, then propagate D_{i+1} = eval(rule:=D_i) \\ total
+      until empty. Work tracks the delta, not |T|.
+    - retractions: DRed (delete-and-rederive). Because T is a fixpoint
+      of the old inputs, the one-step overdeletion seed is simply
+      T \\ eval(new inputs, rule:=T); the closure then overdeletes
+      tuples derivable only through overdeleted tuples (tuples with an
+      intact base derivation under the new inputs are never
+      overdeleted), and the insertion phase above re-derives survivors.
+
+    Set semantics throughout (the fixpoint consolidates each iterate,
+    reference src/lib.rs:1012-1017). Eligibility (checked by
+    ``incremental_recursion_for``): one self-recursive rule, monotone
+    plan, linear self-reference, RAW transacted attributes only.
+
+    Scale notes: T and the input snapshots are localCheckpoint-ed
+    DataFrames (swap for reliable checkpoints/Delta on a cluster); every
+    per-epoch anti-join runs delta-vs-T, which Catalyst broadcasts when
+    the delta is small.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        name: str,
+        plan,
+        initial: Optional[dict[str, DataFrame]] = None,
+        max_iterations: int = 200,
+    ):
+        from ..plan.compiler import Relation
+
+        self.spark = spark
+        self.name = name
+        self.plan = plan
+        self.variables = list(plan.variables())
+        self.cols = [vcol(v) for v in self.variables]
+        self.max_iterations = max_iterations
+        # aid -> consolidated weighted (e, v, diff) input snapshot.
+        self.snapshots: dict[str, DataFrame] = {}
+        for aid, df in (initial or {}).items():
+            self.snapshots[aid] = (
+                DeltaJoin._consolidate(df.select("e", "v", "diff"))
+                .localCheckpoint(eager=True)
+            )
+        self._Relation = Relation
+        # Seed T with a full semi-naive fixpoint over the snapshots.
+        empty = self._empty_df()
+        total, _ = self._propagate(self._views(), empty, self._base_delta())
+        self.total = total.localCheckpoint(eager=True)
+
+    # -- helpers ---------------------------------------------------------
+
+    def _empty_df(self) -> DataFrame:
+        schema = ", ".join(f"`{c}` string" for c in self.cols)
+        return self.spark.createDataFrame([], schema=schema)
+
+    def _views(self) -> dict[str, DataFrame]:
+        """Present facts per attribute (net weight > 0, set view)."""
+
+        return {
+            aid: df.filter(F.col("diff") > 0).select("e", "v")
+            for aid, df in self.snapshots.items()
+        }
+
+    def _eval(self, views: dict[str, DataFrame], bound=None):
+        """Compile the rule body over the snapshot views; ``bound``
+        (a DataFrame over self.cols) substitutes the self-reference,
+        None leaves it unbound (base case only)."""
+
+        attrs = {
+            aid: AttributeSource(loader=(lambda d=df: d), has_diff=False)
+            for aid, df in views.items()
+        }
+        bound_rules = {}
+        unbound = {self.name}
+        if bound is not None:
+            bound_rules = {
+                self.name: self._Relation(self.variables, bound, False)
+            }
+            unbound = set()
+        cat = Catalog(attrs, {self.name: self.plan}, bound_rules, unbound)
+        rel = compile_plan(self.plan, cat).distinct()
+        return rel.df.select(*self.cols)
+
+    def _base_delta(self) -> DataFrame:
+        return self._eval(self._views()).localCheckpoint(eager=True)
+
+    def _propagate(
+        self,
+        views: dict[str, DataFrame],
+        total: DataFrame,
+        delta: DataFrame,
+    ) -> tuple[DataFrame, DataFrame]:
+        """Semi-naive insertion: fold ``delta`` (disjoint from
+        ``total``) and everything derivable from it into total.
+        Returns (new_total, all_added)."""
+
+        added = self._empty_df()
+        for _ in range(self.max_iterations):
+            if delta.limit(1).isEmpty():
+                return total, added
+            total = total.unionByName(delta)
+            added = added.unionByName(delta)
+            step = self._eval(views, bound=delta)
+            delta = step.join(total, self.cols, "left_anti").localCheckpoint(
+                eager=True
+            )
+        raise RuntimeError(
+            f"incremental fixpoint did not converge in {self.max_iterations}"
+        )
+
+    def current(self) -> DataFrame:
+        """The maintained fixpoint as (variables..., diff=1) — used to
+        replay state on subscription."""
+
+        out = self.total.select(
+            *[F.col(vcol(v)).alias(v) for v in self.variables]
+        )
+        return out.withColumn("diff", F.lit(1).cast("long"))
+
+    # -- epoch advancement ----------------------------------------------
+
+    def transact(self, datoms: Iterable[Datom]) -> DataFrame:
+        by_aid: dict[str, list[tuple[Any, Any, int]]] = {}
+        relevant = set(self.snapshots)
+        for d in datoms:
+            if d.a in relevant:
+                by_aid.setdefault(d.a, []).append((d.e, d.v, d.diff))
+
+        any_negative = False
+        for aid, rows_ in by_aid.items():
+            delta = DeltaJoin._consolidate(
+                self.spark.createDataFrame(rows_).toDF("e", "v", "diff")
+            ).localCheckpoint(eager=True)
+            merged = DeltaJoin._consolidate(
+                self.snapshots[aid].unionByName(delta)
+            ).localCheckpoint(eager=True)
+            self.snapshots[aid] = merged
+            if any(r[2] < 0 for r in rows_):
+                any_negative = True
+
+        if not by_aid:
+            return self._diffs(self._empty_df(), self._empty_df())
+
+        views = self._views()
+        t_old = self.total
+        overdeleted = self._empty_df()
+
+        if any_negative:
+            # One-step lost support: T was a fixpoint of the old
+            # inputs, so anything not re-derivable from (new inputs, T)
+            # lost a derivation through a deleted fact.
+            one_step = self._eval(views, bound=t_old)
+            o_i = t_old.join(one_step, self.cols, "left_anti").localCheckpoint(
+                eager=True
+            )
+            # Tuples with an intact base derivation are never
+            # overdeleted (their support does not pass through the
+            # rule), which keeps the closure delta-sized.
+            base_new = self._base_delta()
+            remaining = t_old
+            for _ in range(self.max_iterations):
+                if o_i.limit(1).isEmpty():
+                    break
+                overdeleted = overdeleted.unionByName(o_i)
+                remaining = remaining.join(o_i, self.cols, "left_anti")
+                derived = self._eval(views, bound=o_i)
+                o_i = (
+                    derived.join(remaining, self.cols, "left_semi")
+                    .join(base_new, self.cols, "left_anti")
+                    .dropDuplicates(self.cols)
+                    .localCheckpoint(eager=True)
+                )
+            else:
+                raise RuntimeError("overdeletion closure did not converge")
+            t1 = t_old.join(
+                overdeleted, self.cols, "left_anti"
+            ).localCheckpoint(eager=True)
+        else:
+            t1 = t_old
+
+        # Insertion phase re-derives overdeleted survivors AND folds in
+        # new-input derivations in one delta-seeded pass.
+        d0 = (
+            self._eval(views, bound=t1)
+            .join(t1, self.cols, "left_anti")
+            .dropDuplicates(self.cols)
+            .localCheckpoint(eager=True)
+        )
+        new_total, added = self._propagate(views, t1, d0)
+        self.total = new_total.localCheckpoint(eager=True)
+        return self._diffs(added, overdeleted)
+
+    def _diffs(self, added: DataFrame, overdeleted: DataFrame) -> DataFrame:
+        """Net output diffs: T_old = T1 ∪ overdeleted and added is
+        disjoint from T1, so genuinely-new tuples are added \\
+        overdeleted, and gone tuples are overdeleted \\ added — both
+        delta-sized anti-joins."""
+
+        plus = added.join(overdeleted, self.cols, "left_anti").withColumn(
+            DIFF, F.lit(1).cast("long")
+        )
+        minus = overdeleted.join(added, self.cols, "left_anti").withColumn(
+            DIFF, F.lit(-1).cast("long")
+        )
+        out = plus.unionByName(minus)
+        return out.select(
+            *[F.col(vcol(v)).alias(v) for v in self.variables],
+            F.col(DIFF).alias("diff"),
+        )
+
+
+def incremental_recursion_for(engine, name: str):
+    """Build an IncrementalRecursion for a rule when eligible: the rule
+    is the only member of its recursive cycle, references itself once
+    (linear), is monotone, depends on no other rules, and reads only
+    RAW transacted attributes. Returns None otherwise."""
+
+    from ..engine import InputSemantics, _is_monotone, _self_ref_count
+    from ..plan.plans import (
+        Hector as HectorPlan,
+        MatchA,
+        MatchAV,
+        MatchEA,
+        Plan,
+    )
+
+    plan = engine.rules.get(name)
+    if plan is None:
+        return None
+    if engine._recursive_rules(name) != {name}:
+        return None
+    if not _is_monotone(plan) or _self_ref_count(plan, name) != 1:
+        return None
+    if engine._dependencies(plan) != {name}:
+        return None
+
+    aids: set[str] = set()
+    unsupported = False
+
+    def walk(p) -> None:
+        nonlocal unsupported
+        if isinstance(p, (MatchA, MatchEA, MatchAV)):
+            aids.add(p.attribute)
+        elif isinstance(p, HectorPlan):
+            for b in p.bindings:
+                if isinstance(b, (AttributeBinding, AntijoinBinding)):
+                    if isinstance(b, AntijoinBinding):
+                        unsupported = True
+                    aids.add(b.attribute)
+        for attr in getattr(p, "__dataclass_fields__", {}):
+            v = getattr(p, attr)
+            if isinstance(v, Plan):
+                walk(v)
+            elif isinstance(v, list):
+                for item in v:
+                    if isinstance(item, Plan):
+                        walk(item)
+
+    walk(plan)
+    if unsupported or not aids:
+        return None
+    initial = {}
+    for aid in aids:
+        ta = engine._transacted.get(aid)
+        if ta is None or ta.config.input_semantics != InputSemantics.RAW:
+            return None
+        initial[aid] = ta.dataframe().select("e", "v", "diff")
+    return IncrementalRecursion(engine.spark, name, plan, initial)

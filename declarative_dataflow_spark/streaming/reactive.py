@@ -77,7 +77,13 @@ def _delta_join_for(engine: Engine, name: str):
         except ValueError:
             return None
     if not isinstance(plan, Hector):
-        return None
+        # Recursive rules: DRed-style incremental maintenance when the
+        # rule is linear, monotone, and self-recursive (the reference
+        # maintains recursion inside its differential scope,
+        # src/lib.rs:943-1019).
+        from .incremental import incremental_recursion_for
+
+        return incremental_recursion_for(engine, name)
     return _delta_join_for_plan(engine, plan)
 
 
@@ -219,16 +225,22 @@ class ReactiveSession:
 
         if sub.previous is None:
             sub.previous = True  # replay marker
-            full = self.engine.interest(sub.name)
-            if "diff" not in full.columns:
-                full = full.withColumn("diff", F.lit(1))
             # Consume this epoch's datoms so they are not re-applied —
-            # unless the DeltaJoin was seeded post-transact in this very
-            # advance, in which case its snapshots already hold them and
-            # a second transact would double the weights.
+            # unless the maintainer was seeded post-transact in this
+            # very advance, in which case its snapshots already hold
+            # them and a second transact would double the weights.
             if not sub.seeded_post_transact:
                 sub.delta_join.transact(datoms)
             sub.seeded_post_transact = False
+            if hasattr(sub.delta_join, "current"):
+                # Maintainers tracking their own materialized state
+                # replay from it — no second fixpoint via the engine.
+                return sub.delta_join.current().withColumn(
+                    "__epoch_diff", F.lit(1)
+                )
+            full = self.engine.interest(sub.name)
+            if "diff" not in full.columns:
+                full = full.withColumn("diff", F.lit(1))
             return full.withColumn("__epoch_diff", F.lit(1))
         diffs = sub.delta_join.transact(datoms)
         return diffs.withColumn("__epoch_diff", F.lit(1))

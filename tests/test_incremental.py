@@ -453,3 +453,97 @@ def test_incremental_min_ignores_overretracted(spark):
         ),
     )
     assert acc == Counter({(0, 9): 1})
+
+
+def _reach_rule():
+    from declarative_dataflow_spark import Join, MatchA, NameExpr, Union
+
+    return Union(
+        ["?x", "?y"],
+        [
+            MatchA("?x", "edge", "?y"),
+            Join(
+                ["?m"],
+                NameExpr(["?x", "?m"], "reach"),
+                MatchA("?m", "edge", "?y"),
+            ),
+        ],
+    )
+
+
+def _accumulate(history) -> Counter:
+    acc: Counter = Counter()
+    for _, rows_ in history:
+        for r in rows_:
+            t = tuple(r)
+            acc[t[:-2]] += t[-2] * t[-1]
+    return +acc
+
+
+def test_incremental_recursion_cycle_deletion(engine):
+    """DRed hard case: mutually-supporting path tuples on a cycle must
+    all retract when the edge sustaining them disappears."""
+
+    from declarative_dataflow_spark.streaming.incremental import (
+        IncrementalRecursion,
+    )
+    from declarative_dataflow_spark.streaming.reactive import ReactiveSession
+
+    engine.create_attribute("edge")
+    engine.register("reach", _reach_rule())
+    session = ReactiveSession(engine)
+    session.interest("reach")
+    assert isinstance(
+        session.interests["reach"].delta_join, IncrementalRecursion
+    )
+
+    session.transact(
+        [Datom.add(1, "edge", 2), Datom.add(2, "edge", 1)]
+    )
+    assert _accumulate(session.interests["reach"].history) == Counter(
+        {(1, 2): 1, (2, 1): 1, (1, 1): 1, (2, 2): 1}
+    )
+    session.transact([Datom.retract(1, "edge", 2)])
+    assert _accumulate(session.interests["reach"].history) == Counter(
+        {(2, 1): 1}
+    )
+
+
+def test_incremental_recursion_randomized(engine):
+    """Gate: recursive-rule diffs equal full recompute across
+    randomized add/retract epochs."""
+
+    import random
+
+    from declarative_dataflow_spark.streaming.incremental import (
+        IncrementalRecursion,
+    )
+    from declarative_dataflow_spark.streaming.reactive import ReactiveSession
+
+    engine.create_attribute("edge")
+    engine.register("reach", _reach_rule())
+    session = ReactiveSession(engine)
+    session.interest("reach")
+    assert isinstance(
+        session.interests["reach"].delta_join, IncrementalRecursion
+    )
+
+    rng = random.Random(7)
+    live: list = []
+    for _ in range(5):
+        batch = []
+        for _ in range(rng.randint(1, 4)):
+            if live and rng.random() < 0.4:
+                e, v = live.pop(rng.randrange(len(live)))
+                batch.append(Datom.retract(e, "edge", v))
+            else:
+                e, v = rng.randint(1, 6), rng.randint(1, 6)
+                live.append((e, v))
+                batch.append(Datom.add(e, "edge", v))
+        session.transact(batch)
+
+    acc = _accumulate(session.interests["reach"].history)
+    expected = Counter(
+        {tuple(r): 1 for r in engine.interest("reach").collect()}
+    )
+    assert acc == expected
