@@ -470,7 +470,11 @@ def q_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle counting over a derived edge attribute — the
     reference's WCO benchmark (experiments/src/bin/hector_wco.rs,
-    hector_test.rs:230-251), counted with :with semantics."""
+    hector_test.rs:230-251), counted with :with semantics.
+
+    ``distinct=True`` lets the compiler detect the cyclic binding
+    graph and lower it via generic WCO adjacency intersection instead
+    of the wedge-materializing join chain."""
 
     eng = _engine(spark, sf_dir)
     if "graph/edge" not in eng._attributes:
@@ -483,6 +487,7 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             "?s",
             "?d",
+            distinct=True,
         )
     triangle = Hector(
         ["?a", "?b", "?c"],
@@ -516,6 +521,55 @@ def q_triangle_wco(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return triangle_count_wco(edges)
+
+
+def q_wco_4clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-clause cyclic conjunction (a 4-cycle) — the pattern where
+    binary join chains materialize length-3 paths before the closing
+    edge (reference 4-clause WCO cases: tests/query_test.rs:346-365).
+    The compiler detects the cycle and lowers it via adjacency
+    intersection; the count is over a sparser derived edge set so the
+    oracle join stays tractable."""
+
+    eng = _engine(spark, sf_dir)
+    if "graph/sedge" not in eng._attributes:
+        eng.register_table(
+            "events_sparse",
+            load_table(spark, sf_dir, "events").filter("event_id % 11 = 0"),
+        )
+        eng.register_derived_attribute(
+            "graph/sedge",
+            Union(
+                ["?s", "?d"],
+                [
+                    Scan(
+                        "events_sparse",
+                        {"user_id % 1000": "?s", "event_id % 1000": "?d"},
+                    )
+                ],
+            ),
+            "?s",
+            "?d",
+            distinct=True,
+        )
+    cycle = Hector(
+        ["?a", "?b", "?c", "?d"],
+        [
+            AttributeBinding("?a", "graph/sedge", "?b"),
+            AttributeBinding("?b", "graph/sedge", "?c"),
+            AttributeBinding("?c", "graph/sedge", "?d"),
+            AttributeBinding("?a", "graph/sedge", "?d"),
+        ],
+    )
+    count = Aggregate(
+        ["?a"],
+        cycle,
+        [AggregationFn.COUNT],
+        [],
+        ["?a"],
+        with_variables=["?b", "?c", "?d"],
+    )
+    return eng.implement(count, ["n"])
 
 
 def q_confusion_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -829,6 +883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "labelprop": q_labelprop,
         "triangle_count": q_triangle_count,
         "triangle_wco": q_triangle_wco,
+        "wco_4clause": q_wco_4clause,
         "confusion_filter": q_confusion_filter,
         "confusion_agg": q_confusion_agg,
         "lww": q_lww,
@@ -1085,6 +1140,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT count(*) AS n FROM edges e1 "
             "JOIN edges e2 ON e2.src = e1.dst "
             "JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst"
+        ),
+        "wco_4clause": (
+            "WITH edges AS (SELECT DISTINCT user_id % 1000 AS src, "
+            "event_id % 1000 AS dst FROM events WHERE event_id % 11 = 0) "
+            "SELECT CAST(count(*) AS BIGINT) AS n FROM edges e1 "
+            "JOIN edges e2 ON e2.src = e1.dst "
+            "JOIN edges e3 ON e3.src = e2.dst "
+            "JOIN edges e4 ON e4.src = e1.src AND e4.dst = e3.dst"
         ),
         "confusion_filter": (
             "SELECT event_id AS e, value AS v FROM events "

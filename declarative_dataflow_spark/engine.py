@@ -217,10 +217,13 @@ class Engine:
 
         if name in self._attributes:
             raise ValueError(f"attribute {name} already exists")
-        ta = _TransactedAttribute(self.spark, config or AttributeConfig())
+        cfg = config or AttributeConfig()
+        ta = _TransactedAttribute(self.spark, cfg)
         self._transacted[name] = ta
         self._attributes[name] = AttributeSource(
-            loader=ta.dataframe, has_diff=True
+            loader=ta.dataframe,
+            has_diff=True,
+            distinct=cfg.input_semantics == InputSemantics.DISTINCT,
         )
 
     def register_table(self, table_name: str, df: DataFrame) -> None:
@@ -279,6 +282,7 @@ class Engine:
             e_expr=e_expr if plain else None,
             v_expr=v_expr if plain else None,
             table_loader=(lambda: table_df) if plain else None,
+            distinct=semantics == InputSemantics.DISTINCT,
         )
 
     def register_table_attributes(
@@ -355,7 +359,12 @@ class Engine:
         return table_name
 
     def register_derived_attribute(
-        self, aid: str, plan: Plan, e_var: str, v_var: str
+        self,
+        aid: str,
+        plan: Plan,
+        e_var: str,
+        v_var: str,
+        distinct: bool = False,
     ) -> None:
         """Attribute whose (e, v) pairs are a query result — the
         reference's Derive mechanism (src/derive/graphql.rs:34-120),
@@ -382,7 +391,12 @@ class Engine:
             ]
             return rel.df.select(*sel)
 
-        self._attributes[aid] = AttributeSource(loader=loader, has_diff=True)
+        # ``distinct=True`` declares the deriving plan emits set
+        # semantics (e.g. a Union, which distincts) — unlocks the WCO
+        # lowering for cyclic conjunctions over this attribute.
+        self._attributes[aid] = AttributeSource(
+            loader=loader, has_diff=True, distinct=distinct
+        )
 
     # -- transactions ----------------------------------------------------
 

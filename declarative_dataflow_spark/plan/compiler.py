@@ -137,6 +137,7 @@ class AttributeSource:
         e_expr: Optional[str] = None,
         v_expr: Optional[str] = None,
         table_loader: Optional[Callable[[], DataFrame]] = None,
+        distinct: bool = False,
     ):
         self.loader = loader
         self.has_diff = has_diff
@@ -146,6 +147,10 @@ class AttributeSource:
         self.e_expr = e_expr
         self.v_expr = v_expr
         self.table_loader = table_loader
+        # Declared set semantics: (e, v) pairs are duplicate-free, so
+        # set-based strategies (WCO adjacency intersection) preserve
+        # multiplicities exactly.
+        self.distinct = distinct
 
     @property
     def fusable(self) -> bool:
@@ -648,6 +653,10 @@ def _hector(plan: Hector, catalog: Catalog) -> Relation:
     if not attrs:
         raise ValueError("Hector requires at least one attribute binding")
 
+    # --- worst-case-optimal path for cyclic conjunctions ---
+    if _wco_eligible(attrs, consts, catalog):
+        return _hector_wco(plan, catalog, attrs, consts, preds, antis)
+
     # --- group fusable bindings by (entity var, base table) ---
     groups: dict[tuple[Var, str], list[AttributeBinding]] = {}
     singles: list[AttributeBinding] = []
@@ -705,6 +714,155 @@ def _hector(plan: Hector, catalog: Catalog) -> Relation:
             raise ValueError(f"target variable {v} is unbound")
         df = df.withColumn(vcol(v), F.lit(consts[v]))
         acc = Relation(acc.variables + [v], df, acc.has_diff)
+    return acc.projected(plan.variables_)
+
+
+def _wco_eligible(
+    attrs: list[AttributeBinding],
+    consts: dict[Var, Any],
+    catalog: Catalog,
+) -> bool:
+    """Route a conjunction to the worst-case-optimal lowering when its
+    variable graph is cyclic (the class binary join chains blow up on:
+    triangles, k-cycles — reference: src/plan/hector.rs delta
+    pipelines) and every source declares set semantics, so adjacency
+    intersection preserves multiplicities exactly."""
+
+    if len(attrs) < 3:
+        return False
+    for b in attrs:
+        if b.e == b.v or b.e in consts or b.v in consts:
+            return False
+        if not catalog.attribute(b.attribute).distinct:
+            return False
+
+    parent: dict[Var, Var] = {}
+
+    def find(x: Var) -> Var:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    cyclic = False
+    for b in attrs:
+        re_, rv = find(b.e), find(b.v)
+        if re_ == rv:
+            cyclic = True
+        else:
+            parent[re_] = rv
+    roots = {find(v) for b in attrs for v in (b.e, b.v)}
+    return cyclic and len(roots) == 1
+
+
+def _hector_wco(
+    plan: Hector,
+    catalog: Catalog,
+    attrs: list[AttributeBinding],
+    consts: dict[Var, Any],
+    preds: list[BinaryPredicateBinding],
+    antis: list[AntijoinBinding],
+) -> Relation:
+    """Generic worst-case-optimal join by variable elimination — the
+    generalized form of operators/wco.py's triangle intersection, for
+    ANY cyclic conjunction (reference: Hector's count→propose→validate
+    extension, src/plan/hector.rs:934-978, extenders 1093-1493).
+
+    Bind two variables from one scan, then extend one variable at a
+    time: every binding connecting the new variable to bound ones
+    contributes an adjacency array (forward e→[v] or reverse v→[e]),
+    candidates are their row-local ``array_intersect``, and bindings
+    whose endpoints are both bound apply as left-semi filters. The
+    intermediate never materializes a wedge: it stays at prefix
+    cardinality carrying bounded adjacency arrays, and skewed
+    high-degree keys cost one long array per row instead of a blown-up
+    join partition. Static max-connectivity variable order replaces
+    the reference's per-key adaptive min-proposal (Spark cannot branch
+    per key cheaply); the worst-case intermediate bound is the same.
+    """
+
+    scans: dict[str, DataFrame] = {}
+    for b in attrs:
+        if b.attribute not in scans:
+            scans[b.attribute] = (
+                catalog.attribute(b.attribute).dataframe().select("e", "v")
+            )
+
+    uniq = iter(range(10_000))
+    b0 = attrs[0]
+    df = scans[b0.attribute].select(
+        F.col("e").alias(vcol(b0.e)), F.col("v").alias(vcol(b0.v))
+    )
+    bound: list[Var] = [b0.e, b0.v]
+    used = [False] * len(attrs)
+    used[0] = True
+
+    while not all(used):
+        # Closing bindings: both endpoints bound -> semi-join filter
+        # (the validate stage; keeps prefix cardinality, never grows).
+        for i, b in enumerate(attrs):
+            if used[i] or b.e not in bound or b.v not in bound:
+                continue
+            ke, kv = f"__we{next(uniq)}", f"__wv{next(uniq)}"
+            edge = scans[b.attribute].select(
+                F.col("e").alias(ke), F.col("v").alias(kv)
+            )
+            df = df.join(
+                edge,
+                on=[
+                    F.col(vcol(b.e)) == F.col(ke),
+                    F.col(vcol(b.v)) == F.col(kv),
+                ],
+                how="left_semi",
+            )
+            used[i] = True
+        if all(used):
+            break
+
+        # Extension candidates: unbound variables adjacent to the
+        # prefix; most-constrained (max incident bindings) first.
+        cand: dict[Var, list[int]] = {}
+        for i, b in enumerate(attrs):
+            if used[i]:
+                continue
+            if b.e in bound and b.v not in bound:
+                cand.setdefault(b.v, []).append(i)
+            elif b.v in bound and b.e not in bound:
+                cand.setdefault(b.e, []).append(i)
+        if not cand:  # pragma: no cover - guarded by connectivity check
+            raise ValueError("disconnected WCO conjunction")
+        w = max(cand, key=lambda v: (len(cand[v]), str(v)))
+
+        arr_cols: list[str] = []
+        for i in cand[w]:
+            b = attrs[i]
+            key, out = ("e", "v") if b.e in bound else ("v", "e")
+            keyvar = b.e if b.e in bound else b.v
+            kn, an = f"__wk{next(uniq)}", f"__wa{next(uniq)}"
+            adj = (
+                scans[b.attribute]
+                .groupBy(F.col(key).alias(kn))
+                .agg(F.sort_array(F.collect_set(F.col(out))).alias(an))
+            )
+            df = df.join(
+                adj, on=F.col(vcol(keyvar)) == F.col(kn), how="inner"
+            ).drop(kn)
+            arr_cols.append(an)
+            used[i] = True
+        candidates = F.col(arr_cols[0])
+        for an in arr_cols[1:]:
+            candidates = F.array_intersect(candidates, F.col(an))
+        df = df.withColumn(vcol(w), F.explode(candidates)).drop(*arr_cols)
+        bound.append(w)
+
+    acc = Relation(bound, df, False)
+    applied: set[int] = set()
+    acc = _apply_ready_predicates(acc, preds, consts, applied)
+    if len(applied) != len(preds):
+        raise ValueError("predicate references unbound variable")
+    for b in antis:
+        acc = _apply_antijoin(acc, b, catalog, consts)
     return acc.projected(plan.variables_)
 
 

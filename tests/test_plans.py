@@ -159,3 +159,87 @@ def test_cache_attribute_shared_arrangement(tpch):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "InMemoryTableScan" in plan, plan
     tpch.uncache_attribute("nation/name")
+
+
+def _wco_engine(spark, edges):
+    from declarative_dataflow_spark import Datom, Engine
+    from declarative_dataflow_spark.plan.plans import Scan, Union
+
+    eng = Engine(spark)
+    eng.register_table("g", spark.createDataFrame(edges, ["s", "d"]))
+    eng.register_derived_attribute(
+        "edge",
+        Union(["?s", "?d"], [Scan("g", {"s": "?s", "d": "?d"})]),
+        "?s",
+        "?d",
+        distinct=True,
+    )
+    return eng
+
+
+def test_cyclic_hector_lowers_to_wco(spark):
+    """A cyclic conjunction over distinct sources compiles to the
+    adjacency-intersection WCO plan: array_intersect present, and no
+    edge-edge equi-join that would materialize wedges."""
+
+    from declarative_dataflow_spark.plan.plans import AttributeBinding, Hector
+
+    eng = _wco_engine(
+        spark, [(1, 2), (2, 3), (1, 3), (3, 4), (2, 4), (1, 4), (4, 1)]
+    )
+    tri = Hector(
+        ["?a", "?b", "?c"],
+        [
+            AttributeBinding("?a", "edge", "?b"),
+            AttributeBinding("?b", "edge", "?c"),
+            AttributeBinding("?a", "edge", "?c"),
+        ],
+    )
+    df = eng.implement(tri, ["a", "b", "c"])
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "array_intersect" in plan, plan
+    assert sorted(tuple(r)[:3] for r in df.collect()) == [
+        (1, 2, 3),
+        (1, 2, 4),
+        (1, 3, 4),
+        (2, 3, 4),
+    ]
+
+
+def test_wco_4clause_matches_chain(spark):
+    """4-cycle conjunction: WCO lowering (distinct sources) equals the
+    binary-join chain (non-distinct sources) on the same graph."""
+
+    from declarative_dataflow_spark import Engine
+    from declarative_dataflow_spark.plan.plans import (
+        AttributeBinding,
+        Hector,
+        Scan,
+        Union,
+    )
+
+    edges = [(1, 2), (2, 3), (1, 3), (3, 4), (2, 4), (1, 4), (4, 1), (3, 1)]
+    four = Hector(
+        ["?a", "?b", "?c", "?d"],
+        [
+            AttributeBinding("?a", "edge", "?b"),
+            AttributeBinding("?b", "edge", "?c"),
+            AttributeBinding("?c", "edge", "?d"),
+            AttributeBinding("?a", "edge", "?d"),
+        ],
+    )
+    eng = _wco_engine(spark, edges)
+    wco = sorted(tuple(r)[:4] for r in eng.implement(four).collect())
+    plan = eng.implement(four)._jdf.queryExecution().optimizedPlan().toString()
+    assert "array_intersect" in plan, plan
+
+    chain = Engine(spark)
+    chain.register_table("g", spark.createDataFrame(edges, ["s", "d"]))
+    chain.register_derived_attribute(
+        "edge",
+        Union(["?s", "?d"], [Scan("g", {"s": "?s", "d": "?d"})]),
+        "?s",
+        "?d",
+    )
+    expected = sorted(tuple(r)[:4] for r in chain.implement(four).collect())
+    assert wco == expected
