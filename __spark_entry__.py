@@ -664,15 +664,19 @@ def q_pull_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_graphql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GraphQL document query compiled to nested Pull plans
-    (reference: src/plan/graphql.rs). Returns the flat path rows; the
-    AssocIn sink assembles nested JSON (tested in pytest)."""
+    (reference: src/plan/graphql.rs). Output follows the reference's
+    PullLevel shape (src/plan/pull.rs:170-226): nested levels
+    interleave the link attribute into the path, drop the
+    cardinality-single child id from attribute rows, and synthesize
+    db__id rows carrying it. The AssocIn sink assembles nested JSON
+    from these flat rows (tested in pytest)."""
 
     eng = _engine(spark, sf_dir)
     plan = graphql.compile_graphql(
         'query { orders(status: "F") { priority custkey { name nationkey } } }',
         ref_namespaces={"custkey": "customer"},
     )
-    return eng.implement(plan, ["root", "child", "a", "v"])
+    return eng.implement(plan, ["root", "link", "a", "v"])
 
 
 def q_bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1186,17 +1190,25 @@ def oracle_sql() -> dict[str, str]:
             "CAST(n_regionkey AS VARCHAR) AS v FROM nation"
         ),
         "graphql": (
+            # Reference PullLevel shape: the nested level interleaves the
+            # link attribute into the path, pops the cardinality-single
+            # child id, and emits db__id rows carrying it
+            # (src/plan/pull.rs:170-226).
             "SELECT CAST(o_orderkey AS VARCHAR) AS root, "
-            "CAST(NULL AS VARCHAR) AS child, 'orders/priority' AS a, "
+            "CAST(NULL AS VARCHAR) AS link, 'orders/priority' AS a, "
             "o_orderpriority AS v FROM orders WHERE o_orderstatus = 'F' "
             "UNION ALL "
-            "SELECT CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR), "
+            "SELECT CAST(o_orderkey AS VARCHAR), 'orders/custkey', "
             "'customer/name', c_name FROM orders "
             "JOIN customer ON c_custkey = o_custkey WHERE o_orderstatus = 'F' "
             "UNION ALL "
-            "SELECT CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR), "
+            "SELECT CAST(o_orderkey AS VARCHAR), 'orders/custkey', "
             "'customer/nationkey', CAST(c_nationkey AS VARCHAR) FROM orders "
-            "JOIN customer ON c_custkey = o_custkey WHERE o_orderstatus = 'F'"
+            "JOIN customer ON c_custkey = o_custkey WHERE o_orderstatus = 'F' "
+            "UNION ALL "
+            "SELECT DISTINCT CAST(o_orderkey AS VARCHAR), 'orders/custkey', "
+            "'db__id', CAST(o_custkey AS VARCHAR) FROM orders "
+            "WHERE o_orderstatus = 'F'"
         ),
         "bitemporal_asof": (
             "SELECT u, day, v FROM ("

@@ -966,29 +966,72 @@ def _apply_antijoin(
 
 
 def _pull_level(plan: PullLevel, catalog: Catalog) -> Relation:
-    """Emit ``[path.., e, aid, v-as-string]`` per pulled attribute
-    (reference: src/plan/pull.rs:94-236). Values are cast to string for
-    a uniform union schema (the reference's Value enum is untyped on
-    the wire)."""
+    """Emit pull rows per the reference's PullLevel shape
+    (src/plan/pull.rs:94-236). Values are cast to string for a uniform
+    union schema (the reference's Value enum is untyped on the wire).
+
+    Without ``path_attributes`` each row is ``[path.., aid, v]``. With
+    them, the path is interleaved with the attribute literals
+    (pull.rs interleave, 52-77): ``[p0, a0, p1, .., pn, aid, v]``.
+    Cardinality-single levels (``cardinality_many=False``) drop the
+    pulled entity id ``pn`` from attribute rows — there can only be one
+    child per (path, link) — and synthesize one
+    ``[p0, a0, .., "db__id", pn]`` row per distinct path instead
+    (pull.rs:208-226), so the child identity survives in the output.
+    """
 
     base = compile_plan(plan.plan, catalog)
     pv = plan.pull_variable
+    path_attrs = list(plan.path_attributes)
+    aliases = list(plan.pull_aliases or plan.pull_attributes)
+    if len(aliases) != len(plan.pull_attributes):
+        raise ValueError("pull_aliases must parallel pull_attributes")
+
+    # Interleaved path prefix: p0, a0, p1, a1, .., pn. The reference
+    # interleaves only when both sides are non-empty (interleave, 52-55).
+    if path_attrs and len(base.variables) != len(path_attrs) + 1:
+        raise ValueError(
+            "path_attributes must hold one link per nesting step"
+        )
+    interleaved: list[Column] = []
+    names: list[str] = []
+    for i, v in enumerate(base.variables):
+        interleaved.append(F.col(vcol(v)))
+        names.append(vcol(v))
+        if path_attrs and i < len(path_attrs):
+            interleaved.append(F.lit(path_attrs[i]))
+            names.append(f"__pa{i}")
+
+    single = bool(path_attrs) and not plan.cardinality_many
+    prefix = interleaved[:-1] if single else interleaved
+    prefix_names = names[:-1] if single else names
+
     pieces: list[DataFrame] = []
-    path_cols = [vcol(v) for v in base.variables]
-    for aid in plan.pull_attributes:
+    for aid, out_name in zip(plan.pull_attributes, aliases):
         attr = _attr_rel(catalog, aid, pv, "__pull_v")
         joined = _join_rel(base, attr, [pv])
-        df = joined.df.select(
-            *path_cols,
-            F.lit(aid).alias("__pull_a"),
-            F.col(vcol("__pull_v")).cast("string").alias("__pull_vs"),
+        pieces.append(
+            joined.df.select(
+                *prefix,
+                F.lit(out_name).alias("__pull_a"),
+                F.col(vcol("__pull_v")).cast("string").alias("__pull_vs"),
+            )
         )
-        pieces.append(df)
+    if single:
+        # One db__id row per distinct path (pull.rs:211-222): the popped
+        # child id re-emitted under the synthetic db__id attribute.
+        pieces.append(
+            base.distinct().df.select(
+                *prefix,
+                F.lit("db__id").alias("__pull_a"),
+                F.col(vcol(base.variables[-1])).cast("string").alias("__pull_vs"),
+            )
+        )
     out = pieces[0]
     for p in pieces[1:]:
         out = out.unionByName(p)
-    out_vars = list(base.variables) + ["__a", "__v"]
-    out = out.toDF(*[vcol(v) for v in base.variables], vcol("__a"), vcol("__v"))
+    out_vars = [f"__p{i}" for i in range(len(prefix_names))] + ["__a", "__v"]
+    out = out.toDF(*[vcol(v) for v in out_vars])
     return Relation(out_vars, out, False)
 
 

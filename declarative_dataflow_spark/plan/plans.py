@@ -395,8 +395,20 @@ class Hector(Plan):
 
 @dataclass
 class PullLevel(Plan):
-    """For each entity bound by ``plan``, emit ``[path.., e, aid, v]`` per
-    pulled attribute (reference: src/plan/pull.rs:22-36, impl 94-236)."""
+    """For each entity bound by ``plan``, emit one row per pulled
+    attribute (reference: src/plan/pull.rs:22-36, impl 94-236).
+
+    With empty ``path_attributes`` the row is ``[path.., aid, v]``.
+    With path attributes the path is interleaved with them —
+    ``[p0, a0, p1, .., pn, aid, v]`` (pull.rs interleave, 52-77) — and
+    ``cardinality_many`` controls whether the pulled entity id ``pn``
+    stays in the row: cardinality-single levels drop it and instead
+    synthesize one ``[p0, a0, .., "db__id", pn]`` row per path
+    (pull.rs:208-226).
+
+    ``pull_aliases`` optionally renames the emitted ``aid`` per pulled
+    attribute (GraphQL field aliases; the scan still reads the real
+    attribute)."""
 
     variables_: list[Var]
     plan: Plan
@@ -404,6 +416,7 @@ class PullLevel(Plan):
     pull_attributes: list[Aid]
     path_attributes: list[Aid] = field(default_factory=list)
     cardinality_many: bool = False
+    pull_aliases: Optional[list[Aid]] = None
 
     def variables(self) -> list[Var]:
         return list(self.variables_)

@@ -164,16 +164,17 @@ def plan_to_dict(plan: Plan) -> dict:
             }
         }
     if isinstance(plan, PullLevel):
-        return {
-            "PullLevel": {
-                "variables": list(plan.variables_),
-                "plan": plan_to_dict(plan.plan),
-                "pull_variable": plan.pull_variable,
-                "pull_attributes": list(plan.pull_attributes),
-                "path_attributes": list(plan.path_attributes),
-                "cardinality_many": plan.cardinality_many,
-            }
+        inner = {
+            "variables": list(plan.variables_),
+            "plan": plan_to_dict(plan.plan),
+            "pull_variable": plan.pull_variable,
+            "pull_attributes": list(plan.pull_attributes),
+            "path_attributes": list(plan.path_attributes),
+            "cardinality_many": plan.cardinality_many,
         }
+        if plan.pull_aliases is not None:
+            inner["pull_aliases"] = list(plan.pull_aliases)
+        return {"PullLevel": inner}
     if isinstance(plan, Pull):
         return {
             "Pull": {
@@ -303,34 +304,30 @@ def plan_from_dict(d: dict) -> Plan:
             [binding_from_dict(b) for b in inner["bindings"]],
         )
     if tag == "PullLevel":
-        return PullLevel(
-            list(inner["variables"]),
-            plan_from_dict(inner["plan"]),
-            inner["pull_variable"],
-            list(inner["pull_attributes"]),
-            list(inner.get("path_attributes", [])),
-            bool(inner.get("cardinality_many", False)),
-        )
+        return _pull_level_from_dict(inner)
     if tag == "Pull":
         return Pull(
             list(inner["variables"]),
-            [
-                PullLevel(
-                    list(p["variables"]),
-                    plan_from_dict(p["plan"]),
-                    p["pull_variable"],
-                    list(p["pull_attributes"]),
-                    list(p.get("path_attributes", [])),
-                    bool(p.get("cardinality_many", False)),
-                )
-                for p in inner["paths"]
-            ],
+            [_pull_level_from_dict(p) for p in inner["paths"]],
         )
     if tag == "PullAll":
         return PullAll(
             list(inner["variables"]), list(inner["pull_attributes"])
         )
     raise ValueError(f"unknown plan tag {tag}")
+
+
+def _pull_level_from_dict(inner: dict) -> PullLevel:
+    aliases = inner.get("pull_aliases")
+    return PullLevel(
+        list(inner["variables"]),
+        plan_from_dict(inner["plan"]),
+        inner["pull_variable"],
+        list(inner["pull_attributes"]),
+        list(inner.get("path_attributes", [])),
+        bool(inner.get("cardinality_many", False)),
+        list(aliases) if aliases is not None else None,
+    )
 
 
 def to_json(plan: Plan) -> str:

@@ -1,20 +1,24 @@
 """AssocIn sink: fold pull paths into nested JSON documents.
 
 Parity with the reference's AssocIn sink (src/sinks/assoc_in.rs:22-32,
-merge_paths 140-231), which assembles `[eid, aid, eid, aid, v, ...]`
-path tuples into nested maps (Clojure assoc-in semantics).
+merge_paths 140-231), which assembles path tuples into nested maps with
+Clojure assoc-in semantics: every tuple is ``[key.., leaf-key,
+leaf-value]`` and the document gets ``doc[key0][key1]..[leaf-key] =
+leaf-value``. Keys are entity ids or attribute names interchangeably
+(merge_paths parse_key, assoc_in.rs:160-166) — cardinality-single pull
+levels interleave link attributes into the path, cardinality-many
+levels keep child entity ids as keys, and the sink treats both
+uniformly.
 
 Spark-first: the fold runs bottom-up — the deepest nesting level is
-grouped into per-entity maps, re-emitted as (link-attribute, json)
-rows at its parent level, and the loop repeats until only the root
-remains. Every step is collect_list + map_from_entries + to_json —
-all JVM-side; documents are built where the data lives, never on the
-driver. Arbitrary nesting depth.
+grouped into per-prefix maps, re-emitted as (key, json) rows one level
+up, and the loop repeats until only the root remains. Every step is
+collect_list + map_from_entries + to_json — all JVM-side; documents are
+built where the data lives, never on the driver. Arbitrary nesting
+depth.
 """
 
 from __future__ import annotations
-
-from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame, functions as F
 
@@ -45,54 +49,32 @@ def _entries_map(df: DataFrame, keys: list[str]):
     )
 
 
-def assoc_in(
-    pull_rows: DataFrame,
-    path_cols: list[str],
-    links: Optional[Sequence[str]] = None,
-) -> DataFrame:
+def assoc_in(pull_rows: DataFrame, path_cols: list[str]) -> DataFrame:
     """Fold flat pull rows into one JSON document per root entity.
 
-    ``pull_rows`` has columns ``path_cols`` (root eid, then intermediate
-    entity ids; segments beyond a row's depth are NULL), then ``a``
-    (attribute) and ``v`` (string value). ``links[k]`` names the
-    attribute that nests depth k+2 under depth k+1 (the reference's
-    path_attributes); defaults to "children". Child documents are keyed
-    by child entity id — cardinality-many links stay lossless. Returns
-    (root, doc) where doc is nested JSON.
+    ``pull_rows`` has columns ``path_cols`` (root eid, then nested map
+    keys — link attributes for cardinality-single levels, child entity
+    ids for cardinality-many ones; segments beyond a row's depth are
+    NULL), then ``a`` (leaf key) and ``v`` (string value). Returns
+    (root, doc) where doc is nested JSON:
+    ``doc[path1]..[pathN][a] = v``.
     """
 
     depth = len(path_cols)
-    link_names = list(links) if links else ["children"] * (depth - 1)
-    if len(link_names) != depth - 1:
-        raise ValueError("need one link attribute per nesting step")
-
     df = pull_rows
     for d in range(depth, 1, -1):
         leaf = path_cols[d - 1]
         parents = path_cols[: d - 1]
         level = df.filter(F.col(leaf).isNotNull())
         rest = df.filter(F.col(leaf).isNull()).drop(leaf)
-        # One map per entity at this depth, then one map of child docs
-        # per parent, re-entering the fold as a single (a, v) row.
-        child_docs = _entries_map(level, parents + [leaf])
+        # One map per path prefix at this depth, re-entering the fold as
+        # a single (key, json-doc) row of the parent level.
         entries = (
-            child_docs.groupBy(*parents)
-            .agg(
-                F.map_from_entries(
-                    F.sort_array(
-                        F.collect_list(
-                            F.struct(
-                                F.col(leaf).cast("string").alias("k"),
-                                F.to_json("m").alias("j"),
-                            )
-                        )
-                    )
-                ).alias("cm")
-            )
+            _entries_map(level, parents + [leaf])
             .select(
                 *parents,
-                F.lit(link_names[d - 2]).alias("a"),
-                F.to_json("cm").alias("v"),
+                F.col(leaf).cast("string").alias("a"),
+                F.to_json("m").alias("v"),
             )
         )
         df = rest.unionByName(entries)
