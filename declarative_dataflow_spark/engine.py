@@ -86,11 +86,13 @@ class InputSemantics(str, Enum):
 class AttributeConfig:
     """Per-attribute configuration (reference: src/lib.rs:389-401).
 
-    ``trace_slack``/``index_direction``/``query_support`` govern
-    arrangement maintenance in the reference; on Spark indexes are not
-    materialized (Catalyst plans scans/joins), so they are accepted for
-    API parity and used only as hints (``index_direction`` may trigger
-    a cached reverse projection in future rounds).
+    ``trace_slack`` bounds retained history: ``Engine.advance_traces``
+    compacts the attribute's transacted rows to ``frontier - slack``
+    (the reference's Domain::advance_traces, src/domain/mod.rs:291-341),
+    and ReactiveSession calls it every epoch. ``index_direction`` /
+    ``query_support`` govern arrangement maintenance in the reference;
+    on Spark indexes are not materialized (Catalyst plans scans/joins),
+    so they are accepted for API parity only.
     """
 
     input_semantics: InputSemantics = InputSemantics.RAW
@@ -144,6 +146,51 @@ class _TransactedAttribute:
             self.rows.append((*r, self._seq))
             self._seq += 1
         self._cached = None
+
+    def compact(self, cutoff: int) -> int:
+        """Consolidate history at times <= ``cutoff`` (the reference's
+        advance_traces: merge diffs at times the compacted trace no
+        longer distinguishes, src/domain/mod.rs:291-341). Rows newer
+        than the cutoff are untouched, so any query or late write
+        within the slack answers exactly as before. Returns the number
+        of rows dropped.
+
+        Per input semantics:
+        - LastWriteWins keeps only each entity's winning row (and a
+          winning retraction, so a resurrected older write cannot slip
+          past a recorded delete);
+        - Raw/Distinct fold (e, v) groups into one net-weight row
+          stamped at the cutoff (zero-weight groups vanish).
+        """
+
+        old = [r for r in self.rows if r[2] <= cutoff]
+        if not old:
+            return 0
+        new = [r for r in self.rows if r[2] > cutoff]
+        kept: list[tuple] = []
+        if self.config.input_semantics == InputSemantics.LAST_WRITE_WINS:
+            best: dict = {}
+            for r in old:  # (e, v, t, diff, seq)
+                b = best.get(r[0])
+                if b is None or (r[2], r[4]) > (b[2], b[4]):
+                    best[r[0]] = r
+            kept = list(best.values())
+        else:
+            net: dict = {}
+            seqs: dict = {}
+            for e, v, t, diff, seq in old:
+                net[(e, v)] = net.get((e, v), 0) + diff
+                seqs[(e, v)] = min(seq, seqs.get((e, v), seq))
+            kept = [
+                (e, v, cutoff, w, seqs[(e, v)])
+                for (e, v), w in net.items()
+                if w != 0
+            ]
+        dropped = len(old) - len(kept)
+        if dropped:
+            self.rows = sorted(kept, key=lambda r: r[4]) + new
+            self._cached = None
+        return dropped
 
     def dataframe(self) -> DataFrame:
         if self._cached is None:
@@ -419,6 +466,30 @@ class Engine:
             self._transacted[aid].append(rows)
         self.next_tx = tx + 1
         return tx
+
+    def advance_traces(self, frontier: Optional[int] = None) -> dict[str, int]:
+        """Compact transacted histories to ``frontier - trace_slack``
+        per attribute (reference: Domain::advance_traces,
+        src/domain/mod.rs:291-341 — traces advance to the frontier
+        rewound by their configured slack).
+
+        Attributes without ``trace_slack`` keep full history. Returns
+        {aid: rows dropped} for the attributes that compacted. Called
+        per epoch by ReactiveSession; batch users may call it directly
+        after transacting.
+        """
+
+        if frontier is None:
+            frontier = self.next_tx
+        dropped: dict[str, int] = {}
+        for aid, ta in self._transacted.items():
+            slack = ta.config.trace_slack
+            if slack is None:
+                continue
+            n = ta.compact(frontier - slack)
+            if n:
+                dropped[aid] = n
+        return dropped
 
     # -- rules & queries ---------------------------------------------------
 

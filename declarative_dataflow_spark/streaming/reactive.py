@@ -213,6 +213,10 @@ class ReactiveSession:
             else:
                 sub.history.append((epoch, diffs.collect()))
         self.epoch += 1
+        # The reference advances domain traces as the frontier moves
+        # (advance_traces, src/domain/mod.rs:291-341): attributes with
+        # trace_slack compact history older than frontier - slack.
+        self.engine.advance_traces()
         return epoch
 
     def _advance_incremental(
