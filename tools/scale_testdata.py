@@ -1,0 +1,100 @@
+"""Scale the driver's sf0.1 testdata up by integer replication for
+soak runs (the driver's generator is not available; /root/testdata is
+read-only).
+
+Each copy offsets every entity key by ``copy * stride`` so referential
+integrity holds (orders still point at their copy's customers,
+lineitems at their copy's orders/parts/suppliers) while row counts and
+join fan-outs scale linearly. Dimension tables region/nation stay
+fixed, like TPC-H. Document text and embedding ids get a per-copy salt
+so exact-dedup/minhash keep realistic (not 10x-degenerate) duplicate
+rates: the salt rewrites a rare token, leaving shingle distributions
+intact.
+
+Usage: python tools/scale_testdata.py [factor] [out_dir]
+  factor  integer >= 1 (default 10 -> sf1 from sf0.1)
+  out_dir default /tmp/spark_graft_scale/sf1
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+from pyspark.sql import DataFrame, functions as F
+
+# key column -> offset stride (beyond any sf's key range)
+STRIDE = 100_000_000
+
+KEYS = {
+    "customer": ["c_custkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "part": ["p_partkey"],
+    "supplier": ["s_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+
+FIXED = ["region", "nation"]
+
+
+def _replicate(df: DataFrame, table: str, factor: int) -> DataFrame:
+    copies = (
+        df.crossJoin(
+            F.broadcast(
+                df.sparkSession.range(factor).select(
+                    F.col("id").alias("__copy")
+                )
+            )
+        )
+    )
+    out = copies
+    for k in KEYS[table]:
+        out = out.withColumn(k, F.col(k) + F.col("__copy") * STRIDE)
+    if table == "documents":
+        # Unique-per-copy suffix on a fraction of docs keeps the
+        # near-dup rate realistic instead of every doc having 9 exact
+        # twins.
+        out = out.withColumn(
+            "text",
+            F.when(
+                F.col("__copy") > 0,
+                F.concat(
+                    F.col("text"),
+                    F.lit(" copytag"),
+                    F.col("__copy").cast("string"),
+                ),
+            ).otherwise(F.col("text")),
+        )
+    return out.drop("__copy")
+
+
+def main() -> None:
+    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    out_dir = (
+        sys.argv[2]
+        if len(sys.argv) > 2
+        else "/tmp/spark_graft_scale/sf1"
+    )
+    src = os.environ.get("SPARK_GRAFT_SRC_SF", "/root/testdata/sf0.1")
+    os.makedirs(out_dir, exist_ok=True)
+
+    from declarative_dataflow_spark.session import build_session
+
+    spark = build_session("scale_testdata")
+    for t in FIXED:
+        spark.read.parquet(f"{src}/{t}.parquet").write.mode(
+            "overwrite"
+        ).parquet(f"{out_dir}/{t}.parquet")
+    for t, _ in KEYS.items():
+        df = spark.read.parquet(f"{src}/{t}.parquet")
+        _replicate(df, t, factor).write.mode("overwrite").parquet(
+            f"{out_dir}/{t}.parquet"
+        )
+        print(t, "done")
+
+
+if __name__ == "__main__":
+    main()
