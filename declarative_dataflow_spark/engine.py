@@ -23,6 +23,9 @@ differences:
 
 from __future__ import annotations
 
+import os
+import shutil
+import tempfile
 from dataclasses import dataclass, field
 from enum import Enum
 from typing import Any, Iterable, Optional
@@ -129,7 +132,18 @@ class Rule:
 
 
 class _TransactedAttribute:
-    """Accumulates datom batches for one attribute."""
+    """Accumulates datom batches for one attribute.
+
+    Recent rows live in a driver-side list (cheap for the protocol /
+    test path); once the list passes ``SPILL_ROWS`` it is flushed to a
+    parquet spill directory and read back as an ordinary scan, so a
+    long-lived attribute's history is bounded on the driver by one
+    spill threshold regardless of total volume (the streaming
+    ``transact_frame`` path never touches the driver at all).
+    """
+
+    SPILL_ROWS = 250_000
+    _SCHEMA = "e long, v string, t long, diff long, __seq long"
 
     def __init__(self, spark: SparkSession, config: AttributeConfig):
         self.spark = spark
@@ -140,12 +154,54 @@ class _TransactedAttribute:
         # partition layout (monotonically_increasing_id is not).
         self._seq = 0
         self._cached: Optional[DataFrame] = None
+        self._spill_dir: Optional[str] = None
+        self._spill_version = 0
 
     def append(self, rows: Iterable[tuple]) -> None:
         for r in rows:
             self.rows.append((*r, self._seq))
             self._seq += 1
         self._cached = None
+        if len(self.rows) >= self.SPILL_ROWS:
+            self._flush()
+
+    # -- spill tier ------------------------------------------------------
+
+    def _spill_path(self) -> str:
+        if self._spill_dir is None:
+            self._spill_dir = tempfile.mkdtemp(prefix="ddspark_attr_")
+        return os.path.join(self._spill_dir, f"v{self._spill_version}")
+
+    def _heap_df(self) -> DataFrame:
+        # Types are inferred from the data (values may be ints for
+        # entity refs, strings for scalars — consistent per attribute).
+        return self.spark.createDataFrame(self.rows).toDF(
+            "e", "v", "t", "diff", "__seq"
+        )
+
+    def _flush(self) -> None:
+        """Move the driver-held rows into the parquet spill tier."""
+
+        if not self.rows:
+            return
+        self._heap_df().write.mode("append").parquet(self._spill_path())
+        self.rows = []
+        self._cached = None
+
+    def _raw_dataframe(self) -> DataFrame:
+        pieces = []
+        if self._spill_dir is not None:
+            path = self._spill_path()
+            if os.path.exists(path):
+                pieces.append(self.spark.read.parquet(path))
+        if self.rows:
+            pieces.append(self._heap_df())
+        if not pieces:
+            return self.spark.createDataFrame([], schema=self._SCHEMA)
+        out = pieces[0]
+        for p in pieces[1:]:
+            out = out.unionByName(p)
+        return out
 
     def compact(self, cutoff: int) -> int:
         """Consolidate history at times <= ``cutoff`` (the reference's
@@ -163,6 +219,8 @@ class _TransactedAttribute:
           stamped at the cutoff (zero-weight groups vanish).
         """
 
+        if self._spill_dir is not None:
+            return self._compact_spilled(cutoff)
         old = [r for r in self.rows if r[2] <= cutoff]
         if not old:
             return 0
@@ -192,18 +250,55 @@ class _TransactedAttribute:
             self._cached = None
         return dropped
 
+    def _compact_spilled(self, cutoff: int) -> int:
+        """Spark-side compaction once history has spilled: the same
+        fold as the driver path, expressed as a group-by / window over
+        the spill scan, rewritten to a fresh spill version. Runs where
+        the data lives — driver memory stays bounded."""
+
+        df = self._raw_dataframe()
+        before = df.count()
+        old = df.filter(F.col("t") <= cutoff)
+        new = df.filter(F.col("t") > cutoff)
+        if self.config.input_semantics == InputSemantics.LAST_WRITE_WINS:
+            w = Window.partitionBy("e").orderBy(
+                F.col("t").desc(), F.col("__seq").desc()
+            )
+            kept = (
+                old.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+        else:
+            kept = (
+                old.groupBy("e", "v")
+                .agg(
+                    F.sum("diff").alias("diff"),
+                    F.min("__seq").alias("__seq"),
+                )
+                .filter(F.col("diff") != 0)
+                .select(
+                    "e", "v", F.lit(cutoff).alias("t"), "diff", "__seq"
+                )
+            )
+        out = kept.unionByName(new)
+        self._spill_version += 1
+        path = self._spill_path()
+        out.write.mode("overwrite").parquet(path)
+        after = self.spark.read.parquet(path).count()
+        prev = os.path.join(
+            self._spill_dir, f"v{self._spill_version - 1}"
+        )
+        shutil.rmtree(prev, ignore_errors=True)
+        self.rows = []
+        self._cached = None
+        return before - after
+
     def dataframe(self) -> DataFrame:
         if self._cached is None:
-            if self.rows:
-                df = self.spark.createDataFrame(self.rows).toDF(
-                    "e", "v", "t", "diff", "__seq"
-                )
-            else:
-                df = self.spark.createDataFrame(
-                    [],
-                    schema="e long, v string, t long, diff long, __seq long",
-                )
-            self._cached = _apply_input_semantics(df, self.config)
+            self._cached = _apply_input_semantics(
+                self._raw_dataframe(), self.config
+            )
         return self._cached
 
 

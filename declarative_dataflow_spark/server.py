@@ -63,6 +63,11 @@ class Server:
 
     # -- output plumbing -------------------------------------------------
 
+    #: rows per QueryDiff message; a huge epoch becomes several
+    #: messages instead of one driver-resident list (clients fold
+    #: diffs, so splitting is protocol-neutral).
+    DIFF_CHUNK_ROWS = 10_000
+
     def _emit_interest(self, name: str):
         def callback(diffs_df, epoch: int) -> None:
             # Transacted relations carry their multiset weight in a
@@ -72,13 +77,19 @@ class Server:
             cols = diffs_df.columns
             weighted = "diff" in cols
             drop = 2 if weighted else 1
+            # toLocalIterator streams one partition at a time, so the
+            # driver holds at most a partition plus one chunk — a
+            # result of any size cannot OOM the server.
             rows = []
-            for r in diffs_df.collect():
+            for r in diffs_df.toLocalIterator():
                 t = tuple(r)
                 d = t[-1] * (r["diff"] if weighted else 1)
                 rows.append(
                     [*[encode_value(v) for v in t[:-drop]], epoch, d]
                 )
+                if len(rows) >= self.DIFF_CHUNK_ROWS:
+                    self._outputs.append({"QueryDiff": [name, rows]})
+                    rows = []
             if rows:
                 self._outputs.append({"QueryDiff": [name, rows]})
 

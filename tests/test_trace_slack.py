@@ -132,6 +132,60 @@ def test_reactive_session_advances_traces(engine):
     assert live == {(1, "v3")}
 
 
+def test_transacted_history_spills_off_driver(engine):
+    """Past SPILL_ROWS the driver-held list flushes to parquet; reads
+    union the spill scan with the fresh tail, and compaction rewrites
+    the spill Spark-side (bounded driver memory for long-lived
+    attributes)."""
+
+    from declarative_dataflow_spark.engine import _TransactedAttribute
+
+    orig = _TransactedAttribute.SPILL_ROWS
+    _TransactedAttribute.SPILL_ROWS = 100
+    try:
+        engine.create_attribute(
+            "m/v",
+            AttributeConfig(
+                input_semantics=InputSemantics.LAST_WRITE_WINS,
+                trace_slack=1,
+            ),
+        )
+        # 30 entities x 5 epochs = 150 rows -> at least one flush.
+        for epoch in range(5):
+            engine.transact(
+                [
+                    Datom.add(e, "m/v", f"v{epoch}_{e}")
+                    for e in range(30)
+                ]
+            )
+        ta = engine._transacted["m/v"]
+        assert ta._spill_dir is not None  # spilled
+        assert len(ta.rows) < 150  # driver list bounded
+        got = dict(
+            (e, v)
+            for e, v, _ in rows(engine.implement(MatchA("?e", "m/v", "?v")))
+        )
+        assert got == {e: f"v4_{e}" for e in range(30)}
+        # Spark-side compaction: frontier=5, slack=1 -> one winner per
+        # entity at t<=4 (plus nothing newer), results unchanged.
+        dropped = engine.advance_traces()
+        assert dropped["m/v"] == 120
+        got2 = dict(
+            (e, v)
+            for e, v, _ in rows(engine.implement(MatchA("?e", "m/v", "?v")))
+        )
+        assert got2 == got
+        # Late-but-within-slack write still lands.
+        engine.transact([Datom.add(7, "m/v", "fresh")])
+        got3 = dict(
+            (e, v)
+            for e, v, _ in rows(engine.implement(MatchA("?e", "m/v", "?v")))
+        )
+        assert got3[7] == "fresh" and got3[8] == "v4_8"
+    finally:
+        _TransactedAttribute.SPILL_ROWS = orig
+
+
 def test_stream_lww_trace_slack_evicts(spark, tmp_path):
     """Streaming eviction: an entity whose winner lags the watermark by
     more than the slack is dropped from the state store. Within the

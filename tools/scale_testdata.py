@@ -21,6 +21,8 @@ from __future__ import annotations
 import os
 import sys
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 from pyspark.sql import DataFrame, functions as F
 
 # key column -> offset stride (beyond any sf's key range)
