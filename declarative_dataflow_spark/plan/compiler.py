@@ -482,7 +482,13 @@ def _aggregate(plan: Aggregate, catalog: Catalog) -> Relation:
         elif fn == AggregationFn.MAX:
             aggs.append(F.max(present).alias(out))
         elif fn == AggregationFn.COUNT:
-            aggs.append(F.sum(diff).alias(out))
+            cnt = F.sum(diff)
+            if not key_cols:
+                # Global count over an empty relation: SQL count(*)
+                # yields 0 where sum(diff) yields NULL; grouped counts
+                # are unaffected (empty groups emit no row at all).
+                cnt = F.coalesce(cnt, F.lit(0).cast("long"))
+            aggs.append(cnt.alias(out))
         elif fn == AggregationFn.SUM:
             aggs.append(F.sum(c * diff).alias(out))
         elif fn == AggregationFn.AVG:

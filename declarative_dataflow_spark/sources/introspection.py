@@ -19,7 +19,6 @@ spark/job-status ?s]` composes with any other query.
 
 from __future__ import annotations
 
-from itertools import count
 from typing import Any
 
 from ..engine import Datom, Engine
@@ -58,12 +57,16 @@ class SparkLoggingSource:
         tracker = self.engine.spark.sparkContext.statusTracker()
         datoms: list[Datom] = []
         stage_ids: set[int] = set()
-        # Job ids are sequential; enumerate until the tracker runs out
-        # of retained info (the analog of reading the log stream).
-        for jid in count(0):
+        # The tracker retains a bounded window of jobs
+        # (spark.ui.retainedJobs); ask it which ids it still knows
+        # rather than enumerating from 0 — in a long-lived session job
+        # 0 is evicted and a sequential scan would see nothing.
+        jids = set(tracker.getActiveJobsIds())
+        jids.update(tracker.getJobIdsForGroup(None))
+        for jid in sorted(jids):
             info = tracker.getJobInfo(jid)
             if info is None:
-                break
+                continue
             datoms.append(Datom.add(jid, "spark/job-status", info.status))
             datoms.append(
                 Datom.add(jid, "spark/job-num-stages", len(info.stageIds))

@@ -46,3 +46,67 @@ def test_json_source(spark, tmp_path):
     assert rows(eng.implement(MatchA("?e", "p/score", "?v"), ["e", "v"])) == [
         (1, 7),
     ]
+
+
+def test_socket_datom_source(spark, tmp_path):
+    """Network datom transport: JSON datoms over a TCP socket parse to
+    the stream_datom_source schema and route per-attribute
+    (reference Sourceable contract, src/sources/mod.rs:47-64)."""
+
+    import json
+    import socket
+    import threading
+
+    from declarative_dataflow_spark.sources.socket import (
+        route_datoms_to_attributes,
+        stream_socket_datoms,
+    )
+
+    datoms = [
+        {"e": 1, "a": "user/name", "v": "alice", "t": 0, "diff": 1},
+        {"e": 2, "a": "user/name", "v": "bob", "t": 0, "diff": 1},
+        {"e": 1, "a": "user/city", "v": "basel", "t": 0, "diff": 1},
+    ]
+
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+
+    def serve():
+        conn, _ = srv.accept()
+        with conn:
+            payload = "".join(json.dumps(d) + "\n" for d in datoms)
+            conn.sendall(payload.encode())
+            # Keep the connection open long enough for the micro-batch
+            # to drain; the query is stopped by the main thread.
+            threading.Event().wait(20)
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+
+    stream = stream_socket_datoms(spark, "127.0.0.1", port)
+    routed = route_datoms_to_attributes(stream, ["user/name", "user/city"])
+    q = (
+        routed["user/name"]
+        .writeStream.format("memory")
+        .queryName("socket_names")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        deadline = threading.Event()
+        for _ in range(40):
+            q.processAllAvailable()
+            got = {
+                (r["e"], r["v"]) for r in spark.table("socket_names").collect()
+            }
+            if got == {(1, "alice"), (2, "bob")}:
+                break
+            deadline.wait(0.5)
+        assert got == {(1, "alice"), (2, "bob")}
+    finally:
+        q.stop()
+        srv.close()

@@ -56,17 +56,24 @@ def _replicate(df: DataFrame, table: str, factor: int) -> DataFrame:
     for k in KEYS[table]:
         out = out.withColumn(k, F.col(k) + F.col("__copy") * STRIDE)
     if table == "documents":
-        # Unique-per-copy suffix on a fraction of docs keeps the
-        # near-dup rate realistic instead of every doc having 9 exact
-        # twins.
+        # Rotate a high-frequency character alphabet per copy: most
+        # words (hence most shingles) differ between copies, so the
+        # corpus keeps sf0.1's near-dup RATE instead of giving every
+        # document nine near-twins (which would inflate LSH candidate
+        # counts ~100x and measure an artifact, not scaling). An
+        # 11-letter alphabet and copy < 11 means no copy maps to the
+        # identity.
+        alpha = "etaoinshrdl"
+        rots = ", ".join(
+            repr(alpha[c:] + alpha[:c]) for c in range(len(alpha))
+        )
         out = out.withColumn(
             "text",
             F.when(
                 F.col("__copy") > 0,
-                F.concat(
-                    F.col("text"),
-                    F.lit(" copytag"),
-                    F.col("__copy").cast("string"),
+                F.expr(
+                    f"translate(text, '{alpha}', element_at(array({rots}), "
+                    "CAST(__copy % 11 AS INT) + 1))"
                 ),
             ).otherwise(F.col("text")),
         )
