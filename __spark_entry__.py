@@ -794,6 +794,20 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell assignment after one Lloyd (k-means) refinement step.
+    Per-component centroid means are rounded to 6 decimals each step,
+    so DuckDB reproduces the refined centroids exactly and the final
+    argmax-cosine assignment hash-matches."""
+
+    return similarity.ivf_assign(
+        load_table(spark, sf_dir, "embeddings"),
+        n_centroids=16,
+        iters=1,
+        dim=64,
+    )
+
+
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate NN via hyperplane LSH buckets (scale path). The
     md5-parity plane weights are pure SQL, so DuckDB mirrors the
@@ -917,6 +931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "embed_neardup": q_embed_neardup,
         "ann_ivf": q_ann_ivf,
+        "ann_ivf_kmeans": q_ann_ivf_kmeans,
     }
 
 
@@ -1351,6 +1366,35 @@ def oracle_sql() -> dict[str, str]:
             "SELECT *, CAST(row_number() OVER (PARTITION BY q "
             "ORDER BY sim DESC, neighbor) AS INT) AS rank FROM s) "
             "WHERE rank <= 5"
+        ),
+        "ann_ivf_kmeans": (
+            # One Lloyd step: assign under seed centroids, per-component
+            # means rounded to 6 decimals (lockstep unnest zip), empty
+            # cells keep the seed vector, re-assign under refined
+            # centroids — mirrors similarity.ivf_centroids(iters=1).
+            "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+            "FROM embeddings), "
+            "c0 AS (SELECT vec_id AS cell, v AS cv FROM e "
+            "ORDER BY vec_id LIMIT 16), "
+            "a1 AS (SELECT vec_id, v, cell FROM ("
+            "SELECT e.vec_id, e.v, c.cell, row_number() OVER ("
+            "PARTITION BY e.vec_id ORDER BY "
+            "list_dot_product(e.v, c.cv) / "
+            "(sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC, "
+            "c.cell) AS rn FROM e CROSS JOIN c0 c) WHERE rn = 1), "
+            "comp AS (SELECT cell, i, round(avg(x), 6) AS m FROM ("
+            "SELECT cell, unnest(v) AS x, unnest(range(1, len(v) + 1)) AS i "
+            "FROM a1) GROUP BY cell, i), "
+            "m1 AS (SELECT cell, list(m ORDER BY i) AS mv FROM comp "
+            "GROUP BY cell), "
+            "c1 AS (SELECT c0.cell, coalesce(m1.mv, c0.cv) AS cv "
+            "FROM c0 LEFT JOIN m1 USING (cell)) "
+            "SELECT vec_id, cell FROM ("
+            "SELECT e.vec_id, c.cell, row_number() OVER ("
+            "PARTITION BY e.vec_id ORDER BY "
+            "list_dot_product(e.v, c.cv) / "
+            "(sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC, "
+            "c.cell) AS rn FROM e CROSS JOIN c1 c) WHERE rn = 1"
         ),
         "ann_lsh": (
             # Mirrors similarity.lsh_topk: identical md5-parity plane

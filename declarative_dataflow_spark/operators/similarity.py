@@ -214,29 +214,31 @@ def embedding_neardup(
     )
 
 
-def ivf_assign(
-    embeddings: DataFrame,
-    n_centroids: int = 16,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
+def _seed_centroids(
+    embeddings: DataFrame, n_centroids: int, id_col: str, vec_col: str
 ) -> DataFrame:
-    """IVF cell assignment: (vec_id, cell) — each vector belongs to its
-    highest-cosine centroid.
+    """Deterministic seed: the ``n_centroids`` lowest-id vectors,
+    labeled by their vec_id (the label survives refinement)."""
 
-    Centroids are the ``n_centroids`` lowest-id vectors — a
-    deterministic seed sample (production would refine with k-means
-    iterations; the partition/probe machinery is identical). Centroids
-    are broadcast; assignment is one pass over the corpus, no shuffle
-    of the vectors themselves.
-    """
+    return (
+        embeddings.orderBy(F.col(id_col).asc())
+        .limit(n_centroids)
+        .select(
+            F.col(id_col).alias("cell"),
+            F.col(vec_col).cast("array<double>").alias("cv"),
+        )
+    )
+
+
+def _assign_cells(
+    embeddings: DataFrame, cents: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """(vec_id, v, cell): each vector's argmax-cosine centroid, ties
+    broken by lowest cell id. Centroids broadcast — one map-side pass
+    over the corpus, no shuffle of the vectors."""
 
     from pyspark.sql.window import Window
 
-    cents = (
-        embeddings.orderBy(F.col(id_col).asc())
-        .limit(n_centroids)
-        .select(F.col(id_col).alias("cell"), F.col(vec_col).alias("cv"))
-    )
     scored = (
         embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
         .crossJoin(F.broadcast(cents))
@@ -251,7 +253,77 @@ def ivf_assign(
     return (
         scored.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
-        .select("vec_id", "cell")
+        .select("vec_id", "v", "cell")
+    )
+
+
+def ivf_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: Optional[int] = None,
+) -> DataFrame:
+    """IVF centroids: deterministic seed sample refined by ``iters``
+    Lloyd (k-means) steps.
+
+    Each step is one broadcast-assign pass over the corpus followed by
+    an ``n_centroids``-group aggregate of per-component means — ``dim``
+    AVG columns with map-side partial aggregation, so the shuffle
+    carries n_centroids x dim partials per task, never the vectors
+    (and never an exploded n x dim row blow-up). New components are
+    rounded to 6 decimals each step so refinement is reproducible
+    across engines and cluster layouts; cells that capture no vectors
+    keep their previous centroid. The refined centroid set (k x dim
+    doubles) is collected to the driver per step and re-broadcast —
+    the same structure Spark MLlib's KMeans uses, and the property
+    that keeps each iteration a single corpus pass at any scale.
+    """
+
+    if dim is None:
+        dim_row = embeddings.select(F.size(F.col(vec_col)).alias("d")).first()
+        dim = dim_row["d"] if dim_row else 0
+    spark = embeddings.sparkSession
+    cents = _seed_centroids(embeddings, n_centroids, id_col, vec_col)
+    for _ in range(max(0, iters)):
+        assigned = _assign_cells(embeddings, cents, id_col, vec_col)
+        means = assigned.groupBy("cell").agg(
+            F.array(
+                *[F.round(F.avg(F.col("v").getItem(i)), 6) for i in range(dim)]
+            ).alias("mv")
+        )
+        refined = (
+            cents.join(means, "cell", "left")
+            .select(
+                "cell", F.coalesce(F.col("mv"), F.col("cv")).alias("cv")
+            )
+            .collect()
+        )
+        cents = spark.createDataFrame(refined, "cell long, cv array<double>")
+    return cents
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 0,
+    dim: Optional[int] = None,
+) -> DataFrame:
+    """IVF cell assignment: (vec_id, cell) — each vector belongs to its
+    highest-cosine centroid.
+
+    ``iters=0`` uses the raw seed sample; ``iters>0`` runs that many
+    Lloyd refinement steps first (:func:`ivf_centroids`). Centroids
+    are broadcast; assignment is one pass over the corpus, no shuffle
+    of the vectors themselves.
+    """
+
+    cents = ivf_centroids(embeddings, n_centroids, iters, id_col, vec_col, dim=dim)
+    return _assign_cells(embeddings, cents, id_col, vec_col).select(
+        "vec_id", "cell"
     )
 
 
@@ -263,6 +335,8 @@ def ivf_topk(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    refine_iters: int = 0,
+    dim: Optional[int] = None,
 ) -> DataFrame:
     """IVF approximate top-k: probe the ``nprobe`` nearest cells per
     query, exact cosine only inside probed cells.
@@ -270,17 +344,18 @@ def ivf_topk(
     The scale path complement to LSH: comparisons drop by roughly
     n_centroids/nprobe, and the cell assignment doubles as a
     partitioning key for the corpus (cluster layout: repartition by
-    cell, co-locating each probe).
+    cell, co-locating each probe). ``refine_iters`` Lloyd steps tighten
+    the cells before probing (better recall at the same nprobe).
     """
 
     from pyspark.sql.window import Window
 
-    cents = (
-        embeddings.orderBy(F.col(id_col).asc())
-        .limit(n_centroids)
-        .select(F.col(id_col).alias("cell"), F.col(vec_col).alias("cv"))
+    cents = ivf_centroids(
+        embeddings, n_centroids, refine_iters, id_col, vec_col, dim=dim
     )
-    assign = ivf_assign(embeddings, n_centroids, id_col, vec_col)
+    assign = _assign_cells(embeddings, cents, id_col, vec_col).select(
+        "vec_id", "cell"
+    )
 
     q = embeddings.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("q"), F.col(vec_col).alias("qv")

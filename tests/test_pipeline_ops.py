@@ -172,6 +172,46 @@ def test_ivf_topk_matches_brute_force_on_probed_cells(spark):
     assert [r["neighbor"] for r in sorted(top, key=lambda r: r["rank"])] == [2, 3]
 
 
+def test_ivf_kmeans_refinement_moves_centroids(spark):
+    # Seeds are vec 0 ([1,0]) and vec 1 ([0.6,0.8]): vector 4 starts in
+    # cell 1 (cosine to [0.6,0.8] beats [1,0]). One Lloyd step pulls
+    # cell 0's centroid toward the x-axis cluster mean and cell 1's
+    # toward the y-axis pair, after which vector 4 flips to cell 0 —
+    # refinement genuinely re-partitions, not just relabels.
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.6, 0.8]),
+            (2, [0.0, 1.0]),
+            (3, [0.1, 0.9]),
+            (4, [0.866, 0.5]),
+        ],
+        ["vec_id", "embedding"],
+    )
+    seed = {
+        r["vec_id"]: r["cell"] for r in similarity.ivf_assign(emb, 2).collect()
+    }
+    refined = {
+        r["vec_id"]: r["cell"]
+        for r in similarity.ivf_assign(emb, 2, iters=1, dim=2).collect()
+    }
+    assert seed[4] == 1 and refined[4] == 0
+    # Refined centroids are the rounded per-component means of their
+    # members under the seed assignment.
+    cents = {
+        r["cell"]: r["cv"]
+        for r in similarity.ivf_centroids(emb, 2, iters=1, dim=2).collect()
+    }
+    members0 = [[1.0, 0.0]]
+    members1 = [[0.6, 0.8], [0.0, 1.0], [0.1, 0.9], [0.866, 0.5]]
+    for cell, members in ((0, members0), (1, members1)):
+        want = [
+            round(sum(v[i] for v in members) / len(members), 6)
+            for i in range(2)
+        ]
+        assert cents[cell] == want
+
+
 def test_resize_and_features(docs):
     b = multimodal.attach_binary(docs)
     resized = multimodal.resize_image(b, width=8, height=4).collect()
