@@ -761,6 +761,19 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup group resolution: LSH pairs -> connected components ->
+    one canonical (min doc_id) survivor per duplicate cluster."""
+
+    return dedup.dedup_groups(
+        load_table(spark, sf_dir, "documents"),
+        k=16,
+        bands=4,
+        n=3,
+        threshold=0.2,
+    )
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash(load_table(spark, sf_dir, "documents"))
 
@@ -926,6 +939,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
+        "dedup_groups": q_dedup_groups,
         "simhash": q_simhash,
         "text_subwords": q_text_subwords,
         "cosine_topk": q_cosine_topk,
@@ -1010,6 +1024,41 @@ _MINHASH_ORACLE = (
     "FROM inter JOIN sizes za ON za.doc_id = a "
     "JOIN sizes zb ON zb.doc_id = b "
     "WHERE round(i / (za.sz + zb.sz - i), 4) >= 0.2"
+)
+
+# dedup_groups oracle: the same LSH pair pipeline, then a recursive
+# reachability closure over the undirected pair graph; canonical =
+# min reachable doc_id (independent formulation of the hash-min label
+# propagation in dedup.connected_components).
+_DEDUP_GROUPS_ORACLE = (
+    "WITH RECURSIVE words AS (SELECT doc_id, "
+    "string_split(lower(text), ' ') AS w FROM documents), "
+    "sh AS (SELECT DISTINCT doc_id, "
+    "unnest([w[i] || '_' || w[i+1] || '_' || w[i+2] "
+    "for i in range(1, len(w) - 1)]) AS shingle "
+    "FROM words WHERE len(w) >= 3), "
+    "shh AS (SELECT DISTINCT doc_id, "
+    "('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h FROM sh), "
+    f"sig AS (SELECT doc_id, {_MINHASH_MINS} FROM shh GROUP BY doc_id), "
+    f"banded AS ({_MINHASH_BANDS}), "
+    "cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b "
+    "FROM banded l JOIN banded r ON l.band = r.band AND l.key = r.key "
+    "AND l.doc_id < r.doc_id), "
+    "sizes AS (SELECT doc_id, count(*) AS sz FROM shh GROUP BY 1), "
+    "inter AS (SELECT c.a, c.b, count(*) AS i FROM cand c "
+    "JOIN shh sa ON sa.doc_id = c.a "
+    "JOIN shh sb ON sb.doc_id = c.b AND sb.h = sa.h "
+    "GROUP BY 1, 2), "
+    "pairs AS (SELECT a, b FROM inter "
+    "JOIN sizes za ON za.doc_id = a JOIN sizes zb ON zb.doc_id = b "
+    "WHERE round(i / (za.sz + zb.sz - i), 4) >= 0.2), "
+    "edges AS (SELECT a AS u, b AS v FROM pairs "
+    "UNION SELECT b, a FROM pairs), "
+    "reach(u, v) AS (SELECT u, u AS v FROM (SELECT DISTINCT u FROM edges) "
+    "UNION SELECT e.u, r.v FROM edges e JOIN reach r ON r.u = e.v), "
+    "comp AS (SELECT u, min(v) AS component FROM reach GROUP BY u) "
+    "SELECT d.doc_id, coalesce(c.component, d.doc_id) AS canonical "
+    "FROM documents d LEFT JOIN comp c ON c.u = d.doc_id"
 )
 
 
@@ -1305,6 +1354,7 @@ def oracle_sql() -> dict[str, str]:
             "WHERE round(i / (za.sz + zb.sz - i), 4) >= 0.5"
         ),
         "minhash_lsh": _MINHASH_ORACLE,
+        "dedup_groups": _DEDUP_GROUPS_ORACLE,
         "simhash": (
             "WITH words AS (SELECT DISTINCT doc_id, "
             "unnest(string_split(lower(text), ' ')) AS w FROM documents), "

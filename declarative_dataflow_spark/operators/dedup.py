@@ -253,6 +253,94 @@ def minhash_lsh_pairs(
     return jac.select("a", "b", "jaccard")
 
 
+def connected_components(
+    edges: DataFrame,
+    src: str = "a",
+    dst: str = "b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected edge list: (id, component)
+    where component is the smallest vertex id reachable from ``id``.
+
+    Hash-min label propagation, run to fixpoint: each round pushes every
+    vertex's current label across its edges and keeps the per-vertex
+    minimum. Rounds = graph diameter, and each round is one shuffle on
+    vertex id with map-side combine on min(). Near-duplicate graphs are
+    the intended input — many tiny star/clique components, diameter a
+    handful — so this converges in a few rounds with labels never wider
+    than one (id, component) pair per vertex. (For adversarial
+    long-chain graphs the O(log n)-round large-star/small-star
+    alternating trick [Kiveris et al., "Connected Components in
+    MapReduce and Beyond"] drops in behind the same signature.)
+    Lineage is truncated per round with localCheckpoint, as in the
+    recursive-rule fixpoint (engine.py).
+    """
+
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+    )
+    labels = (
+        sym.select(F.col("u").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("component"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        pushed = sym.join(
+            labels.withColumnRenamed("id", "u"), "u"
+        ).select(F.col("v").alias("id"), "component")
+        new = (
+            labels.union(pushed)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_groups(
+    docs: DataFrame,
+    k: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-duplicate group resolution: (doc_id, canonical).
+
+    MinHash-LSH pairs (:func:`minhash_lsh_pairs`) form an undirected
+    similarity graph; connected components collapse chains of pairwise
+    near-dups into groups (a~b, b~c => one group even when a!~c), and
+    each document maps to its group's smallest doc_id. Documents with
+    no near-dup partner are their own canonical. A curation pipeline
+    keeps rows where doc_id = canonical — one deterministic survivor
+    per duplicate cluster.
+    """
+
+    pairs = minhash_lsh_pairs(docs, k, bands, n, threshold, text_col)
+    comp = connected_components(pairs, "a", "b")
+    return (
+        docs.select("doc_id")
+        .join(comp.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("canonical"),
+        )
+    )
+
+
 def simhash(docs: DataFrame, bits: int = 32, text_col: str = "text") -> DataFrame:
     """Per-document SimHash over the distinct word set: (doc_id, simhash).
 

@@ -50,6 +50,32 @@ def test_minhash_lsh_finds_near_dups(docs):
     assert all(j >= 0.2 for j in pairs.values())
 
 
+def test_connected_components_collapses_chains(spark):
+    # 1-2, 2-3 chain plus isolated 8-9 pair: min-label propagation must
+    # cross the chain (1~3 transitively even though they share no edge).
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (9, 8)], ["a", "b"]
+    )
+    comp = {
+        r["id"]: r["component"]
+        for r in dedup.connected_components(edges).collect()
+    }
+    assert comp == {1: 1, 2: 1, 3: 1, 8: 8, 9: 8}
+
+
+def test_dedup_groups_canonical_per_cluster(docs):
+    # Identical docs always land in one group; every doc maps to a
+    # canonical <= itself and canonicals are fixpoints of the mapping.
+    groups = {
+        r["doc_id"]: r["canonical"]
+        for r in dedup.dedup_groups(docs, threshold=0.2).collect()
+    }
+    assert set(groups) == {r["doc_id"] for r in docs.select("doc_id").collect()}
+    for doc, canon in groups.items():
+        assert canon <= doc
+        assert groups[canon] == canon
+
+
 def test_simhash_identical_equal(docs):
     sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
     assert sh[1] == sh[2]
