@@ -783,9 +783,12 @@ def _hector_wco(
     intermediate never materializes a wedge: it stays at prefix
     cardinality carrying bounded adjacency arrays, and skewed
     high-degree keys cost one long array per row instead of a blown-up
-    join partition. Static max-connectivity variable order replaces
-    the reference's per-key adaptive min-proposal (Spark cannot branch
-    per key cheaply); the worst-case intermediate bound is the same.
+    join partition. The variable order is static (max connectivity),
+    but the PROPOSAL order is per-key adaptive: when several bindings
+    extend the same variable, each prefix row sorts its adjacency
+    lists by size and intersects smallest-first — the declarative form
+    of the reference's count→propose→validate min-selection, with the
+    same worst-case intermediate bound.
     """
 
     scans: dict[str, DataFrame] = {}
@@ -856,10 +859,34 @@ def _hector_wco(
             ).drop(kn)
             arr_cols.append(an)
             used[i] = True
-        candidates = F.col(arr_cols[0])
-        for an in arr_cols[1:]:
-            candidates = F.array_intersect(candidates, F.col(an))
-        df = df.withColumn(vcol(w), F.explode(candidates)).drop(*arr_cols)
+        if len(arr_cols) == 1:
+            candidates = F.col(arr_cols[0])
+            df = df.withColumn(vcol(w), F.explode(candidates)).drop(*arr_cols)
+        else:
+            # Per-key adaptive proposal order — the declarative analogue
+            # of the reference's count→propose→validate min-selection
+            # (src/plan/hector.rs:934-978): for EACH prefix row, sort
+            # the incident adjacency lists by size and fold
+            # array_intersect smallest-first, so proposals come from
+            # that key's fewest-candidates relation and every later
+            # intersect is bounded by the current (shrinking) candidate
+            # set, not by a fixed static binding order.
+            ws = f"__ws{next(uniq)}"
+            df = df.withColumn(
+                ws,
+                F.expr(
+                    f"array_sort(array({', '.join(arr_cols)}), (x, y) -> "
+                    "CASE WHEN size(x) < size(y) THEN -1 "
+                    "WHEN size(x) > size(y) THEN 1 ELSE 0 END)"
+                ),
+            )
+            candidates = F.expr(
+                f"aggregate(slice({ws}, 2, size({ws}) - 1), {ws}[0], "
+                "(acc, a) -> array_intersect(acc, a))"
+            )
+            df = df.withColumn(vcol(w), F.explode(candidates)).drop(
+                *arr_cols, ws
+            )
         bound.append(w)
 
     acc = Relation(bound, df, False)
