@@ -42,7 +42,7 @@ from .plan.compiler import (
     compile_plan,
     vcol,
 )
-from .plan.plans import Aggregate, Antijoin, NameExpr, Negate, Plan
+from .plan.plans import Aggregate, Antijoin, NameExpr, Negate, Plan, Union
 
 
 def _self_ref_count(plan: Plan, name: str) -> int:
@@ -597,12 +597,31 @@ class Engine:
         self,
         bound: Optional[dict[str, Relation]] = None,
         unbound: Optional[set[str]] = None,
+        static_cache: Optional[dict[str, Relation]] = None,
+        dynamic_rules: Optional[set[str]] = None,
     ) -> Catalog:
         cat = Catalog(self._attributes, self.rules, bound or {}, unbound)
         cat.tables = {
             name: (lambda df=df: df) for name, df in self._table_cache.items()
         }
+        if static_cache is not None:
+            cat.static_cache = static_cache
+            cat.dynamic_rules = dynamic_rules or set()
         return cat
+
+    def _dynamic_rules(self, recursive: set[str]) -> set[str]:
+        """Rules whose results change across fixpoint iterations: the
+        recursive set plus everything transitively referencing it."""
+
+        dyn = set(recursive)
+        changed = True
+        while changed:
+            changed = False
+            for rn, plan in self.rules.items():
+                if rn not in dyn and self._dependencies(plan) & dyn:
+                    dyn.add(rn)
+                    changed = True
+        return dyn
 
     def interest(
         self, name: str, as_names: Optional[list[str]] = None
@@ -746,12 +765,17 @@ class Engine:
 
         current: dict[str, Relation] = {}
         counts: dict[str, int] = {}
+        static_cache: dict[str, Relation] = {}
+        dynamic = self._dynamic_rules(recursive)
 
         for it in range(max_iterations):
             changed = False
             for rn in sorted(recursive):
                 cat = self.catalog(
-                    bound=dict(current), unbound=recursive - set(current)
+                    bound=dict(current),
+                    unbound=recursive - set(current),
+                    static_cache=static_cache,
+                    dynamic_rules=dynamic,
                 )
                 try:
                     new_rel = compile_plan(self.rules[rn], cat).distinct()
@@ -790,17 +814,40 @@ class Engine:
         total accumulates disjoint deltas. Correct for linear monotone
         recursion under set semantics."""
 
+        static_cache: dict[str, Relation] = {}
+        dynamic = self._dynamic_rules({name})
+
         # Iteration 0: base case (recursive branches drop as unbound).
         base = compile_plan(
-            self.rules[name], self.catalog(unbound={name})
+            self.rules[name],
+            self.catalog(
+                unbound={name}, static_cache=static_cache, dynamic_rules=dynamic
+            ),
         ).distinct()
         total_df = base.df.localCheckpoint(eager=True)
         delta = Relation(base.variables, total_df, False)
         cols = list(total_df.columns)
 
+        # Iterations >= 1 only need the branches that actually mention
+        # the recursive rule: base-case branches contribute nothing new
+        # after iteration 0, and skipping them keeps |anti-join input|
+        # proportional to the delta-derived facts (classic semi-naive).
+        rule = self.rules[name]
+        step_plan = rule
+        if isinstance(rule, Union):
+            rec_branches = [
+                b for b in rule.plans if _self_ref_count(b, name) > 0
+            ]
+            if rec_branches and len(rec_branches) < len(rule.plans):
+                step_plan = Union(rule.variables_, rec_branches)
+
         for _ in range(max_iterations):
-            cat = self.catalog(bound={name: delta})
-            new_rel = compile_plan(self.rules[name], cat).distinct()
+            cat = self.catalog(
+                bound={name: delta},
+                static_cache=static_cache,
+                dynamic_rules=dynamic,
+            )
+            new_rel = compile_plan(step_plan, cat).distinct()
             new_df = new_rel.df.select(*cols)
             delta_df = new_df.join(total_df, on=cols, how="left_anti")
             delta_df = delta_df.localCheckpoint(eager=True)

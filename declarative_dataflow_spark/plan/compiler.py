@@ -189,6 +189,18 @@ class Catalog:
         self.unbound = unbound or set()
         # Base tables for Scan leaves: name -> loader.
         self.tables: dict[str, Callable[[], DataFrame]] = {}
+        # Fixpoint static-subtree cache (the arrangement analog): the
+        # differential reference arranges static collections ONCE and
+        # every iteration reuses the arrangement (src/lib.rs:943-1019);
+        # here a fixpoint shares this dict across iterations so each
+        # maximal static subtree compiles and checkpoints once instead
+        # of re-scanning its parquet inputs per iteration. ``None``
+        # disables caching (the default outside recursion).
+        self.static_cache: Optional[dict[str, Relation]] = None
+        # Rule names whose results change across fixpoint iterations
+        # (the recursive rules plus anything transitively referencing
+        # them); subtrees touching these are never cached.
+        self.dynamic_rules: set[str] = set()
 
     def attribute(self, aid: str) -> AttributeSource:
         if aid not in self.attributes:
@@ -201,9 +213,56 @@ class Catalog:
         return self.tables[name]()
 
 
+def _rule_refs(plan: Plan) -> set[str]:
+    """All rule names referenced (transitively through the plan tree,
+    not through the rule catalog) by ``plan``."""
+
+    refs: set[str] = set()
+    stack: list[Plan] = [plan]
+    while stack:
+        p = stack.pop()
+        if isinstance(p, NameExpr):
+            refs.add(p.name)
+        for attr in getattr(p, "__dataclass_fields__", {}):
+            v = getattr(p, attr)
+            if isinstance(v, Plan):
+                stack.append(v)
+            elif isinstance(v, list):
+                stack.extend(item for item in v if isinstance(item, Plan))
+    return refs
+
+
 def compile_plan(plan: Plan, catalog: Catalog) -> Relation:
     """Compile a plan bottom-up (reference: Plan::implement dispatch,
-    src/plan/mod.rs:299-421)."""
+    src/plan/mod.rs:299-421).
+
+    When ``catalog.static_cache`` is set (fixpoint compilation), any
+    maximal subtree that references no dynamic rule compiles once and
+    is lazily ``localCheckpoint``-ed; later iterations reuse the
+    materialized blocks instead of re-scanning the inputs — the Spark
+    analog of differential dataflow's shared arrangements for static
+    collections inside an iterative scope.
+    """
+
+    cache = catalog.static_cache
+    if cache is not None:
+        key = repr(plan)
+        hit = cache.get(key)
+        if hit is not None:
+            return hit
+        if not (_rule_refs(plan) & catalog.dynamic_rules):
+            # Compile the whole static subtree with caching off so
+            # nested static nodes don't each checkpoint; only the
+            # maximal subtree materializes.
+            catalog.static_cache = None
+            try:
+                rel = compile_plan(plan, catalog)
+            finally:
+                catalog.static_cache = cache
+            ckpt = rel.df.localCheckpoint(eager=False)
+            rel = Relation(rel.variables, ckpt, rel.has_diff)
+            cache[key] = rel
+            return rel
 
     if isinstance(plan, Scan):
         # Keys may be plain column names or SQL expressions.
