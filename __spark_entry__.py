@@ -437,6 +437,37 @@ def q_tclosure(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.interest("reach", ["x", "z"])
 
 
+def q_tclosure_nonlinear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive closure via a NON-LINEAR rule (reach . reach) — two
+    recursive references in one branch. Exercises the generalized
+    semi-naive evaluator (one delta-rewritten variant per recursive
+    occurrence; engine._run_semi_naive) and converges in O(log
+    diameter) iterations where the linear rule needs O(diameter). The
+    oracle is the independently-formulated LINEAR closure — same
+    fixpoint, different derivation."""
+
+    eng = _engine(spark, sf_dir)
+    if "reach_nl" not in eng.rules:
+        eng.register(
+            "reach_nl",
+            Union(
+                ["?x", "?z"],
+                [
+                    Scan(
+                        "events",
+                        {"user_id % 100": "?x", "event_id % 100": "?z"},
+                    ),
+                    Join(
+                        ["?y"],
+                        NameExpr(["?x", "?y"], "reach_nl"),
+                        NameExpr(["?y", "?z"], "reach_nl"),
+                    ),
+                ],
+            ),
+        )
+    return eng.interest("reach_nl", ["x", "z"])
+
+
 def q_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Label propagation to fixpoint — the reference's flagship
     recursive benchmark (experiments/src/bin/labelprop.rs:23-47):
@@ -907,13 +938,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "negate_setdiff": q_negate_setdiff,
         "filter_lt": q_filter_lt,
         "transform_truncate": q_transform_truncate,
-        "agg_avg": q_agg_avg,
         "agg_median": q_agg_median,
         "agg_variance": q_agg_variance,
         "agg_multi": q_agg_multi,
         "agg_global": q_agg_global,
         "name_expr": q_name_expr,
         "tclosure": q_tclosure,
+        "tclosure_nonlinear": q_tclosure_nonlinear,
         "labelprop": q_labelprop,
         "triangle_count": q_triangle_count,
         "triangle_wco": q_triangle_wco,
@@ -955,6 +986,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_max": q_agg_max,
         "agg_count": q_agg_count,
         "agg_sum": q_agg_sum,
+        "agg_avg": q_agg_avg,
     }
 
 
@@ -1183,6 +1215,19 @@ def oracle_sql() -> dict[str, str]:
             "WHERE o.o_totalprice > 200000.0"
         ),
         "tclosure": (
+            "WITH RECURSIVE edges AS ("
+            "SELECT DISTINCT user_id % 100 AS src, event_id % 100 AS dst "
+            "FROM events), "
+            "reach(x, z) AS ("
+            "SELECT src, dst FROM edges "
+            "UNION "
+            "SELECT r.x, e.dst FROM reach r JOIN edges e ON r.z = e.src) "
+            "SELECT x, z FROM reach"
+        ),
+        # Non-linear Spark rule, LINEAR oracle: both compute the unique
+        # closure fixpoint, so the independently-derived SQL certifies
+        # the generalized semi-naive evaluator.
+        "tclosure_nonlinear": (
             "WITH RECURSIVE edges AS ("
             "SELECT DISTINCT user_id % 100 AS src, event_id % 100 AS dst "
             "FROM events), "

@@ -26,6 +26,7 @@ from __future__ import annotations
 import os
 import shutil
 import tempfile
+import dataclasses
 from dataclasses import dataclass, field
 from enum import Enum
 from typing import Any, Iterable, Optional
@@ -58,6 +59,81 @@ def _self_ref_count(plan: Plan, name: str) -> int:
                 if isinstance(item, Plan):
                     n += _self_ref_count(item, name)
     return n
+
+
+def _occurrence_count(plan: Plan, recursive: set[str]) -> int:
+    """Number of NameExpr references to any rule in ``recursive``."""
+
+    n = (
+        1
+        if isinstance(plan, NameExpr) and plan.name in recursive
+        else 0
+    )
+    for attr in getattr(plan, "__dataclass_fields__", {}):
+        v = getattr(plan, attr)
+        if isinstance(v, Plan):
+            n += _occurrence_count(v, recursive)
+        elif isinstance(v, list):
+            for item in v:
+                if isinstance(item, Plan):
+                    n += _occurrence_count(item, recursive)
+    return n
+
+
+def _substitute_occurrence(
+    plan: Plan, recursive: set[str], target: int, counter: list[int]
+) -> Plan:
+    """Copy ``plan`` with recursive NameExpr occurrence ``target``
+    renamed to ``<name>@delta`` and every other recursive occurrence to
+    ``<name>@new`` (resolved against fixpoint iterates via bound_rules).
+    ``counter`` carries the running occurrence index (pre-order)."""
+
+    if isinstance(plan, NameExpr) and plan.name in recursive:
+        idx = counter[0]
+        counter[0] += 1
+        suffix = "@delta" if idx == target else "@new"
+        return NameExpr(list(plan.variables_), plan.name + suffix)
+    changes: dict[str, Any] = {}
+    for f in dataclasses.fields(plan):
+        v = getattr(plan, f.name)
+        if isinstance(v, Plan):
+            changes[f.name] = _substitute_occurrence(
+                v, recursive, target, counter
+            )
+        elif isinstance(v, list) and any(isinstance(x, Plan) for x in v):
+            changes[f.name] = [
+                _substitute_occurrence(x, recursive, target, counter)
+                if isinstance(x, Plan)
+                else x
+                for x in v
+            ]
+    return dataclasses.replace(plan, **changes) if changes else plan
+
+
+def _delta_step_plan(rule: Plan, recursive: set[str]) -> Plan:
+    """The per-iteration step plan for generalized semi-naive: one
+    rewritten branch per recursive occurrence, unioned. Base-case
+    branches (no recursive reference) are dropped — they contribute
+    nothing after iteration 0 — so per-iteration work tracks the delta.
+    """
+
+    variables = rule.variables()
+    if isinstance(rule, Union):
+        branches = list(rule.plans)
+    else:
+        branches = [rule]
+    variants: list[Plan] = []
+    for branch in branches:
+        k = _occurrence_count(branch, recursive)
+        for i in range(k):
+            variants.append(
+                _substitute_occurrence(branch, recursive, i, [0])
+            )
+    if not variants:
+        # No recursive reference at all (defensive; such a rule is not
+        # recursive) — iterating the rule itself is still correct.
+        return rule
+    return Union(list(variables), variants)
 
 
 def _is_monotone(plan: Plan) -> bool:
@@ -735,7 +811,7 @@ class Engine:
     def _fixpoint(
         self, name: str, recursive: set[str], max_iterations: int = 200
     ) -> Relation:
-        """Driver-side semi-naive fixpoint with set semantics.
+        """Driver-side fixpoint with set semantics.
 
         Mirrors the reference's iterative scope where each rule gets a
         differential Variable and all advance together
@@ -743,25 +819,33 @@ class Engine:
         ``localCheckpoint`` truncates lineage each iteration so the plan
         does not grow unboundedly — the plan-blowup hazard called out in
         SURVEY §7 Phase 3.
+
+        Monotone systems — any number of mutually recursive rules, any
+        number of recursive references per rule (non-linear included) —
+        run semi-naive: per iteration each rule evaluates only delta
+        rewrites of its recursive branches. Systems with negation or
+        aggregation in a recursive rule fall back to naive iteration
+        with full change detection.
         """
 
-        # With only monotone operators each iterate is a superset of
-        # the previous (distinct applied), so count equality implies
-        # set equality and the exceptAll shuffle can be skipped.
         monotone = all(_is_monotone(self.rules[rn]) for rn in recursive)
+        if monotone:
+            totals = self._run_semi_naive(recursive, max_iterations)
+        else:
+            totals = self._run_naive(recursive, max_iterations)
+        if name in totals:
+            return totals[name]
+        # ``name`` sits outside the cycle (it depends on recursive
+        # rules without being one), or its iterate stayed empty:
+        # evaluate its plan once over the converged iterates.
+        cat = self.catalog(bound=totals, unbound=set(recursive) - set(totals))
+        return compile_plan(self.rules[name], cat).consolidated()
 
-        # Semi-naive delta iteration for the common case: one
-        # self-recursive rule, monotone, referenced linearly (once).
-        # Each round joins only the NEW tuples against the static part
-        # instead of recomputing the whole fixpoint — the same
-        # optimization differential dataflow gets from its Variable
-        # deltas (reference: src/lib.rs:943-1019).
-        if (
-            len(recursive) == 1
-            and monotone
-            and _self_ref_count(self.rules[name], name) == 1
-        ):
-            return self._fixpoint_semi_naive(name, max_iterations)
+    def _run_naive(
+        self, recursive: set[str], max_iterations: int
+    ) -> dict[str, Relation]:
+        """Naive iteration for non-monotone recursive systems: re-derive
+        each iterate in full and compare against the previous one."""
 
         current: dict[str, Relation] = {}
         counts: dict[str, int] = {}
@@ -791,73 +875,126 @@ class Engine:
                 if (
                     old is None
                     or new_count != counts[rn]
-                    or (
-                        not monotone
-                        and not df.exceptAll(
-                            old.df.select(*df.columns)
-                        ).isEmpty()
-                    )
+                    or not df.exceptAll(old.df.select(*df.columns)).isEmpty()
                 ):
                     changed = True
                     current[rn] = new_rel
                     counts[rn] = new_count
-            if name in current and not changed:
-                return current[name]
+            if not changed:
+                return current
         raise RuntimeError(
             f"fixpoint did not converge in {max_iterations} iterations"
         )
 
-    def _fixpoint_semi_naive(
-        self, name: str, max_iterations: int = 200
-    ) -> Relation:
-        """delta_0 = base; delta_{i+1} = eval(plan[rule := delta_i]) - total;
-        total accumulates disjoint deltas. Correct for linear monotone
-        recursion under set semantics."""
+    def _run_semi_naive(
+        self, recursive: set[str], max_iterations: int
+    ) -> dict[str, Relation]:
+        """Generalized semi-naive evaluation for monotone recursion.
+
+        delta_0[r] = base(r); per iteration, each rule evaluates one
+        rewritten branch per recursive occurrence — that occurrence
+        reads the previous delta, every other recursive reference reads
+        the accumulated total — and anti-joins the result against its
+        total, so derivations pairing new facts with old AND new facts
+        are all covered (the classic non-linear semi-naive rewrite;
+        differential's Variables give the reference the same asymptotic,
+        src/lib.rs:943-1019). Work per iteration is proportional to the
+        delta-derived facts, not the accumulated fixpoint. All rules
+        advance together, matching the reference's iterative scope.
+        """
 
         static_cache: dict[str, Relation] = {}
-        dynamic = self._dynamic_rules({name})
+        dynamic = self._dynamic_rules(recursive)
+        # Synthetic per-occurrence names resolve against bound_rules and
+        # must never enter the static-subtree cache.
+        dynamic = dynamic | {f"{rn}@delta" for rn in recursive} | {
+            f"{rn}@new" for rn in recursive
+        }
 
-        # Iteration 0: base case (recursive branches drop as unbound).
-        base = compile_plan(
-            self.rules[name],
-            self.catalog(
-                unbound={name}, static_cache=static_cache, dynamic_rules=dynamic
-            ),
-        ).distinct()
-        total_df = base.df.localCheckpoint(eager=True)
-        delta = Relation(base.variables, total_df, False)
-        cols = list(total_df.columns)
-
-        # Iterations >= 1 only need the branches that actually mention
-        # the recursive rule: base-case branches contribute nothing new
-        # after iteration 0, and skipping them keeps |anti-join input|
-        # proportional to the delta-derived facts (classic semi-naive).
-        rule = self.rules[name]
-        step_plan = rule
-        if isinstance(rule, Union):
-            rec_branches = [
-                b for b in rule.plans if _self_ref_count(b, name) > 0
-            ]
-            if rec_branches and len(rec_branches) < len(rule.plans):
-                step_plan = Union(rule.variables_, rec_branches)
-
-        for _ in range(max_iterations):
-            cat = self.catalog(
-                bound={name: delta},
+        def cat(
+            bound: dict[str, Relation], unbound: set[str]
+        ) -> Catalog:
+            return self.catalog(
+                bound=bound,
+                unbound=unbound,
                 static_cache=static_cache,
                 dynamic_rules=dynamic,
             )
-            new_rel = compile_plan(step_plan, cat).distinct()
-            new_df = new_rel.df.select(*cols)
-            delta_df = new_df.join(total_df, on=cols, how="left_anti")
-            delta_df = delta_df.localCheckpoint(eager=True)
-            if delta_df.limit(1).isEmpty():
-                return Relation(base.variables, total_df, False)
-            # The total is a shallow union of already-checkpointed
-            # deltas — no materialization of its own needed; lineage
-            # stays O(iterations) deep.
-            total_df = total_df.unionByName(delta_df)
-            delta = Relation(base.variables, delta_df, False)
+
+        totals: dict[str, Relation] = {}
+        deltas: dict[str, Relation] = {}
+
+        # Iteration 0: base cases — recursive references drop as
+        # unbound (Union treats those branches as empty).
+        for rn in sorted(recursive):
+            try:
+                rel = compile_plan(
+                    self.rules[rn], cat({}, set(recursive))
+                ).distinct()
+            except UnboundRule:
+                continue  # pure-recursive rule: empty until deps fire
+            df = rel.df.localCheckpoint(eager=True)
+            if df.limit(1).isEmpty():
+                continue
+            totals[rn] = Relation(rel.variables, df, False)
+            deltas[rn] = totals[rn]
+
+        steps = {
+            rn: _delta_step_plan(self.rules[rn], recursive)
+            for rn in recursive
+        }
+
+        for _ in range(max_iterations):
+            bound: dict[str, Relation] = {}
+            unbound: set[str] = set()
+            for rn in recursive:
+                if rn in totals:
+                    bound[f"{rn}@new"] = totals[rn]
+                else:
+                    unbound.add(f"{rn}@new")
+                if rn in deltas:
+                    bound[f"{rn}@delta"] = deltas[rn]
+                else:
+                    unbound.add(f"{rn}@delta")
+            new_deltas: dict[str, Relation] = {}
+            for rn in sorted(recursive):
+                try:
+                    new_rel = compile_plan(
+                        steps[rn], cat(bound, unbound)
+                    ).distinct()
+                except UnboundRule:
+                    continue  # no referenced delta exists yet
+                new_df = new_rel.df
+                total = totals.get(rn)
+                if total is not None:
+                    cols = list(total.df.columns)
+                    new_df = new_df.select(*cols).join(
+                        total.df, on=cols, how="left_anti"
+                    )
+                delta_df = new_df.localCheckpoint(eager=True)
+                if delta_df.limit(1).isEmpty():
+                    continue
+                new_deltas[rn] = Relation(
+                    new_rel.variables, delta_df, False
+                )
+            if not new_deltas:
+                return totals
+            # Advance all Variables together. Totals are shallow unions
+            # of already-checkpointed deltas — lineage stays
+            # O(iterations) deep with no extra materialization.
+            for rn, d in new_deltas.items():
+                total = totals.get(rn)
+                if total is None:
+                    totals[rn] = d
+                else:
+                    totals[rn] = Relation(
+                        total.variables,
+                        total.df.unionByName(
+                            d.df.select(*total.df.columns)
+                        ),
+                        False,
+                    )
+            deltas = new_deltas
         raise RuntimeError(
             f"semi-naive fixpoint did not converge in {max_iterations} iterations"
         )

@@ -135,3 +135,120 @@ def test_adhoc_recursive_reference_fails_clearly(engine):
     # ...but ad-hoc inlining is refused.
     with pytest.raises(RecursionError, match="recursive"):
         engine.implement(NameExpr(["?a", "?b"], "reach"))
+
+
+def test_nonlinear_path_doubling(engine):
+    """Non-linear recursion (two recursive references in one branch)
+    runs semi-naive: reach = edge UNION reach . reach converges to the
+    same closure as the linear rule, in O(log diameter) iterations."""
+
+    chain = [(i, i + 1) for i in range(1, 9)]
+    _edges(engine, chain)
+    engine.register(
+        "reach",
+        Union(
+            ["?x", "?y"],
+            [
+                MatchA("?x", "edge", "?y"),
+                Join(
+                    ["?m"],
+                    NameExpr(["?x", "?m"], "reach"),
+                    NameExpr(["?m", "?y"], "reach"),
+                ),
+            ],
+        ),
+    )
+    got = rows(engine.interest("reach", ["x", "y"]))
+    want = sorted((a, b) for a in range(1, 10) for b in range(a + 1, 10))
+    assert got == want
+
+
+def test_nonlinear_cycle_terminates(engine):
+    _edges(engine, [(1, 2), (2, 3), (3, 1)])
+    engine.register(
+        "reach",
+        Union(
+            ["?x", "?y"],
+            [
+                MatchA("?x", "edge", "?y"),
+                Join(
+                    ["?m"],
+                    NameExpr(["?x", "?m"], "reach"),
+                    NameExpr(["?m", "?y"], "reach"),
+                ),
+            ],
+        ),
+    )
+    assert len(rows(engine.interest("reach", ["x", "y"]))) == 9
+
+
+def test_interest_on_rule_outside_cycle(engine):
+    """interest() on a non-recursive rule that references a recursive
+    one evaluates the consumer over the converged iterates."""
+
+    from declarative_dataflow_spark.plan.plans import Project
+
+    _edges(engine, [(1, 2), (2, 3), (3, 4)])
+    engine.register(
+        "reach",
+        Union(
+            ["?x", "?y"],
+            [
+                MatchA("?x", "edge", "?y"),
+                Join(
+                    ["?m"],
+                    NameExpr(["?x", "?m"], "reach"),
+                    MatchA("?m", "edge", "?y"),
+                ),
+            ],
+        ),
+    )
+    engine.register(
+        "from_one",
+        Project(["?y"], NameExpr(["?x", "?y"], "reach")),
+    )
+    got = rows(engine.interest("from_one", ["y"]))
+    assert sorted(set(got)) == [(2,), (3,), (4,)]
+
+
+def test_mutual_recursion_deeper(engine):
+    """Even/odd path parity over a longer chain: deltas flow across the
+    mutual cycle for several iterations."""
+
+    _edges(engine, [(i, i + 1) for i in range(1, 7)])
+    engine.register(
+        "odd",
+        Union(
+            ["?x", "?y"],
+            [
+                MatchA("?x", "edge", "?y"),
+                Join(
+                    ["?m"],
+                    NameExpr(["?x", "?m"], "even"),
+                    MatchA("?m", "edge", "?y"),
+                ),
+            ],
+        ),
+    )
+    engine.register(
+        "even",
+        Union(
+            ["?x", "?y"],
+            [
+                Join(
+                    ["?m"],
+                    NameExpr(["?x", "?m"], "odd"),
+                    MatchA("?m", "edge", "?y"),
+                ),
+            ],
+        ),
+    )
+    odd = rows(engine.interest("odd", ["x", "y"]))
+    even = rows(engine.interest("even", ["x", "y"]))
+    # odd-length paths: (x, y) with y - x odd; even-length: y - x even >= 2
+    assert odd == sorted(
+        (a, b) for a in range(1, 7) for b in range(a + 1, 8) if (b - a) % 2 == 1
+    )
+    assert even == sorted(
+        (a, b) for a in range(1, 7) for b in range(a + 1, 8) if (b - a) % 2 == 0
+    )
