@@ -43,7 +43,13 @@ from declarative_dataflow_spark import (
     q,
 )
 from declarative_dataflow_spark.engine import Engine, InputSemantics
-from declarative_dataflow_spark.operators import dedup, multimodal, similarity, text
+from declarative_dataflow_spark.operators import (
+    dedup,
+    multimodal,
+    packing,
+    similarity,
+    text,
+)
 from declarative_dataflow_spark.operators.bitemporal import as_of
 from declarative_dataflow_spark.plan import graphql
 from declarative_dataflow_spark.plan.plans import Scan
@@ -752,6 +758,39 @@ def q_bitemporal_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sequence packing: shard by content hash, pack greedily
+    by cumulative token budget within each shard (one window shuffle,
+    shards pack independently in parallel)."""
+
+    return packing.seq_pack(load_table(spark, sf_dir, "documents"))
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing over text seeded with deterministic synthetic
+    emails/phones (the corpus itself is word soup), so the redaction
+    and match counts are observable and oracle-checked."""
+
+    docs = load_table(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-867-5309 "),
+            F.col("text"),
+        ).alias("text"),
+    )
+    return text.pii_redact(seeded)
+
+
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition ratio (boilerplate/spam signal that
+    cross-document dedup misses)."""
+
+    return text.repetition_stats(load_table(spark, sf_dir, "documents"))
+
+
 def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.token_count(load_table(spark, sf_dir, "documents"))
 
@@ -932,7 +971,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "project": q_project,
         "join_binary": q_join_binary,
         "hector_fused": q_hector_fused,
-        "hector_constants": q_hector_constants,
         "antijoin": q_antijoin,
         "union": q_union,
         "negate_setdiff": q_negate_setdiff,
@@ -942,7 +980,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_variance": q_agg_variance,
         "agg_multi": q_agg_multi,
         "agg_global": q_agg_global,
-        "name_expr": q_name_expr,
         "tclosure": q_tclosure,
         "tclosure_nonlinear": q_tclosure_nonlinear,
         "labelprop": q_labelprop,
@@ -959,11 +996,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample": q_frame_sample,
         "ann_lsh": q_ann_lsh,
         "pull_level": q_pull_level,
-        "pull_all": q_pull_all,
         "graphql": q_graphql,
         "bitemporal_asof": q_bitemporal_asof,
         "bitemporal_timeline": q_bitemporal_timeline,
         "text_tokens": q_text_tokens,
+        "seq_pack": q_seq_pack,
+        "pii_redact": q_pii_redact,
+        "repetition": q_repetition,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
@@ -987,6 +1026,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_count": q_agg_count,
         "agg_sum": q_agg_sum,
         "agg_avg": q_agg_avg,
+        "hector_constants": q_hector_constants,
+        "name_expr": q_name_expr,
+        "pull_all": q_pull_all,
     }
 
 
@@ -1355,6 +1397,30 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CASE WHEN len(trim(text)) = 0 THEN 0 "
             "ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens "
             "FROM documents"
+        ),
+        "seq_pack": packing.seq_pack_oracle_sql(),
+        "pii_redact": (
+            "WITH seeded AS (SELECT doc_id, 'contact user' || "
+            "CAST(doc_id AS VARCHAR) || '@example.com or 555-867-5309 ' || text "
+            "AS text FROM documents) "
+            "SELECT doc_id, "
+            "regexp_replace(regexp_replace(text, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
+            "'[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS redacted, "
+            "len(regexp_extract_all(text, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails, "
+            "len(regexp_extract_all(text, "
+            "'[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS n_phones "
+            "FROM seeded"
+        ),
+        "repetition": (
+            "WITH w AS (SELECT doc_id, "
+            "regexp_split_to_array(lower(trim(text)), '\\s+') AS words "
+            "FROM documents) "
+            "SELECT doc_id, len(words) AS n_tokens, "
+            "len(list_distinct(words)) AS n_distinct, "
+            "round(1.0 - len(list_distinct(words)) / greatest(len(words), 1), 6) "
+            "AS rep_ratio FROM w"
         ),
         "text_subwords": (
             "SELECT doc_id, CAST(len(regexp_extract_all(lower(text), "

@@ -114,3 +114,49 @@ def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
         )
     )
     return docs.select("doc_id", F.md5(norm).alias("fp"))
+
+
+# PII patterns chosen to mean the same thing in Java regex (Spark) and
+# RE2 (DuckDB): no backrefs, no lookaround.
+EMAIL_PATTERN = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PHONE_PATTERN = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+def pii_redact(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Scrub emails and phone numbers: (doc_id, redacted, n_emails,
+    n_phones). Map-only column expressions (regexp_replace /
+    regexp_extract_all stay in whole-stage codegen) — at 100 TB this
+    fuses into the scan like every other text operator."""
+
+    text = F.col(text_col)
+    return docs.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace(text, EMAIL_PATTERN, "<EMAIL>"),
+            PHONE_PATTERN,
+            "<PHONE>",
+        ).alias("redacted"),
+        F.size(F.regexp_extract_all(text, F.lit(EMAIL_PATTERN), 0))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(text, F.lit(PHONE_PATTERN), 0))
+        .cast("long")
+        .alias("n_phones"),
+    )
+
+
+def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Repetition-based quality signal: share of duplicate tokens per
+    document — near-1.0 marks boilerplate/spam that dedup misses
+    because the repetition is WITHIN the document. (doc_id, n_tokens,
+    n_distinct, rep_ratio). Pure array expressions, map-only."""
+
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    n = F.size(words)
+    d = F.size(F.array_distinct(words))
+    return docs.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        d.cast("long").alias("n_distinct"),
+        F.round(F.lit(1.0) - d / F.greatest(n, F.lit(1)), 6).alias("rep_ratio"),
+    )

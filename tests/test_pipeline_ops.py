@@ -342,3 +342,65 @@ def test_lsh_signature_high_dim_plan_independent(spark):
             if sum(v[i] * _plane_weight(p, i) for i in range(d)) > 0
         )
         assert got[vec_id] == expected
+
+
+def test_seq_pack_budget_boundaries(spark):
+    from declarative_dataflow_spark.operators import packing
+
+    # One shard so packing order is just doc_id order; 9-token docs
+    # against a 20-token budget: packs close once their start offset
+    # crosses a multiple of the budget.
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * 9)) for i in range(6)], ["doc_id", "text"]
+    )
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["pack_id"])
+        for r in packing.seq_pack(docs, budget=20, shards=1).collect()
+    }
+    assert all(v[0] == 9 for v in out.values())
+    # cumulative starts: 0,9,18,27,36,45 -> packs 0,0,0,1,1,2
+    assert [out[i][1] for i in range(6)] == [0, 0, 0, 1, 1, 2]
+
+
+def test_seq_pack_sharding_deterministic(spark):
+    from declarative_dataflow_spark.operators import packing
+
+    docs = spark.createDataFrame(
+        [(i, "a b c") for i in range(50)], ["doc_id", "text"]
+    )
+    a = packing.seq_pack(docs, budget=8, shards=4).collect()
+    b = packing.seq_pack(docs, budget=8, shards=4).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    shards = {r["shard"] for r in a}
+    assert shards <= set(range(4)) and len(shards) > 1
+
+
+def test_pii_redact(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@corp.example.org now"),
+            (2, "call 415-555-2671 or 650-555-0199"),
+            (3, "clean text no pii"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in text.pii_redact(docs).collect()}
+    assert out[1]["redacted"] == "mail <EMAIL> now"
+    assert (out[1]["n_emails"], out[1]["n_phones"]) == (1, 0)
+    assert out[2]["redacted"] == "call <PHONE> or <PHONE>"
+    assert (out[2]["n_emails"], out[2]["n_phones"]) == (0, 2)
+    assert out[3]["redacted"] == "clean text no pii"
+
+
+def test_repetition_stats(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),
+            (2, "all words here differ"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in text.repetition_stats(docs).collect()}
+    assert out[1]["n_tokens"] == 4 and out[1]["n_distinct"] == 1
+    assert out[1]["rep_ratio"] == 0.75
+    assert out[2]["rep_ratio"] == 0.0
