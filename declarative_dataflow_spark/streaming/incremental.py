@@ -33,7 +33,14 @@ from typing import Any, Iterable, Optional
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..engine import Datom
-from ..plan.compiler import DIFF, AttributeSource, Catalog, compile_plan, vcol
+from ..plan.compiler import (
+    DIFF,
+    AttributeSource,
+    Catalog,
+    UnboundRule,
+    compile_plan,
+    vcol,
+)
 from ..plan.plans import (
     AggregationFn,
     AntijoinBinding,
@@ -517,27 +524,32 @@ class IncrementalAggregate:
 
 
 class IncrementalRecursion:
-    """Incrementally-maintained linear monotone self-recursive rule.
+    """Incrementally-maintained monotone recursive rule SYSTEM.
 
     The reference runs recursion inside its differential scope, so
     input deltas propagate through the fixpoint iterations instead of
-    re-running them (src/lib.rs:943-1019). Spark-first equivalent, per
-    epoch over the maintained fixpoint T:
+    re-running them (src/lib.rs:943-1019). Spark-first equivalent over
+    the maintained per-rule fixpoints T[r] — every rule in the
+    recursive cycle advances together, mutual recursion and non-linear
+    rules included (delta steps come from the same occurrence-level
+    rewrite the batch evaluator uses, engine._delta_step_plan):
 
-    - additions: delta-seeded semi-naive — D0 = eval(new inputs,
-      rule:=T) \\ T, then propagate D_{i+1} = eval(rule:=D_i) \\ total
-      until empty. Work tracks the delta, not |T|.
-    - retractions: DRed (delete-and-rederive). Because T is a fixpoint
-      of the old inputs, the one-step overdeletion seed is simply
-      T \\ eval(new inputs, rule:=T); the closure then overdeletes
-      tuples derivable only through overdeleted tuples (tuples with an
-      intact base derivation under the new inputs are never
-      overdeleted), and the insertion phase above re-derives survivors.
+    - additions: delta-seeded generalized semi-naive — D0[r] =
+      eval(r over new inputs, cycle:=T) \\ T[r], then propagate
+      D_{i+1}[r] = eval(delta step of r) \\ total[r] until every
+      rule's delta is empty. Work tracks the delta, not |T|.
+    - retractions: DRed (delete-and-rederive) over the whole cycle.
+      Each T[r] is a fixpoint of the old inputs, so the one-step
+      overdeletion seed is T[r] \\ eval(r over new inputs, cycle:=T);
+      the closure then overdeletes tuples derivable only through
+      overdeleted tuples of ANY cycle rule (tuples with an intact
+      non-recursive derivation under the new inputs are never
+      overdeleted), and the insertion phase re-derives survivors.
 
     Set semantics throughout (the fixpoint consolidates each iterate,
     reference src/lib.rs:1012-1017). Eligibility (checked by
-    ``incremental_recursion_for``): one self-recursive rule, monotone
-    plan, linear self-reference, RAW transacted attributes only.
+    ``incremental_recursion_for``): every cycle rule monotone with
+    dependencies inside the cycle, RAW transacted attributes only.
 
     Scale notes: T and the input snapshots are localCheckpoint-ed
     DataFrames (swap for reliable checkpoints/Delta on a cluster); every
@@ -549,18 +561,31 @@ class IncrementalRecursion:
         self,
         spark: SparkSession,
         name: str,
-        plan,
+        rules,
         initial: Optional[dict[str, DataFrame]] = None,
         max_iterations: int = 200,
     ):
+        from ..engine import _delta_step_plan
         from ..plan.compiler import Relation
+        from ..plan.plans import Plan
 
+        if isinstance(rules, Plan):  # single self-recursive rule
+            rules = {name: rules}
         self.spark = spark
         self.name = name
-        self.plan = plan
-        self.variables = list(plan.variables())
-        self.cols = [vcol(v) for v in self.variables]
+        self.rules = dict(rules)
+        self.recursive = set(self.rules)
+        self.variables = {
+            rn: list(p.variables()) for rn, p in self.rules.items()
+        }
+        self.cols = {
+            rn: [vcol(v) for v in vs] for rn, vs in self.variables.items()
+        }
         self.max_iterations = max_iterations
+        self.steps = {
+            rn: _delta_step_plan(p, self.recursive)
+            for rn, p in self.rules.items()
+        }
         # aid -> consolidated weighted (e, v, diff) input snapshot.
         self.snapshots: dict[str, DataFrame] = {}
         for aid, df in (initial or {}).items():
@@ -569,15 +594,21 @@ class IncrementalRecursion:
                 .localCheckpoint(eager=True)
             )
         self._Relation = Relation
-        # Seed T with a full semi-naive fixpoint over the snapshots.
-        empty = self._empty_df()
-        total, _ = self._propagate(self._views(), empty, self._base_delta())
-        self.total = total.localCheckpoint(eager=True)
+        # Seed T with a full generalized semi-naive fixpoint.
+        views = self._views()
+        d0 = {}
+        for rn in self.recursive:
+            base = self._eval_base(rn, views)
+            if base is not None:
+                d0[rn] = base.dropDuplicates(self.cols[rn]).localCheckpoint(
+                    eager=True
+                )
+        self.totals, _ = self._propagate(views, {}, d0)
 
     # -- helpers ---------------------------------------------------------
 
-    def _empty_df(self) -> DataFrame:
-        schema = ", ".join(f"`{c}` string" for c in self.cols)
+    def _empty_df(self, rn: str) -> DataFrame:
+        schema = ", ".join(f"`{c}` string" for c in self.cols[rn])
         return self.spark.createDataFrame([], schema=schema)
 
     def _views(self) -> dict[str, DataFrame]:
@@ -588,59 +619,132 @@ class IncrementalRecursion:
             for aid, df in self.snapshots.items()
         }
 
-    def _eval(self, views: dict[str, DataFrame], bound=None):
-        """Compile the rule body over the snapshot views; ``bound``
-        (a DataFrame over self.cols) substitutes the self-reference,
-        None leaves it unbound (base case only)."""
-
-        attrs = {
+    def _attr_catalog(self, views: dict[str, DataFrame]) -> dict:
+        return {
             aid: AttributeSource(loader=(lambda d=df: d), has_diff=False)
             for aid, df in views.items()
         }
-        bound_rules = {}
-        unbound = {self.name}
-        if bound is not None:
-            bound_rules = {
-                self.name: self._Relation(self.variables, bound, False)
-            }
-            unbound = set()
-        cat = Catalog(attrs, {self.name: self.plan}, bound_rules, unbound)
-        rel = compile_plan(self.plan, cat).distinct()
-        return rel.df.select(*self.cols)
 
-    def _base_delta(self) -> DataFrame:
-        return self._eval(self._views()).localCheckpoint(eager=True)
+    def _eval_base(self, rn: str, views) -> Optional[DataFrame]:
+        """Non-recursive derivations of ``rn`` (cycle names unbound)."""
+
+        cat = Catalog(
+            self._attr_catalog(views), self.rules, {}, set(self.recursive)
+        )
+        try:
+            rel = compile_plan(self.rules[rn], cat).distinct()
+        except UnboundRule:
+            return None  # pure-recursive rule: no base case
+        return rel.df.select(*self.cols[rn])
+
+    def _eval_full(
+        self, rn: str, views, bound: dict[str, DataFrame]
+    ) -> Optional[DataFrame]:
+        """One derivation step of ``rn`` with cycle rules bound to the
+        given iterates (missing ones unbound -> branch drops)."""
+
+        bound_rules = {
+            m: self._Relation(self.variables[m], df, False)
+            for m, df in bound.items()
+        }
+        cat = Catalog(
+            self._attr_catalog(views),
+            self.rules,
+            bound_rules,
+            self.recursive - set(bound),
+        )
+        try:
+            rel = compile_plan(self.rules[rn], cat).distinct()
+        except UnboundRule:
+            return None
+        return rel.df.select(*self.cols[rn])
+
+    def _eval_delta(
+        self,
+        rn: str,
+        views,
+        deltas: dict[str, DataFrame],
+        news: dict[str, DataFrame],
+    ) -> Optional[DataFrame]:
+        """One delta step of ``rn``: each recursive occurrence reads its
+        rule's delta in one variant, the accumulated totals elsewhere."""
+
+        bound_rules = {}
+        unbound = set()
+        for m in self.recursive:
+            if m in deltas:
+                bound_rules[f"{m}@delta"] = self._Relation(
+                    self.variables[m], deltas[m], False
+                )
+            else:
+                unbound.add(f"{m}@delta")
+            if m in news:
+                bound_rules[f"{m}@new"] = self._Relation(
+                    self.variables[m], news[m], False
+                )
+            else:
+                unbound.add(f"{m}@new")
+        cat = Catalog(
+            self._attr_catalog(views), self.rules, bound_rules, unbound
+        )
+        try:
+            rel = compile_plan(self.steps[rn], cat).distinct()
+        except UnboundRule:
+            return None
+        return rel.df.select(*self.cols[rn])
 
     def _propagate(
         self,
         views: dict[str, DataFrame],
-        total: DataFrame,
-        delta: DataFrame,
-    ) -> tuple[DataFrame, DataFrame]:
-        """Semi-naive insertion: fold ``delta`` (disjoint from
-        ``total``) and everything derivable from it into total.
-        Returns (new_total, all_added)."""
+        totals: dict[str, DataFrame],
+        deltas: dict[str, DataFrame],
+    ) -> tuple[dict[str, DataFrame], dict[str, DataFrame]]:
+        """Generalized semi-naive insertion: fold per-rule deltas
+        (disjoint from totals) and everything derivable from them in.
+        Returns (new_totals, all_added)."""
 
-        added = self._empty_df()
+        totals = dict(totals)
+        added: dict[str, DataFrame] = {}
         for _ in range(self.max_iterations):
-            if delta.limit(1).isEmpty():
-                return total, added
-            total = total.unionByName(delta)
-            added = added.unionByName(delta)
-            step = self._eval(views, bound=delta)
-            delta = step.join(total, self.cols, "left_anti").localCheckpoint(
-                eager=True
-            )
+            deltas = {
+                rn: d
+                for rn, d in deltas.items()
+                if not d.limit(1).isEmpty()
+            }
+            if not deltas:
+                return totals, added
+            for rn, d in deltas.items():
+                totals[rn] = (
+                    totals[rn].unionByName(d) if rn in totals else d
+                )
+                added[rn] = (
+                    added[rn].unionByName(d) if rn in added else d
+                )
+            nxt: dict[str, DataFrame] = {}
+            for rn in sorted(self.recursive):
+                step = self._eval_delta(rn, views, deltas, totals)
+                if step is None:
+                    continue
+                d = step
+                if rn in totals:
+                    d = d.join(totals[rn], self.cols[rn], "left_anti")
+                d = d.dropDuplicates(self.cols[rn]).localCheckpoint(
+                    eager=True
+                )
+                nxt[rn] = d
+            deltas = nxt
         raise RuntimeError(
             f"incremental fixpoint did not converge in {self.max_iterations}"
         )
 
     def current(self) -> DataFrame:
-        """The maintained fixpoint as (variables..., diff=1) — used to
-        replay state on subscription."""
+        """The maintained fixpoint of the subscribed rule as
+        (variables..., diff=1) — used to replay state on subscription."""
 
-        out = self.total.select(
-            *[F.col(vcol(v)).alias(v) for v in self.variables]
+        rn = self.name
+        total = self.totals.get(rn, self._empty_df(rn))
+        out = total.select(
+            *[F.col(vcol(v)).alias(v) for v in self.variables[rn]]
         )
         return out.withColumn("diff", F.lit(1).cast("long"))
 
@@ -665,84 +769,141 @@ class IncrementalRecursion:
             if any(r[2] < 0 for r in rows_):
                 any_negative = True
 
+        rn0 = self.name
         if not by_aid:
-            return self._diffs(self._empty_df(), self._empty_df())
+            return self._diffs(None, None)
 
         views = self._views()
-        t_old = self.total
-        overdeleted = self._empty_df()
+        t_old = dict(self.totals)
+        overdeleted: dict[str, DataFrame] = {}
 
         if any_negative:
-            # One-step lost support: T was a fixpoint of the old
-            # inputs, so anything not re-derivable from (new inputs, T)
-            # lost a derivation through a deleted fact.
-            one_step = self._eval(views, bound=t_old)
-            o_i = t_old.join(one_step, self.cols, "left_anti").localCheckpoint(
-                eager=True
-            )
-            # Tuples with an intact base derivation are never
-            # overdeleted (their support does not pass through the
-            # rule), which keeps the closure delta-sized.
-            base_new = self._base_delta()
-            remaining = t_old
-            for _ in range(self.max_iterations):
-                if o_i.limit(1).isEmpty():
-                    break
-                overdeleted = overdeleted.unionByName(o_i)
-                remaining = remaining.join(o_i, self.cols, "left_anti")
-                derived = self._eval(views, bound=o_i)
-                o_i = (
-                    derived.join(remaining, self.cols, "left_semi")
-                    .join(base_new, self.cols, "left_anti")
-                    .dropDuplicates(self.cols)
-                    .localCheckpoint(eager=True)
+            # One-step lost support per rule: T was a fixpoint of the
+            # old inputs, so anything not re-derivable from (new
+            # inputs, T) lost a derivation through a deleted fact.
+            o_cur: dict[str, DataFrame] = {}
+            base_new: dict[str, DataFrame] = {}
+            remaining = dict(t_old)
+            for rn in sorted(self.recursive):
+                if rn not in t_old:
+                    continue
+                one_step = self._eval_full(rn, views, t_old)
+                lost = (
+                    t_old[rn]
+                    if one_step is None
+                    else t_old[rn].join(one_step, self.cols[rn], "left_anti")
                 )
+                lost = lost.localCheckpoint(eager=True)
+                if not lost.limit(1).isEmpty():
+                    o_cur[rn] = lost
+                b = self._eval_base(rn, views)
+                base_new[rn] = (
+                    self._empty_df(rn) if b is None else b
+                )
+            for _ in range(self.max_iterations):
+                if not o_cur:
+                    break
+                for rn, o in o_cur.items():
+                    overdeleted[rn] = (
+                        overdeleted[rn].unionByName(o)
+                        if rn in overdeleted
+                        else o
+                    )
+                    remaining[rn] = remaining[rn].join(
+                        o, self.cols[rn], "left_anti"
+                    )
+                nxt: dict[str, DataFrame] = {}
+                for rn in sorted(self.recursive):
+                    if rn not in remaining:
+                        continue
+                    # Tuples derivable through an overdeleted tuple of
+                    # any cycle rule; an intact non-recursive
+                    # derivation shields a tuple from overdeletion,
+                    # which keeps the closure delta-sized.
+                    derived = self._eval_delta(rn, views, o_cur, t_old)
+                    if derived is None:
+                        continue
+                    o = (
+                        derived.join(remaining[rn], self.cols[rn], "left_semi")
+                        .join(base_new[rn], self.cols[rn], "left_anti")
+                        .dropDuplicates(self.cols[rn])
+                        .localCheckpoint(eager=True)
+                    )
+                    if not o.limit(1).isEmpty():
+                        nxt[rn] = o
+                o_cur = nxt
             else:
                 raise RuntimeError("overdeletion closure did not converge")
-            t1 = t_old.join(
-                overdeleted, self.cols, "left_anti"
-            ).localCheckpoint(eager=True)
+            t1 = {
+                rn: (
+                    t_old[rn].join(
+                        overdeleted[rn], self.cols[rn], "left_anti"
+                    ).localCheckpoint(eager=True)
+                    if rn in overdeleted
+                    else t_old[rn]
+                )
+                for rn in t_old
+            }
         else:
             t1 = t_old
 
         # Insertion phase re-derives overdeleted survivors AND folds in
         # new-input derivations in one delta-seeded pass.
-        d0 = (
-            self._eval(views, bound=t1)
-            .join(t1, self.cols, "left_anti")
-            .dropDuplicates(self.cols)
-            .localCheckpoint(eager=True)
-        )
-        new_total, added = self._propagate(views, t1, d0)
-        self.total = new_total.localCheckpoint(eager=True)
-        return self._diffs(added, overdeleted)
+        d0: dict[str, DataFrame] = {}
+        for rn in sorted(self.recursive):
+            step = self._eval_full(rn, views, t1)
+            if step is None:
+                continue
+            d = step
+            if rn in t1:
+                d = d.join(t1[rn], self.cols[rn], "left_anti")
+            d = d.dropDuplicates(self.cols[rn]).localCheckpoint(eager=True)
+            if not d.limit(1).isEmpty():
+                d0[rn] = d
+        new_totals, added = self._propagate(views, t1, d0)
+        self.totals = {
+            rn: df.localCheckpoint(eager=True)
+            for rn, df in new_totals.items()
+        }
+        return self._diffs(added.get(rn0), overdeleted.get(rn0))
 
-    def _diffs(self, added: DataFrame, overdeleted: DataFrame) -> DataFrame:
-        """Net output diffs: T_old = T1 ∪ overdeleted and added is
-        disjoint from T1, so genuinely-new tuples are added \\
-        overdeleted, and gone tuples are overdeleted \\ added — both
-        delta-sized anti-joins."""
+    def _diffs(
+        self,
+        added: Optional[DataFrame],
+        overdeleted: Optional[DataFrame],
+    ) -> DataFrame:
+        """Net output diffs for the subscribed rule: T_old = T1 ∪
+        overdeleted and added is disjoint from T1, so genuinely-new
+        tuples are added \\ overdeleted, and gone tuples are
+        overdeleted \\ added — both delta-sized anti-joins."""
 
-        plus = added.join(overdeleted, self.cols, "left_anti").withColumn(
+        rn = self.name
+        cols = self.cols[rn]
+        if added is None:
+            added = self._empty_df(rn)
+        if overdeleted is None:
+            overdeleted = self._empty_df(rn)
+        plus = added.join(overdeleted, cols, "left_anti").withColumn(
             DIFF, F.lit(1).cast("long")
         )
-        minus = overdeleted.join(added, self.cols, "left_anti").withColumn(
+        minus = overdeleted.join(added, cols, "left_anti").withColumn(
             DIFF, F.lit(-1).cast("long")
         )
         out = plus.unionByName(minus)
         return out.select(
-            *[F.col(vcol(v)).alias(v) for v in self.variables],
+            *[F.col(vcol(v)).alias(v) for v in self.variables[rn]],
             F.col(DIFF).alias("diff"),
         )
 
 
 def incremental_recursion_for(engine, name: str):
     """Build an IncrementalRecursion for a rule when eligible: the rule
-    is the only member of its recursive cycle, references itself once
-    (linear), is monotone, depends on no other rules, and reads only
-    RAW transacted attributes. Returns None otherwise."""
+    belongs to a recursive cycle whose members are all monotone with
+    rule dependencies inside the cycle (mutual recursion and non-linear
+    self-references included), reading only RAW transacted attributes.
+    Returns None otherwise."""
 
-    from ..engine import InputSemantics, _is_monotone, _self_ref_count
+    from ..engine import InputSemantics, _is_monotone
     from ..plan.plans import (
         Hector as HectorPlan,
         MatchA,
@@ -751,15 +912,15 @@ def incremental_recursion_for(engine, name: str):
         Plan,
     )
 
-    plan = engine.rules.get(name)
-    if plan is None:
+    cycle = engine._recursive_rules(name)
+    if not cycle or name not in cycle:
         return None
-    if engine._recursive_rules(name) != {name}:
-        return None
-    if not _is_monotone(plan) or _self_ref_count(plan, name) != 1:
-        return None
-    if engine._dependencies(plan) != {name}:
-        return None
+    for rn in cycle:
+        plan = engine.rules[rn]
+        if not _is_monotone(plan):
+            return None
+        if not engine._dependencies(plan) <= cycle:
+            return None
 
     aids: set[str] = set()
     unsupported = False
@@ -783,7 +944,8 @@ def incremental_recursion_for(engine, name: str):
                     if isinstance(item, Plan):
                         walk(item)
 
-    walk(plan)
+    for rn in cycle:
+        walk(engine.rules[rn])
     if unsupported or not aids:
         return None
     initial = {}
@@ -792,4 +954,6 @@ def incremental_recursion_for(engine, name: str):
         if ta is None or ta.config.input_semantics != InputSemantics.RAW:
             return None
         initial[aid] = ta.dataframe().select("e", "v", "diff")
-    return IncrementalRecursion(engine.spark, name, plan, initial)
+    return IncrementalRecursion(
+        engine.spark, name, {rn: engine.rules[rn] for rn in cycle}, initial
+    )

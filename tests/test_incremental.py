@@ -547,3 +547,127 @@ def test_incremental_recursion_randomized(engine):
         {tuple(r): 1 for r in engine.interest("reach").collect()}
     )
     assert acc == expected
+
+
+def _reach_nl_rule():
+    from declarative_dataflow_spark import Join, MatchA, NameExpr, Union
+
+    return Union(
+        ["?x", "?y"],
+        [
+            MatchA("?x", "edge", "?y"),
+            Join(
+                ["?m"],
+                NameExpr(["?x", "?m"], "reach_nl"),
+                NameExpr(["?m", "?y"], "reach_nl"),
+            ),
+        ],
+    )
+
+
+def test_incremental_nonlinear_recursion_randomized(engine):
+    """Gate: a NON-LINEAR recursive rule (reach . reach) maintained
+    incrementally equals full recompute across randomized add/retract
+    epochs."""
+
+    import random
+
+    from declarative_dataflow_spark.streaming.incremental import (
+        IncrementalRecursion,
+    )
+    from declarative_dataflow_spark.streaming.reactive import ReactiveSession
+
+    engine.create_attribute("edge")
+    engine.register("reach_nl", _reach_nl_rule())
+    session = ReactiveSession(engine)
+    session.interest("reach_nl")
+    assert isinstance(
+        session.interests["reach_nl"].delta_join, IncrementalRecursion
+    )
+
+    rng = random.Random(11)
+    live: list = []
+    for _ in range(5):
+        batch = []
+        for _ in range(rng.randint(1, 4)):
+            if live and rng.random() < 0.4:
+                e, v = live.pop(rng.randrange(len(live)))
+                batch.append(Datom.retract(e, "edge", v))
+            else:
+                e, v = rng.randint(1, 6), rng.randint(1, 6)
+                live.append((e, v))
+                batch.append(Datom.add(e, "edge", v))
+        session.transact(batch)
+
+    acc = _accumulate(session.interests["reach_nl"].history)
+    expected = Counter(
+        {tuple(r): 1 for r in engine.interest("reach_nl").collect()}
+    )
+    assert acc == expected
+
+
+def test_incremental_mutual_recursion_randomized(engine):
+    """Gate: a MUTUAL recursion cycle (even/odd path parity) maintained
+    incrementally equals full recompute across randomized epochs."""
+
+    import random
+
+    from declarative_dataflow_spark import Join, MatchA, NameExpr, Union
+    from declarative_dataflow_spark.streaming.incremental import (
+        IncrementalRecursion,
+    )
+    from declarative_dataflow_spark.streaming.reactive import ReactiveSession
+
+    engine.create_attribute("edge")
+    engine.register(
+        "odd",
+        Union(
+            ["?x", "?y"],
+            [
+                MatchA("?x", "edge", "?y"),
+                Join(
+                    ["?m"],
+                    NameExpr(["?x", "?m"], "even"),
+                    MatchA("?m", "edge", "?y"),
+                ),
+            ],
+        ),
+    )
+    engine.register(
+        "even",
+        Union(
+            ["?x", "?y"],
+            [
+                Join(
+                    ["?m"],
+                    NameExpr(["?x", "?m"], "odd"),
+                    MatchA("?m", "edge", "?y"),
+                ),
+            ],
+        ),
+    )
+    session = ReactiveSession(engine)
+    session.interest("odd")
+    assert isinstance(
+        session.interests["odd"].delta_join, IncrementalRecursion
+    )
+
+    rng = random.Random(13)
+    live: list = []
+    for _ in range(4):
+        batch = []
+        for _ in range(rng.randint(1, 3)):
+            if live and rng.random() < 0.4:
+                e, v = live.pop(rng.randrange(len(live)))
+                batch.append(Datom.retract(e, "edge", v))
+            else:
+                e, v = rng.randint(1, 5), rng.randint(1, 5)
+                live.append((e, v))
+                batch.append(Datom.add(e, "edge", v))
+        session.transact(batch)
+
+    acc = _accumulate(session.interests["odd"].history)
+    expected = Counter(
+        {tuple(r): 1 for r in engine.interest("odd").collect()}
+    )
+    assert acc == expected
