@@ -196,6 +196,14 @@ def minhash_lsh_pairs(
     # oracle mirrors the hashing.
     from pyspark.storagelevel import StorageLevel
 
+    # The hashing pass parallelizes per input split; a small corpus in
+    # one parquet row-group would otherwise run it on ONE core. Spread
+    # only when the source is under-parallelized (at 100 TB the scan
+    # already has >> defaultParallelism splits and this is a no-op).
+    target = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < target:
+        docs = docs.repartition(target)
+
     sets = hashed_shingle_sets(docs, n, text_col).persist(
         StorageLevel.MEMORY_AND_DISK
     )
