@@ -19,6 +19,7 @@ HEADLINE = [
     "antijoin",        # negation
     "agg_median",      # exact median (windowed)
     "tclosure",        # recursive fixpoint
+    "tclosure_nonlinear",  # non-linear recursion (generalized semi-naive)
     "labelprop",       # reference labelprop benchmark (recursive)
     "triangle_count",  # reference WCO triangle benchmark (join chain)
     "triangle_wco",    # worst-case-optimal intersection variant
@@ -34,6 +35,8 @@ HEADLINE = [
     "ann_lsh",         # hyperplane-LSH ANN (scale path)
     "text_quality",    # quality scoring
     "lang_id",         # language ID
+    "seq_pack",        # sequence packing (sharded window cumsum)
+    "pii_redact",      # PII scrub (regex, map-only)
 ]
 
 

@@ -427,7 +427,23 @@ class IncrementalAggregate:
         self.fn = aggregation_fn
         self.agg_var = aggregation_variable
         self.state: Optional[DataFrame] = None  # keys + __v + __w
-        if seed_from_snapshots and delta_join.snapshots:
+        if seed_from_snapshots and hasattr(delta_join, "current"):
+            # Maintainers tracking their own materialized state (e.g.
+            # IncrementalRecursion) seed the reduce from it directly —
+            # the differential reduce-over-iterate composition.
+            cur = delta_join.current()
+            self.state = (
+                cur.select(
+                    *[F.col(k) for k in self.keys],
+                    F.col(self.agg_var).alias("__v"),
+                    F.col("diff").alias("__w"),
+                )
+                .groupBy(*self.keys, "__v")
+                .agg(F.sum("__w").alias("__w"))
+                .filter(F.col("__w") != 0)
+                .localCheckpoint(eager=True)
+            )
+        elif seed_from_snapshots and delta_join.snapshots:
             core = delta_join._core_at(delta_join.snapshots)
             if core is not None:
                 rel = core.with_diff()
@@ -894,6 +910,39 @@ class IncrementalRecursion:
             *[F.col(vcol(v)).alias(v) for v in self.variables[rn]],
             F.col(DIFF).alias("diff"),
         )
+
+
+class RenamedMaintainer:
+    """Positional column rename over a maintainer's diff/current
+    outputs — aligns an IncrementalRecursion's rule-variable columns
+    with the variable names a consuming NameExpr chose."""
+
+    def __init__(self, inner, names):
+        self.inner = inner
+        rule_vars = inner.variables[inner.name]
+        if len(rule_vars) != len(names):
+            raise ValueError(
+                f"rule {inner.name} arity {len(rule_vars)} != {len(names)}"
+            )
+        self.mapping = [
+            (str(a), str(b)) for a, b in zip(rule_vars, names)
+        ]
+
+    @property
+    def snapshots(self):
+        return self.inner.snapshots
+
+    def _rename(self, df: DataFrame) -> DataFrame:
+        for old, new in self.mapping:
+            if old != new:
+                df = df.withColumnRenamed(old, new)
+        return df
+
+    def transact(self, datoms: Iterable[Datom]) -> DataFrame:
+        return self._rename(self.inner.transact(datoms))
+
+    def current(self) -> DataFrame:
+        return self._rename(self.inner.current())
 
 
 def incremental_recursion_for(engine, name: str):

@@ -53,7 +53,11 @@ def _delta_join_for(engine: Engine, name: str):
     conjunctive (Hector) rules, an IncrementalAggregate for a
     single-function Aggregate over one; None if ineligible."""
 
-    from ..plan.plans import Aggregate as AggregatePlan, Hector
+    from ..plan.plans import (
+        Aggregate as AggregatePlan,
+        Hector,
+        NameExpr as NameExprPlan,
+    )
     from .incremental import DeltaJoin, IncrementalAggregate
 
     plan = engine.rules[name]
@@ -76,6 +80,39 @@ def _delta_join_for(engine: Engine, name: str):
             )
         except ValueError:
             return None
+    if (
+        isinstance(plan, AggregatePlan)
+        and isinstance(plan.plan, NameExprPlan)
+        and len(plan.aggregation_fns) == 1
+        and not plan.exact
+    ):
+        # Differential reduce over an iterate: aggregate over a
+        # recursive rule chains IncrementalAggregate onto the
+        # maintained fixpoint (reference: aggregates sit on
+        # differential reduce over any collection, including Variables
+        # inside the iterative scope).
+        from .incremental import RenamedMaintainer, incremental_recursion_for
+
+        target = plan.plan.name
+        if target in engine.rules:
+            inner = incremental_recursion_for(engine, target)
+            if inner is not None:
+                needed = {str(v) for v in plan.key_variables} | {
+                    str(plan.aggregation_variables[0])
+                }
+                names = [str(v) for v in plan.plan.variables_]
+                if needed <= set(names):
+                    try:
+                        return IncrementalAggregate(
+                            RenamedMaintainer(inner, names),
+                            list(plan.key_variables),
+                            plan.aggregation_fns[0],
+                            plan.aggregation_variables[0],
+                            seed_from_snapshots=True,
+                        )
+                    except ValueError:
+                        return None
+        return None
     if not isinstance(plan, Hector):
         # Recursive rules: DRed-style incremental maintenance when the
         # rule is linear, monotone, and self-recursive (the reference

@@ -671,3 +671,44 @@ def test_incremental_mutual_recursion_randomized(engine):
         {tuple(r): 1 for r in engine.interest("odd").collect()}
     )
     assert acc == expected
+
+
+def test_incremental_aggregate_over_recursion(engine):
+    """Differential reduce over an iterate: COUNT of reachable nodes
+    per source, maintained incrementally over the recursive fixpoint,
+    equals full recompute across add/retract epochs."""
+
+    from declarative_dataflow_spark import Aggregate, NameExpr
+    from declarative_dataflow_spark.plan.plans import AggregationFn
+    from declarative_dataflow_spark.streaming.incremental import (
+        IncrementalAggregate,
+    )
+    from declarative_dataflow_spark.streaming.reactive import ReactiveSession
+
+    engine.create_attribute("edge")
+    engine.register("reach", _reach_rule())
+    engine.register(
+        "reach_count",
+        Aggregate(
+            ["?x", "?y"],
+            NameExpr(["?x", "?y"], "reach"),
+            [AggregationFn.COUNT],
+            ["?x"],
+            ["?y"],
+        ),
+    )
+    session = ReactiveSession(engine)
+    session.interest("reach_count")
+    assert isinstance(
+        session.interests["reach_count"].delta_join, IncrementalAggregate
+    )
+
+    session.transact([Datom.add(1, "edge", 2), Datom.add(2, "edge", 3)])
+    session.transact([Datom.add(3, "edge", 4)])
+    session.transact([Datom.retract(1, "edge", 2)])
+
+    acc = _accumulate(session.interests["reach_count"].history)
+    expected = Counter(
+        {tuple(r): 1 for r in engine.interest("reach_count").collect()}
+    )
+    assert acc == expected
