@@ -40,6 +40,7 @@ from .plan.compiler import (
     Catalog,
     Relation,
     UnboundRule,
+    _rule_refs,
     compile_plan,
     vcol,
 )
@@ -136,19 +137,37 @@ def _delta_step_plan(rule: Plan, recursive: set[str]) -> Plan:
     return Union(list(variables), variants)
 
 
-def _is_monotone(plan: Plan) -> bool:
-    """True if the plan contains no negation/aggregation — its fixpoint
-    iterates only grow, so count equality implies convergence."""
+def _is_monotone(plan: Plan, recursive: Optional[set[str]] = None) -> bool:
+    """True if the plan is monotone in the recursion variables: its
+    fixpoint iterates only grow, so semi-naive evaluation applies and
+    count equality implies convergence.
 
-    if isinstance(plan, (Negate, Antijoin, Aggregate)):
-        return False
+    With ``recursive`` given, the test is STRATIFICATION-aware: a
+    Negate/Aggregate node — or an Antijoin's negated right side — only
+    breaks monotonicity when its subtree references a rule in the
+    cycle. Negation over static inputs or lower-stratum rules keeps
+    the rule monotone w.r.t. its own cycle (the classic stratified
+    semi-naive argument); an Antijoin's LEFT side is a positive
+    position and is checked recursively. Without ``recursive`` the
+    test is the conservative any-negation form."""
+
+    if isinstance(plan, (Negate, Aggregate)):
+        if recursive is None:
+            return False
+        return not (_rule_refs(plan) & recursive)
+    if isinstance(plan, Antijoin):
+        if recursive is None:
+            return False
+        if _rule_refs(plan.right_plan) & recursive:
+            return False
+        return _is_monotone(plan.left_plan, recursive)
     for attr in getattr(plan, "__dataclass_fields__", {}):
         v = getattr(plan, attr)
-        if isinstance(v, Plan) and not _is_monotone(v):
+        if isinstance(v, Plan) and not _is_monotone(v, recursive):
             return False
         if isinstance(v, list):
             for item in v:
-                if isinstance(item, Plan) and not _is_monotone(item):
+                if isinstance(item, Plan) and not _is_monotone(item, recursive):
                     return False
     return True
 
@@ -828,7 +847,9 @@ class Engine:
         with full change detection.
         """
 
-        monotone = all(_is_monotone(self.rules[rn]) for rn in recursive)
+        monotone = all(
+            _is_monotone(self.rules[rn], recursive) for rn in recursive
+        )
         if monotone:
             totals = self._run_semi_naive(recursive, max_iterations)
         else:

@@ -966,7 +966,7 @@ def incremental_recursion_for(engine, name: str):
         return None
     for rn in cycle:
         plan = engine.rules[rn]
-        if not _is_monotone(plan):
+        if not _is_monotone(plan, cycle):
             return None
         if not engine._dependencies(plan) <= cycle:
             return None

@@ -712,3 +712,77 @@ def test_incremental_aggregate_over_recursion(engine):
         {tuple(r): 1 for r in engine.interest("reach_count").collect()}
     )
     assert acc == expected
+
+
+def test_incremental_stratified_negation_randomized(engine):
+    """Gate: a recursive rule with negation over a STATIC-stratum
+    attribute (stratified, monotone w.r.t. its cycle) maintained
+    incrementally equals full recompute while BOTH the edge relation
+    and the negated relation churn."""
+
+    import random
+
+    from declarative_dataflow_spark import Join, MatchA, NameExpr, Union
+    from declarative_dataflow_spark.plan.plans import Antijoin, Project
+    from declarative_dataflow_spark.streaming.incremental import (
+        IncrementalRecursion,
+    )
+    from declarative_dataflow_spark.streaming.reactive import ReactiveSession
+
+    engine.create_attribute("edge")
+    engine.create_attribute("blocked")
+
+    def not_blocked(p):
+        return Antijoin(
+            ["?y"], p, Project(["?y"], MatchA("?y", "blocked", "?f"))
+        )
+
+    engine.register(
+        "safe_reach",
+        Union(
+            ["?x", "?y"],
+            [
+                not_blocked(MatchA("?x", "edge", "?y")),
+                not_blocked(
+                    Join(
+                        ["?m"],
+                        NameExpr(["?x", "?m"], "safe_reach"),
+                        MatchA("?m", "edge", "?y"),
+                    )
+                ),
+            ],
+        ),
+    )
+    session = ReactiveSession(engine)
+    session.interest("safe_reach")
+    assert isinstance(
+        session.interests["safe_reach"].delta_join, IncrementalRecursion
+    )
+
+    rng = random.Random(17)
+    live_e: list = []
+    live_b: list = []
+    for _ in range(5):
+        batch = []
+        for _ in range(rng.randint(1, 3)):
+            if live_e and rng.random() < 0.35:
+                e, v = live_e.pop(rng.randrange(len(live_e)))
+                batch.append(Datom.retract(e, "edge", v))
+            else:
+                e, v = rng.randint(1, 6), rng.randint(1, 6)
+                live_e.append((e, v))
+                batch.append(Datom.add(e, "edge", v))
+        if live_b and rng.random() < 0.5:
+            b = live_b.pop(rng.randrange(len(live_b)))
+            batch.append(Datom.retract(b, "blocked", 1))
+        elif rng.random() < 0.6:
+            b = rng.randint(1, 6)
+            live_b.append(b)
+            batch.append(Datom.add(b, "blocked", 1))
+        session.transact(batch)
+
+    acc = _accumulate(session.interests["safe_reach"].history)
+    expected = Counter(
+        {tuple(r): 1 for r in engine.interest("safe_reach").collect()}
+    )
+    assert acc == expected

@@ -252,3 +252,48 @@ def test_mutual_recursion_deeper(engine):
     assert even == sorted(
         (a, b) for a in range(1, 7) for b in range(a + 1, 8) if (b - a) % 2 == 0
     )
+
+
+def test_stratified_negation_semi_naive(engine):
+    """Negation over a STATIC attribute inside a recursive rule keeps
+    the cycle monotone (stratified), so the semi-naive path applies:
+    reachability that never passes through a blocked node."""
+
+    from declarative_dataflow_spark.engine import _is_monotone
+    from declarative_dataflow_spark.plan.plans import Antijoin, Project
+
+    _edges(engine, [(1, 2), (2, 3), (3, 4), (1, 5), (5, 4)])
+    engine.create_attribute("blocked")
+    engine.transact([Datom.add(3, "blocked", 1)])
+
+    # step(x,y): edge(x,y) where y is not blocked... expressed as an
+    # antijoin of the join result against blocked on the NEW node.
+    from declarative_dataflow_spark import Join, MatchA, NameExpr, Union
+    from declarative_dataflow_spark.plan.plans import MatchA as MA
+
+    def not_blocked(p):
+        return Antijoin(
+            ["?y"], p, Project(["?y"], MA("?y", "blocked", "?f"))
+        )
+
+    engine.register(
+        "safe_reach",
+        Union(
+            ["?x", "?y"],
+            [
+                not_blocked(MatchA("?x", "edge", "?y")),
+                not_blocked(
+                    Join(
+                        ["?m"],
+                        NameExpr(["?x", "?m"], "safe_reach"),
+                        MatchA("?m", "edge", "?y"),
+                    )
+                ),
+            ],
+        ),
+    )
+    assert _is_monotone(engine.rules["safe_reach"], {"safe_reach"})
+    got = rows(engine.interest("safe_reach", ["x", "y"]))
+    # Node 3 is blocked as a DESTINATION: (2,3) drops, nothing extends
+    # through it ((1,3) never derives), but (3,4) is a legal start.
+    assert got == sorted([(1, 2), (1, 5), (3, 4), (5, 4), (1, 4)])
