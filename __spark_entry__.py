@@ -45,6 +45,7 @@ from declarative_dataflow_spark import (
 from declarative_dataflow_spark.engine import Engine, InputSemantics
 from declarative_dataflow_spark.operators import (
     dedup,
+    graph,
     multimodal,
     packing,
     similarity,
@@ -472,6 +473,21 @@ def q_tclosure_nonlinear(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     return eng.interest("reach_nl", ["x", "z"])
+
+
+def q_shortest_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive AGGREGATE (min-hop shortest paths) over a derived DAG —
+    the lattice-monotone recursion class set-semantics semi-naive cannot
+    express; delta-driven relaxation (operators/graph.py). Oracle: an
+    independently-formulated recursive CTE enumerating path lengths and
+    taking the group-wise minimum."""
+
+    ev = load_table(spark, sf_dir, "events")
+    edges = ev.select(
+        (F.col("user_id") % 100).alias("src"),
+        (F.col("user_id") % 100 + 1 + F.col("event_id") % 7).alias("dst"),
+    )
+    return graph.shortest_hops(edges).select("x", "y", "hops")
 
 
 def q_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -982,6 +998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_global": q_agg_global,
         "tclosure": q_tclosure,
         "tclosure_nonlinear": q_tclosure_nonlinear,
+        "shortest_hops": q_shortest_hops,
         "labelprop": q_labelprop,
         "triangle_count": q_triangle_count,
         "triangle_wco": q_triangle_wco,
@@ -989,7 +1006,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "confusion_filter": q_confusion_filter,
         "confusion_agg": q_confusion_agg,
         "lww": q_lww,
-        "distinct_ingest": q_distinct_ingest,
         "hash_split": q_hash_split,
         "stratified_sample": q_stratified_sample,
         "multimodal_meta": q_multimodal_meta,
@@ -1029,6 +1045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hector_constants": q_hector_constants,
         "name_expr": q_name_expr,
         "pull_all": q_pull_all,
+        "distinct_ingest": q_distinct_ingest,
     }
 
 
@@ -1278,6 +1295,16 @@ def oracle_sql() -> dict[str, str]:
             "UNION "
             "SELECT r.x, e.dst FROM reach r JOIN edges e ON r.z = e.src) "
             "SELECT x, z FROM reach"
+        ),
+        "shortest_hops": (
+            "WITH RECURSIVE edges AS ("
+            "SELECT DISTINCT user_id % 100 AS s, "
+            "user_id % 100 + 1 + event_id % 7 AS t FROM events), "
+            "paths(x, y, d) AS ("
+            "SELECT s, t, 1 FROM edges "
+            "UNION "
+            "SELECT p.x, e.t, p.d + 1 FROM paths p JOIN edges e ON p.y = e.s) "
+            "SELECT x, y, min(d) AS hops FROM paths GROUP BY x, y"
         ),
         "labelprop": (
             "WITH RECURSIVE edges AS ("

@@ -404,3 +404,31 @@ def test_repetition_stats(spark):
     assert out[1]["n_tokens"] == 4 and out[1]["n_distinct"] == 1
     assert out[1]["rep_ratio"] == 0.75
     assert out[2]["rep_ratio"] == 0.0
+
+
+def test_shortest_hops(spark):
+    from declarative_dataflow_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 3), (4, 1)], ["src", "dst"]
+    )
+    out = {
+        (r["x"], r["y"]): r["hops"]
+        for r in graph.shortest_hops(edges).collect()
+    }
+    # BFS ground truth
+    adj = {1: [2, 3], 2: [3], 3: [4], 4: [1]}
+    expected = {}
+    for s in adj:
+        frontier, d = [s], 0
+        seen = set()
+        while frontier:
+            d += 1
+            nxt = []
+            for u in frontier:
+                for v in adj.get(u, []):
+                    if (s, v) not in expected:
+                        expected[(s, v)] = d
+                        nxt.append(v)
+            frontier = [v for v in nxt if v not in seen and not seen.add(v)]
+    assert out == expected
