@@ -490,6 +490,19 @@ def q_shortest_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.shortest_hops(edges).select("x", "y", "hops")
 
 
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank over the derived 100-node graph; ranks
+    round to 6 decimals per iteration so the result is reproducible
+    across engines and partition orders (see operators/graph.py)."""
+
+    ev = load_table(spark, sf_dir, "events")
+    edges = ev.select(
+        (F.col("user_id") % 100).alias("src"),
+        (F.col("event_id") % 100).alias("dst"),
+    )
+    return graph.pagerank(edges, iters=10).select("node", "rank")
+
+
 def q_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Label propagation to fixpoint — the reference's flagship
     recursive benchmark (experiments/src/bin/labelprop.rs:23-47):
@@ -999,6 +1012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tclosure": q_tclosure,
         "tclosure_nonlinear": q_tclosure_nonlinear,
         "shortest_hops": q_shortest_hops,
+        "pagerank": q_pagerank,
         "labelprop": q_labelprop,
         "triangle_count": q_triangle_count,
         "triangle_wco": q_triangle_wco,
@@ -1014,7 +1028,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pull_level": q_pull_level,
         "graphql": q_graphql,
         "bitemporal_asof": q_bitemporal_asof,
-        "bitemporal_timeline": q_bitemporal_timeline,
         "text_tokens": q_text_tokens,
         "seq_pack": q_seq_pack,
         "pii_redact": q_pii_redact,
@@ -1046,6 +1059,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "name_expr": q_name_expr,
         "pull_all": q_pull_all,
         "distinct_ingest": q_distinct_ingest,
+        "bitemporal_timeline": q_bitemporal_timeline,
     }
 
 
@@ -1079,6 +1093,29 @@ _MINHASH_BANDS = " UNION ALL ".join(
 # Cumulative split boundaries accumulated with the SAME float
 # arithmetic as sampling.hash_split, so the SQL literals match the
 # Spark plan bit-for-bit (0.8 + 0.1 != 0.9 exactly in binary).
+def _pagerank_oracle(iters: int = 10, d: float = 0.85) -> str:
+    parts = [
+        "edges AS (SELECT DISTINCT user_id % 100 AS s, "
+        "event_id % 100 AS t FROM events)",
+        "nodes AS (SELECT s AS node FROM edges UNION SELECT t FROM edges)",
+        "outdeg AS (SELECT s AS node, count(*) AS deg FROM edges GROUP BY s)",
+        "pr0 AS (SELECT node, round(1.0 / (SELECT count(*) FROM nodes), 6) "
+        "AS rank FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"pr{i} AS (SELECT n.node, "
+            f"round((SELECT round((1 - {d}) / count(*), 6) FROM nodes) "
+            f"+ {d} * coalesce(c.in_sum, 0), 6) AS rank "
+            "FROM nodes n LEFT JOIN ("
+            "SELECT e.t AS node, sum(p.rank / o.deg) AS in_sum "
+            f"FROM pr{i - 1} p JOIN outdeg o ON p.node = o.node "
+            "JOIN edges e ON p.node = e.s GROUP BY e.t) c "
+            "ON n.node = c.node)"
+        )
+    return "WITH " + ", ".join(parts) + f" SELECT node, rank FROM pr{iters}"
+
+
 def _hash_split_oracle() -> str:
     weights = {"train": 0.8, "val": 0.1, "test": 0.1}
     total = sum(weights.values())
@@ -1296,6 +1333,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT r.x, e.dst FROM reach r JOIN edges e ON r.z = e.src) "
             "SELECT x, z FROM reach"
         ),
+        "pagerank": _pagerank_oracle(),
         "shortest_hops": (
             "WITH RECURSIVE edges AS ("
             "SELECT DISTINCT user_id % 100 AS s, "

@@ -72,3 +72,66 @@ def shortest_hops(
         if delta.limit(1).isEmpty():
             return dist
     raise RuntimeError(f"shortest_hops did not converge in {max_iters} rounds")
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 10,
+    damping: float = 0.85,
+    scale: int = 6,
+) -> DataFrame:
+    """PageRank with a FIXED iteration count: (node, rank).
+
+    Fixed iterations (not convergence-tested) keep the result a pure
+    deterministic function of the edge set, and each iteration's ranks
+    round to ``scale`` decimals so the result is reproducible across
+    engines and partitionings (floating-point addition order cannot
+    leak into the output) — the same determinism discipline as the IVF
+    k-means refinement (similarity.py::ivf_centroids).
+
+    Per iteration: one shuffle (sum of incoming contributions) + one
+    broadcast-able join against out-degrees. Dangling nodes (no
+    out-edges) keep the random-jump term only, matching the simple
+    formulation PR(v) = (1-d)/N + d * sum_in PR(u)/outdeg(u).
+    """
+
+    e = edges.select(
+        F.col(src).alias("s"), F.col(dst).alias("t")
+    ).distinct()
+    nodes = (
+        e.select(F.col("s").alias("node"))
+        .unionByName(e.select(F.col("t").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    outdeg = e.groupBy(F.col("s").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    base = F.lit(round((1.0 - damping) / n, scale))
+    ranks = nodes.select("node", F.lit(round(1.0 / n, scale)).alias("rank"))
+    for _ in range(iters):
+        contrib = (
+            ranks.join(outdeg, "node")
+            .join(e, ranks["node"] == e["s"])
+            .select(
+                F.col("t").alias("node"),
+                (F.col("rank") / F.col("deg")).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                F.round(
+                    base + F.lit(damping) * F.coalesce("in_sum", F.lit(0.0)),
+                    scale,
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

@@ -432,3 +432,17 @@ def test_shortest_hops(spark):
                         nxt.append(v)
             frontier = [v for v in nxt if v not in seen and not seen.add(v)]
     assert out == expected
+
+
+def test_pagerank_deterministic_and_normalized(spark):
+    from declarative_dataflow_spark.operators import graph
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 2), (4, 1)], ["src", "dst"]
+    )
+    a = {r["node"]: r["rank"] for r in graph.pagerank(e, iters=8).collect()}
+    b = {r["node"]: r["rank"] for r in graph.pagerank(e, iters=8).collect()}
+    assert a == b
+    assert abs(sum(a.values()) - 1.0) < 0.01
+    # 4 has no in-edges: jump term only; 1 and 2 get fed by the cycle
+    assert a[4] == min(a.values())
