@@ -243,3 +243,36 @@ def test_wco_4clause_matches_chain(spark):
     )
     expected = sorted(tuple(r)[:4] for r in chain.implement(four).collect())
     assert wco == expected
+
+
+def test_seq_pack_single_shuffle(spark):
+    """Sequence packing plans exactly ONE exchange (the shard window);
+    token counting and shard hashing fuse into the scan side."""
+
+    from declarative_dataflow_spark.operators import packing
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    executed = _executed(packing.seq_pack(docs))
+    # AdaptiveSparkPlan prints Final AND Initial sections; gate the final.
+    final = executed.split("== Initial Plan ==")[0]
+    assert final.count("Exchange hashpartitioning") == 1, executed
+
+
+def test_pii_redact_no_shuffle(spark):
+    """PII scrubbing is map-only: zero exchanges, stays in codegen."""
+
+    from declarative_dataflow_spark.operators import text
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    executed = _executed(text.pii_redact(docs))
+    assert "Exchange" not in executed, executed
+    # "*(n)" node prefixes mark whole-stage-codegen stages
+    assert "*(" in executed, executed
+
+
+def test_repetition_no_shuffle(spark):
+    from declarative_dataflow_spark.operators import text
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    executed = _executed(text.repetition_stats(docs))
+    assert "Exchange" not in executed, executed

@@ -9,7 +9,12 @@ import pytest
 
 from declarative_dataflow_spark.streaming.diff_sink import DiffSink
 from declarative_dataflow_spark.streaming.lww import stream_last_write_wins
-from declarative_dataflow_spark.streaming.windows import coarsen, tumbling_agg
+from declarative_dataflow_spark.streaming.windows import (
+    coarsen,
+    session_agg,
+    sliding_agg,
+    tumbling_agg,
+)
 
 
 def _write_jsonl(path: str, rows: list[dict]) -> None:
@@ -200,3 +205,76 @@ def test_stream_lww_rocksdb_state(spark, tmp_path):
             spark.conf.set(
                 "spark.sql.streaming.stateStore.providerClass", prev
             )
+
+
+def test_sliding_agg_overlapping_panes(spark, tmp_path):
+    src = tmp_path / "slide_in"
+    src.mkdir()
+    _write_jsonl(str(src / "b1.json"), [
+        {"k": "a", "ts": "2024-01-01 00:00:05", "value": 1.0},
+        {"k": "a", "ts": "2024-01-01 00:00:12", "value": 2.0},
+    ])
+    stream = (
+        spark.readStream.schema("k string, ts timestamp, value double")
+        .json(str(src))
+    )
+    agg = sliding_agg(
+        stream, "ts", "20 seconds", "10 seconds", "30 seconds",
+        ["k"], {"n": "count(*)"},
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("slide_test")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "slide_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = {
+            str(r["window_start"]): r["n"]
+            for r in spark.table("slide_test").collect()
+        }
+        # ts=5 lands in panes [-10,10) and [0,20); ts=12 in [0,20) and [10,30)
+        assert rows["2023-12-31 23:59:50"] == 1
+        assert rows["2024-01-01 00:00:00"] == 2
+        assert rows["2024-01-01 00:00:10"] == 1
+    finally:
+        q.stop()
+
+
+def test_session_agg_gap_merge(spark, tmp_path):
+    src = tmp_path / "sess_in"
+    src.mkdir()
+    _write_jsonl(str(src / "b1.json"), [
+        {"k": "a", "ts": "2024-01-01 00:00:00", "value": 1.0},
+        {"k": "a", "ts": "2024-01-01 00:00:08", "value": 2.0},   # merges (gap 10s)
+        {"k": "a", "ts": "2024-01-01 00:01:00", "value": 3.0},   # new session
+    ])
+    stream = (
+        spark.readStream.schema("k string, ts timestamp, value double")
+        .json(str(src))
+    )
+    agg = session_agg(
+        stream, "ts", "10 seconds", "30 seconds", ["k"],
+        {"n": "count(*)", "total": "sum(value)"},
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("sess_test")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = sorted(
+            (str(r["window_start"]), r["n"], r["total"])
+            for r in spark.table("sess_test").collect()
+        )
+        assert rows == [
+            ("2024-01-01 00:00:00", 2, 3.0),
+            ("2024-01-01 00:01:00", 1, 3.0),
+        ]
+    finally:
+        q.stop()
