@@ -50,6 +50,69 @@ from ..plan.plans import (
 )
 
 
+class SemanticsDeltaSource:
+    """Effective-view delta translation for a LWW or Distinct
+    attribute: raw datom batches rewrite history (a later write
+    retracts the previous winner; a duplicate add changes nothing), so
+    the RAW datom delta is NOT the collection delta. This adapter
+    tracks the attribute's effective rows and emits, per epoch, the
+    (e, v, diff) changes of the EFFECTIVE view — which downstream
+    delta pipelines consume like any RAW delta (the reference applies
+    input semantics at ingest, src/server/mod.rs:355-361, so its
+    dataflow likewise only ever sees the rewritten collection).
+
+    Per-epoch work is delta-sized: the semantics window recomputes only
+    over the touched entities' history (per-key history is bounded by
+    trace_slack compaction), and the stored effective view updates with
+    one anti-join + union on the touched keys.
+    """
+
+    def __init__(self, ta):
+        from ..engine import _apply_input_semantics
+
+        self._ta = ta
+        self._apply = _apply_input_semantics
+        self.prev = (
+            ta.dataframe().select("e", "v").localCheckpoint(eager=True)
+        )
+
+    def initial(self) -> DataFrame:
+        """Current effective rows as a weighted snapshot."""
+
+        return self.prev.withColumn("diff", F.lit(1).cast("long"))
+
+    def delta(self, batch_rows: list[tuple]) -> DataFrame:
+        """Effective-view changes caused by this epoch's datoms (which
+        the engine has already transacted into the attribute)."""
+
+        spark = self.prev.sparkSession
+        touched = (
+            spark.createDataFrame([(r[0],) for r in batch_rows])
+            .toDF("e")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        hist = self._ta._raw_dataframe().join(touched, "e", "left_semi")
+        new_eff = (
+            self._apply(hist, self._ta.config)
+            .select("e", "v")
+            .localCheckpoint(eager=True)
+        )
+        old_eff = self.prev.join(touched, "e", "left_semi")
+        plus = new_eff.join(old_eff, ["e", "v"], "left_anti").withColumn(
+            "diff", F.lit(1).cast("long")
+        )
+        minus = old_eff.join(new_eff, ["e", "v"], "left_anti").withColumn(
+            "diff", F.lit(-1).cast("long")
+        )
+        self.prev = (
+            self.prev.join(touched, "e", "left_anti")
+            .unionByName(new_eff)
+            .localCheckpoint(eager=True)
+        )
+        return plus.unionByName(minus).localCheckpoint(eager=True)
+
+
 class DeltaJoin:
     """One incrementally-maintained Hector query.
 
@@ -69,6 +132,7 @@ class DeltaJoin:
         variables: list[str],
         bindings: list[Binding],
         initial: Optional[dict[str, DataFrame]] = None,
+        semantics: Optional[dict[str, "SemanticsDeltaSource"]] = None,
     ):
         self.spark = spark
         self.variables = list(variables)
@@ -91,6 +155,9 @@ class DeltaJoin:
         self.snapshots: dict[str, DataFrame] = {}
         self._appends: dict[str, int] = {}
         self.compact_every = 8
+        # aid -> SemanticsDeltaSource for LWW/Distinct attributes: raw
+        # datom batches translate to effective-view deltas first.
+        self.semantics = dict(semantics or {})
         for aid, df in (initial or {}).items():
             self.snapshots[aid] = df.select("e", "v", "diff").localCheckpoint(
                 eager=True
@@ -113,6 +180,13 @@ class DeltaJoin:
             by_aid.setdefault(d.a, []).append((d.e, d.v, d.diff))
         out = {}
         for aid, rows in by_aid.items():
+            if aid in self.semantics:
+                # LWW/Distinct: the collection delta is the change of
+                # the EFFECTIVE view, not the raw datoms.
+                eff = self.semantics[aid].delta(rows)
+                if not eff.limit(1).isEmpty():
+                    out[aid] = eff
+                continue
             # Eagerly materialized: every pipeline references the
             # delta, so one small checkpoint beats re-evaluating the
             # consolidation per pipeline.
@@ -355,7 +429,7 @@ class DeltaJoin:
             .filter(F.col(DIFF) != 0)
         )
         return out.select(
-            *[F.col(vcol(v)).alias(v) for v in self.variables],
+            *[F.col(vcol(v)).alias(str(v)) for v in self.variables],
             F.col(DIFF).alias("diff"),
         )
 
@@ -760,7 +834,7 @@ class IncrementalRecursion:
         rn = self.name
         total = self.totals.get(rn, self._empty_df(rn))
         out = total.select(
-            *[F.col(vcol(v)).alias(v) for v in self.variables[rn]]
+            *[F.col(vcol(v)).alias(str(v)) for v in self.variables[rn]]
         )
         return out.withColumn("diff", F.lit(1).cast("long"))
 
@@ -907,7 +981,7 @@ class IncrementalRecursion:
         )
         out = plus.unionByName(minus)
         return out.select(
-            *[F.col(vcol(v)).alias(v) for v in self.variables[rn]],
+            *[F.col(vcol(v)).alias(str(v)) for v in self.variables[rn]],
             F.col(DIFF).alias("diff"),
         )
 

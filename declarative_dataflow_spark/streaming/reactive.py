@@ -114,9 +114,13 @@ def _delta_join_for(engine: Engine, name: str):
                         return None
         return None
     if not isinstance(plan, Hector):
-        # Recursive rules: DRed-style incremental maintenance when the
-        # rule is linear, monotone, and self-recursive (the reference
-        # maintains recursion inside its differential scope,
+        # Conjunctive plans (nested Joins etc.) flatten to one Hector
+        # (implement_neu, engine.optimized) and delta-track as such.
+        opt = engine.optimized(plan)
+        if isinstance(opt, Hector):
+            return _delta_join_for_plan(engine, opt)
+        # Recursive rules: DRed-style incremental maintenance (the
+        # reference maintains recursion inside its differential scope,
         # src/lib.rs:943-1019).
         from .incremental import incremental_recursion_for
 
@@ -141,21 +145,34 @@ def _delta_join_for_plan(engine: Engine, plan):
     aids = set()
     for b in plan.bindings:
         if isinstance(b, (AttributeBinding, AntijoinBinding)):
-            # Only RAW transacted attributes delta-track soundly:
-            # LWW/Distinct rewrite history at ingest, which a datom
-            # delta cannot represent.
             ta = engine._transacted.get(b.attribute)
-            if ta is None or ta.config.input_semantics != InputSemantics.RAW:
+            if ta is None:
                 return None
             aids.add(b.attribute)
         elif not isinstance(b, (ConstantBinding, BinaryPredicateBinding)):
             return None
+    from .incremental import SemanticsDeltaSource
+
     initial = {}
+    semantics = {}
     for aid in aids:
-        df = engine._transacted[aid].dataframe()
+        ta = engine._transacted[aid]
+        if ta.config.input_semantics != InputSemantics.RAW:
+            # LWW/Distinct rewrite history at ingest; an adapter turns
+            # raw datom batches into effective-view deltas so the
+            # pipelines still consume a plain weighted delta.
+            adapter = SemanticsDeltaSource(ta)
+            semantics[aid] = adapter
+            snap = adapter.initial()
+            if not snap.isEmpty():
+                initial[aid] = snap
+            continue
+        df = ta.dataframe()
         if not df.isEmpty():
             initial[aid] = df.select("e", "v", "diff")
-    return DeltaJoin(engine.spark, plan.variables_, plan.bindings, initial)
+    return DeltaJoin(
+        engine.spark, plan.variables_, plan.bindings, initial, semantics
+    )
 
 
 def _coalesce_diffs(dfs: list[DataFrame]) -> DataFrame:

@@ -786,3 +786,92 @@ def test_incremental_stratified_negation_randomized(engine):
         {tuple(r): 1 for r in engine.interest("safe_reach").collect()}
     )
     assert acc == expected
+
+
+def test_delta_join_lww_attribute(engine):
+    """Maintained join over a LastWriteWins attribute: a later write
+    RETRACTS the previous winner downstream; randomized churn equals
+    full recompute."""
+
+    from declarative_dataflow_spark import Join, MatchA
+    from declarative_dataflow_spark.engine import AttributeConfig, InputSemantics
+    from declarative_dataflow_spark.streaming.reactive import ReactiveSession
+
+    engine.create_attribute(
+        "status",
+        AttributeConfig(input_semantics=InputSemantics.LAST_WRITE_WINS),
+    )
+    engine.create_attribute("grp")
+    engine.register(
+        "by_group",
+        Join(
+            ["?e"],
+            MatchA("?e", "status", "?s"),
+            MatchA("?e", "grp", "?g"),
+        ),
+    )
+    session = ReactiveSession(engine)
+    session.interest("by_group")
+    assert session.interests["by_group"].delta_join is not None
+
+    session.transact(
+        [
+            Datom.add(1, "grp", "a"),
+            Datom.add(2, "grp", "b"),
+            Datom.add(1, "status", "new", t=1),
+            Datom.add(2, "status", "new", t=1),
+        ]
+    )
+    # Override entity 1's status: old value must retract downstream.
+    session.transact([Datom.add(1, "status", "done", t=2)])
+    # Out-of-order write for entity 2 (t=0 < 1): ignored by LWW.
+    session.transact([Datom.add(2, "status", "stale", t=0)])
+
+    acc = _accumulate(session.interests["by_group"].history)
+    full = engine.interest("by_group")
+    if "diff" in full.columns:
+        full = full.drop("diff")
+    expected = Counter({tuple(r): 1 for r in full.collect()})
+    assert acc == expected
+    # Sanity on semantics: entity 1 shows "done", entity 2 "new".
+    vals = {t[0]: t[1] for t in acc}
+    assert vals[1] == "done" and vals[2] == "new"
+
+
+def test_delta_join_distinct_attribute(engine):
+    """Distinct ingest: duplicate adds emit NO downstream diffs; the
+    tuple disappears only when net weight reaches zero."""
+
+    from declarative_dataflow_spark import Join, MatchA
+    from declarative_dataflow_spark.engine import AttributeConfig, InputSemantics
+    from declarative_dataflow_spark.streaming.reactive import ReactiveSession
+
+    engine.create_attribute(
+        "tag", AttributeConfig(input_semantics=InputSemantics.DISTINCT)
+    )
+    engine.create_attribute("grp")
+    engine.register(
+        "tagged",
+        Join(["?e"], MatchA("?e", "tag", "?v"), MatchA("?e", "grp", "?g")),
+    )
+    session = ReactiveSession(engine)
+    session.interest("tagged")
+
+    session.transact(
+        [Datom.add(1, "grp", "a"), Datom.add(1, "tag", "x")]
+    )
+    h1 = len(session.interests["tagged"].history[-1][1])
+    session.transact([Datom.add(1, "tag", "x")])  # duplicate: no diff
+    h2 = session.interests["tagged"].history[-1][1]
+    assert h2 == []
+    session.transact([Datom.retract(1, "tag", "x")])  # net 1: still there
+    h3 = session.interests["tagged"].history[-1][1]
+    assert h3 == []
+    session.transact([Datom.retract(1, "tag", "x")])  # net 0: retracts
+    acc = _accumulate(session.interests["tagged"].history)
+    full = engine.interest("tagged")
+    if "diff" in full.columns:
+        full = full.drop("diff")
+    expected = Counter({tuple(r): 1 for r in full.collect()})
+    assert acc == expected
+    assert not +acc  # nothing left

@@ -6,12 +6,20 @@ from declarative_dataflow_spark.streaming.reactive import ReactiveSession
 
 
 def _diffs(history, epoch):
-    return {
-        tuple(r)[:-1]: r["__epoch_diff"]
-        for e, rows in history
-        if e == epoch
-        for r in rows
-    }
+    """Net weight change per value tuple: diff x __epoch_diff, so the
+    recompute encoding (diff=1, epoch=-1) and the delta-pipeline
+    encoding (diff=-1, epoch=1) compare equal — both mean one
+    retraction."""
+
+    out = {}
+    for e, rows in history:
+        if e != epoch:
+            continue
+        for r in rows:
+            t = tuple(r)
+            key, net = t[:-2], t[-2] * t[-1]
+            out[key] = out.get(key, 0) + net
+    return {k: v for k, v in out.items() if v != 0}
 
 
 def test_reactive_add_then_retract(engine):
@@ -28,19 +36,19 @@ def test_reactive_add_then_retract(engine):
         [Datom.add(1, "name", "Dipper"), Datom.add(1, "age", 12)]
     )
     d0 = _diffs(session.interests["people"].history, 0)
-    assert d0 == {(1, "Dipper", 12, 1): 1}
+    assert d0 == {(1, "Dipper", 12): 1}
 
     # second entity appears; first is untouched -> no diff for it
     session.transact(
         [Datom.add(2, "name", "Mabel"), Datom.add(2, "age", 13)]
     )
     d1 = _diffs(session.interests["people"].history, 1)
-    assert d1 == {(2, "Mabel", 13, 1): 1}
+    assert d1 == {(2, "Mabel", 13): 1}
 
     # retraction produces a -1 diff
     session.transact([Datom.retract(1, "age", 12)])
     d2 = _diffs(session.interests["people"].history, 2)
-    assert d2 == {(1, "Dipper", 12, 1): -1}
+    assert d2 == {(1, "Dipper", 12): -1}
 
 
 def test_reactive_uninterest(engine):
@@ -233,7 +241,7 @@ def test_late_delta_join_no_double_count(engine):
     session.transact([Datom.add(1, "x2", 1)])  # re-probe seeds DeltaJoin
     assert session.interests["xs2"].delta_join is not None
     d0 = _diffs(session.interests["xs2"].history, 0)
-    assert d0 == {(1, 1, 1): 1}
+    assert d0 == {(1, 1): 1}
 
     session.transact([Datom.retract(1, "x2", 1)])
     rows1 = [r for e, rs in session.interests["xs2"].history if e == 1 for r in rs]
