@@ -877,6 +877,16 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash(load_table(spark, sf_dir, "documents"))
 
 
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embedding table (4x ANN memory
+    cut; per-vector symmetric scale). Map-only higher-order array
+    expressions; DuckDB twin mirrors the arithmetic."""
+
+    return similarity.quantize_embeddings(
+        load_table(spark, sf_dir, "embeddings")
+    )
+
+
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(
         load_table(spark, sf_dir, "embeddings"), query_ids=list(range(10)), k=5
@@ -1001,7 +1011,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_binary": q_join_binary,
         "hector_fused": q_hector_fused,
         "antijoin": q_antijoin,
-        "union": q_union,
         "negate_setdiff": q_negate_setdiff,
         "filter_lt": q_filter_lt,
         "transform_truncate": q_transform_truncate,
@@ -1042,6 +1051,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "text_subwords": q_text_subwords,
         "cosine_topk": q_cosine_topk,
+        "embed_quantize": q_embed_quantize,
         "embed_neardup": q_embed_neardup,
         "ann_ivf": q_ann_ivf,
         "ann_ivf_kmeans": q_ann_ivf_kmeans,
@@ -1060,6 +1070,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pull_all": q_pull_all,
         "distinct_ingest": q_distinct_ingest,
         "bitemporal_timeline": q_bitemporal_timeline,
+        "union": q_union,
     }
 
 
@@ -1334,6 +1345,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT x, z FROM reach"
         ),
         "pagerank": _pagerank_oracle(),
+        "embed_quantize": (
+            "WITH s AS (SELECT vec_id, embedding, "
+            "round(list_max(list_transform(embedding, "
+            "x -> abs(CAST(x AS DOUBLE)))) / 127.0, 9) AS scale "
+            "FROM embeddings) "
+            "SELECT vec_id, scale, "
+            "CASE WHEN scale = 0 THEN list_transform(embedding, x -> 0) "
+            "ELSE list_transform(embedding, "
+            "x -> CAST(round(CAST(x AS DOUBLE) / scale, 0) AS INT)) END "
+            "AS qvec FROM s"
+        ),
         "shortest_hops": (
             "WITH RECURSIVE edges AS ("
             "SELECT DISTINCT user_id % 100 AS s, "

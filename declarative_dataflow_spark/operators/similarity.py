@@ -457,3 +457,43 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("q", "neighbor", "sim", "rank")
     )
+
+
+def quantize_embeddings(
+    vectors: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Scalar int8 quantization: (vec_id, scale, qvec array<int>).
+
+    Per-vector symmetric quantization — scale = max(|x|)/127, q_i =
+    round(x_i / scale) in [-127, 127] — cuts ANN memory 4x against
+    float32 with a per-vector scale for dequantization. Pure
+    higher-order array expressions (aggregate/transform), map-only,
+    fused into the scan; the DuckDB twin mirrors the arithmetic. Zero
+    vectors quantize to scale 0 with all-zero codes.
+
+    The scale rounds to 9 decimals before the division so code values
+    are reproducible across engines (float32 inputs are exact in
+    float64 arithmetic; the shared rounding pins the derived scale).
+    """
+
+    amax = F.expr(
+        f"aggregate({vec_col}, CAST(0.0 AS DOUBLE), "
+        "(acc, x) -> greatest(acc, abs(CAST(x AS DOUBLE))))"
+    )
+    staged = vectors.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.round(amax / F.lit(127.0), 9).alias("scale"),
+    )
+    codes = F.expr(
+        f"transform({vec_col}, x -> "
+        "CAST(round(CAST(x AS DOUBLE) / scale, 0) AS INT))"
+    )
+    zeros = F.expr(f"transform({vec_col}, x -> 0)")
+    return staged.select(
+        id_col,
+        "scale",
+        F.when(F.col("scale") == 0.0, zeros).otherwise(codes).alias("qvec"),
+    )

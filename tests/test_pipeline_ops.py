@@ -446,3 +446,21 @@ def test_pagerank_deterministic_and_normalized(spark):
     assert abs(sum(a.values()) - 1.0) < 0.01
     # 4 has no in-edges: jump term only; 1 and 2 get fed by the cycle
     assert a[4] == min(a.values())
+
+
+def test_quantize_embeddings_roundtrip(spark):
+    from declarative_dataflow_spark.operators import similarity
+
+    v = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.25]), (2, [0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["vec_id"]: r for r in similarity.quantize_embeddings(v).collect()}
+    assert out[1]["qvec"][0] == 127  # max |x| maps to full scale
+    assert all(-127 <= q <= 127 for q in out[1]["qvec"])
+    # dequantized values approximate the originals within one step
+    s = out[1]["scale"]
+    deq = [q * s for q in out[1]["qvec"]]
+    for orig, d in zip([1.0, -0.5, 0.25], deq):
+        assert abs(orig - d) <= s
+    assert out[2]["scale"] == 0.0 and out[2]["qvec"] == [0, 0, 0]
