@@ -213,3 +213,45 @@ def frame_sample(
             ).alias("frame_idx", "byte_offset"),
         )
     )
+
+
+def chunk_audio(
+    binaries: DataFrame,
+    sample_rate: int = 16000,
+    bytes_per_sample: int = 2,
+    window_s: float = 0.5,
+    hop_s: float = 0.25,
+    max_chunks: int = 16,
+) -> DataFrame:
+    """'Audio' segmentation stub: emit one row per overlapping window
+    over the raw byte stream — (doc_id, chunk_idx, start_byte,
+    end_byte, start_s). The real implementation would decode the
+    container to PCM first (no audio libs in this container); the
+    Spark shape — bounded overlapping-window fanout as a row-local
+    sequence explode, no shuffle — is the real part, mirroring how a
+    production pipeline windows waveforms for feature extraction.
+    """
+
+    frame_bytes = int(sample_rate * bytes_per_sample * window_s)
+    hop_bytes = int(sample_rate * bytes_per_sample * hop_s)
+    starts = F.expr(
+        f"slice(sequence(0, greatest(CAST(length(payload) AS INT) - 1, 0), "
+        f"{hop_bytes}), 1, {max_chunks})"
+    )
+    return binaries.select(
+        "doc_id",
+        F.posexplode(starts).alias("chunk_idx", "start_byte"),
+        F.col("payload"),
+    ).select(
+        "doc_id",
+        "chunk_idx",
+        "start_byte",
+        F.least(
+            F.col("start_byte") + F.lit(frame_bytes),
+            F.length("payload").cast("int"),
+        ).alias("end_byte"),
+        F.round(
+            F.col("start_byte") / F.lit(float(sample_rate * bytes_per_sample)),
+            4,
+        ).alias("start_s"),
+    )

@@ -464,3 +464,15 @@ def test_quantize_embeddings_roundtrip(spark):
     for orig, d in zip([1.0, -0.5, 0.25], deq):
         assert abs(orig - d) <= s
     assert out[2]["scale"] == 0.0 and out[2]["qvec"] == [0, 0, 0]
+
+
+def test_chunk_audio_windows(docs):
+    binaries = multimodal.attach_binary(docs)
+    out = multimodal.chunk_audio(
+        binaries, sample_rate=4, bytes_per_sample=1, window_s=2.0, hop_s=1.0
+    )
+    rows_ = [r for r in out.collect() if r["doc_id"] == 1]
+    # hop = 4 bytes, window = 8 bytes, overlapping chunks, bounded ends
+    assert [r["start_byte"] for r in rows_[:3]] == [0, 4, 8]
+    assert all(r["end_byte"] <= len("the quick brown fox jumps over the lazy dog") for r in rows_)
+    assert rows_[1]["start_s"] == 1.0

@@ -1,6 +1,8 @@
 """File sources -> attributes (reference: src/sources/csv_file.rs,
 json_file.rs)."""
 
+from pyspark.sql import functions as F
+
 from declarative_dataflow_spark import Join, MatchA
 from declarative_dataflow_spark.engine import Engine
 from declarative_dataflow_spark.sources.files import (
@@ -110,3 +112,36 @@ def test_socket_datom_source(spark, tmp_path):
     finally:
         q.stop()
         srv.close()
+
+
+def test_kafka_datom_projection(spark):
+    """The Kafka value->datom projection is transport-independent:
+    binary JSON payloads (Kafka's wire schema) decode to the standard
+    (e, a, v, t, diff) shape; malformed rows drop; diff defaults +1."""
+
+    from declarative_dataflow_spark.sources.kafka import decode_datom_values
+
+    payloads = [
+        ('{"e": 1, "a": "name", "v": "Dipper", "t": 5, "diff": 1}',),
+        ('{"e": 2, "a": "name", "v": "Mabel"}',),  # no t/diff
+        ("not json",),
+    ]
+    values = spark.createDataFrame(payloads, ["value"]).select(
+        F.col("value").cast("binary").alias("value")
+    )
+    rows = {
+        r["e"]: r for r in decode_datom_values(values).collect()
+    }
+    assert set(rows) == {1, 2}
+    assert rows[1]["v"] == "Dipper" and rows[1]["t"] == 5
+    assert rows[2]["diff"] == 1 and rows[2]["t"] is None
+
+
+def test_kafka_stream_raises_without_connector(spark):
+    import pytest
+
+    from declarative_dataflow_spark.sources.kafka import stream_kafka_datoms
+
+    with pytest.raises(Exception):
+        df = stream_kafka_datoms(spark, "localhost:9092", "datoms")
+        df.writeStream.format("noop").start()
