@@ -654,6 +654,7 @@ class IncrementalRecursion:
         rules,
         initial: Optional[dict[str, DataFrame]] = None,
         max_iterations: int = 200,
+        semantics: Optional[dict[str, "SemanticsDeltaSource"]] = None,
     ):
         from ..engine import _delta_step_plan
         from ..plan.compiler import Relation
@@ -677,6 +678,9 @@ class IncrementalRecursion:
             for rn, p in self.rules.items()
         }
         # aid -> consolidated weighted (e, v, diff) input snapshot.
+        # LWW/Distinct attributes snapshot their EFFECTIVE view and
+        # translate raw batches through a SemanticsDeltaSource.
+        self.semantics = dict(semantics or {})
         self.snapshots: dict[str, DataFrame] = {}
         for aid, df in (initial or {}).items():
             self.snapshots[aid] = (
@@ -849,15 +853,24 @@ class IncrementalRecursion:
 
         any_negative = False
         for aid, rows_ in by_aid.items():
-            delta = DeltaJoin._consolidate(
-                self.spark.createDataFrame(rows_).toDF("e", "v", "diff")
-            ).localCheckpoint(eager=True)
+            if aid in self.semantics:
+                # Rewrite-at-ingest semantics: the collection delta is
+                # the change of the effective view.
+                delta = self.semantics[aid].delta(rows_)
+                if delta.limit(1).isEmpty():
+                    continue
+                if not delta.filter(F.col("diff") < 0).limit(1).isEmpty():
+                    any_negative = True
+            else:
+                delta = DeltaJoin._consolidate(
+                    self.spark.createDataFrame(rows_).toDF("e", "v", "diff")
+                ).localCheckpoint(eager=True)
+                if any(r[2] < 0 for r in rows_):
+                    any_negative = True
             merged = DeltaJoin._consolidate(
                 self.snapshots[aid].unionByName(delta)
             ).localCheckpoint(eager=True)
             self.snapshots[aid] = merged
-            if any(r[2] < 0 for r in rows_):
-                any_negative = True
 
         rn0 = self.name
         if not by_aid:
@@ -1072,11 +1085,21 @@ def incremental_recursion_for(engine, name: str):
     if unsupported or not aids:
         return None
     initial = {}
+    semantics = {}
     for aid in aids:
         ta = engine._transacted.get(aid)
-        if ta is None or ta.config.input_semantics != InputSemantics.RAW:
+        if ta is None:
             return None
-        initial[aid] = ta.dataframe().select("e", "v", "diff")
+        if ta.config.input_semantics != InputSemantics.RAW:
+            adapter = SemanticsDeltaSource(ta)
+            semantics[aid] = adapter
+            initial[aid] = adapter.initial()
+        else:
+            initial[aid] = ta.dataframe().select("e", "v", "diff")
     return IncrementalRecursion(
-        engine.spark, name, {rn: engine.rules[rn] for rn in cycle}, initial
+        engine.spark,
+        name,
+        {rn: engine.rules[rn] for rn in cycle},
+        initial,
+        semantics=semantics,
     )

@@ -875,3 +875,47 @@ def test_delta_join_distinct_attribute(engine):
     expected = Counter({tuple(r): 1 for r in full.collect()})
     assert acc == expected
     assert not +acc  # nothing left
+
+
+def test_incremental_recursion_lww_edges(engine):
+    """Recursion over a LastWriteWins attribute: rewriting an entity's
+    edge (a later write) retracts every path that used the old edge.
+    Incremental diffs equal full recompute."""
+
+    from declarative_dataflow_spark.engine import AttributeConfig, InputSemantics
+    from declarative_dataflow_spark.streaming.incremental import (
+        IncrementalRecursion,
+    )
+    from declarative_dataflow_spark.streaming.reactive import ReactiveSession
+
+    engine.create_attribute(
+        "edge", AttributeConfig(input_semantics=InputSemantics.LAST_WRITE_WINS)
+    )
+    engine.register("reach", _reach_rule())
+    session = ReactiveSession(engine)
+    session.interest("reach")
+    assert isinstance(
+        session.interests["reach"].delta_join, IncrementalRecursion
+    )
+
+    # chain 1->2->3->4 (each node's edge is its LWW value)
+    session.transact(
+        [
+            Datom.add(1, "edge", 2, t=1),
+            Datom.add(2, "edge", 3, t=1),
+            Datom.add(3, "edge", 4, t=1),
+        ]
+    )
+    # rewire node 2 to 5: paths through 2->3 must retract
+    session.transact([Datom.add(2, "edge", 5, t=2)])
+    # stale write for node 3 (t=0): ignored
+    session.transact([Datom.add(3, "edge", 9, t=0)])
+
+    acc = _accumulate(session.interests["reach"].history)
+    full = engine.interest("reach")
+    if "diff" in full.columns:
+        full = full.drop("diff")
+    expected = Counter({tuple(r): 1 for r in full.collect()})
+    assert acc == expected
+    # semantics: 2 now reaches 5, not 3/4
+    assert (2, 5) in acc and (2, 3) not in acc and (1, 4) not in acc
