@@ -199,7 +199,26 @@ class Server:
             raise ValueError(f"unknown source {tag}")
 
     def _on_advancedomain(self, body: Any) -> None:
-        self.session.advance()
+        """AdvanceDomain(name, next): the domain epoch is monotone —
+        advancing to the current epoch is a no-op, advancing backward
+        errors (reference: Domain::advance_epoch,
+        tests/domain_test.rs::test_advance_epoch)."""
+
+        nxt = None
+        if isinstance(body, (list, tuple)) and len(body) == 2:
+            nxt = body[1]
+        elif isinstance(body, int):
+            nxt = body
+        if nxt is None:
+            self.session.advance()
+            return
+        if nxt < self.session.epoch:
+            raise ValueError(
+                f"cannot advance epoch backward to {nxt} "
+                f"(currently {self.session.epoch})"
+            )
+        while self.session.epoch < nxt:
+            self.session.advance()
 
     def _on_tick(self, body: Any) -> None:
         self.session.advance()

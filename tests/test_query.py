@@ -237,3 +237,38 @@ def test_transact_atomic_on_unknown_attribute(engine):
             [Datom.add(1, "known", 1), Datom.add(1, "missing", 2)]
         )
     assert rows(engine.implement(MatchA("?e", "known", "?v"))) == []
+
+
+def test_transform_truncate_instants(engine):
+    """Ported from the reference's transform_test.rs::run_transform_cases:
+    [:find ?e ?t ?h :where [?e :timestamp ?t] [(truncate ?t) ?h]] over
+    epoch-millisecond Instants truncates to the hour."""
+
+    from declarative_dataflow_spark.plan.plans import (
+        Function,
+        MatchA,
+        Transform,
+    )
+
+    engine.create_attribute("timestamp")
+    engine.transact(
+        [
+            Datom.add(1, "timestamp", 1_540_048_515_500),
+            Datom.add(2, "timestamp", 1_540_048_515_616),
+        ]
+    )
+    plan = Transform(
+        variables_=["?t"],
+        result_variable="?h",
+        plan=MatchA("?e", "timestamp", "?t"),
+        function=Function.TRUNCATE,
+        constants={1: 3_600_000},
+    )
+    df = engine.implement(plan)
+    if "diff" in df.columns:
+        df = df.drop("diff")
+    got = sorted(tuple(r) for r in df.collect())
+    assert got == [
+        (1, 1_540_048_515_500, 1_540_047_600_000),
+        (2, 1_540_048_515_616, 1_540_047_600_000),
+    ]

@@ -211,3 +211,23 @@ def test_lww_attribute_via_protocol(spark):
     )
     [(name, rows)] = [v for o in out for k, v in o.items() if k == "QueryDiff"]
     assert [r[:-2] for r in rows] == [[1, 20]]  # newer t wins
+
+
+def test_advance_domain_monotone(spark):
+    """Ported from the reference's domain_test.rs::test_advance_epoch:
+    advance forward ok, re-advance to the same epoch is a no-op,
+    advancing BACKWARD errors."""
+
+    from declarative_dataflow_spark.server import Server
+
+    srv = Server(spark)
+    assert srv.session.epoch == 0
+    out = srv.handle([{"AdvanceDomain": [None, 1]}])
+    assert srv.session.epoch == 1
+    assert not [o for o in out if "Error" in o]
+    out = srv.handle([{"AdvanceDomain": [None, 1]}])  # same: no-op
+    assert srv.session.epoch == 1
+    assert not [o for o in out if "Error" in o]
+    out = srv.handle([{"AdvanceDomain": [None, 0]}])  # backward: error
+    assert [o for o in out if "Error" in o]
+    assert srv.session.epoch == 1
