@@ -188,8 +188,9 @@ def minhash_lsh_pairs(
     # ever crosses the wire. The shingle-set pass feeds four plan
     # branches (band self-join left/right, verify a/b), so it is
     # materialized ONCE with disk spill rather than recomputed: the md5
-    # pass costs ~70% of the query when run four times (measured at
-    # sf0.1: 3.1s persisted vs 5.3s recomputed). MEMORY_AND_DISK is the
+    # pass costs ~70% of the query when run four times (round-4
+    # measurement at sf0.1 after the repartition fix below: ~1.0s warm
+    # persisted vs ~2.3s before it; recomputing was 5.3s). MEMORY_AND_DISK is the
     # 100 TB-safe choice — the materialization is a scratch table the
     # size of the corpus's distinct shingles, spilled to executor disk
     # like any shuffle file, not a memory-resident cache. The DuckDB

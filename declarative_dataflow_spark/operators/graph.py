@@ -32,21 +32,32 @@ def shortest_hops(
     src: str = "src",
     dst: str = "dst",
     max_iters: int = 100,
+    sources: DataFrame | None = None,
 ) -> DataFrame:
     """Minimum hop count between every reachable (x, y) pair:
     (x, y, hops). Delta-driven relaxation; terminates on any graph
     (cycles included) because hop counts only improve.
 
-    At 100 TB scale the per-round state is the pair-distance table
-    partitioned by the join key; AQE handles skewed hub nodes, and
-    rounds are bounded by the diameter, not the data size.
+    The OUTPUT is all-pairs distances — inherently quadratic in
+    reachable pairs. ``sources`` (a one-column frame of start nodes)
+    restricts x to a set of interest, bounding state to
+    |sources| x |reachable| — the lever a 100 TB caller uses. Per
+    round the state is the pair-distance table partitioned by the
+    join key; AQE handles skewed hub nodes, and rounds are bounded by
+    the diameter, not the data size.
     """
 
     e = edges.select(
         F.col(src).alias("s"), F.col(dst).alias("t")
     ).distinct()
+    seed = e
+    if sources is not None:
+        src_col = sources.columns[0]
+        seed = e.join(
+            sources.select(F.col(src_col).alias("s")).distinct(), "s"
+        )
     dist = (
-        e.select(
+        seed.select(
             F.col("s").alias("x"),
             F.col("t").alias("y"),
             F.lit(1).alias("hops"),

@@ -476,3 +476,17 @@ def test_chunk_audio_windows(docs):
     assert [r["start_byte"] for r in rows_[:3]] == [0, 4, 8]
     assert all(r["end_byte"] <= len("the quick brown fox jumps over the lazy dog") for r in rows_)
     assert rows_[1]["start_s"] == 1.0
+
+
+def test_shortest_hops_sources_restriction(spark):
+    from declarative_dataflow_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], ["src", "dst"]
+    )
+    srcs = spark.createDataFrame([(1,)], ["node"])
+    out = {
+        (r["x"], r["y"]): r["hops"]
+        for r in graph.shortest_hops(edges, sources=srcs).collect()
+    }
+    assert out == {(1, 2): 1, (1, 3): 2, (1, 4): 3}
