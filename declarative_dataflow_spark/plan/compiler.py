@@ -379,11 +379,19 @@ def _join(plan: Join, catalog: Catalog) -> Relation:
 
 def _antijoin(plan: Antijoin, catalog: Catalog) -> Relation:
     """Set-semantics antijoin (reference distincts both sides,
-    src/plan/antijoin.rs:95-97)."""
+    src/plan/antijoin.rs:95-97).
+
+    An unbound recursion variable on the RIGHT side is the empty set —
+    negating nothing passes the left through (iteration 0 of an
+    alternating fixpoint, e.g. win(x) :- move(x,y), not win(y))."""
 
     left = compile_plan(plan.left_plan, catalog).distinct()
+    try:
+        right_rel = compile_plan(plan.right_plan, catalog)
+    except UnboundRule:
+        return left
     right = (
-        compile_plan(plan.right_plan, catalog)
+        right_rel
         .projected(plan.variables_)  # key projection
         .distinct()
     )

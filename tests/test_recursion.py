@@ -297,3 +297,32 @@ def test_stratified_negation_semi_naive(engine):
     # Node 3 is blocked as a DESTINATION: (2,3) drops, nothing extends
     # through it ((1,3) never derives), but (3,4) is a legal start.
     assert got == sorted([(1, 2), (1, 5), (3, 4), (5, 4), (1, 4)])
+
+
+def test_game_win_nonmonotone_naive(engine):
+    """Negation THROUGH the cycle (win(x) :- move(x,y), not win(y)) is
+    non-monotone: routes to the naive alternating iteration and
+    converges to the game-theoretic values on a well-founded graph."""
+
+    from declarative_dataflow_spark.engine import _is_monotone
+    from declarative_dataflow_spark.plan.plans import Antijoin, Project
+
+    engine.create_attribute("move")
+    engine.transact(
+        [Datom.add(i, "move", i + 1) for i in range(1, 4)]  # 1->2->3->4
+    )
+    engine.register(
+        "win",
+        Project(
+            ["?x"],
+            Antijoin(
+                ["?y"],
+                MatchA("?x", "move", "?y"),
+                NameExpr(["?y"], "win"),
+            ),
+        ),
+    )
+    assert not _is_monotone(engine.rules["win"], {"win"})
+    got = rows(engine.interest("win", ["x"]))
+    # 4 has no moves (loses), 3 wins, 2 loses, 1 wins.
+    assert got == [(1,), (3,)]
