@@ -1,0 +1,94 @@
+"""Training-data curation walkthrough: the 100 TB pipeline in miniature.
+
+Composes the beyond-reference operators end-to-end over the driver
+testdata: quality filtering -> language ID -> PII scrubbing ->
+exact + near-duplicate removal (with connected-component group
+resolution) -> repetition filtering -> deterministic train/val/test
+split -> sequence packing -> int8-quantized embeddings for ANN. Every
+stage is JVM-side DataFrame expressions; the only shuffles are the
+dedup band join, the component resolution, the split-free pack window,
+and the final write.
+
+Run: python examples/curation_pipeline.py [sf_dir]
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from declarative_dataflow_spark.operators import (
+    dedup,
+    packing,
+    sampling,
+    similarity,
+    text,
+)
+from declarative_dataflow_spark.session import build_session
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = build_session("curation", master="local[8]")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n0 = docs.count()
+
+    # 1. Signal columns: quality, language, repetition — one fused scan.
+    quality = text.quality_score(docs)
+    langs = text.lang_id(docs)
+    reps = text.repetition_stats(docs)
+    scored = (
+        docs.join(quality.select("doc_id", "quality"), "doc_id")
+        .join(langs, "doc_id")
+        .join(reps.select("doc_id", "rep_ratio"), "doc_id")
+    )
+
+    # 2. Filter: keep scored, non-repetitive, language-identified docs.
+    kept = scored.filter(
+        (F.col("quality") > 0.2)
+        & (F.col("rep_ratio") < 0.9)
+        & (F.col("lang_pred") != "und")
+    )
+
+    # 3. PII scrub the surviving text.
+    clean = text.pii_redact(kept).select(
+        "doc_id", F.col("redacted").alias("text")
+    )
+    clean = kept.drop("text").join(clean, "doc_id")
+
+    # 4. Dedup: exact groups first, then MinHash-LSH near-dups resolved
+    #    to canonical docs via connected components.
+    exact = dedup.exact_dedup_groups(clean)
+    canon = clean.join(
+        exact.select(F.col("canonical").alias("doc_id")), "doc_id", "left_semi"
+    )
+    groups = dedup.dedup_groups(canon)
+    unique = canon.join(
+        groups.filter(F.col("doc_id") == F.col("canonical")).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+
+    # 5. Deterministic split + sequence packing per split.
+    split = sampling.hash_split(
+        unique, {"train": 0.9, "val": 0.05, "test": 0.05}
+    )
+    packed = packing.seq_pack(split.filter(F.col("split") == "train"))
+
+    # 6. Embedding side: int8 quantization for the ANN index.
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    quant = similarity.quantize_embeddings(emb)
+
+    print(f"docs in: {n0}")
+    print(f"after quality/lang/repetition: {kept.count()}")
+    print(f"after exact dedup: {canon.count()}")
+    print(f"after near-dup resolution: {unique.count()}")
+    print(f"train packs: {packed.agg(F.max('pack_id')).first()[0]}")
+    print(f"quantized vectors: {quant.count()}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
