@@ -1,0 +1,1 @@
+"""Sinks: AssocIn nested-document assembly (reference src/sinks)."""

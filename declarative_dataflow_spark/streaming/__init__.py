@@ -1,0 +1,3 @@
+"""Streaming: reactive epochs, incremental maintenance (DeltaJoin,
+IncrementalAggregate, IncrementalRecursion), LWW state, windows,
+diff sinks."""
