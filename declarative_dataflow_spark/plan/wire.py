@@ -74,6 +74,10 @@ def decode_value(v: Any) -> Any:
         if tag == "Rational32":
             num, den = inner
             return num / den
+        if tag == "Real":
+            # Feature-gated I16F16 fixed point (reference:
+            # src/lib.rs:104-105): raw i32 with 16 fractional bits.
+            return int(inner) / 65536.0
         raise ValueError(f"unknown Value tag {tag}")
     return v
 

@@ -88,3 +88,13 @@ def test_union_filter_roundtrip():
     s = wire.to_json(plan)
     back = wire.from_json(s)
     assert back.plans[0].constants == {1: 12}
+
+
+def test_decode_real_fixed_point():
+    """Feature-gated Real(I16F16) values decode as raw/2^16
+    (reference: src/lib.rs:104-105)."""
+
+    from declarative_dataflow_spark.plan.wire import decode_value
+
+    assert decode_value({"Real": 98304}) == 1.5
+    assert decode_value({"Real": -65536}) == -1.0
