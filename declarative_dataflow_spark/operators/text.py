@@ -64,10 +64,9 @@ def subword_token_count(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Heuristic document quality: length, punctuation and stopword
-    ratios combined into one score (all integer counts + one rounded
-    division — deterministic across engines)."""
+def quality_columns(text_col: str = "text") -> dict[str, Column]:
+    """The quality signals as raw Column expressions — composable into
+    any projection (streaming stages use these to stay map-only)."""
 
     length = F.length(F.col(text_col))
     punct = length - F.length(F.regexp_replace(F.col(text_col), PUNCT_CLASS, ""))
@@ -77,18 +76,29 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     stop_ratio = n_stop / F.greatest(n_tokens, F.lit(1))
     len_score = F.least(length / F.lit(500.0), F.lit(1.0))
     score = stop_ratio * 0.5 + len_score * 0.3 + (1.0 - punct_ratio) * 0.2
+    return {
+        "n_chars": length,
+        "punct_ratio": F.round(punct_ratio, 4),
+        "stopword_ratio": F.round(stop_ratio, 4),
+        "quality": F.round(score, 4),
+    }
+
+
+def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic document quality: length, punctuation and stopword
+    ratios combined into one score (all integer counts + one rounded
+    division — deterministic across engines)."""
+
+    cols = quality_columns(text_col)
     return docs.select(
-        "doc_id",
-        length.alias("n_chars"),
-        F.round(punct_ratio, 4).alias("punct_ratio"),
-        F.round(stop_ratio, 4).alias("stopword_ratio"),
-        F.round(score, 4).alias("quality"),
+        "doc_id", *[c.alias(name) for name, c in cols.items()]
     )
 
 
-def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Marker-word language ID: argmax of per-language marker counts,
-    ties broken by fixed language order, zero hits -> 'und'."""
+def lang_id_column(text_col: str = "text") -> Column:
+    """Marker-word language ID as a raw Column: argmax of per-language
+    marker counts, ties broken by fixed language order, zero hits ->
+    'und'."""
 
     counts = {lang: _count_in_set(text_col, ws) for lang, ws in LANG_MARKERS.items()}
     best = F.lit("und")
@@ -98,8 +108,13 @@ def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
         c = counts[lang]
         best = F.when(c >= best_n, F.lit(lang)).otherwise(best)
         best_n = F.when(c >= best_n, c).otherwise(best_n)
-    best = F.when(best_n > 0, best).otherwise(F.lit("und"))
-    return docs.select("doc_id", best.alias("lang_pred"))
+    return F.when(best_n > 0, best).otherwise(F.lit("und"))
+
+
+def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-word language ID (see :func:`lang_id_column`)."""
+
+    return docs.select("doc_id", lang_id_column(text_col).alias("lang_pred"))
 
 
 def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -122,6 +137,16 @@ EMAIL_PATTERN = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
 PHONE_PATTERN = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
 
 
+def redact_column(text_col: str = "text") -> Column:
+    """Email+phone scrubbing as a raw Column expression."""
+
+    return F.regexp_replace(
+        F.regexp_replace(F.col(text_col), EMAIL_PATTERN, "<EMAIL>"),
+        PHONE_PATTERN,
+        "<PHONE>",
+    )
+
+
 def pii_redact(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Scrub emails and phone numbers: (doc_id, redacted, n_emails,
     n_phones). Map-only column expressions (regexp_replace /
@@ -131,11 +156,7 @@ def pii_redact(docs: DataFrame, text_col: str = "text") -> DataFrame:
     text = F.col(text_col)
     return docs.select(
         "doc_id",
-        F.regexp_replace(
-            F.regexp_replace(text, EMAIL_PATTERN, "<EMAIL>"),
-            PHONE_PATTERN,
-            "<PHONE>",
-        ).alias("redacted"),
+        redact_column(text_col).alias("redacted"),
         F.size(F.regexp_extract_all(text, F.lit(EMAIL_PATTERN), 0))
         .cast("long")
         .alias("n_emails"),
@@ -143,6 +164,15 @@ def pii_redact(docs: DataFrame, text_col: str = "text") -> DataFrame:
         .cast("long")
         .alias("n_phones"),
     )
+
+
+def repetition_ratio_column(text_col: str = "text") -> Column:
+    """Within-document duplicate-token share as a raw Column."""
+
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    n = F.size(words)
+    d = F.size(F.array_distinct(words))
+    return F.round(F.lit(1.0) - d / F.greatest(n, F.lit(1)), 6)
 
 
 def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -158,5 +188,5 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
         "doc_id",
         n.cast("long").alias("n_tokens"),
         d.cast("long").alias("n_distinct"),
-        F.round(F.lit(1.0) - d / F.greatest(n, F.lit(1)), 6).alias("rep_ratio"),
+        repetition_ratio_column(text_col).alias("rep_ratio"),
     )

@@ -278,3 +278,42 @@ def test_session_agg_gap_merge(spark, tmp_path):
         ]
     finally:
         q.stop()
+
+
+def test_stream_curation_pipeline(spark, tmp_path):
+    """Streaming curation: map-only quality/lang/PII stage + exact
+    first-occurrence dedup over a file stream."""
+
+    from declarative_dataflow_spark.streaming.curation import (
+        stream_curate,
+        stream_exact_dedup,
+    )
+
+    src = tmp_path / "cur_in"
+    src.mkdir()
+    _write_jsonl(str(src / "b1.json"), [
+        {"doc_id": 1, "text": "the quick brown fox is on the hill for now"},
+        {"doc_id": 2, "text": "the quick brown fox is on the hill for now"},  # dup
+        {"doc_id": 3, "text": "spam spam spam spam spam spam"},  # repetitive
+        {"doc_id": 4, "text": "mail me at bob@example.com about the fox and the dog today"},
+    ])
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .json(str(src))
+    )
+    curated = stream_exact_dedup(stream_curate(stream))
+    q = (
+        curated.writeStream.format("memory")
+        .queryName("cur_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "cur_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows_ = {r["doc_id"]: r for r in spark.table("cur_test").collect()}
+        assert 3 not in rows_  # repetitive doc filtered
+        assert len({1, 2} & set(rows_)) == 1  # exact dup collapsed
+        assert 4 in rows_ and "<EMAIL>" in rows_[4]["text"]  # scrubbed
+    finally:
+        q.stop()
