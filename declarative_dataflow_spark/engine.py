@@ -688,6 +688,8 @@ class Engine:
 
         self.rules[name] = plan
 
+    _static_dedup: bool = False
+
     def catalog(
         self,
         bound: Optional[dict[str, Relation]] = None,
@@ -702,6 +704,7 @@ class Engine:
         if static_cache is not None:
             cat.static_cache = static_cache
             cat.dynamic_rules = dynamic_rules or set()
+            cat.static_dedup = self._static_dedup
         return cat
 
     def _dynamic_rules(self, recursive: set[str]) -> set[str]:
@@ -850,6 +853,7 @@ class Engine:
         monotone = all(
             _is_monotone(self.rules[rn], recursive) for rn in recursive
         )
+        self._static_dedup = monotone
         if monotone:
             totals = self._run_semi_naive(recursive, max_iterations)
         else:

@@ -201,6 +201,14 @@ class Catalog:
         # (the recursive rules plus anything transitively referencing
         # them); subtrees touching these are never cached.
         self.dynamic_rules: set[str] = set()
+        # Set by MONOTONE fixpoints only: the dynamic region above a
+        # static subtree is then join/filter/union/project — all
+        # set-preserving — and every iterate is distinct-ed, so the
+        # cached output may consolidate (weighted) or dedup (weight-1)
+        # without changing the fixpoint. Non-monotone (naive) loops
+        # leave this False: a dynamic Aggregate over the static output
+        # would see changed multiplicities.
+        self.static_dedup: bool = False
 
     def attribute(self, aid: str) -> AttributeSource:
         if aid not in self.attributes:
@@ -259,6 +267,14 @@ def compile_plan(plan: Plan, catalog: Catalog) -> Relation:
                 rel = compile_plan(plan, catalog)
             finally:
                 catalog.static_cache = cache
+            if catalog.static_dedup:
+                rel = (
+                    rel.consolidated()
+                    if rel.has_diff
+                    else Relation(
+                        rel.variables, rel.df.dropDuplicates(), False
+                    )
+                )
             ckpt = rel.df.localCheckpoint(eager=False)
             rel = Relation(rel.variables, ckpt, rel.has_diff)
             cache[key] = rel
