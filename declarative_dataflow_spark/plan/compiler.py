@@ -329,6 +329,14 @@ def compile_plan(plan: Plan, catalog: Catalog) -> Relation:
 def _attr_rel(catalog: Catalog, aid: str, e: Var, v: Var) -> Relation:
     src = catalog.attribute(aid)
     df = src.dataframe()
+    if e == v:
+        # Self-referential pattern [?a :attr ?a]: keep rows where the
+        # entity equals its value, bind the variable once.
+        df = df.filter(df["e"] == df["v"])
+        cols = [df["e"].alias(vcol(e))]
+        if src.has_diff:
+            cols.append(df["diff"].alias(DIFF))
+        return Relation([e], df.select(*cols), src.has_diff)
     cols = [df["e"].alias(vcol(e)), df["v"].alias(vcol(v))]
     if src.has_diff:
         cols.append(df["diff"].alias(DIFF))

@@ -141,3 +141,116 @@ def test_consolidation_is_net_weight(rows):
     for e, v, d in reversed(rows):
         acc2[(e, v)] += d
     assert consolidated == {k: w for k, w in acc2.items() if w != 0}
+
+
+# ---------------------------------------------------------------------------
+# Differential semantics: random conjunctions vs a naive Python model
+# ---------------------------------------------------------------------------
+
+
+def _model_eval(patterns, facts):
+    """Naive bag-semantics conjunction evaluator: nested loops over the
+    fact lists, one binding environment per derivation."""
+
+    envs = [dict()]
+    for (evar, aid, vterm) in patterns:
+        nxt = []
+        for env in envs:
+            for (fe, fv) in facts.get(aid, []):
+                e2 = dict(env)
+                if evar in e2:
+                    if e2[evar] != fe:
+                        continue
+                else:
+                    e2[evar] = fe
+                if isinstance(vterm, str) and vterm.startswith("?"):
+                    if vterm in e2:
+                        if e2[vterm] != fv:
+                            continue
+                    else:
+                        e2[vterm] = fv
+                else:
+                    if fv != vterm:
+                        continue
+                nxt.append(e2)
+        envs = nxt
+    return envs
+
+
+@settings(max_examples=10, deadline=None, derandomize=True)
+@given(data=st.data())
+def test_random_conjunctions_match_model(spark, data):
+    """Differential gate: the Hector compiler (scan fusion, join
+    chains, WCO lowering — whatever it picks) agrees with a nested-loop
+    Python evaluator on random connected conjunctions over random small
+    fact sets, INCLUDING duplicate facts (bag multiplicities)."""
+
+    from collections import Counter
+
+    from declarative_dataflow_spark.engine import Datom, Engine
+    from declarative_dataflow_spark.plan.plans import (
+        AttributeBinding,
+        ConstantBinding,
+        Hector,
+    )
+
+    aids = ["p_edge", "p_name"]
+    # Random facts: small ids/values so joins actually hit.
+    facts = {
+        aid: data.draw(
+            st.lists(
+                st.tuples(st.integers(1, 4), st.integers(1, 4)),
+                min_size=1,
+                max_size=6,
+            ),
+            label=f"facts[{aid}]",
+        )
+        for aid in aids
+    }
+
+    # Connected chain of 2-3 patterns: each reuses a previous variable.
+    n_patterns = data.draw(st.integers(2, 3), label="n_patterns")
+    pool = ["?a", "?b", "?c", "?d"]
+    patterns = []
+    used = []
+    for i in range(n_patterns):
+        aid = data.draw(st.sampled_from(aids), label=f"aid{i}")
+        if used:
+            evar = data.draw(st.sampled_from(used), label=f"e{i}")
+        else:
+            evar = pool[0]
+        fresh = [v for v in pool if v not in used]
+        options = [st.sampled_from(fresh or pool), st.integers(1, 4)]
+        if used:
+            options.append(st.sampled_from(used))
+        vterm = data.draw(st.one_of(*options), label=f"v{i}")
+        patterns.append((evar, aid, vterm))
+        for t in (evar, vterm):
+            if isinstance(t, str) and t.startswith("?") and t not in used:
+                used.append(t)
+
+    envs = _model_eval(patterns, facts)
+    find = sorted(used)
+    expected = Counter(tuple(env[v] for v in find) for env in envs)
+
+    eng = Engine(spark)
+    for aid in aids:
+        eng.create_attribute(aid)
+        eng.transact([Datom.add(e, aid, v) for e, v in facts[aid]])
+    bindings = []
+    for (evar, aid, vterm) in patterns:
+        if isinstance(vterm, int):
+            tmp = f"?__c{len(bindings)}"
+            bindings.append(AttributeBinding(evar, aid, tmp))
+            bindings.append(ConstantBinding(tmp, vterm))
+        else:
+            bindings.append(AttributeBinding(evar, aid, vterm))
+    df = eng.implement(Hector(find, bindings))
+    got = Counter()
+    for r in df.collect():
+        t = tuple(r)
+        if "diff" in df.columns:
+            got[t[:-1]] += t[-1]
+        else:
+            got[t] += 1
+    assert got == expected, (patterns, facts)

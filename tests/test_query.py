@@ -272,3 +272,17 @@ def test_transform_truncate_instants(engine):
         (1, 1_540_048_515_500, 1_540_047_600_000),
         (2, 1_540_048_515_616, 1_540_047_600_000),
     ]
+
+
+def test_self_referential_pattern(engine):
+    """[?a :edge ?a] binds one variable with an e == v filter (found by
+    the differential property gate; the reference allows shared
+    variables across a pattern's positions)."""
+
+    engine.create_attribute("edge")
+    engine.transact(
+        [Datom.add(1, "edge", 1), Datom.add(1, "edge", 2), Datom.add(3, "edge", 3)]
+    )
+    df = engine.implement(MatchA("?a", "edge", "?a"))
+    got = sorted(r[0] for r in df.collect())
+    assert got == [1, 3]
