@@ -230,6 +230,26 @@ def test_random_conjunctions_match_model(spark, data):
                 used.append(t)
 
     envs = _model_eval(patterns, facts)
+
+    # Optionally one comparison predicate over two bound variables.
+    pred = None
+    if len(used) >= 2:
+        if data.draw(st.booleans(), label="use_pred"):
+            import operator
+
+            pv1 = data.draw(st.sampled_from(used), label="pv1")
+            pv2 = data.draw(
+                st.sampled_from([v for v in used if v != pv1]), label="pv2"
+            )
+            op_name = data.draw(
+                st.sampled_from(["LT", "GT", "LTE"]), label="op"
+            )
+            pred = (pv1, op_name, pv2)
+            py_op = {"LT": operator.lt, "GT": operator.gt, "LTE": operator.le}[
+                op_name
+            ]
+            envs = [e for e in envs if py_op(e[pv1], e[pv2])]
+
     find = sorted(used)
     expected = Counter(tuple(env[v] for v in find) for env in envs)
 
@@ -245,6 +265,15 @@ def test_random_conjunctions_match_model(spark, data):
             bindings.append(ConstantBinding(tmp, vterm))
         else:
             bindings.append(AttributeBinding(evar, aid, vterm))
+    if pred is not None:
+        from declarative_dataflow_spark.plan.plans import (
+            BinaryPredicateBinding as BPB,
+            Predicate,
+        )
+
+        bindings.append(
+            BPB([pred[0], pred[2]], Predicate(pred[1]))
+        )
     df = eng.implement(Hector(find, bindings))
     got = Counter()
     for r in df.collect():
