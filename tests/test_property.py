@@ -283,3 +283,54 @@ def test_random_conjunctions_match_model(spark, data):
         else:
             got[t] += 1
     assert got == expected, (patterns, facts)
+
+
+@settings(max_examples=6, deadline=None, derandomize=True)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(1, 5), st.integers(1, 5)),
+        min_size=1,
+        max_size=8,
+    ),
+    nonlinear=st.booleans(),
+)
+def test_random_graph_closure_matches_model(spark, edges, nonlinear):
+    """Differential recursion gate: the fixpoint evaluator (semi-naive,
+    linear or non-linear path per the rule shape) equals a Python
+    transitive closure on random graphs, cycles included."""
+
+    from declarative_dataflow_spark.engine import Datom, Engine
+    from declarative_dataflow_spark.plan.plans import (
+        Join,
+        MatchA,
+        NameExpr,
+        Union,
+    )
+
+    # Python model: warshall closure
+    closure = set(edges)
+    changed = True
+    while changed:
+        changed = False
+        for (a, b) in list(closure):
+            for (c, d) in list(closure):
+                if b == c and (a, d) not in closure:
+                    closure.add((a, d))
+                    changed = True
+
+    eng = Engine(spark)
+    eng.create_attribute("e")
+    eng.transact([Datom.add(a, "e", b) for a, b in edges])
+    if nonlinear:
+        rec = Join(
+            ["?m"],
+            NameExpr(["?x", "?m"], "r"),
+            NameExpr(["?m", "?y"], "r"),
+        )
+    else:
+        rec = Join(
+            ["?m"], NameExpr(["?x", "?m"], "r"), MatchA("?m", "e", "?y")
+        )
+    eng.register("r", Union(["?x", "?y"], [MatchA("?x", "e", "?y"), rec]))
+    got = {tuple(r) for r in eng.interest("r", ["x", "y"]).collect()}
+    assert got == closure, (edges, nonlinear)
