@@ -146,3 +146,51 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks
+
+
+def shortest_paths(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    cost: str = "cost",
+    max_iters: int = 100,
+    sources: DataFrame | None = None,
+) -> DataFrame:
+    """Minimum total cost between reachable (x, y) pairs over a
+    non-negative cost column: (x, y, cost). Same delta-driven
+    relaxation as :func:`shortest_hops` (its cost-1 special case);
+    non-negative costs guarantee termination."""
+
+    e = edges.select(
+        F.col(src).alias("s"),
+        F.col(dst).alias("t"),
+        F.col(cost).alias("w"),
+    ).groupBy("s", "t").agg(F.min("w").alias("w"))
+    seed = e
+    if sources is not None:
+        src_col = sources.columns[0]
+        seed = e.join(
+            sources.select(F.col(src_col).alias("s")).distinct(), "s"
+        )
+    dist = seed.select(
+        F.col("s").alias("x"), F.col("t").alias("y"), F.col("w").alias("cost")
+    ).localCheckpoint(eager=True)
+    delta = dist
+    for _ in range(max_iters):
+        cand = (
+            delta.join(e, delta["y"] == e["s"])
+            .select("x", F.col("t").alias("y"), (F.col("cost") + F.col("w")).alias("cost"))
+        )
+        merged = (
+            dist.unionByName(cand)
+            .groupBy("x", "y")
+            .agg(F.min("cost").alias("cost"))
+            .localCheckpoint(eager=True)
+        )
+        delta = merged.join(dist, ["x", "y", "cost"], "left_anti").localCheckpoint(
+            eager=True
+        )
+        dist = merged
+        if delta.limit(1).isEmpty():
+            return dist
+    raise RuntimeError(f"shortest_paths did not converge in {max_iters} rounds")

@@ -490,3 +490,19 @@ def test_shortest_hops_sources_restriction(spark):
         for r in graph.shortest_hops(edges, sources=srcs).collect()
     }
     assert out == {(1, 2): 1, (1, 3): 2, (1, 4): 3}
+
+
+def test_shortest_paths_weighted(spark):
+    from declarative_dataflow_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 3, 1.0), (1, 3, 5.0), (3, 1, 1.0)],
+        ["src", "dst", "cost"],
+    )
+    out = {
+        (r["x"], r["y"]): r["cost"]
+        for r in graph.shortest_paths(edges).collect()
+    }
+    assert out[(1, 3)] == 2.0  # via 2, beats direct 5.0
+    assert out[(3, 2)] == 2.0  # around the cycle
+    assert out[(1, 1)] == 3.0  # full loop
