@@ -639,7 +639,8 @@ class IncrementalRecursion:
     Set semantics throughout (the fixpoint consolidates each iterate,
     reference src/lib.rs:1012-1017). Eligibility (checked by
     ``incremental_recursion_for``): every cycle rule monotone with
-    dependencies inside the cycle, RAW transacted attributes only.
+    dependencies inside the cycle, over transacted attributes (RAW
+    directly; LWW/Distinct through effective-view delta adapters).
 
     Scale notes: T and the input snapshots are localCheckpoint-ed
     DataFrames (swap for reliable checkpoints/Delta on a cluster); every
@@ -1036,8 +1037,9 @@ def incremental_recursion_for(engine, name: str):
     """Build an IncrementalRecursion for a rule when eligible: the rule
     belongs to a recursive cycle whose members are all monotone with
     rule dependencies inside the cycle (mutual recursion and non-linear
-    self-references included), reading only RAW transacted attributes.
-    Returns None otherwise."""
+    self-references included), reading transacted attributes — RAW
+    directly, LWW/Distinct via SemanticsDeltaSource adapters. Returns
+    None otherwise."""
 
     from ..engine import InputSemantics, _is_monotone
     from ..plan.plans import (
