@@ -74,7 +74,7 @@ def shortest_hops(
             dist.unionByName(cand)
             .groupBy("x", "y")
             .agg(F.min("hops").alias("hops"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         delta = merged.join(dist, ["x", "y", "hops"], "left_anti").localCheckpoint(
             eager=True
@@ -143,7 +143,11 @@ def pagerank(
                     scale,
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=True)
+            # Lazy: fixed iteration count means no per-round action is
+            # needed; the checkpoint still truncates lineage when the
+            # final action runs, but the 10 rounds execute as one job
+            # instead of ten serial materializations.
+            .localCheckpoint(eager=False)
         )
     return ranks
 
@@ -185,7 +189,7 @@ def shortest_paths(
             dist.unionByName(cand)
             .groupBy("x", "y")
             .agg(F.min("cost").alias("cost"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         delta = merged.join(dist, ["x", "y", "cost"], "left_anti").localCheckpoint(
             eager=True
