@@ -501,11 +501,16 @@ class IncrementalAggregate:
         self.fn = aggregation_fn
         self.agg_var = aggregation_variable
         self.state: Optional[DataFrame] = None  # keys + __v + __w
-        if seed_from_snapshots and hasattr(delta_join, "current"):
+        if (
+            seed_from_snapshots
+            and hasattr(delta_join, "current")
             # Maintainers tracking their own materialized state (e.g.
-            # IncrementalRecursion) seed the reduce from it directly —
-            # the differential reduce-over-iterate composition.
-            cur = delta_join.current()
+            # IncrementalRecursion, or a renamed DeltaJoin re-deriving
+            # from snapshots) seed the reduce from it directly — the
+            # differential reduce-over-iterate composition. None means
+            # nothing is transacted yet; the state seeds empty.
+            and (cur := delta_join.current()) is not None
+        ):
             self.state = (
                 cur.select(
                     *[F.col(k) for k in self.keys],
@@ -1002,18 +1007,20 @@ class IncrementalRecursion:
 
 class RenamedMaintainer:
     """Positional column rename over a maintainer's diff/current
-    outputs — aligns an IncrementalRecursion's rule-variable columns
-    with the variable names a consuming NameExpr chose."""
+    outputs — aligns the maintained relation's variable columns with
+    the names a consuming NameExpr chose. Wraps IncrementalRecursion
+    (rule variables) or DeltaJoin (``source_vars=dj.variables``)."""
 
-    def __init__(self, inner, names):
+    def __init__(self, inner, names, source_vars=None):
         self.inner = inner
-        rule_vars = inner.variables[inner.name]
-        if len(rule_vars) != len(names):
+        if source_vars is None:
+            source_vars = inner.variables[inner.name]
+        if len(source_vars) != len(names):
             raise ValueError(
-                f"rule {inner.name} arity {len(rule_vars)} != {len(names)}"
+                f"arity {len(source_vars)} != {len(names)}"
             )
         self.mapping = [
-            (str(a), str(b)) for a, b in zip(rule_vars, names)
+            (str(a), str(b)) for a, b in zip(source_vars, names)
         ]
 
     @property
@@ -1029,8 +1036,25 @@ class RenamedMaintainer:
     def transact(self, datoms: Iterable[Datom]) -> DataFrame:
         return self._rename(self.inner.transact(datoms))
 
-    def current(self) -> DataFrame:
-        return self._rename(self.inner.current())
+    def current(self) -> Optional[DataFrame]:
+        """The maintained relation as (vars..., diff) — from the
+        inner's own materialized state, or re-derived from a
+        DeltaJoin's snapshots; None when nothing is seeded yet."""
+
+        if hasattr(self.inner, "current"):
+            return self._rename(self.inner.current())
+        core = self.inner._core_at(self.inner.snapshots)
+        if core is None:
+            return None
+        rel = core.with_diff()
+        df = rel.df.select(
+            *[
+                F.col(vcol(v)).alias(str(v))
+                for v in self.inner.variables
+            ],
+            F.col(DIFF).alias("diff"),
+        )
+        return self._rename(df)
 
 
 def incremental_recursion_for(engine, name: str):

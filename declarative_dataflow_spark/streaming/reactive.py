@@ -95,16 +95,34 @@ def _delta_join_for(engine: Engine, name: str):
 
         target = plan.plan.name
         if target in engine.rules:
-            inner = incremental_recursion_for(engine, target)
-            if inner is not None:
-                needed = {str(v) for v in plan.key_variables} | {
-                    str(plan.aggregation_variables[0])
-                }
-                names = [str(v) for v in plan.plan.variables_]
-                if needed <= set(names):
+            needed = {str(v) for v in plan.key_variables} | {
+                str(plan.aggregation_variables[0])
+            }
+            names = [str(v) for v in plan.plan.variables_]
+            if needed <= set(names):
+                wrapped = None
+                inner = incremental_recursion_for(engine, target)
+                if inner is not None:
+                    wrapped = RenamedMaintainer(inner, names)
+                elif not engine._recursive_rules(target):
+                    # Non-recursive named view: flatten to Hector and
+                    # delta-track like an inline conjunction.
+                    tplan = engine.rules[target]
+                    opt = (
+                        tplan
+                        if isinstance(tplan, Hector)
+                        else engine.optimized(tplan)
+                    )
+                    if isinstance(opt, Hector):
+                        dj = _delta_join_for_plan(engine, opt)
+                        if dj is not None and len(dj.variables) == len(names):
+                            wrapped = RenamedMaintainer(
+                                dj, names, source_vars=dj.variables
+                            )
+                if wrapped is not None:
                     try:
                         return IncrementalAggregate(
-                            RenamedMaintainer(inner, names),
+                            wrapped,
                             list(plan.key_variables),
                             plan.aggregation_fns[0],
                             plan.aggregation_variables[0],

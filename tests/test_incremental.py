@@ -919,3 +919,63 @@ def test_incremental_recursion_lww_edges(engine):
     assert acc == expected
     # semantics: 2 now reaches 5, not 3/4
     assert (2, 5) in acc and (2, 3) not in acc and (1, 4) not in acc
+
+
+def test_incremental_aggregate_over_named_view(engine):
+    """Aggregate over a NameExpr targeting a NON-recursive conjunctive
+    view: routes through IncrementalAggregate over a renamed DeltaJoin
+    and equals full recompute across epochs."""
+
+    from declarative_dataflow_spark import Aggregate, Join, MatchA, NameExpr
+    from declarative_dataflow_spark.plan.plans import AggregationFn
+    from declarative_dataflow_spark.streaming.incremental import (
+        IncrementalAggregate,
+    )
+    from declarative_dataflow_spark.streaming.reactive import ReactiveSession
+
+    engine.create_attribute("team")
+    engine.create_attribute("score")
+    engine.register(
+        "scores",
+        Join(
+            ["?e"],
+            MatchA("?e", "team", "?t"),
+            MatchA("?e", "score", "?s"),
+        ),
+    )
+    engine.register(
+        "team_total",
+        Aggregate(
+            ["?t", "?s"],
+            NameExpr(["?e", "?t", "?s"], "scores"),
+            [AggregationFn.SUM],
+            ["?t"],
+            ["?s"],
+        ),
+    )
+    session = ReactiveSession(engine)
+    session.interest("team_total")
+    assert isinstance(
+        session.interests["team_total"].delta_join, IncrementalAggregate
+    )
+
+    session.transact(
+        [
+            Datom.add(1, "team", "red"),
+            Datom.add(1, "score", 3),
+            Datom.add(2, "team", "red"),
+            Datom.add(2, "score", 4),
+            Datom.add(3, "team", "blue"),
+            Datom.add(3, "score", 5),
+        ]
+    )
+    session.transact([Datom.retract(2, "score", 4), Datom.add(2, "score", 6)])
+
+    acc = _accumulate(session.interests["team_total"].history)
+    full = engine.interest("team_total")
+    if "diff" in full.columns:
+        full = full.drop("diff")
+    expected = Counter({tuple(r): 1 for r in full.collect()})
+    assert acc == expected
+    vals = {t[0]: t[1] for t in acc}
+    assert vals["red"] == 9 and vals["blue"] == 5
