@@ -334,3 +334,106 @@ def test_random_graph_closure_matches_model(spark, edges, nonlinear):
     eng.register("r", Union(["?x", "?y"], [MatchA("?x", "e", "?y"), rec]))
     got = {tuple(r) for r in eng.interest("r", ["x", "y"]).collect()}
     assert got == closure, (edges, nonlinear)
+
+
+@settings(max_examples=8, deadline=None, derandomize=True)
+@given(
+    facts=st.lists(
+        st.tuples(st.integers(1, 3), st.integers(-5, 5)),
+        min_size=1,
+        max_size=10,
+    ),
+    fn_name=st.sampled_from(["COUNT", "SUM", "MIN", "MAX", "MEDIAN"]),
+)
+def test_random_grouped_aggregates_match_model(spark, facts, fn_name):
+    """Differential aggregation gate: grouped COUNT/SUM/MIN/MAX/MEDIAN
+    over random weighted facts equals a Python model (MEDIAN uses the
+    reference's upper-middle element)."""
+
+    from collections import Counter, defaultdict
+
+    from declarative_dataflow_spark.engine import Datom, Engine
+    from declarative_dataflow_spark.plan.plans import (
+        Aggregate,
+        AggregationFn,
+        MatchA,
+    )
+
+    groups = defaultdict(list)
+    for e, v in facts:
+        groups[e].append(v)
+
+    def model(vals):
+        vals = sorted(vals)
+        if fn_name == "COUNT":
+            return len(vals)
+        if fn_name == "SUM":
+            return sum(vals)
+        if fn_name == "MIN":
+            return vals[0]
+        if fn_name == "MAX":
+            return vals[-1]
+        return vals[len(vals) // 2]  # upper-middle MEDIAN
+
+    expected = Counter({(e, model(vs)): 1 for e, vs in groups.items()})
+
+    eng = Engine(spark)
+    eng.create_attribute("pv")
+    eng.transact([Datom.add(e, "pv", v) for e, v in facts])
+    eng.register(
+        "agg",
+        Aggregate(
+            ["?e", "?v"],
+            MatchA("?e", "pv", "?v"),
+            [AggregationFn[fn_name]],
+            ["?e"],
+            ["?v"],
+        ),
+    )
+    df = eng.interest("agg")
+    if "diff" in df.columns:
+        df = df.drop("diff")
+    got = Counter(tuple(r) for r in df.collect())
+    assert got == expected, (facts, fn_name)
+
+
+@settings(max_examples=8, deadline=None, derandomize=True)
+@given(
+    pos=st.lists(
+        st.tuples(st.integers(1, 4), st.integers(1, 4)),
+        min_size=1,
+        max_size=8,
+    ),
+    neg=st.lists(st.integers(1, 4), max_size=4),
+)
+def test_random_antijoin_matches_model(spark, pos, neg):
+    """Differential negation gate: [?a :p ?b] (not [?b :n _]) equals
+    the Python set difference on random facts (set semantics — the
+    reference distincts both antijoin sides)."""
+
+    from declarative_dataflow_spark.engine import Datom, Engine
+    from declarative_dataflow_spark.plan.plans import (
+        Antijoin,
+        MatchA,
+        Project,
+    )
+
+    blocked = set(neg)
+    expected = {(a, b) for a, b in pos if b not in blocked}
+
+    eng = Engine(spark)
+    eng.create_attribute("pp")
+    eng.create_attribute("pn")
+    eng.transact([Datom.add(a, "pp", b) for a, b in pos])
+    eng.transact([Datom.add(b, "pn", 1) for b in blocked])
+    df = eng.implement(
+        Antijoin(
+            ["?b"],
+            MatchA("?a", "pp", "?b"),
+            Project(["?b"], MatchA("?b", "pn", "?c")),
+        )
+    )
+    if "diff" in df.columns:
+        df = df.drop("diff")
+    got = {tuple(r) for r in df.collect()}
+    assert got == expected, (pos, neg)
