@@ -437,3 +437,98 @@ def test_random_antijoin_matches_model(spark, pos, neg):
         df = df.drop("diff")
     got = {tuple(r) for r in df.collect()}
     assert got == expected, (pos, neg)
+
+
+@settings(max_examples=8, deadline=None, derandomize=True)
+@given(
+    writes=st.lists(
+        st.tuples(
+            st.integers(1, 3),          # entity
+            st.integers(1, 4),          # value
+            st.integers(0, 3),          # event time (ties likely)
+            st.sampled_from([1, 1, 1, -1]),  # mostly adds
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_random_lww_matches_model(spark, writes):
+    """Differential input-semantics gate: LastWriteWins over random
+    (possibly tied, possibly retracted) writes equals the Python state
+    model — latest event time wins, ties resolve by arrival order, a
+    retraction deletes only if it matches the current winner."""
+
+    from declarative_dataflow_spark.engine import (
+        AttributeConfig,
+        Datom,
+        Engine,
+        InputSemantics,
+    )
+    from declarative_dataflow_spark.plan.plans import MatchA
+
+    # Model: keep all rows, winner per entity = max (t, seq) with
+    # positive diff at the top of the stack after sorting.
+    by_e = {}
+    for seq, (e, v, t, diff) in enumerate(writes):
+        by_e.setdefault(e, []).append((t, seq, v, diff))
+    expected = set()
+    for e, rows_ in by_e.items():
+        top = max(rows_)  # (t, seq) lexicographic — arrival breaks ties
+        if top[3] > 0:
+            expected.add((e, top[2]))
+
+    eng = Engine(spark)
+    eng.create_attribute(
+        "lwwp", AttributeConfig(input_semantics=InputSemantics.LAST_WRITE_WINS)
+    )
+    eng.transact(
+        [Datom(e, "lwwp", v, t, diff) for (e, v, t, diff) in writes]
+    )
+    df = eng.implement(MatchA("?e", "lwwp", "?v"))
+    if "diff" in df.columns:
+        df = df.drop("diff")
+    got = {tuple(r) for r in df.collect()}
+    assert got == expected, writes
+
+
+@settings(max_examples=6, deadline=None, derandomize=True)
+@given(
+    writes=st.lists(
+        st.tuples(
+            st.integers(1, 3),
+            st.integers(1, 3),
+            st.sampled_from([1, 1, -1]),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_random_distinct_matches_model(spark, writes):
+    """Distinct ingest: a (e, v) pair is present iff its net weight is
+    positive, regardless of duplicate adds or over-retraction order."""
+
+    from collections import Counter
+
+    from declarative_dataflow_spark.engine import (
+        AttributeConfig,
+        Datom,
+        Engine,
+        InputSemantics,
+    )
+    from declarative_dataflow_spark.plan.plans import MatchA
+
+    net = Counter()
+    for e, v, diff in writes:
+        net[(e, v)] += diff
+    expected = {k for k, w in net.items() if w > 0}
+
+    eng = Engine(spark)
+    eng.create_attribute(
+        "dsp", AttributeConfig(input_semantics=InputSemantics.DISTINCT)
+    )
+    eng.transact([Datom(e, "dsp", v, None, diff) for e, v, diff in writes])
+    df = eng.implement(MatchA("?e", "dsp", "?v"))
+    if "diff" in df.columns:
+        df = df.drop("diff")
+    got = {tuple(r) for r in df.collect()}
+    assert got == expected, writes
