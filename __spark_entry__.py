@@ -44,6 +44,7 @@ from declarative_dataflow_spark import (
 )
 from declarative_dataflow_spark.engine import Engine, InputSemantics
 from declarative_dataflow_spark.operators import (
+    curation,
     dedup,
     graph,
     multimodal,
@@ -820,6 +821,53 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.repetition_stats(load_table(spark, sf_dir, "documents"))
 
 
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: per-document 3-gram overlap against a
+    deterministic "eval set" (every 50th doc stands in for a held-out
+    benchmark). Eval n-gram set broadcasts; corpus side is one
+    scan + per-doc aggregation."""
+
+    docs = load_table(spark, sf_dir, "documents")
+    eval_docs = docs.filter(F.col("doc_id") % 50 == 0)
+    return curation.contamination(docs, eval_docs, n=3)
+
+
+def q_dup_ngram_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide duplicate-3-gram fraction per document (boilerplate
+    signal): two uniform-key aggregations, no all-pairs work."""
+
+    return curation.dup_ngram_frac(load_table(spark, sf_dir, "documents"), n=3)
+
+
+def q_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sharded shuffle for training-order reproducibility:
+    hash-dealt shard + within-shard position via a PARTITIONED window
+    (n_shards parallel sorts, never one global sort partition)."""
+
+    return curation.global_shuffle(
+        load_table(spark, sf_dir, "documents"), n_shards=8
+    )
+
+
+def q_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture assembly under per-language token budgets, walked
+    in deterministic hash order (window partitioned by language)."""
+
+    return curation.token_budget_mix(
+        load_table(spark, sf_dir, "documents"),
+        budgets={"en": 3000, "es": 1500, "de": 1000},
+    )
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-k-documents-per-domain selection: quality-ranked window
+    partitioned by (lang, source), deterministic doc_id tiebreak."""
+
+    return curation.topk_per_group(
+        load_table(spark, sf_dir, "documents"), k=3
+    )
+
+
 def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.token_count(load_table(spark, sf_dir, "documents"))
 
@@ -994,16 +1042,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver's correctness run records the FIRST 50 keys only
-    # (CORRECTNESS_r01..r03 each hold exactly 50 rows). With 58
+    # (CORRECTNESS_r01..r03 each hold exactly 50 rows). With 70
     # declared queries the ordering therefore rotates per round so
     # every key gets a driver-recorded oracle row at least every other
-    # round; ORACLE_LOCAL.md checks in a full 58/58 run each round
+    # round; ORACLE_LOCAL.md checks in a full 70/70 run each round
     # (python oracle_check.py — the same compare the driver performs).
-    # Round 4 front-loads the 8 keys that r02/r03 could not record;
-    # the 8 deferred to the tail (match_ea, filter_vars,
-    # transform_add/subtract, agg_min/max/count/sum) are variants of
-    # keys that stay in the first 50 and were driver-verified green in
-    # BOTH r02 and r03.
+    # Round 4 front-loads keys that r02/r03 could not record plus the
+    # new curation operators; every key deferred to the tail was
+    # driver-verified green in BOTH r02 and r03.
     return {
         "match_a": q_match_a,
         "match_av": q_match_av,
@@ -1011,11 +1057,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_binary": q_join_binary,
         "hector_fused": q_hector_fused,
         "antijoin": q_antijoin,
-        "negate_setdiff": q_negate_setdiff,
         "filter_lt": q_filter_lt,
-        "transform_truncate": q_transform_truncate,
         "agg_median": q_agg_median,
-        "agg_variance": q_agg_variance,
         "agg_multi": q_agg_multi,
         "agg_global": q_agg_global,
         "tclosure": q_tclosure,
@@ -1029,7 +1072,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "confusion_filter": q_confusion_filter,
         "confusion_agg": q_confusion_agg,
         "lww": q_lww,
-        "hash_split": q_hash_split,
         "stratified_sample": q_stratified_sample,
         "multimodal_meta": q_multimodal_meta,
         "frame_sample": q_frame_sample,
@@ -1038,12 +1080,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graphql": q_graphql,
         "bitemporal_asof": q_bitemporal_asof,
         "text_tokens": q_text_tokens,
+        "contamination": q_contamination,
+        "dup_ngram_frac": q_dup_ngram_frac,
+        "global_shuffle": q_global_shuffle,
+        "token_budget_mix": q_token_budget_mix,
+        "topk_per_group": q_topk_per_group,
         "seq_pack": q_seq_pack,
         "pii_redact": q_pii_redact,
         "repetition": q_repetition,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
-        "fingerprint": q_fingerprint,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
@@ -1056,6 +1102,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "ann_ivf_kmeans": q_ann_ivf_kmeans,
         # --- deferred this round (driver cap); all green in r02 AND r03 ---
+        "negate_setdiff": q_negate_setdiff,
+        "transform_truncate": q_transform_truncate,
+        "agg_variance": q_agg_variance,
+        "hash_split": q_hash_split,
+        "fingerprint": q_fingerprint,
         "match_ea": q_match_ea,
         "filter_vars": q_filter_vars,
         "transform_add": q_transform_add,
@@ -1484,6 +1535,70 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CASE WHEN len(trim(text)) = 0 THEN 0 "
             "ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens "
             "FROM documents"
+        ),
+        "contamination": (
+            "WITH words AS (SELECT doc_id, string_split(lower(text), ' ') AS w "
+            "FROM documents), "
+            "sh AS (SELECT DISTINCT doc_id, "
+            "unnest([w[i] || '_' || w[i+1] || '_' || w[i+2] "
+            "for i in range(1, len(w) - 1)]) AS shingle "
+            "FROM words WHERE len(w) >= 3), "
+            "ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0) "
+            "SELECT s.doc_id, count(*)::BIGINT AS n_ngrams, "
+            "sum(CASE WHEN e.shingle IS NOT NULL THEN 1 ELSE 0 END)::BIGINT "
+            "AS n_hit, "
+            "round(sum(CASE WHEN e.shingle IS NOT NULL THEN 1 ELSE 0 END) "
+            "/ count(*), 4) AS contamination "
+            "FROM sh s LEFT JOIN ev e ON s.shingle = e.shingle GROUP BY 1"
+        ),
+        "dup_ngram_frac": (
+            "WITH words AS (SELECT doc_id, string_split(lower(text), ' ') AS w "
+            "FROM documents), "
+            "sh AS (SELECT DISTINCT doc_id, "
+            "unnest([w[i] || '_' || w[i+1] || '_' || w[i+2] "
+            "for i in range(1, len(w) - 1)]) AS shingle "
+            "FROM words WHERE len(w) >= 3), "
+            "cnt AS (SELECT shingle, count(*) AS nd FROM sh GROUP BY 1) "
+            "SELECT s.doc_id, count(*)::BIGINT AS n_ngrams, "
+            "sum(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup, "
+            "round(sum(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END) / count(*), 4) "
+            "AS dup_frac "
+            "FROM sh s JOIN cnt c ON s.shingle = c.shingle GROUP BY 1"
+        ),
+        "global_shuffle": (
+            "WITH k AS (SELECT doc_id, "
+            "md5('shuffle_' || CAST(doc_id AS VARCHAR)) AS kk FROM documents), "
+            "s AS (SELECT doc_id, kk, "
+            "('0x' || substr(kk, 1, 8))::BIGINT % 8 AS shard FROM k) "
+            "SELECT doc_id, shard, "
+            "(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY kk, doc_id))::BIGINT "
+            "AS pos FROM s"
+        ),
+        "token_budget_mix": (
+            "WITH base AS (SELECT doc_id, lang AS \"group\", "
+            "CASE WHEN len(trim(text)) = 0 THEN 0 "
+            "ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens, "
+            "CASE lang WHEN 'en' THEN 3000 WHEN 'es' THEN 1500 "
+            "WHEN 'de' THEN 1000 ELSE 0 END AS budget, "
+            "md5('mix_' || CAST(doc_id AS VARCHAR)) AS kk FROM documents), "
+            "c AS (SELECT doc_id, \"group\", n_tokens::BIGINT AS n_tokens, budget, "
+            "(SUM(n_tokens) OVER (PARTITION BY \"group\" ORDER BY kk, doc_id "
+            "ROWS UNBOUNDED PRECEDING))::BIGINT AS cum_tokens FROM base) "
+            "SELECT doc_id, \"group\", n_tokens, cum_tokens FROM c "
+            "WHERE cum_tokens <= budget"
+        ),
+        "topk_per_group": (
+            "WITH s AS (SELECT doc_id, lang, source, "
+            f"round(len(list_filter(string_split(lower(text), ' '), w -> w IN {_SQL_STOP})) "
+            "  / greatest(len(string_split(lower(text), ' ')), 1) * 0.5 "
+            "  + least(length(text) / 500.0, 1.0) * 0.3 "
+            "  + (1.0 - (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) "
+            "      / greatest(length(text), 1)) * 0.2, 4) AS score "
+            "FROM documents), "
+            "r AS (SELECT doc_id, lang, source, score, "
+            "(ROW_NUMBER() OVER (PARTITION BY lang, source "
+            "ORDER BY score DESC, doc_id))::BIGINT AS rk FROM s) "
+            "SELECT doc_id, lang, source, score, rk FROM r WHERE rk <= 3"
         ),
         "seq_pack": packing.seq_pack_oracle_sql(),
         "pii_redact": (

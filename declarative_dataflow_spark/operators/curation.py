@@ -1,0 +1,230 @@
+"""Corpus-curation operators for large-scale training-data pipelines.
+
+Beyond-reference extensions (BASELINE.json north star): benchmark
+contamination detection, corpus-wide duplicate-n-gram fractions,
+deterministic sharded shuffling, per-group token budgeting, and
+per-group top-k selection — the operations that turn a filtered
+document set into an actual training mix.
+
+All operators are pure DataFrame compositions of JVM-side SQL
+functions (no Python UDFs), each with an exact DuckDB-SQL twin for the
+correctness gate. Determinism rules match sampling.py: any "random"
+order comes from a content hash (md5), never RNG state, so results are
+identical across runs, engines, and cluster sizes.
+
+Scale design per operator:
+
+- ``contamination``: the eval set is small by definition (benchmarks
+  are KBs–MBs); its distinct n-gram set broadcasts, so the corpus-side
+  pass is scan → explode → broadcast-hash-join → per-doc agg. One
+  shuffle (doc_id, uniform).
+- ``dup_ngram_frac``: two shuffles, both on uniform keys (n-gram hash,
+  then doc_id) with map-side partial aggregation; no all-pairs joins.
+- ``global_shuffle``: shard assignment is map-only; in-shard position
+  is a window PARTITIONED by shard — parallel across shards, never a
+  single-partition global window.
+- ``token_budget_mix``: window partitioned by the mix group; per-group
+  state is the running token sum, not the documents.
+- ``topk_per_group``: window partitioned by group; AQE handles skewed
+  groups, and the filter keeps k rows per group so nothing downstream
+  sees the full corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from .dedup import shingles
+
+
+def _hash_key(id_col: str, salt: str) -> Column:
+    """Deterministic pseudo-random order key: md5 over salted id.
+    Portable: DuckDB's md5() produces the identical digest."""
+
+    return F.md5(F.concat(F.lit(salt + "_"), F.col(id_col).cast("string")))
+
+
+def contamination(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark-contamination check: for each document, the share of
+    its distinct word n-grams that also occur anywhere in the eval
+    set — the standard n-gram-overlap decontamination test applied
+    before training. Returns (doc_id, n_ngrams, n_hit, contamination).
+
+    The eval side collapses to one distinct n-gram set (small —
+    benchmarks are tiny next to a corpus) and broadcasts; each corpus
+    document then needs only its own exploded n-grams and one hash
+    lookup per n-gram. contamination is rounded to 4 decimals so the
+    double division is engine-portable.
+    """
+
+    ev = shingles(eval_docs, n, text_col).select("shingle").distinct()
+    d = shingles(docs, n, text_col)
+    hit = (
+        d.join(F.broadcast(ev.withColumn("__hit", F.lit(1))), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.coalesce(F.sum("__hit"), F.lit(0)).cast("long").alias("n_hit"),
+        )
+    )
+    return hit.select(
+        "doc_id",
+        "n_ngrams",
+        "n_hit",
+        F.round(F.col("n_hit") / F.col("n_ngrams"), 4).alias("contamination"),
+    )
+
+
+def dup_ngram_frac(
+    docs: DataFrame, n: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """Corpus-wide duplicate-n-gram fraction (the Gopher/RefinedWeb
+    quality signal): per document, the share of its distinct n-grams
+    that occur in at least ``min_docs``=2 distinct documents. High
+    values mark boilerplate. Returns (doc_id, n_ngrams, n_dup,
+    dup_frac).
+
+    Shape: one aggregation over n-grams (each (doc, n-gram) pair is
+    already distinct, so count(*) counts distinct documents), joined
+    back to the per-doc n-grams, then one per-doc aggregation. Both
+    group keys are high-cardinality and uniform; partial aggregation
+    does the heavy lifting map-side.
+    """
+
+    sh = shingles(docs, n, text_col)
+    counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__docs"))
+    return (
+        sh.join(counts, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.sum(F.when(F.col("__docs") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup"),
+        )
+        .select(
+            "doc_id",
+            "n_ngrams",
+            "n_dup",
+            F.round(F.col("n_dup") / F.col("n_ngrams"), 4).alias("dup_frac"),
+        )
+    )
+
+
+def global_shuffle(
+    docs: DataFrame,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    salt: str = "shuffle",
+) -> DataFrame:
+    """Deterministic global shuffle into training shards:
+    (doc_id, shard, pos). Every engine, run, and cluster size produces
+    the identical assignment — the reproducible data-order a training
+    job needs.
+
+    The hash key deals rows uniformly into ``n_shards`` shards
+    (map-only); the within-shard position is a window PARTITIONED by
+    shard — the global sort a naive ``row_number() over (order by
+    hash)`` would serialize onto one partition instead runs as
+    n_shards parallel sorts. A writer emits shard files with
+    ``partitionBy("shard")`` sorted by pos.
+    """
+
+    with_key = docs.withColumn("__k", _hash_key(id_col, salt))
+    shard = (
+        F.conv(F.substring(F.col("__k"), 1, 8), 16, 10).cast("long")
+        % n_shards
+    )
+    w = Window.partitionBy("shard").orderBy("__k", id_col)
+    return (
+        with_key.withColumn("shard", shard)
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .select(id_col, "shard", "pos")
+    )
+
+
+def token_budget_mix(
+    docs: DataFrame,
+    budgets: dict[str, int],
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "mix",
+    default_budget: int = 0,
+) -> DataFrame:
+    """Data-mixture construction under per-group token budgets: walk
+    each group's documents in deterministic hash order, keep documents
+    while the running whitespace-token total stays within the group's
+    budget. Returns the kept (doc_id, group, n_tokens, cum_tokens).
+
+    This is how a training mix is actually assembled — "20B tokens of
+    lang A, 5B of lang B" — made reproducible by hash ordering. The
+    running sum is a window partitioned by group (parallel across
+    groups); a document that would cross the budget is dropped, as is
+    everything after it in hash order.
+    """
+
+    n_tokens = F.when(
+        F.length(F.trim(F.col(text_col))) == 0, F.lit(0)
+    ).otherwise(F.size(F.split(F.trim(F.col(text_col)), r"\s+")))
+    budget = None
+    for g, b in budgets.items():
+        cond = F.col(group_col) == F.lit(g)
+        budget = (
+            F.when(cond, F.lit(b)) if budget is None else budget.when(cond, F.lit(b))
+        )
+    budget = (
+        F.lit(default_budget) if budget is None else budget.otherwise(F.lit(default_budget))
+    )
+    base = docs.select(
+        F.col(id_col),
+        F.col(group_col).alias("group"),
+        n_tokens.cast("long").alias("n_tokens"),
+        budget.alias("__budget"),
+        _hash_key(id_col, salt).alias("__k"),
+    )
+    w = (
+        Window.partitionBy("group")
+        .orderBy("__k", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        base.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= F.col("__budget"))
+        .select(id_col, "group", "n_tokens", "cum_tokens")
+    )
+
+
+def topk_per_group(
+    docs: DataFrame,
+    k: int,
+    group_cols: tuple[str, ...] = ("lang", "source"),
+    score_col: Column | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep the k highest-quality documents per group ("best k docs per
+    domain"): (doc_id, *group_cols, score, rk). Ties break by doc id,
+    so selection is total-ordered and engine-portable.
+
+    One partitioned window; skewed groups are one partition's sort
+    (AQE splits oversized partitions), and the rank filter caps output
+    at k·|groups| rows.
+    """
+
+    if score_col is None:
+        from .text import quality_columns
+
+        score_col = quality_columns()["quality"]
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col("score").desc(), F.col(id_col)
+    )
+    return (
+        docs.select(F.col(id_col), *group_cols, score_col.alias("score"))
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+    )

@@ -1,0 +1,115 @@
+"""Curation operators: contamination, duplicate-n-gram fraction,
+sharded shuffle, token-budget mixing, top-k per group.
+
+Semantics on hand-built inputs plus plan-quality gates: the eval-set
+join broadcasts, and every window runs PARTITIONED (no single-partition
+global sort anywhere in the shuffle/mix/top-k plans)."""
+
+import pytest
+
+from declarative_dataflow_spark.operators import curation
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog", "en", "src0"),
+            (2, "the quick brown fox jumps over the lazy dog", "en", "src0"),
+            (3, "a completely different set of words here now", "en", "src1"),
+            (4, "unos documentos en otro idioma distinto aqui", "es", "src0"),
+            (5, "short text", "es", "src1"),
+        ],
+        ["doc_id", "text", "lang", "source"],
+    )
+
+
+def test_contamination_flags_eval_overlap(spark, docs):
+    ev = docs.filter("doc_id = 1")
+    out = {
+        r["doc_id"]: (r["n_hit"], r["n_ngrams"], r["contamination"])
+        for r in curation.contamination(docs, ev, n=3).collect()
+    }
+    # doc 2 is identical to the eval doc -> fully contaminated
+    assert out[2][0] == out[2][1] and out[2][2] == 1.0
+    # doc 3 shares no 3-gram with the eval doc
+    assert out[3][0] == 0 and out[3][2] == 0.0
+    # doc 5 has < 3 tokens -> no n-grams, no row
+    assert 5 not in out
+
+
+def test_contamination_broadcasts_eval_side(spark, docs):
+    ev = docs.filter("doc_id = 1")
+    plan = curation.contamination(docs, ev, n=3)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_dup_ngram_frac(spark, docs):
+    out = {
+        r["doc_id"]: (r["n_dup"], r["n_ngrams"], r["dup_frac"])
+        for r in curation.dup_ngram_frac(docs, n=3).collect()
+    }
+    # docs 1 and 2 are identical: every 3-gram occurs in 2 docs
+    assert out[1][2] == 1.0 and out[2][2] == 1.0
+    # docs 3 and 4 are unique
+    assert out[3][0] == 0 and out[4][0] == 0
+
+
+def test_global_shuffle_deterministic_and_dense(spark, docs):
+    a = sorted(tuple(r) for r in curation.global_shuffle(docs, n_shards=2).collect())
+    b = sorted(tuple(r) for r in curation.global_shuffle(docs, n_shards=2).collect())
+    assert a == b  # hash-derived, not RNG-derived
+    assert len(a) == 5
+    by_shard: dict[int, list[int]] = {}
+    for _, shard, pos in a:
+        by_shard.setdefault(shard, []).append(pos)
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+    # different salt re-deals
+    c = sorted(
+        tuple(r)
+        for r in curation.global_shuffle(docs, n_shards=2, salt="other").collect()
+    )
+    assert {t[0] for t in c} == {t[0] for t in a}
+
+
+def test_windows_are_partitioned_never_global(spark, docs):
+    for df in (
+        curation.global_shuffle(docs, n_shards=4),
+        curation.token_budget_mix(docs, {"en": 100}),
+        curation.topk_per_group(docs, k=1),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "SinglePartition" not in plan
+
+
+def test_token_budget_mix_respects_budget(spark, docs):
+    # en docs have 9, 9, 8 tokens; budget 18 keeps the first two in
+    # hash order regardless of which two they are.
+    kept = curation.token_budget_mix(docs, {"en": 18}).collect()
+    assert all(r["group"] == "en" for r in kept)
+    assert sum(r["n_tokens"] for r in kept) <= 18
+    assert len(kept) == 2
+    # cumulative sums are consistent
+    assert max(r["cum_tokens"] for r in kept) <= 18
+    # zero default budget drops other groups entirely
+    assert not [r for r in kept if r["group"] == "es"]
+
+
+def test_token_budget_mix_prefix_property(spark, docs):
+    # the kept set under a smaller budget is a prefix (subset) of the
+    # kept set under a larger one — hash order is stable across budgets
+    small = {r["doc_id"] for r in curation.token_budget_mix(docs, {"en": 9}).collect()}
+    large = {r["doc_id"] for r in curation.token_budget_mix(docs, {"en": 26}).collect()}
+    assert small <= large
+
+
+def test_topk_per_group(spark, docs):
+    out = curation.topk_per_group(docs, k=1, group_cols=("lang", "source")).collect()
+    # one winner per (lang, source) group
+    assert len(out) == 4
+    assert all(r["rk"] == 1 for r in out)
+    # deterministic tiebreak: docs 1 and 2 have identical text/score,
+    # lower doc_id wins
+    en_src0 = [r for r in out if r["lang"] == "en" and r["source"] == "src0"]
+    assert en_src0[0]["doc_id"] == 1
