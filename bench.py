@@ -37,6 +37,8 @@ HEADLINE = [
     "lang_id",         # language ID
     "seq_pack",        # sequence packing (sharded window cumsum)
     "pii_redact",      # PII scrub (regex, map-only)
+    "dup_ngram_frac",  # corpus-wide duplicate-ngram boilerplate signal
+    "global_shuffle",  # deterministic sharded training-order shuffle
 ]
 
 

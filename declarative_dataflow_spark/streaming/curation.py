@@ -21,10 +21,11 @@ construction, no skew.
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Callable, Optional
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
+from ..operators import dedup as dedup_ops
 from ..operators import text as text_ops
 
 
@@ -47,6 +48,161 @@ def stream_exact_dedup(
         return hashed.withWatermark(time_col, watermark) \
             .dropDuplicatesWithinWatermark(["__h"]).drop("__h")
     return hashed.dropDuplicates(["__h"]).drop("__h")
+
+
+class StreamNearDedup:
+    """Streaming MinHash-LSH near-duplicate suppression: keep the
+    first-accepted document of every near-duplicate cluster across an
+    unbounded stream.
+
+    The accumulated state is the ACCEPTED documents' MinHash
+    signatures — k longs per document, fixed-width regardless of
+    document size — persisted as parquet under ``state_dir`` (at
+    cluster scale: a Delta/iceberg table on object storage). Each
+    micro-batch:
+
+    1. computes batch signatures (map-only, reference:
+       operators/dedup.py linear-permutation MinHash);
+    2. derives LSH band keys from batch AND state signatures (a row-
+       local map on read — only signatures are ever stored);
+    3. joins batch keys against state keys (uniform band-hash keys, no
+       skew) and against themselves for in-batch pairs;
+    4. estimates similarity per candidate pair ROW-LOCALLY as the
+       fraction of equal signature components (the standard MinHash
+       Jaccard estimator — no shingle sets are stored or shuffled);
+    5. drops batch docs whose estimate >= threshold against an
+       accepted doc, resolves in-batch pairs greedily (lower doc_id
+       wins — one pass, no component iteration; a doc dropped for a
+       batch-internal twin whose own twin was itself dropped is the
+       documented greedy over-suppression trade);
+    6. appends survivors' signatures to the state and emits them.
+
+    Per-epoch work tracks the batch: state is touched only via the
+    band-key join (batch keys x state index), never rescanned in full
+    per document.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        k: int = 16,
+        bands: int = 4,
+        n: int = 3,
+        threshold: float = 0.5,
+        text_col: str = "text",
+    ) -> None:
+        if k % bands != 0:
+            raise ValueError("bands must divide k")
+        self.spark = spark
+        self.state_dir = state_dir
+        self.k, self.bands, self.n = k, bands, n
+        self.threshold = threshold
+        self.text_col = text_col
+
+    # -- helpers -----------------------------------------------------
+    def _band_keys(self, sigs: DataFrame) -> DataFrame:
+        rows = self.k // self.bands
+        return sigs.select(
+            "doc_id",
+            "sig",
+            F.explode(
+                F.array(
+                    *[
+                        F.xxhash64(
+                            F.lit(bi),
+                            F.slice(F.col("sig"), bi * rows + 1, rows),
+                        )
+                        for bi in range(self.bands)
+                    ]
+                )
+            ).alias("key"),
+        )
+
+    def _est(self, a: str, b: str) -> Column:
+        """Row-local MinHash Jaccard estimate: mean equal components."""
+
+        return F.expr(
+            f"aggregate(zip_with({a}, {b}, (x, y) -> IF(x = y, 1, 0)), "
+            f"0, (acc, v) -> acc + v) / {self.k}"
+        )
+
+    def _state(self) -> Optional[DataFrame]:
+        try:
+            return self.spark.read.parquet(self.state_dir)
+        except Exception:
+            return None
+
+    # -- one epoch ---------------------------------------------------
+    def process_batch(self, batch: DataFrame) -> DataFrame:
+        """Run one micro-batch: returns the accepted (deduped) rows of
+        ``batch`` and appends their signatures to the state. Callable
+        directly for batch-mode backfills; ``attach`` wires it into
+        foreachBatch."""
+
+        sigs = dedup_ops.minhash_signatures(
+            batch, self.k, self.n, self.text_col
+        ).localCheckpoint(eager=True)  # one hashing pass, reused 3x
+        banded = self._band_keys(sigs)
+
+        dropped = None
+        state = self._state()
+        if state is not None:
+            vs_state = (
+                banded.join(
+                    self._band_keys(state).select(
+                        "key", F.col("sig").alias("ssig")
+                    ),
+                    "key",
+                )
+                .filter(self._est("sig", "ssig") >= self.threshold)
+                .select("doc_id")
+                .distinct()
+            )
+            dropped = vs_state
+        internal = (
+            banded.select("key", F.col("doc_id").alias("a"), F.col("sig").alias("asig"))
+            .join(
+                banded.select(
+                    "key", F.col("doc_id").alias("b"), F.col("sig").alias("bsig")
+                ),
+                "key",
+            )
+            .filter(F.col("a") < F.col("b"))
+            .filter(self._est("asig", "bsig") >= self.threshold)
+            .select(F.col("b").alias("doc_id"))
+            .distinct()
+        )
+        dropped = internal if dropped is None else dropped.union(internal).distinct()
+
+        kept = batch.join(dropped, "doc_id", "left_anti")
+        kept_sigs = sigs.join(dropped, "doc_id", "left_anti")
+        # Docs too short to form a single n-gram have no signature and
+        # pass through unexamined; only signatured survivors enter state.
+        kept_sigs.write.mode("append").parquet(self.state_dir)
+        return kept
+
+    # -- streaming wiring --------------------------------------------
+    def attach(
+        self,
+        stream: DataFrame,
+        sink: Callable[[DataFrame, int], None],
+        checkpoint: str,
+        query_name: str = "near_dedup",
+    ):
+        """Run the suppression on a streaming DataFrame: each
+        micro-batch is deduped against all previously-accepted
+        documents, then handed to ``sink(kept_df, epoch_id)``."""
+
+        def _on_batch(df: DataFrame, epoch: int) -> None:
+            sink(self.process_batch(df), epoch)
+
+        return (
+            stream.writeStream.foreachBatch(_on_batch)
+            .queryName(query_name)
+            .option("checkpointLocation", checkpoint)
+            .start()
+        )
 
 
 def stream_curate(

@@ -3,11 +3,14 @@
 Composes the beyond-reference operators end-to-end over the driver
 testdata: quality filtering -> language ID -> PII scrubbing ->
 exact + near-duplicate removal (with connected-component group
-resolution) -> repetition filtering -> deterministic train/val/test
-split -> sequence packing -> int8-quantized embeddings for ANN. Every
-stage is JVM-side DataFrame expressions; the only shuffles are the
-dedup band join, the component resolution, the split-free pack window,
-and the final write.
+resolution) -> repetition filtering -> benchmark decontamination +
+boilerplate (duplicate-ngram) filtering -> per-language token-budget
+mixing -> deterministic train/val/test split -> sequence packing ->
+sharded reproducible shuffle -> int8-quantized embeddings for ANN.
+Every stage is JVM-side DataFrame expressions; the only shuffles are
+the dedup band join, the component resolution, the n-gram
+aggregations, the partitioned pack/shuffle windows, and the final
+write.
 
 Run: python examples/curation_pipeline.py [sf_dir]
 """
@@ -20,6 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 from declarative_dataflow_spark.operators import (
+    curation,
     dedup,
     packing,
     sampling,
@@ -71,21 +75,49 @@ def main() -> None:
         "left_semi",
     )
 
-    # 5. Deterministic split + sequence packing per split.
+    # 5. Decontaminate against the "benchmark" (stand-in: every 50th
+    #    doc) and drop boilerplate-heavy docs (duplicate-3-gram frac).
+    cont = curation.contamination(unique, docs.filter(F.col("doc_id") % 50 == 0))
+    boiler = curation.dup_ngram_frac(unique)
+    unique = (
+        unique.join(
+            cont.filter(F.col("contamination") >= 0.8).select("doc_id"),
+            "doc_id",
+            "left_anti",
+        ).join(
+            boiler.filter(F.col("dup_frac") >= 0.95).select("doc_id"),
+            "doc_id",
+            "left_anti",
+        )
+    )
+
+    # 6. Assemble the mix under per-language token budgets, then split
+    #    deterministically and pack the train split into sequences.
+    mix = curation.token_budget_mix(
+        unique, {"en": 50_000, "es": 20_000, "de": 20_000, "fr": 20_000,
+                 "zh": 20_000}
+    )
+    mixed = unique.join(mix.select("doc_id"), "doc_id", "left_semi")
     split = sampling.hash_split(
-        unique, {"train": 0.9, "val": 0.05, "test": 0.05}
+        mixed, {"train": 0.9, "val": 0.05, "test": 0.05}
     )
     packed = packing.seq_pack(split.filter(F.col("split") == "train"))
 
-    # 6. Embedding side: int8 quantization for the ANN index.
+    # 7. Reproducible training order: hash-dealt shards, in-shard
+    #    positions (a writer would partitionBy(shard) sortBy(pos)).
+    order = curation.global_shuffle(split.filter(F.col("split") == "train"))
+
+    # 8. Embedding side: int8 quantization for the ANN index.
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     quant = similarity.quantize_embeddings(emb)
 
     print(f"docs in: {n0}")
     print(f"after quality/lang/repetition: {kept.count()}")
     print(f"after exact dedup: {canon.count()}")
-    print(f"after near-dup resolution: {unique.count()}")
+    print(f"after near-dup + decontamination + boilerplate: {unique.count()}")
+    print(f"after token-budget mix: {mixed.count()}")
     print(f"train packs: {packed.agg(F.max('pack_id')).first()[0]}")
+    print(f"train shards: {order.agg(F.countDistinct('shard')).first()[0]}")
     print(f"quantized vectors: {quant.count()}")
     spark.stop()
 

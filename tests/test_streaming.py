@@ -317,3 +317,79 @@ def test_stream_curation_pipeline(spark, tmp_path):
         assert 4 in rows_ and "<EMAIL>" in rows_[4]["text"]  # scrubbed
     finally:
         q.stop()
+
+
+def test_stream_near_dedup_cross_batch(spark, tmp_path):
+    """Streaming MinHash-LSH near-dedup: in-batch near-dups collapse to
+    the lowest doc_id; a later batch's near-dup of an ACCEPTED doc is
+    suppressed by the signature state; novel docs pass."""
+
+    from declarative_dataflow_spark.streaming.curation import StreamNearDedup
+
+    nd = StreamNearDedup(
+        spark, str(tmp_path / "nd_state"), k=16, bands=4, n=3, threshold=0.5
+    )
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    b1 = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),  # in-batch exact dup -> dropped (greedy, lower id wins)
+            (3, "completely different words entirely unrelated text body here"),
+        ],
+        ["doc_id", "text"],
+    )
+    kept1 = {r["doc_id"] for r in nd.process_batch(b1).collect()}
+    assert kept1 == {1, 3}
+
+    b2 = spark.createDataFrame(
+        [
+            (4, base),  # near-dup of accepted doc 1 -> dropped by state
+            (5, "novel second epoch document with its own fresh content words"),
+        ],
+        ["doc_id", "text"],
+    )
+    kept2 = {r["doc_id"] for r in nd.process_batch(b2).collect()}
+    assert kept2 == {5}
+    # state holds exactly the accepted signatures (fixed k longs/doc)
+    state = spark.read.parquet(str(tmp_path / "nd_state"))
+    assert {r["doc_id"] for r in state.collect()} == {1, 3, 5}
+    assert all(len(r["sig"]) == 16 for r in state.collect())
+
+
+def test_stream_near_dedup_foreachbatch(spark, tmp_path):
+    """The foreachBatch wiring dedups a file stream across micro-batches."""
+
+    from declarative_dataflow_spark.streaming.curation import StreamNearDedup
+
+    src = tmp_path / "nd_in"
+    src.mkdir()
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    _write_jsonl(str(src / "b1.json"), [
+        {"doc_id": 1, "text": base},
+        {"doc_id": 2, "text": "some other words making a distinct document body"},
+    ])
+    _write_jsonl(str(src / "b2.json"), [
+        {"doc_id": 3, "text": base},  # near-dup of doc 1 across batches
+        {"doc_id": 4, "text": "fresh content in the second file of the stream"},
+    ])
+    nd = StreamNearDedup(
+        spark, str(tmp_path / "nd2_state"), k=16, bands=4, n=3, threshold=0.5
+    )
+    out: list[int] = []
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = nd.attach(
+        stream,
+        sink=lambda df, epoch: out.extend(r["doc_id"] for r in df.collect()),
+        checkpoint=str(tmp_path / "nd2_ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert 4 in out and (1 in out or 3 in out)
+    assert not (1 in out and 3 in out)  # cross-batch near-dup suppressed
+    assert 2 in out
