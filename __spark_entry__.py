@@ -334,6 +334,21 @@ def q_agg_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("rf", F.round("v", 4).alias("v"))
 
 
+def q_agg_stddev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STDDEV completes the aggregate the reference declares but stubs
+    out (aggregate_neu.rs:37-38): sqrt(population variance)."""
+
+    plan = Aggregate(
+        ["?rf", "?qty"],
+        Scan("lineitem", {"l_returnflag": "?rf", "l_quantity": "?qty"}),
+        [AggregationFn.STDDEV],
+        ["?rf"],
+        ["?qty"],
+    )
+    df = _engine(spark, sf_dir).implement(plan, ["rf", "v"])
+    return df.select("rf", F.round("v", 4).alias("v"))
+
+
 def q_agg_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: TPC-H-Q1-style multi-aggregate over lineitem."""
 
@@ -1059,6 +1074,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "antijoin": q_antijoin,
         "filter_lt": q_filter_lt,
         "agg_median": q_agg_median,
+        "agg_stddev": q_agg_stddev,
         "agg_multi": q_agg_multi,
         "agg_global": q_agg_global,
         "tclosure": q_tclosure,
@@ -1074,7 +1090,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lww": q_lww,
         "stratified_sample": q_stratified_sample,
         "multimodal_meta": q_multimodal_meta,
-        "frame_sample": q_frame_sample,
         "ann_lsh": q_ann_lsh,
         "pull_level": q_pull_level,
         "graphql": q_graphql,
@@ -1102,6 +1117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "ann_ivf_kmeans": q_ann_ivf_kmeans,
         # --- deferred this round (driver cap); all green in r02 AND r03 ---
+        "frame_sample": q_frame_sample,
         "negate_setdiff": q_negate_setdiff,
         "transform_truncate": q_transform_truncate,
         "agg_variance": q_agg_variance,
@@ -1357,6 +1373,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_returnflag AS rf, "
             "round(sum(l_quantity * l_quantity) / count(*) "
             "- (sum(l_quantity) / count(*)) * (sum(l_quantity) / count(*)), "
+            "4) AS v FROM lineitem GROUP BY 1"
+        ),
+        "agg_stddev": (
+            "SELECT l_returnflag AS rf, "
+            "round(sqrt(sum(l_quantity * l_quantity) / count(*) "
+            "- (sum(l_quantity) / count(*)) * (sum(l_quantity) / count(*))), "
             "4) AS v FROM lineitem GROUP BY 1"
         ),
         "agg_multi": (

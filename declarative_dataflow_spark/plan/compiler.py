@@ -614,6 +614,28 @@ def _aggregate(plan: Aggregate, catalog: Catalog) -> Relation:
                 s = F.sum(c * diff)
                 n = F.sum(diff)
                 aggs.append((sumsq / n - (s / n) * (s / n)).alias(out))
+        elif fn == AggregationFn.STDDEV:
+            # sqrt(population variance). The reference stubs STDDEV out
+            # (aggregate_neu.rs:37-38) because Rational32 cannot hold a
+            # square root; the result here is double even under
+            # exact=True (the radicand is computed exactly first).
+            if plan.exact:
+                cd = c.cast("decimal(19,0)")
+                sumsq = F.sum(cd * cd * diff)
+                s = F.sum(cd * diff)
+                n = F.sum(diff)
+                num = (n * sumsq - s * s).cast("decimal(19,0)")
+                den = (n * n).cast("decimal(18,0)")
+                aggs.append(
+                    F.sqrt((num / den).cast("double")).alias(out)
+                )
+            else:
+                sumsq = F.sum(c * c * diff)
+                s = F.sum(c * diff)
+                n = F.sum(diff)
+                aggs.append(
+                    F.sqrt(sumsq / n - (s / n) * (s / n)).alias(out)
+                )
         elif fn == AggregationFn.MEDIAN:
             medians.append((av, out))
         else:  # pragma: no cover

@@ -65,6 +65,7 @@ _AGGREGATES = {
     "avg": AggregationFn.AVG,
     "median": AggregationFn.MEDIAN,
     "variance": AggregationFn.VARIANCE,
+    "stddev": AggregationFn.STDDEV,
 }
 
 

@@ -55,6 +55,11 @@ class AggregationFn(str, Enum):
     SUM = "SUM"
     AVG = "AVG"
     VARIANCE = "VARIANCE"
+    # The reference declares STDDEV but leaves it commented out
+    # (aggregate_neu.rs:37-38) — its exact-rational result type cannot
+    # represent a square root. The Spark build completes it as
+    # sqrt(population variance), double-typed by construction.
+    STDDEV = "STDDEV"
 
 
 class Plan:

@@ -494,6 +494,7 @@ class IncrementalAggregate:
             AggregationFn.AVG,
             AggregationFn.MEDIAN,
             AggregationFn.VARIANCE,
+            AggregationFn.STDDEV,
         ):
             raise ValueError(f"unsupported incremental fn {aggregation_fn}")
         self.dj = delta_join
@@ -565,12 +566,15 @@ class IncrementalAggregate:
             out = F.sum(v * w)
         elif self.fn == AggregationFn.AVG:
             out = F.sum(v * w) / F.sum(w)
-        elif self.fn == AggregationFn.VARIANCE:
-            # sumsq/n - (sum/n)^2 (aggregate_neu.rs:214-243).
+        elif self.fn in (AggregationFn.VARIANCE, AggregationFn.STDDEV):
+            # sumsq/n - (sum/n)^2 (aggregate_neu.rs:214-243); STDDEV is
+            # its square root (the reference stubs it, aggregate_neu.rs:37-38).
             n = F.sum(w)
             out = F.sum(v * v * w) / n - (F.sum(v * w) / n) * (
                 F.sum(v * w) / n
             )
+            if self.fn == AggregationFn.STDDEV:
+                out = F.sqrt(out)
         elif self.fn == AggregationFn.MIN:
             # Over-retracted values (net weight <= 0) are absent from the
             # multiset — same guard as the MEDIAN branch and the batch

@@ -158,6 +158,24 @@ def test_variance(engine):
     assert got[0][0] == pytest.approx(expected)
 
 
+def test_stddev(engine):
+    """STDDEV = sqrt(population variance) — completes the aggregate the
+    reference declares but stubs out (aggregate_neu.rs:37-38)."""
+
+    _amounts(engine)
+    plan = Aggregate(
+        ["?v"],
+        Project(["?v"], MatchA("?e", "amount", "?v")),
+        [AggregationFn.STDDEV],
+        [],
+        ["?v"],
+    )
+    expected = ((25 + 100 + 100 + 4) / 4 - 6.75**2) ** 0.5
+    got = rows(engine.implement(plan, ["v"]))
+    assert len(got) == 1
+    assert got[0][0] == pytest.approx(expected)
+
+
 def test_multiple_aggregations(engine):
     """Reference: tests/aggregation_test.rs:478-640."""
 

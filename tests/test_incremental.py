@@ -361,6 +361,20 @@ def test_incremental_median_variance(spark):
     # mean 3, sumsq/n = 10, var = 1.
     assert vacc == Counter({(0, 1.0): 1})
 
+    sd = IncrementalAggregate(fresh(), ["?g"], AggregationFn.STDDEV, "?x")
+    sacc: Counter = Counter()
+    sacc = _apply(
+        sacc,
+        sd.transact(
+            [
+                Datom.add(1, "group", 0), Datom.add(1, "amount", 2),
+                Datom.add(2, "group", 0), Datom.add(2, "amount", 6),
+            ]
+        ),
+    )
+    # mean 4, var = 4, stddev = 2.
+    assert sacc == Counter({(0, 2.0): 1})
+
 
 def test_stream_delta_join(spark, tmp_path):
     """Streaming datoms -> delta pipelines per micro-batch -> diffs
