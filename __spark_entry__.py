@@ -80,6 +80,24 @@ def _engine(spark: SparkSession, sf_dir: str) -> Engine:
         eng.register_table_attribute(
             "event/bucket", "events", "event_id", "user_id % 50"
         )
+        # CompareAndSwap register per user, driven by the event stream:
+        # 'view' ops expect absence, 'error' ops propose deletion —
+        # the input semantics the reference declares but stubs out
+        # (tests/input_semantics.rs:299-333).
+        eng.register_table_attribute(
+            "user/cas_register",
+            "events",
+            "user_id",
+            "named_struct("
+            "'old', CASE WHEN event_type = 'view' "
+            "THEN CAST(NULL AS DOUBLE) ELSE round(value) END, "
+            "'new', CASE WHEN event_type = 'error' "
+            "THEN CAST(NULL AS DOUBLE) ELSE round(value * 2) END)",
+            t_expr="ts",
+            semantics=InputSemantics.COMPARE_AND_SWAP,
+            seq_expr="event_id",
+            cas_value_type="double",
+        )
         _ENGINES[key] = eng
     return _ENGINES[key]
 
@@ -134,7 +152,7 @@ def q_hector_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
             AttributeBinding("?c", "customer/name", "?cname"),
             AttributeBinding("?c", "customer/nationkey", "?n"),
             AttributeBinding("?n", "nation/name", "?nname"),
-            BinaryPredicateBinding(["?tp", "?lim"], Predicate.GT),
+            BinaryPredicateBinding(["?lim", "?tp"], Predicate.GT),
             ConstantBinding("?lim", 100000.0),
         ],
     )
@@ -151,7 +169,7 @@ def q_hector_constants(spark: SparkSession, sf_dir: str) -> DataFrame:
             AttributeBinding("?c", "customer/mktsegment", "?seg"),
             AttributeBinding("?c", "customer/acctbal", "?bal"),
             ConstantBinding("?seg", "MACHINERY"),
-            BinaryPredicateBinding(["?bal", "?zero"], Predicate.GTE),
+            BinaryPredicateBinding(["?zero", "?bal"], Predicate.GTE),
             ConstantBinding("?zero", 0.0),
         ],
     )
@@ -192,7 +210,7 @@ def q_negate_setdiff(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["?c"],
         [
             AttributeBinding("?c", "customer/acctbal", "?bal"),
-            BinaryPredicateBinding(["?bal", "?zero"], Predicate.LT),
+            BinaryPredicateBinding(["?zero", "?bal"], Predicate.LT),
             ConstantBinding("?zero", 0.0),
         ],
     )
@@ -416,7 +434,7 @@ def q_name_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
             [
                 AttributeBinding("?o", "orders/custkey", "?c"),
                 AttributeBinding("?o", "orders/totalprice", "?tp"),
-                BinaryPredicateBinding(["?tp", "?lim"], Predicate.GT),
+                BinaryPredicateBinding(["?lim", "?tp"], Predicate.GT),
                 ConstantBinding("?lim", 200000.0),
             ],
         ),
@@ -667,7 +685,7 @@ def q_confusion_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             ConstantBinding("?t", "click"),
             AttributeBinding("?e", "event/user", "?u"),
             AttributeBinding("?e", "event/value", "?v"),
-            BinaryPredicateBinding(["?v", "?hi"], Predicate.GT),
+            BinaryPredicateBinding(["?hi", "?v"], Predicate.GT),
             ConstantBinding("?hi", 50.0),
         ],
     )
@@ -700,6 +718,15 @@ def q_confusion_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def q_cas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CompareAndSwap input semantics (completed from the reference's
+    commented-out operator): per-user register folded from the events
+    table in (ts, event_id) order."""
+
+    eng = _engine(spark, sf_dir)
+    return eng.implement(MatchA("?u", "user/cas_register", "?v"), ["e", "v"])
+
+
 def q_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LastWriteWins: latest event value per user."""
 
@@ -725,7 +752,7 @@ def q_pull_level(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["?o"],
         [
             AttributeBinding("?o", "orders/totalprice", "?tp"),
-            BinaryPredicateBinding(["?tp", "?lim"], Predicate.GT),
+            BinaryPredicateBinding(["?lim", "?tp"], Predicate.GT),
             ConstantBinding("?lim", 300000.0),
         ],
     )
@@ -1088,8 +1115,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "confusion_filter": q_confusion_filter,
         "confusion_agg": q_confusion_agg,
         "lww": q_lww,
+        "cas": q_cas,
         "stratified_sample": q_stratified_sample,
-        "multimodal_meta": q_multimodal_meta,
         "ann_lsh": q_ann_lsh,
         "pull_level": q_pull_level,
         "graphql": q_graphql,
@@ -1117,6 +1144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "ann_ivf_kmeans": q_ann_ivf_kmeans,
         # --- deferred this round (driver cap); all green in r02 AND r03 ---
+        "multimodal_meta": q_multimodal_meta,
         "frame_sample": q_frame_sample,
         "negate_setdiff": q_negate_setdiff,
         "transform_truncate": q_transform_truncate,
@@ -1489,6 +1517,35 @@ def oracle_sql() -> dict[str, str]:
             "row_number() OVER (PARTITION BY user_id "
             "ORDER BY ts DESC, value DESC) AS rn "
             "FROM events) WHERE rn = 1"
+        ),
+        "cas": (
+            # CompareAndSwap fold per user in (ts, event_id) order: an
+            # op applies iff the register's current value IS NOT
+            # DISTINCT FROM its expected_old (NULL = expect absent);
+            # NULL proposed_new deletes. Independently formulated as a
+            # step-by-step recursive CTE (NOT a mirror of the Spark
+            # higher-order fold; DuckDB 1.0's list_reduce mis-evaluates
+            # NULL-struct accumulators on the vectorized multi-group
+            # path, so the recursion is also the only correct spelling).
+            "WITH RECURSIVE ops AS ("
+            "SELECT user_id AS e, "
+            "row_number() OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) AS rn, "
+            "CASE WHEN event_type = 'view' THEN NULL "
+            "ELSE round(value) END AS old, "
+            "CASE WHEN event_type = 'error' THEN NULL "
+            "ELSE round(value * 2) END AS new FROM events), "
+            "counts AS (SELECT e, max(rn) AS n FROM ops GROUP BY e), "
+            "fold AS ("
+            "SELECT e, 0 AS rn, CAST(NULL AS DOUBLE) AS cur FROM counts "
+            "UNION ALL "
+            "SELECT f.e, f.rn + 1, "
+            "CASE WHEN f.cur IS NOT DISTINCT FROM o.old "
+            "THEN o.new ELSE f.cur END "
+            "FROM fold f JOIN ops o ON o.e = f.e AND o.rn = f.rn + 1) "
+            "SELECT f.e, f.cur AS v FROM fold f "
+            "JOIN counts c ON c.e = f.e AND f.rn = c.n "
+            "WHERE f.cur IS NOT NULL"
         ),
         "distinct_ingest": (
             "SELECT DISTINCT user_id AS u, event_type AS t FROM events"

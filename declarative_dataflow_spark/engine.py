@@ -178,6 +178,13 @@ class InputSemantics(str, Enum):
     RAW = "Raw"
     LAST_WRITE_WINS = "LastWriteWins"
     DISTINCT = "Distinct"
+    # Declared but never implemented by the reference (the CAS operator
+    # and its test are commented out, tests/input_semantics.rs:299-333;
+    # no src/operators implementation exists). Completed here: each op
+    # is (expected_old, proposed_new); the write applies iff the
+    # entity's current value equals expected_old (NULL expected_old =
+    # expect absent; NULL proposed_new = delete).
+    COMPARE_AND_SWAP = "CompareAndSwap"
 
 
 @dataclass
@@ -197,6 +204,9 @@ class AttributeConfig:
     trace_slack: Optional[int] = None
     index_direction: str = "Forward"
     query_support: str = "Basic"
+    # SQL type of CompareAndSwap values (the op struct is
+    # struct<old:cas_value_type, new:cas_value_type>).
+    cas_value_type: str = "long"
 
 
 @dataclass
@@ -216,6 +226,21 @@ class Datom:
     @staticmethod
     def retract(e: Any, a: str, v: Any, t: Optional[int] = None) -> "Datom":
         return Datom(e, a, v, t, -1)
+
+    @staticmethod
+    def cas(
+        e: Any,
+        a: str,
+        old: Any,
+        new: Any,
+        t: Optional[int] = None,
+    ) -> "Datom":
+        """A compare-and-swap op for a COMPARE_AND_SWAP attribute: the
+        value is the (expected_old, proposed_new) pair — the reference's
+        commented-out `(Eid, Option<Value>, Option<Value>)` input shape
+        (tests/input_semantics.rs:313-330)."""
+
+        return Datom(e, a, (old, new), t, 1)
 
 
 @dataclass
@@ -267,9 +292,25 @@ class _TransactedAttribute:
             self._spill_dir = tempfile.mkdtemp(prefix="ddspark_attr_")
         return os.path.join(self._spill_dir, f"v{self._spill_version}")
 
+    def _schema(self) -> Optional[str]:
+        """Explicit schema for CAS attributes (a struct value with an
+        all-NULL field defeats inference); None = infer from data."""
+
+        if self.config.input_semantics == InputSemantics.COMPARE_AND_SWAP:
+            vt = self.config.cas_value_type
+            return (
+                f"e long, v struct<old:{vt},new:{vt}>, "
+                "t long, diff long, __seq long"
+            )
+        return None
+
     def _heap_df(self) -> DataFrame:
         # Types are inferred from the data (values may be ints for
-        # entity refs, strings for scalars — consistent per attribute).
+        # entity refs, strings for scalars — consistent per attribute)
+        # except for CAS ops, whose struct schema is explicit.
+        schema = self._schema()
+        if schema is not None:
+            return self.spark.createDataFrame(self.rows, schema=schema)
         return self.spark.createDataFrame(self.rows).toDF(
             "e", "v", "t", "diff", "__seq"
         )
@@ -292,7 +333,9 @@ class _TransactedAttribute:
         if self.rows:
             pieces.append(self._heap_df())
         if not pieces:
-            return self.spark.createDataFrame([], schema=self._SCHEMA)
+            return self.spark.createDataFrame(
+                [], schema=self._schema() or self._SCHEMA
+            )
         out = pieces[0]
         for p in pieces[1:]:
             out = out.unionByName(p)
@@ -328,6 +371,25 @@ class _TransactedAttribute:
                 if b is None or (r[2], r[4]) > (b[2], b[4]):
                     best[r[0]] = r
             kept = list(best.values())
+        elif (
+            self.config.input_semantics == InputSemantics.COMPARE_AND_SWAP
+        ):
+            # Fold each entity's ops below the cutoff into its current
+            # value and keep ONE synthetic op (expect-absent -> cur):
+            # replay starts from NULL, so the synthetic op re-derives
+            # the folded state before any newer ops apply.
+            hist: dict = {}
+            for e, v, t, diff, seq in old:
+                if diff > 0:
+                    hist.setdefault(e, []).append((t, seq, v))
+            for e, ops in hist.items():
+                cur = None
+                first_seq = min(s for _, s, _ in ops)
+                for _, _, (o, n) in sorted(ops):
+                    if cur == o:
+                        cur = n
+                if cur is not None:
+                    kept.append((e, (None, cur), cutoff, 1, first_seq))
         else:
             net: dict = {}
             seqs: dict = {}
@@ -363,6 +425,48 @@ class _TransactedAttribute:
                 old.withColumn("__rn", F.row_number().over(w))
                 .filter(F.col("__rn") == 1)
                 .drop("__rn")
+            )
+        elif (
+            self.config.input_semantics == InputSemantics.COMPARE_AND_SWAP
+        ):
+            # Same fold as the driver path, Spark-side: one synthetic
+            # expect-absent op per entity carrying the folded value.
+            vt = self.config.cas_value_type
+            grouped = (
+                old.filter(F.col("diff") > 0)
+                .groupBy("e")
+                .agg(
+                    F.expr(
+                        "array_sort(collect_list("
+                        "struct(t AS __t, __seq AS __s, v AS __v)))"
+                    ).alias("__ops"),
+                    F.min("__seq").alias("__seq"),
+                )
+            )
+            cur = F.expr(
+                f"aggregate(__ops, CAST(NULL AS {vt}), "
+                "(acc, op) -> CASE WHEN acc <=> op.__v.old "
+                "THEN op.__v.new ELSE acc END)"
+            )
+            kept = (
+                grouped.select(
+                    "e",
+                    cur.alias("__cur"),
+                    F.lit(cutoff).cast("long").alias("t"),
+                    F.lit(1).cast("long").alias("diff"),
+                    "__seq",
+                )
+                .filter(F.col("__cur").isNotNull())
+                .select(
+                    "e",
+                    F.expr(
+                        f"named_struct('old', CAST(NULL AS {vt}), "
+                        "'new', __cur)"
+                    ).alias("v"),
+                    "t",
+                    "diff",
+                    "__seq",
+                )
             )
         else:
             kept = (
@@ -427,6 +531,38 @@ def _apply_input_semantics(df: DataFrame, config: AttributeConfig) -> DataFrame:
             ranked.filter((F.col("__rn") == 1) & (F.col("diff") > 0))
             .select("e", "v", "t", F.lit(1).cast("long").alias("diff"))
         )
+    if config.input_semantics == InputSemantics.COMPARE_AND_SWAP:
+        # Completed from the reference's commented-out CAS operator
+        # (tests/input_semantics.rs:299-333): fold each entity's ops in
+        # (t, __seq) order; an op applies iff the current value equals
+        # its expected_old (`<=>` makes NULL mean "expect absent"), and
+        # a NULL proposed_new deletes. One uniform-key shuffle; state
+        # per entity is its op history, bounded by trace-slack
+        # compaction like every transacted attribute.
+        vt = config.cas_value_type
+        grouped = (
+            df.filter(F.col("diff") > 0)
+            .groupBy("e")
+            .agg(
+                F.expr(
+                    "array_sort(collect_list("
+                    "struct(t AS __t, __seq AS __s, v AS __v)))"
+                ).alias("__ops"),
+                F.max("t").alias("t"),
+            )
+        )
+        cur = F.expr(
+            f"aggregate(__ops, CAST(NULL AS {vt}), "
+            "(acc, op) -> CASE WHEN acc <=> op.__v.old "
+            "THEN op.__v.new ELSE acc END)"
+        )
+        return (
+            grouped.select(
+                "e", cur.alias("v"), "t",
+                F.lit(1).cast("long").alias("diff"),
+            )
+            .filter(F.col("v").isNotNull())
+        )
     return df.select("e", "v", "t", "diff")
 
 
@@ -476,6 +612,8 @@ class Engine:
         v_expr: str,
         t_expr: Optional[str] = None,
         semantics: InputSemantics = InputSemantics.RAW,
+        seq_expr: Optional[str] = None,
+        cas_value_type: str = "double",
     ) -> None:
         """Declare an attribute as a column view over a registered table:
         ``SELECT e_expr AS e, v_expr AS v FROM table WHERE v IS NOT NULL``.
@@ -505,6 +643,26 @@ class Engine:
                 )
                 df = df.withColumn("__rn", F.row_number().over(w)).filter(
                     F.col("__rn") == 1
+                )
+            if semantics == InputSemantics.COMPARE_AND_SWAP:
+                # v_expr must produce struct<old,new>; ops fold per
+                # entity in (t_expr, seq_expr) order — the completed
+                # form of the reference's commented-out CAS operator
+                # (tests/input_semantics.rs:299-333).
+                sq = seq_expr or t_expr
+                grouped = df.groupBy(F.expr(e_expr).alias("e")).agg(
+                    F.expr(
+                        f"array_sort(collect_list(struct({t_expr} AS __t, "
+                        f"{sq} AS __s, {v_expr} AS __v)))"
+                    ).alias("__ops")
+                )
+                cur = F.expr(
+                    f"aggregate(__ops, CAST(NULL AS {cas_value_type}), "
+                    "(acc, op) -> CASE WHEN acc <=> op.__v.old "
+                    "THEN op.__v.new ELSE acc END)"
+                )
+                return grouped.select("e", cur.alias("v")).filter(
+                    F.col("v").isNotNull()
                 )
             out = df.select(F.expr(e_expr).alias("e"), F.expr(v_expr).alias("v"))
             if semantics == InputSemantics.DISTINCT:

@@ -1072,9 +1072,17 @@ def _apply_ready_predicates(
                 ready = False
                 break
         if ready:
+            # Hector predicate bindings apply REVERSED: the reference's
+            # BinaryPredicateExtender filters extension-vs-prefix such
+            # that LT((x, y)) admits y < x (hector.rs:1055-1089 — the
+            # Forward arm checks `extension < prefix[x]` where the
+            # extension is variables.1; tests/hector_test.rs's ":num"
+            # and constant cases pin this down). Plan::Filter is the
+            # opposite, positional convention (filter.rs:96-131) —
+            # front-ends that mean "a OP b" emit (b, a) bindings.
             acc = Relation(
                 acc.variables,
-                acc.df.filter(_PREDICATES[p.predicate](ops[0], ops[1])),
+                acc.df.filter(_PREDICATES[p.predicate](ops[1], ops[0])),
                 acc.has_diff,
             )
             applied.add(i)

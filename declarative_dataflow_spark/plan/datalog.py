@@ -174,7 +174,12 @@ class _Compiler:
                 v = self._fresh_var()
                 out.append(ConstantBinding(v, _atom_value(tok)))
                 vars_.append(v)
-        out.insert(0, BinaryPredicateBinding(vars_, _PREDICATES[op]))
+        # Datomic `(< ?a ?b)` means a < b; the Hector binding
+        # convention is reversed (LT((x, y)) admits y < x,
+        # hector.rs:1055-1089), so emit the operands swapped.
+        out.insert(
+            0, BinaryPredicateBinding(vars_[::-1], _PREDICATES[op])
+        )
         return out
 
     def pattern_plan(self, form: list) -> tuple[Plan, list[str]]:

@@ -363,7 +363,14 @@ def into_bindings(plan: "Plan") -> list[Binding]:
                     operands.append(cv)
                 else:
                     operands.append(next(vi))
-            inner.append(BinaryPredicateBinding(operands, p.predicate))
+            # Filter means predicate(op0, op1) positionally
+            # (filter.rs:96-131); the Hector binding convention is
+            # reversed — LT((x, y)) admits y < x (hector.rs:1055-1089)
+            # — so the flattening swaps the operands to preserve
+            # meaning.
+            inner.append(
+                BinaryPredicateBinding(operands[::-1], p.predicate)
+            )
             return inner
         if isinstance(p, Antijoin):
             right = go(p.right_plan)

@@ -164,7 +164,7 @@ def test_rule_invocation(engine):
             ["?p"],
             [
                 AttributeBinding("?p", "age", "?a2"),
-                BinaryPredicateBinding(["?a2", "?lim"], Predicate.GTE),
+                BinaryPredicateBinding(["?lim", "?a2"], Predicate.GTE),  # ?a2 >= ?lim
                 ConstantBinding("?lim", 18),
             ],
         ),

@@ -333,3 +333,40 @@ def test_assoc_in_cardinality_many(spark):
     doc = json.loads(row["doc"])
     assert doc["person/name"] == "Ivan"
     assert json.loads(doc["person/aka"]) == ["ivolga", "pi"]
+
+
+def test_pull_level_reference_case(engine):
+    """Ported verbatim from tests/pull_test.rs:108-143 pull_level():
+    '[:find (pull ?e [:name :age]) :where [?e :admin? false]]' — rows
+    only for entities matching the root plan, absent attributes (300's
+    age) simply missing, no row for the non-matching entity 100."""
+
+    from declarative_dataflow_spark.plan.plans import MatchAV, PullLevel
+
+    for a in ("admin?", "name", "age"):
+        engine.create_attribute(a)
+    engine.transact(
+        [
+            Datom.add(100, "admin?", True),
+            Datom.add(200, "admin?", False),
+            Datom.add(300, "admin?", False),
+            Datom.add(100, "name", "Mabel"),
+            Datom.add(200, "name", "Dipper"),
+            Datom.add(300, "name", "Soos"),
+            Datom.add(100, "age", 12),
+            Datom.add(200, "age", 13),
+        ]
+    )
+    plan = PullLevel(
+        ["?e"],
+        MatchAV("?e", "admin?", False),
+        "?e",
+        ["name", "age"],
+    )
+    df = engine.implement(plan)
+    got = {tuple(r)[:3] for r in df.collect()}
+    assert got == {
+        (200, "age", "13"),
+        (200, "name", "Dipper"),
+        (300, "name", "Soos"),
+    }

@@ -139,7 +139,7 @@ def test_predicate_binding(spark):
     bindings = [
         AttributeBinding("?e", "lo", "?x"),
         AttributeBinding("?e", "hi", "?y"),
-        BinaryPredicateBinding(["?x", "?y"], Predicate.LT),
+        BinaryPredicateBinding(["?y", "?x"], Predicate.LT),  # ?x < ?y (reversed convention)
     ]
     dj = DeltaJoin(spark, ["?e", "?x", "?y"], bindings)
     acc: Counter = Counter()

@@ -271,8 +271,10 @@ def test_random_conjunctions_match_model(spark, data):
             Predicate,
         )
 
+        # Hector predicate bindings are reversed: LT((x, y)) admits
+        # y < x, so "pv1 OP pv2" is expressed as (pv2, pv1).
         bindings.append(
-            BPB([pred[0], pred[2]], Predicate(pred[1]))
+            BPB([pred[2], pred[0]], Predicate(pred[1]))
         )
     df = eng.implement(Hector(find, bindings))
     got = Counter()

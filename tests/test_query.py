@@ -166,7 +166,7 @@ def test_hector_constant_and_predicate(engine):
         [
             AttributeBinding("?e", "name", "?n"),
             AttributeBinding("?e", "age", "?a"),
-            BinaryPredicateBinding(["?a", "?lim"], Predicate.LTE),
+            BinaryPredicateBinding(["?lim", "?a"], Predicate.LTE),  # ?a <= ?lim
             ConstantBinding("?lim", 12),
         ],
     )
@@ -286,3 +286,60 @@ def test_self_referential_pattern(engine):
     df = engine.implement(MatchA("?a", "edge", "?a"))
     got = sorted(r[0] for r in df.collect())
     assert got == [1, 3]
+
+
+def test_hector_predicate_reference_convention(engine):
+    """Ported verbatim from tests/hector_test.rs run_hector_cases
+    '[?a :num ?b] [?a :num ?c] (< ?b ?c)': the reference's
+    BinaryPredicateExtender admits extension-vs-prefix such that
+    LT((x, y)) keeps y < x (hector.rs:1055-1089) — expectations there
+    are (100,2,1), (100,3,1), (100,3,2), i.e. ?c < ?b."""
+
+    engine.create_attribute("num")
+    engine.transact(
+        [
+            Datom.add(100, "num", 1),
+            Datom.add(100, "num", 2),
+            Datom.add(100, "num", 3),
+        ]
+    )
+    plan = q(
+        ["?a", "?b", "?c"],
+        [
+            AttributeBinding("?a", "num", "?b"),
+            AttributeBinding("?a", "num", "?c"),
+            BinaryPredicateBinding(["?b", "?c"], Predicate.LT),
+        ],
+    )
+    df = engine.implement(plan, ["a", "b", "c"])
+    assert rows(df) == [
+        (100, 2, 1, 1),
+        (100, 3, 1, 1),
+        (100, 3, 2, 1),
+    ]
+
+
+def test_hector_predicate_constant_reference_case(engine):
+    """Second hector_test.rs predicate case: constants ?b=10, ?d=18
+    with (LT ?c ?d) admits ?d < ?c -> only ?c=20 survives."""
+
+    engine.create_attribute("num")
+    engine.transact(
+        [
+            Datom.add(100, "num", 1),
+            Datom.add(100, "num", 10),
+            Datom.add(100, "num", 20),
+        ]
+    )
+    plan = q(
+        ["?a", "?b", "?d", "?c"],
+        [
+            AttributeBinding("?a", "num", "?b"),
+            AttributeBinding("?a", "num", "?c"),
+            ConstantBinding("?d", 18),
+            ConstantBinding("?b", 10),
+            BinaryPredicateBinding(["?c", "?d"], Predicate.LT),
+        ],
+    )
+    df = engine.implement(plan, ["a", "b", "d", "c"])
+    assert rows(df) == [(100, 10, 18, 20, 1)]

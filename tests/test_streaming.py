@@ -393,3 +393,63 @@ def test_stream_near_dedup_foreachbatch(spark, tmp_path):
     assert 4 in out and (1 in out or 3 in out)
     assert not (1 in out and 3 in out)  # cross-batch near-dup suppressed
     assert 2 in out
+
+
+def test_stream_compare_and_swap(spark, tmp_path):
+    """Streaming CAS register: expect-absent set, failed swap, matching
+    swap, and delete across micro-batches (the reference's commented
+    CAS design, tests/input_semantics.rs:299-333)."""
+
+    from declarative_dataflow_spark.streaming.cas import (
+        stream_compare_and_swap,
+    )
+
+    import os
+
+    src = tmp_path / "cas_in"
+    src.mkdir()
+    _write_jsonl(str(src / "b1.json"), [
+        {"e": 100, "old": None, "new": 1, "t": 1},
+        {"e": 100, "old": None, "new": 8, "t": 2},   # fails (present)
+        {"e": 200, "old": 5, "new": 9, "t": 1},      # fails (absent)
+    ])
+    _write_jsonl(str(src / "b2.json"), [
+        {"e": 100, "old": 1, "new": 2, "t": 3},      # 1 -> 2
+        {"e": 200, "old": None, "new": 4, "t": 2},   # absent -> 4
+    ])
+    _write_jsonl(str(src / "b3.json"), [
+        {"e": 100, "old": 2, "new": None, "t": 4},   # delete
+    ])
+    # The file source orders batches by modification time; equal mtimes
+    # make pickup order arbitrary, so pin them explicitly.
+    for i, name in enumerate(("b1.json", "b2.json", "b3.json")):
+        os.utime(str(src / name), (1_700_000_000 + i, 1_700_000_000 + i))
+    stream = (
+        spark.readStream.schema("e long, old long, new long, t long")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = (
+        stream_compare_and_swap(stream)
+        .writeStream.format("memory")
+        .queryName("cas_test")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "cas_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        hist = spark.table("cas_test").collect()
+    finally:
+        q.stop()
+    latest = {}
+    for r in sorted(hist, key=lambda r: r["t"]):
+        latest[r["e"]] = (r["v"], r["present"])
+    assert latest[100] == (None, False)  # deleted at the end
+    assert latest[200] == (4, True)
+    # Mid-stream state was correct too: e=100 held 2 before deletion.
+    e100 = [
+        (r["v"], r["present"]) for r in sorted(hist, key=lambda r: r["t"])
+        if r["e"] == 100
+    ]
+    assert (2, True) in e100 and e100[0] == (1, True)
