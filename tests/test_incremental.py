@@ -993,3 +993,57 @@ def test_incremental_aggregate_over_named_view(engine):
     assert acc == expected
     vals = {t[0]: t[1] for t in acc}
     assert vals["red"] == 9 and vals["blue"] == 5
+
+
+def test_delta_join_cas_attribute(engine):
+    """Maintained join over a CompareAndSwap attribute: a successful
+    swap retracts the old register value downstream and asserts the
+    new one; failed swaps emit nothing; a matching delete retracts."""
+
+    from declarative_dataflow_spark import Join, MatchA
+    from declarative_dataflow_spark.engine import AttributeConfig, InputSemantics
+    from declarative_dataflow_spark.streaming.reactive import ReactiveSession
+
+    engine.create_attribute(
+        "lock",
+        AttributeConfig(input_semantics=InputSemantics.COMPARE_AND_SWAP),
+    )
+    engine.create_attribute("owner")
+    engine.register(
+        "held",
+        Join(
+            ["?e"],
+            MatchA("?e", "lock", "?holder"),
+            MatchA("?e", "owner", "?team"),
+        ),
+    )
+    session = ReactiveSession(engine)
+    session.interest("held")
+    assert session.interests["held"].delta_join is not None
+
+    session.transact(
+        [
+            Datom.add(1, "owner", "infra"),
+            Datom.add(2, "owner", "data"),
+            Datom.cas(1, "lock", None, 7, t=1),   # acquire -> 7
+            Datom.cas(2, "lock", None, 9, t=1),   # acquire -> 9
+        ]
+    )
+    # Successful handover on 1 (7 -> 8); failed CAS on 2 (expects 1).
+    session.transact(
+        [
+            Datom.cas(1, "lock", 7, 8, t=2),
+            Datom.cas(2, "lock", 1, 99, t=2),
+        ]
+    )
+    # Release entity 2's register (matching delete).
+    session.transact([Datom.cas(2, "lock", 9, None, t=3)])
+
+    acc = _accumulate(session.interests["held"].history)
+    full = engine.interest("held")
+    if "diff" in full.columns:
+        full = full.drop("diff")
+    expected = Counter({tuple(r): 1 for r in full.collect()})
+    assert acc == expected
+    got = {t[0]: t[1] for t in acc}
+    assert got[1] == 8 and 2 not in got
