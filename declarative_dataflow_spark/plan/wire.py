@@ -78,6 +78,16 @@ def decode_value(v: Any) -> Any:
             # Feature-gated I16F16 fixed point (reference:
             # src/lib.rs:104-105): raw i32 with 16 fractional bits.
             return int(inner) / 65536.0
+        if tag == "Cas":
+            # Extension: the reference's CAS operator never shipped, so
+            # it has no wire shape; a tagged (expected_old,
+            # proposed_new) pair (nulls = absent) completes it for
+            # CompareAndSwap attributes.
+            old, new = inner
+            return (
+                None if old is None else decode_value(old),
+                None if new is None else decode_value(new),
+            )
         raise ValueError(f"unknown Value tag {tag}")
     return v
 

@@ -231,3 +231,31 @@ def test_advance_domain_monotone(spark):
     out = srv.handle([{"AdvanceDomain": [None, 0]}])  # backward: error
     assert [o for o in out if "Error" in o]
     assert srv.session.epoch == 1
+
+
+def test_cas_attribute_via_protocol(spark):
+    """CreateAttribute with CompareAndSwap config + tagged Cas pairs:
+    expect-absent sets the register, a stale expectation fails, a
+    matching expectation swaps."""
+
+    srv = Server(spark)
+    out = srv.handle(
+        [
+            {
+                "CreateAttribute": {
+                    "name": "reg",
+                    "config": {"input_semantics": "CompareAndSwap"},
+                }
+            },
+            {
+                "Transact": [
+                    [{"Eid": 1}, "reg", {"Cas": [None, {"Number": 1}]}, 1, 1],
+                    [{"Eid": 1}, "reg", {"Cas": [None, {"Number": 8}]}, 2, 1],
+                    [{"Eid": 1}, "reg", {"Cas": [{"Number": 1}, {"Number": 2}]}, 3, 1],
+                ]
+            },
+            {"Subscribe": "reg"},
+        ]
+    )
+    [(name, rows)] = [v for o in out for k, v in o.items() if k == "QueryDiff"]
+    assert [r[:-2] for r in rows] == [[1, 2]]
