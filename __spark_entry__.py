@@ -918,6 +918,14 @@ def q_text_subwords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.subword_token_count(load_table(spark, sf_dir, "documents"))
 
 
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocab induction: corpus-wide top-100 subword pieces
+    (count aggregation; the final rank sorts the |vocab|-sized
+    aggregate, not the corpus)."""
+
+    return text.vocab_topk(load_table(spark, sf_dir, "documents"), k=100)
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.quality_score(load_table(spark, sf_dir, "documents"))
 
@@ -1116,7 +1124,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "confusion_agg": q_confusion_agg,
         "lww": q_lww,
         "cas": q_cas,
-        "stratified_sample": q_stratified_sample,
         "ann_lsh": q_ann_lsh,
         "pull_level": q_pull_level,
         "graphql": q_graphql,
@@ -1138,12 +1145,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_groups": q_dedup_groups,
         "simhash": q_simhash,
         "text_subwords": q_text_subwords,
+        "vocab_topk": q_vocab_topk,
         "cosine_topk": q_cosine_topk,
         "embed_quantize": q_embed_quantize,
         "embed_neardup": q_embed_neardup,
         "ann_ivf": q_ann_ivf,
         "ann_ivf_kmeans": q_ann_ivf_kmeans,
         # --- deferred this round (driver cap); all green in r02 AND r03 ---
+        "stratified_sample": q_stratified_sample,
         "multimodal_meta": q_multimodal_meta,
         "frame_sample": q_frame_sample,
         "negate_setdiff": q_negate_setdiff,
@@ -1707,6 +1716,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(len(regexp_extract_all(lower(text), "
             "'[a-z]+|[0-9]|[^a-z0-9 ]')) AS BIGINT) AS n_subwords "
             "FROM documents"
+        ),
+        "vocab_topk": (
+            "WITH pieces AS (SELECT unnest(regexp_extract_all(lower(text), "
+            "'[a-z]+|[0-9]|[^a-z0-9 ]')) AS token FROM documents), "
+            "counts AS (SELECT token, count(*)::BIGINT AS n "
+            "FROM pieces GROUP BY 1), "
+            "r AS (SELECT token, n, (ROW_NUMBER() OVER "
+            "(ORDER BY n DESC, token))::BIGINT AS rk FROM counts) "
+            "SELECT token, n, rk FROM r WHERE rk <= 100"
         ),
         "text_quality": (
             "SELECT doc_id, length(text) AS n_chars, "

@@ -190,3 +190,37 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
         d.cast("long").alias("n_distinct"),
         repetition_ratio_column(text_col).alias("rep_ratio"),
     )
+
+
+def vocab_topk(
+    docs: DataFrame, k: int = 100, text_col: str = "text"
+) -> DataFrame:
+    """Tokenizer-vocabulary induction, step one: the corpus-wide top-k
+    subword pieces by frequency — (token, n, rk). Ties break
+    lexicographically so the ranking is total and engine-portable.
+
+    Shape: explode the per-document subword pieces (the same BPE-ish
+    pre-tokenization as :func:`subword_token_count`), one uniform-key
+    count aggregation with map-side partials, then a top-k over the
+    AGGREGATED table — the sort input is |vocab| rows (bounded by
+    distinct pieces, not corpus size), so the final ordering is cheap
+    at any corpus scale.
+    """
+
+    from pyspark.sql import Window
+
+    pieces = docs.select(
+        F.explode(
+            F.regexp_extract_all(
+                F.lower(F.col(text_col)), F.lit(SUBWORD_PATTERN), 0
+            )
+        ).alias("token")
+    )
+    counts = pieces.groupBy("token").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("token"))
+    return (
+        counts.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+    )

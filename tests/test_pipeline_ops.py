@@ -506,3 +506,13 @@ def test_shortest_paths_weighted(spark):
     assert out[(1, 3)] == 2.0  # via 2, beats direct 5.0
     assert out[(3, 2)] == 2.0  # around the cycle
     assert out[(1, 1)] == 3.0  # full loop
+
+
+def test_vocab_topk(spark):
+    docs = spark.createDataFrame(
+        [(1, "aa bb aa"), (2, "aa cc 7")], ["doc_id", "text"]
+    )
+    out = {r["token"]: (r["n"], r["rk"]) for r in text.vocab_topk(docs, k=2).collect()}
+    # aa x3 ranks first; the n=1 tie ('7', 'bb', 'cc') breaks
+    # lexicographically, so '7' takes rank 2.
+    assert out == {"aa": (3, 1), "7": (1, 2)}
