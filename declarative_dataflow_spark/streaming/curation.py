@@ -127,18 +127,34 @@ class StreamNearDedup:
             f"0, (acc, v) -> acc + v) / {self.k}"
         )
 
-    def _state(self) -> Optional[DataFrame]:
+    def _state(self, exclude_epoch: Optional[int] = None) -> Optional[DataFrame]:
         try:
-            return self.spark.read.parquet(self.state_dir)
+            df = self.spark.read.parquet(self.state_dir)
         except Exception:
             return None
+        if exclude_epoch is not None and "epoch" in df.columns:
+            # A RETRIED micro-batch must not dedup against its own
+            # prior contribution — it would drop every doc and then
+            # overwrite its epoch directory with nothing.
+            df = df.filter(F.col("epoch") != exclude_epoch)
+        return df
 
     # -- one epoch ---------------------------------------------------
-    def process_batch(self, batch: DataFrame) -> DataFrame:
+    def process_batch(
+        self, batch: DataFrame, epoch: Optional[int] = None
+    ) -> DataFrame:
         """Run one micro-batch: returns the accepted (deduped) rows of
         ``batch`` and appends their signatures to the state. Callable
         directly for batch-mode backfills; ``attach`` wires it into
-        foreachBatch."""
+        foreachBatch.
+
+        With ``epoch`` set (the foreachBatch path), the signature
+        append goes to an epoch-keyed subdirectory with overwrite, so
+        a retried micro-batch REPLACES its own state contribution
+        instead of duplicating it — exactly-once state under Spark's
+        at-least-once foreachBatch retries. Use one mode consistently
+        per state_dir (epoch-keyed dirs and flat appends don't mix in
+        one parquet listing)."""
 
         sigs = dedup_ops.minhash_signatures(
             batch, self.k, self.n, self.text_col
@@ -146,7 +162,7 @@ class StreamNearDedup:
         banded = self._band_keys(sigs)
 
         dropped = None
-        state = self._state()
+        state = self._state(exclude_epoch=epoch)
         if state is not None:
             vs_state = (
                 banded.join(
@@ -179,7 +195,12 @@ class StreamNearDedup:
         kept_sigs = sigs.join(dropped, "doc_id", "left_anti")
         # Docs too short to form a single n-gram have no signature and
         # pass through unexamined; only signatured survivors enter state.
-        kept_sigs.write.mode("append").parquet(self.state_dir)
+        if epoch is not None:
+            kept_sigs.write.mode("overwrite").parquet(
+                f"{self.state_dir}/epoch={epoch}"
+            )
+        else:
+            kept_sigs.write.mode("append").parquet(self.state_dir)
         return kept
 
     # -- streaming wiring --------------------------------------------
@@ -195,7 +216,7 @@ class StreamNearDedup:
         documents, then handed to ``sink(kept_df, epoch_id)``."""
 
         def _on_batch(df: DataFrame, epoch: int) -> None:
-            sink(self.process_batch(df), epoch)
+            sink(self.process_batch(df, epoch=epoch), epoch)
 
         return (
             stream.writeStream.foreachBatch(_on_batch)

@@ -534,3 +534,53 @@ def test_random_distinct_matches_model(spark, writes):
         df = df.drop("diff")
     got = {tuple(r) for r in df.collect()}
     assert got == expected, writes
+
+
+@settings(max_examples=5, deadline=None, derandomize=True)
+@given(
+    ops=st.lists(
+        st.tuples(
+            st.integers(1, 3),                       # entity
+            st.one_of(st.none(), st.integers(0, 4)),  # expected_old
+            st.one_of(st.none(), st.integers(0, 4)),  # proposed_new
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+)
+def test_random_cas_matches_model(spark, ops):
+    """Differential CAS gate: random op sequences fold to the same
+    registers as a Python model (op i at time i — total order)."""
+
+    from collections import Counter
+
+    from declarative_dataflow_spark.engine import (
+        AttributeConfig,
+        Datom,
+        Engine,
+        InputSemantics,
+    )
+    from declarative_dataflow_spark import MatchA
+
+    model: dict = {}
+    for e, old, new in ops:
+        if model.get(e) == old:
+            if new is None:
+                model.pop(e, None)
+            else:
+                model[e] = new
+    expected = Counter({(e, v): 1 for e, v in model.items()})
+
+    eng = Engine(spark)
+    eng.create_attribute(
+        "r", AttributeConfig(input_semantics=InputSemantics.COMPARE_AND_SWAP)
+    )
+    eng.transact(
+        [Datom.cas(e, "r", old, new, t=i) for i, (e, old, new) in enumerate(ops)]
+    )
+    df = eng.implement(MatchA("?e", "r", "?v"), ["e", "v"])
+    got = Counter()
+    for r in df.collect():
+        t = tuple(r)
+        got[t[:2]] += t[2] if len(t) == 3 else 1
+    assert got == expected, ops

@@ -453,3 +453,33 @@ def test_stream_compare_and_swap(spark, tmp_path):
         if r["e"] == 100
     ]
     assert (2, True) in e100 and e100[0] == (1, True)
+
+
+def test_stream_near_dedup_retry_idempotent(spark, tmp_path):
+    """A retried micro-batch (same epoch id) overwrites its own state
+    contribution instead of appending a duplicate."""
+
+    from declarative_dataflow_spark.streaming.curation import StreamNearDedup
+
+    nd = StreamNearDedup(
+        spark, str(tmp_path / "ndr_state"), k=16, bands=4, n=3, threshold=0.5
+    )
+    b = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog again today")],
+        ["doc_id", "text"],
+    )
+    kept_first = {r["doc_id"] for r in nd.process_batch(b, epoch=0).collect()}
+    # Retry of epoch 0: the epoch's own prior contribution is excluded
+    # from the dedup check, so the retried batch re-emits the same doc
+    # and REPLACES (not duplicates) its state directory.
+    kept_retry = {r["doc_id"] for r in nd.process_batch(b, epoch=0).collect()}
+    state = spark.read.parquet(str(tmp_path / "ndr_state"))
+    assert kept_first == {1} and kept_retry == {1}
+    assert state.count() == 1
+    # The next epoch DOES dedup against epoch 0's state.
+    b2 = spark.createDataFrame(
+        [(2, "the quick brown fox jumps over the lazy dog again today")],
+        ["doc_id", "text"],
+    )
+    kept2 = {r["doc_id"] for r in nd.process_batch(b2, epoch=1).collect()}
+    assert kept2 == set()
