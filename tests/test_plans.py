@@ -276,3 +276,26 @@ def test_repetition_no_shuffle(spark):
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     executed = _executed(text.repetition_stats(docs))
     assert "Exchange" not in executed, executed
+
+
+def test_cas_fold_plan_single_shuffle_no_window(spark):
+    """The CAS register fold is ONE group-by shuffle + a row-local
+    higher-order fold: no Window operator, exactly one hash-partition
+    Exchange (uniform entity key) in the physical plan."""
+
+    from declarative_dataflow_spark.engine import (
+        AttributeConfig,
+        Datom,
+        Engine,
+        InputSemantics,
+    )
+
+    eng = Engine(spark)
+    eng.create_attribute(
+        "regp", AttributeConfig(input_semantics=InputSemantics.COMPARE_AND_SWAP)
+    )
+    eng.transact([Datom.cas(1, "regp", None, 5, t=1)])
+    df = eng._transacted["regp"].dataframe()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 1
