@@ -1,12 +1,16 @@
 """Multimodal column plumbing: images/audio/video as opaque binary
 columns with typed metadata.
 
-Beyond-reference extension (BASELINE.json). The decode step is STUBBED
-(image/audio libraries are not in this container): ``decode_image``
-raises NotImplementedError unless ``fake=True``, in which case a
-deterministic fake decoder derives metadata from the byte content.
-Everything Spark-side is real and tested: binary schema, Arrow-batched
-mapInPandas plumbing, partitioning, batch shapes.
+Beyond-reference extension (BASELINE.json). Decode/resize/features are
+REAL for natively-decodable formats — PPM (P6) and uncompressed 24-bit
+BMP parse with pure numpy (header + reshape), resize is a
+nearest-neighbor resample, features are a grayscale block-mean grid —
+no image library needed. Compressed formats (PNG/JPEG) fall back to
+PIL when present (not in this container) and report 'undecodable'
+otherwise; ``fake=True`` swaps in deterministic byte-derived stand-ins
+to exercise the identical Spark plumbing on arbitrary payloads.
+Everything Spark-side is real and tested either way: binary schema,
+Arrow-batched mapInPandas plumbing, partitioning, batch shapes.
 
 Scale design: mapInPandas streams Arrow record batches — constant
 memory per task regardless of partition size; binary payloads never
@@ -76,24 +80,129 @@ def _fake_decode(payload: bytes) -> tuple[str, int, int]:
     return "fake/png", n % 640 + 1, n % 480 + 1
 
 
+# -- real decoders (pure numpy, no image library required) -------------
+#
+# PPM (P6) and uncompressed 24-bit BMP decode with nothing but header
+# parsing + a numpy reshape, so the "real" path is genuinely functional
+# in this container for those formats; compressed formats (PNG/JPEG)
+# still require PIL and raise without it.
+
+
+def _decode_ppm(payload: bytes):
+    """P6 PPM -> (width, height, HxWx3 uint8 array). Raises ValueError
+    on malformed input."""
+
+    import numpy as np
+
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM")
+    # Header tokens: P6, width, height, maxval — comments (#...) allowed.
+    tokens: list[bytes] = []
+    i = 2
+    while len(tokens) < 3:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":
+            while i < len(payload) and payload[i : i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        tokens.append(payload[i:j])
+        i = j
+    i += 1  # single whitespace after maxval, then raw RGB
+    w, h, maxval = (int(t) for t in tokens)
+    if maxval > 255:
+        raise ValueError("16-bit PPM unsupported")
+    pixels = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=i)
+    return w, h, pixels.reshape(h, w, 3).copy()
+
+
+def _decode_bmp(payload: bytes):
+    """Uncompressed 24-bit BMP (BI_RGB, bottom-up) -> (width, height,
+    HxWx3 uint8 RGB array)."""
+
+    import struct
+
+    import numpy as np
+
+    if not payload.startswith(b"BM"):
+        raise ValueError("not a BMP")
+    (data_offset,) = struct.unpack_from("<I", payload, 10)
+    w, h = struct.unpack_from("<ii", payload, 18)
+    (bpp,) = struct.unpack_from("<H", payload, 28)
+    (compression,) = struct.unpack_from("<I", payload, 30)
+    if bpp != 24 or compression != 0:
+        raise ValueError("only uncompressed 24-bit BMP supported")
+    flip = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3  # rows pad to 4 bytes
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * h, offset=data_offset
+    ).reshape(h, stride)[:, : w * 3]
+    img = rows.reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
+    if flip:
+        img = img[::-1]
+    return w, h, img.copy()
+
+
+def _decode_real(payload: bytes):
+    """(format, width, height, array) for natively-decodable payloads;
+    falls back to PIL when present; raises ValueError otherwise."""
+
+    if payload.startswith(b"P6"):
+        w, h, arr = _decode_ppm(payload)
+        return "ppm", w, h, arr
+    if payload.startswith(b"BM"):
+        w, h, arr = _decode_bmp(payload)
+        return "bmp", w, h, arr
+    if _HAS_PIL:  # pragma: no cover - container has no PIL
+        import io
+
+        import numpy as np
+
+        im = Image.open(io.BytesIO(payload)).convert("RGB")
+        return (
+            (im.format or "pil").lower(),
+            im.width,
+            im.height,
+            np.asarray(im),
+        )
+    raise ValueError("undecodable payload (PPM/BMP native; PNG/JPEG need PIL)")
+
+
+def encode_ppm(arr) -> bytes:
+    """HxWx3 uint8 array -> P6 PPM bytes (the canonical re-encode
+    format for the native path)."""
+
+    h, w = arr.shape[0], arr.shape[1]
+    return b"P6\n%d %d\n255\n" % (w, h) + arr.astype("uint8").tobytes()
+
+
 def decode_image(binaries: DataFrame, fake: bool = True) -> DataFrame:
     """Decode image binaries to metadata via Arrow-batched mapInPandas.
 
-    With ``fake=False`` this requires a real image library (PIL) —
-    not available in this container -> NotImplementedError. The fake
-    path exercises the identical Spark plumbing (schema, batching,
-    binary transfer) with a deterministic decoder.
+    With ``fake=False``, PPM (P6) and uncompressed 24-bit BMP decode
+    NATIVELY (pure numpy header parse + reshape — no image library);
+    other formats fall back to PIL when present, else the row comes
+    back with format='undecodable' and NULL dimensions. The fake path
+    exercises the identical Spark plumbing (schema, batching, binary
+    transfer) with a deterministic decoder.
     """
-
-    if not fake and not _HAS_PIL:
-        raise NotImplementedError(
-            "real image decode requires PIL; not available in this "
-            "container — use fake=True to exercise the pipeline"
-        )
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            metas = [_fake_decode(p) for p in pdf["payload"]]
+            metas = []
+            for p in pdf["payload"]:
+                if fake:
+                    metas.append(_fake_decode(p))
+                else:
+                    try:
+                        fmt, w, h, _ = _decode_real(p)
+                        metas.append((fmt, w, h))
+                    except ValueError:
+                        metas.append(("undecodable", None, None))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -122,17 +231,13 @@ RESIZED_SCHEMA = StructType(
 def resize_image(
     binaries: DataFrame, width: int = 64, height: int = 64, fake: bool = True
 ) -> DataFrame:
-    """Resize stub via Arrow-batched mapInPandas: binary in, binary
-    out. The fake path emits a deterministic fixed-size payload
-    (truncate/cycle the source bytes to width*height) so the
-    binary-throughput plumbing — the real part — is exercised; a real
-    build swaps `_fake_resize` for PIL's resize."""
+    """Resize via Arrow-batched mapInPandas: binary in, binary out.
 
-    if not fake and not _HAS_PIL:
-        raise NotImplementedError(
-            "real image resize requires PIL; not available in this "
-            "container — use fake=True to exercise the pipeline"
-        )
+    ``fake=False`` REALLY resizes natively-decodable payloads
+    (PPM/BMP): nearest-neighbor resample with numpy index arithmetic,
+    re-encoded as P6 PPM. The fake path emits a deterministic
+    fixed-size payload (truncate/cycle the source bytes) so the
+    binary-throughput plumbing is exercised without decodable data."""
 
     target = width * height
 
@@ -142,12 +247,23 @@ def resize_image(
         reps = target // len(p) + 1
         return (p * reps)[:target]
 
+    def _real_resize(p: bytes) -> bytes:
+        import numpy as np
+
+        _, w, h, arr = _decode_real(p)
+        yi = (np.arange(height) * h // height).astype("int64")
+        xi = (np.arange(width) * w // width).astype("int64")
+        return encode_ppm(arr[yi][:, xi])
+
     def go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "payload": [_fake_resize(p) for p in pdf["payload"]],
+                    "payload": [
+                        _fake_resize(p) if fake else _real_resize(p)
+                        for p in pdf["payload"]
+                    ],
                     "width": width,
                     "height": height,
                 }
@@ -161,17 +277,15 @@ def resize_image(
 def extract_features(
     binaries: DataFrame, dim: int = 16, fake: bool = True
 ) -> DataFrame:
-    """Feature extraction stub: payload -> float vector of ``dim``
-    (the column shape the similarity operators consume). The fake
-    featurizer is a byte-value histogram folded to ``dim`` buckets and
-    L1-normalized — deterministic, vectorized with numpy over Arrow
-    batches; a real build swaps in a vision/audio model here."""
+    """Feature extraction: payload -> float vector of ``dim`` (the
+    column shape the similarity operators consume).
 
-    if not fake:
-        raise NotImplementedError(
-            "real feature extraction requires a model runtime; use "
-            "fake=True to exercise the pipeline"
-        )
+    ``fake=False`` computes REAL pixel features for natively-decodable
+    payloads (PPM/BMP): a sqrt(dim) x sqrt(dim) grayscale grid of
+    block means, L1-normalized — a classic retrieval baseline,
+    deterministic and model-free. The fake featurizer is a byte-value
+    histogram (exercises plumbing on undecodable data); a model
+    runtime can replace either."""
 
     import numpy as np
     from pyspark.sql.types import ArrayType, FloatType
@@ -183,14 +297,34 @@ def extract_features(
         ]
     )
 
+    def _byte_hist(p: bytes):
+        arr = np.frombuffer(p or b"\x00", dtype=np.uint8)
+        hist = np.bincount(arr % dim, minlength=dim).astype("float32")
+        total = hist.sum()
+        return hist / total if total else hist
+
+    g = int(dim**0.5)
+    if not fake and g * g != dim:
+        raise ValueError("real features need a square dim (grid of means)")
+
+    def _pixel_grid(p: bytes):
+        _, w, h, arr = _decode_real(p)
+        gray = arr.mean(axis=2)
+        yi = (np.arange(h) * g // h).clip(max=g - 1)
+        xi = (np.arange(w) * g // w).clip(max=g - 1)
+        grid = np.zeros((g, g), dtype="float64")
+        cnt = np.zeros((g, g), dtype="float64")
+        np.add.at(grid, (yi[:, None], xi[None, :]), gray)
+        np.add.at(cnt, (yi[:, None], xi[None, :]), 1.0)
+        feat = (grid / np.maximum(cnt, 1)).reshape(dim).astype("float32")
+        total = feat.sum()
+        return feat / total if total else feat
+
     def go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = []
             for p in pdf["payload"]:
-                arr = np.frombuffer(p or b"\x00", dtype=np.uint8)
-                hist = np.bincount(arr % dim, minlength=dim).astype("float32")
-                total = hist.sum()
-                feats.append(hist / total if total else hist)
+                feats.append(_byte_hist(p) if fake else _pixel_grid(p))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "features": feats})
 
     return binaries.select("doc_id", "payload").mapInPandas(go, schema=schema)

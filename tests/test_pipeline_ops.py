@@ -142,9 +142,16 @@ def test_multimodal_decode_stub(docs):
     assert r1["height"] == r1["n_bytes"] % 480 + 1
 
 
-def test_multimodal_real_decode_raises(docs):
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_image(multimodal.attach_binary(docs), fake=False)
+def test_multimodal_undecodable_payloads_flagged(docs):
+    """fake=False on payloads that are neither PPM/BMP nor PIL-readable
+    marks rows 'undecodable' with NULL dims (no longer raises — the
+    native numpy decoders made the real path partially functional)."""
+
+    out = multimodal.decode_image(
+        multimodal.attach_binary(docs), fake=False
+    ).collect()
+    assert out and all(r["format"] == "undecodable" for r in out)
+    assert all(r["width"] is None for r in out)
 
 
 def test_frame_sample_bounded(docs):
@@ -255,14 +262,18 @@ def test_resize_and_features(docs):
     }
 
 
-def test_resize_real_decode_raises(docs):
+def test_resize_real_on_undecodable_raises_in_task(docs):
+    """fake=False resize/features over UNDECODABLE payloads fails at
+    execution time (ValueError inside the Arrow task), while a
+    non-square dim is rejected eagerly."""
+
     import pytest as _pytest
 
     b = multimodal.attach_binary(docs)
-    with _pytest.raises(NotImplementedError):
-        multimodal.resize_image(b, fake=False)
-    with _pytest.raises(NotImplementedError):
-        multimodal.extract_features(b, fake=False)
+    with _pytest.raises(Exception):
+        multimodal.resize_image(b, fake=False).collect()
+    with _pytest.raises(ValueError):
+        multimodal.extract_features(b, dim=5, fake=False)
 
 
 def test_subword_token_count(spark):
@@ -516,3 +527,88 @@ def test_vocab_topk(spark):
     # aa x3 ranks first; the n=1 tie ('7', 'bb', 'cc') breaks
     # lexicographically, so '7' takes rank 2.
     assert out == {"aa": (3, 1), "7": (1, 2)}
+
+
+def _ppm_bytes(w, h, px):
+    """px: list of rows of (r,g,b)."""
+    body = bytes(c for row in px for p in row for c in p)
+    return b"P6\n%d %d\n255\n" % (w, h) + body
+
+
+def _bmp_bytes(w, h, px):
+    """Uncompressed 24-bit bottom-up BMP; px top-down rows of (r,g,b)."""
+    import struct
+
+    stride = (w * 3 + 3) & ~3
+    rows = b""
+    for row in reversed(px):  # bottom-up storage
+        r = b"".join(bytes((b_, g_, r_)) for (r_, g_, b_) in row)  # BGR
+        rows += r + b"\x00" * (stride - len(r))
+    data_offset = 54
+    size = data_offset + len(rows)
+    header = b"BM" + struct.pack("<IHHI", size, 0, 0, data_offset)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(rows), 2835, 2835, 0, 0)
+    return header + info + rows
+
+
+def test_multimodal_real_decode_ppm_bmp(spark):
+    from declarative_dataflow_spark.operators import multimodal
+
+    px = [[(255, 0, 0), (0, 255, 0), (0, 0, 255)],
+          [(10, 20, 30), (40, 50, 60), (70, 80, 90)]]
+    binaries = spark.createDataFrame(
+        [
+            (1, bytearray(_ppm_bytes(3, 2, px))),
+            (2, bytearray(_bmp_bytes(3, 2, px))),
+            (3, bytearray(b"\x89PNG not really")),
+        ],
+        "doc_id long, payload binary",
+    )
+    meta = {r["doc_id"]: r for r in multimodal.decode_image(binaries, fake=False).collect()}
+    assert (meta[1]["format"], meta[1]["width"], meta[1]["height"]) == ("ppm", 3, 2)
+    assert (meta[2]["format"], meta[2]["width"], meta[2]["height"]) == ("bmp", 3, 2)
+    assert meta[3]["format"] == "undecodable" and meta[3]["width"] is None
+
+
+def test_multimodal_real_resize_roundtrip(spark):
+    """Real nearest-neighbor resize: PPM and BMP payloads of the SAME
+    image resize to identical PPM bytes (decoders agree pixel-exact)."""
+
+    from declarative_dataflow_spark.operators import multimodal
+
+    px = [[(255, 0, 0), (0, 255, 0), (0, 0, 255)],
+          [(10, 20, 30), (40, 50, 60), (70, 80, 90)]]
+    binaries = spark.createDataFrame(
+        [
+            (1, bytearray(_ppm_bytes(3, 2, px))),
+            (2, bytearray(_bmp_bytes(3, 2, px))),
+        ],
+        "doc_id long, payload binary",
+    )
+    out = {r["doc_id"]: bytes(r["payload"]) for r in
+           multimodal.resize_image(binaries, width=2, height=2, fake=False).collect()}
+    assert out[1] == out[2]
+    assert out[1].startswith(b"P6\n2 2\n255\n")
+    # Nearest-neighbor on 3->2 picks source columns 0 and 1, rows 0 and 1.
+    body = out[1].split(b"255\n", 1)[1]
+    assert body == bytes((255, 0, 0, 0, 255, 0, 10, 20, 30, 40, 50, 60))
+
+
+def test_multimodal_real_features_grid(spark):
+    from declarative_dataflow_spark.operators import multimodal
+
+    # 2x2 image, dim=4 -> one pixel per grid cell; grayscale means
+    # normalize to an L1 unit vector.
+    px = [[(30, 30, 30), (60, 60, 60)],
+          [(90, 90, 90), (120, 120, 120)]]
+    binaries = spark.createDataFrame(
+        [(1, bytearray(_ppm_bytes(2, 2, px)))], "doc_id long, payload binary"
+    )
+    [row] = multimodal.extract_features(binaries, dim=4, fake=False).collect()
+    feats = row["features"]
+    assert len(feats) == 4
+    total = 30 + 60 + 90 + 120
+    import pytest as _pytest
+
+    assert feats[0] == _pytest.approx(30 / total, abs=1e-6)
+    assert feats[3] == _pytest.approx(120 / total, abs=1e-6)
