@@ -389,3 +389,75 @@ def chunk_audio(
             4,
         ).alias("start_s"),
     )
+
+
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("chunk_idx", IntegerType()),
+        StructField("start_s", StringType()),
+        StructField("rms", StringType()),
+        StructField("zcr", StringType()),
+    ]
+)
+
+
+def audio_features(
+    binaries: DataFrame,
+    sample_rate: int = 16000,
+    window_s: float = 0.5,
+    hop_s: float = 0.25,
+    max_chunks: int = 16,
+) -> DataFrame:
+    """REAL waveform features over int16-PCM payloads: per overlapping
+    chunk, RMS energy (silence/level detection) and zero-crossing rate
+    (a crude voiced/unvoiced + pitch-register signal) — classic audio
+    curation features, computed with numpy inside Arrow-batched
+    mapInPandas. No audio library: int16 PCM is a numpy frombuffer
+    away, exactly like the PPM/BMP image path. Values format as
+    %.6f strings so results are bit-stable across platforms.
+
+    Container formats (wav headers, mp3, ...) would decode to PCM
+    first; a 44-byte canonical WAV header is skipped when present, so
+    plain PCM and canonical WAV both work.
+    """
+
+    import numpy as np
+
+    frame = int(sample_rate * window_s)
+    hop = int(sample_rate * hop_s)
+
+    def go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict = {
+                "doc_id": [], "chunk_idx": [], "start_s": [],
+                "rms": [], "zcr": [],
+            }
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(p or b"")
+                if raw[:4] == b"RIFF" and raw[8:12] == b"WAVE":
+                    raw = raw[44:]
+                if len(raw) % 2:
+                    raw = raw[:-1]
+                x = np.frombuffer(raw, dtype="<i2").astype("float64")
+                n = len(x)
+                idx = 0
+                for start in range(0, max(n, 1), hop):
+                    if idx >= max_chunks or start >= n:
+                        break
+                    w = x[start : start + frame]
+                    if not len(w):
+                        break
+                    rms = float(np.sqrt(np.mean(w * w))) / 32768.0
+                    zc = float(np.mean(np.abs(np.diff(np.signbit(w))))) if len(w) > 1 else 0.0
+                    out["doc_id"].append(doc_id)
+                    out["chunk_idx"].append(idx)
+                    out["start_s"].append("%.6f" % (start / sample_rate))
+                    out["rms"].append("%.6f" % rms)
+                    out["zcr"].append("%.6f" % zc)
+                    idx += 1
+            yield pd.DataFrame(out)
+
+    return binaries.select("doc_id", "payload").mapInPandas(
+        go, schema=AUDIO_FEATURES_SCHEMA
+    )

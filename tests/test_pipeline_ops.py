@@ -612,3 +612,40 @@ def test_multimodal_real_features_grid(spark):
 
     assert feats[0] == _pytest.approx(30 / total, abs=1e-6)
     assert feats[3] == _pytest.approx(120 / total, abs=1e-6)
+
+
+def test_audio_features_real_pcm(spark):
+    """Real int16-PCM features: a pure sine has rms ~ A/sqrt(2) and a
+    zero-crossing rate of ~2 crossings per period; silence is 0/0.
+    A canonical WAV header is skipped transparently."""
+
+    import numpy as np
+
+    sr = 8000
+    t = np.arange(sr)  # 1 second
+    freq, amp = 100, 0.5
+    sine = (amp * 32767 * np.sin(2 * np.pi * freq * t / sr)).astype("<i2")
+    silence = np.zeros(sr, dtype="<i2")
+    wav_hdr = b"RIFF" + b"\x00" * 4 + b"WAVE" + b"\x00" * 32
+    binaries = spark.createDataFrame(
+        [
+            (1, bytearray(sine.tobytes())),
+            (2, bytearray(silence.tobytes())),
+            (3, bytearray(wav_hdr + sine.tobytes())),
+        ],
+        "doc_id long, payload binary",
+    )
+    rows = multimodal.audio_features(
+        binaries, sample_rate=sr, window_s=0.5, hop_s=0.5
+    ).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # sine: rms = amp/sqrt(2) within rounding; zcr = 2*freq/sr
+    first = sorted(by_doc[1], key=lambda r: r["chunk_idx"])[0]
+    assert abs(float(first["rms"]) - amp / 2**0.5) < 0.01
+    assert abs(float(first["zcr"]) - 2 * freq / sr) < 0.005
+    assert all(float(r["rms"]) == 0.0 for r in by_doc[2])
+    # WAV header skipped: identical features to the raw PCM doc
+    assert sorted((r["chunk_idx"], r["rms"], r["zcr"]) for r in by_doc[3]) == \
+           sorted((r["chunk_idx"], r["rms"], r["zcr"]) for r in by_doc[1])
