@@ -483,3 +483,54 @@ def test_stream_near_dedup_retry_idempotent(spark, tmp_path):
     )
     kept2 = {r["doc_id"] for r in nd.process_batch(b2, epoch=1).collect()}
     assert kept2 == set()
+
+
+def test_stream_curation_with_decontamination(spark, tmp_path):
+    """Corpus-level curation ops compose inside foreachBatch: each
+    micro-batch is a static frame there, so contamination (broadcast
+    eval-set n-grams) and near-dedup chain per batch — the full
+    streaming curation stage."""
+
+    from declarative_dataflow_spark.operators import curation
+    from declarative_dataflow_spark.streaming.curation import StreamNearDedup
+
+    eval_docs = spark.createDataFrame(
+        [(9001, "the held out benchmark question answer pair text")],
+        ["doc_id", "text"],
+    )
+    nd = StreamNearDedup(
+        spark, str(tmp_path / "cur_nd_state"), k=16, bands=4, n=3, threshold=0.5
+    )
+    kept_ids: list[int] = []
+
+    def stage(batch, epoch):
+        deduped = nd.process_batch(batch, epoch=epoch)
+        cont = curation.contamination(deduped, eval_docs, n=3)
+        clean = deduped.join(
+            cont.filter("contamination >= 0.5").select("doc_id"),
+            "doc_id",
+            "left_anti",
+        )
+        kept_ids.extend(r["doc_id"] for r in clean.collect())
+
+    src = tmp_path / "cur_nd_in"
+    src.mkdir()
+    _write_jsonl(str(src / "b1.json"), [
+        {"doc_id": 1, "text": "the held out benchmark question answer pair text"},  # contaminated
+        {"doc_id": 2, "text": "a perfectly novel training document with fresh words"},
+        {"doc_id": 3, "text": "a perfectly novel training document with fresh words"},  # near-dup of 2
+    ])
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .json(str(src))
+    )
+    q = (
+        stream.writeStream.foreachBatch(stage)
+        .option("checkpointLocation", str(tmp_path / "cur_nd_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert kept_ids == [2]
