@@ -534,3 +534,56 @@ def test_stream_curation_with_decontamination(spark, tmp_path):
     finally:
         q.stop()
     assert kept_ids == [2]
+
+
+def test_stream_near_dedup_survives_restart(spark, tmp_path):
+    """Stop the query, add data, restart with the same checkpoint and
+    state dir: docs near-duplicating pre-restart acceptances are still
+    suppressed (state lives on storage, not in the query)."""
+
+    import os as _os
+
+    from declarative_dataflow_spark.streaming.curation import StreamNearDedup
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    src = tmp_path / "ndrs_in"
+    src.mkdir()
+    _write_jsonl(str(src / "b1.json"), [{"doc_id": 1, "text": base}])
+    _os.utime(str(src / "b1.json"), (1_700_000_000, 1_700_000_000))
+
+    nd = StreamNearDedup(
+        spark, str(tmp_path / "ndrs_state"), k=16, bands=4, n=3, threshold=0.5
+    )
+    out: list[int] = []
+
+    def start():
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+        return nd.attach(
+            stream,
+            sink=lambda df, epoch: out.extend(r["doc_id"] for r in df.collect()),
+            checkpoint=str(tmp_path / "ndrs_ckpt"),
+            query_name="ndrs",
+        )
+
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert out == [1]
+
+    _write_jsonl(str(src / "b2.json"), [
+        {"doc_id": 2, "text": base},                       # dup of pre-restart doc
+        {"doc_id": 3, "text": "completely fresh words in a brand new document"},
+    ])
+    _os.utime(str(src / "b2.json"), (1_700_000_001, 1_700_000_001))
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert sorted(out) == [1, 3]
