@@ -26,6 +26,7 @@ HEADLINE = [
     "confusion_filter",  # reference confusion q1 (fused filter scan)
     "confusion_agg",   # reference confusion q2 (grouped count)
     "lww",             # last-write-wins input semantics
+    "cas",             # compare-and-swap register fold (completed stub)
     "union",           # set union
     "pull_level",      # document projection
     "dedup_exact",     # exact hash dedup
