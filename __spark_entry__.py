@@ -991,6 +991,28 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k search over the int8-quantized corpus: quantize →
+    row-local dequantize → exact cosine top-k. The quantized table is
+    the serving corpus (4x smaller); reconstruction error shifts sims
+    deterministically in both engines."""
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = similarity.dequantize_embeddings(
+        similarity.quantize_embeddings(emb)
+    )
+    return similarity.cosine_topk(corpus, query_ids=list(range(10)), k=5)
+
+
+def q_embed_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic near-dup clusters over embeddings: cosine pairs ->
+    connected components -> min-id canonical per group."""
+
+    return similarity.embed_dedup_groups(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.4
+    )
+
+
 def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (exact all-pairs baseline;
     the planes= variant is the LSH-bucketed scale path, checked
@@ -1127,7 +1149,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "pull_level": q_pull_level,
         "graphql": q_graphql,
-        "bitemporal_asof": q_bitemporal_asof,
         "text_tokens": q_text_tokens,
         "contamination": q_contamination,
         "dup_ngram_frac": q_dup_ngram_frac,
@@ -1140,7 +1161,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "dedup_exact": q_dedup_exact,
-        "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
         "dedup_groups": q_dedup_groups,
         "simhash": q_simhash,
@@ -1148,10 +1168,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": q_vocab_topk,
         "cosine_topk": q_cosine_topk,
         "embed_quantize": q_embed_quantize,
+        "ann_quantized": q_ann_quantized,
+        "embed_groups": q_embed_groups,
         "embed_neardup": q_embed_neardup,
         "ann_ivf": q_ann_ivf,
         "ann_ivf_kmeans": q_ann_ivf_kmeans,
         # --- deferred this round (driver cap); all green in r02 AND r03 ---
+        "bitemporal_asof": q_bitemporal_asof,
+        "ngram_jaccard": q_ngram_jaccard,
         "stratified_sample": q_stratified_sample,
         "multimodal_meta": q_multimodal_meta,
         "frame_sample": q_frame_sample,
@@ -1798,6 +1822,46 @@ def oracle_sql() -> dict[str, str]:
             "SELECT *, CAST(row_number() OVER (PARTITION BY q "
             "ORDER BY sim DESC, neighbor) AS INT) AS rank FROM s) "
             "WHERE rank <= 5"
+        ),
+        "ann_quantized": (
+            "WITH s AS (SELECT vec_id, embedding, "
+            "round(list_max(list_transform(embedding, "
+            "x -> abs(CAST(x AS DOUBLE)))) / 127.0, 9) AS scale "
+            "FROM embeddings), "
+            "dq AS (SELECT vec_id, "
+            "CASE WHEN scale = 0 THEN list_transform(embedding, "
+            "x -> CAST(0 AS DOUBLE)) "
+            "ELSE list_transform(embedding, "
+            "x -> CAST(round(CAST(x AS DOUBLE) / scale, 0) AS INT) * scale) "
+            "END AS v FROM s), "
+            "q AS (SELECT vec_id AS q, v AS qv FROM dq WHERE vec_id < 10), "
+            "sm AS (SELECT q.q, dq.vec_id AS neighbor, "
+            "round(list_dot_product(q.qv, dq.v) / "
+            "(sqrt(list_dot_product(q.qv, q.qv)) * "
+            "sqrt(list_dot_product(dq.v, dq.v))), 4) AS sim "
+            "FROM dq CROSS JOIN q WHERE dq.vec_id != q.q) "
+            "SELECT q, neighbor, sim, rank FROM ("
+            "SELECT *, CAST(row_number() OVER (PARTITION BY q "
+            "ORDER BY sim DESC, neighbor) AS INT) AS rank FROM sm) "
+            "WHERE rank <= 5"
+        ),
+        "embed_groups": (
+            "WITH RECURSIVE e AS (SELECT vec_id, "
+            "CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+            "pairs AS (SELECT a, b FROM ("
+            "SELECT x.vec_id AS a, y.vec_id AS b, "
+            "round(list_dot_product(x.v, y.v) / "
+            "(sqrt(list_dot_product(x.v, x.v)) * "
+            "sqrt(list_dot_product(y.v, y.v))), 4) AS sim "
+            "FROM e x JOIN e y ON x.vec_id < y.vec_id) WHERE sim >= 0.4), "
+            "edges AS (SELECT a AS u, b AS v FROM pairs "
+            "UNION SELECT b, a FROM pairs), "
+            "reach(u, v) AS (SELECT u, u AS v "
+            "FROM (SELECT DISTINCT u FROM edges) "
+            "UNION SELECT g.u, r.v FROM edges g JOIN reach r ON r.u = g.v), "
+            "comp AS (SELECT u, min(v) AS component FROM reach GROUP BY u) "
+            "SELECT em.vec_id, coalesce(c.component, em.vec_id) AS canonical "
+            "FROM embeddings em LEFT JOIN comp c ON c.u = em.vec_id"
         ),
         "embed_neardup": (
             "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "

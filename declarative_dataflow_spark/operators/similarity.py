@@ -497,3 +497,49 @@ def quantize_embeddings(
         "scale",
         F.when(F.col("scale") == 0.0, zeros).otherwise(codes).alias("qvec"),
     )
+
+
+def dequantize_embeddings(
+    quantized: DataFrame, id_col: str = "vec_id"
+) -> DataFrame:
+    """Reconstruct (vec_id, embedding) from int8 codes: x ~= scale * q.
+    Row-local transform; composes with every search operator, so the
+    4x-smaller quantized table can BE the ANN corpus (the standard
+    quantized-index serving layout)."""
+
+    return quantized.select(
+        id_col,
+        F.expr(
+            "transform(qvec, c -> CAST(c AS DOUBLE) * scale)"
+        ).alias("embedding"),
+    )
+
+
+def embed_dedup_groups(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    planes: Optional[int] = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic near-duplicate group resolution over embeddings:
+    (vec_id, canonical) — the embedding-space analog of
+    dedup.dedup_groups. Cosine-similar pairs form an undirected graph;
+    connected components collapse chains (a~b, b~c => one group even
+    when a!~c); each vector maps to its component's smallest id, and
+    singletons are their own canonical. A curation pipeline keeps rows
+    where vec_id = canonical. ``planes`` switches candidate generation
+    to the LSH-bucketed scale path, exactly as in embedding_neardup."""
+
+    from .dedup import connected_components
+
+    pairs = embedding_neardup(embeddings, threshold, planes, id_col, vec_col)
+    comp = connected_components(pairs, "a", "b")
+    return (
+        embeddings.select(F.col(id_col))
+        .join(comp.withColumnRenamed("id", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("component"), F.col(id_col)).alias("canonical"),
+        )
+    )

@@ -649,3 +649,44 @@ def test_audio_features_real_pcm(spark):
     # WAV header skipped: identical features to the raw PCM doc
     assert sorted((r["chunk_idx"], r["rms"], r["zcr"]) for r in by_doc[3]) == \
            sorted((r["chunk_idx"], r["rms"], r["zcr"]) for r in by_doc[1])
+
+
+def test_quantize_dequantize_roundtrip_search(spark):
+    """Search over the dequantized int8 corpus ranks the identical
+    vector first; reconstruction error stays within one code step."""
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.0, 1.0, 0.0]),
+        ],
+        ["vec_id", "embedding"],
+    )
+    corpus = similarity.dequantize_embeddings(
+        similarity.quantize_embeddings(emb)
+    )
+    rec = {r["vec_id"]: r["embedding"] for r in corpus.collect()}
+    assert all(abs(a - b) <= 1 / 127 for a, b in zip(rec[0], [1.0, 0.0, 0.0]))
+    top = similarity.cosine_topk(corpus, query_ids=[0], k=1).collect()
+    assert top[0]["neighbor"] == 1 and top[0]["sim"] == 1.0
+
+
+def test_embed_dedup_groups_chains(spark):
+    """Cosine chains collapse: 0~1 and 1~2 put all three in one group
+    even if 0!~2 directly; the isolated vector is its own canonical."""
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.92, 0.39]),   # ~0 (cos .92) and ~2 (cos .92)
+            (2, [0.71, 0.71]),
+            (3, [-1.0, 0.0]),    # isolated
+        ],
+        ["vec_id", "embedding"],
+    )
+    groups = {
+        r["vec_id"]: r["canonical"]
+        for r in similarity.embed_dedup_groups(emb, threshold=0.9).collect()
+    }
+    assert groups == {0: 0, 1: 0, 2: 0, 3: 3}
