@@ -672,6 +672,38 @@ def q_wco_4clause(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.implement(count, ["n"])
 
 
+def q_wco_clique4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """6-binding 4-clique conjunction — the densest 4-variable cyclic
+    pattern; binary join chains would materialize every 4-cycle before
+    checking the two diagonals. Reuses wco_4clause's sparse derived
+    edge set; the generic WCO lowering extends one variable at a time
+    with per-row smallest-first adjacency intersection and validates
+    closing edges as semi-joins."""
+
+    q_wco_4clause(spark, sf_dir)  # ensures graph/sedge is registered
+    eng = _engine(spark, sf_dir)
+    clique = Hector(
+        ["?a", "?b", "?c", "?d"],
+        [
+            AttributeBinding("?a", "graph/sedge", "?b"),
+            AttributeBinding("?a", "graph/sedge", "?c"),
+            AttributeBinding("?a", "graph/sedge", "?d"),
+            AttributeBinding("?b", "graph/sedge", "?c"),
+            AttributeBinding("?b", "graph/sedge", "?d"),
+            AttributeBinding("?c", "graph/sedge", "?d"),
+        ],
+    )
+    count = Aggregate(
+        ["?a"],
+        clique,
+        [AggregationFn.COUNT],
+        [],
+        ["?a"],
+        with_variables=["?b", "?c", "?d"],
+    )
+    return eng.implement(count, ["n"])
+
+
 def q_confusion_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filter-join: constant bindings on two attributes of one entity
     (reference: experiments/src/bin/confusion_filter.rs:23-38 — both
@@ -1142,13 +1174,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count": q_triangle_count,
         "triangle_wco": q_triangle_wco,
         "wco_4clause": q_wco_4clause,
+        "wco_clique4": q_wco_clique4,
         "confusion_filter": q_confusion_filter,
         "confusion_agg": q_confusion_agg,
         "lww": q_lww,
         "cas": q_cas,
         "ann_lsh": q_ann_lsh,
         "pull_level": q_pull_level,
-        "graphql": q_graphql,
         "text_tokens": q_text_tokens,
         "contamination": q_contamination,
         "dup_ngram_frac": q_dup_ngram_frac,
@@ -1174,6 +1206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "ann_ivf_kmeans": q_ann_ivf_kmeans,
         # --- deferred this round (driver cap); all green in r02 AND r03 ---
+        "graphql": q_graphql,
         "bitemporal_asof": q_bitemporal_asof,
         "ngram_jaccard": q_ngram_jaccard,
         "stratified_sample": q_stratified_sample,
@@ -1533,6 +1566,16 @@ def oracle_sql() -> dict[str, str]:
             "JOIN edges e2 ON e2.src = e1.dst "
             "JOIN edges e3 ON e3.src = e2.dst "
             "JOIN edges e4 ON e4.src = e1.src AND e4.dst = e3.dst"
+        ),
+        "wco_clique4": (
+            "WITH edges AS (SELECT DISTINCT user_id % 1000 AS src, "
+            "event_id % 1000 AS dst FROM events WHERE event_id % 11 = 0) "
+            "SELECT CAST(count(*) AS BIGINT) AS n FROM edges e1 "
+            "JOIN edges e2 ON e2.src = e1.src "
+            "JOIN edges e3 ON e3.src = e1.src "
+            "JOIN edges e4 ON e4.src = e1.dst AND e4.dst = e2.dst "
+            "JOIN edges e5 ON e5.src = e1.dst AND e5.dst = e3.dst "
+            "JOIN edges e6 ON e6.src = e2.dst AND e6.dst = e3.dst"
         ),
         "confusion_filter": (
             "SELECT event_id AS e, value AS v FROM events "
