@@ -942,6 +942,22 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_image_meta_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode through the driver gate: each document's text
+    seeds a deterministic 3x2 P6 PPM payload (18 ASCII pixel bytes from
+    md5 hex), which the pure-numpy decoder parses back. The oracle
+    knows the construction, so exact (n_bytes, format, width, height)
+    certify the decoder on every row."""
+
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.encode(
+        F.concat(F.lit("P6\n3 2\n255\n"), F.substring(F.md5("text"), 1, 18)),
+        "UTF-8",
+    )
+    binaries = docs.select("doc_id", payload.alias("payload"))
+    return multimodal.decode_image(binaries, fake=False)
+
+
 def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.token_count(load_table(spark, sf_dir, "documents"))
 
@@ -1179,9 +1195,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "confusion_agg": q_confusion_agg,
         "lww": q_lww,
         "cas": q_cas,
-        "ann_lsh": q_ann_lsh,
         "pull_level": q_pull_level,
         "text_tokens": q_text_tokens,
+        "image_meta_ppm": q_image_meta_ppm,
         "contamination": q_contamination,
         "dup_ngram_frac": q_dup_ngram_frac,
         "global_shuffle": q_global_shuffle,
@@ -1206,6 +1222,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "ann_ivf_kmeans": q_ann_ivf_kmeans,
         # --- deferred this round (driver cap); all green in r02 AND r03 ---
+        "ann_lsh": q_ann_lsh,
         "graphql": q_graphql,
         "bitemporal_asof": q_bitemporal_asof,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1783,6 +1800,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(len(regexp_extract_all(lower(text), "
             "'[a-z]+|[0-9]|[^a-z0-9 ]')) AS BIGINT) AS n_subwords "
             "FROM documents"
+        ),
+        "image_meta_ppm": (
+            # The payload construction is deterministic (11-byte header
+            # + 18 md5-hex pixel bytes), so the oracle states the exact
+            # expected metadata; a decoder bug (header parse, dims,
+            # byte count) breaks the hash match on every row.
+            "SELECT doc_id, CAST(29 AS BIGINT) AS n_bytes, "
+            "'ppm' AS format, 3 AS width, 2 AS height FROM documents"
         ),
         "vocab_topk": (
             "WITH pieces AS (SELECT unnest(regexp_extract_all(lower(text), "

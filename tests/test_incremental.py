@@ -1047,3 +1047,60 @@ def test_delta_join_cas_attribute(engine):
     assert acc == expected
     got = {t[0]: t[1] for t in acc}
     assert got[1] == 8 and 2 not in got
+
+
+def test_delta_join_cas_random_churn(spark, engine):
+    """Randomized CAS op churn across epochs: the maintained join's
+    accumulated diffs equal a full recompute after every epoch."""
+
+    import random
+
+    from declarative_dataflow_spark import Join, MatchA
+    from declarative_dataflow_spark.engine import AttributeConfig, InputSemantics
+    from declarative_dataflow_spark.streaming.reactive import ReactiveSession
+
+    rng = random.Random(23)
+    engine.create_attribute(
+        "slot",
+        AttributeConfig(input_semantics=InputSemantics.COMPARE_AND_SWAP),
+    )
+    engine.create_attribute("tag")
+    engine.register(
+        "tagged",
+        Join(["?e"], MatchA("?e", "slot", "?v"), MatchA("?e", "tag", "?g")),
+    )
+    session = ReactiveSession(engine)
+    session.interest("tagged")
+
+    # Model registers so op sequences stay plausible (some succeed).
+    model: dict[int, int] = {}
+    t = 0
+    for e in range(1, 4):
+        session.transact([Datom.add(e, "tag", f"g{e % 2}")])
+    for _epoch in range(4):
+        batch = []
+        for _ in range(rng.randint(1, 3)):
+            e = rng.randint(1, 3)
+            t += 1
+            cur = model.get(e)
+            roll = rng.random()
+            if roll < 0.4:
+                old, new = cur, rng.randint(1, 5)       # succeeds
+            elif roll < 0.6 and cur is not None:
+                old, new = cur, None                    # delete
+            else:
+                old, new = rng.randint(6, 9), rng.randint(1, 5)  # fails
+            if (cur is None and old is None) or cur == old:
+                if new is None:
+                    model.pop(e, None)
+                else:
+                    model[e] = new
+            batch.append(Datom.cas(e, "slot", old, new, t=t))
+        session.transact(batch)
+
+    acc = _accumulate(session.interests["tagged"].history)
+    full = engine.interest("tagged")
+    if "diff" in full.columns:
+        full = full.drop("diff")
+    assert acc == Counter({tuple(r): 1 for r in full.collect()})
+    assert {t[0]: t[1] for t in acc} == model
