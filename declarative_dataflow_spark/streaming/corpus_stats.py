@@ -1,0 +1,234 @@
+"""Incrementally-maintained corpus statistics for streaming curation.
+
+``dup_ngram_frac`` (operators/curation.py) is a CORPUS-level signal:
+one new document can flip n-grams from unique to duplicated and
+thereby change the boilerplate score of documents ingested long ago.
+Recomputing the whole corpus per micro-batch is O(corpus); this module
+maintains it differentially — the same "work tracks the change"
+contract the relational DeltaJoin gives conjunctive queries, applied
+to a corpus aggregate:
+
+state (parquet dirs; Delta/iceberg tables at cluster scale):
+  counts/  (ngram, n)        — corpus-wide occurrence counts
+  index/   (ngram, doc_id)   — inverted index of ACCEPTED documents
+  docs/    (doc_id, n_ngrams)— per-doc denominator
+
+per epoch (a batch of new documents):
+  1. batch n-grams per doc (row-local construction, distinct per doc);
+  2. join batch n-grams against ``counts`` -> updated counts for the
+     touched n-grams ONLY;
+  3. crossing set = n-grams whose count crossed the >=2 threshold in
+     this epoch (1 -> >=2). Documents containing a crossing n-gram are
+     the only OLD documents whose dup_frac changed — found by an
+     inverted-index lookup on the crossing n-grams, never a corpus
+     scan;
+  4. recompute dup_frac for (batch docs ∪ affected old docs): their
+     n-grams come from the index slice (semi-join pruned), their
+     duplicate flags from the UPDATED counts;
+  5. emit (doc_id, n_ngrams, n_dup, dup_frac) update rows for exactly
+     those documents; append/merge state.
+
+Per-epoch cost is O(batch n-grams + affected-doc n-grams) — bounded by
+the change, not the corpus. The one full-corpus quantity is the state
+itself, which lives on storage, not in any epoch's shuffle.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators.dedup import shingles
+
+
+class IncrementalDupNgram:
+    """Differential duplicate-n-gram fraction over an append-only
+    document stream. ``process_batch`` returns the changed documents'
+    rows; accumulated state answers exactly like the batch operator
+    run on everything ingested so far (gated in tests)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        n: int = 3,
+        text_col: str = "text",
+    ) -> None:
+        self.spark = spark
+        self.state_dir = state_dir.rstrip("/")
+        self.n = n
+        self.text_col = text_col
+
+    # -- state io ----------------------------------------------------
+    def _read(self, name: str) -> Optional[DataFrame]:
+        try:
+            return self.spark.read.parquet(f"{self.state_dir}/{name}")
+        except Exception:
+            return None
+
+    def _overwrite(self, name: str, df: DataFrame) -> None:
+        # Write-then-swap: parquet cannot overwrite a directory that is
+        # simultaneously being read, so stage to a versioned dir and
+        # repoint a tiny current-pointer file (the poor man's Delta
+        # commit; a real deployment uses a transactional table format).
+        import os
+
+        base = f"{self.state_dir}/{name}"
+        version = 0
+        ptr = f"{base}.version"
+        if os.path.exists(ptr):
+            with open(ptr) as f:
+                version = int(f.read().strip()) + 1
+        df.write.mode("overwrite").parquet(f"{base}_v{version}")
+        with open(ptr, "w") as f:
+            f.write(str(version))
+
+    def _read_versioned(self, name: str) -> Optional[DataFrame]:
+        import os
+
+        ptr = f"{self.state_dir}/{name}.version"
+        if not os.path.exists(ptr):
+            return None
+        with open(ptr) as f:
+            version = int(f.read().strip())
+        return self.spark.read.parquet(f"{self.state_dir}/{name}_v{version}")
+
+    # -- one epoch ---------------------------------------------------
+    def process_batch(self, batch: DataFrame) -> DataFrame:
+        """Ingest one batch; return updated stat rows for exactly the
+        documents whose dup_ngram_frac changed (batch docs + old docs
+        sharing a threshold-crossing n-gram)."""
+
+        sh = shingles(batch, self.n, self.text_col).localCheckpoint(
+            eager=True
+        )  # (doc_id, shingle), distinct per doc
+
+        counts = self._read_versioned("counts")
+        index = self._read_versioned("index")
+        docs_state = self._read_versioned("docs")
+
+        batch_counts = sh.groupBy("shingle").agg(
+            F.count(F.lit(1)).alias("bn")
+        )
+        if counts is None:
+            merged_touched = batch_counts.select(
+                "shingle",
+                F.lit(0).cast("long").alias("old_n"),
+                F.col("bn").cast("long").alias("new_n"),
+            )
+        else:
+            merged_touched = (
+                batch_counts.join(counts, "shingle", "left")
+                .select(
+                    "shingle",
+                    F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("old_n"),
+                    (F.coalesce(F.col("n"), F.lit(0)) + F.col("bn"))
+                    .cast("long")
+                    .alias("new_n"),
+                )
+            )
+        merged_touched = merged_touched.localCheckpoint(eager=True)
+
+        # n-grams that BECAME duplicated this epoch: old docs holding
+        # them change their numerator.
+        crossing = merged_touched.filter(
+            (F.col("old_n") < 2) & (F.col("new_n") >= 2)
+        ).select("shingle")
+
+        affected_old = (
+            index.join(crossing, "shingle", "left_semi")
+            .select("doc_id")
+            .distinct()
+            if index is not None
+            else None
+        )
+
+        # All (doc, ngram) rows needing a fresh numerator: the batch's
+        # own, plus the affected old docs' slices from the index.
+        doc_ngrams = sh
+        if affected_old is not None:
+            doc_ngrams = doc_ngrams.unionByName(
+                index.join(affected_old, "doc_id", "left_semi")
+            )
+
+        # Duplicate flag against the UPDATED counts: touched n-grams
+        # carry new_n; untouched ones keep their stored count (only
+        # possible for old docs' n-grams).
+        upd = merged_touched.select("shingle", F.col("new_n").alias("__n"))
+        if counts is not None:
+            untouched = counts.join(
+                merged_touched.select("shingle"), "shingle", "left_anti"
+            ).select("shingle", F.col("n").alias("__n"))
+            upd = upd.unionByName(untouched)
+        stats = (
+            doc_ngrams.join(upd, "shingle")
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_ngrams"),
+                F.sum(F.when(F.col("__n") >= 2, 1).otherwise(0))
+                .cast("long")
+                .alias("n_dup"),
+            )
+            .select(
+                "doc_id",
+                "n_ngrams",
+                "n_dup",
+                F.round(F.col("n_dup") / F.col("n_ngrams"), 4).alias(
+                    "dup_frac"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+        # -- advance state --
+        new_counts = merged_touched.select(
+            "shingle", F.col("new_n").alias("n")
+        )
+        if counts is not None:
+            new_counts = new_counts.unionByName(
+                counts.join(
+                    merged_touched.select("shingle"), "shingle", "left_anti"
+                )
+            )
+        self._overwrite("counts", new_counts)
+        new_index = sh if index is None else index.unionByName(sh)
+        self._overwrite("index", new_index)
+        batch_docs = sh.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("n_ngrams")
+        )
+        new_docs = (
+            batch_docs
+            if docs_state is None
+            else docs_state.unionByName(batch_docs)
+        )
+        self._overwrite("docs", new_docs)
+        return stats
+
+    def current(self) -> Optional[DataFrame]:
+        """The maintained statistic for every ingested document —
+        recomputed from state slices (index x counts), NOT from text;
+        equals the batch operator over the full corpus."""
+
+        index = self._read_versioned("index")
+        counts = self._read_versioned("counts")
+        if index is None or counts is None:
+            return None
+        return (
+            index.join(counts, "shingle")
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_ngrams"),
+                F.sum(F.when(F.col("n") >= 2, 1).otherwise(0))
+                .cast("long")
+                .alias("n_dup"),
+            )
+            .select(
+                "doc_id",
+                "n_ngrams",
+                "n_dup",
+                F.round(F.col("n_dup") / F.col("n_ngrams"), 4).alias(
+                    "dup_frac"
+                ),
+            )
+        )

@@ -587,3 +587,83 @@ def test_stream_near_dedup_survives_restart(spark, tmp_path):
     finally:
         q.stop()
     assert sorted(out) == [1, 3]
+
+
+def test_incremental_dup_ngram_tracks_batch(spark, tmp_path):
+    """Differential corpus statistic: per-epoch output covers exactly
+    the changed docs; accumulated state equals the batch operator over
+    everything ingested (including OLD docs whose n-grams became
+    duplicated by later arrivals)."""
+
+    from declarative_dataflow_spark.operators import curation
+    from declarative_dataflow_spark.streaming.corpus_stats import (
+        IncrementalDupNgram,
+    )
+
+    inc = IncrementalDupNgram(spark, str(tmp_path / "dng_state"), n=3)
+    b1 = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "zeta eta theta iota kappa"),
+        ],
+        ["doc_id", "text"],
+    )
+    out1 = {r["doc_id"]: r["dup_frac"] for r in inc.process_batch(b1).collect()}
+    assert out1 == {1: 0.0, 2: 0.0}
+
+    # Doc 3 repeats doc 1's 3-grams -> doc 1's frac must UPDATE.
+    b2 = spark.createDataFrame(
+        [(3, "alpha beta gamma delta epsilon"),
+         (4, "lambda mu nu xi omicron")],
+        ["doc_id", "text"],
+    )
+    out2 = {r["doc_id"]: r["dup_frac"] for r in inc.process_batch(b2).collect()}
+    # epoch 2 emits: batch docs 3 and 4, plus AFFECTED old doc 1 —
+    # and NOT untouched doc 2.
+    assert set(out2) == {1, 3, 4}
+    assert out2[1] == 1.0 and out2[3] == 1.0 and out2[4] == 0.0
+
+    # Accumulated state equals the batch operator over the full corpus.
+    full = b1.unionByName(b2)
+    expect = {
+        (r["doc_id"], r["n_ngrams"], r["n_dup"], r["dup_frac"])
+        for r in curation.dup_ngram_frac(full, n=3).collect()
+    }
+    got = {
+        (r["doc_id"], r["n_ngrams"], r["n_dup"], r["dup_frac"])
+        for r in inc.current().collect()
+    }
+    assert got == expect
+
+
+def test_incremental_dup_ngram_random_epochs(spark, tmp_path):
+    """Randomized epochs: after every batch, maintained state equals
+    the batch operator over everything ingested so far."""
+
+    import random
+
+    from declarative_dataflow_spark.operators import curation
+    from declarative_dataflow_spark.streaming.corpus_stats import (
+        IncrementalDupNgram,
+    )
+
+    rng = random.Random(5)
+    words = ["red", "blue", "green", "gold", "gray", "pink"]
+    inc = IncrementalDupNgram(spark, str(tmp_path / "dngr_state"), n=2)
+    seen = []
+    next_id = 0
+    for _epoch in range(3):
+        rows = []
+        for _ in range(rng.randint(1, 3)):
+            text = " ".join(rng.choice(words) for _ in range(rng.randint(2, 5)))
+            rows.append((next_id, text))
+            next_id += 1
+        seen.extend(rows)
+        batch = spark.createDataFrame(rows, ["doc_id", "text"])
+        inc.process_batch(batch)
+        full = spark.createDataFrame(seen, ["doc_id", "text"])
+        expect = {
+            tuple(r) for r in curation.dup_ngram_frac(full, n=2).collect()
+        }
+        got = {tuple(r) for r in inc.current().collect()}
+        assert got == expect, (seen,)
