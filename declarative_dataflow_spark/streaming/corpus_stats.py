@@ -232,3 +232,57 @@ class IncrementalDupNgram:
                 ),
             )
         )
+
+
+class IncrementalVocab:
+    """Differentially-maintained tokenizer vocabulary: corpus-wide
+    subword-piece counts as storage-backed state; each epoch merges
+    only the batch's piece counts (uniform-key aggregation over the
+    batch), and ``topk`` ranks the |vocab|-sized state — never the
+    corpus. The streaming form of operators/text.py::vocab_topk."""
+
+    def __init__(
+        self, spark: SparkSession, state_dir: str, text_col: str = "text"
+    ) -> None:
+        self.spark = spark
+        self.state_dir = state_dir.rstrip("/")
+        self.text_col = text_col
+        self._io = IncrementalDupNgram(spark, self.state_dir)  # reuse io
+
+    def process_batch(self, batch: DataFrame) -> None:
+        from ..operators.text import SUBWORD_PATTERN
+
+        pieces = batch.select(
+            F.explode(
+                F.regexp_extract_all(
+                    F.lower(F.col(self.text_col)), F.lit(SUBWORD_PATTERN), 0
+                )
+            ).alias("token")
+        )
+        bc = pieces.groupBy("token").agg(F.count(F.lit(1)).alias("bn"))
+        cur = self._io._read_versioned("vocab")
+        if cur is None:
+            merged = bc.select("token", F.col("bn").cast("long").alias("n"))
+        else:
+            merged = (
+                bc.join(cur, "token", "full")
+                .select(
+                    "token",
+                    (F.coalesce(F.col("bn"), F.lit(0)) + F.coalesce(F.col("n"), F.lit(0)))
+                    .cast("long")
+                    .alias("n"),
+                )
+            )
+        self._io._overwrite("vocab", merged)
+
+    def topk(self, k: int = 100) -> Optional[DataFrame]:
+        from pyspark.sql import Window
+
+        cur = self._io._read_versioned("vocab")
+        if cur is None:
+            return None
+        w = Window.orderBy(F.col("n").desc(), F.col("token"))
+        return (
+            cur.withColumn("rk", F.row_number().over(w).cast("long"))
+            .filter(F.col("rk") <= k)
+        )

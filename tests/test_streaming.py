@@ -667,3 +667,20 @@ def test_incremental_dup_ngram_random_epochs(spark, tmp_path):
         }
         got = {tuple(r) for r in inc.current().collect()}
         assert got == expect, (seen,)
+
+
+def test_incremental_vocab_matches_batch(spark, tmp_path):
+    from declarative_dataflow_spark.operators import text as text_ops
+    from declarative_dataflow_spark.streaming.corpus_stats import (
+        IncrementalVocab,
+    )
+
+    iv = IncrementalVocab(spark, str(tmp_path / "vocab_state"))
+    b1 = spark.createDataFrame([(1, "aa bb aa"), (2, "cc bb")], ["doc_id", "text"])
+    b2 = spark.createDataFrame([(3, "aa dd 7")], ["doc_id", "text"])
+    iv.process_batch(b1)
+    iv.process_batch(b2)
+    full = b1.unionByName(b2)
+    expect = {tuple(r) for r in text_ops.vocab_topk(full, k=3).collect()}
+    got = {tuple(r) for r in iv.topk(k=3).collect()}
+    assert got == expect
