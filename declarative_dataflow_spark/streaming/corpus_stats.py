@@ -286,3 +286,102 @@ class IncrementalVocab:
             cur.withColumn("rk", F.row_number().over(w).cast("long"))
             .filter(F.col("rk") <= k)
         )
+
+
+class IncrementalContamination:
+    """Retroactive benchmark decontamination: when a NEW benchmark
+    lands, previously-clean documents may become contaminated. This
+    maintainer shares the corpus inverted index (ngram -> doc_id) with
+    :class:`IncrementalDupNgram`-style state and keeps the accumulated
+    eval n-gram set; ``add_eval`` re-scores ONLY the documents sharing
+    an n-gram with the eval additions (index lookup), never the
+    corpus. ``add_docs`` scores arriving documents against the current
+    eval set (stateless per batch beyond the index append)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        n: int = 3,
+        text_col: str = "text",
+    ) -> None:
+        self.spark = spark
+        self.state_dir = state_dir.rstrip("/")
+        self.n = n
+        self.text_col = text_col
+        self._io = IncrementalDupNgram(spark, self.state_dir, n, text_col)
+
+    def _score(self, doc_ngrams: DataFrame, ev: Optional[DataFrame]) -> DataFrame:
+        hit = (
+            doc_ngrams.join(
+                F.broadcast(ev.withColumn("__hit", F.lit(1))), "shingle", "left"
+            )
+            if ev is not None
+            else doc_ngrams.withColumn("__hit", F.lit(None).cast("int"))
+        )
+        return (
+            hit.groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_ngrams"),
+                F.coalesce(F.sum("__hit"), F.lit(0)).cast("long").alias("n_hit"),
+            )
+            .select(
+                "doc_id",
+                "n_ngrams",
+                "n_hit",
+                F.round(F.col("n_hit") / F.col("n_ngrams"), 4).alias(
+                    "contamination"
+                ),
+            )
+        )
+
+    def add_docs(self, batch: DataFrame) -> DataFrame:
+        """Ingest documents; returns their scores against the CURRENT
+        eval set and appends them to the shared inverted index."""
+
+        sh = shingles(batch, self.n, self.text_col).localCheckpoint(eager=True)
+        index = self._io._read_versioned("index")
+        self._io._overwrite(
+            "index", sh if index is None else index.unionByName(sh)
+        )
+        return self._score(sh, self._io._read_versioned("eval"))
+
+    def add_eval(self, eval_docs: DataFrame) -> DataFrame:
+        """Add a benchmark; returns UPDATED scores for exactly the
+        already-ingested documents whose contamination changed (those
+        sharing an n-gram with the eval ADDITIONS)."""
+
+        ev_new = (
+            shingles(eval_docs, self.n, self.text_col)
+            .select("shingle")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        ev_old = self._io._read_versioned("eval")
+        additions = (
+            ev_new
+            if ev_old is None
+            else ev_new.join(ev_old, "shingle", "left_anti")
+        )
+        merged = ev_new if ev_old is None else ev_old.unionByName(additions)
+        self._io._overwrite("eval", merged.distinct())
+        index = self._io._read_versioned("index")
+        if index is None:
+            return self.spark.createDataFrame(
+                [], "doc_id long, n_ngrams long, n_hit long, contamination double"
+            )
+        affected = (
+            index.join(additions, "shingle", "left_semi")
+            .select("doc_id")
+            .distinct()
+        )
+        slice_ = index.join(affected, "doc_id", "left_semi")
+        return self._score(slice_, self._io._read_versioned("eval"))
+
+    def current(self) -> Optional[DataFrame]:
+        """Scores for every ingested document from state alone."""
+
+        index = self._io._read_versioned("index")
+        if index is None:
+            return None
+        return self._score(index, self._io._read_versioned("eval"))

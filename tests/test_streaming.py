@@ -684,3 +684,48 @@ def test_incremental_vocab_matches_batch(spark, tmp_path):
     expect = {tuple(r) for r in text_ops.vocab_topk(full, k=3).collect()}
     got = {tuple(r) for r in iv.topk(k=3).collect()}
     assert got == expect
+
+
+def test_incremental_contamination_retroactive(spark, tmp_path):
+    """A benchmark added AFTER ingestion re-scores exactly the affected
+    old docs; accumulated state equals the batch operator on the full
+    (docs, eval) state at every step."""
+
+    from declarative_dataflow_spark.operators import curation
+    from declarative_dataflow_spark.streaming.corpus_stats import (
+        IncrementalContamination,
+    )
+
+    ic = IncrementalContamination(spark, str(tmp_path / "cont_state"), n=3)
+    docs1 = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "zeta eta theta iota kappa"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["contamination"] for r in ic.add_docs(docs1).collect()}
+    assert out == {1: 0.0, 2: 0.0}  # no eval set yet
+
+    # New benchmark overlapping doc 1 only: exactly doc 1 re-scores.
+    ev1 = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")], ["doc_id", "text"]
+    )
+    upd = {r["doc_id"]: r["contamination"] for r in ic.add_eval(ev1).collect()}
+    assert upd == {1: 1.0}
+
+    # Later docs score against the accumulated eval set immediately.
+    docs2 = spark.createDataFrame(
+        [(3, "alpha beta gamma nu xi"), (4, "rho sigma tau upsilon phi")],
+        ["doc_id", "text"],
+    )
+    out2 = {r["doc_id"]: r["contamination"] for r in ic.add_docs(docs2).collect()}
+    assert out2[3] > 0.0 and out2[4] == 0.0
+
+    # Full-state equivalence with the batch operator.
+    all_docs = docs1.unionByName(docs2)
+    expect = {
+        tuple(r) for r in curation.contamination(all_docs, ev1, n=3).collect()
+    }
+    got = {tuple(r) for r in ic.current().collect()}
+    assert got == expect
