@@ -1,3 +1,6 @@
 """Streaming: reactive epochs, incremental maintenance (DeltaJoin,
-IncrementalAggregate, IncrementalRecursion), LWW state, windows,
-diff sinks."""
+IncrementalAggregate, IncrementalRecursion), LWW + CAS state,
+windows, diff sinks, streaming curation (quality/PII stage,
+cross-batch near-dedup), and differentially-maintained corpus
+statistics (duplicate-ngram fractions, vocabulary, retroactive
+decontamination)."""
