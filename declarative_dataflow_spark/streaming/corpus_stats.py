@@ -28,9 +28,13 @@ per epoch (a batch of new documents):
   5. emit (doc_id, n_ngrams, n_dup, dup_frac) update rows for exactly
      those documents; append/merge state.
 
-Per-epoch cost is O(batch n-grams + affected-doc n-grams) — bounded by
-the change, not the corpus. The one full-corpus quantity is the state
-itself, which lives on storage, not in any epoch's shuffle.
+Per-epoch COMPUTE is O(batch n-grams + affected-doc n-grams + one
+distributed scan of the counts state), and per-epoch PERSISTENCE is
+O(batch): counts/index/docs are append-only (count increments
+consolidate on read and compact every ``compact_every`` epochs), so
+nothing corpus-sized is ever rewritten inside an epoch. The
+full-corpus quantity is the state itself, which lives on storage, not
+in any epoch's shuffle.
 """
 
 from __future__ import annotations
@@ -61,38 +65,76 @@ class IncrementalDupNgram:
         self.text_col = text_col
 
     # -- state io ----------------------------------------------------
-    def _read(self, name: str) -> Optional[DataFrame]:
-        try:
-            return self.spark.read.parquet(f"{self.state_dir}/{name}")
-        except Exception:
-            return None
+    #
+    # Per-epoch persistence is APPEND-ONLY and O(batch): counts are
+    # stored as increment rows consolidated on read (groupBy sum), the
+    # inverted index and per-doc denominators are append-only facts.
+    # Every ``compact_every`` epochs the count increments fold into one
+    # consolidated generation via a write-then-swap of a versioned dir
+    # + pointer file (the poor man's Delta commit; a transactional
+    # table format replaces this at cluster scale). Without compaction
+    # an epoch would still be correct — just reading ever more
+    # increment files.
 
-    def _overwrite(self, name: str, df: DataFrame) -> None:
-        # Write-then-swap: parquet cannot overwrite a directory that is
-        # simultaneously being read, so stage to a versioned dir and
-        # repoint a tiny current-pointer file (the poor man's Delta
-        # commit; a real deployment uses a transactional table format).
-        import os
+    compact_every = 8
 
-        base = f"{self.state_dir}/{name}"
-        version = 0
-        ptr = f"{base}.version"
-        if os.path.exists(ptr):
-            with open(ptr) as f:
-                version = int(f.read().strip()) + 1
-        df.write.mode("overwrite").parquet(f"{base}_v{version}")
-        with open(ptr, "w") as f:
-            f.write(str(version))
-
-    def _read_versioned(self, name: str) -> Optional[DataFrame]:
+    def _dir(self, name: str) -> Optional[str]:
         import os
 
         ptr = f"{self.state_dir}/{name}.version"
         if not os.path.exists(ptr):
             return None
         with open(ptr) as f:
-            version = int(f.read().strip())
-        return self.spark.read.parquet(f"{self.state_dir}/{name}_v{version}")
+            return f"{self.state_dir}/{name}_v{int(f.read().strip())}"
+
+    def _bump(self, name: str) -> str:
+        import os
+
+        os.makedirs(self.state_dir, exist_ok=True)
+        ptr = f"{self.state_dir}/{name}.version"
+        version = 0
+        if os.path.exists(ptr):
+            with open(ptr) as f:
+                version = int(f.read().strip()) + 1
+        with open(ptr, "w") as f:
+            f.write(str(version))
+        return f"{self.state_dir}/{name}_v{version}"
+
+    def _append(self, name: str, df: DataFrame) -> None:
+        import os
+
+        d = self._dir(name)
+        if d is None:
+            d = self._bump(name)
+        df.write.mode("append").parquet(d)
+
+    def _read_versioned(self, name: str) -> Optional[DataFrame]:
+        d = self._dir(name)
+        if d is None:
+            return None
+        return self.spark.read.parquet(d)
+
+    def _overwrite(self, name: str, df: DataFrame) -> None:
+        df.write.mode("overwrite").parquet(
+            f"{self.state_dir}/__stage_{name}"
+        )
+        staged = self.spark.read.parquet(
+            f"{self.state_dir}/__stage_{name}"
+        )
+        staged.write.mode("overwrite").parquet(self._bump(name))
+
+    def _read_counts(self) -> Optional[DataFrame]:
+        inc = self._read_versioned("counts")
+        if inc is None:
+            return None
+        return inc.groupBy("shingle").agg(F.sum("n").alias("n"))
+
+    def _maybe_compact(self) -> None:
+        self._epochs = getattr(self, "_epochs", 0) + 1
+        if self._epochs % self.compact_every == 0:
+            consolidated = self._read_counts()
+            if consolidated is not None:
+                self._overwrite("counts", consolidated)
 
     # -- one epoch ---------------------------------------------------
     def process_batch(self, batch: DataFrame) -> DataFrame:
@@ -104,9 +146,8 @@ class IncrementalDupNgram:
             eager=True
         )  # (doc_id, shingle), distinct per doc
 
-        counts = self._read_versioned("counts")
+        counts = self._read_counts()
         index = self._read_versioned("index")
-        docs_state = self._read_versioned("docs")
 
         batch_counts = sh.groupBy("shingle").agg(
             F.count(F.lit(1)).alias("bn")
@@ -181,28 +222,17 @@ class IncrementalDupNgram:
             .localCheckpoint(eager=True)
         )
 
-        # -- advance state --
-        new_counts = merged_touched.select(
-            "shingle", F.col("new_n").alias("n")
+        # -- advance state: O(batch) appends only --
+        self._append(
+            "counts",
+            batch_counts.select("shingle", F.col("bn").cast("long").alias("n")),
         )
-        if counts is not None:
-            new_counts = new_counts.unionByName(
-                counts.join(
-                    merged_touched.select("shingle"), "shingle", "left_anti"
-                )
-            )
-        self._overwrite("counts", new_counts)
-        new_index = sh if index is None else index.unionByName(sh)
-        self._overwrite("index", new_index)
-        batch_docs = sh.groupBy("doc_id").agg(
-            F.count(F.lit(1)).alias("n_ngrams")
+        self._append("index", sh)
+        self._append(
+            "docs",
+            sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_ngrams")),
         )
-        new_docs = (
-            batch_docs
-            if docs_state is None
-            else docs_state.unionByName(batch_docs)
-        )
-        self._overwrite("docs", new_docs)
+        self._maybe_compact()
         return stats
 
     def current(self) -> Optional[DataFrame]:
@@ -211,7 +241,7 @@ class IncrementalDupNgram:
         equals the batch operator over the full corpus."""
 
         index = self._read_versioned("index")
-        counts = self._read_versioned("counts")
+        counts = self._read_counts()
         if index is None or counts is None:
             return None
         return (
@@ -259,26 +289,28 @@ class IncrementalVocab:
                 )
             ).alias("token")
         )
-        bc = pieces.groupBy("token").agg(F.count(F.lit(1)).alias("bn"))
-        cur = self._io._read_versioned("vocab")
-        if cur is None:
-            merged = bc.select("token", F.col("bn").cast("long").alias("n"))
-        else:
-            merged = (
-                bc.join(cur, "token", "full")
-                .select(
-                    "token",
-                    (F.coalesce(F.col("bn"), F.lit(0)) + F.coalesce(F.col("n"), F.lit(0)))
-                    .cast("long")
-                    .alias("n"),
-                )
-            )
-        self._io._overwrite("vocab", merged)
+        bc = pieces.groupBy("token").agg(
+            F.count(F.lit(1)).cast("long").alias("n")
+        )
+        # O(batch) append; reads consolidate (groupBy sum) and the
+        # shared compaction folds increments periodically.
+        self._io._append("vocab", bc)
+        self._io._epochs = getattr(self._io, "_epochs", 0) + 1
+        if self._io._epochs % self._io.compact_every == 0:
+            cur = self._vocab()
+            if cur is not None:
+                self._io._overwrite("vocab", cur)
+
+    def _vocab(self) -> Optional[DataFrame]:
+        inc = self._io._read_versioned("vocab")
+        if inc is None:
+            return None
+        return inc.groupBy("token").agg(F.sum("n").alias("n"))
 
     def topk(self, k: int = 100) -> Optional[DataFrame]:
         from pyspark.sql import Window
 
-        cur = self._io._read_versioned("vocab")
+        cur = self._vocab()
         if cur is None:
             return None
         w = Window.orderBy(F.col("n").desc(), F.col("token"))
@@ -340,10 +372,7 @@ class IncrementalContamination:
         eval set and appends them to the shared inverted index."""
 
         sh = shingles(batch, self.n, self.text_col).localCheckpoint(eager=True)
-        index = self._io._read_versioned("index")
-        self._io._overwrite(
-            "index", sh if index is None else index.unionByName(sh)
-        )
+        self._io._append("index", sh)  # O(batch) append-only
         return self._score(sh, self._io._read_versioned("eval"))
 
     def add_eval(self, eval_docs: DataFrame) -> DataFrame:

@@ -729,3 +729,29 @@ def test_incremental_contamination_retroactive(spark, tmp_path):
     }
     got = {tuple(r) for r in ic.current().collect()}
     assert got == expect
+
+
+def test_incremental_dup_ngram_compaction(spark, tmp_path):
+    """Crossing the compaction boundary folds count increments into one
+    generation without changing any answer."""
+
+    from declarative_dataflow_spark.operators import curation
+    from declarative_dataflow_spark.streaming.corpus_stats import (
+        IncrementalDupNgram,
+    )
+
+    inc = IncrementalDupNgram(spark, str(tmp_path / "cmp_state"), n=2)
+    inc.compact_every = 2
+    batches = [
+        [(1, "red blue green")],
+        [(2, "red blue yellow")],   # compaction fires after this epoch
+        [(3, "red blue green")],
+    ]
+    seen = []
+    for rows in batches:
+        seen.extend(rows)
+        inc.process_batch(spark.createDataFrame(rows, ["doc_id", "text"]))
+    full = spark.createDataFrame(seen, ["doc_id", "text"])
+    expect = {tuple(r) for r in curation.dup_ngram_frac(full, n=2).collect()}
+    got = {tuple(r) for r in inc.current().collect()}
+    assert got == expect
