@@ -100,19 +100,27 @@ class IncrementalDupNgram:
             f.write(str(version))
         return f"{self.state_dir}/{name}_v{version}"
 
-    def _append(self, name: str, df: DataFrame) -> None:
-        import os
-
+    def _append(
+        self, name: str, df: DataFrame, epoch: Optional[int] = None
+    ) -> None:
         d = self._dir(name)
         if d is None:
             d = self._bump(name)
-        df.write.mode("append").parquet(d)
+        if epoch is not None:
+            # Epoch-keyed overwrite: a RETRIED micro-batch replaces its
+            # own contribution instead of double-appending (exactly-once
+            # state under foreachBatch's at-least-once retries, the
+            # same pattern as StreamNearDedup).
+            df.write.mode("overwrite").parquet(f"{d}/epoch={epoch}")
+        else:
+            df.write.mode("append").parquet(d)
 
     def _read_versioned(self, name: str) -> Optional[DataFrame]:
         d = self._dir(name)
         if d is None:
             return None
-        return self.spark.read.parquet(d)
+        df = self.spark.read.parquet(d)
+        return df.drop("epoch") if "epoch" in df.columns else df
 
     def _overwrite(self, name: str, df: DataFrame) -> None:
         df.write.mode("overwrite").parquet(
@@ -137,10 +145,14 @@ class IncrementalDupNgram:
                 self._overwrite("counts", consolidated)
 
     # -- one epoch ---------------------------------------------------
-    def process_batch(self, batch: DataFrame) -> DataFrame:
+    def process_batch(
+        self, batch: DataFrame, epoch: Optional[int] = None
+    ) -> DataFrame:
         """Ingest one batch; return updated stat rows for exactly the
         documents whose dup_ngram_frac changed (batch docs + old docs
-        sharing a threshold-crossing n-gram)."""
+        sharing a threshold-crossing n-gram). Pass the foreachBatch
+        ``epoch`` id for retry-idempotent state writes (use one mode
+        consistently per state_dir)."""
 
         sh = shingles(batch, self.n, self.text_col).localCheckpoint(
             eager=True
@@ -226,11 +238,13 @@ class IncrementalDupNgram:
         self._append(
             "counts",
             batch_counts.select("shingle", F.col("bn").cast("long").alias("n")),
+            epoch,
         )
-        self._append("index", sh)
+        self._append("index", sh, epoch)
         self._append(
             "docs",
             sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_ngrams")),
+            epoch,
         )
         self._maybe_compact()
         return stats

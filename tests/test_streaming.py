@@ -755,3 +755,21 @@ def test_incremental_dup_ngram_compaction(spark, tmp_path):
     expect = {tuple(r) for r in curation.dup_ngram_frac(full, n=2).collect()}
     got = {tuple(r) for r in inc.current().collect()}
     assert got == expect
+
+
+def test_incremental_dup_ngram_retry_idempotent(spark, tmp_path):
+    """Reprocessing the same epoch id replaces its state contribution;
+    counts do not double."""
+
+    from declarative_dataflow_spark.streaming.corpus_stats import (
+        IncrementalDupNgram,
+    )
+
+    inc = IncrementalDupNgram(spark, str(tmp_path / "ri_state"), n=2)
+    b = spark.createDataFrame([(1, "red blue green")], ["doc_id", "text"])
+    inc.process_batch(b, epoch=0)
+    inc.process_batch(b, epoch=0)  # retry
+    got = {r["doc_id"]: r["n_ngrams"] for r in inc.current().collect()}
+    assert got == {1: 2}
+    counts = inc._read_counts().collect()
+    assert all(r["n"] == 1 for r in counts)  # not doubled
