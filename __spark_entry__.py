@@ -352,6 +352,24 @@ def q_agg_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("rf", F.round("v", 4).alias("v"))
 
 
+def q_topk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TopK plan operator (beyond-reference; SURVEY §2.2 notes the
+    reference delegates ordering to clients): top-10 orders by total
+    price, o_orderkey tiebreak. Catalyst lowers the global form to
+    TakeOrderedAndProject — per-partition k-row heaps, no full sort
+    (plan gate in tests/test_plans.py)."""
+
+    from declarative_dataflow_spark.plan.plans import TopK as TopKPlan
+
+    plan = TopKPlan(
+        ["?o", "?tp"],
+        Scan("orders", {"o_orderkey": "?o", "o_totalprice": "?tp"}),
+        [("?tp", False), ("?o", True)],
+        10,
+    )
+    return _engine(spark, sf_dir).implement(plan, ["o", "tp"])
+
+
 def q_agg_stddev(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STDDEV completes the aggregate the reference declares but stubs
     out (aggregate_neu.rs:37-38): sqrt(population variance)."""
@@ -1180,6 +1198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_lt": q_filter_lt,
         "agg_median": q_agg_median,
         "agg_stddev": q_agg_stddev,
+        "topk_plan": q_topk_plan,
         "agg_multi": q_agg_multi,
         "agg_global": q_agg_global,
         "tclosure": q_tclosure,
@@ -1207,7 +1226,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "repetition": q_repetition,
         "text_quality": q_text_quality,
-        "lang_id": q_lang_id,
         "dedup_exact": q_dedup_exact,
         "minhash_lsh": q_minhash_lsh,
         "dedup_groups": q_dedup_groups,
@@ -1222,6 +1240,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "ann_ivf_kmeans": q_ann_ivf_kmeans,
         # --- deferred this round (driver cap); all green in r02 AND r03 ---
+        "lang_id": q_lang_id,
         "ann_lsh": q_ann_lsh,
         "graphql": q_graphql,
         "bitemporal_asof": q_bitemporal_asof,
@@ -1485,6 +1504,10 @@ def oracle_sql() -> dict[str, str]:
             "round(sum(l_quantity * l_quantity) / count(*) "
             "- (sum(l_quantity) / count(*)) * (sum(l_quantity) / count(*)), "
             "4) AS v FROM lineitem GROUP BY 1"
+        ),
+        "topk_plan": (
+            "SELECT o_orderkey AS o, o_totalprice AS tp FROM orders "
+            "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"
         ),
         "agg_stddev": (
             "SELECT l_returnflag AS rf, "

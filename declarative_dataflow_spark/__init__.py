@@ -43,6 +43,7 @@ from .plan.plans import (
     Pull,
     PullAll,
     PullLevel,
+    TopK,
     Transform,
     Union,
     q,
@@ -77,6 +78,7 @@ __all__ = [
     "Pull",
     "PullAll",
     "PullLevel",
+    "TopK",
     "Transform",
     "Union",
     "q",

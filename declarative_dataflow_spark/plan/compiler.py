@@ -54,6 +54,7 @@ from .plans import (
     PullAll,
     PullLevel,
     Scan,
+    TopK,
     Transform,
     Union,
     Var,
@@ -318,6 +319,8 @@ def compile_plan(plan: Plan, catalog: Catalog) -> Relation:
         return _pull(plan, catalog)
     if isinstance(plan, PullAll):
         return _pull_all(plan, catalog)
+    if isinstance(plan, TopK):
+        return _topk(plan, catalog)
     raise TypeError(f"unsupported plan node: {type(plan).__name__}")
 
 
@@ -1231,3 +1234,38 @@ def _pull_all(plan: PullAll, catalog: Catalog) -> Relation:
     for p in pieces[1:]:
         out = out.unionByName(p)
     return Relation(["e", "a", "v"], out, False)
+
+
+def _topk(plan: TopK, catalog: Catalog) -> Relation:
+    """Top-k selection (beyond-reference extension, plans.TopK).
+
+    Global form: orderBy + limit — Catalyst's TakeOrderedAndProject
+    keeps a k-row heap per partition and merges k rows, so no full
+    sort ever materializes (asserted in tests/test_plans.py).
+    Partitioned form: one window ranked per group. Input consolidates
+    first so retracted tuples cannot place."""
+
+    from pyspark.sql.window import Window
+
+    rel = compile_plan(plan.plan, catalog)
+    if rel.has_diff:
+        rel = rel.consolidated()
+        df = rel.df.filter(F.col(DIFF) > 0).drop(DIFF)
+        rel = Relation(rel.variables, df, False)
+    order = [
+        F.col(vcol(v)).asc() if asc else F.col(vcol(v)).desc()
+        for v, asc in plan.order_by
+    ]
+    if plan.partition_by:
+        w = Window.partitionBy(
+            *[vcol(v) for v in plan.partition_by]
+        ).orderBy(*order)
+        df = (
+            rel.df.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= plan.k)
+            .drop("__rk")
+        )
+    else:
+        df = rel.df.orderBy(*order).limit(plan.k)
+    out = Relation(rel.variables, df, False)
+    return out.projected(plan.variables_) if plan.variables_ else out

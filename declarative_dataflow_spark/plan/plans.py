@@ -228,6 +228,29 @@ class Transform(Plan):
 
 
 @dataclass
+class TopK(Plan):
+    """Top-k selection — a beyond-reference plan extension (the
+    reference delegates ordering to clients, SURVEY §2.2 gap list).
+
+    Keep the ``k`` rows ranking highest under ``order_by`` (list of
+    (variable, ascending) pairs — include a tiebreak variable for a
+    total, engine-portable order), optionally per ``partition_by``
+    group. Without a partition Catalyst lowers the global form to
+    TakeOrderedAndProject — per-partition heaps + a k-row merge, never
+    a full sort; with a partition it is one partitioned window.
+    """
+
+    variables_: list[Var]
+    plan: Plan
+    order_by: list[tuple[Var, bool]]
+    k: int
+    partition_by: list[Var] = field(default_factory=list)
+
+    def variables(self) -> list[Var]:
+        return self.plan.variables()
+
+
+@dataclass
 class Aggregate(Plan):
     """Grouped aggregation (reference: src/plan/aggregate_neu.rs:44-58).
 

@@ -47,6 +47,7 @@ from .plans import (
     Pull,
     PullAll,
     PullLevel,
+    TopK,
     Transform,
     Union,
 )
@@ -170,6 +171,19 @@ def plan_to_dict(plan: Plan) -> dict:
         if plan.exact:
             body["exact"] = True
         return {"Aggregate": body}
+    if isinstance(plan, TopK):
+        # Extension tag: the reference has no ordering operator
+        # (ordering is delegated to clients); TopK completes that gap
+        # (SURVEY §2.2) with an explicit wire shape.
+        return {
+            "TopK": {
+                "variables": list(plan.variables_),
+                "plan": plan_to_dict(plan.plan),
+                "order_by": [[v, bool(asc)] for v, asc in plan.order_by],
+                "k": plan.k,
+                "partition_by": list(plan.partition_by),
+            }
+        }
     if isinstance(plan, Hector):
         return {
             "Hector": {
@@ -311,6 +325,14 @@ def plan_from_dict(d: dict) -> Plan:
             list(inner["aggregation_variables"]),
             list(inner.get("with_variables", [])),
             exact=bool(inner.get("exact", False)),
+        )
+    if tag == "TopK":
+        return TopK(
+            list(inner["variables"]),
+            plan_from_dict(inner["plan"]),
+            [(v, bool(asc)) for v, asc in inner["order_by"]],
+            int(inner["k"]),
+            list(inner.get("partition_by", [])),
         )
     if tag == "Hector":
         return Hector(

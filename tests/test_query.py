@@ -343,3 +343,31 @@ def test_hector_predicate_constant_reference_case(engine):
     )
     df = engine.implement(plan, ["a", "b", "d", "c"])
     assert rows(df) == [(100, 10, 18, 20, 1)]
+
+
+def test_topk_partitioned(engine):
+    """Partitioned TopK keeps k rows per group with a deterministic
+    tiebreak."""
+
+    from declarative_dataflow_spark.plan.plans import TopK
+
+    engine.create_attribute("grp2")
+    engine.create_attribute("score")
+    engine.transact(
+        [
+            Datom.add(1, "grp2", "a"), Datom.add(1, "score", 10),
+            Datom.add(2, "grp2", "a"), Datom.add(2, "score", 30),
+            Datom.add(3, "grp2", "a"), Datom.add(3, "score", 20),
+            Datom.add(4, "grp2", "b"), Datom.add(4, "score", 5),
+        ]
+    )
+    plan = TopK(
+        ["?g", "?e", "?s"],
+        Join(["?e"], MatchA("?e", "grp2", "?g"), MatchA("?e", "score", "?s")),
+        [("?s", False), ("?e", True)],
+        2,
+        partition_by=["?g"],
+    )
+    df = engine.implement(plan, ["g", "e", "s"])
+    got = sorted(tuple(r) for r in df.collect())
+    assert got == [("a", 2, 30), ("a", 3, 20), ("b", 4, 5)]
