@@ -622,6 +622,89 @@ class IncrementalAggregate:
         return removed.unionByName(added)
 
 
+class IncrementalTopK:
+    """Incrementally-maintained top-k over a DeltaJoin (the streaming
+    form of plans.TopK): state is the consolidated tuple multiset, and
+    each epoch re-ranks ONLY the touched partitions (or the global
+    ranking when unpartitioned), emitting retract/assert diffs of the
+    top-k rows. Retraction of a ranked tuple pulls in the runner-up —
+    the case windowless approximations get wrong — because the full
+    multiset (not just the current top-k) is retained, exactly like
+    differential's arranged input to a reduce."""
+
+    def __init__(
+        self,
+        delta_join: "DeltaJoin",
+        order_by: list[tuple[str, bool]],
+        k: int,
+        partition_by: Optional[list[str]] = None,
+    ):
+        self.dj = delta_join
+        self.order_by = list(order_by)
+        self.k = k
+        self.partition_by = list(partition_by or [])
+        self.vars = [str(v) for v in delta_join.variables]
+        self.state: Optional[DataFrame] = None  # vars + __w
+
+    def _order_cols(self):
+        return [
+            F.col(v).asc() if asc else F.col(v).desc()
+            for v, asc in self.order_by
+        ]
+
+    def _topk(self, slice_df: DataFrame) -> DataFrame:
+        from pyspark.sql.window import Window
+
+        present = slice_df.filter(F.col("__w") > 0).drop("__w")
+        if self.partition_by:
+            w = Window.partitionBy(*self.partition_by).orderBy(
+                *self._order_cols()
+            )
+        else:
+            w = Window.partitionBy(F.lit(1)).orderBy(*self._order_cols())
+        return (
+            present.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= self.k)
+            .drop("__rk")
+        )
+
+    def transact(self, datoms: Iterable[Datom]) -> DataFrame:
+        diffs = self.dj.transact(datoms)
+        dproj = (
+            diffs.select(*self.vars, F.col("diff").alias("__w"))
+            .groupBy(*self.vars)
+            .agg(F.sum("__w").alias("__w"))
+            .filter(F.col("__w") != 0)
+            .localCheckpoint(eager=True)
+        )
+        merged = (
+            dproj if self.state is None else self.state.unionByName(dproj)
+        )
+        new_state = (
+            merged.groupBy(*self.vars)
+            .agg(F.sum("__w").alias("__w"))
+            .filter(F.col("__w") != 0)
+            .localCheckpoint(eager=True)
+        )
+        if self.partition_by:
+            touched = dproj.select(*self.partition_by).distinct()
+            old_slice = (
+                self.state.join(touched, self.partition_by, "inner")
+                if self.state is not None
+                else dproj.limit(0)
+            )
+            new_slice = new_state.join(touched, self.partition_by, "inner")
+        else:
+            old_slice = self.state if self.state is not None else dproj.limit(0)
+            new_slice = new_state
+        old_out = self._topk(old_slice)
+        new_out = self._topk(new_slice)
+        removed = old_out.exceptAll(new_out).withColumn("diff", F.lit(-1))
+        added = new_out.exceptAll(old_out).withColumn("diff", F.lit(1))
+        self.state = new_state
+        return removed.unionByName(added)
+
+
 class IncrementalRecursion:
     """Incrementally-maintained monotone recursive rule SYSTEM.
 

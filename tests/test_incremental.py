@@ -1104,3 +1104,89 @@ def test_delta_join_cas_random_churn(spark, engine):
         full = full.drop("diff")
     assert acc == Counter({tuple(r): 1 for r in full.collect()})
     assert {t[0]: t[1] for t in acc} == model
+
+
+def test_incremental_topk_runner_up(spark):
+    """Maintained top-k: retracting a ranked tuple pulls in the
+    runner-up; diffs accumulate to the current top-k."""
+
+    from declarative_dataflow_spark.streaming.incremental import (
+        IncrementalTopK,
+    )
+
+    dj = DeltaJoin(
+        spark, ["?e", "?s"], [AttributeBinding("?e", "points", "?s")]
+    )
+    tk = IncrementalTopK(dj, order_by=[("?s", False), ("?e", True)], k=2)
+    acc: Counter = Counter()
+    acc = _apply(
+        acc,
+        tk.transact(
+            [
+                Datom.add(1, "points", 10),
+                Datom.add(2, "points", 30),
+                Datom.add(3, "points", 20),
+            ]
+        ),
+    )
+    assert acc == Counter({(2, 30): 1, (3, 20): 1})
+    # Retract the leader: runner-up (1, 10) enters the top-2.
+    acc = _apply(acc, tk.transact([Datom.retract(2, "points", 30)]))
+    assert acc == Counter({(3, 20): 1, (1, 10): 1})
+    # An untouched epoch emits nothing.
+    assert tk.transact([Datom.add(9, "unrelated_attr", 1)]).count() == 0
+
+
+def test_incremental_topk_partitioned_random(spark, engine):
+    """Partitioned maintained top-k equals the batch TopK plan after
+    randomized add/retract churn."""
+
+    import random
+
+    from declarative_dataflow_spark.plan.plans import TopK
+    from declarative_dataflow_spark.streaming.incremental import (
+        IncrementalTopK,
+    )
+
+    rng = random.Random(31)
+    bindings = [
+        AttributeBinding("?e", "league", "?g"),
+        AttributeBinding("?e", "pts", "?s"),
+    ]
+    dj = DeltaJoin(spark, ["?g", "?e", "?s"], bindings)
+    tk = IncrementalTopK(
+        dj, order_by=[("?s", False), ("?e", True)], k=2, partition_by=["?g"]
+    )
+    acc: Counter = Counter()
+    log: list[Datom] = []
+    live: list[tuple[int, int]] = []
+    eid = 0
+    for _ in range(4):
+        batch = []
+        for _ in range(rng.randint(1, 3)):
+            if live and rng.random() < 0.35:
+                e, s = live.pop(rng.randrange(len(live)))
+                batch.append(Datom.retract(e, "pts", s))
+            else:
+                eid += 1
+                s = rng.randint(1, 50)
+                batch.append(Datom.add(eid, "league", f"g{eid % 2}"))
+                batch.append(Datom.add(eid, "pts", s))
+                live.append((eid, s))
+        log.extend(batch)
+        acc = _apply(acc, tk.transact(batch))
+
+    for d in log:
+        if d.a not in engine._transacted:
+            engine.create_attribute(d.a)
+    engine.transact(log)
+    plan = TopK(
+        ["?g", "?e", "?s"],
+        Hector(["?g", "?e", "?s"], bindings),
+        [("?s", False), ("?e", True)],
+        2,
+        partition_by=["?g"],
+    )
+    df = engine.implement(plan, ["g", "e", "s"])
+    expected = Counter({tuple(r): 1 for r in df.collect()})
+    assert acc == expected
