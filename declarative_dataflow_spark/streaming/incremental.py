@@ -638,6 +638,7 @@ class IncrementalTopK:
         order_by: list[tuple[str, bool]],
         k: int,
         partition_by: Optional[list[str]] = None,
+        seed_from_snapshots: bool = False,
     ):
         self.dj = delta_join
         self.order_by = list(order_by)
@@ -645,6 +646,23 @@ class IncrementalTopK:
         self.partition_by = list(partition_by or [])
         self.vars = [str(v) for v in delta_join.variables]
         self.state: Optional[DataFrame] = None  # vars + __w
+        if seed_from_snapshots and delta_join.snapshots:
+            core = delta_join._core_at(delta_join.snapshots)
+            if core is not None:
+                rel = core.with_diff()
+                self.state = (
+                    rel.df.select(
+                        *[
+                            F.col(vcol(v)).alias(str(v))
+                            for v in delta_join.variables
+                        ],
+                        F.col(DIFF).alias("__w"),
+                    )
+                    .groupBy(*self.vars)
+                    .agg(F.sum("__w").alias("__w"))
+                    .filter(F.col("__w") != 0)
+                    .localCheckpoint(eager=True)
+                )
 
     def _order_cols(self):
         return [

@@ -57,10 +57,30 @@ def _delta_join_for(engine: Engine, name: str):
         Aggregate as AggregatePlan,
         Hector,
         NameExpr as NameExprPlan,
+        TopK as TopKPlan,
     )
     from .incremental import DeltaJoin, IncrementalAggregate
 
     plan = engine.rules[name]
+    if (
+        isinstance(plan, TopKPlan)
+        and isinstance(plan.plan, Hector)
+        # The maintainer emits the inner conjunction's variable order;
+        # only route when the TopK projects exactly that.
+        and list(plan.variables_) == list(plan.plan.variables_)
+    ):
+        from .incremental import IncrementalTopK
+
+        inner = _delta_join_for_plan(engine, plan.plan)
+        if inner is None:
+            return None
+        return IncrementalTopK(
+            inner,
+            [(str(v), bool(asc)) for v, asc in plan.order_by],
+            plan.k,
+            [str(v) for v in plan.partition_by],
+            seed_from_snapshots=True,
+        )
     if (
         isinstance(plan, AggregatePlan)
         and isinstance(plan.plan, Hector)

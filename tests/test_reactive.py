@@ -248,3 +248,51 @@ def test_late_delta_join_no_double_count(engine):
     assert [(tuple(r)[:2], r["diff"] * r["__epoch_diff"]) for r in rows1] == [
         ((1, 1), -1)
     ]
+
+
+def test_reactive_topk_routes_incremental(spark, engine):
+    """A TopK-over-Hector rule routes through IncrementalTopK; diffs
+    accumulate to the batch result, including runner-up promotion."""
+
+    from collections import Counter
+
+    from declarative_dataflow_spark import Datom
+    from declarative_dataflow_spark.plan.plans import (
+        AttributeBinding,
+        Hector,
+        TopK,
+    )
+    from declarative_dataflow_spark.streaming.incremental import (
+        IncrementalTopK,
+    )
+    from declarative_dataflow_spark.streaming.reactive import ReactiveSession
+
+    engine.create_attribute("elo")
+    engine.register(
+        "leaders",
+        TopK(
+            ["?p", "?r"],
+            Hector(["?p", "?r"], [AttributeBinding("?p", "elo", "?r")]),
+            [("?r", False), ("?p", True)],
+            2,
+        ),
+    )
+    session = ReactiveSession(engine)
+    session.interest("leaders")
+    assert isinstance(session.interests["leaders"].delta_join, IncrementalTopK)
+
+    session.transact(
+        [
+            Datom.add(1, "elo", 1500),
+            Datom.add(2, "elo", 1800),
+            Datom.add(3, "elo", 1600),
+        ]
+    )
+    session.transact([Datom.retract(2, "elo", 1800)])
+    acc: Counter = Counter()
+    for e, rows in session.interests["leaders"].history:
+        for r in rows:
+            t = tuple(r)
+            acc[t[:-2]] += t[-2] * t[-1]
+    acc = +acc
+    assert acc == Counter({(3, 1600): 1, (1, 1500): 1})
