@@ -40,6 +40,7 @@ HEADLINE = [
     "pii_redact",      # PII scrub (regex, map-only)
     "dup_ngram_frac",  # corpus-wide duplicate-ngram boilerplate signal
     "global_shuffle",  # deterministic sharded training-order shuffle
+    "topk_plan",       # TopK operator (TakeOrderedAndProject lowering)
 ]
 
 
