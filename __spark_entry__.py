@@ -385,6 +385,30 @@ def q_agg_stddev(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("rf", F.round("v", 4).alias("v"))
 
 
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping (beyond-reference; SURVEY §2.2 gap list):
+    per-(returnflag, linestatus) sums plus per-returnflag subtotals and
+    the grand total, in one Spark pass."""
+
+    plan = Aggregate(
+        ["?rf", "?ls", "?qty"],
+        Scan(
+            "lineitem",
+            {
+                "l_returnflag": "?rf",
+                "l_linestatus": "?ls",
+                "l_quantity": "?qty",
+            },
+        ),
+        [AggregationFn.SUM],
+        ["?rf", "?ls"],
+        ["?qty"],
+        grouping="rollup",
+    )
+    df = _engine(spark, sf_dir).implement(plan, ["rf", "ls", "s"])
+    return df.select("rf", "ls", F.round("s", 2).alias("s"))
+
+
 def q_agg_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: TPC-H-Q1-style multi-aggregate over lineitem."""
 
@@ -1199,6 +1223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_median": q_agg_median,
         "agg_stddev": q_agg_stddev,
         "topk_plan": q_topk_plan,
+        "agg_rollup": q_agg_rollup,
         "agg_multi": q_agg_multi,
         "agg_global": q_agg_global,
         "tclosure": q_tclosure,
@@ -1225,7 +1250,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_pack": q_seq_pack,
         "pii_redact": q_pii_redact,
         "repetition": q_repetition,
-        "text_quality": q_text_quality,
         "dedup_exact": q_dedup_exact,
         "minhash_lsh": q_minhash_lsh,
         "dedup_groups": q_dedup_groups,
@@ -1240,6 +1264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "ann_ivf_kmeans": q_ann_ivf_kmeans,
         # --- deferred this round (driver cap); all green in r02 AND r03 ---
+        "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "ann_lsh": q_ann_lsh,
         "graphql": q_graphql,
@@ -1508,6 +1533,11 @@ def oracle_sql() -> dict[str, str]:
         "topk_plan": (
             "SELECT o_orderkey AS o, o_totalprice AS tp FROM orders "
             "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"
+        ),
+        "agg_rollup": (
+            "SELECT l_returnflag AS rf, l_linestatus AS ls, "
+            "round(sum(l_quantity), 2) AS s FROM lineitem "
+            "GROUP BY ROLLUP (l_returnflag, l_linestatus)"
         ),
         "agg_stddev": (
             "SELECT l_returnflag AS rf, "

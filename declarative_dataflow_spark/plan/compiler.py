@@ -644,9 +644,24 @@ def _aggregate(plan: Aggregate, catalog: Catalog) -> Relation:
         else:  # pragma: no cover
             raise ValueError(f"unsupported aggregation {fn}")
 
+    if plan.grouping is not None and medians:
+        # MEDIAN is windowed (exact upper-middle element), not a
+        # foldable aggregate — it has no subtotal semantics.
+        raise ValueError("MEDIAN is incompatible with rollup/cube")
     pieces: list[DataFrame] = []
     if aggs:
-        pieces.append(rel.df.groupBy(*key_cols).agg(*aggs))
+        if plan.grouping is None:
+            grouped = rel.df.groupBy(*key_cols)
+        elif plan.grouping == "rollup":
+            # Beyond-reference: sub/grand-total groups (SQL ROLLUP);
+            # subtotal rows carry NULL keys. One pass — Spark expands
+            # grouping sets without rescanning the input.
+            grouped = rel.df.rollup(*key_cols)
+        elif plan.grouping == "cube":
+            grouped = rel.df.cube(*key_cols)
+        else:
+            raise ValueError(f"unknown grouping {plan.grouping!r}")
+        pieces.append(grouped.agg(*aggs))
     for av, out in medians:
         pieces.append(_median(rel, keys, av, out))
 

@@ -271,6 +271,11 @@ class Aggregate(Plan):
     # Decimal(38,18) — exact to 18 fractional digits — instead of
     # binary double; default False matches SQL engines.
     exact: bool = False
+    # Beyond-reference extension (SURVEY §2.2 gap list): "rollup" or
+    # "cube" computes sub- and grand-total groups alongside the full
+    # grouping (subtotal rows carry NULL keys, SQL semantics). None =
+    # plain GROUP BY. MEDIAN is incompatible (windowed, not folded).
+    grouping: Optional[str] = None
 
     def variables(self) -> list[Var]:
         return list(self.key_variables) + list(self.aggregation_variables)

@@ -170,6 +170,8 @@ def plan_to_dict(plan: Plan) -> dict:
         # so reference-shaped documents stay byte-identical.
         if plan.exact:
             body["exact"] = True
+        if plan.grouping is not None:
+            body["grouping"] = plan.grouping
         return {"Aggregate": body}
     if isinstance(plan, TopK):
         # Extension tag: the reference has no ordering operator
@@ -325,6 +327,7 @@ def plan_from_dict(d: dict) -> Plan:
             list(inner["aggregation_variables"]),
             list(inner.get("with_variables", [])),
             exact=bool(inner.get("exact", False)),
+            grouping=inner.get("grouping"),
         )
     if tag == "TopK":
         return TopK(

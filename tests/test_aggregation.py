@@ -332,3 +332,45 @@ def test_interleaved_find_order(engine):
     df = engine.implement(plan, ["minv", "k"])
     assert df.columns == ["minv", "k"]
     assert rows(df) == [(10, "a"), (30, "b")]
+
+
+def test_rollup_and_cube(engine):
+    """Rollup adds subtotal + grand-total rows with NULL keys; cube
+    additionally adds the per-second-key margin."""
+
+    engine.create_attribute("group")
+    engine.create_attribute("amount")
+    engine.transact(
+        [
+            Datom.add(1, "group", "a"), Datom.add(1, "amount", 5),
+            Datom.add(2, "group", "a"), Datom.add(2, "amount", 10),
+            Datom.add(3, "group", "b"), Datom.add(3, "amount", 2),
+        ]
+    )
+    base = Join(
+        ["?e"], MatchA("?e", "group", "?g"), MatchA("?e", "amount", "?v")
+    )
+    roll = Aggregate(
+        ["?g", "?v"], base, [AggregationFn.SUM], ["?g"], ["?v"],
+        grouping="rollup",
+    )
+    got = {(r[0], r[1]) for r in engine.implement(roll, ["g", "s"]).collect()}
+    assert (None, 17) in got  # grand total
+    assert ("a", 15) in got
+    assert ("b", 2) in got
+
+    cube = Aggregate(
+        ["?g", "?v"], base, [AggregationFn.COUNT], ["?g"], ["?v"],
+        grouping="cube",
+    )
+    got = {(r[0], r[1]) for r in engine.implement(cube, ["g", "n"]).collect()}
+    assert (None, 3) in got  # grand total over 3 contributions
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        bad = Aggregate(
+            ["?g", "?v"], base, [AggregationFn.MEDIAN], ["?g"], ["?v"],
+            grouping="rollup",
+        )
+        engine.implement(bad, ["g", "m"])
