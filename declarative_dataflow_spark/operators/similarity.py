@@ -143,7 +143,20 @@ def hyperplane_signature(
             F.col(id_col).alias("vec_id"), F.lit(0).alias("bucket")
         )
 
-    spark = embeddings.sparkSession
+    return _with_bucket(embeddings, planes, dim, vec_col).select(
+        F.col(id_col).alias("vec_id"), "bucket"
+    )
+
+
+def _with_bucket(
+    df: DataFrame, planes: int, dim: int, vec_col: str
+) -> DataFrame:
+    """Attach the ``planes``-bit hyperplane-LSH ``bucket`` column to
+    ``df`` map-side: one broadcast cross join of a SINGLE-ROW weights
+    frame (planes x dim ±1 values) — the only nested-loop join these
+    operators ever plan, and it carries one row."""
+
+    spark = df.sparkSession
     weight = PLANE_WEIGHT_SQL.format(p="p", i="i")
     weights = spark.range(1).select(
         F.expr(
@@ -158,8 +171,10 @@ def hyperplane_signature(
         "(x, w) -> CAST(x AS DOUBLE) * w), CAST(0.0 AS DOUBLE), "
         "(a, t) -> a + t) > 0, CAST(shiftleft(1, p) AS INT), 0))"
     )
-    return embeddings.crossJoin(F.broadcast(weights)).select(
-        F.col(id_col).alias("vec_id"), bucket.alias("bucket")
+    return (
+        df.crossJoin(F.broadcast(weights))
+        .withColumn("bucket", bucket)
+        .drop("__planes")
     )
 
 
@@ -189,8 +204,14 @@ def embedding_neardup(
         _norm(vec_col).alias("nrm"),
     )
     if planes is not None:
-        sig = hyperplane_signature(embeddings, planes, id_col, vec_col, dim=dim)
-        base = base.join(sig, base["id"] == sig["vec_id"]).select(
+        if dim is None:
+            dim_row = embeddings.select(
+                F.size(F.col(vec_col)).alias("d")
+            ).first()
+            dim = dim_row["d"] if dim_row else 0
+        # Bucket computed inline on the pair base (one single-row
+        # weights broadcast per side) — no extra equi-join back on id.
+        base = _with_bucket(base, planes, dim, "v").select(
             "id", "v", "nrm", "bucket"
         )
         left = base.toDF("a", "va", "na", "bucket")

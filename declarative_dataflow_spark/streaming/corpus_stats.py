@@ -100,6 +100,12 @@ class IncrementalDupNgram:
             f.write(str(version))
         return f"{self.state_dir}/{name}_v{version}"
 
+    # Compacted generations store the folded base under this reserved
+    # epoch partition so increments and the base share ONE layout
+    # (mixing flat files with epoch=*/ subdirs makes Spark's partition
+    # discovery silently drop the flat side).
+    BASE_EPOCH = -1
+
     def _append(
         self, name: str, df: DataFrame, epoch: Optional[int] = None
     ) -> None:
@@ -110,10 +116,48 @@ class IncrementalDupNgram:
             # Epoch-keyed overwrite: a RETRIED micro-batch replaces its
             # own contribution instead of double-appending (exactly-once
             # state under foreachBatch's at-least-once retries, the
-            # same pattern as StreamNearDedup).
+            # same pattern as StreamNearDedup). An epoch already FOLDED
+            # into a compacted generation is dropped outright — its
+            # contribution lives in the epoch=-1 base, and re-writing
+            # its partition would double-count it.
+            if epoch in self._folded(d):
+                return
             df.write.mode("overwrite").parquet(f"{d}/epoch={epoch}")
         else:
             df.write.mode("append").parquet(d)
+
+    # -- folded-epoch manifest (underscore prefix => ignored by Spark's
+    # parquet reader, like _SUCCESS) --------------------------------
+    def _folded(self, d: str) -> set:
+        import json
+        import os
+
+        p = f"{d}/_folded_epochs.json"
+        if not os.path.exists(p):
+            return set()
+        with open(p) as f:
+            return set(json.load(f))
+
+    def _write_folded(self, d: str, epochs: set) -> None:
+        import json
+
+        with open(f"{d}/_folded_epochs.json", "w") as f:
+            json.dump(sorted(epochs), f)
+
+    def _epoch_ids(self, d: str) -> list:
+        import os
+
+        if not os.path.isdir(d):
+            return []
+        out = []
+        for entry in os.listdir(d):
+            if entry.startswith("epoch="):
+                val = entry.split("=", 1)[1]
+                try:
+                    out.append(int(val))
+                except ValueError:
+                    continue
+        return out
 
     def _read_versioned(self, name: str) -> Optional[DataFrame]:
         d = self._dir(name)
@@ -137,12 +181,41 @@ class IncrementalDupNgram:
             return None
         return inc.groupBy("shingle").agg(F.sum("n").alias("n"))
 
+    def _compact(self, name: str, consolidated: Optional[DataFrame]) -> None:
+        """Fold increments into one consolidated generation, preserving
+        the layout mode: epoch-keyed state writes the folded base as
+        the reserved ``epoch=-1`` partition of the NEW generation (so
+        later ``epoch=N`` increments keep a uniform partitioned layout)
+        and records every folded epoch id in the generation's manifest
+        (a retry of a folded epoch is then dropped, not re-applied);
+        flat state compacts to a flat generation as before."""
+
+        if consolidated is None:
+            return
+        cur = self._dir(name)
+        epoch_ids = self._epoch_ids(cur) if cur else []
+        prior_folded = self._folded(cur) if cur else set()
+        # Stage first: the consolidated frame READS the current
+        # generation, so it must materialize before the swap.
+        stage = f"{self.state_dir}/__stage_{name}"
+        consolidated.write.mode("overwrite").parquet(stage)
+        staged = self.spark.read.parquet(stage)
+        new = self._bump(name)
+        if epoch_ids or prior_folded:
+            staged.write.mode("overwrite").parquet(
+                f"{new}/epoch={self.BASE_EPOCH}"
+            )
+            folded = prior_folded | {
+                e for e in epoch_ids if e != self.BASE_EPOCH
+            }
+            self._write_folded(new, folded)
+        else:
+            staged.write.mode("overwrite").parquet(new)
+
     def _maybe_compact(self) -> None:
         self._epochs = getattr(self, "_epochs", 0) + 1
         if self._epochs % self.compact_every == 0:
-            consolidated = self._read_counts()
-            if consolidated is not None:
-                self._overwrite("counts", consolidated)
+            self._compact("counts", self._read_counts())
 
     # -- one epoch ---------------------------------------------------
     def process_batch(
@@ -311,9 +384,7 @@ class IncrementalVocab:
         self._io._append("vocab", bc)
         self._io._epochs = getattr(self._io, "_epochs", 0) + 1
         if self._io._epochs % self._io.compact_every == 0:
-            cur = self._vocab()
-            if cur is not None:
-                self._io._overwrite("vocab", cur)
+            self._io._compact("vocab", self._vocab())
 
     def _vocab(self) -> Optional[DataFrame]:
         inc = self._io._read_versioned("vocab")

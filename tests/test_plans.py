@@ -323,3 +323,30 @@ def test_topk_lowers_to_take_ordered(spark, engine):
     rows_ = [tuple(r) for r in df.collect()]
     assert len(rows_) == 5
     assert rows_ == sorted(rows_, key=lambda r: (-r[1], r[0]))[:5] or True
+
+
+def test_embed_neardup_declared_query_no_cartesian(spark):
+    """The DECLARED embed_neardup query is the LSH-bucketed scale path:
+    its physical plan must contain no cartesian / nested-loop join of
+    the corpus against itself (at 100x an all-pairs self-join is the
+    canonical scale-killer; the exact variant stays a test-only
+    verifier). The only nested-loop allowed is the broadcast of the
+    ONE-ROW plane-weights frame onto the corpus scan."""
+
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.q_embed_neardup(spark, SF_DIR)
+    phys = _executed(df)
+    assert "CartesianProduct" not in phys, phys
+    # The self-join must be hash-based on the bucket key.
+    import re
+
+    assert re.search(
+        r"(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin) \[bucket", phys
+    ), phys
+    # BroadcastNestedLoopJoin appears only for the single-row plane
+    # weights frame: every occurrence's join condition references the
+    # __planes array, never a corpus-vs-corpus predicate.
+    for line in phys.splitlines():
+        if "BroadcastNestedLoopJoin" in line:
+            assert "__planes" in line, line

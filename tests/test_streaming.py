@@ -773,3 +773,52 @@ def test_incremental_dup_ngram_retry_idempotent(spark, tmp_path):
     assert got == {1: 2}
     counts = inc._read_counts().collect()
     assert all(r["n"] == 1 for r in counts)  # not doubled
+
+
+def test_incremental_dup_ngram_epoch_mode_across_compaction(spark, tmp_path):
+    """Epoch-keyed state writes survive the compaction boundary: the
+    folded generation keeps the partitioned layout (base in epoch=-1),
+    so post-compaction epochs cannot make Spark's partition discovery
+    silently drop the pre-compaction data; and a RETRY of an epoch
+    already folded into the base is dropped, not double-counted."""
+
+    from declarative_dataflow_spark.operators import curation
+    from declarative_dataflow_spark.streaming.corpus_stats import (
+        IncrementalDupNgram,
+    )
+
+    inc = IncrementalDupNgram(spark, str(tmp_path / "emc_state"), n=2)
+    inc.compact_every = 2
+    batches = {
+        0: [(1, "red blue green")],
+        1: [(2, "red blue yellow")],   # compaction fires after this epoch
+        2: [(3, "red blue green")],    # post-compaction epoch
+    }
+    seen = []
+    for epoch, rows in batches.items():
+        seen.extend(rows)
+        inc.process_batch(
+            spark.createDataFrame(rows, ["doc_id", "text"]), epoch=epoch
+        )
+    # "red blue" occurs in all 3 docs: the pre-compaction contributions
+    # must still be visible after epoch 2's partitioned append.
+    counts = {r["shingle"]: r["n"] for r in inc._read_counts().collect()}
+    assert counts["red_blue"] == 3, counts
+    full = spark.createDataFrame(seen, ["doc_id", "text"])
+    expect = {tuple(r) for r in curation.dup_ngram_frac(full, n=2).collect()}
+    assert {tuple(r) for r in inc.current().collect()} == expect
+
+    # Retry of a PRE-compaction epoch after its dir was folded into the
+    # base: must be a no-op (its contribution already lives in epoch=-1).
+    inc.process_batch(
+        spark.createDataFrame(batches[0], ["doc_id", "text"]), epoch=0
+    )
+    counts2 = {r["shingle"]: r["n"] for r in inc._read_counts().collect()}
+    assert counts2 == counts, counts2
+    # Retry of a POST-compaction epoch still replaces (not doubles).
+    inc.process_batch(
+        spark.createDataFrame(batches[2], ["doc_id", "text"]), epoch=2
+    )
+    counts3 = {r["shingle"]: r["n"] for r in inc._read_counts().collect()}
+    assert counts3 == counts, counts3
+    assert {tuple(r) for r in inc.current().collect()} == expect
