@@ -235,9 +235,12 @@ def resize_image(
 
     ``fake=False`` REALLY resizes natively-decodable payloads
     (PPM/BMP): nearest-neighbor resample with numpy index arithmetic,
-    re-encoded as P6 PPM. The fake path emits a deterministic
-    fixed-size payload (truncate/cycle the source bytes) so the
-    binary-throughput plumbing is exercised without decodable data."""
+    re-encoded as P6 PPM. An undecodable payload degrades that ROW to
+    a null output payload (consistent with decode_image's
+    'undecodable' rows) — one bad byte string must never fail the
+    whole stage. The fake path emits a deterministic fixed-size
+    payload (truncate/cycle the source bytes) so the binary-throughput
+    plumbing is exercised without decodable data."""
 
     target = width * height
 
@@ -247,10 +250,13 @@ def resize_image(
         reps = target // len(p) + 1
         return (p * reps)[:target]
 
-    def _real_resize(p: bytes) -> bytes:
+    def _real_resize(p: bytes):
         import numpy as np
 
-        _, w, h, arr = _decode_real(p)
+        try:
+            _, w, h, arr = _decode_real(p)
+        except ValueError:
+            return None  # undecodable row: null payload, stage survives
         yi = (np.arange(height) * h // height).astype("int64")
         xi = (np.arange(width) * w // width).astype("int64")
         return encode_ppm(arr[yi][:, xi])
@@ -283,7 +289,9 @@ def extract_features(
     ``fake=False`` computes REAL pixel features for natively-decodable
     payloads (PPM/BMP): a sqrt(dim) x sqrt(dim) grayscale grid of
     block means, L1-normalized — a classic retrieval baseline,
-    deterministic and model-free. The fake featurizer is a byte-value
+    deterministic and model-free; an undecodable payload degrades that
+    ROW to null features rather than failing the stage. The fake
+    featurizer is a byte-value
     histogram (exercises plumbing on undecodable data); a model
     runtime can replace either."""
 
@@ -308,7 +316,10 @@ def extract_features(
         raise ValueError("real features need a square dim (grid of means)")
 
     def _pixel_grid(p: bytes):
-        _, w, h, arr = _decode_real(p)
+        try:
+            _, w, h, arr = _decode_real(p)
+        except ValueError:
+            return None  # undecodable row: null features, stage survives
         gray = arr.mean(axis=2)
         yi = (np.arange(h) * g // h).clip(max=g - 1)
         xi = (np.arange(w) * g // w).clip(max=g - 1)

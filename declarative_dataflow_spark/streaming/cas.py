@@ -58,18 +58,21 @@ def _cas_fold(
     (e,) = key
     has, cur, last_t = state.get if state.exists else (False, None, None)
     ops: list[tuple] = []
+    # Arrival order = a running sequence across ALL chunks the iterator
+    # yields; a per-chunk enumerate would reset at chunk boundaries and
+    # fold equal-t ops out of arrival order.
+    seq = 0
     for pdf in pdfs:
-        for i, (t, old, new) in enumerate(
-            zip(pdf["t"], pdf["old"], pdf["new"])
-        ):
+        for t, old, new in zip(pdf["t"], pdf["old"], pdf["new"]):
             ops.append(
                 (
                     int(t),
-                    i,
+                    seq,
                     None if pd.isna(old) else int(old),
                     None if pd.isna(new) else int(new),
                 )
             )
+            seq += 1
     for t, _, old, new in sorted(ops, key=lambda o: (o[0], o[1])):
         expect = cur if has else None
         if expect == old:

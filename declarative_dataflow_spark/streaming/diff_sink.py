@@ -8,9 +8,16 @@ driver-side collection of the relation itself.
 
 from __future__ import annotations
 
+from collections import deque
 from typing import Callable, Optional
 
 from pyspark.sql import DataFrame, functions as F
+
+# Epochs of collected diffs a subscriber retains when no callback
+# consumes them. The reference STREAMS diffs to clients and keeps
+# nothing; a driver-side history is a convenience buffer and must be
+# bounded — an unbounded list on a high-churn query OOMs the driver.
+DEFAULT_HISTORY_LIMIT = 1024
 
 
 class DiffSink:
@@ -26,14 +33,33 @@ class DiffSink:
     State: one cached snapshot DataFrame (the previous result). At
     scale, snapshots should live in a Delta/parquet table instead of
     cache — same algebra, swap persist for a table write.
+
+    Without ``on_diffs``, collected diffs buffer in ``history``,
+    bounded to the newest ``history_limit`` epochs; pass ``on_evict``
+    to spill entries leaving the window (e.g. append to parquet)
+    instead of dropping them.
     """
 
     def __init__(
-        self, on_diffs: Optional[Callable[[DataFrame, int], None]] = None
+        self,
+        on_diffs: Optional[Callable[[DataFrame, int], None]] = None,
+        history_limit: int = DEFAULT_HISTORY_LIMIT,
+        on_evict: Optional[Callable[[int, list], None]] = None,
     ):
         self.previous: Optional[DataFrame] = None
         self.on_diffs = on_diffs
-        self.history: list[tuple[int, list]] = []
+        self.on_evict = on_evict
+        self.history: deque[tuple[int, list]] = deque(
+            maxlen=max(1, history_limit)
+        )
+
+    def _record(self, epoch_id: int, rows: list) -> None:
+        if (
+            self.on_evict is not None
+            and len(self.history) == self.history.maxlen
+        ):
+            self.on_evict(*self.history[0])
+        self.history.append((epoch_id, rows))
 
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
         current = batch_df.persist()
@@ -51,7 +77,7 @@ class DiffSink:
         if self.on_diffs is not None:
             self.on_diffs(diffs, epoch_id)
         else:
-            self.history.append((epoch_id, diffs.collect()))
+            self._record(epoch_id, diffs.collect())
         if self.previous is not None:
             self.previous.unpersist()
         self.previous = current

@@ -20,23 +20,34 @@ which AQE sizes to the actual data.
 
 from __future__ import annotations
 
+from collections import deque
 from dataclasses import dataclass, field
 from typing import Callable, Iterable, Optional
 
 from pyspark.sql import DataFrame, functions as F
 
 from ..engine import Datom, Engine
+from .diff_sink import DEFAULT_HISTORY_LIMIT
 
 
 @dataclass
 class Interest:
     """A subscription to a rule's result diffs
-    (reference: Interest request, src/server/mod.rs:109-119)."""
+    (reference: Interest request, src/server/mod.rs:109-119).
+
+    ``history`` buffers collected diffs only when no callback consumes
+    them, bounded to the newest ``history_limit`` epochs (the reference
+    streams diffs out and keeps nothing — an unbounded driver-side
+    list would OOM on a long-lived high-churn subscription);
+    ``on_evict`` spills entries leaving the window."""
 
     name: str
     callback: Optional[Callable[[DataFrame, int], None]] = None
     previous: Optional[DataFrame] = None
-    history: list[tuple[int, list]] = field(default_factory=list)
+    history: "deque[tuple[int, list]]" = field(
+        default_factory=lambda: deque(maxlen=DEFAULT_HISTORY_LIMIT)
+    )
+    on_evict: Optional[Callable[[int, list], None]] = None
     delta_join: Optional[object] = None  # incremental path, if eligible
     # True when the DeltaJoin was (re)seeded inside the current advance,
     # i.e. AFTER engine.transact — its snapshots already contain this
@@ -254,12 +265,19 @@ class ReactiveSession:
         callback: Optional[Callable[[DataFrame, int], None]] = None,
         incremental: bool = True,
         granularity: int = 1,
+        history_limit: int = DEFAULT_HISTORY_LIMIT,
+        on_evict: Optional[Callable[[int, list], None]] = None,
     ) -> None:
         if name not in self.engine.rules:
             raise KeyError(f"unknown rule {name}")
         dj = _delta_join_for(self.engine, name) if incremental else None
         self.interests[name] = Interest(
-            name, callback, delta_join=dj, granularity=max(1, granularity)
+            name,
+            callback,
+            history=deque(maxlen=max(1, history_limit)),
+            on_evict=on_evict,
+            delta_join=dj,
+            granularity=max(1, granularity),
         )
 
     def uninterest(self, name: str) -> None:
@@ -303,6 +321,11 @@ class ReactiveSession:
             if sub.callback is not None:
                 sub.callback(diffs, epoch)
             else:
+                if (
+                    sub.on_evict is not None
+                    and len(sub.history) == sub.history.maxlen
+                ):
+                    sub.on_evict(*sub.history[0])
                 sub.history.append((epoch, diffs.collect()))
         self.epoch += 1
         # The reference advances domain traces as the frontier moves

@@ -262,18 +262,48 @@ def test_resize_and_features(docs):
     }
 
 
-def test_resize_real_on_undecodable_raises_in_task(docs):
-    """fake=False resize/features over UNDECODABLE payloads fails at
-    execution time (ValueError inside the Arrow task), while a
-    non-square dim is rejected eagerly."""
+def test_resize_real_undecodable_degrades_row(docs):
+    """fake=False resize/features degrade an UNDECODABLE payload to a
+    null output for THAT ROW (consistent with decode_image's
+    'undecodable' rows) instead of failing the whole stage; a
+    non-square dim is still rejected eagerly."""
 
     import pytest as _pytest
 
-    b = multimodal.attach_binary(docs)
-    with _pytest.raises(Exception):
-        multimodal.resize_image(b, fake=False).collect()
+    b = multimodal.attach_binary(docs)  # arbitrary bytes, none decode
+    resized = multimodal.resize_image(b, fake=False).collect()
+    assert resized and all(r["payload"] is None for r in resized)
+    feats = multimodal.extract_features(b, dim=16, fake=False).collect()
+    assert feats and all(r["features"] is None for r in feats)
     with _pytest.raises(ValueError):
         multimodal.extract_features(b, dim=5, fake=False)
+
+
+def test_resize_real_mixed_batch_survives(spark):
+    """One undecodable payload among decodable ones nulls only its own
+    row — the decodable rows still resize/feature normally."""
+
+    px = [[(255, 0, 0), (0, 255, 0)], [(10, 20, 30), (40, 50, 60)]]
+    binaries = spark.createDataFrame(
+        [
+            (1, bytearray(_ppm_bytes(2, 2, px))),
+            (2, bytearray(b"not an image")),
+        ],
+        "doc_id long, payload binary",
+    )
+    out = {
+        r["doc_id"]: r["payload"]
+        for r in multimodal.resize_image(
+            binaries, width=2, height=2, fake=False
+        ).collect()
+    }
+    assert out[2] is None and out[1] is not None
+    assert bytes(out[1]).startswith(b"P6\n2 2\n255\n")
+    feats = {
+        r["doc_id"]: r["features"]
+        for r in multimodal.extract_features(binaries, dim=4, fake=False).collect()
+    }
+    assert feats[2] is None and feats[1] is not None and len(feats[1]) == 4
 
 
 def test_subword_token_count(spark):

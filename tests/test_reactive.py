@@ -296,3 +296,48 @@ def test_reactive_topk_routes_incremental(spark, engine):
             acc[t[:-2]] += t[-2] * t[-1]
     acc = +acc
     assert acc == Counter({(3, 1600): 1, (1, 1500): 1})
+
+
+def test_history_bounded_with_eviction_spill(engine):
+    """Driver-side diff history is bounded: a long-lived subscription
+    keeps only the newest history_limit epochs; evicted epochs spill
+    through on_evict (oldest first) so no diff is lost, and the diffs
+    that remain in the window are unchanged."""
+
+    engine.create_attribute("hx")
+    engine.register("hxs", MatchA("?e", "hx", "?v"))
+    session = ReactiveSession(engine)
+    spilled = []
+    session.interest(
+        "hxs",
+        history_limit=3,
+        on_evict=lambda e, rows: spilled.append((e, rows)),
+    )
+    for i in range(8):
+        session.transact([Datom.add(i, "hx", i * 10)])
+    h = session.interests["hxs"].history
+    assert len(h) == 3
+    assert [e for e, _ in h] == [5, 6, 7]
+    assert [e for e, _ in spilled] == [0, 1, 2, 3, 4]
+    # Window + spill together hold every epoch's diffs exactly once.
+    d7 = _diffs(h, 7)
+    assert d7 == {(7, 70): 1}
+    d1 = _diffs(spilled, 1)
+    assert d1 == {(1, 10): 1}
+
+
+def test_diff_sink_history_bounded():
+    """DiffSink's no-callback buffer is a bounded deque: 1000 epochs of
+    recorded diffs retain only the newest history_limit entries, with
+    eviction spilling oldest-first — driver memory stays O(limit), not
+    O(epochs)."""
+
+    from declarative_dataflow_spark.streaming.diff_sink import DiffSink
+
+    spilled = []
+    sink = DiffSink(history_limit=16, on_evict=lambda e, r: spilled.append(e))
+    for epoch in range(1000):
+        sink._record(epoch, [("row", epoch, 1)])
+    assert len(sink.history) == 16
+    assert [e for e, _ in sink.history] == list(range(984, 1000))
+    assert spilled == list(range(0, 984))

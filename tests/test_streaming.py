@@ -138,7 +138,7 @@ def test_diff_sink_emits_retractions(spark, tmp_path):
 
     # epoch 0: all additions; epoch 1: a's count 2 -> 3 (one add, one retract)
     assert len(sink.history) >= 2
-    first = {(r["k"], r["count"]): r["diff"] for _, rows in sink.history[:1] for r in rows}
+    first = {(r["k"], r["count"]): r["diff"] for r in sink.history[0][1]}
     assert first[("a", 2)] == 1 and first[("b", 1)] == 1
     last_epoch_rows = sink.history[-1][1]
     changes = {(r["k"], r["count"]): r["diff"] for r in last_epoch_rows}
@@ -822,3 +822,31 @@ def test_incremental_dup_ngram_epoch_mode_across_compaction(spark, tmp_path):
     counts3 = {r["shingle"]: r["n"] for r in inc._read_counts().collect()}
     assert counts3 == counts, counts3
     assert {tuple(r) for r in inc.current().collect()} == expect
+
+
+def test_cas_fold_arrival_order_across_chunks():
+    """Equal-t CAS ops spanning pandas chunk boundaries fold in ARRIVAL
+    order: the sequence counter must run across all chunks the iterator
+    yields, not reset per chunk (a reset would order chunk 2's op
+    before chunk 1's later rows at the same t)."""
+
+    import pandas as pd
+
+    from declarative_dataflow_spark.streaming.cas import _cas_fold
+
+    class FakeState:
+        exists = False
+
+        def update(self, value):
+            self.stored = value
+
+    # Chunk 1: two ops at t=1 — (None -> 10), then (10 -> 20).
+    # Chunk 2: one more op at t=1 — (20 -> 30). A per-chunk enumerate
+    # would give it seq 0 and fold it FIRST (expect 20 vs cur None:
+    # no-op), ending at 20; the running counter folds it last -> 30.
+    c1 = pd.DataFrame({"t": [1, 1], "old": [None, 10.0], "new": [10.0, 20.0]})
+    c2 = pd.DataFrame({"t": [1], "old": [20.0], "new": [30.0]})
+    state = FakeState()
+    [out] = list(_cas_fold((7,), iter([c1, c2]), state))
+    assert out["v"].iloc[0] == 30
+    assert state.stored == (True, 30, 1)
