@@ -45,6 +45,12 @@ def main(argv: list[str] | None = None) -> int:
     p_gql.add_argument("namespace")
     p_serve = sub.add_parser("serve")
     p_serve.add_argument("--master", default=None)
+    p_serve.add_argument(
+        "--ws",
+        action="store_true",
+        help="speak RFC 6455 WebSocket (the reference's transport) "
+        "instead of JSON lines over TCP",
+    )
     p_query = sub.add_parser("query")
     p_query.add_argument("text")
     p_query.add_argument("--sf-dir", default="/root/testdata/sf0.001")
@@ -63,13 +69,15 @@ def main(argv: list[str] | None = None) -> int:
             args.host, args.port, [{"Derive": [args.query, args.namespace]}]
         )
     elif args.cmd == "serve":
-        from declarative_dataflow_spark.server import Server, serve
+        from declarative_dataflow_spark.server import Server, serve, serve_ws
         from declarative_dataflow_spark.session import build_session
 
         spark = build_session("server", master=args.master)
         srv = Server(spark)
-        tcp, thread, port = serve(srv, args.host, args.port)
-        print(f"serving on {args.host}:{port}", flush=True)
+        transport = serve_ws if args.ws else serve
+        tcp, thread, port = transport(srv, args.host, args.port)
+        proto = "ws" if args.ws else "tcp"
+        print(f"serving ({proto}) on {args.host}:{port}", flush=True)
         try:
             thread.join()
         except KeyboardInterrupt:

@@ -10,10 +10,12 @@ CloseInput, Setup, Status, Disconnect, Shutdown — and receive
 
 Spark-first: requests dispatch onto an Engine + ReactiveSession; each
 transaction/advance is a micro-epoch whose diffs are computed by
-Catalyst (see streaming/reactive.py). The reference's WebSocket
-transport is replaced by a dependency-free JSON-lines TCP listener
-(``serve``) — one JSON array of requests per line in, one JSON array
-of outputs per line out; any WebSocket layer can wrap it.
+Catalyst (see streaming/reactive.py). Two dependency-free transports
+serve the same protocol: a JSON-lines TCP listener (``serve`` — one
+JSON array of requests per line in, one JSON array of outputs per
+line out) and an RFC 6455 WebSocket listener (``serve_ws`` — one TEXT
+message per batch), the latter matching the reference's own transport
+(server/src/networking.rs:34-95) so its wire clients connect verbatim.
 """
 
 from __future__ import annotations
@@ -280,3 +282,163 @@ def serve(
     thread = threading.Thread(target=tcp.serve_forever, daemon=True)
     thread.start()
     return tcp, thread, tcp.server_address[1]
+
+
+# ---------------------------------------------------------------------------
+# WebSocket transport (RFC 6455, dependency-free)
+# ---------------------------------------------------------------------------
+#
+# The reference serves its Request/Output JSON over WebSocket
+# (server/src/networking.rs:34-95), so a reference wire client connects
+# with ws://host:port/ and exchanges one TEXT message per request batch
+# / output batch. This implements the server side of RFC 6455 directly
+# on the same JSON protocol the TCP listener speaks: handshake
+# (Sec-WebSocket-Accept = base64(sha1(key + GUID))), masked client
+# frames, fragmentation, ping/pong, and close.
+
+_WS_GUID = "258EAFA5-E914-47DA-95CA-C5AB0DC85B11"
+
+
+def _ws_read_exact(rfile, n: int) -> Optional[bytes]:
+    buf = b""
+    while len(buf) < n:
+        chunk = rfile.read(n - len(buf))
+        if not chunk:
+            return None
+        buf += chunk
+    return buf
+
+
+def _ws_read_frame(rfile) -> Optional[tuple[bool, int, bytes]]:
+    """One frame: (fin, opcode, unmasked payload); None on EOF."""
+
+    import struct
+
+    hdr = _ws_read_exact(rfile, 2)
+    if hdr is None:
+        return None
+    fin = bool(hdr[0] & 0x80)
+    opcode = hdr[0] & 0x0F
+    masked = bool(hdr[1] & 0x80)
+    length = hdr[1] & 0x7F
+    if length == 126:
+        ext = _ws_read_exact(rfile, 2)
+        if ext is None:
+            return None
+        (length,) = struct.unpack(">H", ext)
+    elif length == 127:
+        ext = _ws_read_exact(rfile, 8)
+        if ext is None:
+            return None
+        (length,) = struct.unpack(">Q", ext)
+    mask = b""
+    if masked:
+        mask = _ws_read_exact(rfile, 4)
+        if mask is None:
+            return None
+    payload = _ws_read_exact(rfile, length) if length else b""
+    if payload is None:
+        return None
+    if masked:
+        payload = bytes(b ^ mask[i % 4] for i, b in enumerate(payload))
+    return fin, opcode, payload
+
+
+def _ws_write_frame(wfile, payload: bytes, opcode: int = 0x1) -> None:
+    """Server frames are unmasked (RFC 6455 §5.1)."""
+
+    import struct
+
+    head = bytes([0x80 | opcode])
+    n = len(payload)
+    if n < 126:
+        head += bytes([n])
+    elif n < 1 << 16:
+        head += bytes([126]) + struct.pack(">H", n)
+    else:
+        head += bytes([127]) + struct.pack(">Q", n)
+    wfile.write(head + payload)
+    wfile.flush()
+
+
+def serve_ws(
+    server: Server, host: str = "127.0.0.1", port: int = 0
+) -> tuple[socketserver.TCPServer, threading.Thread, int]:
+    """WebSocket transport over the same JSON protocol as :func:`serve`:
+    each client TEXT message is a JSON array of requests, each server
+    TEXT message the JSON array of outputs — the reference's wire shape
+    (server/src/networking.rs:34-95). Returns (ws_server, thread,
+    bound_port)."""
+
+    import base64
+    import hashlib
+
+    class Handler(socketserver.StreamRequestHandler):
+        def _handshake(self) -> bool:
+            request_line = self.rfile.readline()
+            if not request_line or b"HTTP" not in request_line:
+                return False
+            key = None
+            while True:
+                line = self.rfile.readline()
+                if not line or line in (b"\r\n", b"\n"):
+                    break
+                name, _, value = line.decode("latin1").partition(":")
+                if name.strip().lower() == "sec-websocket-key":
+                    key = value.strip()
+            if key is None:
+                self.wfile.write(b"HTTP/1.1 400 Bad Request\r\n\r\n")
+                return False
+            accept = base64.b64encode(
+                hashlib.sha1((key + _WS_GUID).encode()).digest()
+            ).decode()
+            self.wfile.write(
+                (
+                    "HTTP/1.1 101 Switching Protocols\r\n"
+                    "Upgrade: websocket\r\n"
+                    "Connection: Upgrade\r\n"
+                    f"Sec-WebSocket-Accept: {accept}\r\n\r\n"
+                ).encode()
+            )
+            self.wfile.flush()
+            return True
+
+        def handle(self) -> None:
+            if not self._handshake():
+                return
+            message = b""
+            while True:
+                frame = _ws_read_frame(self.rfile)
+                if frame is None:
+                    return
+                fin, opcode, payload = frame
+                if opcode == 0x8:  # close: echo and finish
+                    _ws_write_frame(self.wfile, payload, opcode=0x8)
+                    return
+                if opcode == 0x9:  # ping -> pong
+                    _ws_write_frame(self.wfile, payload, opcode=0xA)
+                    continue
+                if opcode == 0xA:  # unsolicited pong
+                    continue
+                message += payload  # text/binary/continuation
+                if not fin:
+                    continue
+                text = message.decode("utf-8")
+                message = b""
+                try:
+                    out = server.handle(json.loads(text))
+                except Exception as exc:
+                    out = [{"Error": str(exc)}]
+                _ws_write_frame(self.wfile, json.dumps(out).encode())
+                if server.shutdown_requested:
+                    _ws_write_frame(self.wfile, b"", opcode=0x8)
+                    return
+
+    class _TCP(socketserver.ThreadingTCPServer):
+        allow_reuse_address = True
+        daemon_threads = True
+
+    ws = _TCP((host, port), Handler)
+    thread = threading.Thread(target=ws.serve_forever, daemon=True)
+    thread.start()
+    return ws, thread, ws.server_address[1]

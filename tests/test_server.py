@@ -259,3 +259,154 @@ def test_cas_attribute_via_protocol(spark):
     )
     [(name, rows)] = [v for o in out for k, v in o.items() if k == "QueryDiff"]
     assert [r[:-2] for r in rows] == [[1, 2]]
+
+
+def _ws_client_connect(port):
+    """Minimal RFC 6455 client: handshake + masked text frames."""
+
+    import base64
+    import hashlib
+    import os
+
+    s = socket.create_connection(("127.0.0.1", port))
+    key = base64.b64encode(os.urandom(16)).decode()
+    s.sendall(
+        (
+            "GET / HTTP/1.1\r\n"
+            f"Host: 127.0.0.1:{port}\r\n"
+            "Upgrade: websocket\r\n"
+            "Connection: Upgrade\r\n"
+            f"Sec-WebSocket-Key: {key}\r\n"
+            "Sec-WebSocket-Version: 13\r\n\r\n"
+        ).encode()
+    )
+    f = s.makefile("rb")
+    status = f.readline()
+    assert b"101" in status, status
+    accept = None
+    while True:
+        line = f.readline()
+        if line in (b"\r\n", b"\n", b""):
+            break
+        name, _, value = line.decode().partition(":")
+        if name.strip().lower() == "sec-websocket-accept":
+            accept = value.strip()
+    guid = "258EAFA5-E914-47DA-95CA-C5AB0DC85B11"
+    expect = base64.b64encode(hashlib.sha1((key + guid).encode()).digest()).decode()
+    assert accept == expect  # server computed the RFC 6455 accept key
+    return s, f
+
+
+def _ws_client_send(sock, payload: bytes, opcode=0x1, fin=True):
+    import os
+    import struct
+
+    mask = os.urandom(4)
+    head = bytes([(0x80 if fin else 0) | opcode])
+    n = len(payload)
+    if n < 126:
+        head += bytes([0x80 | n])
+    elif n < 1 << 16:
+        head += bytes([0x80 | 126]) + struct.pack(">H", n)
+    else:
+        head += bytes([0x80 | 127]) + struct.pack(">Q", n)
+    body = bytes(b ^ mask[i % 4] for i, b in enumerate(payload))
+    sock.sendall(head + mask + body)
+
+
+def _ws_client_recv(f):
+    import struct
+
+    while True:
+        hdr = f.read(2)
+        assert len(hdr) == 2
+        opcode = hdr[0] & 0x0F
+        n = hdr[1] & 0x7F
+        if n == 126:
+            (n,) = struct.unpack(">H", f.read(2))
+        elif n == 127:
+            (n,) = struct.unpack(">Q", f.read(8))
+        payload = f.read(n) if n else b""
+        if opcode == 0xA:  # pong
+            return ("pong", payload)
+        if opcode == 0x8:
+            return ("close", payload)
+        return ("text", payload)
+
+
+def test_websocket_transport(spark):
+    """The reference's own transport (server/src/networking.rs:34-95):
+    Register/Interest/Transact over WebSocket TEXT messages, QueryDiff
+    back — the ported query_test.rs lifecycle on the reference's wire.
+    Also exercises client-side masking (mandatory), fragmentation, and
+    ping/pong."""
+
+    from declarative_dataflow_spark.server import serve_ws
+
+    srv = Server(spark)
+    ws, thread, port = serve_ws(srv)
+    try:
+        s, f = _ws_client_connect(port)
+        batch = json.dumps(
+            [
+                {"CreateAttribute": {"name": "name", "config": None}},
+                {"CreateAttribute": {"name": "age", "config": None}},
+                {
+                    "Register": {
+                        "rules": [
+                            {
+                                "name": "people",
+                                "plan": {
+                                    "Join": {
+                                        "variables": [0],
+                                        "left_plan": {"MatchA": [0, "name", 1]},
+                                        "right_plan": {"MatchA": [0, "age", 2]},
+                                    }
+                                },
+                            }
+                        ],
+                        "publish": ["people"],
+                    }
+                },
+                {"Interest": {"name": "people"}},
+            ]
+        ).encode()
+        _ws_client_send(s, batch)
+        kind, payload = _ws_client_recv(f)
+        assert kind == "text" and json.loads(payload) == []
+
+        # Ping answers pong without disturbing the request stream.
+        _ws_client_send(s, b"hello", opcode=0x9)
+        kind, payload = _ws_client_recv(f)
+        assert (kind, payload) == ("pong", b"hello")
+
+        # Transact arrives FRAGMENTED across two continuation frames.
+        tx = json.dumps(
+            [
+                {
+                    "Transact": [
+                        [{"Eid": 1}, "name", "Dipper", None, 1],
+                        [{"Eid": 1}, "age", {"Number": 12}, None, 1],
+                    ]
+                }
+            ]
+        ).encode()
+        _ws_client_send(s, tx[: len(tx) // 2], opcode=0x1, fin=False)
+        _ws_client_send(s, tx[len(tx) // 2 :], opcode=0x0, fin=True)
+        kind, payload = _ws_client_recv(f)
+        assert kind == "text"
+        [(tag, (name, rows))] = [
+            (k, v) for o in json.loads(payload) for k, v in o.items()
+        ]
+        assert tag == "QueryDiff" and name == "people"
+        assert [r[:-2] for r in rows] == [[1, "Dipper", 12]]
+        assert [r[-1] for r in rows] == [1]
+
+        # Clean close handshake.
+        _ws_client_send(s, b"", opcode=0x8)
+        kind, _ = _ws_client_recv(f)
+        assert kind == "close"
+        s.close()
+    finally:
+        ws.shutdown()
+        ws.server_close()
