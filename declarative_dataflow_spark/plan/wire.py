@@ -53,11 +53,32 @@ from .plans import (
 )
 
 
+# I16F16 scale: 16 fractional bits. 1/65536 is exactly representable
+# in decimal (0.0000152587890625), so every I16F16 value round-trips
+# through Decimal with zero error — the exactness the reference gets
+# from its fixed-point type (src/lib.rs:104-105).
+_REAL_SCALE = 65536
+_REAL_MIN = -(1 << 31)
+_REAL_MAX = (1 << 31) - 1
+
+
 def encode_value(v: Any) -> Any:
     """Python value -> reference Value JSON."""
 
+    from decimal import Decimal
+
     if isinstance(v, dict):
         return v  # already tagged
+    if isinstance(v, Decimal):
+        # Exact reals ride the wire as Real(I16F16 raw bits). Values
+        # off the 2^-16 grid quantize to the nearest representable
+        # fixed-point number — the reference's own resolution limit.
+        raw = int(
+            (v * _REAL_SCALE).to_integral_value()
+        )
+        if not _REAL_MIN <= raw <= _REAL_MAX:
+            raise ValueError(f"Real out of I16F16 range: {v}")
+        return {"Real": raw}
     return v  # str/bool/int are plain in serde
 
 
@@ -77,8 +98,15 @@ def decode_value(v: Any) -> Any:
             return num / den
         if tag == "Real":
             # Feature-gated I16F16 fixed point (reference:
-            # src/lib.rs:104-105): raw i32 with 16 fractional bits.
-            return int(inner) / 65536.0
+            # src/lib.rs:104-105): raw i32 with 16 fractional bits,
+            # decoded EXACTLY into Decimal (never binary float — users
+            # of Real rely on exact fixed-point arithmetic).
+            from decimal import Decimal
+
+            raw = int(inner)
+            if not _REAL_MIN <= raw <= _REAL_MAX:
+                raise ValueError(f"Real out of I16F16 range: {raw}")
+            return Decimal(raw) / _REAL_SCALE
         if tag == "Cas":
             # Extension: the reference's CAS operator never shipped, so
             # it has no wire shape; a tagged (expected_old,

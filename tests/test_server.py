@@ -410,3 +410,29 @@ def test_websocket_transport(spark):
     finally:
         ws.shutdown()
         ws.server_close()
+
+
+def test_real_value_end_to_end(spark):
+    """A Real(I16F16) datom survives transact -> QueryDiff with exact
+    fixed-point semantics: the emitted value is the same raw I16F16,
+    never a drifted binary float."""
+
+    srv = Server(spark)
+    out = srv.handle(
+        [
+            {"CreateAttribute": {"name": "temp", "config": None}},
+            {
+                "Transact": [
+                    [{"Eid": 5}, "temp", {"Real": 98304}, None, 1],  # 1.5
+                    [{"Eid": 6}, "temp", {"Real": 1}, None, 1],  # 2^-16
+                ]
+            },
+            {"Subscribe": "temp"},
+        ]
+    )
+    [(name, rows)] = [v for o in out for k, v in o.items() if k == "QueryDiff"]
+    got = {r[0]: r[1] for r in rows}
+    assert got[5] == {"Real": 98304}
+    assert got[6] == {"Real": 1}
+    # JSON-serializable exactly as the reference's wire shape.
+    json.dumps(out)

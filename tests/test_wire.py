@@ -91,10 +91,63 @@ def test_union_filter_roundtrip():
 
 
 def test_decode_real_fixed_point():
-    """Feature-gated Real(I16F16) values decode as raw/2^16
-    (reference: src/lib.rs:104-105)."""
+    """Feature-gated Real(I16F16) values decode EXACTLY to Decimal
+    (reference: src/lib.rs:104-105 — fixed point, not binary float)."""
+
+    from decimal import Decimal
 
     from declarative_dataflow_spark.plan.wire import decode_value
 
-    assert decode_value({"Real": 98304}) == 1.5
-    assert decode_value({"Real": -65536}) == -1.0
+    assert decode_value({"Real": 98304}) == Decimal("1.5")
+    assert decode_value({"Real": -65536}) == Decimal("-1")
+    assert isinstance(decode_value({"Real": 98304}), Decimal)
+    # The smallest step is exact in decimal — no float in the path.
+    assert decode_value({"Real": 1}) == Decimal("0.0000152587890625")
+
+
+def test_real_round_trips_exactly():
+    """decode -> encode is the identity on EVERY I16F16 raw value —
+    the exactness contract a float intermediate cannot honor (e.g.
+    raw values whose quotient is not a binary float)."""
+
+    from declarative_dataflow_spark.plan.wire import (
+        decode_value,
+        encode_value,
+    )
+
+    for raw in [0, 1, -1, 3, 98304, 6554, 2**31 - 1, -(2**31), 12345679]:
+        assert encode_value(decode_value({"Real": raw})) == {"Real": raw}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        decode_value({"Real": 2**31})  # beyond i32: reference overflow
+
+
+def test_serialization_reference_values():
+    """The exact JSON shapes of the reference's serialization test
+    (server/tests/serialization.rs): tagged Aid/Instant/Uuid, plain
+    String/Bool/Number."""
+
+    import json
+
+    from declarative_dataflow_spark.plan.wire import (
+        decode_value,
+        encode_value,
+    )
+
+    cases = [
+        ({"Aid": ":edge"}, ":edge"),
+        ("foo", "foo"),
+        (True, True),
+        (44, 44),
+        ({"Instant": 0}, 0),
+        (
+            {"Uuid": "71828aae-4fc8-421b-82ca-68c5f4981d74"},
+            "71828aae-4fc8-421b-82ca-68c5f4981d74",
+        ),
+    ]
+    for wire, py in cases:
+        assert decode_value(wire) == py
+        # Every encoded form is JSON-serializable in serde's shape.
+        json.dumps(encode_value(wire))
