@@ -1234,3 +1234,270 @@ def incremental_recursion_for(engine, name: str):
         initial,
         semantics=semantics,
     )
+
+
+class IncrementalShortestHops:
+    """Incrementally-maintained min-hop distances over a changing edge
+    set — the lattice-aggregate recursion (operators/graph.py::
+    shortest_hops) the set-semantics IncrementalRecursion cannot cover.
+
+    Per epoch of edge additions/retractions, work tracks the CHANGE:
+
+    - additions (monotone): seed candidates from the new edges and
+      their one-step compositions with the maintained distance table,
+      then run the same delta relaxation as the batch operator —
+      only improving rows propagate.
+    - retractions (DRed for the min lattice; the set-semantics
+      analogue is IncrementalRecursion's delete-rederive,
+      incremental.py:726): a pair (x, y) is AFFECTED iff some shortest
+      path routes through a removed edge (s, t) — exactly
+      d(x,s) + 1 + d(t,y) == d(x,y) with d(v,v) = 0 — computed by two
+      joins against the maintained table, never a graph scan. Affected
+      rows are over-deleted, then re-derived by relaxation seeded from
+      the SURVIVING rows (their distances are provably unchanged) and
+      the remaining edges.
+
+    State: the (x, y, hops) table plus the edge set, localCheckpointed
+    per epoch. ``apply`` returns weighted diffs (x, y, hops, diff);
+    ``current`` is the maintained table, always equal to the batch
+    operator on the current edges (gated in test_incremental.py).
+    ``sources`` bounds all-pairs state exactly as in the batch op.
+    """
+
+    def __init__(
+        self,
+        edges: DataFrame,
+        src: str = "src",
+        dst: str = "dst",
+        sources: Optional[DataFrame] = None,
+        max_iters: int = 100,
+    ) -> None:
+        from ..operators.graph import shortest_hops
+
+        self.max_iters = max_iters
+        self.edges = (
+            edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        self.sources = (
+            sources.select(
+                F.col(sources.columns[0]).alias("s")
+            ).distinct().localCheckpoint(eager=True)
+            if sources is not None
+            else None
+        )
+        self.dist = shortest_hops(
+            self.edges, src="s", dst="t", max_iters=max_iters,
+            sources=self.sources,
+        ).localCheckpoint(eager=True)
+
+    def current(self) -> DataFrame:
+        return self.dist
+
+    @staticmethod
+    def _norm(df: Optional[DataFrame], cols=("src", "dst")) -> Optional[DataFrame]:
+        if df is None:
+            return None
+        a, b = df.columns[0], df.columns[1]
+        return df.select(F.col(a).alias("s"), F.col(b).alias("t")).distinct()
+
+    def _affected(self, rem: DataFrame) -> DataFrame:
+        """Pairs (x, y) whose min-hop distance may change when ``rem``
+        edges disappear: d(x,s) + 1 + d(t,y) == d(x,y) over the
+        pre-deletion table, with d(v,v) = 0 supplied for the endpoint
+        cases. Two hash joins; output is the affected pairs only.
+
+        Under ``sources`` restriction the table holds no suffix
+        distances d(t, y) for non-source t, so the pair-level test
+        cannot be evaluated; the over-approximation coarsens to the
+        SOURCE level — every pair of a source whose tree reaches a
+        removed edge's tail (d(x, s) exists, or x == s) is deleted and
+        that source's tree re-derived. Work is the affected sources'
+        trees, still never the whole state."""
+
+        if self.sources is not None:
+            reaches_tail = (
+                self.dist.join(
+                    rem.select("s"),
+                    self.dist["y"] == rem["s"],
+                    "left_semi",
+                )
+                .select("x")
+                .distinct()
+            )
+            is_tail = (
+                self.dist.select("x")
+                .distinct()
+                .join(
+                    rem.select(F.col("s").alias("x")).distinct(),
+                    "x",
+                    "left_semi",
+                )
+            )
+            aff_src = reaches_tail.unionByName(is_tail).distinct()
+            return (
+                self.dist.join(aff_src, "x", "left_semi")
+                .select("x", "y")
+                .distinct()
+            )
+
+        zeros_x = (
+            self.dist.select(F.col("x").alias("v"))
+            .unionByName(self.edges.select(F.col("s").alias("v")))
+            .distinct()
+            .select(F.col("v").alias("x"), F.col("v").alias("y"),
+                    F.lit(0).alias("hops"))
+        )
+        zeros_y = (
+            self.dist.select(F.col("y").alias("v"))
+            .unionByName(self.edges.select(F.col("t").alias("v")))
+            .distinct()
+            .select(F.col("v").alias("x"), F.col("v").alias("y"),
+                    F.lit(0).alias("hops"))
+        )
+        dplus_pre = self.dist.unionByName(zeros_x)   # prefixes d(x, s)
+        dplus_suf = self.dist.unionByName(zeros_y)   # suffixes d(t, y)
+        pre = dplus_pre.select(
+            F.col("x"), F.col("y").alias("s"), F.col("hops").alias("d1")
+        )
+        suf = dplus_suf.select(
+            F.col("x").alias("t"), F.col("y"), F.col("hops").alias("d2")
+        )
+        through = (
+            pre.join(rem, "s")
+            .join(suf, "t")
+            .select("x", "y", (F.col("d1") + 1 + F.col("d2")).alias("d"))
+        )
+        return (
+            self.dist.join(through, ["x", "y"])
+            .filter(F.col("hops") == F.col("d"))
+            .select("x", "y")
+            .distinct()
+        )
+
+    def apply(
+        self,
+        added: Optional[DataFrame] = None,
+        retracted: Optional[DataFrame] = None,
+    ) -> DataFrame:
+        """One epoch: apply edge additions/retractions, advance the
+        maintained table, return weighted diffs (x, y, hops, diff)."""
+
+        add = self._norm(added)
+        rem = self._norm(retracted)
+        old_dist = self.dist
+        old_edges = self.edges
+
+        if add is not None:
+            add = add.join(old_edges, ["s", "t"], "left_anti")
+        if rem is not None:
+            rem = rem.join(old_edges, ["s", "t"], "left_semi").localCheckpoint(
+                eager=True
+            )
+            if rem.limit(1).isEmpty():
+                rem = None
+        new_edges = old_edges
+        if rem is not None:
+            new_edges = new_edges.join(rem, ["s", "t"], "left_anti")
+        if add is not None:
+            new_edges = new_edges.unionByName(add)
+        new_edges = new_edges.localCheckpoint(eager=True)
+
+        # -- delete phase (DRed over-delete) --
+        if rem is not None:
+            affected = self._affected(rem).localCheckpoint(eager=True)
+            surviving = old_dist.join(
+                affected, ["x", "y"], "left_anti"
+            ).localCheckpoint(eager=True)
+        else:
+            affected = None
+            surviving = old_dist
+
+        # -- seeds: candidates whose derivation touches the change --
+        seeds = []
+        if add is not None:
+            direct = add.select(
+                F.col("s").alias("x"), F.col("t").alias("y"),
+                F.lit(1).alias("hops"),
+            )
+            if self.sources is not None:
+                direct = direct.join(
+                    self.sources.select(F.col("s").alias("x")), "x"
+                )
+            seeds.append(direct)
+            seeds.append(  # maintained prefix + new edge
+                surviving.join(add, surviving["y"] == add["s"]).select(
+                    "x", F.col("t").alias("y"),
+                    (F.col("hops") + 1).alias("hops"),
+                )
+            )
+        if affected is not None:
+            # re-derivation base: edges and surviving-prefix extensions
+            # landing in the affected region.
+            base = new_edges.select(
+                F.col("s").alias("x"), F.col("t").alias("y"),
+                F.lit(1).alias("hops"),
+            ).join(affected, ["x", "y"], "left_semi")
+            seeds.append(base)
+            seeds.append(
+                surviving.join(new_edges, surviving["y"] == new_edges["s"])
+                .select(
+                    "x", F.col("t").alias("y"),
+                    (F.col("hops") + 1).alias("hops"),
+                )
+                .join(affected, ["x", "y"], "left_semi")
+            )
+        if not seeds:
+            return old_dist.limit(0).withColumn("diff", F.lit(1))
+
+        cand0 = seeds[0]
+        for s in seeds[1:]:
+            cand0 = cand0.unionByName(s)
+        cand0 = cand0.groupBy("x", "y").agg(F.min("hops").alias("hops"))
+        # improvements vs surviving state only
+        delta = (
+            cand0.join(
+                surviving.select("x", "y", F.col("hops").alias("__h")),
+                ["x", "y"], "left",
+            )
+            .filter(F.col("__h").isNull() | (F.col("hops") < F.col("__h")))
+            .select("x", "y", "hops")
+            .localCheckpoint(eager=True)
+        )
+        dist = (
+            surviving.unionByName(delta)
+            .groupBy("x", "y")
+            .agg(F.min("hops").alias("hops"))
+            .localCheckpoint(eager=False)
+        )
+
+        # -- same delta relaxation as the batch operator --
+        for _ in range(self.max_iters):
+            if delta.limit(1).isEmpty():
+                break
+            cand = delta.join(new_edges, delta["y"] == new_edges["s"]).select(
+                "x", F.col("t").alias("y"), (F.col("hops") + 1).alias("hops")
+            )
+            merged = (
+                dist.unionByName(cand)
+                .groupBy("x", "y")
+                .agg(F.min("hops").alias("hops"))
+                .localCheckpoint(eager=False)
+            )
+            delta = merged.join(
+                dist, ["x", "y", "hops"], "left_anti"
+            ).localCheckpoint(eager=True)
+            dist = merged
+        else:
+            raise RuntimeError(
+                f"incremental shortest_hops did not converge in "
+                f"{self.max_iters} rounds"
+            )
+
+        dist = dist.localCheckpoint(eager=True)
+        removed_rows = old_dist.exceptAll(dist).withColumn("diff", F.lit(-1))
+        added_rows = dist.exceptAll(old_dist).withColumn("diff", F.lit(1))
+        self.dist = dist
+        self.edges = new_edges
+        return removed_rows.unionByName(added_rows)
