@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 HEADLINE = [
@@ -78,13 +79,17 @@ def main() -> None:
     similarity.cosine_topk(tiny_emb, [0], k=1).count()
     similarity.lsh_topk(tiny_emb, [0], k=1, planes=6).count()
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        if name not in qs:
-            continue
-        t0 = time.perf_counter()
-        qs[name](spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    def time_block(block_dir: str) -> dict[str, float]:
+        out: dict[str, float] = {}
+        for name in HEADLINE:
+            if name not in qs:
+                continue
+            t0 = time.perf_counter()
+            qs[name](spark, block_dir).count()
+            out[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    timings = time_block(sf_dir)
 
     # Incremental maintenance latency: one 100-datom epoch of triangle
     # delta pipelines against a LARGE graph snapshot (10k nodes, ~E
@@ -134,17 +139,43 @@ def main() -> None:
     timings["incremental_epoch"] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    result = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+
+    # -- sf1 block: the same headline queries at 10x the data --------
+    # Enabled by default when benching the standard sf0.1 dir; disable
+    # with SPARK_GRAFT_SF1=0, point elsewhere with SPARK_GRAFT_SF1_DIR.
+    # The 10x replica is built once (tools/scale_testdata.py) and
+    # reused; any failure here never breaks the primary metric.
+    sf1_dir = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/spark_graft_scale/sf1")
+    want_sf1 = (
+        os.environ.get("SPARK_GRAFT_SF1", "1") != "0"
+        and sf_dir.rstrip("/").endswith("sf0.1")
     )
+    if want_sf1:
+        try:
+            if not os.path.exists(f"{sf1_dir}/events.parquet"):
+                sys.path.insert(
+                    0, os.path.join(os.path.dirname(__file__), "tools")
+                )
+                from scale_testdata import scale  # type: ignore
+
+                scale(spark, sf_dir, sf1_dir, 10)
+            sf1_timings = time_block(sf1_dir)
+            result["sf1"] = {
+                "value": round(sum(sf1_timings.values()), 3),
+                "queries": sf1_timings,
+                "sf": 1.0,
+            }
+        except Exception as exc:  # the primary metric must survive
+            result["sf1_error"] = str(exc)[:200]
+
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

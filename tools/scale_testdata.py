@@ -80,6 +80,21 @@ def _replicate(df: DataFrame, table: str, factor: int) -> DataFrame:
     return out.drop("__copy")
 
 
+def scale(spark, src: str, out_dir: str, factor: int) -> None:
+    """Write the replicated tables; reusable from bench.py."""
+
+    os.makedirs(out_dir, exist_ok=True)
+    for t in FIXED:
+        spark.read.parquet(f"{src}/{t}.parquet").write.mode(
+            "overwrite"
+        ).parquet(f"{out_dir}/{t}.parquet")
+    for t in KEYS:
+        df = spark.read.parquet(f"{src}/{t}.parquet")
+        _replicate(df, t, factor).write.mode("overwrite").parquet(
+            f"{out_dir}/{t}.parquet"
+        )
+
+
 def main() -> None:
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     out_dir = (
@@ -88,21 +103,12 @@ def main() -> None:
         else "/tmp/spark_graft_scale/sf1"
     )
     src = os.environ.get("SPARK_GRAFT_SRC_SF", "/root/testdata/sf0.1")
-    os.makedirs(out_dir, exist_ok=True)
 
     from declarative_dataflow_spark.session import build_session
 
     spark = build_session("scale_testdata")
-    for t in FIXED:
-        spark.read.parquet(f"{src}/{t}.parquet").write.mode(
-            "overwrite"
-        ).parquet(f"{out_dir}/{t}.parquet")
-    for t, _ in KEYS.items():
-        df = spark.read.parquet(f"{src}/{t}.parquet")
-        _replicate(df, t, factor).write.mode("overwrite").parquet(
-            f"{out_dir}/{t}.parquet"
-        )
-        print(t, "done")
+    scale(spark, src, out_dir, factor)
+    print("done")
 
 
 if __name__ == "__main__":
