@@ -1139,10 +1139,15 @@ def q_ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_embed_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic near-dup clusters over embeddings: cosine pairs ->
-    connected components -> min-id canonical per group."""
+    connected components -> min-id canonical per group. Declared with
+    the LSH-bucketed candidate path (planes=6) like embed_neardup —
+    no cartesian at scale; the DuckDB twin mirrors the buckets."""
 
     return similarity.embed_dedup_groups(
-        load_table(spark, sf_dir, "embeddings"), threshold=0.4
+        load_table(spark, sf_dir, "embeddings"),
+        threshold=0.4,
+        planes=6,
+        dim=64,
     )
 
 
@@ -1268,6 +1273,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "embed_quantize": q_embed_quantize,
         "embed_neardup": q_embed_neardup,
+        "embed_groups": q_embed_groups,
         "wco_clique5": q_wco_clique5,
         # --- the 29 keys deferred in r04 (green in r02 AND r03) ---
         "text_quality": q_text_quality,
@@ -1317,8 +1323,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tclosure_nonlinear": q_tclosure_nonlinear,
         "shortest_hops": q_shortest_hops,
         "pagerank": q_pagerank,
-        "labelprop": q_labelprop,
         # --- deferred this round (driver cap); all green in r04 ---
+        "labelprop": q_labelprop,
         "triangle_count": q_triangle_count,
         "triangle_wco": q_triangle_wco,
         "wco_4clause": q_wco_4clause,
@@ -1346,7 +1352,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": q_vocab_topk,
         "cosine_topk": q_cosine_topk,
         "ann_quantized": q_ann_quantized,
-        "embed_groups": q_embed_groups,
         "ann_ivf": q_ann_ivf,
         "ann_ivf_kmeans": q_ann_ivf_kmeans,
     }
@@ -2041,14 +2046,26 @@ def oracle_sql() -> dict[str, str]:
             "WHERE rank <= 5"
         ),
         "embed_groups": (
+            # Candidate pairs from the SAME hyperplane-LSH buckets as
+            # q_embed_groups(planes=6), then the recursive closure.
             "WITH RECURSIVE e AS (SELECT vec_id, "
             "CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+            "sig AS (SELECT vec_id, CAST(list_sum(["
+            "CASE WHEN list_dot_product(v, "
+            "[CASE WHEN substr(md5(p::VARCHAR || '_' || i::VARCHAR), 8, 1) "
+            "IN ('1','3','5','7','9','b','d','f') THEN 1.0 ELSE -1.0 END "
+            "for i in range(0, len(v))]) > 0 "
+            "THEN (1 << p) ELSE 0 END for p in range(0, 6)]) AS INT) "
+            "AS bucket FROM e), "
+            "eb AS (SELECT e.vec_id, e.v, sig.bucket FROM e "
+            "JOIN sig USING (vec_id)), "
             "pairs AS (SELECT a, b FROM ("
             "SELECT x.vec_id AS a, y.vec_id AS b, "
             "round(list_dot_product(x.v, y.v) / "
             "(sqrt(list_dot_product(x.v, x.v)) * "
             "sqrt(list_dot_product(y.v, y.v))), 4) AS sim "
-            "FROM e x JOIN e y ON x.vec_id < y.vec_id) WHERE sim >= 0.4), "
+            "FROM eb x JOIN eb y ON x.bucket = y.bucket "
+            "AND x.vec_id < y.vec_id) WHERE sim >= 0.4), "
             "edges AS (SELECT a AS u, b AS v FROM pairs "
             "UNION SELECT b, a FROM pairs), "
             "reach(u, v) AS (SELECT u, u AS v "

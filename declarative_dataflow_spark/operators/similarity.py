@@ -542,6 +542,7 @@ def embed_dedup_groups(
     planes: Optional[int] = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: Optional[int] = None,
 ) -> DataFrame:
     """Semantic near-duplicate group resolution over embeddings:
     (vec_id, canonical) — the embedding-space analog of
@@ -554,7 +555,9 @@ def embed_dedup_groups(
 
     from .dedup import connected_components
 
-    pairs = embedding_neardup(embeddings, threshold, planes, id_col, vec_col)
+    pairs = embedding_neardup(
+        embeddings, threshold, planes, id_col, vec_col, dim=dim
+    )
     comp = connected_components(pairs, "a", "b")
     return (
         embeddings.select(F.col(id_col))

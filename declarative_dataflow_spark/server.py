@@ -339,8 +339,16 @@ def _ws_read_frame(rfile) -> Optional[tuple[bool, int, bytes]]:
     payload = _ws_read_exact(rfile, length) if length else b""
     if payload is None:
         return None
-    if masked:
-        payload = bytes(b ^ mask[i % 4] for i, b in enumerate(payload))
+    if masked and payload:
+        # Vectorized unmask: large Transact messages make this the
+        # data-plane hot path; a per-byte Python loop is ~100x slower.
+        import numpy as np
+
+        data = np.frombuffer(payload, dtype=np.uint8)
+        key = np.frombuffer(
+            (mask * ((length + 3) // 4))[:length], dtype=np.uint8
+        )
+        payload = (data ^ key).tobytes()
     return fin, opcode, payload
 
 

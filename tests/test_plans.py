@@ -350,3 +350,18 @@ def test_embed_neardup_declared_query_no_cartesian(spark):
     for line in phys.splitlines():
         if "BroadcastNestedLoopJoin" in line:
             assert "__planes" in line, line
+
+
+def test_embed_groups_declared_query_no_cartesian(spark):
+    """Same gate for the declared embed_groups query: candidate
+    generation is bucketed, so no cartesian anywhere in the pipeline
+    (pairs + connected components + canonical join)."""
+
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.q_embed_groups(spark, SF_DIR)
+    phys = _executed(df)
+    assert "CartesianProduct" not in phys, phys
+    for line in phys.splitlines():
+        if "BroadcastNestedLoopJoin" in line:
+            assert "__planes" in line, line

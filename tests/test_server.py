@@ -436,3 +436,51 @@ def test_real_value_end_to_end(spark):
     assert got[6] == {"Real": 1}
     # JSON-serializable exactly as the reference's wire shape.
     json.dumps(out)
+
+
+def test_websocket_large_frames(spark):
+    """Frames beyond the 125-byte and 64 KiB thresholds use the
+    extended 16-bit and 64-bit length encodings in both directions: a
+    Transact of ~3000 datoms (>64 KiB of JSON) round-trips."""
+
+    from declarative_dataflow_spark.server import serve_ws
+
+    srv = Server(spark)
+    ws, thread, port = serve_ws(srv)
+    try:
+        s, f = _ws_client_connect(port)
+        _ws_client_send(
+            s,
+            json.dumps(
+                [{"CreateAttribute": {"name": "big", "config": None}}]
+            ).encode(),
+        )
+        assert _ws_client_recv(f)[0] == "text"
+        tx = json.dumps(
+            [
+                {
+                    "Transact": [
+                        [{"Eid": i}, "big", f"value-{i:06d}-{'x' * 12}", None, 1]
+                        for i in range(3000)
+                    ]
+                },
+                {"Subscribe": "big"},
+            ]
+        ).encode()
+        assert len(tx) > 1 << 16  # forces the 64-bit length encoding
+        _ws_client_send(s, tx)
+        kind, payload = _ws_client_recv(f)
+        assert kind == "text"
+        outs = json.loads(payload)
+        rows = [
+            r
+            for o in outs
+            for k, v in o.items()
+            if k == "QueryDiff"
+            for r in v[1]
+        ]
+        assert len(rows) == 3000
+        s.close()
+    finally:
+        ws.shutdown()
+        ws.server_close()
