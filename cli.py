@@ -22,7 +22,17 @@ import socket
 import sys
 
 
-def _send(host: str, port: int, requests: list) -> list:
+def _send(host: str, port: int, requests: list, ws: bool = False) -> list:
+    if ws:
+        from declarative_dataflow_spark.ws import WsClient
+
+        client = WsClient(host, port)
+        try:
+            client.send_text(json.dumps(requests))
+            reply = client.recv_text()
+            return json.loads(reply) if reply is not None else []
+        finally:
+            client.close()
     with socket.create_connection((host, port)) as s:
         f = s.makefile("rw")
         f.write(json.dumps(requests) + "\n")
@@ -34,6 +44,12 @@ def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=6262)
+    ap.add_argument(
+        "--ws",
+        action="store_true",
+        help="connect over RFC 6455 WebSocket (the reference's "
+        "transport) instead of JSON lines over TCP",
+    )
     sub = ap.add_subparsers(dest="cmd", required=True)
     sub.add_parser("ping")
     p_req = sub.add_parser("req")
@@ -57,16 +73,21 @@ def main(argv: list[str] | None = None) -> int:
     args = ap.parse_args(argv)
 
     if args.cmd == "ping":
-        out = _send(args.host, args.port, ["Status"])
+        out = _send(args.host, args.port, ["Status"], ws=args.ws)
     elif args.cmd == "req":
         raw = args.request if args.request else sys.stdin.read()
-        out = _send(args.host, args.port, json.loads(raw))
+        out = _send(args.host, args.port, json.loads(raw), ws=args.ws)
     elif args.cmd == "tx":
         raw = args.txdata if args.txdata else sys.stdin.read()
-        out = _send(args.host, args.port, [{"Transact": json.loads(raw)}])
+        out = _send(
+            args.host, args.port, [{"Transact": json.loads(raw)}], ws=args.ws
+        )
     elif args.cmd == "gql":
         out = _send(
-            args.host, args.port, [{"Derive": [args.query, args.namespace]}]
+            args.host,
+            args.port,
+            [{"Derive": [args.query, args.namespace]}],
+            ws=args.ws,
         )
     elif args.cmd == "serve":
         from declarative_dataflow_spark.server import Server, serve, serve_ws
