@@ -1236,32 +1236,37 @@ def incremental_recursion_for(engine, name: str):
     )
 
 
-class IncrementalShortestHops:
-    """Incrementally-maintained min-hop distances over a changing edge
-    set — the lattice-aggregate recursion (operators/graph.py::
-    shortest_hops) the set-semantics IncrementalRecursion cannot cover.
+class IncrementalShortestPaths:
+    """Incrementally-maintained minimum path costs over a changing
+    edge set — the lattice-aggregate recursion (operators/graph.py::
+    shortest_hops / shortest_paths) the set-semantics
+    IncrementalRecursion cannot cover. Unweighted (every edge costs 1,
+    output column ``hops``) and non-negative-weighted (``cost=``
+    column, output ``cost``) in one maintainer.
 
     Per epoch of edge additions/retractions, work tracks the CHANGE:
 
-    - additions (monotone): seed candidates from the new edges and
-      their one-step compositions with the maintained distance table,
-      then run the same delta relaxation as the batch operator —
-      only improving rows propagate.
+    - additions / weight decreases (monotone): seed candidates from
+      the improving edges and their one-step compositions with the
+      maintained distance table, then run the same delta relaxation as
+      the batch operator — only improving rows propagate.
     - retractions (DRed for the min lattice; the set-semantics
       analogue is IncrementalRecursion's delete-rederive,
-      incremental.py:726): a pair (x, y) is AFFECTED iff some shortest
+      incremental.py:726): a pair (x, y) is AFFECTED iff some minimal
       path routes through a removed edge (s, t) — exactly
-      d(x,s) + 1 + d(t,y) == d(x,y) with d(v,v) = 0 — computed by two
-      joins against the maintained table, never a graph scan. Affected
-      rows are over-deleted, then re-derived by relaxation seeded from
-      the SURVIVING rows (their distances are provably unchanged) and
-      the remaining edges.
+      d(x,s) + w(s,t) + d(t,y) == d(x,y) with d(v,v) = 0 — computed by
+      two joins against the maintained table, never a graph scan.
+      Affected rows are over-deleted, then re-derived by relaxation
+      seeded from the SURVIVING rows (their distances are provably
+      unchanged) and the remaining edges. A weight INCREASE is a
+      retraction plus an addition in the same epoch.
 
-    State: the (x, y, hops) table plus the edge set, localCheckpointed
-    per epoch. ``apply`` returns weighted diffs (x, y, hops, diff);
-    ``current`` is the maintained table, always equal to the batch
-    operator on the current edges (gated in test_incremental.py).
-    ``sources`` bounds all-pairs state exactly as in the batch op.
+    State: the (x, y, hops|cost) table plus the weighted edge set,
+    localCheckpointed per epoch. ``apply`` returns weighted diffs
+    (x, y, val, diff); ``current`` is the maintained table, always
+    equal to the batch operator on the current edges (gated in
+    test_incremental.py). ``sources`` bounds all-pairs state exactly
+    as in the batch operators.
     """
 
     def __init__(
@@ -1269,17 +1274,33 @@ class IncrementalShortestHops:
         edges: DataFrame,
         src: str = "src",
         dst: str = "dst",
+        cost: Optional[str] = None,
         sources: Optional[DataFrame] = None,
         max_iters: int = 100,
     ) -> None:
-        from ..operators.graph import shortest_hops
+        from ..operators.graph import shortest_hops, shortest_paths
 
         self.max_iters = max_iters
-        self.edges = (
-            edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
-            .distinct()
-            .localCheckpoint(eager=True)
-        )
+        self.weighted = cost is not None
+        self.val = "cost" if self.weighted else "hops"
+        if self.weighted:
+            self.edges = (
+                edges.select(
+                    F.col(src).alias("s"),
+                    F.col(dst).alias("t"),
+                    F.col(cost).alias("w"),
+                )
+                .groupBy("s", "t")
+                .agg(F.min("w").alias("w"))
+                .localCheckpoint(eager=True)
+            )
+        else:
+            self.edges = (
+                edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
+                .distinct()
+                .withColumn("w", F.lit(1))
+                .localCheckpoint(eager=True)
+            )
         self.sources = (
             sources.select(
                 F.col(sources.columns[0]).alias("s")
@@ -1287,26 +1308,54 @@ class IncrementalShortestHops:
             if sources is not None
             else None
         )
-        self.dist = shortest_hops(
-            self.edges, src="s", dst="t", max_iters=max_iters,
-            sources=self.sources,
-        ).localCheckpoint(eager=True)
+        if self.weighted:
+            init = shortest_paths(
+                self.edges, src="s", dst="t", cost="w",
+                max_iters=max_iters, sources=self.sources,
+            )
+        else:
+            init = shortest_hops(
+                self.edges.drop("w"), src="s", dst="t",
+                max_iters=max_iters, sources=self.sources,
+            )
+        self.dist = init.localCheckpoint(eager=True)
 
     def current(self) -> DataFrame:
         return self.dist
 
+    def _norm_add(self, df: Optional[DataFrame]) -> Optional[DataFrame]:
+        """(s, t, w): first two columns are endpoints; weighted mode
+        takes w from the third column, unweighted sets w = 1."""
+
+        if df is None:
+            return None
+        cols = df.columns
+        out = df.select(
+            F.col(cols[0]).alias("s"), F.col(cols[1]).alias("t"),
+            *(
+                [F.col(cols[2]).alias("w")]
+                if self.weighted
+                else [F.lit(1).alias("w")]
+            ),
+        )
+        return out.groupBy("s", "t").agg(F.min("w").alias("w"))
+
     @staticmethod
-    def _norm(df: Optional[DataFrame], cols=("src", "dst")) -> Optional[DataFrame]:
+    def _norm_rem(df: Optional[DataFrame]) -> Optional[DataFrame]:
+        """Retractions are (s, t) pairs — removing the edge regardless
+        of its stored weight."""
+
         if df is None:
             return None
         a, b = df.columns[0], df.columns[1]
         return df.select(F.col(a).alias("s"), F.col(b).alias("t")).distinct()
 
-    def _affected(self, rem: DataFrame) -> DataFrame:
-        """Pairs (x, y) whose min-hop distance may change when ``rem``
-        edges disappear: d(x,s) + 1 + d(t,y) == d(x,y) over the
-        pre-deletion table, with d(v,v) = 0 supplied for the endpoint
-        cases. Two hash joins; output is the affected pairs only.
+    def _affected(self, rem_w: DataFrame) -> DataFrame:
+        """Pairs (x, y) whose minimal cost may change when the
+        ``rem_w`` (s, t, w) edges disappear:
+        d(x,s) + w + d(t,y) == d(x,y) over the pre-deletion table,
+        with d(v,v) = 0 supplied for the endpoint cases. Two hash
+        joins; output is the affected pairs only.
 
         Under ``sources`` restriction the table holds no suffix
         distances d(t, y) for non-source t, so the pair-level test
@@ -1316,11 +1365,12 @@ class IncrementalShortestHops:
         that source's tree re-derived. Work is the affected sources'
         trees, still never the whole state."""
 
+        val = self.val
         if self.sources is not None:
             reaches_tail = (
                 self.dist.join(
-                    rem.select("s"),
-                    self.dist["y"] == rem["s"],
+                    rem_w.select("s"),
+                    self.dist["y"] == rem_w["s"],
                     "left_semi",
                 )
                 .select("x")
@@ -1330,7 +1380,7 @@ class IncrementalShortestHops:
                 self.dist.select("x")
                 .distinct()
                 .join(
-                    rem.select(F.col("s").alias("x")).distinct(),
+                    rem_w.select(F.col("s").alias("x")).distinct(),
                     "x",
                     "left_semi",
                 )
@@ -1342,36 +1392,49 @@ class IncrementalShortestHops:
                 .distinct()
             )
 
+        zero = F.lit(0.0) if self.weighted else F.lit(0)
         zeros_x = (
             self.dist.select(F.col("x").alias("v"))
             .unionByName(self.edges.select(F.col("s").alias("v")))
             .distinct()
             .select(F.col("v").alias("x"), F.col("v").alias("y"),
-                    F.lit(0).alias("hops"))
+                    zero.alias(val))
         )
         zeros_y = (
             self.dist.select(F.col("y").alias("v"))
             .unionByName(self.edges.select(F.col("t").alias("v")))
             .distinct()
             .select(F.col("v").alias("x"), F.col("v").alias("y"),
-                    F.lit(0).alias("hops"))
+                    zero.alias(val))
         )
         dplus_pre = self.dist.unionByName(zeros_x)   # prefixes d(x, s)
         dplus_suf = self.dist.unionByName(zeros_y)   # suffixes d(t, y)
         pre = dplus_pre.select(
-            F.col("x"), F.col("y").alias("s"), F.col("hops").alias("d1")
+            F.col("x"), F.col("y").alias("s"), F.col(val).alias("d1")
         )
         suf = dplus_suf.select(
-            F.col("x").alias("t"), F.col("y"), F.col("hops").alias("d2")
+            F.col("x").alias("t"), F.col("y"), F.col(val).alias("d2")
         )
         through = (
-            pre.join(rem, "s")
+            pre.join(rem_w, "s")
             .join(suf, "t")
-            .select("x", "y", (F.col("d1") + 1 + F.col("d2")).alias("d"))
+            .select(
+                "x", "y",
+                (F.col("d1") + F.col("w") + F.col("d2")).alias("d"),
+            )
         )
+        # Weighted costs are float sums whose grouping differs between
+        # the maintained value and the prefix+w+suffix decomposition;
+        # a small tolerance keeps the over-approximation SOUND (extra
+        # marked pairs re-derive to the same value, missed pairs would
+        # keep a stale cost). Unweighted hops compare exactly.
+        if self.weighted:
+            cond = F.abs(F.col(val) - F.col("d")) <= F.lit(1e-9)
+        else:
+            cond = F.col(val) == F.col("d")
         return (
             self.dist.join(through, ["x", "y"])
-            .filter(F.col("hops") == F.col("d"))
+            .filter(cond)
             .select("x", "y")
             .distinct()
         )
@@ -1382,31 +1445,53 @@ class IncrementalShortestHops:
         retracted: Optional[DataFrame] = None,
     ) -> DataFrame:
         """One epoch: apply edge additions/retractions, advance the
-        maintained table, return weighted diffs (x, y, hops, diff)."""
+        maintained table, return weighted diffs (x, y, val, diff)."""
 
-        add = self._norm(added)
-        rem = self._norm(retracted)
+        val = self.val
+        add = self._norm_add(added)
+        rem = self._norm_rem(retracted)
         old_dist = self.dist
         old_edges = self.edges
 
-        if add is not None:
-            add = add.join(old_edges, ["s", "t"], "left_anti")
         if rem is not None:
-            rem = rem.join(old_edges, ["s", "t"], "left_semi").localCheckpoint(
-                eager=True
+            rem_w = rem.join(old_edges, ["s", "t"], "left_semi").join(
+                old_edges, ["s", "t"]
+            ).localCheckpoint(eager=True)  # (s, t, w) actually removed
+            if rem_w.limit(1).isEmpty():
+                rem = rem_w = None
+        else:
+            rem_w = None
+        base_edges = old_edges
+        if rem is not None:
+            base_edges = base_edges.join(rem, ["s", "t"], "left_anti")
+        if add is not None:
+            # effective additions: new pairs, or strictly lower weight
+            # than the (post-retraction) stored edge.
+            add = (
+                add.join(
+                    base_edges.select(
+                        "s", "t", F.col("w").alias("__wb")
+                    ),
+                    ["s", "t"], "left",
+                )
+                .filter(F.col("__wb").isNull() | (F.col("w") < F.col("__wb")))
+                .select("s", "t", "w")
+                .localCheckpoint(eager=True)
             )
-            if rem.limit(1).isEmpty():
-                rem = None
-        new_edges = old_edges
-        if rem is not None:
-            new_edges = new_edges.join(rem, ["s", "t"], "left_anti")
+            if add.limit(1).isEmpty():
+                add = None
+        new_edges = base_edges
         if add is not None:
-            new_edges = new_edges.unionByName(add)
+            new_edges = (
+                new_edges.unionByName(add)
+                .groupBy("s", "t")
+                .agg(F.min("w").alias("w"))
+            )
         new_edges = new_edges.localCheckpoint(eager=True)
 
         # -- delete phase (DRed over-delete) --
-        if rem is not None:
-            affected = self._affected(rem).localCheckpoint(eager=True)
+        if rem_w is not None:
+            affected = self._affected(rem_w).localCheckpoint(eager=True)
             surviving = old_dist.join(
                 affected, ["x", "y"], "left_anti"
             ).localCheckpoint(eager=True)
@@ -1419,17 +1504,17 @@ class IncrementalShortestHops:
         if add is not None:
             direct = add.select(
                 F.col("s").alias("x"), F.col("t").alias("y"),
-                F.lit(1).alias("hops"),
+                F.col("w").alias(val),
             )
             if self.sources is not None:
                 direct = direct.join(
                     self.sources.select(F.col("s").alias("x")), "x"
                 )
             seeds.append(direct)
-            seeds.append(  # maintained prefix + new edge
+            seeds.append(  # maintained prefix + improving edge
                 surviving.join(add, surviving["y"] == add["s"]).select(
                     "x", F.col("t").alias("y"),
-                    (F.col("hops") + 1).alias("hops"),
+                    (F.col(val) + F.col("w")).alias(val),
                 )
             )
         if affected is not None:
@@ -1437,61 +1522,63 @@ class IncrementalShortestHops:
             # landing in the affected region.
             base = new_edges.select(
                 F.col("s").alias("x"), F.col("t").alias("y"),
-                F.lit(1).alias("hops"),
+                F.col("w").alias(val),
             ).join(affected, ["x", "y"], "left_semi")
             seeds.append(base)
             seeds.append(
                 surviving.join(new_edges, surviving["y"] == new_edges["s"])
                 .select(
                     "x", F.col("t").alias("y"),
-                    (F.col("hops") + 1).alias("hops"),
+                    (F.col(val) + F.col("w")).alias(val),
                 )
                 .join(affected, ["x", "y"], "left_semi")
             )
         if not seeds:
+            self.edges = new_edges
             return old_dist.limit(0).withColumn("diff", F.lit(1))
 
         cand0 = seeds[0]
         for s in seeds[1:]:
             cand0 = cand0.unionByName(s)
-        cand0 = cand0.groupBy("x", "y").agg(F.min("hops").alias("hops"))
+        cand0 = cand0.groupBy("x", "y").agg(F.min(val).alias(val))
         # improvements vs surviving state only
         delta = (
             cand0.join(
-                surviving.select("x", "y", F.col("hops").alias("__h")),
+                surviving.select("x", "y", F.col(val).alias("__h")),
                 ["x", "y"], "left",
             )
-            .filter(F.col("__h").isNull() | (F.col("hops") < F.col("__h")))
-            .select("x", "y", "hops")
+            .filter(F.col("__h").isNull() | (F.col(val) < F.col("__h")))
+            .select("x", "y", val)
             .localCheckpoint(eager=True)
         )
         dist = (
             surviving.unionByName(delta)
             .groupBy("x", "y")
-            .agg(F.min("hops").alias("hops"))
+            .agg(F.min(val).alias(val))
             .localCheckpoint(eager=False)
         )
 
-        # -- same delta relaxation as the batch operator --
+        # -- same delta relaxation as the batch operators --
         for _ in range(self.max_iters):
             if delta.limit(1).isEmpty():
                 break
             cand = delta.join(new_edges, delta["y"] == new_edges["s"]).select(
-                "x", F.col("t").alias("y"), (F.col("hops") + 1).alias("hops")
+                "x", F.col("t").alias("y"),
+                (F.col(val) + F.col("w")).alias(val),
             )
             merged = (
                 dist.unionByName(cand)
                 .groupBy("x", "y")
-                .agg(F.min("hops").alias("hops"))
+                .agg(F.min(val).alias(val))
                 .localCheckpoint(eager=False)
             )
             delta = merged.join(
-                dist, ["x", "y", "hops"], "left_anti"
+                dist, ["x", "y", val], "left_anti"
             ).localCheckpoint(eager=True)
             dist = merged
         else:
             raise RuntimeError(
-                f"incremental shortest_hops did not converge in "
+                f"incremental shortest paths did not converge in "
                 f"{self.max_iters} rounds"
             )
 
@@ -1501,3 +1588,23 @@ class IncrementalShortestHops:
         self.dist = dist
         self.edges = new_edges
         return removed_rows.unionByName(added_rows)
+
+
+class IncrementalShortestHops(IncrementalShortestPaths):
+    """Unweighted form: every edge costs one hop (output column
+    ``hops``). Kept as its own name because it is the maintained twin
+    of the ``shortest_hops`` batch operator and the declared
+    ``shortest_hops`` query."""
+
+    def __init__(
+        self,
+        edges: DataFrame,
+        src: str = "src",
+        dst: str = "dst",
+        sources: Optional[DataFrame] = None,
+        max_iters: int = 100,
+    ) -> None:
+        super().__init__(
+            edges, src=src, dst=dst, cost=None, sources=sources,
+            max_iters=max_iters,
+        )

@@ -1299,3 +1299,74 @@ def test_incremental_shortest_hops_small_epoch_large_snapshot(spark):
     # delta-proportional property that makes maintenance worthwhile
     # (each changed row emits a retract + an assert diff).
     assert 0 < n_changed < snapshot_rows
+
+
+def test_incremental_shortest_paths_weighted_churn(spark):
+    """Weighted maintainer: randomized epochs of edge adds, removals,
+    weight decreases (plain add) and weight increases (retract + add)
+    keep the maintained min-cost table equal to the batch
+    shortest_paths operator on the current weighted edge set."""
+
+    import random
+
+    from declarative_dataflow_spark.operators.graph import shortest_paths
+    from declarative_dataflow_spark.streaming.incremental import (
+        IncrementalShortestPaths,
+    )
+
+    rng = random.Random(23)
+    nodes = list(range(10))
+    current = {
+        (0, 1): 2.0, (1, 2): 1.0, (2, 3): 4.0, (3, 0): 1.0,
+        (1, 4): 3.0, (4, 5): 2.0, (0, 5): 9.0,
+    }
+
+    def frame(d):
+        return spark.createDataFrame(
+            [(s, t, w) for (s, t), w in sorted(d.items())],
+            ["src", "dst", "cost"],
+        )
+
+    inc = IncrementalShortestPaths(frame(current), cost="cost")
+    for _epoch in range(4):
+        adds: dict = {}
+        rems = set()
+        for _ in range(rng.randint(1, 3)):
+            kind = rng.choice(["add", "rem", "dec", "inc"])
+            if kind == "add":
+                e = (rng.choice(nodes), rng.choice(nodes))
+                if e[0] != e[1] and e not in current:
+                    adds[e] = float(rng.randint(1, 9))
+            elif kind == "rem" and current:
+                rems.add(rng.choice(sorted(current)))
+            elif kind == "dec" and current:
+                e = rng.choice(sorted(current))
+                adds[e] = max(0.5, current[e] - 1.0)
+            elif kind == "inc" and current:
+                e = rng.choice(sorted(current))
+                rems.add(e)
+                adds[e] = current[e] + 2.0
+        for e in rems:
+            current.pop(e, None)
+        for e, w in adds.items():
+            # plain 'dec' adds only ever lower; 'inc' re-adds after rem
+            current[e] = min(current.get(e, float("inf")), w) \
+                if e in current else w
+        inc.apply(
+            added=spark.createDataFrame(
+                [(s, t, w) for (s, t), w in sorted(adds.items())]
+                or [(None, None, None)],
+                "src long, dst long, cost double",
+            ).dropna(),
+            retracted=spark.createDataFrame(
+                sorted(rems) or [(None, None)], "src long, dst long"
+            ).dropna(),
+        )
+        got = {
+            (r["x"], r["y"]): r["cost"] for r in inc.current().collect()
+        }
+        expect = {
+            (r["x"], r["y"]): r["cost"]
+            for r in shortest_paths(frame(current)).collect()
+        }
+        assert got == expect, (sorted(current.items()), _epoch)
