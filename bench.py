@@ -42,6 +42,8 @@ HEADLINE = [
     "dup_ngram_frac",  # corpus-wide duplicate-ngram boilerplate signal
     "global_shuffle",  # deterministic sharded training-order shuffle
     "topk_plan",       # TopK operator (TakeOrderedAndProject lowering)
+    "wco_clique4",     # generic WCO lowering, 6-binding 4-clique
+    "ann_ivf",         # IVF ANN (broadcast centroids, nprobe cells)
 ]
 
 
@@ -87,6 +89,21 @@ def main() -> None:
             t0 = time.perf_counter()
             qs[name](spark, block_dir).count()
             out[name] = round(time.perf_counter() - t0, 3)
+        # embed_neardup with DENSITY-ADJUSTED planes — the way a
+        # caller runs it at scale: bucket count tracks corpus size
+        # (2^planes ~ n/32), so within-bucket pairs grow ~n^2/2^planes
+        # instead of bucket-quadratic. (The DECLARED query keeps fixed
+        # planes because its DuckDB oracle is static SQL.)
+        import math
+
+        emb = spark.read.parquet(f"{block_dir}/embeddings.parquet")
+        n = emb.count()
+        planes = max(6, math.ceil(math.log2(max(n, 64) / 32)))
+        t0 = time.perf_counter()
+        similarity.embedding_neardup(
+            emb, threshold=0.4, planes=planes, dim=64
+        ).count()
+        out["embed_neardup_scaled"] = round(time.perf_counter() - t0, 3)
         return out
 
     timings = time_block(sf_dir)
