@@ -566,6 +566,114 @@ def q_shortest_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.shortest_hops(edges).select("x", "y", "hops")
 
 
+def q_shortest_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED recursive aggregate: minimum total cost between
+    reachable pairs of the derived DAG (integer edge costs from
+    event_id, so cross-engine hashing is exact). The cost-general
+    delta relaxation (operators/graph.py::shortest_paths); oracle:
+    recursive CTE enumerating path costs + group-wise minimum."""
+
+    ev = load_table(spark, sf_dir, "events")
+    edges = ev.select(
+        (F.col("user_id") % 100).alias("src"),
+        (F.col("user_id") % 100 + 1 + F.col("event_id") % 7).alias("dst"),
+        (1 + F.col("event_id") % 5).alias("cost"),
+    )
+    return graph.shortest_paths(edges).select("x", "y", "cost")
+
+
+def _events_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with an exact microsecond TimestampType column ``t``.
+    The testdata parquet stores TIMESTAMP(NANOS); depending on the
+    reader config it surfaces as TIMESTAMP_NTZ (cast is exact under
+    the session's UTC zone) or as a nanosecond long."""
+
+    ev = load_table(spark, sf_dir, "events")
+    dtype = dict(ev.dtypes)["ts"]
+    if dtype == "bigint":
+        t = F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
+    else:
+        t = F.col("ts").cast("timestamp")
+    return ev.withColumn("t", t)
+
+
+def q_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window grouped aggregation (streaming/windows.py::
+    tumbling_agg — the same operator the streaming sink uses, with the
+    watermark a no-op on batch input). Window bounds emitted as epoch
+    seconds; oracle mirrors Spark's epoch-aligned hour buckets."""
+
+    from declarative_dataflow_spark.streaming import windows
+
+    out = windows.tumbling_agg(
+        _events_ts(spark, sf_dir),
+        "t",
+        "1 hour",
+        "0 seconds",
+        ["event_type"],
+        {"n": "count(*)", "total": "round(sum(value), 2)"},
+    )
+    return out.select(
+        F.unix_timestamp("window_start").alias("w_start"),
+        F.unix_timestamp("window_end").alias("w_end"),
+        F.col("event_type").alias("etype"),
+        "n",
+        "total",
+    )
+
+
+def q_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window aggregation (2-hour window, 1-hour slide): every
+    event lands in two overlapping panes (streaming/windows.py::
+    sliding_agg); oracle unions the two shifted hour buckets."""
+
+    from declarative_dataflow_spark.streaming import windows
+
+    out = windows.sliding_agg(
+        _events_ts(spark, sf_dir),
+        "t",
+        "2 hours",
+        "1 hour",
+        "0 seconds",
+        ["event_type"],
+        {"n": "count(*)", "total": "round(sum(value), 2)"},
+    )
+    return out.select(
+        F.unix_timestamp("window_start").alias("w_start"),
+        F.unix_timestamp("window_end").alias("w_end"),
+        F.col("event_type").alias("etype"),
+        "n",
+        "total",
+    )
+
+
+def q_window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (10-minute gap) per event_type
+    (streaming/windows.py::session_agg, F.session_window's native
+    merging state): start = first event, end = last event + gap,
+    sessions merge while intervals overlap. Bounds emitted as exact
+    epoch MICROseconds; the oracle reproduces the merge with a lag()
+    break + running session id."""
+
+    from declarative_dataflow_spark.streaming import windows
+
+    out = windows.session_agg(
+        _events_ts(spark, sf_dir),
+        "t",
+        "10 minutes",
+        "0 seconds",
+        ["event_type"],
+        {"n": "count(*)", "total": "round(sum(value), 2)"},
+    )
+    return out.select(
+        F.unix_micros("window_start").alias("w_start"),
+        F.unix_micros("window_end").alias("w_end"),
+        F.col("event_type").alias("etype"),
+        "n",
+        "total",
+    )
+
+
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-iteration PageRank over the derived 100-node graph; ranks
     round to 6 decimals per iteration so the result is reproducible
@@ -1275,6 +1383,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_neardup": q_embed_neardup,
         "embed_groups": q_embed_groups,
         "wco_clique5": q_wco_clique5,
+        "shortest_cost": q_shortest_cost,
+        "window_tumbling": q_window_tumbling,
+        "window_sliding": q_window_sliding,
+        "window_session": q_window_session,
         # --- the 29 keys deferred in r04 (green in r02 AND r03) ---
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
@@ -1322,8 +1434,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tclosure": q_tclosure,
         "tclosure_nonlinear": q_tclosure_nonlinear,
         "shortest_hops": q_shortest_hops,
-        "pagerank": q_pagerank,
         # --- deferred this round (driver cap); all green in r04 ---
+        "pagerank": q_pagerank,
         "labelprop": q_labelprop,
         "triangle_count": q_triangle_count,
         "triangle_wco": q_triangle_wco,
@@ -1665,6 +1777,51 @@ def oracle_sql() -> dict[str, str]:
             "UNION "
             "SELECT p.x, e.t, p.d + 1 FROM paths p JOIN edges e ON p.y = e.s) "
             "SELECT x, y, min(d) AS hops FROM paths GROUP BY x, y"
+        ),
+        "window_tumbling": (
+            "SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS w_start, "
+            "(epoch_ns(ts) // 3600000000000) * 3600 + 3600 AS w_end, "
+            "event_type AS etype, count(*) AS n, "
+            "round(sum(value), 2) AS total "
+            "FROM events GROUP BY 1, 2, 3"
+        ),
+        "window_sliding": (
+            # 2h window / 1h slide: each event in the pane starting at
+            # its hour and the one before.
+            "WITH b AS (SELECT epoch_ns(ts) // 3600000000000 AS hb, "
+            "event_type AS etype, value FROM events), "
+            "p AS (SELECT hb * 3600 AS w_start, etype, value FROM b "
+            "UNION ALL SELECT (hb - 1) * 3600, etype, value FROM b) "
+            "SELECT w_start, w_start + 7200 AS w_end, etype, "
+            "count(*) AS n, round(sum(value), 2) AS total "
+            "FROM p GROUP BY 1, 2, 3"
+        ),
+        "window_session": (
+            # Sessions merge while [t, t+gap) intervals overlap:
+            # break when t - prev >= gap; end = last event + gap.
+            "WITH b AS (SELECT event_type AS etype, epoch_us(ts) AS tu, "
+            "value FROM events), "
+            "m AS (SELECT *, CASE WHEN tu - lag(tu) OVER "
+            "(PARTITION BY etype ORDER BY tu) >= 600000000 "
+            "THEN 1 ELSE 0 END AS brk FROM b), "
+            "s AS (SELECT *, SUM(brk) OVER (PARTITION BY etype "
+            "ORDER BY tu ROWS UNBOUNDED PRECEDING) AS sid FROM m) "
+            "SELECT min(tu) AS w_start, max(tu) + 600000000 AS w_end, "
+            "etype, count(*) AS n, round(sum(value), 2) AS total "
+            "FROM s GROUP BY etype, sid"
+        ),
+        "shortest_cost": (
+            "WITH RECURSIVE edges AS ("
+            "SELECT src, dst, min(c) AS w FROM ("
+            "SELECT user_id % 100 AS src, "
+            "user_id % 100 + 1 + event_id % 7 AS dst, "
+            "1 + event_id % 5 AS c FROM events) GROUP BY src, dst), "
+            "paths(x, y, c) AS ("
+            "SELECT src, dst, w FROM edges "
+            "UNION "
+            "SELECT p.x, e.dst, p.c + e.w FROM paths p "
+            "JOIN edges e ON p.y = e.src) "
+            "SELECT x, y, min(c) AS cost FROM paths GROUP BY x, y"
         ),
         "labelprop": (
             "WITH RECURSIVE edges AS ("
