@@ -1431,10 +1431,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_rollup": q_agg_rollup,
         "agg_multi": q_agg_multi,
         "agg_global": q_agg_global,
+        # --- deferred this round (driver cap); all green in r04 ---
         "tclosure": q_tclosure,
         "tclosure_nonlinear": q_tclosure_nonlinear,
         "shortest_hops": q_shortest_hops,
-        # --- deferred this round (driver cap); all green in r04 ---
         "pagerank": q_pagerank,
         "labelprop": q_labelprop,
         "triangle_count": q_triangle_count,
