@@ -674,6 +674,38 @@ def q_window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_coarsen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Output-granularity coarsening (streaming/windows.py::coarsen —
+    the reference's delay/coarsen output option, rounding each row's
+    time UP to the next window multiple). Batch form over events."""
+
+    from declarative_dataflow_spark.streaming import windows
+
+    out = windows.coarsen(
+        _events_ts(spark, sf_dir).select("event_id", "t"), "t", "1 hour"
+    )
+    return out.select(
+        "event_id", F.unix_timestamp("coarsened").alias("coarsened")
+    )
+
+
+def q_datalog_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The clj-3df Datalog TEXT front-end (plan/datalog.py) through
+    the driver gate: pattern clauses + a predicate, compiled onto the
+    plan algebra exactly as the reference's test descriptions are."""
+
+    from declarative_dataflow_spark.plan.datalog import query as dquery
+
+    eng = _engine(spark, sf_dir)
+    return dquery(
+        eng,
+        "[:find ?c ?n ?b :where "
+        "[?c :customer/name ?n] [?c :customer/acctbal ?b] "
+        "[(< ?b 0.0)]]",
+        ["c", "n", "b"],
+    )
+
+
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-iteration PageRank over the derived 100-node graph; ranks
     round to 6 decimals per iteration so the result is reproducible
@@ -1387,6 +1419,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_tumbling": q_window_tumbling,
         "window_sliding": q_window_sliding,
         "window_session": q_window_session,
+        "coarsen_batch": q_coarsen,
+        "datalog_text": q_datalog_text,
         # --- the 29 keys deferred in r04 (green in r02 AND r03) ---
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
@@ -1429,9 +1463,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_stddev": q_agg_stddev,
         "topk_plan": q_topk_plan,
         "agg_rollup": q_agg_rollup,
+        # --- deferred this round (driver cap); all green in r04 ---
         "agg_multi": q_agg_multi,
         "agg_global": q_agg_global,
-        # --- deferred this round (driver cap); all green in r04 ---
         "tclosure": q_tclosure,
         "tclosure_nonlinear": q_tclosure_nonlinear,
         "shortest_hops": q_shortest_hops,
@@ -1777,6 +1811,15 @@ def oracle_sql() -> dict[str, str]:
             "UNION "
             "SELECT p.x, e.t, p.d + 1 FROM paths p JOIN edges e ON p.y = e.s) "
             "SELECT x, y, min(d) AS hops FROM paths GROUP BY x, y"
+        ),
+        "coarsen_batch": (
+            "SELECT event_id, "
+            "(epoch_ns(ts) // 3600000000000) * 3600 + 3600 AS coarsened "
+            "FROM events"
+        ),
+        "datalog_text": (
+            "SELECT c_custkey AS c, c_name AS n, c_acctbal AS b "
+            "FROM customer WHERE c_acctbal < 0.0"
         ),
         "window_tumbling": (
             "SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS w_start, "
