@@ -159,11 +159,22 @@ def shortest_paths(
     cost: str = "cost",
     max_iters: int = 100,
     sources: DataFrame | None = None,
+    step: int = 4,
 ) -> DataFrame:
     """Minimum total cost between reachable (x, y) pairs over a
     non-negative cost column: (x, y, cost). Same delta-driven
     relaxation as :func:`shortest_hops` (its cost-1 special case);
-    non-negative costs guarantee termination."""
+    non-negative costs guarantee termination.
+
+    Unlike hop counts (which converge in diameter rounds), min-cost
+    tables keep improving for as many rounds as the HOP LENGTH of the
+    cheapest path — many short cheap edges beat one expensive edge —
+    so the loop is round-dominated at small scale. ``step`` unrolls
+    that many relaxations into ONE Spark job (lazy min-combine between
+    each, so candidates stay pruned); driver rounds drop by ``step``
+    while per-round work gains only the extra in-job shuffles, which
+    AQE sizes to the actual deltas. At cluster scale the same unroll
+    amortizes scheduling overhead identically."""
 
     e = edges.select(
         F.col(src).alias("s"),
@@ -180,14 +191,24 @@ def shortest_paths(
         F.col("s").alias("x"), F.col("t").alias("y"), F.col("w").alias("cost")
     ).localCheckpoint(eager=True)
     delta = dist
+    step = max(1, step)
     for _ in range(max_iters):
-        cand = (
-            delta.join(e, delta["y"] == e["s"])
-            .select("x", F.col("t").alias("y"), (F.col("cost") + F.col("w")).alias("cost"))
-        )
+        acc = dist
+        ext = delta
+        for _ in range(step):
+            ext = (
+                ext.join(e, ext["y"] == e["s"])
+                .select(
+                    "x",
+                    F.col("t").alias("y"),
+                    (F.col("cost") + F.col("w")).alias("cost"),
+                )
+                .groupBy("x", "y")
+                .agg(F.min("cost").alias("cost"))
+            )
+            acc = acc.unionByName(ext)
         merged = (
-            dist.unionByName(cand)
-            .groupBy("x", "y")
+            acc.groupBy("x", "y")
             .agg(F.min("cost").alias("cost"))
             .localCheckpoint(eager=False)
         )
