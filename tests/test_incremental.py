@@ -1370,3 +1370,63 @@ def test_incremental_shortest_paths_weighted_churn(spark):
             for r in shortest_paths(frame(current)).collect()
         }
         assert got == expect, (sorted(current.items()), _epoch)
+
+
+def test_incremental_shortest_paths_weighted_sources(spark):
+    """Weighted maintainer under a sources restriction: the affected
+    test coarsens to source trees (no suffix distances exist); churn
+    epochs still equal the batch operator restricted to the sources."""
+
+    import random
+
+    from declarative_dataflow_spark.operators.graph import shortest_paths
+    from declarative_dataflow_spark.streaming.incremental import (
+        IncrementalShortestPaths,
+    )
+
+    rng = random.Random(31)
+    nodes = list(range(9))
+    current = {
+        (0, 1): 1.0, (1, 2): 2.0, (2, 3): 1.0, (0, 4): 5.0,
+        (4, 5): 1.0, (5, 2): 1.0, (3, 6): 2.0,
+    }
+    sources = [0, 4]
+
+    def frame(d):
+        return spark.createDataFrame(
+            [(s, t, w) for (s, t), w in sorted(d.items())],
+            ["src", "dst", "cost"],
+        )
+
+    src_df = spark.createDataFrame([(x,) for x in sources], ["node"])
+    inc = IncrementalShortestPaths(frame(current), cost="cost", sources=src_df)
+    for _epoch in range(3):
+        adds: dict = {}
+        rems = set()
+        for _ in range(rng.randint(1, 3)):
+            if rng.random() < 0.5 or not current:
+                e = (rng.choice(nodes), rng.choice(nodes))
+                if e[0] != e[1] and e not in current:
+                    adds[e] = float(rng.randint(1, 6))
+            else:
+                rems.add(rng.choice(sorted(current)))
+        for e in rems:
+            current.pop(e, None)
+        for e, w in adds.items():
+            current[e] = w
+        inc.apply(
+            added=spark.createDataFrame(
+                [(s, t, w) for (s, t), w in sorted(adds.items())]
+                or [(None, None, None)],
+                "src long, dst long, cost double",
+            ).dropna(),
+            retracted=spark.createDataFrame(
+                sorted(rems) or [(None, None)], "src long, dst long"
+            ).dropna(),
+        )
+        got = {(r["x"], r["y"]): r["cost"] for r in inc.current().collect()}
+        expect = {
+            (r["x"], r["y"]): r["cost"]
+            for r in shortest_paths(frame(current), sources=src_df).collect()
+        }
+        assert got == expect, (sorted(current.items()), _epoch)
