@@ -179,7 +179,10 @@ def main() -> None:
     )
     if want_sf1:
         try:
-            if not os.path.exists(f"{sf1_dir}/events.parquet"):
+            # embeddings.parquet is the LAST table scale() writes, so its
+            # presence proves a COMPLETE build (gating on an earlier
+            # table would skip the rebuild of a half-finished dir forever).
+            if not os.path.exists(f"{sf1_dir}/embeddings.parquet"):
                 sys.path.insert(
                     0, os.path.join(os.path.dirname(__file__), "tools")
                 )

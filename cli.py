@@ -64,6 +64,10 @@ def main(argv: list[str] | None = None) -> int:
     p_serve.add_argument(
         "--ws",
         action="store_true",
+        # SUPPRESS: without it the subparser's False default would
+        # clobber a top-level `--ws` given before the subcommand
+        # (argparse copies the sub-namespace over the parent).
+        default=argparse.SUPPRESS,
         help="speak RFC 6455 WebSocket (the reference's transport) "
         "instead of JSON lines over TCP",
     )

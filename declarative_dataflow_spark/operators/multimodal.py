@@ -201,7 +201,9 @@ def decode_image(binaries: DataFrame, fake: bool = True) -> DataFrame:
                     try:
                         fmt, w, h, _ = _decode_real(p)
                         metas.append((fmt, w, h))
-                    except ValueError:
+                    except Exception:  # malformed headers raise
+                        # struct.error/IndexError too, not only
+                        # ValueError — any failure flags the row
                         metas.append(("undecodable", None, None))
             yield pd.DataFrame(
                 {
@@ -255,7 +257,7 @@ def resize_image(
 
         try:
             _, w, h, arr = _decode_real(p)
-        except ValueError:
+        except Exception:  # incl. struct.error from truncated headers
             return None  # undecodable row: null payload, stage survives
         yi = (np.arange(height) * h // height).astype("int64")
         xi = (np.arange(width) * w // width).astype("int64")
@@ -318,7 +320,7 @@ def extract_features(
     def _pixel_grid(p: bytes):
         try:
             _, w, h, arr = _decode_real(p)
-        except ValueError:
+        except Exception:  # incl. struct.error from truncated headers
             return None  # undecodable row: null features, stage survives
         gray = arr.mean(axis=2)
         yi = (np.arange(h) * g // h).clip(max=g - 1)

@@ -209,6 +209,12 @@ def embedding_neardup(
                 F.size(F.col(vec_col)).alias("d")
             ).first()
             dim = dim_row["d"] if dim_row else 0
+    if planes is not None and (planes <= 0 or dim <= 0):
+        # Degenerate bucketing = a single bucket = the exact all-pairs
+        # baseline (mirrors hyperplane_signature's guard — without it
+        # sequence(0, planes-1) would mis-bucket and drop pairs).
+        planes = None
+    if planes is not None:
         # Bucket computed inline on the pair base (one single-row
         # weights broadcast per side) — no extra equi-join back on id.
         base = _with_bucket(base, planes, dim, "v").select(

@@ -298,6 +298,13 @@ def serve(
 
 _WS_GUID = "258EAFA5-E914-47DA-95CA-C5AB0DC85B11"
 
+# Per-frame and per-message payload ceiling. The length field is
+# client-controlled (full unsigned 64-bit in the extended encoding);
+# without a cap one corrupt or malicious frame declaring 2^40 bytes
+# would make the handler buffer it on the driver. The JSON-lines TCP
+# transport is line-bounded by comparison.
+WS_MAX_MESSAGE_BYTES = 64 << 20  # 64 MiB
+
 
 def _ws_read_exact(rfile, n: int) -> Optional[bytes]:
     buf = b""
@@ -331,6 +338,8 @@ def _ws_read_frame(rfile) -> Optional[tuple[bool, int, bytes]]:
         if ext is None:
             return None
         (length,) = struct.unpack(">Q", ext)
+    if length > WS_MAX_MESSAGE_BYTES:
+        return None  # oversized frame: drop the connection
     mask = b""
     if masked:
         mask = _ws_read_exact(rfile, 4)
@@ -429,6 +438,8 @@ def serve_ws(
                 if opcode == 0xA:  # unsolicited pong
                     continue
                 message += payload  # text/binary/continuation
+                if len(message) > WS_MAX_MESSAGE_BYTES:
+                    return  # fragmented message exceeds the cap
                 if not fin:
                     continue
                 text = message.decode("utf-8")

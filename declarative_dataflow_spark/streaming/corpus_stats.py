@@ -87,17 +87,30 @@ class IncrementalDupNgram:
         with open(ptr) as f:
             return f"{self.state_dir}/{name}_v{int(f.read().strip())}"
 
-    def _bump(self, name: str) -> str:
+    def _next_version(self, name: str) -> int:
+        import os
+
+        ptr = f"{self.state_dir}/{name}.version"
+        if os.path.exists(ptr):
+            with open(ptr) as f:
+                return int(f.read().strip()) + 1
+        return 0
+
+    def _commit_version(self, name: str, version: int) -> None:
+        """Point the generation pointer at ``version`` — the COMMIT of
+        the write-then-swap: called only after the new generation's
+        data (and manifest, if any) is fully on disk, so a crash
+        mid-write leaves the pointer on the old, complete generation."""
+
         import os
 
         os.makedirs(self.state_dir, exist_ok=True)
-        ptr = f"{self.state_dir}/{name}.version"
-        version = 0
-        if os.path.exists(ptr):
-            with open(ptr) as f:
-                version = int(f.read().strip()) + 1
-        with open(ptr, "w") as f:
+        with open(f"{self.state_dir}/{name}.version", "w") as f:
             f.write(str(version))
+
+    def _bump(self, name: str) -> str:
+        version = self._next_version(name)
+        self._commit_version(name, version)
         return f"{self.state_dir}/{name}_v{version}"
 
     # Compacted generations store the folded base under this reserved
@@ -173,7 +186,12 @@ class IncrementalDupNgram:
         staged = self.spark.read.parquet(
             f"{self.state_dir}/__stage_{name}"
         )
-        staged.write.mode("overwrite").parquet(self._bump(name))
+        # data first, pointer commit last (crash-safe swap)
+        version = self._next_version(name)
+        staged.write.mode("overwrite").parquet(
+            f"{self.state_dir}/{name}_v{version}"
+        )
+        self._commit_version(name, version)
 
     def _read_counts(self) -> Optional[DataFrame]:
         inc = self._read_versioned("counts")
@@ -196,11 +214,17 @@ class IncrementalDupNgram:
         epoch_ids = self._epoch_ids(cur) if cur else []
         prior_folded = self._folded(cur) if cur else set()
         # Stage first: the consolidated frame READS the current
-        # generation, so it must materialize before the swap.
+        # generation, so it must materialize before the swap. The
+        # version pointer commits LAST — only after the new
+        # generation's data and manifest are fully written — so a
+        # crash anywhere in between leaves the pointer on the old,
+        # complete generation (no window where a folded-epoch retry
+        # could double-count against a manifest-less base).
         stage = f"{self.state_dir}/__stage_{name}"
         consolidated.write.mode("overwrite").parquet(stage)
         staged = self.spark.read.parquet(stage)
-        new = self._bump(name)
+        version = self._next_version(name)
+        new = f"{self.state_dir}/{name}_v{version}"
         if epoch_ids or prior_folded:
             staged.write.mode("overwrite").parquet(
                 f"{new}/epoch={self.BASE_EPOCH}"
@@ -211,6 +235,7 @@ class IncrementalDupNgram:
             self._write_folded(new, folded)
         else:
             staged.write.mode("overwrite").parquet(new)
+        self._commit_version(name, version)
 
     def _maybe_compact(self) -> None:
         self._epochs = getattr(self, "_epochs", 0) + 1

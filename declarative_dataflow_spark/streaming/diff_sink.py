@@ -54,12 +54,7 @@ class DiffSink:
         )
 
     def _record(self, epoch_id: int, rows: list) -> None:
-        if (
-            self.on_evict is not None
-            and len(self.history) == self.history.maxlen
-        ):
-            self.on_evict(*self.history[0])
-        self.history.append((epoch_id, rows))
+        record_bounded(self.history, self.on_evict, epoch_id, rows)
 
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
         current = batch_df.persist()
@@ -81,6 +76,16 @@ class DiffSink:
         if self.previous is not None:
             self.previous.unpersist()
         self.previous = current
+
+
+def record_bounded(history, on_evict, epoch_id: int, rows: list) -> None:
+    """Append to a bounded history deque, spilling the entry about to
+    fall off through ``on_evict`` — the ONE eviction rule shared by
+    DiffSink and ReactiveSession interests."""
+
+    if on_evict is not None and len(history) == history.maxlen:
+        on_evict(*history[0])
+    history.append((epoch_id, rows))
 
 
 def the_void(batch_df: DataFrame, epoch_id: int) -> None:

@@ -1454,9 +1454,11 @@ class IncrementalShortestPaths:
         old_edges = self.edges
 
         if rem is not None:
-            rem_w = rem.join(old_edges, ["s", "t"], "left_semi").join(
-                old_edges, ["s", "t"]
-            ).localCheckpoint(eager=True)  # (s, t, w) actually removed
+            # inner join both restricts rem to stored edges AND
+            # attaches their weight: (s, t, w) actually removed
+            rem_w = rem.join(old_edges, ["s", "t"]).localCheckpoint(
+                eager=True
+            )
             if rem_w.limit(1).isEmpty():
                 rem = rem_w = None
         else:

@@ -27,7 +27,7 @@ from typing import Callable, Iterable, Optional
 from pyspark.sql import DataFrame, functions as F
 
 from ..engine import Datom, Engine
-from .diff_sink import DEFAULT_HISTORY_LIMIT
+from .diff_sink import DEFAULT_HISTORY_LIMIT, record_bounded
 
 
 @dataclass
@@ -321,12 +321,9 @@ class ReactiveSession:
             if sub.callback is not None:
                 sub.callback(diffs, epoch)
             else:
-                if (
-                    sub.on_evict is not None
-                    and len(sub.history) == sub.history.maxlen
-                ):
-                    sub.on_evict(*sub.history[0])
-                sub.history.append((epoch, diffs.collect()))
+                record_bounded(
+                    sub.history, sub.on_evict, epoch, diffs.collect()
+                )
         self.epoch += 1
         # The reference advances domain traces as the frontier moves
         # (advance_traces, src/domain/mod.rs:291-341): attributes with
