@@ -720,3 +720,30 @@ def test_embed_dedup_groups_chains(spark):
         for r in similarity.embed_dedup_groups(emb, threshold=0.9).collect()
     }
     assert groups == {0: 0, 1: 0, 2: 0, 3: 3}
+
+
+def test_embed_neardup_planes_zero_degrades_to_exact(spark):
+    """planes<=0 (degenerate bucketing) must mean ONE bucket — i.e.
+    exactly the all-pairs baseline — never a mis-built plane set that
+    silently drops pairs."""
+
+    from declarative_dataflow_spark.operators import similarity
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.9, 0.1, 0.0]),
+            (2, [0.0, 1.0, 0.0]),
+            (3, [0.0, 0.95, 0.05]),
+        ],
+        ["vec_id", "embedding"],
+    )
+    exact = {
+        (r["a"], r["b"]) for r in
+        similarity.embedding_neardup(emb, threshold=0.8).collect()
+    }
+    degenerate = {
+        (r["a"], r["b"]) for r in
+        similarity.embedding_neardup(emb, threshold=0.8, planes=0).collect()
+    }
+    assert exact and degenerate == exact
