@@ -1210,8 +1210,16 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard pairs with the PREFIX-FILTERED candidate join
+    (AllPairs/PPJoin): rarest-first prefixes bound the fanout of
+    frequent shingles while the output — and therefore the DuckDB
+    oracle — is identical to the plain inverted-index join."""
+
     return dedup.jaccard_pairs(
-        load_table(spark, sf_dir, "documents"), n=1, threshold=0.5
+        load_table(spark, sf_dir, "documents"),
+        n=1,
+        threshold=0.5,
+        prefix_filter=True,
     )
 
 

@@ -65,23 +65,72 @@ def jaccard_pairs(
     n: int = 1,
     threshold: float = 0.5,
     text_col: str = "text",
+    prefix_filter: bool = False,
 ) -> DataFrame:
     """Document pairs with shingle-set Jaccard >= threshold.
 
     |A ∩ B| via a self-join on shingle, |A ∪ B| = |A| + |B| - |∩|;
-    all integer arithmetic until the final rounded division.
+    all integer arithmetic until the final rounded division. Pairs
+    only materialize for documents SHARING a shingle (inverted-index
+    join, never a cartesian).
+
+    ``prefix_filter=True`` adds the classic set-similarity-join prefix
+    filter (AllPairs/PPJoin): order every document's shingles by
+    global document-frequency ascending (rarest first) and join only
+    each document's first |d| - ceil(t*|d|) + 1 shingles — any pair
+    with Jaccard >= t must collide inside both prefixes, so the
+    output is IDENTICAL while the candidate join avoids the frequent
+    shingles that dominate fanout (one stopword shingle otherwise
+    joins everything against everything at corpus scale).
+    Verification then counts full intersections for the surviving
+    candidates only.
     """
 
     sh = shingles(docs, n, text_col)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.toDF("a", "shingle")
-    b = sh.toDF("b", "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("i"))
-    )
+    if prefix_filter:
+        from pyspark.sql.window import Window
+
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+        w = Window.partitionBy("doc_id").orderBy(
+            F.col("__df").asc(), F.col("shingle").asc()
+        )
+        pref = (
+            sh.join(freq, "shingle")
+            .join(sizes, "doc_id")
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(
+                F.col("__rn")
+                <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+            )
+            .select("doc_id", "shingle")
+        )
+        pa = pref.toDF("a", "shingle")
+        pb = pref.toDF("b", "shingle")
+        cand = (
+            pa.join(pb, "shingle")
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b")
+            .distinct()
+        )
+        fa = sh.toDF("a", "shingle")
+        fb = sh.toDF("b", "shingle")
+        # work proportional to candidates' shingles, not corpus^2
+        inter = (
+            cand.join(fa, "a")
+            .join(fb, ["b", "shingle"])
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("i"))
+        )
+    else:
+        a = sh.toDF("a", "shingle")
+        b = sh.toDF("b", "shingle")
+        inter = (
+            a.join(b, "shingle")
+            .filter(F.col("a") < F.col("b"))
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("i"))
+        )
     sz_a = sizes.toDF("a", "sz_a")
     sz_b = sizes.toDF("b", "sz_b")
     jac = (

@@ -747,3 +747,37 @@ def test_embed_neardup_planes_zero_degrades_to_exact(spark):
         similarity.embedding_neardup(emb, threshold=0.8, planes=0).collect()
     }
     assert exact and degenerate == exact
+
+
+def test_jaccard_prefix_filter_exact(spark):
+    """The prefix-filtered set-similarity join returns EXACTLY the
+    plain inverted-index join's pairs (the AllPairs/PPJoin lemma: a
+    pair with Jaccard >= t must collide inside both rarest-first
+    prefixes of length |d| - ceil(t|d|) + 1), across random corpora
+    including stopword-heavy documents."""
+
+    import random
+
+    rng = random.Random(17)
+    common = ["the", "of", "and"]
+    rare = [f"w{i}" for i in range(30)]
+    for trial in range(3):
+        rows = []
+        for doc_id in range(12):
+            k = rng.randint(3, 8)
+            words = rng.sample(rare, k) + rng.sample(common, rng.randint(0, 3))
+            rng.shuffle(words)
+            rows.append((doc_id, " ".join(words)))
+        docs = spark.createDataFrame(rows, ["doc_id", "text"])
+        for t in (0.3, 0.5, 0.8):
+            plain = {
+                (r["a"], r["b"], r["jaccard"])
+                for r in dedup.jaccard_pairs(docs, n=1, threshold=t).collect()
+            }
+            filtered = {
+                (r["a"], r["b"], r["jaccard"])
+                for r in dedup.jaccard_pairs(
+                    docs, n=1, threshold=t, prefix_filter=True
+                ).collect()
+            }
+            assert filtered == plain, (trial, t, rows)
