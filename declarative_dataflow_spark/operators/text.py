@@ -201,10 +201,11 @@ def vocab_topk(
 
     Shape: explode the per-document subword pieces (the same BPE-ish
     pre-tokenization as :func:`subword_token_count`), one uniform-key
-    count aggregation with map-side partials, then a top-k over the
-    AGGREGATED table — the sort input is |vocab| rows (bounded by
-    distinct pieces, not corpus size), so the final ordering is cheap
-    at any corpus scale.
+    count aggregation with map-side partials, then top-k via
+    orderBy+limit — Catalyst lowers that to TakeOrderedAndProject
+    (per-partition k-row heaps + a k-row merge), so even a 100M-piece
+    vocabulary never single-partitions; the rank window runs over the
+    k surviving rows only.
     """
 
     from pyspark.sql import Window
@@ -219,8 +220,9 @@ def vocab_topk(
     counts = pieces.groupBy("token").agg(
         F.count(F.lit(1)).alias("n")
     )
+    top = counts.orderBy(F.col("n").desc(), F.col("token")).limit(k)
     w = Window.orderBy(F.col("n").desc(), F.col("token"))
     return (
-        counts.withColumn("rk", F.row_number().over(w).cast("long"))
+        top.withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= k)
     )

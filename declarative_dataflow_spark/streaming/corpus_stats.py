@@ -423,9 +423,13 @@ class IncrementalVocab:
         cur = self._vocab()
         if cur is None:
             return None
+        # TakeOrderedAndProject first; the rank window sees k rows only
+        # (same lowering as the batch operator — never a
+        # single-partition sort of the whole vocabulary state).
+        top = cur.orderBy(F.col("n").desc(), F.col("token")).limit(k)
         w = Window.orderBy(F.col("n").desc(), F.col("token"))
         return (
-            cur.withColumn("rk", F.row_number().over(w).cast("long"))
+            top.withColumn("rk", F.row_number().over(w).cast("long"))
             .filter(F.col("rk") <= k)
         )
 

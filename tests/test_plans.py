@@ -365,3 +365,19 @@ def test_embed_groups_declared_query_no_cartesian(spark):
     for line in phys.splitlines():
         if "BroadcastNestedLoopJoin" in line:
             assert "__planes" in line, line
+
+
+def test_vocab_topk_lowers_to_take_ordered(spark):
+    """vocab_topk's global ranking must never single-partition the
+    whole vocabulary: the top-k lowers to TakeOrderedAndProject
+    (per-partition k-heaps) and the rank window sees k rows only."""
+
+    from declarative_dataflow_spark.operators import text as text_ops
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 7} tok{i % 3} common") for i in range(50)],
+        ["doc_id", "text"],
+    )
+    df = text_ops.vocab_topk(docs, k=5)
+    phys = _executed(df)
+    assert "TakeOrderedAndProject" in phys, phys
