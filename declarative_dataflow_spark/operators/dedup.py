@@ -99,9 +99,18 @@ def jaccard_pairs(
             sh.join(freq, "shingle")
             .join(sizes, "doc_id")
             .withColumn("__rn", F.row_number().over(w))
+            # ceil over an epsilon-slack product: double arithmetic can
+            # round an exactly-integral t*|d| UP (0.07*100 ->
+            # 7.000000000000001 -> ceil 8), shortening the prefix and
+            # dropping a qualifying pair; the epsilon keeps the bound
+            # never under-covering while t*|d| stays >= its exact value
+            # minus 1e-9 (shingle counts are small integers, so no
+            # legitimate product lands within 1e-9 below an integer).
             .filter(
                 F.col("__rn")
-                <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+                <= F.col("sz")
+                - F.ceil(F.lit(threshold) * F.col("sz") - F.lit(1e-9))
+                + 1
             )
             .select("doc_id", "shingle")
         )

@@ -170,10 +170,19 @@ def shortest_paths(
     tables keep improving for as many rounds as the HOP LENGTH of the
     cheapest path — many short cheap edges beat one expensive edge —
     so the loop is round-dominated at small scale. ``step`` unrolls
-    that many relaxations into ONE Spark job (lazy min-combine between
-    each, so candidates stay pruned); driver rounds drop by ``step``
-    while per-round work gains only the extra in-job shuffles, which
-    AQE sizes to the actual deltas. At cluster scale the same unroll
+    that many relaxations into ONE Spark job; driver rounds drop by
+    ``step`` while per-round work gains only the extra in-job
+    shuffles, which AQE sizes to the actual deltas. The inner unroll
+    min-combines WITHIN each hop extension (the per-step groupBy) but
+    does not re-prune against the accumulated minimum until the final
+    merge, so on dense graphs one job can expand candidates by up to
+    fanout^step before merging — which is why ``step`` ADAPTS: it
+    doubles (capped at 64) while the delta frontier shrinks — the
+    convergence tail, where rounds are scheduling-bound and fanout is
+    collapsing — and halves when the frontier grows, bounding the
+    in-job expansion during the explosive phase. The delta count that
+    drives this is read off the already-materialized checkpoint the
+    emptiness test needs anyway. At cluster scale the same unroll
     amortizes scheduling overhead identically."""
 
     e = edges.select(
@@ -192,6 +201,7 @@ def shortest_paths(
     ).localCheckpoint(eager=True)
     delta = dist
     step = max(1, step)
+    prev_count: int | None = None
     for _ in range(max_iters):
         acc = dist
         ext = delta
@@ -216,6 +226,13 @@ def shortest_paths(
             eager=True
         )
         dist = merged
-        if delta.limit(1).isEmpty():
+        n_delta = delta.count()  # materialized by the eager checkpoint
+        if n_delta == 0:
             return dist
+        if prev_count is not None:
+            if n_delta < prev_count:
+                step = min(step * 2, 64)
+            elif n_delta > prev_count:
+                step = max(1, step // 2)
+        prev_count = n_delta
     raise RuntimeError(f"shortest_paths did not converge in {max_iters} rounds")

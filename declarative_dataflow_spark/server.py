@@ -316,8 +316,10 @@ def _ws_read_exact(rfile, n: int) -> Optional[bytes]:
     return buf
 
 
-def _ws_read_frame(rfile) -> Optional[tuple[bool, int, bytes]]:
-    """One frame: (fin, opcode, unmasked payload); None on EOF."""
+def _ws_read_frame(rfile) -> Optional[tuple[bool, int, bytes, bool]]:
+    """One frame: (fin, opcode, unmasked payload, was_masked); None on
+    EOF. ``was_masked`` lets the server enforce RFC 6455 §5.1 (client
+    frames MUST be masked) without re-parsing the header."""
 
     import struct
 
@@ -358,7 +360,7 @@ def _ws_read_frame(rfile) -> Optional[tuple[bool, int, bytes]]:
             (mask * ((length + 3) // 4))[:length], dtype=np.uint8
         )
         payload = (data ^ key).tobytes()
-    return fin, opcode, payload
+    return fin, opcode, payload, masked
 
 
 def _ws_write_frame(wfile, payload: bytes, opcode: int = 0x1) -> None:
@@ -423,12 +425,19 @@ def serve_ws(
         def handle(self) -> None:
             if not self._handshake():
                 return
+            import struct
+
+            def _close(status: int) -> None:
+                _ws_write_frame(
+                    self.wfile, struct.pack(">H", status), opcode=0x8
+                )
+
             message = b""
             while True:
                 frame = _ws_read_frame(self.rfile)
                 if frame is None:
                     return
-                fin, opcode, payload = frame
+                fin, opcode, payload, masked = frame
                 if opcode == 0x8:  # close: echo and finish
                     _ws_write_frame(self.wfile, payload, opcode=0x8)
                     return
@@ -437,12 +446,24 @@ def serve_ws(
                     continue
                 if opcode == 0xA:  # unsolicited pong
                     continue
+                if not masked:
+                    # RFC 6455 §5.1: client data frames MUST be masked;
+                    # an unmasked frame is a protocol error (1002).
+                    _close(1002)
+                    return
                 message += payload  # text/binary/continuation
                 if len(message) > WS_MAX_MESSAGE_BYTES:
-                    return  # fragmented message exceeds the cap
+                    _close(1009)  # message too big
+                    return
                 if not fin:
                     continue
-                text = message.decode("utf-8")
+                try:
+                    text = message.decode("utf-8")
+                except UnicodeDecodeError:
+                    # RFC 6455 §8.1: invalid UTF-8 in a text message ->
+                    # close with 1007, not a dropped connection.
+                    _close(1007)
+                    return
                 message = b""
                 try:
                     out = server.handle(json.loads(text))

@@ -1427,9 +1427,15 @@ class IncrementalShortestPaths:
         # the maintained value and the prefix+w+suffix decomposition;
         # a small tolerance keeps the over-approximation SOUND (extra
         # marked pairs re-derive to the same value, missed pairs would
-        # keep a stale cost). Unweighted hops compare exactly.
+        # keep a stale cost). The tolerance is RELATIVE: double sums
+        # near 1e7+ (or long paths) accumulate more than 1e-9 of
+        # absolute error, and an absolute bound would silently miss an
+        # affected pair — the stale-cost direction. Unweighted hops
+        # compare exactly.
         if self.weighted:
-            cond = F.abs(F.col(val) - F.col("d")) <= F.lit(1e-9)
+            cond = F.abs(F.col(val) - F.col("d")) <= F.lit(1e-9) * F.greatest(
+                F.lit(1.0), F.abs(F.col(val))
+            )
         else:
             cond = F.col(val) == F.col("d")
         return (

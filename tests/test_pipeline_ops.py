@@ -781,3 +781,34 @@ def test_jaccard_prefix_filter_exact(spark):
                 ).collect()
             }
             assert filtered == plain, (trial, t, rows)
+
+
+def test_jaccard_prefix_ceil_integral_product(spark):
+    """Regression (ADVICE r5): when threshold * |d| is exactly integral
+    the double product can round UP (0.07 * 100 -> 7.000000000000001 ->
+    ceil 8), shortening the prefix by one and dropping a qualifying
+    pair. Two 100-word documents sharing exactly 13 words (J = 13/187
+    ~ 0.0695 < 0.07 for others, here we pick 15 shared -> J ~ 0.081)
+    must survive prefix_filter=True at t=0.07 exactly as without it."""
+
+    shared = [f"s{i:02d}" for i in range(15)]
+    only_a = [f"a{i:02d}" for i in range(85)]
+    only_b = [f"b{i:02d}" for i in range(85)]
+    docs = spark.createDataFrame(
+        [
+            (0, " ".join(only_a + shared)),
+            (1, " ".join(shared + only_b)),
+        ],
+        ["doc_id", "text"],
+    )
+    plain = {
+        (r["a"], r["b"], r["jaccard"])
+        for r in dedup.jaccard_pairs(docs, n=1, threshold=0.07).collect()
+    }
+    filtered = {
+        (r["a"], r["b"], r["jaccard"])
+        for r in dedup.jaccard_pairs(
+            docs, n=1, threshold=0.07, prefix_filter=True
+        ).collect()
+    }
+    assert plain == filtered and plain

@@ -557,14 +557,48 @@ def test_ws_frame_codec_property():
         import random as _random
 
         payload = _random.Random(seed).randbytes(size)
-        fin, opcode, got = _ws_read_frame(
+        fin, opcode, got, was_masked = _ws_read_frame(
             io.BytesIO(client_frame(payload, mask))
         )
-        assert (fin, opcode, got) == (True, 0x1, payload)
+        assert (fin, opcode, got, was_masked) == (True, 0x1, payload, True)
         # server-side writer round-trips through an unmasked read
         out = io.BytesIO()
         _ws_write_frame(out, payload)
-        fin2, op2, got2 = _ws_read_frame(io.BytesIO(out.getvalue()))
-        assert (fin2, op2, got2) == (True, 0x1, payload)
+        fin2, op2, got2, m2 = _ws_read_frame(io.BytesIO(out.getvalue()))
+        assert (fin2, op2, got2, m2) == (True, 0x1, payload, False)
 
     check()
+
+
+def test_ws_protocol_error_closes(spark):
+    """RFC 6455 error paths close cleanly instead of dropping the
+    connection with a traceback: an unmasked client data frame gets a
+    1002 (protocol error) close, and invalid UTF-8 in a text message a
+    1007 (invalid payload) close."""
+
+    import struct
+
+    from declarative_dataflow_spark.server import serve_ws
+
+    srv = Server(spark)
+    ws, thread, port = serve_ws(srv)
+    try:
+        # Unmasked data frame -> 1002.
+        s, f = _ws_client_connect(port)
+        payload = b"[]"
+        s.sendall(bytes([0x81, len(payload)]) + payload)  # mask bit unset
+        kind, body = _ws_client_recv(f)
+        assert kind == "close"
+        assert struct.unpack(">H", body[:2])[0] == 1002
+        s.close()
+
+        # Masked but invalid UTF-8 text -> 1007.
+        s, f = _ws_client_connect(port)
+        _ws_client_send(s, b"\xff\xfe\xfd")
+        kind, body = _ws_client_recv(f)
+        assert kind == "close"
+        assert struct.unpack(">H", body[:2])[0] == 1007
+        s.close()
+    finally:
+        ws.shutdown()
+        ws.server_close()
