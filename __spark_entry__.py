@@ -1290,30 +1290,37 @@ def q_ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_embed_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic near-dup clusters over embeddings: cosine pairs ->
     connected components -> min-id canonical per group. Declared with
-    the LSH-bucketed candidate path (planes=6) like embed_neardup —
-    no cartesian at scale; the DuckDB twin mirrors the buckets."""
+    the DENSITY-ADJUSTED LSH-bucketed candidate path (planes =
+    ceil(log2(n/32)) from the corpus count) like embed_neardup — no
+    cartesian at scale, bucket occupancy constant as the corpus grows;
+    the DuckDB twin derives the same plane count from count(*)."""
 
     return similarity.embed_dedup_groups(
         load_table(spark, sf_dir, "embeddings"),
         threshold=0.4,
-        planes=6,
+        planes="auto",
         dim=64,
     )
 
 
 def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs via the LSH-bucketed
-    scale path (planes=6 hyperplane buckets restrict the self-join;
-    exact cosine only inside buckets — no cartesian in the plan,
-    gated by tests/test_plans.py). The md5-parity plane weights are
-    pure SQL, so the DuckDB twin reproduces the buckets exactly and
-    the query is fully hash-checked. The exact all-pairs variant
-    (planes=None) remains the pytest recall verifier."""
+    """Embedding-cosine near-duplicate pairs via the DENSITY-ADJUSTED
+    LSH-bucketed scale path: planes = ceil(log2(n/32)) derived from
+    the corpus count, so bucket occupancy stays ~32 as the corpus
+    densifies (a fixed plane count is bucket-quadratic at scale —
+    measured 26x wall for 10x data at planes=6 vs 8x adjusted).
+    Hyperplane buckets restrict the self-join; exact cosine only
+    inside buckets — no cartesian in the plan, gated by
+    tests/test_plans.py. The md5-parity plane weights are pure SQL,
+    so the DuckDB twin reproduces both the plane COUNT (a count(*)
+    scalar subquery) and the buckets exactly; the query is fully
+    hash-checked. The exact all-pairs variant (planes=None) remains
+    the pytest recall verifier."""
 
     return similarity.embedding_neardup(
         load_table(spark, sf_dir, "embeddings"),
         threshold=0.4,
-        planes=6,
+        planes="auto",
         dim=64,
     )
 
@@ -1409,73 +1416,23 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver's correctness run records the FIRST 50 keys only
-    # (CORRECTNESS_r01..r04 each hold exactly 50 rows). With 86
+    # (CORRECTNESS_r01..r05 each hold exactly 50 rows). With 86+
     # declared queries the ordering therefore rotates per round so
     # every key gets a driver-recorded oracle row regularly;
-    # ORACLE_LOCAL.md checks in a full 86/86 run each round
-    # (python oracle_check.py — the same compare the driver performs).
-    # Round 5 front-loads the NEW or CHANGED declared queries
-    # (embed_quantize — the only key without a driver-green row ever,
-    # r04 err was list-column canonicalization, now flattened; the
-    # re-declared bucketed embed_neardup/embed_groups; wco_clique5,
-    # shortest_cost, the window queries, coarsen_batch, datalog_text),
-    # then the 29 keys r04 deferred (each green in r02 AND r03), then
-    # as many r04-front keys as fit; all 36 tail keys were green in
-    # r04.
+    # ORACLE_LOCAL.md checks in a full run each round (python
+    # oracle_check.py — the same compare the driver performs).
+    # Round 6 front-loads the CHANGED queries (embed_neardup /
+    # embed_groups — now density-adjusted planes="auto" in both
+    # engines; ngram_jaccard — prefix-ceil epsilon; shortest_cost —
+    # adaptive relaxation step), then ALL 36 keys r05 deferred (each
+    # green in r04 and in the r05 local oracle run), then as many
+    # r05-front keys as fit; every tail key was driver-green in r05.
     return {
-        "embed_quantize": q_embed_quantize,
         "embed_neardup": q_embed_neardup,
         "embed_groups": q_embed_groups,
-        "wco_clique5": q_wco_clique5,
-        "shortest_cost": q_shortest_cost,
-        "window_tumbling": q_window_tumbling,
-        "window_sliding": q_window_sliding,
-        "window_session": q_window_session,
-        "coarsen_batch": q_coarsen,
-        "datalog_text": q_datalog_text,
-        # --- the 29 keys deferred in r04 (green in r02 AND r03) ---
-        "text_quality": q_text_quality,
-        "lang_id": q_lang_id,
-        "ann_lsh": q_ann_lsh,
-        "graphql": q_graphql,
-        "bitemporal_asof": q_bitemporal_asof,
         "ngram_jaccard": q_ngram_jaccard,
-        "stratified_sample": q_stratified_sample,
-        "multimodal_meta": q_multimodal_meta,
-        "frame_sample": q_frame_sample,
-        "negate_setdiff": q_negate_setdiff,
-        "transform_truncate": q_transform_truncate,
-        "agg_variance": q_agg_variance,
-        "hash_split": q_hash_split,
-        "fingerprint": q_fingerprint,
-        "match_ea": q_match_ea,
-        "filter_vars": q_filter_vars,
-        "transform_add": q_transform_add,
-        "transform_subtract": q_transform_subtract,
-        "agg_min": q_agg_min,
-        "agg_max": q_agg_max,
-        "agg_count": q_agg_count,
-        "agg_sum": q_agg_sum,
-        "agg_avg": q_agg_avg,
-        "hector_constants": q_hector_constants,
-        "name_expr": q_name_expr,
-        "pull_all": q_pull_all,
-        "distinct_ingest": q_distinct_ingest,
-        "bitemporal_timeline": q_bitemporal_timeline,
-        "union": q_union,
-        # --- r04-front keys filling the remaining driver slots ---
-        "match_a": q_match_a,
-        "match_av": q_match_av,
-        "project": q_project,
-        "join_binary": q_join_binary,
-        "hector_fused": q_hector_fused,
-        "antijoin": q_antijoin,
-        "filter_lt": q_filter_lt,
-        "agg_median": q_agg_median,
-        "agg_stddev": q_agg_stddev,
-        "topk_plan": q_topk_plan,
-        "agg_rollup": q_agg_rollup,
-        # --- deferred this round (driver cap); all green in r04 ---
+        "shortest_cost": q_shortest_cost,
+        # --- the 36 keys deferred in r05 (green r04 + local r05) ---
         "agg_multi": q_agg_multi,
         "agg_global": q_agg_global,
         "tclosure": q_tclosure,
@@ -1512,6 +1469,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_quantized": q_ann_quantized,
         "ann_ivf": q_ann_ivf,
         "ann_ivf_kmeans": q_ann_ivf_kmeans,
+        # --- r05-front keys filling the remaining driver slots ---
+        "embed_quantize": q_embed_quantize,
+        "wco_clique5": q_wco_clique5,
+        "window_tumbling": q_window_tumbling,
+        "window_sliding": q_window_sliding,
+        "window_session": q_window_session,
+        "coarsen_batch": q_coarsen,
+        "datalog_text": q_datalog_text,
+        "text_quality": q_text_quality,
+        "lang_id": q_lang_id,
+        "ann_lsh": q_ann_lsh,
+        # --- deferred this round (driver cap); all green in r05 ---
+        "graphql": q_graphql,
+        "bitemporal_asof": q_bitemporal_asof,
+        "stratified_sample": q_stratified_sample,
+        "multimodal_meta": q_multimodal_meta,
+        "frame_sample": q_frame_sample,
+        "negate_setdiff": q_negate_setdiff,
+        "transform_truncate": q_transform_truncate,
+        "agg_variance": q_agg_variance,
+        "hash_split": q_hash_split,
+        "fingerprint": q_fingerprint,
+        "match_ea": q_match_ea,
+        "filter_vars": q_filter_vars,
+        "transform_add": q_transform_add,
+        "transform_subtract": q_transform_subtract,
+        "agg_min": q_agg_min,
+        "agg_max": q_agg_max,
+        "agg_count": q_agg_count,
+        "agg_sum": q_agg_sum,
+        "agg_avg": q_agg_avg,
+        "hector_constants": q_hector_constants,
+        "name_expr": q_name_expr,
+        "pull_all": q_pull_all,
+        "distinct_ingest": q_distinct_ingest,
+        "bitemporal_timeline": q_bitemporal_timeline,
+        "union": q_union,
+        "match_a": q_match_a,
+        "match_av": q_match_av,
+        "project": q_project,
+        "join_binary": q_join_binary,
+        "hector_fused": q_hector_fused,
+        "antijoin": q_antijoin,
+        "filter_lt": q_filter_lt,
+        "agg_median": q_agg_median,
+        "agg_stddev": q_agg_stddev,
+        "topk_plan": q_topk_plan,
+        "agg_rollup": q_agg_rollup,
     }
 
 
@@ -2258,17 +2263,21 @@ def oracle_sql() -> dict[str, str]:
             "WHERE rank <= 5"
         ),
         "embed_groups": (
-            # Candidate pairs from the SAME hyperplane-LSH buckets as
-            # q_embed_groups(planes=6), then the recursive closure.
-            "WITH RECURSIVE e AS (SELECT vec_id, "
+            # Candidate pairs from the SAME density-adjusted
+            # hyperplane-LSH buckets as q_embed_groups(planes="auto"):
+            # np = ceil(log2(count(*)/32)) — then the recursive closure.
+            "WITH RECURSIVE params AS (SELECT greatest(1, "
+            "CAST(ceil(log2(greatest(n, 2) / 32.0)) AS INT)) AS np "
+            "FROM (SELECT count(*) AS n FROM embeddings)), "
+            "e AS (SELECT vec_id, "
             "CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
             "sig AS (SELECT vec_id, CAST(list_sum(["
             "CASE WHEN list_dot_product(v, "
             "[CASE WHEN substr(md5(p::VARCHAR || '_' || i::VARCHAR), 8, 1) "
             "IN ('1','3','5','7','9','b','d','f') THEN 1.0 ELSE -1.0 END "
             "for i in range(0, len(v))]) > 0 "
-            "THEN (1 << p) ELSE 0 END for p in range(0, 6)]) AS INT) "
-            "AS bucket FROM e), "
+            "THEN (1 << p) ELSE 0 END for p in range(0, np)]) AS INT) "
+            "AS bucket FROM e, params), "
             "eb AS (SELECT e.vec_id, e.v, sig.bucket FROM e "
             "JOIN sig USING (vec_id)), "
             "pairs AS (SELECT a, b FROM ("
@@ -2288,19 +2297,25 @@ def oracle_sql() -> dict[str, str]:
             "FROM embeddings em LEFT JOIN comp c ON c.u = em.vec_id"
         ),
         "embed_neardup": (
-            # LSH-bucketed scale path: identical md5-parity plane
-            # weights as similarity.hyperplane_signature (6-bit
-            # signature), self-join restricted to equal buckets, exact
-            # cosine inside — mirrors q_embed_neardup(planes=6).
-            "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+            # Density-adjusted LSH-bucketed scale path: plane count np
+            # = ceil(log2(count(*)/32)) from a scalar subquery (the
+            # same density_planes formula the Spark side computes from
+            # its corpus count), identical md5-parity plane weights as
+            # similarity.hyperplane_signature, self-join restricted to
+            # equal buckets, exact cosine inside — mirrors
+            # q_embed_neardup(planes="auto").
+            "WITH params AS (SELECT greatest(1, "
+            "CAST(ceil(log2(greatest(n, 2) / 32.0)) AS INT)) AS np "
+            "FROM (SELECT count(*) AS n FROM embeddings)), "
+            "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
             "FROM embeddings), "
             "sig AS (SELECT vec_id, CAST(list_sum(["
             "CASE WHEN list_dot_product(v, "
             "[CASE WHEN substr(md5(p::VARCHAR || '_' || i::VARCHAR), 8, 1) "
             "IN ('1','3','5','7','9','b','d','f') THEN 1.0 ELSE -1.0 END "
             "for i in range(0, len(v))]) > 0 "
-            "THEN (1 << p) ELSE 0 END for p in range(0, 6)]) AS INT) "
-            "AS bucket FROM e), "
+            "THEN (1 << p) ELSE 0 END for p in range(0, np)]) AS INT) "
+            "AS bucket FROM e, params), "
             "eb AS (SELECT e.vec_id, e.v, sig.bucket FROM e "
             "JOIN sig USING (vec_id)) "
             "SELECT a, b, sim FROM ("

@@ -46,6 +46,7 @@ HEADLINE = [
     "ann_ivf",         # IVF ANN (broadcast centroids, nprobe cells)
     "shortest_cost",   # weighted recursive aggregate (delta relaxation)
     "window_tumbling",  # streaming window operator on batch input
+    "window_sliding",  # overlapping sliding windows
     "window_session",  # merging session windows
 ]
 
@@ -53,6 +54,14 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
+    # 1-minute load average SAMPLED AT STARTUP — ambient host load, not
+    # the bench's own: recorded so regressions aren't chased through
+    # noise (idle-host reruns measured ~6% faster than driver runs in
+    # r5).
+    try:
+        load1 = round(os.getloadavg()[0], 2)
+    except OSError:
+        load1 = None
 
     from declarative_dataflow_spark.session import build_session
 
@@ -92,20 +101,11 @@ def main() -> None:
             t0 = time.perf_counter()
             qs[name](spark, block_dir).count()
             out[name] = round(time.perf_counter() - t0, 3)
-        # embed_neardup with DENSITY-ADJUSTED planes — the way a
-        # caller runs it at scale: bucket count tracks corpus size
-        # (2^planes ~ n/32), so within-bucket pairs grow ~n^2/2^planes
-        # instead of bucket-quadratic. (The DECLARED query keeps fixed
-        # planes because its DuckDB oracle is static SQL.)
-        import math
-
-        emb = spark.read.parquet(f"{block_dir}/embeddings.parquet")
-        n = emb.count()
-        planes = max(6, math.ceil(math.log2(max(n, 64) / 32)))
+        # The DECLARED embed_neardup query IS the density-adjusted
+        # form now (planes = ceil(log2(n/32)) derived from the corpus
+        # count in both engines, r6) — the key keeps its trend name.
         t0 = time.perf_counter()
-        similarity.embedding_neardup(
-            emb, threshold=0.4, planes=planes, dim=64
-        ).count()
+        qs["embed_neardup"](spark, block_dir).count()
         out["embed_neardup_scaled"] = round(time.perf_counter() - t0, 3)
         return out
 
@@ -165,6 +165,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "load1": load1,
     }
 
     # -- sf1 block: the same headline queries at 10x the data --------
