@@ -923,6 +923,60 @@ def q_wco_clique5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.implement(count, ["n"])
 
 
+def q_wco_clique4_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENCH-ONLY stress variant of q_wco_clique4 (not in queries()):
+    the same 6-binding 4-clique over a ~3x DENSER edge set
+    (`event_id % 11 < 3` keeps 3/11 of events vs the declared
+    query's 1/11) — a bounded version of the output-bound instance
+    the pre-r6 sf1 scaler accidentally created by shifting the %11
+    filter per copy (the full 10/11 instance runs ~16s at sf0.1 —
+    too heavy for a per-round row). Kept as a separately-labeled bench row so the output-bound
+    WCO regime stays measured after the scaler fix made replicated
+    graphs topology-preserving."""
+
+    eng = _engine(spark, sf_dir)
+    if "graph/dedge" not in eng._attributes:
+        eng.register_table(
+            "events_dense",
+            load_table(spark, sf_dir, "events").filter("event_id % 11 < 3"),
+        )
+        eng.register_derived_attribute(
+            "graph/dedge",
+            Union(
+                ["?s", "?d"],
+                [
+                    Scan(
+                        "events_dense",
+                        {"user_id % 1000": "?s", "event_id % 1000": "?d"},
+                    )
+                ],
+            ),
+            "?s",
+            "?d",
+            distinct=True,
+        )
+    clique = Hector(
+        ["?a", "?b", "?c", "?d"],
+        [
+            AttributeBinding("?a", "graph/dedge", "?b"),
+            AttributeBinding("?a", "graph/dedge", "?c"),
+            AttributeBinding("?a", "graph/dedge", "?d"),
+            AttributeBinding("?b", "graph/dedge", "?c"),
+            AttributeBinding("?b", "graph/dedge", "?d"),
+            AttributeBinding("?c", "graph/dedge", "?d"),
+        ],
+    )
+    count = Aggregate(
+        ["?a"],
+        clique,
+        [AggregationFn.COUNT],
+        [],
+        ["?a"],
+        with_variables=["?b", "?c", "?d"],
+    )
+    return eng.implement(count, ["n"])
+
+
 def q_confusion_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filter-join: constant bindings on two attributes of one entity
     (reference: experiments/src/bin/confusion_filter.rs:23-38 — both

@@ -107,6 +107,13 @@ def main() -> None:
         t0 = time.perf_counter()
         qs["embed_neardup"](spark, block_dir).count()
         out["embed_neardup_scaled"] = round(time.perf_counter() - t0, 3)
+        # Output-bound WCO stress row: the 4-clique over a ~3x denser
+        # edge set (the instance the pre-r6 scaler created by
+        # accident; now a deliberate, labeled row — the scaler itself
+        # is topology-preserving since r6).
+        t0 = time.perf_counter()
+        entry_mod.q_wco_clique4_dense(spark, block_dir).count()
+        out["wco_clique4_dense"] = round(time.perf_counter() - t0, 3)
         return out
 
     timings = time_block(sf_dir)

@@ -74,3 +74,51 @@ def test_engine_bucketed_attributes_join_without_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
     assert "Exchange" not in plan, plan
     assert df.count() == 500
+
+
+def test_scale_testdata_preserves_graph_topology(spark):
+    """The sf-up replicator must not change the DERIVED graphs: node
+    ids come from user_id/event_id mod {10,50,100,1000,10000} and the
+    sparsifiers from event_id mod {5,7,11}, so the events stride is
+    ≡ 0 mod lcm(...) = 770000 — every copy contributes the identical
+    residues and the replicated graph DISTINCTs back to the original
+    (pre-r6 the generic stride was ≡ 1 mod 11, shifting the %11
+    filter per copy and densifying the instance ~10x)."""
+
+    import sys as _sys
+    import os as _os
+
+    _sys.path.insert(
+        0,
+        _os.path.join(
+            _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+            "tools",
+        ),
+    )
+    from scale_testdata import EVENTS_STRIDE, _replicate
+
+    for m in (5, 7, 10, 11, 50, 100, 1000, 10000):
+        assert EVENTS_STRIDE % m == 0, m
+
+    from pyspark.sql import functions as F
+
+    events = spark.createDataFrame(
+        [(i * 13 % 997, i * 7 % 997) for i in range(300)],
+        ["event_id", "user_id"],
+    )
+    rep = _replicate(events, "events", 4)
+    assert rep.count() == 1200
+
+    def graph(df):
+        return {
+            (r["s"], r["d"])
+            for r in df.filter("event_id % 11 = 0")
+            .select(
+                (F.col("user_id") % 1000).alias("s"),
+                (F.col("event_id") % 1000).alias("d"),
+            )
+            .distinct()
+            .collect()
+        }
+
+    assert graph(rep) == graph(events)

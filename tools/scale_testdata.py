@@ -28,6 +28,22 @@ from pyspark.sql import DataFrame, functions as F
 # key column -> offset stride (beyond any sf's key range)
 STRIDE = 100_000_000
 
+# events feed the GRAPH queries, which derive node ids by modding
+# user_id/event_id (domains 10/50/100/1000/10000) and sparsify by
+# event_id % {5,7,11}. The generic stride is ≡ 1 (mod 11), so each
+# copy used to pass a DIFFERENT 1/11 slice of the `event_id % 11 = 0`
+# filter, contributing new residue combinations over the same ≤1000
+# nodes — the replicated graph DENSIFIED (combinatorially more
+# cliques; sf1 wco_clique4 measured ~19x for 10x data, an instance
+# artifact, not scaling). The query text's mods cap the node domain,
+# so a replica cannot GROW the graph either; the honest semantic is
+# to PRESERVE it: a stride ≡ 0 mod lcm(5,7,10,11,50,100,1000,10000)
+# = 770000 makes every copy contribute the identical derived edge
+# set, so after DISTINCT the sf1 graph equals the sf0.1 graph and the
+# graph rows measure 10x ingest + dedup against constant topology.
+# 100_100_000 = 770000 * 130 also exceeds every key range.
+EVENTS_STRIDE = 100_100_000
+
 KEYS = {
     "customer": ["c_custkey"],
     "orders": ["o_orderkey", "o_custkey"],
@@ -53,8 +69,9 @@ def _replicate(df: DataFrame, table: str, factor: int) -> DataFrame:
         )
     )
     out = copies
+    stride = EVENTS_STRIDE if table == "events" else STRIDE
     for k in KEYS[table]:
-        out = out.withColumn(k, F.col(k) + F.col("__copy") * STRIDE)
+        out = out.withColumn(k, F.col(k) + F.col("__copy") * stride)
     if table == "documents":
         # Rotate a high-frequency character alphabet per copy: most
         # words (hence most shingles) differ between copies, so the
