@@ -1605,6 +1605,23 @@ _MINHASH_BANDS = " UNION ALL ".join(
 # arithmetic as sampling.hash_split, so the SQL literals match the
 # Spark plan bit-for-bit (0.8 + 0.1 != 0.9 exactly in binary).
 def _pagerank_oracle(iters: int = 10, d: float = 0.85) -> str:
+    # Mirrors graph.py::PR_CONTRIB_SQL / pr_rank_sql exactly:
+    # contributions round to 15 decimals in double (engine-identical
+    # for small integer degrees), sum EXACTLY as DECIMAL(24,15), and
+    # the damping/base combine + HALF_UP round run in decimal — so the
+    # in_sum is independent of partitioning/aggregation order and the
+    # two engines agree even when an update lands exactly on a .5e-6
+    # rounding midpoint (which 6-decimal ranks over integer degrees do
+    # routinely).
+    base = (
+        "CAST((SELECT round((1 - {d}) / count(*), 6) FROM nodes) "
+        "AS DECIMAL(8,6))"
+    ).format(d=d)
+    rank_expr = (
+        "CAST(round({base} + CAST('{damp:.8f}' AS DECIMAL(10,8)) * "
+        "coalesce(CAST(c.in_sum AS DECIMAL(24,15)), "
+        "CAST(0 AS DECIMAL(24,15))), 6) AS DOUBLE)"
+    ).format(base=base, damp=d)
     parts = [
         "edges AS (SELECT DISTINCT user_id % 100 AS s, "
         "event_id % 100 AS t FROM events)",
@@ -1616,10 +1633,11 @@ def _pagerank_oracle(iters: int = 10, d: float = 0.85) -> str:
     for i in range(1, iters + 1):
         parts.append(
             f"pr{i} AS (SELECT n.node, "
-            f"round((SELECT round((1 - {d}) / count(*), 6) FROM nodes) "
-            f"+ {d} * coalesce(c.in_sum, 0), 6) AS rank "
+            f"{rank_expr} AS rank "
             "FROM nodes n LEFT JOIN ("
-            "SELECT e.t AS node, sum(p.rank / o.deg) AS in_sum "
+            "SELECT e.t AS node, "
+            "sum(CAST(round(p.rank / o.deg, 15) AS DECIMAL(24,15))) "
+            "AS in_sum "
             f"FROM pr{i - 1} p JOIN outdeg o ON p.node = o.node "
             "JOIN edges e ON p.node = e.s GROUP BY e.t) c "
             "ON n.node = c.node)"

@@ -26,6 +26,38 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+# PageRank update arithmetic, shared verbatim by the batch operator,
+# the DuckDB oracle, and the incremental maintainer so all three agree
+# bit-for-bit. Double SUMs are partition-order-dependent and rank
+# updates frequently land EXACTLY on a .5e-6 rounding boundary (ranks
+# are 6-decimal rationals divided by small integer degrees), so a
+# float in_sum makes the final digit depend on the physical plan.
+# Instead: each contribution rank/deg is rounded to 15 decimals in
+# DOUBLE (exact across engines: quotients of scale-6 ranks by degrees
+# whose 2^a5^b factor stays <= ~10^9 terminate before digit 15, and
+# repeating quotients are never rounding midpoints), then cast to
+# DECIMAL(24,15) and summed EXACTLY — decimal addition is associative
+# and commutative, so any partitioning yields the same in_sum — and
+# the final damping/base combine and HALF_UP round also run in
+# decimal. Explicit casts pin every intermediate type so Spark and
+# DuckDB cannot diverge through their different implicit
+# precision-adjustment rules.
+PR_CONTRIB_SQL = "CAST(round({rank} / {deg}, 15) AS DECIMAL(24,15))"
+
+
+def pr_rank_sql(
+    base: str, damping: float, scale: int, in_sum: str = "in_sum"
+) -> str:
+    """SQL for one node's next rank given its exact decimal ``in_sum``
+    (NULL for no in-edges): runs in both Spark and DuckDB."""
+
+    return (
+        f"CAST(round(CAST('{base}' AS DECIMAL({scale + 2},{scale})) + "
+        f"CAST('{damping:.8f}' AS DECIMAL(10,8)) * "
+        f"coalesce(CAST({in_sum} AS DECIMAL(24,15)), "
+        f"CAST(0 AS DECIMAL(24,15))), {scale}) AS DOUBLE)"
+    )
+
 
 def shortest_hops(
     edges: DataFrame,
@@ -96,11 +128,14 @@ def pagerank(
     """PageRank with a FIXED iteration count: (node, rank).
 
     Fixed iterations (not convergence-tested) keep the result a pure
-    deterministic function of the edge set, and each iteration's ranks
-    round to ``scale`` decimals so the result is reproducible across
-    engines and partitionings (floating-point addition order cannot
-    leak into the output) — the same determinism discipline as the IVF
-    k-means refinement (similarity.py::ivf_centroids).
+    deterministic function of the edge set; each iteration's ranks
+    round to ``scale`` decimals AND the incoming-contribution sum runs
+    in exact decimal (PR_CONTRIB_SQL above) so the result is
+    reproducible across engines and partitionings — floating-point
+    addition order cannot leak into the output even when an update
+    lands exactly on a rounding midpoint (which 6-decimal ranks over
+    small integer degrees do routinely). Same determinism discipline
+    as the IVF k-means refinement (similarity.py::ivf_centroids).
 
     Per iteration: one shuffle (sum of incoming contributions) + one
     broadcast-able join against out-degrees. Dangling nodes (no
@@ -121,7 +156,7 @@ def pagerank(
     outdeg = e.groupBy(F.col("s").alias("node")).agg(
         F.count(F.lit(1)).alias("deg")
     )
-    base = F.lit(round((1.0 - damping) / n, scale))
+    base = f"{round((1.0 - damping) / n, scale):.{scale}f}"
     ranks = nodes.select("node", F.lit(round(1.0 / n, scale)).alias("rank"))
     for _ in range(iters):
         contrib = (
@@ -129,7 +164,9 @@ def pagerank(
             .join(e, ranks["node"] == e["s"])
             .select(
                 F.col("t").alias("node"),
-                (F.col("rank") / F.col("deg")).alias("c"),
+                F.expr(
+                    PR_CONTRIB_SQL.format(rank="rank", deg="deg")
+                ).alias("c"),
             )
             .groupBy("node")
             .agg(F.sum("c").alias("in_sum"))
@@ -138,10 +175,7 @@ def pagerank(
             nodes.join(contrib, "node", "left")
             .select(
                 "node",
-                F.round(
-                    base + F.lit(damping) * F.coalesce("in_sum", F.lit(0.0)),
-                    scale,
-                ).alias("rank"),
+                F.expr(pr_rank_sql(base, damping, scale)).alias("rank"),
             )
             # Lazy: fixed iteration count means no per-round action is
             # needed; the checkpoint still truncates lineage when the

@@ -1616,3 +1616,321 @@ class IncrementalShortestHops(IncrementalShortestPaths):
             edges, src=src, dst=dst, cost=None, sources=sources,
             max_iters=max_iters,
         )
+
+
+class IncrementalPageRank:
+    """Incrementally-maintained PageRank with the batch operator's
+    exact semantics (operators/graph.py::pagerank): fixed ``iters``
+    iterations, per-iteration rounding to ``scale`` decimals, dangling
+    nodes keep the random-jump term.
+
+    Fixed-iteration PageRank is NOT a lattice fixpoint (rank changes
+    are not monotone), so the shortest-paths delta relaxation does not
+    apply. Instead the maintainer stores the PER-ITERATION rank tables
+    pr_0..pr_iters and, per epoch of edge additions/retractions,
+    re-evaluates each level ONLY on its affected frontier:
+
+    - structurally affected (every level): targets of added/removed
+      edges, plus out-neighbors of any node whose out-degree changed
+      (their contribution term rank/deg changes at every level);
+    - dynamically affected (level i): out-neighbors (under the new
+      edge set) of nodes whose level i-1 rank actually CHANGED after
+      rounding — rounding collapses far-field perturbations, so the
+      frontier typically shrinks instead of flooding the graph.
+
+    Each level recomputes ``in_sum`` only for frontier nodes (the join
+    e ⋈ frontier restricts to their full in-neighborhoods) against the
+    stored previous-level ranks overridden by that level's changes —
+    work proportional to affected neighborhoods, never an edge-set
+    scan. Changing the NODE SET changes N (hence the base term of
+    every node), so such epochs fall back to a full rebuild —
+    ``last_epoch_mode`` reports 'incremental' | 'rebuild' | 'noop' so
+    callers (and the gate) can see which path ran.
+
+    State: iters+1 rank tables of |V| rows plus edges and out-degrees,
+    localCheckpointed per epoch. ``apply`` returns weighted diffs
+    (node, rank, diff); ``current`` equals the batch operator on the
+    current edge set (gated in test_incremental.py).
+    """
+
+    def __init__(
+        self,
+        edges: DataFrame,
+        src: str = "src",
+        dst: str = "dst",
+        iters: int = 10,
+        damping: float = 0.85,
+        scale: int = 6,
+    ) -> None:
+        self.iters = iters
+        self.damping = damping
+        self.scale = scale
+        self.edges = (
+            edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        self.last_epoch_mode: Optional[str] = None
+        self._full_build()
+
+    # -- batch-identical level construction --------------------------
+
+    def _full_build(self) -> None:
+        """(Re)build nodes, out-degrees, and the per-level rank tables
+        with the batch operator's exact (decimal-sum, order-
+        independent) arithmetic — graph.py::PR_CONTRIB_SQL /
+        pr_rank_sql, so maintained levels and batch recomputation
+        agree bit-for-bit."""
+
+        from ..operators.graph import PR_CONTRIB_SQL, pr_rank_sql
+
+        e = self.edges
+        self.nodes = (
+            e.select(F.col("s").alias("node"))
+            .unionByName(e.select(F.col("t").alias("node")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        self.n = self.nodes.count()
+        self.outdeg = (
+            e.groupBy(F.col("s").alias("node"))
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .localCheckpoint(eager=True)
+        )
+        self._base = (
+            f"{round((1.0 - self.damping) / self.n, self.scale):.{self.scale}f}"
+        )
+        pr = self.nodes.select(
+            "node", F.lit(round(1.0 / self.n, self.scale)).alias("rank")
+        ).localCheckpoint(eager=True)
+        self.prs = [pr]
+        for _ in range(self.iters):
+            contrib = (
+                pr.join(self.outdeg, "node")
+                .join(e, pr["node"] == e["s"])
+                .select(
+                    F.col("t").alias("node"),
+                    F.expr(
+                        PR_CONTRIB_SQL.format(rank="rank", deg="deg")
+                    ).alias("c"),
+                )
+                .groupBy("node")
+                .agg(F.sum("c").alias("in_sum"))
+            )
+            pr = (
+                self.nodes.join(contrib, "node", "left")
+                .select(
+                    "node",
+                    F.expr(
+                        pr_rank_sql(self._base, self.damping, self.scale)
+                    ).alias("rank"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            self.prs.append(pr)
+
+    def current(self) -> DataFrame:
+        return self.prs[-1]
+
+    @staticmethod
+    def _norm(df: Optional[DataFrame]) -> Optional[DataFrame]:
+        if df is None:
+            return None
+        a, b = df.columns[0], df.columns[1]
+        return df.select(F.col(a).alias("s"), F.col(b).alias("t")).distinct()
+
+    def _diffs(self, old_final: DataFrame, new_final: DataFrame) -> DataFrame:
+        """Weighted diffs between two rank tables: retract the old
+        value and assert the new one for every node whose rank moved
+        (node-set changes emit one-sided rows)."""
+
+        o = old_final.select("node", F.col("rank").alias("old_rank"))
+        nw = new_final.select("node", F.col("rank").alias("new_rank"))
+        j = o.join(nw, "node", "full_outer")
+        changed = j.filter(
+            ~(F.col("old_rank").eqNullSafe(F.col("new_rank")))
+        )
+        retracts = changed.filter(F.col("old_rank").isNotNull()).select(
+            "node",
+            F.col("old_rank").alias("rank"),
+            F.lit(-1).cast("long").alias("diff"),
+        )
+        asserts = changed.filter(F.col("new_rank").isNotNull()).select(
+            "node",
+            F.col("new_rank").alias("rank"),
+            F.lit(1).cast("long").alias("diff"),
+        )
+        return retracts.unionByName(asserts)
+
+    def apply(
+        self,
+        added: Optional[DataFrame] = None,
+        retracted: Optional[DataFrame] = None,
+    ) -> DataFrame:
+        """One epoch of edge additions/retractions; returns weighted
+        diffs (node, rank, diff) of the FINAL level."""
+
+        add = self._norm(added)
+        rem = self._norm(retracted)
+        old_edges = self.edges
+        old_final = self.prs[-1]
+
+        # Effective change sets (no-op adds/removes drop out).
+        add_eff = (
+            add.join(old_edges, ["s", "t"], "left_anti").localCheckpoint(
+                eager=True
+            )
+            if add is not None
+            else None
+        )
+        if add_eff is not None and add_eff.limit(1).isEmpty():
+            add_eff = None
+        rem_eff = (
+            rem.join(old_edges, ["s", "t"]).localCheckpoint(eager=True)
+            if rem is not None
+            else None
+        )
+        if rem_eff is not None and rem_eff.limit(1).isEmpty():
+            rem_eff = None
+        if add_eff is None and rem_eff is None:
+            self.last_epoch_mode = "noop"
+            return self._diffs(old_final, old_final)
+
+        new_edges = old_edges
+        if rem_eff is not None:
+            new_edges = new_edges.join(rem_eff, ["s", "t"], "left_anti")
+        if add_eff is not None:
+            new_edges = new_edges.unionByName(add_eff)
+        self.edges = new_edges.localCheckpoint(eager=True)
+
+        # Node-set change => N changes => every node's base term and
+        # seed rank change: rebuild (the well-defined fallback).
+        new_nodes = (
+            self.edges.select(F.col("s").alias("node"))
+            .unionByName(self.edges.select(F.col("t").alias("node")))
+            .distinct()
+        )
+        node_delta = new_nodes.join(
+            self.nodes, "node", "full_outer"
+        ).count() != self.n or new_nodes.count() != self.n
+        if node_delta:
+            self.last_epoch_mode = "rebuild"
+            self._full_build()
+            return self._diffs(old_final, self.prs[-1])
+
+        old_outdeg = self.outdeg
+        self.outdeg = (
+            self.edges.groupBy(F.col("s").alias("node"))
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .localCheckpoint(eager=True)
+        )
+        deg_changed = (
+            self.outdeg.join(
+                old_outdeg.withColumnRenamed("deg", "old_deg"),
+                "node",
+                "full_outer",
+            )
+            .filter(~F.col("deg").eqNullSafe(F.col("old_deg")))
+            .select("node")
+        )
+
+        # Structurally affected at EVERY level: endpoints of changed
+        # in-edges plus out-neighbors (new edge set) of deg-changed
+        # nodes.
+        parts = [
+            self.edges.join(
+                deg_changed.withColumnRenamed("node", "s"), "s"
+            ).select(F.col("t").alias("node"))
+        ]
+        if add_eff is not None:
+            parts.append(add_eff.select(F.col("t").alias("node")))
+        if rem_eff is not None:
+            parts.append(rem_eff.select(F.col("t").alias("node")))
+        d_struct = parts[0]
+        for p in parts[1:]:
+            d_struct = d_struct.unionByName(p)
+        d_struct = d_struct.distinct().localCheckpoint(eager=True)
+
+        from ..operators.graph import PR_CONTRIB_SQL, pr_rank_sql
+
+        e = self.edges
+        changed: Optional[DataFrame] = None  # (node, new_rank) at i-1
+        new_prs = [self.prs[0]]  # level 0 is uniform; N unchanged
+        for i in range(1, self.iters + 1):
+            frontier = d_struct
+            if changed is not None:
+                dyn = e.join(
+                    changed.select(F.col("node").alias("s")), "s"
+                ).select(F.col("t").alias("node"))
+                frontier = frontier.unionByName(dyn).distinct()
+            # Previous-level ranks = stored table overridden by the
+            # previous level's changes (only in-neighbors of the
+            # frontier are ever read).
+            prev = self.prs[i - 1]
+            if changed is not None:
+                prev = (
+                    prev.join(
+                        F.broadcast(
+                            changed.withColumnRenamed("new_rank", "__nr")
+                        ),
+                        "node",
+                        "left",
+                    )
+                    .select(
+                        "node",
+                        F.coalesce(F.col("__nr"), F.col("rank")).alias(
+                            "rank"
+                        ),
+                    )
+                )
+            in_e = e.join(
+                frontier.withColumnRenamed("node", "t"), "t"
+            )  # (s, t) edges INTO the frontier
+            contrib = (
+                in_e.join(
+                    prev.withColumnRenamed("node", "s"), "s"
+                )
+                .join(self.outdeg.withColumnRenamed("node", "s"), "s")
+                .select(
+                    F.col("t").alias("node"),
+                    F.expr(
+                        PR_CONTRIB_SQL.format(rank="rank", deg="deg")
+                    ).alias("c"),
+                )
+                .groupBy("node")
+                .agg(F.sum("c").alias("in_sum"))
+            )
+            new_vals = (
+                frontier.join(contrib, "node", "left")
+                .select(
+                    "node",
+                    F.expr(
+                        pr_rank_sql(self._base, self.damping, self.scale)
+                    ).alias("new_rank"),
+                )
+            )
+            changed = (
+                new_vals.join(self.prs[i], "node")
+                .filter(F.col("new_rank") != F.col("rank"))
+                .select("node", "new_rank")
+                .localCheckpoint(eager=True)
+            )
+            if changed.limit(1).isEmpty():
+                changed = None
+                new_pr = self.prs[i]
+            else:
+                new_pr = (
+                    self.prs[i]
+                    .join(F.broadcast(changed), "node", "left")
+                    .select(
+                        "node",
+                        F.coalesce(
+                            F.col("new_rank"), F.col("rank")
+                        ).alias("rank"),
+                    )
+                    .localCheckpoint(eager=True)
+                )
+            new_prs.append(new_pr)
+        self.prs = new_prs
+        self.last_epoch_mode = "incremental"
+        return self._diffs(old_final, self.prs[-1])

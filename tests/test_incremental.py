@@ -1430,3 +1430,115 @@ def test_incremental_shortest_paths_weighted_sources(spark):
             for r in shortest_paths(frame(current), sources=src_df).collect()
         }
         assert got == expect, (sorted(current.items()), _epoch)
+
+
+def _batch_pagerank(spark, edges):
+    from declarative_dataflow_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    return {r["node"]: r["rank"] for r in pagerank(df).collect()}
+
+
+def test_incremental_pagerank_small_epoch_large_snapshot(spark):
+    """A ~100-edge epoch against a 10k-edge+ PageRank snapshot
+    advances on the INCREMENTAL path (per-level frontier
+    re-evaluation, no full recompute) and equals the batch operator on
+    the new edge set."""
+
+    from declarative_dataflow_spark.streaming.incremental import (
+        IncrementalPageRank,
+    )
+
+    n = 5000
+    base = (
+        [(i, (i * 7 + 1) % n) for i in range(n)]
+        + [(i, (i * 13 + 5) % n) for i in range(n)]
+        + [(i, (i * 19 + 2) % n) for i in range(n)]
+    )
+    inc = IncrementalPageRank(spark.createDataFrame(base, ["src", "dst"]))
+    assert inc.current().count() == n
+
+    adds = [(i, (i * 31 + 17) % n) for i in range(95)]
+    rems = base[:5]
+    diffs = inc.apply(
+        added=spark.createDataFrame(adds, ["src", "dst"]),
+        retracted=spark.createDataFrame(rems, ["src", "dst"]),
+    )
+    assert inc.last_epoch_mode == "incremental"
+    got = {r["node"]: r["rank"] for r in inc.current().collect()}
+    new_edges = [e for e in base if e not in set(rems)] + adds
+    assert got == _batch_pagerank(spark, new_edges)
+    # Diffs are retract+assert pairs for moved ranks only.
+    n_diffs = diffs.count()
+    assert 0 < n_diffs <= 2 * n
+
+
+def test_incremental_pagerank_node_set_change_rebuilds(spark):
+    """An epoch that introduces a new node changes N (every node's
+    base term): the maintainer falls back to a labeled rebuild and
+    still equals batch."""
+
+    from declarative_dataflow_spark.streaming.incremental import (
+        IncrementalPageRank,
+    )
+
+    base = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 1)]
+    inc = IncrementalPageRank(spark.createDataFrame(base, ["src", "dst"]))
+    inc.apply(added=spark.createDataFrame([(3, 4)], ["src", "dst"]))
+    assert inc.last_epoch_mode == "rebuild"
+    got = {r["node"]: r["rank"] for r in inc.current().collect()}
+    assert got == _batch_pagerank(spark, base + [(3, 4)])
+
+    # Retracting it again drops node 4: rebuild again, equal again.
+    inc.apply(retracted=spark.createDataFrame([(3, 4)], ["src", "dst"]))
+    assert inc.last_epoch_mode == "rebuild"
+    got = {r["node"]: r["rank"] for r in inc.current().collect()}
+    assert got == _batch_pagerank(spark, base)
+
+    # A no-op epoch (re-adding an existing edge) is labeled as such.
+    inc.apply(added=spark.createDataFrame([(0, 1)], ["src", "dst"]))
+    assert inc.last_epoch_mode == "noop"
+
+
+def test_incremental_pagerank_random_churn(spark):
+    """Randomized epochs of adds/removals over a fixed node universe
+    keep the maintained ranks equal to batch on the current edge set
+    (the incremental path throughout — node set preserved by a
+    self-loop-free 2-regular backbone)."""
+
+    import random
+
+    rng = random.Random(41)
+    n = 60
+    backbone = [(i, (i + 1) % n) for i in range(n)] + [
+        (i, (i + 7) % n) for i in range(n)
+    ]
+    extra = set()
+    from declarative_dataflow_spark.streaming.incremental import (
+        IncrementalPageRank,
+    )
+
+    inc = IncrementalPageRank(
+        spark.createDataFrame(backbone, ["src", "dst"])
+    )
+    for _ in range(4):
+        adds = {
+            (rng.randrange(n), rng.randrange(n)) for _ in range(8)
+        } - set(backbone) - extra
+        rems = (
+            set(rng.sample(sorted(extra), min(3, len(extra))))
+            if extra
+            else set()
+        )
+        inc.apply(
+            added=spark.createDataFrame(
+                sorted(adds) or [(0, 1)], ["src", "dst"]
+            ),
+            retracted=spark.createDataFrame(
+                sorted(rems) or [(n + 5, n + 6)], ["src", "dst"]
+            ),
+        )
+        extra = (extra | adds) - rems
+        assert inc.last_epoch_mode in ("incremental", "noop")
+        got = {r["node"]: r["rank"] for r in inc.current().collect()}
+        assert got == _batch_pagerank(spark, backbone + sorted(extra))
