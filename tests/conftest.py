@@ -36,3 +36,11 @@ def rows(df):
     """Result as a sorted list of tuples for exact multiset asserts."""
 
     return sorted(tuple(r) for r in df.collect())
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "kafka: needs a real Kafka broker + spark-sql-kafka connector "
+        "(skipped in the development container)",
+    )

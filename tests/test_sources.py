@@ -1,6 +1,7 @@
 """File sources -> attributes (reference: src/sources/csv_file.rs,
 json_file.rs)."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from declarative_dataflow_spark import Join, MatchA
@@ -145,3 +146,101 @@ def test_kafka_stream_raises_without_connector(spark):
     with pytest.raises(Exception):
         df = stream_kafka_datoms(spark, "localhost:9092", "datoms")
         df.writeStream.format("noop").start()
+
+
+def test_kafka_reader_option_plumbing(spark, monkeypatch):
+    """stream_kafka_datoms wires the Kafka reader correctly without a
+    broker or connector jar: a recording stand-in for readStream
+    captures format/options and serves a Kafka-shaped frame, and the
+    value->datom projection must produce the standard datom schema.
+    (The real connector path is test_kafka_broker_end_to_end below,
+    skipped unless the environment provides jar + broker.)"""
+
+    import pyspark.sql
+
+    from declarative_dataflow_spark.sources.kafka import (
+        stream_kafka_datoms,
+    )
+
+    captured = {}
+
+    class FakeReader:
+        def __init__(self, session):
+            self._session = session
+
+        def format(self, fmt):
+            captured["format"] = fmt
+            return self
+
+        def option(self, k, v):
+            captured[k] = v
+            return self
+
+        def load(self):
+            # Kafka's wire schema: binary key/value + topic metadata.
+            return self._session.createDataFrame(
+                [
+                    (None, b'{"e": 7, "a": "name", "v": "x", "t": 3, "diff": 1}',
+                     "datoms", 0, 0),
+                    (None, b'{"e": 8, "a": "name", "v": "y", "t": 3}',
+                     "datoms", 1, 0),
+                    (None, b"not json", "datoms", 0, 1),
+                ],
+                "key binary, value binary, topic string, "
+                "partition int, offset long",
+            )
+
+    monkeypatch.setattr(
+        pyspark.sql.SparkSession,
+        "readStream",
+        property(lambda self: FakeReader(self)),
+    )
+    out = stream_kafka_datoms(
+        spark, "broker1:9092,broker2:9092", "datoms",
+        starting_offsets="latest",
+    )
+    assert captured["format"] == "kafka"
+    assert captured["kafka.bootstrap.servers"] == "broker1:9092,broker2:9092"
+    assert captured["subscribe"] == "datoms"
+    assert captured["startingOffsets"] == "latest"
+    got = {(r["e"], r["a"], r["v"], r["t"], r["diff"]) for r in out.collect()}
+    # malformed payload dropped; missing diff defaults to +1
+    assert got == {(7, "name", "x", 3, 1), (8, "name", "y", 3, 1)}
+
+
+@pytest.mark.kafka
+def test_kafka_broker_end_to_end(spark):
+    """Datoms via a REAL broker -> DeltaJoin epoch. Requires the
+    spark-sql-kafka connector on the classpath AND a reachable broker
+    in $SPARK_GRAFT_KAFKA_BOOTSTRAP (plus kafka-python or confluent-
+    kafka to produce); the development container has neither, so this
+    is skipped with a directed reason — a cluster deploy must smoke
+    it."""
+
+    import os
+
+    bootstrap = os.environ.get("SPARK_GRAFT_KAFKA_BOOTSTRAP")
+    if not bootstrap:
+        pytest.skip(
+            "no broker: set SPARK_GRAFT_KAFKA_BOOTSTRAP=host:port and "
+            "launch Spark with --packages "
+            "org.apache.spark:spark-sql-kafka-0-10_2.13:<version>"
+        )
+    from declarative_dataflow_spark.sources.kafka import (
+        stream_kafka_datoms,
+    )
+
+    datoms = stream_kafka_datoms(spark, bootstrap, "datoms")
+    q = (
+        datoms.writeStream.format("memory")
+        .queryName("kafka_datoms_e2e")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.table("kafka_datoms_e2e").columns == [
+            "e", "a", "v", "t", "diff"
+        ]
+    finally:
+        q.stop()

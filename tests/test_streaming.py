@@ -7,6 +7,8 @@ import time
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from declarative_dataflow_spark.streaming.diff_sink import DiffSink
 from declarative_dataflow_spark.streaming.lww import stream_last_write_wins
 from declarative_dataflow_spark.streaming.windows import (
@@ -850,3 +852,121 @@ def test_cas_fold_arrival_order_across_chunks():
     [out] = list(_cas_fold((7,), iter([c1, c2]), state))
     assert out["v"].iloc[0] == 30
     assert state.stored == (True, 30, 1)
+
+
+# --- r6: micro-batch equality gates for all three window forms -------
+# The same out-of-order data drives real Structured Streaming (file
+# source, one file per micro-batch so the watermark advances between
+# batches) in APPEND mode: late-but-within-watermark rows update their
+# windows before finalization, a too-late row is EVICTED (dropped),
+# and every finalized window must equal the batch operator applied to
+# the rows that legitimately arrived. The watermark-eviction path was
+# previously exercised only by LWW.
+
+_WB1 = [
+    {"k": "a", "ts": "2024-01-01 00:00:02", "value": 1.0},
+    {"k": "a", "ts": "2024-01-01 00:00:05", "value": 2.0},
+    {"k": "b", "ts": "2024-01-01 00:00:08", "value": 3.0},
+    {"k": "a", "ts": "2024-01-01 00:00:25", "value": 4.0},
+    {"k": "b", "ts": "2024-01-01 00:00:40", "value": 5.0},
+    {"k": "a", "ts": "2024-01-01 00:01:00", "value": 6.0},
+]
+_WB2 = [  # one on-time row + two LATE rows still inside the watermark
+    {"k": "a", "ts": "2024-01-01 00:02:00", "value": 7.0},
+    {"k": "b", "ts": "2024-01-01 00:01:15", "value": 8.0},
+    {"k": "a", "ts": "2024-01-01 00:01:20", "value": 9.0},
+]
+_WB3 = [  # on-time row + a TOO-LATE row (watermark is 00:01:00 here)
+    {"k": "b", "ts": "2024-01-01 00:02:30", "value": 10.0},
+    {"k": "a", "ts": "2024-01-01 00:00:30", "value": 99.0},
+]
+_WB4 = [  # pushes the watermark past every real window
+    {"k": "zz", "ts": "2024-01-01 01:00:00", "value": 0.0},
+]
+_WB5 = [  # one more batch so batch-4's watermark EMITS the finals
+    {"k": "zz", "ts": "2024-01-01 01:10:00", "value": 0.0},
+]
+# Rows the stream must have aggregated: everything except the too-late
+# 99.0 row (evicted) and the final trigger row (window not finalized).
+_W_EXPECTED = _WB1 + _WB2 + [_WB3[0]] + _WB4
+
+
+def _drive_windowed(spark, tmp_path, name, make_agg):
+    """Feed the batches through a file stream one micro-batch at a
+    time; return the append-mode rows as a set of tuples."""
+
+    src = tmp_path / f"{name}_in"
+    src.mkdir()
+    stream = (
+        spark.readStream.schema("k string, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = (
+        make_agg(stream)
+        .writeStream.format("memory")
+        .queryName(f"{name}_gate")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / f"{name}_ckpt"))
+        .start()
+    )
+    try:
+        for i, batch in enumerate([_WB1, _WB2, _WB3, _WB4, _WB5]):
+            _write_jsonl(str(src / f"b{i + 1}.json"), batch)
+            q.processAllAvailable()
+        return {
+            (str(r["window_start"]), str(r["window_end"]), r["k"],
+             r["n"], r["total"])
+            for r in spark.table(f"{name}_gate").collect()
+        }
+    finally:
+        q.stop()
+
+
+def _batch_windowed(spark, make_agg):
+    df = spark.createDataFrame(
+        [(r["k"], r["ts"], r["value"]) for r in _W_EXPECTED],
+        "k string, ts string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    return {
+        (str(r["window_start"]), str(r["window_end"]), r["k"],
+         r["n"], r["total"])
+        for r in make_agg(df).collect()
+    }
+
+
+def test_stream_tumbling_equals_batch_with_late_rows(spark, tmp_path):
+    def agg(df):
+        return tumbling_agg(
+            df, "ts", "10 seconds", "60 seconds", ["k"],
+            {"n": "count(*)", "total": "sum(value)"},
+        )
+
+    got = _drive_windowed(spark, tmp_path, "tumb_eq", agg)
+    assert got == _batch_windowed(spark, agg)
+    # the evicted row's window must NOT carry the 99.0 value
+    assert not any(r[4] == 99.0 for r in got)
+
+
+def test_stream_sliding_equals_batch_with_late_rows(spark, tmp_path):
+    def agg(df):
+        return sliding_agg(
+            df, "ts", "20 seconds", "10 seconds", "60 seconds", ["k"],
+            {"n": "count(*)", "total": "sum(value)"},
+        )
+
+    got = _drive_windowed(spark, tmp_path, "slide_eq", agg)
+    assert got == _batch_windowed(spark, agg)
+
+
+def test_stream_session_equals_batch_with_late_rows(spark, tmp_path):
+    def agg(df):
+        return session_agg(
+            df, "ts", "10 seconds", "60 seconds", ["k"],
+            {"n": "count(*)", "total": "sum(value)"},
+        )
+
+    got = _drive_windowed(spark, tmp_path, "sess_eq", agg)
+    assert got == _batch_windowed(spark, agg)
+    # the 00:01:15/00:01:20 late rows merged their sessions pre-close
+    assert any(r[2] == "a" and r[3] >= 2 for r in got)
