@@ -63,6 +63,45 @@ from .plans import (
 DIFF = "__diff"
 
 
+def _reduced_rational(num: Column, den: Column) -> Column:
+    """``num/den`` in lowest terms as ``struct(num, den)`` with a
+    positive denominator — the shape of the reference's
+    ``Value::Rational32`` (num_rational's ``Ratio::new`` reduces on
+    construction; src/lib.rs:96, aggregate_neu.rs:206). The GCD runs
+    as a JVM-side higher-order fold: 96 Euclid steps cover any i64
+    operand pair (the Fibonacci worst-case bound), each step constant
+    work on a 2-field struct. Exactness: the divisions go through
+    DECIMAL(38,0) (the quotient is integral by construction), so no
+    double rounding even past 2^53."""
+
+    init = F.struct(F.abs(num).alias("x"), F.abs(den).alias("y"))
+    g = F.aggregate(
+        F.sequence(F.lit(1), F.lit(96)),
+        init,
+        lambda acc, _i: F.when(acc.getField("y") == 0, acc).otherwise(
+            F.struct(
+                acc.getField("y").alias("x"),
+                (acc.getField("x") % acc.getField("y")).alias("y"),
+            )
+        ),
+        lambda acc: acc.getField("x"),
+    )
+    # gcd(0, den) = den, so g = 0 only for 0/0 — which AVG/VARIANCE
+    # never emit (a group exists only with count > 0); the floor just
+    # keeps the division total.
+    g = F.when(g == 0, F.lit(1)).otherwise(g)
+    s_num = F.when(den < 0, -num).otherwise(num)
+    s_den = F.abs(den)
+    return F.struct(
+        (s_num.cast("decimal(38,0)") / g.cast("decimal(38,0)"))
+        .cast("long")
+        .alias("num"),
+        (s_den.cast("decimal(38,0)") / g.cast("decimal(38,0)"))
+        .cast("long")
+        .alias("den"),
+    )
+
+
 def vcol(var: Var) -> str:
     """Column name for a query variable."""
 
@@ -586,7 +625,17 @@ def _aggregate(plan: Aggregate, catalog: Catalog) -> Relation:
         elif fn == AggregationFn.SUM:
             aggs.append(F.sum(c * diff).alias(out))
         elif fn == AggregationFn.AVG:
-            if plan.exact:
+            if plan.exact == "rational":
+                # Full wire parity with the reference's
+                # Value::Rational32(Ratio::new(sum, count))
+                # (aggregate_neu.rs:206): a REDUCED (num, den) struct
+                # a wire client can serialize as {"Rational32":
+                # [num, den]} bit-for-bit (Ratio::new reduces, so
+                # 20/2 ships as [10, 1]).
+                s = F.sum(c.cast("long") * diff)
+                n = F.sum(diff)
+                aggs.append(_reduced_rational(s, n).alias(out))
+            elif plan.exact:
                 # Exact-rational stand-in for the reference's Rational32
                 # result (aggregate_neu.rs:206). The reference aggregates
                 # Value::Number(i64), so the sum is integral:
@@ -600,7 +649,18 @@ def _aggregate(plan: Aggregate, catalog: Catalog) -> Relation:
                 aggs.append((F.sum(c * diff) / F.sum(diff)).alias(out))
         elif fn == AggregationFn.VARIANCE:
             # sumsq/c - (sum/c)^2 (reference: aggregate_neu.rs:214-243)
-            if plan.exact:
+            if plan.exact == "rational":
+                # Reduced (n*sumsq - s^2) / n^2 — identical to the
+                # reference's Ratio arithmetic (Ratio auto-reduces
+                # after subtraction, aggregate_neu.rs:237-238).
+                cl = c.cast("long")
+                sumsq = F.sum(cl * cl * diff)
+                s = F.sum(cl * diff)
+                n = F.sum(diff)
+                aggs.append(
+                    _reduced_rational(n * sumsq - s * s, n * n).alias(out)
+                )
+            elif plan.exact:
                 # Single exact division: (n*sumsq - s^2) / n^2 with an
                 # integral numerator (integer inputs), same decimal
                 # shape as exact AVG. Overflows past 19 digits return

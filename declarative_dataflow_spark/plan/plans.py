@@ -269,8 +269,11 @@ class Aggregate(Plan):
     # The reference returns exact Rational32 for AVG/VARIANCE
     # (aggregate_neu.rs:206). ``exact=True`` computes them in
     # Decimal(38,18) — exact to 18 fractional digits — instead of
-    # binary double; default False matches SQL engines.
-    exact: bool = False
+    # binary double; ``exact="rational"`` returns the reference's own
+    # shape: a REDUCED struct(num, den) with positive denominator,
+    # encodable on the wire as {"Rational32": [num, den]} bit-for-bit
+    # with serde's Ratio encoding; default False matches SQL engines.
+    exact: bool | str = False
     # Beyond-reference extension (SURVEY §2.2 gap list): "rollup" or
     # "cube" computes sub- and grand-total groups alongside the full
     # grouping (subtotal rows carry NULL keys, SQL semantics). None =

@@ -66,9 +66,27 @@ def encode_value(v: Any) -> Any:
     """Python value -> reference Value JSON."""
 
     from decimal import Decimal
+    from fractions import Fraction
 
     if isinstance(v, dict):
         return v  # already tagged
+    if isinstance(v, Fraction):
+        # Rational32 rides as [numer, denom], reduced with a positive
+        # denominator — exactly serde's encoding of num_rational's
+        # Ratio (src/lib.rs:96; Fraction normalizes identically, so
+        # Fraction(20, 2) ships as [10, 1] like Ratio::new(20, 2)).
+        num, den = v.numerator, v.denominator
+        if not (
+            -(1 << 31) <= num <= (1 << 31) - 1
+            and 0 < den <= (1 << 31) - 1
+        ):
+            raise ValueError(f"Rational32 out of i32 range: {v}")
+        return {"Rational32": [num, den]}
+    if hasattr(v, "__fields__") and list(v.__fields__) == ["num", "den"]:
+        # A struct(num, den) row from Aggregate(exact="rational") —
+        # already reduced; Fraction re-normalizes harmlessly and the
+        # i32 range check applies.
+        return encode_value(Fraction(int(v[0]), int(v[1])))
     if isinstance(v, Decimal):
         # Exact reals ride the wire as Real(I16F16 raw bits). Values
         # off the 2^-16 grid quantize to the nearest representable
@@ -94,8 +112,14 @@ def decode_value(v: Any) -> Any:
         if tag == "Bool":
             return bool(inner)
         if tag == "Rational32":
+            # Exact: the reference's rationals must round-trip without
+            # binary-float loss (Fraction re-encodes to the identical
+            # [num, den] — num_rational keeps ratios reduced, so no
+            # information is added or lost either way).
+            from fractions import Fraction
+
             num, den = inner
-            return num / den
+            return Fraction(num, den)
         if tag == "Real":
             # Feature-gated I16F16 fixed point (reference:
             # src/lib.rs:104-105): raw i32 with 16 fractional bits,

@@ -34,10 +34,21 @@ from .streaming.reactive import ReactiveSession
 
 def _decode_datom(raw: list) -> Datom:
     """Reference Datom is the tuple struct (e, a, v, time, diff)
-    (src/lib.rs:216) — serialized as a 5-element JSON array."""
+    (src/lib.rs:216) — serialized as a 5-element JSON array.
+
+    Rational32 VALUES degrade to double at ingestion (Spark columns
+    hold no rational type; the reference itself only ever PRODUCES
+    rationals from AVG/VARIANCE, it has no rational-attribute inputs
+    in its test surface) — query RESULTS keep the exact Fraction
+    through encode_value."""
+
+    from fractions import Fraction
 
     e, a, v, t, diff = raw
-    return Datom(decode_value(e), a, decode_value(v), t, diff)
+    v = decode_value(v)
+    if isinstance(v, Fraction):
+        v = float(v)
+    return Datom(decode_value(e), a, v, t, diff)
 
 
 def _decode_config(raw: Optional[dict]) -> AttributeConfig:

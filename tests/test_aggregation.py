@@ -374,3 +374,102 @@ def test_rollup_and_cube(engine):
             grouping="rollup",
         )
         engine.implement(bad, ["g", "m"])
+
+
+def test_exact_rational_avg_variance_wire_parity(engine):
+    """exact='rational' reproduces the reference's Value::Rational32
+    results (tests/aggregation_test.rs:320-425) as reduced (num, den)
+    structs and round-trips them through the JSON wire encoding
+    exactly as serde encodes Ratio: Ratio::new(20, 2) ships [10, 1]."""
+
+    from fractions import Fraction
+
+    from declarative_dataflow_spark.plan.plans import (
+        Aggregate,
+        AggregationFn,
+        MatchA,
+        Project,
+    )
+    from declarative_dataflow_spark.plan.wire import (
+        decode_value,
+        encode_value,
+    )
+
+    engine.create_attribute("amount")
+    engine.transact(
+        [
+            Datom.add(1, "amount", 5),
+            Datom.add(2, "amount", 10),
+            Datom.add(2, "amount", 10),
+            Datom.add(1, "amount", 2),
+            Datom.add(1, "amount", 4),
+            Datom.add(1, "amount", 6),
+        ]
+    )
+
+    # Global AVG: 37/6 (bag semantics, aggregation_test.rs:345).
+    plan = Aggregate(
+        ["?v"],
+        Project(["?v"], MatchA("?e", "amount", "?v")),
+        [AggregationFn.AVG],
+        [],
+        ["?v"],
+        exact="rational",
+    )
+    [row] = engine.implement(plan).collect()
+    assert (row[0]["num"], row[0]["den"]) == (37, 6)
+
+    # Keyed AVG: e1 -> 17/4, e2 -> Ratio::new(20, 2) == 10/1
+    # (aggregation_test.rs:363-364 — num_rational reduces).
+    kplan = Aggregate(
+        ["?e", "?v"],
+        MatchA("?e", "amount", "?v"),
+        [AggregationFn.AVG],
+        ["?e"],
+        ["?v"],
+        exact="rational",
+    )
+    got = {
+        r[0]: (r[1]["num"], r[1]["den"])
+        for r in engine.implement(kplan).collect()
+    }
+    assert got == {1: (17, 4), 2: (10, 1)}
+
+    # Global VARIANCE: 317/36; keyed: e1 -> 35/16, e2 -> 0/1
+    # (aggregation_test.rs:404,422-423).
+    vplan = Aggregate(
+        ["?v"],
+        Project(["?v"], MatchA("?e", "amount", "?v")),
+        [AggregationFn.VARIANCE],
+        [],
+        ["?v"],
+        exact="rational",
+    )
+    [vrow] = engine.implement(vplan).collect()
+    assert (vrow[0]["num"], vrow[0]["den"]) == (317, 36)
+    vkplan = Aggregate(
+        ["?e", "?v"],
+        MatchA("?e", "amount", "?v"),
+        [AggregationFn.VARIANCE],
+        ["?e"],
+        ["?v"],
+        exact="rational",
+    )
+    vgot = {
+        r[0]: (r[1]["num"], r[1]["den"])
+        for r in engine.implement(vkplan).collect()
+    }
+    assert vgot == {1: (35, 16), 2: (0, 1)}
+
+    # Wire round-trip: the struct encodes exactly as serde encodes
+    # Ratio, and decoding returns the exact Fraction (no float loss).
+    assert encode_value(row[0]) == {"Rational32": [37, 6]}
+    assert encode_value(Fraction(20, 2)) == {"Rational32": [10, 1]}
+    assert decode_value({"Rational32": [37, 6]}) == Fraction(37, 6)
+    assert encode_value(decode_value({"Rational32": [35, 16]})) == {
+        "Rational32": [35, 16]
+    }
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        encode_value(Fraction(1 << 31, 1))  # i32 overflow guarded
