@@ -1304,6 +1304,20 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash(load_table(spark, sf_dir, "documents"))
 
 
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-LSH near-duplicate pairs over SimHash fingerprints
+    (Manku/Jain/Sarma web-dedup): fingerprints split into 4 8-bit
+    blocks; pigeonhole guarantees any pair within 3 bit flips collides
+    on at least one block, so candidates come from (band, block) key
+    joins — never an all-pairs product — and bit_count(xor) verifies
+    exactly. The DuckDB twin mirrors band extraction and the Hamming
+    verify bit-for-bit."""
+
+    return dedup.simhash_neardup_pairs(
+        load_table(spark, sf_dir, "documents"), max_distance=3, bands=4
+    )
+
+
 def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 scalar quantization of the embedding table (4x ANN memory
     cut; per-vector symmetric scale). Map-only higher-order array
@@ -1486,6 +1500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_groups": q_embed_groups,
         "ngram_jaccard": q_ngram_jaccard,
         "shortest_cost": q_shortest_cost,
+        "simhash_neardup": q_simhash_neardup,  # NEW in r6
         # --- the 36 keys deferred in r05 (green r04 + local r05) ---
         "agg_multi": q_agg_multi,
         "agg_global": q_agg_global,
@@ -2298,6 +2313,33 @@ def oracle_sql() -> dict[str, str]:
             "FROM h CROSS JOIN bits GROUP BY 1, 2) "
             "SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN 1::BIGINT << b "
             "ELSE 0::BIGINT END) AS BIGINT) AS simhash FROM bitsum GROUP BY 1"
+        ),
+        "simhash_neardup": (
+            # Same fingerprint pipeline as the simhash oracle, then
+            # Manku-style banded candidates: (band, 8-bit block) key
+            # join, exact Hamming verify via bit_count(xor) — mirrors
+            # dedup.simhash_neardup_pairs(max_distance=3, bands=4).
+            "WITH words AS (SELECT DISTINCT doc_id, "
+            "unnest(string_split(lower(text), ' ')) AS w FROM documents), "
+            "h AS (SELECT doc_id, "
+            "('0x' || substr(md5(w), 1, 8))::BIGINT AS h FROM words), "
+            "bits AS (SELECT unnest(range(0, 32)) AS b), "
+            "bitsum AS (SELECT doc_id, b, "
+            "sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s "
+            "FROM h CROSS JOIN bits GROUP BY 1, 2), "
+            "sh AS (SELECT doc_id, CAST(sum(CASE WHEN s > 0 "
+            "THEN 1::BIGINT << b ELSE 0::BIGINT END) AS BIGINT) "
+            "AS simhash FROM bitsum GROUP BY 1), "
+            "banded AS (SELECT doc_id, simhash, i AS band, "
+            "(simhash >> (i * 8)) & 255 AS key FROM sh, "
+            "(SELECT unnest(range(0, 4)) AS i)), "
+            "cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b, "
+            "x.simhash AS ha, y.simhash AS hb "
+            "FROM banded x JOIN banded y "
+            "ON x.band = y.band AND x.key = y.key "
+            "AND x.doc_id < y.doc_id) "
+            "SELECT a, b, CAST(bit_count(xor(ha, hb)) AS INT) AS dist "
+            "FROM cand WHERE bit_count(xor(ha, hb)) <= 3"
         ),
         "cosine_topk": (
             "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "

@@ -33,6 +33,7 @@ HEADLINE = [
     "dedup_exact",     # exact hash dedup
     "minhash_lsh",     # MinHash LSH near-dup (banded candidates + verify)
     "simhash",         # SimHash fingerprints
+    "simhash_neardup",  # Manku-banded Hamming-LSH near-dup pairs
     "cosine_topk",     # brute-force ANN baseline
     "ann_lsh",         # hyperplane-LSH ANN (scale path)
     "text_quality",    # quality scoring

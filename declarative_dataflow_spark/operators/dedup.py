@@ -435,3 +435,61 @@ def simhash(docs: DataFrame, bits: int = 32, text_col: str = "text") -> DataFram
         "CAST(0 AS BIGINT))), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
     )
     return docs.select("doc_id", F.expr(fingerprint).alias("simhash"))
+
+
+def simhash_neardup_pairs(
+    docs: DataFrame,
+    max_distance: int = 3,
+    bits: int = 32,
+    bands: int = 4,
+    text_col: str = "text",
+) -> DataFrame:
+    """Document pairs whose SimHash fingerprints differ in at most
+    ``max_distance`` bits: (a, b, dist) with a < b — Hamming-LSH
+    near-duplicate detection over :func:`simhash` fingerprints.
+
+    Scale path (the Manku/Jain/Sarma web-dedup construction): split
+    the ``bits``-bit fingerprint into ``bands`` equal bit-blocks; by
+    pigeonhole, any pair within ``max_distance < bands`` bit flips
+    agrees EXACTLY on at least one block, so the self-join runs on
+    (band, block-bits) keys — candidates are fingerprint-block
+    collisions, never an all-pairs product — and the exact Hamming
+    distance (bit_count of xor, JVM-side) verifies candidates.
+    Requires ``max_distance < bands`` and ``bands | bits``.
+    """
+
+    if max_distance >= bands:
+        raise ValueError(
+            f"pigeonhole requires max_distance < bands "
+            f"({max_distance} >= {bands})"
+        )
+    if bits % bands:
+        raise ValueError(f"bands must divide bits ({bands} ∤ {bits})")
+    width = bits // bands
+    mask = (1 << width) - 1
+    sh = simhash(docs, bits, text_col)
+    banded = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), i -> "
+                f"named_struct('band', i, 'key', "
+                f"(simhash >> (i * {width})) & {mask}))"
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", "bk.band", "bk.key")
+    a = banded.toDF("a", "ha", "band", "key")
+    b = banded.toDF("b", "hb", "band", "key")
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "ha", "hb")
+        .distinct()  # a pair may collide in several bands
+        .withColumn(
+            "dist",
+            F.expr("CAST(bit_count(ha ^ hb) AS INT)"),
+        )
+        .filter(F.col("dist") <= max_distance)
+        .select("a", "b", "dist")
+    )

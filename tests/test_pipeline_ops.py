@@ -812,3 +812,53 @@ def test_jaccard_prefix_ceil_integral_product(spark):
         ).collect()
     }
     assert plain == filtered and plain
+
+
+def test_simhash_neardup_banded_equals_bruteforce(spark):
+    """The Manku-banded Hamming-LSH pairs equal exact all-pairs
+    bit_count(xor) <= d for every d < bands (the pigeonhole lemma
+    guarantees no candidate is missed), across randomized corpora of
+    near-identical and unrelated documents."""
+
+    import itertools
+    import random
+
+    rng = random.Random(23)
+    vocab = [f"w{i}" for i in range(50)]
+    for trial in range(3):
+        rows = []
+        doc_id = 0
+        for base in range(6):
+            words = rng.sample(vocab, 12)
+            for variant in range(3):  # near-identical cluster
+                w = list(words)
+                for _ in range(variant):
+                    w[rng.randrange(len(w))] = rng.choice(vocab)
+                rows.append((doc_id, " ".join(w)))
+                doc_id += 1
+        docs = spark.createDataFrame(rows, ["doc_id", "text"])
+        sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
+        for d, bands in ((3, 4), (7, 8)):
+            brute = {
+                (x, y, bin(sh[x] ^ sh[y]).count("1"))
+                for x, y in itertools.combinations(sorted(sh), 2)
+                if bin(sh[x] ^ sh[y]).count("1") <= d
+            }
+            got = {
+                (r["a"], r["b"], r["dist"])
+                for r in dedup.simhash_neardup_pairs(
+                    docs, max_distance=d, bands=bands
+                ).collect()
+            }
+            assert got == brute, (trial, d, bands)
+            assert brute  # the clusters must actually produce pairs
+
+
+def test_simhash_neardup_parameter_validation(spark):
+    docs = spark.createDataFrame([(0, "a b c")], ["doc_id", "text"])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):  # pigeonhole violated
+        dedup.simhash_neardup_pairs(docs, max_distance=4, bands=4)
+    with _pytest.raises(ValueError):  # bands must divide bits
+        dedup.simhash_neardup_pairs(docs, max_distance=2, bands=5)
