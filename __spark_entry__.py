@@ -1306,15 +1306,23 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hamming-LSH near-duplicate pairs over SimHash fingerprints
-    (Manku/Jain/Sarma web-dedup): fingerprints split into 4 8-bit
-    blocks; pigeonhole guarantees any pair within 3 bit flips collides
-    on at least one block, so candidates come from (band, block) key
-    joins — never an all-pairs product — and bit_count(xor) verifies
-    exactly. The DuckDB twin mirrors band extraction and the Hamming
-    verify bit-for-bit."""
+    (Manku/Jain/Sarma web-dedup): 48-bit fingerprints split into 4
+    12-bit blocks; pigeonhole guarantees any pair within 3 bit flips
+    collides on at least one block, so candidates come from (band,
+    block) key joins — never an all-pairs product — and
+    bit_count(xor) verifies exactly. The block width is the density
+    lever: 2^12 buckets per band keeps candidate volume ~n²·4/4096
+    (8-bit blocks measured bucket-quadratic at 10x data — 81s vs this
+    form's ~3s); a corpus that outgrows 4096 buckets widens the
+    fingerprint further (bits=60), never the band count. The DuckDB
+    twin mirrors band extraction and the Hamming verify
+    bit-for-bit."""
 
     return dedup.simhash_neardup_pairs(
-        load_table(spark, sf_dir, "documents"), max_distance=3, bands=4
+        load_table(spark, sf_dir, "documents"),
+        max_distance=3,
+        bits=48,
+        bands=4,
     )
 
 
@@ -1436,6 +1444,26 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (asymmetric distance): 64-dim vectors
+    split into 8 subspaces with 16-entry codebooks each (deterministic
+    seeds + one 6-decimal-rounded Lloyd step — the ivf_kmeans
+    discipline, so DuckDB reproduces the codebooks exactly); corpus
+    stored as 8 codes/vector (8 B vs 256 B float32); search is one
+    broadcast m x n_codes distance table per query + a sum of 8 table
+    lookups per corpus row."""
+
+    return similarity.pq_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        query_ids=list(range(10)),
+        k=5,
+        m=8,
+        n_codes=16,
+        iters=1,
+        dim=64,
+    )
+
+
 def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 80/10/10 train/val/test assignment by content
     hash — reproducible across runs, engines, and cluster sizes."""
@@ -1501,6 +1529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "shortest_cost": q_shortest_cost,
         "simhash_neardup": q_simhash_neardup,  # NEW in r6
+        "pq_topk": q_pq_topk,  # NEW in r6
         # --- the 36 keys deferred in r05 (green r04 + local r05) ---
         "agg_multi": q_agg_multi,
         "agg_global": q_agg_global,
@@ -2315,15 +2344,17 @@ def oracle_sql() -> dict[str, str]:
             "ELSE 0::BIGINT END) AS BIGINT) AS simhash FROM bitsum GROUP BY 1"
         ),
         "simhash_neardup": (
-            # Same fingerprint pipeline as the simhash oracle, then
-            # Manku-style banded candidates: (band, 8-bit block) key
-            # join, exact Hamming verify via bit_count(xor) — mirrors
-            # dedup.simhash_neardup_pairs(max_distance=3, bands=4).
+            # Same fingerprint pipeline as the simhash oracle but
+            # 48-bit (12 md5 hex chars), then Manku-style banded
+            # candidates: (band, 12-bit block) key join, exact Hamming
+            # verify via bit_count(xor) — mirrors
+            # dedup.simhash_neardup_pairs(max_distance=3, bits=48,
+            # bands=4).
             "WITH words AS (SELECT DISTINCT doc_id, "
             "unnest(string_split(lower(text), ' ')) AS w FROM documents), "
             "h AS (SELECT doc_id, "
-            "('0x' || substr(md5(w), 1, 8))::BIGINT AS h FROM words), "
-            "bits AS (SELECT unnest(range(0, 32)) AS b), "
+            "('0x' || substr(md5(w), 1, 12))::BIGINT AS h FROM words), "
+            "bits AS (SELECT unnest(range(0, 48)) AS b), "
             "bitsum AS (SELECT doc_id, b, "
             "sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s "
             "FROM h CROSS JOIN bits GROUP BY 1, 2), "
@@ -2331,7 +2362,7 @@ def oracle_sql() -> dict[str, str]:
             "THEN 1::BIGINT << b ELSE 0::BIGINT END) AS BIGINT) "
             "AS simhash FROM bitsum GROUP BY 1), "
             "banded AS (SELECT doc_id, simhash, i AS band, "
-            "(simhash >> (i * 8)) & 255 AS key FROM sh, "
+            "(simhash >> (i * 12)) & 4095 AS key FROM sh, "
             "(SELECT unnest(range(0, 4)) AS i)), "
             "cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b, "
             "x.simhash AS ha, y.simhash AS hb "
@@ -2465,6 +2496,56 @@ def oracle_sql() -> dict[str, str]:
             "SELECT q, neighbor, sim, rank FROM ("
             "SELECT *, CAST(row_number() OVER (PARTITION BY q "
             "ORDER BY sim DESC, neighbor) AS INT) AS rank FROM s) "
+            "WHERE rank <= 5"
+        ),
+        "pq_topk": (
+            # Product quantization, mirrored step for step: subvector
+            # slices (1-based list slicing), seed codebooks from the 16
+            # lowest-id vectors, one Lloyd step with 6-decimal-rounded
+            # per-component means (empty cells keep their seed), final
+            # code assignment, per-query subspace distance table, and
+            # ADC = sum of table lookups — matches
+            # similarity.pq_topk(m=8, n_codes=16, iters=1).
+            "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+            "FROM embeddings), "
+            "subs AS (SELECT vec_id, g.sub, "
+            "v[(g.sub * 8 + 1):(g.sub * 8 + 8)] AS sv "
+            "FROM e, (SELECT unnest(range(0, 8)) AS sub) g), "
+            "seed AS (SELECT sub, vec_id AS code, sv AS cv FROM subs "
+            "WHERE vec_id IN (SELECT vec_id FROM e ORDER BY vec_id "
+            "LIMIT 16)), "
+            "a1 AS (SELECT vid, sub, code, sv FROM ("
+            "SELECT s.vec_id AS vid, s.sub, c.code, s.sv, "
+            "row_number() OVER (PARTITION BY s.vec_id, s.sub ORDER BY "
+            "list_sum([(s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]) "
+            "for i in range(1, 9)]) ASC, c.code ASC) AS rn "
+            "FROM subs s JOIN seed c ON s.sub = c.sub) WHERE rn = 1), "
+            "comp AS (SELECT sub, code, g.i, round(avg(sv[g.i]), 6) "
+            "AS mc FROM a1, (SELECT unnest(range(1, 9)) AS i) g "
+            "GROUP BY sub, code, g.i), "
+            "m1 AS (SELECT sub, code, list(mc ORDER BY i) AS mv "
+            "FROM comp GROUP BY sub, code), "
+            "books AS (SELECT s.sub, s.code, coalesce(m1.mv, s.cv) AS cv "
+            "FROM seed s LEFT JOIN m1 ON s.sub = m1.sub "
+            "AND s.code = m1.code), "
+            "codes AS (SELECT vid, sub, code FROM ("
+            "SELECT s.vec_id AS vid, s.sub, b.code, "
+            "row_number() OVER (PARTITION BY s.vec_id, s.sub ORDER BY "
+            "list_sum([(s.sv[i] - b.cv[i]) * (s.sv[i] - b.cv[i]) "
+            "for i in range(1, 9)]) ASC, b.code ASC) AS rn "
+            "FROM subs s JOIN books b ON s.sub = b.sub) WHERE rn = 1), "
+            "dtab AS (SELECT s.vec_id AS q, b.sub, b.code, "
+            "list_sum([(s.sv[i] - b.cv[i]) * (s.sv[i] - b.cv[i]) "
+            "for i in range(1, 9)]) AS dist "
+            "FROM subs s JOIN books b ON s.sub = b.sub "
+            "WHERE s.vec_id < 10), "
+            "sums AS (SELECT d.q, c.vid AS neighbor, "
+            "round(sum(d.dist), 4) AS adist "
+            "FROM codes c JOIN dtab d ON c.sub = d.sub "
+            "AND c.code = d.code WHERE c.vid != d.q GROUP BY 1, 2) "
+            "SELECT q, neighbor, adist, rank FROM ("
+            "SELECT *, CAST(row_number() OVER (PARTITION BY q "
+            "ORDER BY adist, neighbor) AS INT) AS rank FROM sums) "
             "WHERE rank <= 5"
         ),
         "ann_ivf_kmeans": (

@@ -45,6 +45,7 @@ HEADLINE = [
     "topk_plan",       # TopK operator (TakeOrderedAndProject lowering)
     "wco_clique4",     # generic WCO lowering, 6-binding 4-clique
     "ann_ivf",         # IVF ANN (broadcast centroids, nprobe cells)
+    "pq_topk",         # product-quantization ANN (ADC table lookups)
     "shortest_cost",   # weighted recursive aggregate (delta relaxation)
     "window_tumbling",  # streaming window operator on batch input
     "window_sliding",  # overlapping sliding windows

@@ -412,16 +412,25 @@ def simhash(docs: DataFrame, bits: int = 32, text_col: str = "text") -> DataFram
     """Per-document SimHash over the distinct word set: (doc_id, simhash).
 
     For each bit b: sum +1/-1 over tokens by whether bit b of the
-    token's 32-bit hash is set; the fingerprint sets bit b iff the sum
-    is positive. Pure integer arithmetic -> portable to SQL.
+    token's ``bits``-wide md5-prefix hash is set; the fingerprint sets
+    bit b iff the sum is positive. Pure integer arithmetic -> portable
+    to SQL. ``bits`` <= 60 (the fingerprint lives in a signed 64-bit
+    column); WIDER fingerprints are the density lever for banded
+    Hamming near-dup search — block width bits/bands fixes the bucket
+    count at 2^(bits/bands), so a corpus that outgrows its buckets
+    needs more bits, not more bands (more bands with the same distance
+    budget only loosens the pigeonhole filter).
     """
 
+    if not 0 < bits <= 60:
+        raise ValueError(f"bits must be in 1..60 (got {bits})")
     # Entirely row-local: hash the distinct word set, fold it once into
     # a per-bit counter array, then collapse the counters into the
     # fingerprint. Map-only — zero shuffle at any scale.
+    nhex = (bits + 3) // 4
     hw = (
         f"transform(array_distinct(split(lower({text_col}), ' ')), "
-        "s -> CAST(conv(substring(md5(s), 1, 8), 16, 10) AS BIGINT))"
+        f"s -> CAST(conv(substring(md5(s), 1, {nhex}), 16, 10) AS BIGINT))"
     )
     zeros = f"transform(sequence(0, {bits - 1}), x -> CAST(0 AS BIGINT))"
     counts = (

@@ -24,6 +24,8 @@ The connected-components operator lives in dedup.py
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import DataFrame, functions as F
 
 # PageRank update arithmetic, shared verbatim by the batch operator,
@@ -194,6 +196,7 @@ def shortest_paths(
     max_iters: int = 100,
     sources: DataFrame | None = None,
     step: int = 4,
+    max_step: Optional[int] = None,
 ) -> DataFrame:
     """Minimum total cost between reachable (x, y) pairs over a
     non-negative cost column: (x, y, cost). Same delta-driven
@@ -210,14 +213,22 @@ def shortest_paths(
     min-combines WITHIN each hop extension (the per-step groupBy) but
     does not re-prune against the accumulated minimum until the final
     merge, so on dense graphs one job can expand candidates by up to
-    fanout^step before merging — which is why ``step`` ADAPTS: it
-    doubles (capped at 64) while the delta frontier shrinks — the
-    convergence tail, where rounds are scheduling-bound and fanout is
-    collapsing — and halves when the frontier grows, bounding the
-    in-job expansion during the explosive phase. The delta count that
-    drives this is read off the already-materialized checkpoint the
-    emptiness test needs anyway. At cluster scale the same unroll
-    amortizes scheduling overhead identically."""
+    fanout^step before merging.
+
+    ``max_step > step`` opts into ADAPTIVE unrolling: step doubles
+    (capped at max_step) while the delta frontier shrinks and halves
+    when it grows. Measured on the sf0.1 benchmark graph (cheapest
+    paths ~17-20 hops, deltas collapsing 2394→1610→826→120→0), this
+    is a LOSS: total join count is what the job pays — every inner
+    step is a shuffle, and steps joined past convergence are pure
+    waste (cap 64 burned ~60 unneeded shuffles in its last round and
+    doubled wall time; even cap 8 ran 1.5x slower than fixed 4). So
+    the DEFAULT is fixed step: adaptivity pays off only when the
+    cheapest paths are far longer than the per-round frontier is wide
+    (deep thin chain graphs, where rounds are pure scheduling
+    overhead) — that caller sets max_step explicitly. The delta count
+    that drives adaptation is read off the already-materialized
+    checkpoint the emptiness test needs anyway."""
 
     e = edges.select(
         F.col(src).alias("s"),
@@ -235,6 +246,7 @@ def shortest_paths(
     ).localCheckpoint(eager=True)
     delta = dist
     step = max(1, step)
+    max_step = step if max_step is None else max(step, max_step)
     prev_count: int | None = None
     for _ in range(max_iters):
         acc = dist
@@ -265,7 +277,7 @@ def shortest_paths(
             return dist
         if prev_count is not None:
             if n_delta < prev_count:
-                step = min(step * 2, 64)
+                step = min(step * 2, max_step)
             elif n_delta > prev_count:
                 step = max(1, step // 2)
         prev_count = n_delta

@@ -599,3 +599,202 @@ def embed_dedup_groups(
             F.coalesce(F.col("component"), F.col(id_col)).alias("canonical"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): the 100 TB embedding-serving compressor.
+# Each vector splits into m subvectors; each subspace gets its own
+# n_codes-centroid codebook (deterministic seed + rounded Lloyd steps,
+# the ivf_centroids discipline), and a vector is stored as m small
+# codes (m bytes at n_codes<=256 — a 64-dim float32 vector compresses
+# 256B -> 8B). Search uses asymmetric distance (ADC): per query, an
+# m x n_codes table of exact subspace distances (broadcast — it is
+# tiny), then every corpus row's distance is m table lookups summed.
+# ---------------------------------------------------------------------------
+
+
+def _l2sq(a: str, b: str) -> Column:
+    """Squared L2 distance between two double arrays, sequential fold
+    (deterministic summation order)."""
+
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def _subvectors(
+    df: DataFrame, m: int, d: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """(vid, sub, sv): the m d-dimensional subvector slices per row,
+    cast to double. One explode — m rows per vector, each d wide."""
+
+    return df.select(
+        F.col(id_col).alias("vid"),
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
+        F.col(vec_col).alias("__v"),
+    ).select(
+        "vid",
+        "sub",
+        F.expr(
+            f"transform(slice(__v, sub * {d} + 1, {d}), "
+            "x -> CAST(x AS DOUBLE))"
+        ).alias("sv"),
+    )
+
+
+def _pq_assign(sv: DataFrame, books: DataFrame) -> DataFrame:
+    """(vid, sub, code, sv): nearest codebook entry per subvector —
+    lowest squared L2, ties to the lowest code. Codebooks broadcast
+    (m x n_codes x d doubles — always tiny)."""
+
+    from pyspark.sql.window import Window
+
+    scored = sv.join(F.broadcast(books), "sub").withColumn(
+        "__d", _l2sq("sv", "cv")
+    )
+    w = Window.partitionBy("vid", "sub").orderBy(
+        F.col("__d").asc(), F.col("code").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("vid", "sub", "code", "sv")
+    )
+
+
+def pq_codebooks(
+    embeddings: DataFrame,
+    m: int = 8,
+    n_codes: int = 16,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: Optional[int] = None,
+) -> DataFrame:
+    """Per-subspace PQ codebooks: (sub, code, cv array<double>).
+
+    Deterministic: seeds are the ``n_codes`` lowest-id vectors'
+    subslices (codes labeled by seed vec_id, the ivf_centroids
+    convention), refined by ``iters`` Lloyd steps whose per-component
+    means round to 6 decimals — reproducible across engines and
+    partitionings; empty cells keep their previous entry. Each step is
+    one broadcast-assign pass + an (m x n_codes)-group aggregate of
+    d-component means; the refined books (m x n_codes x d doubles)
+    collect to the driver and re-broadcast, exactly like MLlib KMeans.
+    """
+
+    if dim is None:
+        dim_row = embeddings.select(F.size(F.col(vec_col)).alias("d")).first()
+        dim = dim_row["d"] if dim_row else 0
+    if m <= 0 or dim % m:
+        raise ValueError(f"m must divide dim ({m} ∤ {dim})")
+    d = dim // m
+    spark = embeddings.sparkSession
+    seeds = embeddings.orderBy(F.col(id_col).asc()).limit(n_codes)
+    books = _subvectors(seeds, m, d, id_col, vec_col).select(
+        "sub", F.col("vid").alias("code"), F.col("sv").alias("cv")
+    )
+    for _ in range(max(0, iters)):
+        sv = _subvectors(embeddings, m, d, id_col, vec_col)
+        assigned = _pq_assign(sv, books)
+        means = assigned.groupBy("sub", "code").agg(
+            F.array(
+                *[F.round(F.avg(F.col("sv").getItem(i)), 6) for i in range(d)]
+            ).alias("mv")
+        )
+        refined = (
+            books.join(means, ["sub", "code"], "left")
+            .select(
+                "sub", "code", F.coalesce(F.col("mv"), F.col("cv")).alias("cv")
+            )
+            .collect()
+        )
+        books = spark.createDataFrame(
+            refined, "sub int, code long, cv array<double>"
+        )
+    return books
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    books: DataFrame,
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: Optional[int] = None,
+) -> DataFrame:
+    """(vec_id, sub, code): each vector's per-subspace code under
+    ``books`` — the PQ-compressed corpus representation (m small ints
+    per vector; at n_codes<=256 that is m bytes against 4*dim for
+    float32)."""
+
+    if dim is None:
+        dim_row = embeddings.select(F.size(F.col(vec_col)).alias("d")).first()
+        dim = dim_row["d"] if dim_row else 0
+    d = dim // m
+    sv = _subvectors(embeddings, m, d, id_col, vec_col)
+    return _pq_assign(sv, books).select(
+        F.col("vid").alias(id_col), "sub", "code"
+    )
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    m: int = 8,
+    n_codes: int = 16,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: Optional[int] = None,
+) -> DataFrame:
+    """PQ approximate top-k by asymmetric distance: (q, neighbor,
+    adist, rank) — smallest summed subspace distance first.
+
+    ADC: each query computes its EXACT squared L2 to every codebook
+    entry (an m x n_codes table, broadcast), and a corpus row's
+    approximate distance is the sum of m table lookups on its codes —
+    one scan of the compressed corpus per query batch, no vector
+    arithmetic in the hot loop. ``adist`` rounds to 4 decimals and
+    ties break by neighbor id (the cosine_topk determinism
+    discipline)."""
+
+    from pyspark.sql.window import Window
+
+    if dim is None:
+        dim_row = embeddings.select(F.size(F.col(vec_col)).alias("d")).first()
+        dim = dim_row["d"] if dim_row else 0
+    d = dim // m
+    books = pq_codebooks(
+        embeddings, m, n_codes, iters, id_col, vec_col, dim=dim
+    )
+    codes = pq_encode(embeddings, books, m, id_col, vec_col, dim=dim)
+    q_sub = _subvectors(
+        embeddings.filter(F.col(id_col).isin(query_ids)), m, d, id_col, vec_col
+    )
+    dtab = (
+        q_sub.join(F.broadcast(books), "sub")
+        .select(
+            F.col("vid").alias("q"),
+            "sub",
+            "code",
+            _l2sq("sv", "cv").alias("dist"),
+        )
+    )
+    sums = (
+        codes.withColumnRenamed(id_col, "neighbor")
+        .join(F.broadcast(dtab), ["sub", "code"])
+        .filter(F.col("q") != F.col("neighbor"))
+        .groupBy("q", "neighbor")
+        .agg(F.round(F.sum("dist"), 4).alias("adist"))
+    )
+    w = Window.partitionBy("q").orderBy(
+        F.col("adist").asc(), F.col("neighbor").asc()
+    )
+    return (
+        sums.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q", "neighbor", "adist", "rank")
+    )

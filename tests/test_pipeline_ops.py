@@ -862,3 +862,83 @@ def test_simhash_neardup_parameter_validation(spark):
         dedup.simhash_neardup_pairs(docs, max_distance=4, bands=4)
     with _pytest.raises(ValueError):  # bands must divide bits
         dedup.simhash_neardup_pairs(docs, max_distance=2, bands=5)
+
+
+def test_pq_adc_equals_reconstructed_distance(spark):
+    """The ADC sum-of-table-lookups distance is EXACTLY the squared L2
+    between the query and the decoded (reconstructed from codebook
+    entries) neighbor — the identity that makes PQ search correct."""
+
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(40)
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    books = similarity.pq_codebooks(emb, m=4, n_codes=8, iters=1, dim=16)
+    codes = similarity.pq_encode(emb, books, m=4, dim=16)
+    book = {(r["sub"], r["code"]): r["cv"] for r in books.collect()}
+    code_map = {}
+    for r in codes.collect():
+        code_map.setdefault(r["vec_id"], {})[r["sub"]] = r["code"]
+    vecs = dict(rows)
+
+    got = similarity.pq_topk(emb, [0, 1], k=3, m=4, n_codes=8, iters=1, dim=16)
+    for r in got.collect():
+        q, n = r["q"], r["neighbor"]
+        recon = []
+        for sub in range(4):
+            recon.extend(book[(sub, code_map[n][sub])])
+        expect = sum((a - b) ** 2 for a, b in zip(vecs[q], recon))
+        assert abs(r["adist"] - round(expect, 4)) <= 1e-9, (q, n)
+
+
+def test_pq_compression_shape_and_validation(spark):
+    emb = spark.createDataFrame(
+        [(i, [float(i + j) for j in range(12)]) for i in range(20)],
+        ["vec_id", "embedding"],
+    )
+    books = similarity.pq_codebooks(emb, m=3, n_codes=4, iters=0, dim=12)
+    assert books.count() == 12  # m * n_codes entries
+    codes = similarity.pq_encode(emb, books, m=3, dim=12)
+    per_vec = codes.groupBy("vec_id").count().collect()
+    assert all(r["count"] == 3 for r in per_vec)  # m codes per vector
+    seed_ids = set(range(4))
+    assert {r["code"] for r in codes.collect()} <= seed_ids
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        similarity.pq_codebooks(emb, m=5, n_codes=4, dim=12)  # 5 ∤ 12
+
+
+def test_pq_topk_finds_cluster_neighbors(spark):
+    """On well-separated clusters the PQ top-k must stay inside the
+    query's cluster (quantization cannot cross a large margin).
+    vec_ids interleave the clusters so the deterministic lowest-id
+    seeds span all of them (seeds confined to one cluster cannot
+    represent the others — k-means seeding 101, true of any PQ)."""
+
+    import random
+
+    rng = random.Random(9)
+    centers = [
+        [rng.choice((-12.0, 12.0)) for _ in range(8)] for _ in range(4)
+    ]
+    rows = []
+    for c, center in enumerate(centers):
+        for i in range(10):
+            rows.append(
+                (
+                    i * 4 + c,  # interleaved: ids 0..7 cover all clusters
+                    [x + rng.uniform(-0.1, 0.1) for x in center],
+                )
+            )
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = similarity.pq_topk(
+        emb, [0, 1, 2, 3], k=3, m=4, n_codes=8, iters=1, dim=8
+    )
+    assert got.count() == 12
+    for r in got.collect():
+        assert r["neighbor"] % 4 == r["q"] % 4, (r["q"], r["neighbor"])
