@@ -49,6 +49,7 @@ from declarative_dataflow_spark.operators import (
     graph,
     multimodal,
     packing,
+    retrieval,
     similarity,
     text,
 )
@@ -1500,6 +1501,69 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Corpus curation, round 6 additions: Gopher rules, line dedup, BM25,
+# n-gram LM scoring, BPE merge induction
+# ---------------------------------------------------------------------------
+
+
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style word-level quality gate (Rae et al. 2021 A1.1):
+    five rules as one map-only codegen'd projection. min_words=40
+    splits this corpus (docs run ~8-90 words) so both outcomes are
+    exercised."""
+
+    return text.gopher_rules(
+        load_table(spark, sf_dir, "documents"), min_words=40
+    )
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/RefinedWeb corpus-level line dedup. The corpus is word soup
+    without newlines, so the declared query seeds deterministic line
+    breaks every 3 words (regexp in both engines) — short lines off a
+    ~40-word vocabulary collide across documents, making removals
+    observable."""
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_replace(
+            F.col("text"), r"((\S+ ){2}\S+) ", "$1\n"
+        ).alias("text"),
+    )
+    return curation.line_dedup(docs, min_docs=2)
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-25 lexical retrieval against a fixed probe query —
+    the curation "find documents like this" primitive (classifier
+    seeding, domain slicing, filter audits)."""
+
+    return retrieval.bm25_topk(
+        load_table(spark, sf_dir, "documents"),
+        ["spark", "query", "window", "vector"],
+        k=25,
+    )
+
+
+def q_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet/KenLM-shaped quality filter: per-document mean bigram
+    log-probability under an add-0.5-smoothed model trained on the
+    corpus itself."""
+
+    return text.ngram_lm_score(load_table(spark, sf_dir, "documents"))
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer training step two (after vocab_topk): the first 8 BPE
+    merges learned over the corpus. The DuckDB twin unrolls the same
+    8 argmax+fuse steps as chained CTEs."""
+
+    return text.bpe_merges(
+        load_table(spark, sf_dir, "documents"), n_merges=8
+    )
+
+
+# ---------------------------------------------------------------------------
 # Contract
 # ---------------------------------------------------------------------------
 
@@ -1520,7 +1584,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Round 6 front-loads the CHANGED queries (embed_neardup /
     # embed_groups — now density-adjusted planes="auto" in both
     # engines; ngram_jaccard — prefix-ceil epsilon; shortest_cost —
-    # adaptive relaxation step), then ALL 36 keys r05 deferred (each
+    # adaptive relaxation step), the SEVEN queries NEW this round
+    # (simhash_neardup, pq_topk, gopher_rules, line_dedup, bm25_topk,
+    # ngram_lm_score, bpe_merges), then ALL 36 keys r05 deferred (each
     # green in r04 and in the r05 local oracle run), then as many
     # r05-front keys as fit; every tail key was driver-green in r05.
     return {
@@ -1530,6 +1596,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shortest_cost": q_shortest_cost,
         "simhash_neardup": q_simhash_neardup,  # NEW in r6
         "pq_topk": q_pq_topk,  # NEW in r6
+        "gopher_rules": q_gopher_rules,  # NEW in r6
+        "line_dedup": q_line_dedup,  # NEW in r6
+        "bm25_topk": q_bm25_topk,  # NEW in r6
+        "ngram_lm_score": q_ngram_lm_score,  # NEW in r6
+        "bpe_merges": q_bpe_merges,  # NEW in r6
         # --- the 36 keys deferred in r05 (green r04 + local r05) ---
         "agg_multi": q_agg_multi,
         "agg_global": q_agg_global,
@@ -1623,6 +1694,48 @@ def _sql_set(words) -> str:
 
 
 _SQL_STOP = _sql_set(text.STOPWORDS)
+
+
+def _bpe_oracle_sql(n_merges: int = 8) -> str:
+    """DuckDB twin of text.bpe_merges: the same argmax+fuse loop
+    unrolled as chained CTEs (the oracle being static SQL does not
+    force a constant — each step's best pair is a one-row CTE the
+    next step's replace() references)."""
+
+    ctes = [
+        "w0 AS (SELECT '  ' || array_to_string(string_split(word, ''), '  ')"
+        " || '  ' AS seq, cnt FROM ("
+        "SELECT word, count(*)::BIGINT AS cnt FROM ("
+        "SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) "
+        "AS word FROM documents) GROUP BY 1))"
+    ]
+    for i in range(1, n_merges + 1):
+        prev = f"w{i - 1}"
+        ctes.append(
+            f"p{i} AS (SELECT l[i] AS lt, l[i+1] AS rt, cnt FROM ("
+            f"SELECT string_split(trim(seq, ' '), '  ') AS l, cnt "
+            f"FROM {prev}), "
+            "unnest(generate_series(1, len(l) - 1)) AS t(i))"
+        )
+        ctes.append(
+            f"b{i} AS (SELECT lt, rt, sum(cnt)::BIGINT AS n FROM p{i} "
+            "GROUP BY 1, 2 ORDER BY n DESC, lt, rt LIMIT 1)"
+        )
+        ctes.append(
+            f"w{i} AS (SELECT replace({prev}.seq, "
+            f"' ' || b{i}.lt || '  ' || b{i}.rt || ' ', "
+            f"' ' || b{i}.lt || b{i}.rt || ' ') AS seq, {prev}.cnt "
+            f"FROM {prev}, b{i})"
+        )
+    selects = [
+        f"SELECT {i} AS rk, lt AS \"left\", rt AS \"right\", "
+        f"lt || rt AS merged, n FROM b{i}"
+        for i in range(1, n_merges + 1)
+    ]
+    return (
+        "WITH " + ", ".join(ctes) + " SELECT rk, \"left\", \"right\", "
+        "merged, n FROM (" + " UNION ALL ".join(selects) + ")"
+    )
 _SQL_EN = _sql_set(text.LANG_MARKERS["en"])
 _SQL_ES = _sql_set(text.LANG_MARKERS["es"])
 _SQL_DE = _sql_set(text.LANG_MARKERS["de"])
@@ -2630,4 +2743,98 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, unnest([struct_pack(i := i - 1, o := offs[i]) "
             "for i in range(1, len(offs) + 1)]) AS x FROM t)"
         ),
+        "gopher_rules": (
+            "WITH m AS (SELECT doc_id, "
+            "regexp_split_to_array(trim(lower(text)), '\\s+') AS w, "
+            "length(text) - length(replace(text, '#', '')) AS n_hash, "
+            "(length(text) - length(replace(text, '...', ''))) / 3 "
+            "AS n_ellipsis, "
+            f"len(list_filter(string_split(lower(text), ' '), "
+            f"x -> x IN {_SQL_STOP}))::BIGINT AS n_stop "
+            "FROM documents), "
+            "s AS (SELECT doc_id, len(w)::BIGINT AS n_words, "
+            "greatest(len(w), 1) AS denom, "
+            "round(list_sum(list_transform(w, x -> length(x))) "
+            "/ greatest(len(w), 1), 4) AS mean_word_len, "
+            "round((n_hash + n_ellipsis) / greatest(len(w), 1), 4) "
+            "AS symbol_ratio, "
+            "round(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) "
+            "/ greatest(len(w), 1), 4) AS alpha_frac, n_stop FROM m) "
+            "SELECT doc_id, n_words, mean_word_len, symbol_ratio, "
+            "alpha_frac, n_stop, "
+            "(n_words >= 40 AND n_words <= 100000) AS pass_words, "
+            "(mean_word_len >= 3.0 AND mean_word_len <= 10.0) "
+            "AS pass_mean_len, "
+            "(symbol_ratio <= 0.1) AS pass_symbol, "
+            "(alpha_frac >= 0.8) AS pass_alpha, "
+            "(n_stop >= 2) AS pass_stop, "
+            "((n_words >= 40 AND n_words <= 100000) "
+            "AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0) "
+            "AND symbol_ratio <= 0.1 AND alpha_frac >= 0.8 "
+            "AND n_stop >= 2) AS \"pass\" FROM s"
+        ),
+        "line_dedup": (
+            "WITH seeded AS (SELECT doc_id, regexp_replace(text, "
+            "'((\\S+ ){2}\\S+) ', '\\1' || chr(10), 'g') AS text "
+            "FROM documents), "
+            "l AS (SELECT doc_id, i AS pos, ln[i] AS line FROM ("
+            "SELECT doc_id, string_split(text, chr(10)) AS ln FROM seeded), "
+            "unnest(generate_series(1, len(ln))) AS t(i)), "
+            "n AS (SELECT doc_id, pos, line, trim(lower(line)) AS norm "
+            "FROM l), "
+            "c AS (SELECT norm, count(DISTINCT doc_id) AS nd FROM n "
+            "GROUP BY 1), "
+            "kept AS (SELECT n.doc_id, n.pos, n.line FROM n "
+            "JOIN c USING (norm) WHERE c.nd < 2), "
+            "tot AS (SELECT doc_id, count(*)::BIGINT AS n_lines FROM n "
+            "GROUP BY 1), "
+            "rb AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) "
+            "AS text, count(*)::BIGINT AS n_kept FROM kept GROUP BY 1) "
+            "SELECT t.doc_id, coalesce(rb.text, '') AS text, t.n_lines, "
+            "(t.n_lines - coalesce(rb.n_kept, 0))::BIGINT AS n_removed "
+            "FROM tot t LEFT JOIN rb USING (doc_id)"
+        ),
+        "bm25_topk": (
+            "WITH toks AS (SELECT doc_id, "
+            "unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) "
+            "AS term FROM documents), "
+            "dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks "
+            "GROUP BY 1), "
+            "st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl), "
+            "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks "
+            "WHERE term IN ('spark', 'query', 'window', 'vector') "
+            "GROUP BY 1, 2), "
+            "df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1), "
+            "p AS (SELECT tf.doc_id, CAST(round("
+            "ln(1 + (st.n_docs - df.df + 0.5) / (df.df + 0.5)) "
+            "* (tf.tf * 2.2) "
+            "/ (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)), 6) "
+            "AS DECIMAL(18,6)) AS part "
+            "FROM tf JOIN df USING (term) JOIN dl USING (doc_id) "
+            "CROSS JOIN st), "
+            "s AS (SELECT doc_id, CAST(sum(part) AS DOUBLE) AS score "
+            "FROM p GROUP BY 1), "
+            "r AS (SELECT doc_id, score, (ROW_NUMBER() OVER "
+            "(ORDER BY score DESC, doc_id))::BIGINT AS rk FROM s) "
+            "SELECT doc_id, score, rk FROM r WHERE rk <= 25"
+        ),
+        "ngram_lm_score": (
+            "WITH toks AS (SELECT doc_id, i AS pos, w[i] AS w FROM ("
+            "SELECT doc_id, regexp_split_to_array(trim(lower(text)), "
+            "'\\s+') AS w FROM documents), "
+            "unnest(generate_series(1, len(w))) AS t(i)), "
+            "bg AS (SELECT a.doc_id, a.w AS w, b.w AS w2 FROM toks a "
+            "JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1), "
+            "c2 AS (SELECT w, w2, count(*) AS c2 FROM bg GROUP BY 1, 2), "
+            "c1 AS (SELECT w, count(*) AS c1 FROM toks GROUP BY 1), "
+            "v AS (SELECT count(DISTINCT w) AS v FROM toks), "
+            "m AS (SELECT c2.w, c2.w2, CAST(round("
+            "ln((c2.c2 + 0.5) / (c1.c1 + 0.5 * v.v)), 9) "
+            "AS DECIMAL(24,9)) AS logp "
+            "FROM c2 JOIN c1 USING (w) CROSS JOIN v) "
+            "SELECT bg.doc_id, count(*)::BIGINT AS n_bigrams, "
+            "round(CAST(sum(m.logp) AS DOUBLE) / count(*), 6) AS avg_logp "
+            "FROM bg JOIN m ON bg.w = m.w AND bg.w2 = m.w2 GROUP BY 1"
+        ),
+        "bpe_merges": _bpe_oracle_sql(8),
     }

@@ -228,3 +228,56 @@ def topk_per_group(
         .withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= k)
     )
+
+
+def line_dedup(
+    docs: DataFrame,
+    min_docs: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-level line deduplication (the C4/RefinedWeb boilerplate
+    rule): a line whose normalized form (trim + lowercase) occurs in
+    at least ``min_docs`` DISTINCT documents is boilerplate — nav
+    bars, cookie banners, license headers — and every occurrence is
+    removed. Returns (doc_id, text, n_lines, n_removed) with the
+    surviving lines re-joined in their original order; documents whose
+    every line was boilerplate survive with empty text.
+
+    Scale shape: explode to (doc_id, pos, line), one uniform-key
+    count-distinct on the normalized line (map-side partials), one
+    uniform-key hash join back, then a per-document re-assembly via
+    groupBy + in-group array_sort — never a global window. No step
+    touches more than one line-row at a time, so the operator is two
+    shuffles regardless of corpus size.
+    """
+
+    lines = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn("norm", F.trim(F.lower(F.col("line"))))
+    counts = lines.groupBy("norm").agg(
+        F.countDistinct("doc_id").alias("nd")
+    )
+    flagged = lines.join(counts, "norm")
+    kept = flagged.filter(F.col("nd") < min_docs)
+    totals = lines.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_lines")
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    return totals.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("text"), F.lit("")).alias("text"),
+        "n_lines",
+        (F.col("n_lines") - F.coalesce(F.col("n_kept"), F.lit(0)))
+        .cast("long")
+        .alias("n_removed"),
+    )

@@ -1,0 +1,88 @@
+"""Lexical retrieval over the document corpus: BM25 top-k.
+
+Beyond-reference extension (BASELINE.json north star): training-data
+curation routinely needs "find the documents most like this probe" —
+seeding quality classifiers, pulling domain slices, auditing what a
+filter removed. BM25 (Robertson/Spärck Jones, the Lucene-default
+scoring) is the standard lexical form of that query.
+
+Scale shape: the query's term list is a literal filter pushed into the
+token explode, so the corpus-side work is one scan + two uniform-key
+aggregations (per-doc term frequencies, per-doc lengths); document
+frequencies aggregate to |query| rows and broadcast back, and the
+corpus-wide (N, avgdl) statistics ride in on a one-row broadcast.
+Per-term partial scores round to 6 decimals and sum in DECIMAL(18,6)
+(order-independent — the PageRank discipline), and the final top-k is
+orderBy + limit, which Catalyst lowers to TakeOrderedAndProject
+(per-partition k-heaps; no global sort partition).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k documents by BM25 score against ``query_terms``.
+
+    idf(t) = ln(1 + (N - df + 0.5) / (df + 0.5))   (the Lucene form)
+    score(d) = sum_t idf(t) * tf * (k1+1) / (tf + k1*(1-b + b*dl/avgdl))
+
+    Returns (doc_id, score, rk); ties break by doc_id so the ranking
+    is total and engine-portable.
+    """
+
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias(
+            "term"
+        ),
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    qtoks = toks.filter(F.col("term").isin(list(query_terms)))
+    tf = qtoks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.round(
+                F.log(
+                    1.0
+                    + (F.col("n_docs") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                )
+                * (F.col("tf") * (k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + k1
+                    * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+                ),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("part"),
+        )
+    )
+    top = (
+        scored.groupBy("doc_id")
+        .agg(F.sum("part").cast("double").alias("score"))
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(k)
+    )
+    w = Window.orderBy(F.col("score").desc(), "doc_id")
+    return top.withColumn("rk", F.row_number().over(w).cast("long"))

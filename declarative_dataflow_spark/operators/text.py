@@ -226,3 +226,227 @@ def vocab_topk(
         top.withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style document quality rules (Rae et al. 2021, appendix A1.1)
+# ---------------------------------------------------------------------------
+
+def gopher_rules(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_len: float = 3.0,
+    max_mean_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_frac: float = 0.8,
+    min_stopwords: int = 2,
+) -> DataFrame:
+    """Gopher-style repetition-free quality gate: the five word-level
+    rules of Rae et al. 2021 (A1.1) as one map-only projection —
+    word-count range, mean-word-length range, symbol-to-word ratio
+    ("#" and "..." occurrences), alphabetic-word fraction, and minimum
+    stopword hits. Returns the per-document measurements, one boolean
+    per rule, and the conjunction ``pass``.
+
+    Scale shape: zero shuffles — every rule is a JVM array expression
+    over the tokenized text, so the operator is a single codegen'd
+    scan stage at any corpus size. Ratios round to 4 decimals (integer
+    numerators/denominators, one rounded division) so the DuckDB twin
+    hashes identically.
+    """
+
+    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    n_words = F.size(words)
+    denom = F.greatest(n_words, F.lit(1))
+    total_chars = F.aggregate(
+        words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    mean_len = F.round(total_chars / denom, 4)
+    n_hash = F.length(F.col(text_col)) - F.length(
+        F.replace(F.col(text_col), F.lit("#"), F.lit(""))
+    )
+    n_ellipsis = (
+        F.length(F.col(text_col))
+        - F.length(F.replace(F.col(text_col), F.lit("..."), F.lit("")))
+    ) / 3
+    symbol_ratio = F.round((n_hash + n_ellipsis) / denom, 4)
+    n_alpha = F.size(F.filter(words, lambda w: w.rlike("[a-z]")))
+    alpha_frac = F.round(n_alpha / denom, 4)
+    n_stop = _count_in_set(text_col, STOPWORDS)
+
+    pass_words = (n_words >= min_words) & (n_words <= max_words)
+    pass_mean_len = (mean_len >= min_mean_len) & (mean_len <= max_mean_len)
+    pass_symbol = symbol_ratio <= max_symbol_ratio
+    pass_alpha = alpha_frac >= min_alpha_frac
+    pass_stop = n_stop >= min_stopwords
+    return docs.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        alpha_frac.alias("alpha_frac"),
+        n_stop.cast("long").alias("n_stop"),
+        pass_words.alias("pass_words"),
+        pass_mean_len.alias("pass_mean_len"),
+        pass_symbol.alias("pass_symbol"),
+        pass_alpha.alias("pass_alpha"),
+        pass_stop.alias("pass_stop"),
+        (
+            pass_words & pass_mean_len & pass_symbol & pass_alpha & pass_stop
+        ).alias("pass"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# N-gram language-model quality scoring (the CCNet/KenLM filter shape)
+# ---------------------------------------------------------------------------
+
+def ngram_lm_score(
+    docs: DataFrame, alpha: float = 0.5, text_col: str = "text"
+) -> DataFrame:
+    """Per-document mean log-probability under an add-alpha-smoothed
+    word-bigram model trained on the corpus itself — the CCNet/KenLM
+    perplexity-filter shape (docs scoring far below the corpus mean
+    are gibberish or boilerplate; far above are templated spam).
+
+    log P(w2 | w1) = ln((c(w1 w2) + alpha) / (c(w1) + alpha * V))
+
+    Scale shape: bigram and unigram counts are two uniform-key
+    aggregations with map-side partials; scoring joins each document's
+    bigrams to the model on the bigram key (uniform hash join, no
+    skew), and V rides in on a one-row broadcast. Per-bigram log
+    scores round to 9 decimals and sum in DECIMAL(24,9) so the mean is
+    order-independent (the PageRank discipline); the mean rounds to 6.
+
+    Returns (doc_id, n_bigrams, avg_logp).
+    """
+
+    toks = docs.select(
+        F.col("doc_id"),
+        F.posexplode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias(
+            "pos", "w"
+        ),
+    )
+    nxt = toks.select(
+        F.col("doc_id"),
+        (F.col("pos") - 1).alias("pos"),
+        F.col("w").alias("w2"),
+    )
+    bigrams = toks.join(nxt, ["doc_id", "pos"]).select("doc_id", "w", "w2")
+    c2 = bigrams.groupBy("w", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = toks.select(
+        F.countDistinct("w").alias("v")
+    )
+    model = c2.join(c1, "w").crossJoin(F.broadcast(vocab)).select(
+        "w",
+        "w2",
+        F.round(
+            F.log((F.col("c2") + alpha) / (F.col("c1") + alpha * F.col("v"))),
+            9,
+        )
+        .cast("decimal(24,9)")
+        .alias("logp"),
+    )
+    return (
+        bigrams.join(model, ["w", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.sum("logp").cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_logp"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge induction (tokenizer training, step two after vocab_topk)
+# ---------------------------------------------------------------------------
+
+def bpe_merges(
+    docs: DataFrame, n_merges: int = 8, text_col: str = "text"
+) -> DataFrame:
+    """Learn the first ``n_merges`` byte-pair-encoding merges over the
+    corpus (Sennrich et al. 2016): start from the word→count table
+    with each word spelled as space-separated symbols, repeatedly take
+    the most frequent adjacent symbol pair (count desc, then pair
+    lexicographically — a total, engine-portable order) and fuse it
+    everywhere. Returns (rk, left, right, merged, n) — the merge table
+    a tokenizer ships.
+
+    Merge application is a literal string replace over a DOUBLE-space
+    delimited symbol string: the pattern ``" l  r "`` consumes one
+    space from each neighboring gap and the replacement ``" lr "``
+    restores them, so adjacent occurrences that share a delimiter are
+    all fused in one pass while overlapping occurrences (``a a a``
+    under merge ``(a, a)``) fuse greedy left-to-right — exact BPE
+    semantics, identical in Spark and DuckDB (the oracle twin unrolls
+    the same steps as chained CTEs).
+
+    Scale shape: the state is the DISTINCT-word table (vocabulary-
+    sized, not corpus-sized — the one aggregation over the corpus
+    happens once up front). Each round is a map-side pair explode +
+    one uniform-key count + a SINGLE-ROW argmax collect (the only
+    driver traffic: n_merges rows total, the centroid-collect
+    discipline), then a map-only replace. localCheckpoint after each
+    merge keeps lineage flat, so round r never replays rounds 1..r-1.
+    """
+
+    words = (
+        docs.select(
+            F.explode(
+                F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.concat(
+                F.lit("  "),
+                F.array_join(
+                    F.regexp_extract_all(F.col("word"), F.lit("(?s)."), 0),
+                    "  ",
+                ),
+                F.lit("  "),
+            ).alias("seq"),
+            "cnt",
+        )
+    )
+    spark = docs.sparkSession
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rk in range(1, n_merges + 1):
+        syms = F.split(F.trim(F.col("seq")), "  ")
+        pairs = words.select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice(syms, 1, F.size(syms) - 1).alias("l"),
+                    F.slice(syms, 2, F.size(syms) - 1).alias("r"),
+                )
+            ).alias("p"),
+            "cnt",
+        ).select(F.col("p.l").alias("l"), F.col("p.r").alias("r"), "cnt")
+        best = (
+            pairs.groupBy("l", "r")
+            .agg(F.sum("cnt").alias("n"))
+            .orderBy(F.col("n").desc(), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        row = best[0]
+        merges.append((rk, row["l"], row["r"], row["l"] + row["r"], row["n"]))
+        words = words.select(
+            F.replace(
+                F.col("seq"),
+                F.lit(f" {row['l']}  {row['r']} "),
+                F.lit(f" {row['l']}{row['r']} "),
+            ).alias("seq"),
+            "cnt",
+        ).localCheckpoint(eager=False)
+    return spark.createDataFrame(
+        merges, "rk INT, left STRING, right STRING, merged STRING, n BIGINT"
+    )

@@ -942,3 +942,143 @@ def test_pq_topk_finds_cluster_neighbors(spark):
     assert got.count() == 12
     for r in got.collect():
         assert r["neighbor"] % 4 == r["q"] % 4, (r["q"], r["neighbor"])
+
+
+# ---------------------------------------------------------------------------
+# Gopher rules / line dedup / BM25 / ngram LM / BPE merges (round 6)
+# ---------------------------------------------------------------------------
+
+
+def test_gopher_rules_flags(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on a mat and the dog lay low"),  # passes all
+            (2, "### ### ... ### zz9"),  # symbols, no stopwords
+            (3, "supercalifragilisticexpialidocious onomatopoeia the a"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in text.gopher_rules(
+            docs, min_words=3, max_words=50, min_mean_len=2.0
+        ).collect()
+    }
+    r1 = rows[1]
+    assert r1["n_words"] == 11 and r1["pass"]
+    assert r1["n_stop"] >= 2 and r1["alpha_frac"] == 1.0
+    r2 = rows[2]
+    assert not r2["pass_symbol"] and not r2["pass_stop"] and not r2["pass"]
+    # 9 '#' + 1 '...' over 5 words
+    assert r2["symbol_ratio"] == 2.0
+    r3 = rows[3]
+    assert not r3["pass_mean_len"]  # mean word length > 10
+    assert r3["pass_words"] and not r3["pass"]
+
+
+def test_line_dedup_removes_boilerplate(spark):
+    from declarative_dataflow_spark.operators import curation
+
+    docs = spark.createDataFrame(
+        [
+            (1, "COOKIE banner\nunique line one\ncookie banner"),
+            (2, "cookie banner\nunique line two"),
+            (3, "all unique\nhere too"),
+            (4, "cookie banner"),  # only boilerplate -> empty text
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in curation.line_dedup(docs).collect()}
+    assert rows[1]["text"] == "unique line one"
+    assert rows[1]["n_lines"] == 3 and rows[1]["n_removed"] == 2
+    assert rows[2]["text"] == "unique line two"
+    assert rows[3]["text"] == "all unique\nhere too"
+    assert rows[3]["n_removed"] == 0
+    assert rows[4]["text"] == "" and rows[4]["n_removed"] == 1
+
+
+def test_bm25_ranking_and_math(spark):
+    import math
+
+    from declarative_dataflow_spark.operators import retrieval
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark query engine"),
+            (2, "spark spark spark padding padding padding"),
+            (3, "unrelated words entirely"),
+            (4, "query engine query engine"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = retrieval.bm25_topk(docs, ["spark", "query"], k=3).collect()
+    assert [r["rk"] for r in out] == [1, 2, 3]
+    assert {r["doc_id"] for r in out} == {1, 2, 4}
+
+    # independent recompute of doc 1's score
+    def idf(n, df):
+        return math.log(1 + (n - df + 0.5) / (df + 0.5))
+
+    def part(tf, dl, avgdl, n, df, k1=1.2, b=0.75):
+        return round(
+            idf(n, df) * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl)),
+            6,
+        )
+
+    avgdl = (3 + 6 + 3 + 4) / 4
+    expect1 = part(1, 3, avgdl, 4, 2) + part(1, 3, avgdl, 4, 2)
+    got = {r["doc_id"]: r["score"] for r in out}
+    assert got[1] == pytest.approx(expect1, abs=1e-6)
+
+
+def test_ngram_lm_score_matches_hand_model(spark):
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b"), (3, "b z")],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in text.ngram_lm_score(docs, alpha=0.5).collect()
+    }
+    # corpus: bigrams ab x2 (doc1) + ab (doc2) => c2(a,b)=3, c2(b,a)=1,
+    # c2(b,z)=1; unigrams a=3 b=4 z=1; V=3
+    def logp(c2, c1):
+        return round(math.log((c2 + 0.5) / (c1 + 0.5 * 3)), 9)
+
+    d1 = round((logp(3, 3) + logp(1, 4) + logp(3, 3)) / 3, 6)
+    assert out[1]["n_bigrams"] == 3
+    assert float(out[1]["avg_logp"]) == pytest.approx(d1, abs=2e-6)
+    assert out[3]["n_bigrams"] == 1
+    assert float(out[3]["avg_logp"]) == pytest.approx(logp(1, 4), abs=2e-6)
+    # gibberish (rare bigrams) scores lower than the common pattern
+    assert out[3]["avg_logp"] < out[1]["avg_logp"]
+
+
+def test_bpe_merges_learns_expected_pairs(spark):
+    docs = spark.createDataFrame(
+        [(1, "low low low lower lowest"), (2, "new newer newest")],
+        ["doc_id", "text"],
+    )
+    out = text.bpe_merges(docs, n_merges=3).collect()
+    got = [(r["rk"], r["left"], r["right"], r["merged"], r["n"]) for r in out]
+    # pair counts round 1: (l,o)=5, (o,w)=5, (e,w)=3(from new/newer/newest)
+    # ... tie (l,o) vs (o,w) breaks lexicographically -> (l,o) first
+    assert got[0] == (1, "l", "o", "lo", 5)
+    assert got[1] == (2, "lo", "w", "low", 5)
+    assert got[2][1:3] in {("e", "w"), ("n", "e")}
+
+
+def test_bpe_merge_overlap_and_adjacency(spark):
+    # 'aaaa' under merge (a,a): greedy left-to-right -> 'aa' 'aa',
+    # so round 2 sees pair (aa,aa)
+    docs = spark.createDataFrame([(1, "aaaa aaaa b")], ["doc_id", "text"])
+    out = text.bpe_merges(docs, n_merges=2).collect()
+    assert (out[0]["left"], out[0]["right"], out[0]["n"]) == ("a", "a", 6)
+    assert (out[1]["left"], out[1]["right"], out[1]["merged"]) == (
+        "aa",
+        "aa",
+        "aaaa",
+    )
+    assert out[1]["n"] == 2

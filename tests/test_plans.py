@@ -381,3 +381,71 @@ def test_vocab_topk_lowers_to_take_ordered(spark):
     df = text_ops.vocab_topk(docs, k=5)
     phys = _executed(df)
     assert "TakeOrderedAndProject" in phys, phys
+
+
+def test_bm25_lowers_to_take_ordered_and_broadcasts(spark):
+    """bm25_topk's final ranking must lower to TakeOrderedAndProject
+    (per-partition k-heaps — the corpus-sized score table is never
+    globally sorted), and the df / (N, avgdl) statistics must ride in
+    as broadcasts, never shuffle the corpus against tiny sides."""
+
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.q_bm25_topk(spark, SF_DIR)
+    phys = _executed(df)
+    assert "TakeOrderedAndProject" in phys, phys
+    assert "CartesianProduct" not in phys, phys
+    assert "BroadcastHashJoin" in phys or "BroadcastNestedLoopJoin" in phys
+
+
+def test_line_dedup_no_cartesian_no_global_window(spark):
+    """line_dedup re-assembles documents via groupBy + in-group
+    array_sort — the plan must contain no cartesian product and no
+    single-partition global window (the 100 TB killers for this
+    shape)."""
+
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.q_line_dedup(spark, SF_DIR)
+    phys = _executed(df)
+    assert "CartesianProduct" not in phys, phys
+    assert "Window" not in phys, phys
+    assert "SinglePartition" not in phys, phys
+
+
+def test_gopher_rules_is_one_scan_stage(spark):
+    """gopher_rules is a pure map-only projection: zero exchanges,
+    zero joins — one scan stage at any corpus size. (Higher-order
+    array lambdas keep the Project out of whole-stage codegen, but it
+    stays a single map stage — the property that scales.)"""
+
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.q_gopher_rules(spark, SF_DIR)
+    phys = _executed(df)
+    assert "Exchange" not in phys, phys
+    assert "Join" not in phys, phys
+    assert phys.count("FileScan") == 1, phys
+
+
+def test_ngram_lm_score_uniform_key_joins_only(spark):
+    """ngram_lm_score's model join is on the bigram key (uniform) and
+    V arrives via a one-row broadcast — no cartesian, and the only
+    nested-loop join is that single-row broadcast."""
+
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.q_ngram_lm_score(spark, SF_DIR)
+    phys = _executed(df)
+    assert "CartesianProduct" not in phys, phys
+    nested = [
+        line
+        for line in phys.splitlines()
+        if "BroadcastNestedLoopJoin" in line
+    ]
+    # The one-row V frame is the only nested loop; its subtree prints
+    # twice in the AQE plan string (final + reused exchange), and both
+    # must be broadcast Cross builds, never a corpus-vs-corpus loop.
+    assert len(nested) <= 2, phys
+    for line in nested:
+        assert "BuildRight, Cross" in line, line
