@@ -50,6 +50,11 @@ HEADLINE = [
     "window_tumbling",  # streaming window operator on batch input
     "window_sliding",  # overlapping sliding windows
     "window_session",  # merging session windows
+    "gopher_rules",    # Gopher A1.1 quality gate (map-only)
+    "line_dedup",      # corpus-level boilerplate-line removal
+    "bm25_topk",       # BM25 lexical retrieval
+    "ngram_lm_score",  # bigram-LM quality scoring
+    "bpe_merges",      # BPE tokenizer training (8 argmax rounds)
 ]
 
 

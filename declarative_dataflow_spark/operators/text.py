@@ -232,8 +232,7 @@ def vocab_topk(
 # Gopher-style document quality rules (Rae et al. 2021, appendix A1.1)
 # ---------------------------------------------------------------------------
 
-def gopher_rules(
-    docs: DataFrame,
+def gopher_columns(
     text_col: str = "text",
     min_words: int = 50,
     max_words: int = 100_000,
@@ -242,20 +241,9 @@ def gopher_rules(
     max_symbol_ratio: float = 0.1,
     min_alpha_frac: float = 0.8,
     min_stopwords: int = 2,
-) -> DataFrame:
-    """Gopher-style repetition-free quality gate: the five word-level
-    rules of Rae et al. 2021 (A1.1) as one map-only projection —
-    word-count range, mean-word-length range, symbol-to-word ratio
-    ("#" and "..." occurrences), alphabetic-word fraction, and minimum
-    stopword hits. Returns the per-document measurements, one boolean
-    per rule, and the conjunction ``pass``.
-
-    Scale shape: zero shuffles — every rule is a JVM array expression
-    over the tokenized text, so the operator is a single codegen'd
-    scan stage at any corpus size. Ratios round to 4 decimals (integer
-    numerators/denominators, one rounded division) so the DuckDB twin
-    hashes identically.
-    """
+) -> dict[str, Column]:
+    """The Gopher rules as raw Column expressions — composable into
+    any projection (streaming stages use these to stay map-only)."""
 
     words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     n_words = F.size(words)
@@ -281,21 +269,41 @@ def gopher_rules(
     pass_symbol = symbol_ratio <= max_symbol_ratio
     pass_alpha = alpha_frac >= min_alpha_frac
     pass_stop = n_stop >= min_stopwords
-    return docs.select(
-        "doc_id",
-        n_words.cast("long").alias("n_words"),
-        mean_len.alias("mean_word_len"),
-        symbol_ratio.alias("symbol_ratio"),
-        alpha_frac.alias("alpha_frac"),
-        n_stop.cast("long").alias("n_stop"),
-        pass_words.alias("pass_words"),
-        pass_mean_len.alias("pass_mean_len"),
-        pass_symbol.alias("pass_symbol"),
-        pass_alpha.alias("pass_alpha"),
-        pass_stop.alias("pass_stop"),
-        (
+    return {
+        "n_words": n_words.cast("long"),
+        "mean_word_len": mean_len,
+        "symbol_ratio": symbol_ratio,
+        "alpha_frac": alpha_frac,
+        "n_stop": n_stop.cast("long"),
+        "pass_words": pass_words,
+        "pass_mean_len": pass_mean_len,
+        "pass_symbol": pass_symbol,
+        "pass_alpha": pass_alpha,
+        "pass_stop": pass_stop,
+        "pass": (
             pass_words & pass_mean_len & pass_symbol & pass_alpha & pass_stop
-        ).alias("pass"),
+        ),
+    }
+
+
+def gopher_rules(docs: DataFrame, text_col: str = "text", **thresholds) -> DataFrame:
+    """Gopher-style repetition-free quality gate: the five word-level
+    rules of Rae et al. 2021 (A1.1) as one map-only projection —
+    word-count range, mean-word-length range, symbol-to-word ratio
+    ("#" and "..." occurrences), alphabetic-word fraction, and minimum
+    stopword hits. Returns the per-document measurements, one boolean
+    per rule, and the conjunction ``pass``.
+
+    Scale shape: zero shuffles — every rule is a JVM array expression
+    over the tokenized text, so the operator is a single map-only scan
+    stage at any corpus size. Ratios round to 4 decimals (integer
+    numerators/denominators, one rounded division) so the DuckDB twin
+    hashes identically.
+    """
+
+    cols = gopher_columns(text_col, **thresholds)
+    return docs.select(
+        "doc_id", *[c.alias(name) for name, c in cols.items()]
     )
 
 

@@ -46,23 +46,17 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..operators.dedup import shingles
 
 
-class IncrementalDupNgram:
-    """Differential duplicate-n-gram fraction over an append-only
-    document stream. ``process_batch`` returns the changed documents'
-    rows; accumulated state answers exactly like the batch operator
-    run on everything ingested so far (gated in tests)."""
+class _GenerationalState:
+    """Shared crash-safe parquet state for the incremental corpus
+    maintainers: versioned generations behind a pointer file
+    (write-then-swap commits), epoch-keyed append-only increments
+    (retry-idempotent under foreachBatch's at-least-once), a
+    folded-epoch manifest so compaction never double-counts a retried
+    epoch, and periodic count compaction. ``KEY_COL`` names the count
+    table's key column; subclasses own the semantics."""
 
-    def __init__(
-        self,
-        spark: SparkSession,
-        state_dir: str,
-        n: int = 3,
-        text_col: str = "text",
-    ) -> None:
-        self.spark = spark
-        self.state_dir = state_dir.rstrip("/")
-        self.n = n
-        self.text_col = text_col
+    #: key column of the ``counts`` state table
+    KEY_COL = "shingle"
 
     # -- state io ----------------------------------------------------
     #
@@ -197,7 +191,7 @@ class IncrementalDupNgram:
         inc = self._read_versioned("counts")
         if inc is None:
             return None
-        return inc.groupBy("shingle").agg(F.sum("n").alias("n"))
+        return inc.groupBy(self.KEY_COL).agg(F.sum("n").alias("n"))
 
     def _compact(self, name: str, consolidated: Optional[DataFrame]) -> None:
         """Fold increments into one consolidated generation, preserving
@@ -241,6 +235,25 @@ class IncrementalDupNgram:
         self._epochs = getattr(self, "_epochs", 0) + 1
         if self._epochs % self.compact_every == 0:
             self._compact("counts", self._read_counts())
+
+
+class IncrementalDupNgram(_GenerationalState):
+    """Differential duplicate-n-gram fraction over an append-only
+    document stream. ``process_batch`` returns the changed documents'
+    rows; accumulated state answers exactly like the batch operator
+    run on everything ingested so far (gated in tests)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        n: int = 3,
+        text_col: str = "text",
+    ) -> None:
+        self.spark = spark
+        self.state_dir = state_dir.rstrip("/")
+        self.n = n
+        self.text_col = text_col
 
     # -- one epoch ---------------------------------------------------
     def process_batch(
@@ -528,3 +541,164 @@ class IncrementalContamination:
         if index is None:
             return None
         return self._score(index, self._io._read_versioned("eval"))
+
+
+class IncrementalLineDedup(_GenerationalState):
+    """Differentially-maintained corpus-level line dedup
+    (operators/curation.py::line_dedup): a normalized line crossing
+    the ``min_docs`` distinct-document threshold retroactively removes
+    itself from EVERY document that contains it — including documents
+    ingested long ago. Recomputing the corpus per micro-batch is
+    O(corpus); this maintainer re-emits exactly the documents whose
+    surviving text changed.
+
+    state (generational parquet, crash-safe swap + epoch manifests):
+      counts/  (norm, n)              — distinct-doc counts per line
+      index/   (norm, doc_id)         — inverted index (distinct)
+      lines/   (doc_id, pos, line, norm) — full line store (the
+               re-assembly source; only affected docs' slices are
+               ever joined per epoch)
+
+    per epoch: batch lines -> touched counts (join against state on
+    the uniform norm key) -> crossing set (old_n < min_docs <= new_n)
+    -> affected old docs via index semi-join -> re-emit
+    (doc_id, text, n_lines, n_removed) for batch ∪ affected docs,
+    re-assembled from the pruned lines slice against UPDATED counts.
+    Work per epoch is O(batch lines + affected-doc lines); state
+    writes are O(batch) appends. Gated equal to the batch operator
+    across deterministic and randomized epoch sequences.
+    """
+
+    KEY_COL = "norm"
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        min_docs: int = 2,
+        text_col: str = "text",
+    ) -> None:
+        self.spark = spark
+        self.state_dir = state_dir.rstrip("/")
+        self.min_docs = min_docs
+        self.text_col = text_col
+
+    # -- helpers ------------------------------------------------------
+    def _explode_lines(self, batch: DataFrame) -> DataFrame:
+        return batch.select(
+            "doc_id",
+            F.posexplode(F.split(F.col(self.text_col), "\n")).alias(
+                "pos", "line"
+            ),
+        ).withColumn("norm", F.trim(F.lower(F.col("line"))))
+
+    def _assemble(self, doc_lines: DataFrame, counts: DataFrame) -> DataFrame:
+        """(doc_id, pos, line, norm) x updated counts -> the operator's
+        output rows for exactly the docs present in ``doc_lines``."""
+
+        flagged = doc_lines.join(counts, "norm", "left").withColumn(
+            "__dup", F.coalesce(F.col("n"), F.lit(0)) >= self.min_docs
+        )
+        totals = flagged.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("n_lines")
+        )
+        kept = flagged.filter(~F.col("__dup"))
+        rebuilt = kept.groupBy("doc_id").agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias("text"),
+            F.count(F.lit(1)).alias("n_kept"),
+        )
+        return totals.join(rebuilt, "doc_id", "left").select(
+            "doc_id",
+            F.coalesce(F.col("text"), F.lit("")).alias("text"),
+            "n_lines",
+            (F.col("n_lines") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+        )
+
+    # -- one epoch ----------------------------------------------------
+    def process_batch(
+        self, batch: DataFrame, epoch: Optional[int] = None
+    ) -> DataFrame:
+        """Ingest one batch of documents; return the operator's rows
+        for every document whose output changed: the batch's own docs
+        plus old docs holding a line that just crossed min_docs."""
+
+        lines = self._explode_lines(batch).localCheckpoint(eager=True)
+        dn = lines.select("doc_id", "norm").distinct()
+
+        counts = self._read_counts()
+        index = self._read_versioned("index")
+
+        batch_counts = dn.groupBy("norm").agg(
+            F.count(F.lit(1)).alias("bn")
+        )
+        if counts is None:
+            touched = batch_counts.select(
+                "norm",
+                F.lit(0).cast("long").alias("old_n"),
+                F.col("bn").cast("long").alias("new_n"),
+            )
+        else:
+            touched = batch_counts.join(counts, "norm", "left").select(
+                "norm",
+                F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("old_n"),
+                (F.coalesce(F.col("n"), F.lit(0)) + F.col("bn"))
+                .cast("long")
+                .alias("new_n"),
+            )
+        touched = touched.localCheckpoint(eager=True)
+
+        crossing = touched.filter(
+            (F.col("old_n") < self.min_docs)
+            & (F.col("new_n") >= self.min_docs)
+        ).select("norm")
+
+        doc_lines = lines
+        if index is not None:
+            affected_old = (
+                index.join(crossing, "norm", "left_semi")
+                .select("doc_id")
+                .distinct()
+            )
+            stored = self._read_versioned("lines")
+            if stored is not None:
+                doc_lines = doc_lines.unionByName(
+                    stored.join(affected_old, "doc_id", "left_semi")
+                )
+
+        # Updated counts view: touched norms carry new_n, untouched
+        # norms (only reachable from old docs' lines) keep state.
+        upd = touched.select("norm", F.col("new_n").alias("n"))
+        if counts is not None:
+            upd = upd.unionByName(
+                counts.join(touched.select("norm"), "norm", "left_anti")
+            )
+        out = self._assemble(doc_lines, upd).localCheckpoint(eager=True)
+
+        # -- advance state: O(batch) appends --
+        self._append(
+            "counts",
+            batch_counts.select("norm", F.col("bn").cast("long").alias("n")),
+            epoch,
+        )
+        self._append("index", dn, epoch)
+        self._append("lines", lines, epoch)
+        self._maybe_compact()
+        return out
+
+    def current(self) -> Optional[DataFrame]:
+        """The maintained output for every ingested document — equals
+        the batch operator over everything ingested so far."""
+
+        stored = self._read_versioned("lines")
+        counts = self._read_counts()
+        if stored is None or counts is None:
+            return None
+        return self._assemble(stored, counts)

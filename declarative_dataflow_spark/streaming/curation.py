@@ -232,12 +232,15 @@ def stream_curate(
     min_quality: float = 0.2,
     max_repetition: float = 0.9,
     require_lang: bool = True,
+    gopher: dict | None = None,
 ) -> DataFrame:
     """Map-only streaming curation stage: quality score, language ID,
-    repetition ratio, and PII scrubbing composed as ONE projection
-    (raw Column expressions, no self-joins — a streaming self-join
-    would demand watermarks and state for what is purely map work).
-    Zero state; fuses into the micro-batch scan."""
+    repetition ratio, PII scrubbing — and, when ``gopher`` is given
+    (a dict of gopher_columns threshold overrides, ``{}`` for the
+    paper's defaults), the Gopher A1.1 word-level gate — composed as
+    ONE projection (raw Column expressions, no self-joins — a
+    streaming self-join would demand watermarks and state for what is
+    purely map work). Zero state; fuses into the micro-batch scan."""
 
     out = stream.select(
         "*",
@@ -251,4 +254,8 @@ def stream_curate(
     )
     if require_lang:
         out = out.filter(F.col("lang_pred") != "und")
+    if gopher is not None:
+        out = out.filter(
+            text_ops.gopher_columns(text_col, **gopher)["pass"]
+        )
     return out.drop(text_col).withColumnRenamed("__redacted", text_col)

@@ -970,3 +970,148 @@ def test_stream_session_equals_batch_with_late_rows(spark, tmp_path):
     assert got == _batch_windowed(spark, agg)
     # the 00:01:15/00:01:20 late rows merged their sessions pre-close
     assert any(r[2] == "a" and r[3] >= 2 for r in got)
+
+
+def test_incremental_line_dedup_retroactive(spark, tmp_path):
+    """A line crossing the min_docs threshold retroactively rewrites
+    OLD documents: epoch 2 must re-emit doc 1 with the now-boilerplate
+    line removed, and leave untouched docs unemitted."""
+
+    from declarative_dataflow_spark.operators import curation
+    from declarative_dataflow_spark.streaming.corpus_stats import (
+        IncrementalLineDedup,
+    )
+
+    inc = IncrementalLineDedup(spark, str(tmp_path / "ld_state"))
+    b1 = spark.createDataFrame(
+        [
+            (1, "cookie banner\nunique line one"),
+            (2, "all mine\nnothing shared"),
+        ],
+        ["doc_id", "text"],
+    )
+    out1 = {r["doc_id"]: r for r in inc.process_batch(b1, epoch=1).collect()}
+    assert out1[1]["text"] == "cookie banner\nunique line one"
+    assert out1[1]["n_removed"] == 0
+
+    b2 = spark.createDataFrame(
+        [(3, "Cookie Banner\nfresh content")], ["doc_id", "text"]
+    )
+    out2 = {r["doc_id"]: r for r in inc.process_batch(b2, epoch=2).collect()}
+    # emits batch doc 3 AND affected old doc 1; NOT untouched doc 2
+    assert set(out2) == {1, 3}
+    assert out2[1]["text"] == "unique line one"
+    assert out2[1]["n_removed"] == 1
+    assert out2[3]["text"] == "fresh content"
+
+    # state equals the batch operator over everything ingested
+    full = b1.unionByName(b2)
+    expect = {
+        tuple(r)
+        for r in curation.line_dedup(full, min_docs=2).collect()
+    }
+    got = {tuple(r) for r in inc.current().collect()}
+    assert got == expect
+
+
+def test_incremental_line_dedup_random_epochs(spark, tmp_path):
+    """Randomized epochs (shared vocabulary forces collisions): after
+    every batch the maintained state equals the batch operator over
+    everything ingested so far; crosses the compaction boundary."""
+
+    import random
+
+    from declarative_dataflow_spark.operators import curation
+    from declarative_dataflow_spark.streaming.corpus_stats import (
+        IncrementalLineDedup,
+    )
+
+    rng = random.Random(61)
+    lines_pool = [f"line {i}" for i in range(12)]
+    inc = IncrementalLineDedup(spark, str(tmp_path / "ldr_state"))
+    inc.compact_every = 3  # cross the fold boundary inside the test
+    seen = []
+    doc_id = 0
+    for epoch in range(1, 6):
+        batch_rows = []
+        for _ in range(rng.randint(1, 3)):
+            doc_id += 1
+            n = rng.randint(1, 4)
+            batch_rows.append(
+                (doc_id, "\n".join(rng.choice(lines_pool) for _ in range(n)))
+            )
+        batch = spark.createDataFrame(batch_rows, ["doc_id", "text"])
+        seen.extend(batch_rows)
+        inc.process_batch(batch, epoch=epoch)
+        full = spark.createDataFrame(seen, ["doc_id", "text"])
+        expect = {
+            tuple(r)
+            for r in curation.line_dedup(full, min_docs=2).collect()
+        }
+        got = {tuple(r) for r in inc.current().collect()}
+        assert got == expect, f"epoch {epoch}"
+
+
+def test_incremental_line_dedup_retry_idempotent(spark, tmp_path):
+    """A retried epoch (foreachBatch at-least-once) replaces its own
+    contribution instead of double-counting: a second process_batch
+    with the same epoch id leaves counts—and therefore every doc's
+    output—unchanged."""
+
+    from declarative_dataflow_spark.operators import curation
+    from declarative_dataflow_spark.streaming.corpus_stats import (
+        IncrementalLineDedup,
+    )
+
+    inc = IncrementalLineDedup(spark, str(tmp_path / "ldi_state"))
+    b1 = spark.createDataFrame(
+        [(1, "shared line\nmine alone")], ["doc_id", "text"]
+    )
+    inc.process_batch(b1, epoch=1)
+    inc.process_batch(b1, epoch=1)  # retry of the SAME epoch
+    # "shared line" appears in ONE doc; a double-count would make it
+    # boilerplate (nd=2) and strip it.
+    got = {tuple(r) for r in inc.current().collect()}
+    expect = {
+        tuple(r) for r in curation.line_dedup(b1, min_docs=2).collect()
+    }
+    assert got == expect
+
+
+def test_stream_curate_gopher_gate(spark, tmp_path):
+    """stream_curate(gopher=...) composes the Gopher A1.1 word-level
+    rules into the same map-only projection: too-short and
+    symbol-heavy docs drop, a passing doc flows through."""
+
+    from declarative_dataflow_spark.streaming.curation import stream_curate
+
+    src = tmp_path / "gop_in"
+    src.mkdir()
+    _write_jsonl(str(src / "b1.json"), [
+        {"doc_id": 1, "text": "the quick brown fox is on the hill for now "
+                              "and the dog naps in the shade of a tall tree"},
+        {"doc_id": 2, "text": "tiny text the a"},  # below min_words
+        {"doc_id": 3, "text": "the ### fox ### ... and ### more ### is "
+                              "on a ### hill ### here ### now ### too "
+                              "### with ### many more ### markers ###"},
+    ])
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .json(str(src))
+    )
+    curated = stream_curate(
+        stream, min_quality=0.0, gopher={"min_words": 10, "min_mean_len": 2.0}
+    )
+    q = (
+        curated.writeStream.format("memory")
+        .queryName("gop_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "gop_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {r["doc_id"] for r in spark.table("gop_test").collect()}
+        assert got == {1}
+    finally:
+        q.stop()
