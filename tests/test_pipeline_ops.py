@@ -1082,3 +1082,104 @@ def test_bpe_merge_overlap_and_adjacency(spark):
         "aaaa",
     )
     assert out[1]["n"] == 2
+
+
+def _bpe_reference(word_counts, n_merges):
+    """Pure-Python BPE (Sennrich 2016 get_stats/merge): overlapping
+    pair counts, argmax by (count desc, pair asc), greedy
+    left-to-right non-overlapping fuse per word."""
+
+    seqs = {w: list(w) for w in word_counts}
+    merges = []
+    for rk in range(1, n_merges + 1):
+        pairs = {}
+        for w, syms in seqs.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pairs[p] = pairs.get(p, 0) + word_counts[w]
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        (l, r), n = best
+        merges.append((rk, l, r, l + r, n))
+        for w, syms in seqs.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            seqs[w] = out
+    return merges
+
+
+def test_bpe_matches_reference_random(spark):
+    """Randomized corpora over tiny alphabets (forcing overlapping
+    pairs and shared-delimiter adjacency): the Spark operator's merge
+    table equals the classic in-memory BPE on every seed."""
+
+    import random
+
+    for seed in range(4):
+        rng = random.Random(100 + seed)
+        alphabet = "ab" if seed % 2 == 0 else "abc"
+        words = [
+            "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 6)))
+            for _ in range(rng.randint(3, 10))
+        ]
+        docs = spark.createDataFrame(
+            [(i, " ".join(rng.choices(words, k=rng.randint(2, 8))))
+             for i in range(3)],
+            ["doc_id", "text"],
+        )
+        counts = {}
+        for r in docs.collect():
+            for w in r["text"].split():
+                counts[w] = counts.get(w, 0) + 1
+        expect = _bpe_reference(counts, 5)
+        got = [
+            (r["rk"], r["left"], r["right"], r["merged"], r["n"])
+            for r in text.bpe_merges(docs, n_merges=5).collect()
+        ]
+        assert got == expect, f"seed {seed}"
+
+
+def test_line_dedup_matches_reference_random(spark):
+    """Randomized line corpora: line_dedup equals a pure-Python
+    computation of the C4-style rule for min_docs in {2, 3}."""
+
+    import random
+
+    from declarative_dataflow_spark.operators import curation
+
+    for seed in range(3):
+        rng = random.Random(7 + seed)
+        pool = [f"Line {i}" for i in range(8)] + ["  line 3  ", "LINE 5"]
+        rows = [
+            (i, "\n".join(rng.choice(pool)
+                          for _ in range(rng.randint(1, 5))))
+            for i in range(12)
+        ]
+        min_docs = 2 + seed % 2
+        norm_docs = {}
+        for doc_id, txt in rows:
+            for ln in txt.split("\n"):
+                norm_docs.setdefault(ln.strip().lower(), set()).add(doc_id)
+        expect = {}
+        for doc_id, txt in rows:
+            lines = txt.split("\n")
+            kept = [
+                ln for ln in lines
+                if len(norm_docs[ln.strip().lower()]) < min_docs
+            ]
+            expect[doc_id] = (
+                "\n".join(kept), len(lines), len(lines) - len(kept)
+            )
+        docs = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = {
+            r["doc_id"]: (r["text"], r["n_lines"], r["n_removed"])
+            for r in curation.line_dedup(docs, min_docs=min_docs).collect()
+        }
+        assert got == expect, f"seed {seed}"
