@@ -1563,6 +1563,23 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based (alpha=0.3) sampling weights per language —
+    the multilingual-LM upsampling rule applied to the corpus's token
+    shares."""
+
+    return curation.mix_weights(load_table(spark, sf_dir, "documents"))
+
+
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF keywords (corpus browsing / cluster
+    labeling)."""
+
+    return retrieval.tfidf_topk_terms(
+        load_table(spark, sf_dir, "documents"), k=3
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract
 # ---------------------------------------------------------------------------
@@ -1601,6 +1618,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,  # NEW in r6
         "ngram_lm_score": q_ngram_lm_score,  # NEW in r6
         "bpe_merges": q_bpe_merges,  # NEW in r6
+        "mix_weights": q_mix_weights,  # NEW in r6
+        "tfidf_topk": q_tfidf_topk,  # NEW in r6
         # --- the 36 keys deferred in r05 (green r04 + local r05) ---
         "agg_multi": q_agg_multi,
         "agg_global": q_agg_global,
@@ -2837,4 +2856,33 @@ def oracle_sql() -> dict[str, str]:
             "FROM bg JOIN m ON bg.w = m.w AND bg.w2 = m.w2 GROUP BY 1"
         ),
         "bpe_merges": _bpe_oracle_sql(8),
+        "mix_weights": (
+            "WITH g1 AS (SELECT lang AS \"group\", "
+            "sum(CASE WHEN len(trim(text)) = 0 THEN 0 "
+            "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)"
+            "::BIGINT AS n_tokens FROM documents GROUP BY 1), "
+            "t AS (SELECT sum(n_tokens) AS total FROM g1), "
+            "g2 AS (SELECT \"group\", n_tokens, n_tokens / t.total AS p, "
+            "pow(n_tokens / t.total, 0.3) AS w FROM g1, t), "
+            "z AS (SELECT sum(w) AS zz FROM g2) "
+            "SELECT \"group\", n_tokens, round(p, 6) AS p, "
+            "round(w / z.zz, 6) AS q FROM g2, z"
+        ),
+        "tfidf_topk": (
+            "WITH toks AS (SELECT doc_id, "
+            "unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) "
+            "AS term FROM documents), "
+            "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks "
+            "GROUP BY 1, 2), "
+            "df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1), "
+            "nd AS (SELECT count(DISTINCT doc_id) AS n_docs "
+            "FROM documents), "
+            "s AS (SELECT tf.doc_id, tf.term, "
+            "round(tf.tf * ln(n_docs / df.df), 6) AS score "
+            "FROM tf JOIN df USING (term), nd), "
+            "r AS (SELECT doc_id, term, score, (ROW_NUMBER() OVER "
+            "(PARTITION BY doc_id ORDER BY score DESC, term))::BIGINT "
+            "AS rk FROM s) "
+            "SELECT doc_id, term, score, rk FROM r WHERE rk <= 3"
+        ),
     }

@@ -281,3 +281,45 @@ def line_dedup(
         .cast("long")
         .alias("n_removed"),
     )
+
+
+def mix_weights(
+    docs: DataFrame,
+    alpha: float = 0.3,
+    group_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Temperature-based sampling weights for a multi-source/-language
+    training mix (the multilingual-LM upsampling rule): with p_g the
+    group's token share, the sampling weight is q_g ∝ p_g^alpha
+    renormalized — alpha < 1 upsamples low-resource groups. Returns
+    (group, n_tokens, p, q).
+
+    Scale shape: one uniform-key token-count aggregation over the
+    corpus, then two one-row aggregates over the |groups|-sized frame
+    (broadcast back) — the corpus is scanned once, everything after
+    is constant-size.
+    """
+
+    n_tokens = F.when(
+        F.length(F.trim(F.col(text_col))) == 0, F.lit(0)
+    ).otherwise(F.size(F.split(F.trim(F.col(text_col)), r"\s+")))
+    g1 = (
+        docs.select(F.col(group_col).alias("group"), n_tokens.alias("nt"))
+        .groupBy("group")
+        .agg(F.sum("nt").cast("long").alias("n_tokens"))
+    )
+    total = g1.agg(F.sum("n_tokens").alias("total"))
+    g2 = g1.crossJoin(F.broadcast(total)).select(
+        "group",
+        "n_tokens",
+        (F.col("n_tokens") / F.col("total")).alias("p"),
+        F.pow(F.col("n_tokens") / F.col("total"), alpha).alias("w"),
+    )
+    z = g2.agg(F.sum("w").alias("z"))
+    return g2.crossJoin(F.broadcast(z)).select(
+        "group",
+        "n_tokens",
+        F.round(F.col("p"), 6).alias("p"),
+        F.round(F.col("w") / F.col("z"), 6).alias("q"),
+    )

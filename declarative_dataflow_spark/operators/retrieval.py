@@ -86,3 +86,47 @@ def bm25_topk(
     )
     w = Window.orderBy(F.col("score").desc(), "doc_id")
     return top.withColumn("rk", F.row_number().over(w).cast("long"))
+
+
+def tfidf_topk_terms(
+    docs: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document top-k keywords by TF-IDF (tf * ln(N/df)) — the
+    keyword-extraction primitive behind corpus browsing, cluster
+    labeling, and topic slicing. Returns (doc_id, term, score, rk);
+    ties break by term so the ranking is total and engine-portable.
+
+    Scale shape: one token explode; tf aggregates on the uniform
+    (doc_id, term) key, df on the uniform term key; the df join is
+    term-keyed (AQE handles stopword skew) and the final rank is a
+    window PARTITIONED by doc_id — parallel across documents, never a
+    global sort.
+    """
+
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias(
+            "term"
+        ),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.select(F.countDistinct("doc_id").alias("n_docs"))
+    scored = tf.join(df_, "term").crossJoin(F.broadcast(n_docs)).select(
+        "doc_id",
+        "term",
+        F.round(
+            F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6
+        ).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), "term"
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+    )

@@ -1183,3 +1183,51 @@ def test_line_dedup_matches_reference_random(spark):
             for r in curation.line_dedup(docs, min_docs=min_docs).collect()
         }
         assert got == expect, f"seed {seed}"
+
+
+def test_mix_weights_upsamples_low_resource(spark):
+    import math
+
+    from declarative_dataflow_spark.operators import curation
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h", "en"),
+            (2, "a b c d e f g h", "en"),
+            (3, "x y", "de"),
+        ],
+        ["doc_id", "text", "lang"],
+    )
+    out = {r["group"]: r for r in curation.mix_weights(docs, alpha=0.3).collect()}
+    assert out["en"]["n_tokens"] == 16 and out["de"]["n_tokens"] == 2
+    p_en, p_de = 16 / 18, 2 / 18
+    z = p_en**0.3 + p_de**0.3
+    assert out["en"]["q"] == pytest.approx(p_en**0.3 / z, abs=1e-6)
+    assert out["de"]["q"] == pytest.approx(p_de**0.3 / z, abs=1e-6)
+    # alpha < 1 upsamples: q_de > p_de, q_en < p_en
+    assert out["de"]["q"] > out["de"]["p"]
+    assert out["en"]["q"] < out["en"]["p"]
+    assert math.isclose(out["en"]["q"] + out["de"]["q"], 1.0, abs_tol=2e-6)
+
+
+def test_tfidf_topk_prefers_rare_terms(spark):
+    import math
+
+    from declarative_dataflow_spark.operators import retrieval
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common rare common unique"),
+            (2, "common other words here"),
+            (3, "common stuff entirely different"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = retrieval.tfidf_topk_terms(docs, k=2).collect()
+    d1 = sorted(
+        [r for r in out if r["doc_id"] == 1], key=lambda r: r["rk"]
+    )
+    # 'common' appears in all 3 docs -> idf 0 -> never tops rare terms
+    assert {d1[0]["term"], d1[1]["term"]} == {"rare", "unique"}
+    assert d1[0]["score"] == pytest.approx(round(math.log(3), 6), abs=1e-6)
+    assert all(len([r for r in out if r["doc_id"] == d]) == 2 for d in (1, 2, 3))
