@@ -51,6 +51,7 @@ from declarative_dataflow_spark.operators import (
     packing,
     retrieval,
     similarity,
+    sketch,
     text,
 )
 from declarative_dataflow_spark.operators.bitemporal import as_of
@@ -1580,6 +1581,23 @@ def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-token estimate (256 registers) next to the
+    exact count — the constant-state corpus-cardinality sketch. All
+    register arithmetic is exact (md5-uint32 buckets, integer CASE
+    bit-length, power-of-two sums), so the DuckDB twin hash-matches."""
+
+    return sketch.hll_distinct(load_table(spark, sf_dir, "documents"))
+
+
+def q_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min-Sketch heavy hitters: top-20 terms by CMS estimate
+    (4x512 grid) with the exact count alongside. Pure integer
+    arithmetic; the broadcast-sketch join is the scale path."""
+
+    return sketch.cms_topk(load_table(spark, sf_dir, "documents"), k=20)
+
+
 # ---------------------------------------------------------------------------
 # Contract
 # ---------------------------------------------------------------------------
@@ -1620,6 +1638,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": q_bpe_merges,  # NEW in r6
         "mix_weights": q_mix_weights,  # NEW in r6
         "tfidf_topk": q_tfidf_topk,  # NEW in r6
+        "hll_distinct": q_hll_distinct,  # NEW in r6
+        "cms_topk": q_cms_topk,  # NEW in r6
         # --- the 36 keys deferred in r05 (green r04 + local r05) ---
         "agg_multi": q_agg_multi,
         "agg_global": q_agg_global,
@@ -1755,6 +1775,70 @@ def _bpe_oracle_sql(n_merges: int = 8) -> str:
         "WITH " + ", ".join(ctes) + " SELECT rk, \"left\", \"right\", "
         "merged, n FROM (" + " UNION ALL ".join(selects) + ")"
     )
+_DUCK_H32 = "(('0x' || substr(md5({t}), 1, 8))::BIGINT)"
+
+
+def _hll_oracle_sql() -> str:
+    """DuckDB twin of sketch.hll_distinct — same md5-uint32 buckets,
+    same integer CASE bit-length ladder, alpha*m^2 folded to one
+    Python double literal so both engines see the identical scalar."""
+
+    m, vb = sketch.HLL_M, sketch.HLL_VBITS
+    am2 = sketch.HLL_ALPHA * m * m
+    h32 = _DUCK_H32.format(t="term")
+    bitlen = sketch._bitlen_case_sql(f"({h32} // {m})", vb)
+    raw = f"CAST({am2!r} AS DOUBLE) / (s_used + ({m} - used))"
+    return (
+        "WITH toks AS (SELECT "
+        "unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) "
+        "AS term FROM documents), "
+        f"reg AS (SELECT {h32} % {m} AS bucket, "
+        f"max({vb + 1} - {bitlen}) AS r FROM toks GROUP BY 1), "
+        "agg AS (SELECT count(*) AS used, sum(pow(2.0, -r)) AS s_used "
+        "FROM reg), "
+        "ex AS (SELECT count(DISTINCT term) AS exact FROM toks) "
+        f"SELECT {m}::BIGINT AS m, used::BIGINT AS used, "
+        f"round(CASE WHEN {raw} <= {2.5 * m} AND ({m} - used) > 0 "
+        f"THEN CAST({float(m)!r} AS DOUBLE) * "
+        f"ln({float(m)!r} / ({m} - used)) "
+        f"ELSE {raw} END, 6) AS est, exact, "
+        "round((est - exact) / exact * 100.0, 6) AS err_pct "
+        "FROM agg, ex"
+    )
+
+
+def _cms_oracle_sql(k: int = 20) -> str:
+    """DuckDB twin of sketch.cms_topk (d x w grid, min over rows)."""
+
+    d, w = sketch.CMS_DEPTH, sketch.CMS_WIDTH
+    sk_cells = " UNION ALL ".join(
+        f"SELECT {j} AS j, "
+        + _DUCK_H32.format(t=f"'{j}_' || term")
+        + f" % {w} AS c FROM toks"
+        for j in range(d)
+    )
+    cand_cells = " UNION ALL ".join(
+        f"SELECT term, exact, {j} AS j, "
+        + _DUCK_H32.format(t=f"'{j}_' || term")
+        + f" % {w} AS c FROM ex"
+        for j in range(d)
+    )
+    return (
+        "WITH toks AS (SELECT "
+        "unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) "
+        "AS term FROM documents), "
+        f"sk AS (SELECT j, c, count(*)::BIGINT AS cnt FROM ({sk_cells}) "
+        "GROUP BY 1, 2), "
+        "ex AS (SELECT term, count(*)::BIGINT AS exact FROM toks "
+        "GROUP BY 1), "
+        f"est AS (SELECT term, exact, min(cnt) AS est FROM "
+        f"({cand_cells}) JOIN sk USING (j, c) GROUP BY 1, 2), "
+        "r AS (SELECT term, est, exact, (ROW_NUMBER() OVER "
+        "(ORDER BY est DESC, term))::BIGINT AS rk FROM est) "
+        f"SELECT term, est, exact, rk FROM r WHERE rk <= {k}"
+    )
+
+
 _SQL_EN = _sql_set(text.LANG_MARKERS["en"])
 _SQL_ES = _sql_set(text.LANG_MARKERS["es"])
 _SQL_DE = _sql_set(text.LANG_MARKERS["de"])
@@ -2885,4 +2969,6 @@ def oracle_sql() -> dict[str, str]:
             "AS rk FROM s) "
             "SELECT doc_id, term, score, rk FROM r WHERE rk <= 3"
         ),
+        "hll_distinct": _hll_oracle_sql(),
+        "cms_topk": _cms_oracle_sql(20),
     }

@@ -1,0 +1,249 @@
+"""Mergeable sketch operators: HyperLogLog distinct counting and
+Count-Min-Sketch heavy hitters over the document corpus.
+
+Beyond-reference extensions (BASELINE.json north star): at 100 TB the
+questions "how many distinct tokens does this corpus have" and "what
+are its heaviest terms" cannot afford an exact global distinct — the
+state must be CONSTANT-SIZE and mergeable across epochs, executors,
+and corpus shards. These are the two canonical sketches (Flajolet et
+al. 2007; Cormode & Muthukrishnan 2005) expressed as pure DataFrame
+algebra:
+
+- ``hll_distinct``: m = 2^p registers; each register is a MAX, so the
+  Spark plan is one scan -> map-only (bucket, rho) projection -> a
+  groupBy on the uniform bucket key with map-side partial max -> an
+  m-row final aggregate. Register tables from different shards merge
+  by pairwise max (see ``streaming.corpus_stats.IncrementalHLL``).
+- ``cms_topk``: a d x w counter grid built with one uniform-key
+  aggregation (map-side combine); estimation joins each candidate
+  term's d cells against the <= d*w-row sketch (broadcast), takes the
+  min, and ranks with orderBy+limit (TakeOrderedAndProject — never a
+  single-partition global sort).
+
+Determinism / oracle parity: every hash is the md5-uint32 used across
+this repo (``('0x' || substr(md5(x),1,8))::BIGINT`` in DuckDB,
+``conv(substring(md5(x),1,8),16,10)`` in Spark), bit-length comes from
+an integer CASE ladder (no floating log2 at register build time), and
+the HLL estimator's 2^-rho terms are exact powers of two whose sum
+spans < 53 bits of magnitude — so the register sum is EXACT and
+order-independent, and the only inexact steps (one ln, one divide)
+run on identical doubles in both engines and round to 6 decimals.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, functions as F
+
+# ---------------------------------------------------------------------------
+# Shared md5-uint32 hash (engine-portable; see operators.dedup)
+# ---------------------------------------------------------------------------
+
+HLL_P = 8  # 2^8 = 256 registers (~6.5% standard error)
+HLL_M = 1 << HLL_P
+# Flajolet's bias-corrected alpha for m >= 128.
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+# Bits of the 32-bit hash left after the bucket index is peeled off.
+HLL_VBITS = 32 - HLL_P
+
+CMS_DEPTH = 4
+CMS_WIDTH = 512
+
+
+def _bitlen_case_sql(col: str, bits: int) -> str:
+    """Integer bit-length of ``col`` (0 for 0) as a CASE ladder —
+    identical SQL text in Spark and DuckDB, no floating log2 (whose
+    last-ulp rounding near exact integers is engine-dependent)."""
+
+    branches = " ".join(
+        f"WHEN {col} >= {1 << (b - 1)} THEN {b}"
+        for b in range(bits, 0, -1)
+    )
+    return f"(CASE {branches} ELSE 0 END)"
+
+
+def hll_register_sql(term: str, hash32: str) -> tuple[str, str]:
+    """(bucket_expr, rho_expr) over a term column given the engine's
+    md5-uint32 expression for it. rho = 1 + leading zeros of the
+    remaining VBITS bits = VBITS + 1 - bitlen(v)."""
+
+    bucket = f"({hash32} % {HLL_M})"
+    v = f"(CAST({hash32} AS BIGINT) // {HLL_M})"
+    rho = f"({HLL_VBITS + 1} - {_bitlen_case_sql(v, HLL_VBITS)})"
+    return bucket, rho
+
+
+_SPARK_H32 = "CAST(conv(substring(md5({t}), 1, 8), 16, 10) AS BIGINT)"
+
+
+def _tokens(docs: DataFrame, text_col: str) -> DataFrame:
+    return docs.select(
+        F.explode(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        ).alias("term")
+    )
+
+
+def hll_registers(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """The m-register HLL table (bucket, r) for the corpus's token
+    multiset — constant-size, mergeable by max. Only occupied buckets
+    appear (absent bucket == register 0)."""
+
+    h32 = _SPARK_H32.format(t="term")
+    # Spark has no integer-div `//`; build the exprs directly.
+    bucket = F.expr(f"{h32} % {HLL_M}")
+    v = F.expr(f"CAST({h32} / {HLL_M} AS BIGINT)")  # floor: h32 >= 0
+    rho = F.lit(HLL_VBITS + 1) - F.expr(
+        _bitlen_case_sql(f"CAST({h32} / {HLL_M} AS BIGINT)", HLL_VBITS)
+    )
+    return (
+        _tokens(docs, text_col)
+        .select(bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("r"))
+    )
+
+
+def hll_estimate_from_registers(registers: DataFrame) -> DataFrame:
+    """One-row (m, used, est) from a register table: the standard
+    raw estimator alpha*m^2 / sum(2^-r) with linear-counting
+    small-range correction (raw <= 2.5m and empty registers exist)."""
+
+    agg = registers.agg(
+        F.count(F.lit(1)).alias("used"),
+        F.sum(F.pow(F.lit(2.0), -F.col("r"))).alias("s_used"),
+    )
+    zeros = F.lit(HLL_M) - F.col("used")
+    total = F.col("s_used") + zeros.cast("double")
+    raw = F.lit(HLL_ALPHA * HLL_M * HLL_M) / total
+    est = F.when(
+        (raw <= 2.5 * HLL_M) & (zeros > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / zeros),
+    ).otherwise(raw)
+    return agg.select(
+        F.lit(HLL_M).cast("long").alias("m"),
+        F.col("used").cast("long").alias("used"),
+        F.round(est, 6).alias("est"),
+    )
+
+
+def hll_distinct(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """One row (m, used, est, exact, err_pct): the HLL estimate of the
+    corpus's distinct-token count next to the exact count (the exact
+    side exists for the gate/bench — a 100 TB caller runs only the
+    sketch).
+
+    Scale shape: the sketch side never materializes the vocabulary —
+    per-partition partial maxes reduce into <= m rows. The exact side
+    (countDistinct) is the expensive baseline being avoided.
+    """
+
+    sk = hll_estimate_from_registers(hll_registers(docs, text_col))
+    exact = _tokens(docs, text_col).agg(
+        F.countDistinct("term").alias("exact")
+    )
+    return sk.crossJoin(F.broadcast(exact)).select(
+        "m",
+        "used",
+        "est",
+        "exact",
+        F.round(
+            (F.col("est") - F.col("exact")) / F.col("exact") * 100.0, 6
+        ).alias("err_pct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min Sketch heavy hitters
+# ---------------------------------------------------------------------------
+
+
+def cms_sketch(
+    docs: DataFrame,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+    text_col: str = "text",
+) -> DataFrame:
+    """The d x w counter grid (j, c, cnt) for the corpus token
+    multiset — one uniform-key aggregation over <= d*w cells, counts
+    mergeable by sum across shards/epochs."""
+
+    toks = _tokens(docs, text_col)
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                F.expr(
+                    _SPARK_H32.format(t=f"concat('{j}_', term)")
+                    + f" % {width}"
+                ).alias("c"),
+            )
+            for j in range(depth)
+        ]
+    )
+    return (
+        toks.select(F.explode(cells).alias("cell"))
+        .select("cell.j", "cell.c")
+        .groupBy("j", "c")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_topk(
+    docs: DataFrame,
+    k: int = 20,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k heavy-hitter terms by Count-Min estimate, with the exact
+    count alongside (est >= exact always; the overestimate is the
+    collision mass). Returns (term, est, exact, rk); ties break by
+    term so the ranking is total and engine-portable.
+
+    Scale shape: the sketch is <= d*w rows and BROADCASTS to the
+    candidate side; candidates are the distinct-term table with its d
+    cell keys exploded map-side, so estimation is one broadcast-hash
+    join + a min-groupBy on the uniform term key. The final rank is
+    orderBy+limit (TakeOrderedAndProject). Pure integer arithmetic —
+    no float parity risk.
+    """
+
+    from pyspark.sql import Window
+
+    sketch = cms_sketch(docs, depth, width, text_col)
+    exact = (
+        _tokens(docs, text_col)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("exact"))
+    )
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                F.expr(
+                    _SPARK_H32.format(t=f"concat('{j}_', term)")
+                    + f" % {width}"
+                ).alias("c"),
+            )
+            for j in range(depth)
+        ]
+    )
+    est = (
+        exact.select("term", "exact", F.explode(cells).alias("cell"))
+        .select("term", "exact", "cell.j", "cell.c")
+        .join(F.broadcast(sketch), ["j", "c"])
+        .groupBy("term", "exact")
+        .agg(F.min("cnt").alias("est"))
+    )
+    top = est.orderBy(F.col("est").desc(), "term").limit(k)
+    w = Window.orderBy(F.col("est").desc(), "term")
+    return top.select(
+        "term",
+        "est",
+        "exact",
+        F.row_number().over(w).cast("long").alias("rk"),
+    )

@@ -1231,3 +1231,119 @@ def test_tfidf_topk_prefers_rare_terms(spark):
     assert {d1[0]["term"], d1[1]["term"]} == {"rare", "unique"}
     assert d1[0]["score"] == pytest.approx(round(math.log(3), 6), abs=1e-6)
     assert all(len([r for r in out if r["doc_id"] == d]) == 2 for d in (1, 2, 3))
+
+
+# ---------------------------------------------------------------------------
+# Sketches: HyperLogLog distinct count, Count-Min heavy hitters
+# ---------------------------------------------------------------------------
+
+
+def test_hll_bitlen_ladder_matches_python():
+    """The integer CASE bit-length ladder agrees with int.bit_length
+    at every boundary (0, 1, 2^k-1, 2^k, 2^k+1)."""
+
+    import duckdb
+
+    from declarative_dataflow_spark.operators import sketch
+
+    edges = {0, 1}
+    for k in range(1, sketch.HLL_VBITS + 1):
+        edges |= {(1 << k) - 1, 1 << k, (1 << k) + 1}
+    edges = sorted(v for v in edges if v < (1 << sketch.HLL_VBITS))
+    ladder = sketch._bitlen_case_sql("v", sketch.HLL_VBITS)
+    got = duckdb.sql(
+        f"SELECT v, {ladder} AS b FROM (SELECT unnest({edges}) AS v)"
+    ).fetchall()
+    assert got == [(v, v.bit_length()) for v in edges]
+
+
+def test_hll_estimate_within_tolerance(spark):
+    """2000 truly-distinct tokens: the 256-register estimate lands
+    within 3 standard errors (~20%) of the truth."""
+
+    from declarative_dataflow_spark.operators import sketch
+
+    docs = spark.createDataFrame(
+        [(d, " ".join(f"tok{d}_{i}" for i in range(100))) for d in range(20)],
+        ["doc_id", "text"],
+    )
+    row = sketch.hll_distinct(docs).collect()[0]
+    assert row["exact"] == 2000
+    assert row["m"] == 256
+    assert abs(row["est"] - 2000) / 2000 < 0.20
+    assert row["err_pct"] == pytest.approx(
+        (row["est"] - 2000) / 2000 * 100, abs=1e-5
+    )
+
+
+def test_hll_registers_merge_by_max(spark):
+    """Registers from two corpus halves combine by pairwise MAX into
+    exactly the whole-corpus registers — the property that makes the
+    sketch shard- and epoch-mergeable."""
+
+    import pyspark.sql.functions as F
+
+    from declarative_dataflow_spark.operators import sketch
+
+    docs = spark.createDataFrame(
+        [(d, " ".join(f"w{d}_{i} shared{i}" for i in range(40))) for d in range(8)],
+        ["doc_id", "text"],
+    )
+    a = docs.filter("doc_id < 4")
+    b = docs.filter("doc_id >= 4")
+    merged = (
+        sketch.hll_registers(a)
+        .unionByName(sketch.hll_registers(b))
+        .groupBy("bucket")
+        .agg(F.max("r").alias("r"))
+    )
+    whole = sketch.hll_registers(docs)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+    est_m = sketch.hll_estimate_from_registers(merged).collect()[0]
+    est_w = sketch.hll_estimate_from_registers(whole).collect()[0]
+    assert est_m == est_w
+
+
+def test_cms_never_underestimates_and_ranks_heavy_hitters(spark):
+    from declarative_dataflow_spark.operators import sketch
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(["heavy"] * 50 + ["medium"] * 20)),
+            (2, " ".join(["heavy"] * 30 + [f"rare{i}" for i in range(30)])),
+        ],
+        ["doc_id", "text"],
+    )
+    out = sketch.cms_topk(docs, k=5).collect()
+    assert all(r["est"] >= r["exact"] for r in out)
+    assert out[0]["term"] == "heavy" and out[0]["exact"] == 80
+    assert out[0]["rk"] == 1
+    assert out[1]["term"] == "medium" and out[1]["exact"] == 20
+
+
+def test_cms_sketch_merges_by_sum(spark):
+    """CMS grids from two halves combine by cellwise SUM into the
+    whole-corpus grid (counter linearity)."""
+
+    import pyspark.sql.functions as F
+
+    from declarative_dataflow_spark.operators import sketch
+
+    docs = spark.createDataFrame(
+        [(d, " ".join(f"t{(d * 7 + i) % 13}" for i in range(25))) for d in range(6)],
+        ["doc_id", "text"],
+    )
+    a = docs.filter("doc_id % 2 = 0")
+    b = docs.filter("doc_id % 2 = 1")
+    merged = (
+        sketch.cms_sketch(a)
+        .unionByName(sketch.cms_sketch(b))
+        .groupBy("j", "c")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = sketch.cms_sketch(docs)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
