@@ -1598,6 +1598,38 @@ def q_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketch.cms_topk(load_table(spark, sf_dir, "documents"), k=20)
 
 
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLY step: per-document token counts after the first
+    8 learned BPE merges — merges apply to the distinct-word table
+    only; the DuckDB twin carries the word through the same unrolled
+    argmax+fuse chain and joins per-doc word counts at the end."""
+
+    return text.bpe_encode(load_table(spark, sf_dir, "documents"), n_merges=8)
+
+
+def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG chunking: 32-token windows every 24 tokens, chunk identity
+    as md5 of the joined tokens. Map-only — no shuffle at any scale."""
+
+    return packing.chunk_docs(
+        load_table(spark, sf_dir, "documents"), window=32, stride=24
+    )
+
+
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion (c=60) of BM25
+    top-50 and dense cosine top-50 for probe query 0."""
+
+    return retrieval.rrf_fusion(
+        load_table(spark, sf_dir, "documents"),
+        load_table(spark, sf_dir, "embeddings"),
+        ["spark", "query", "window", "vector"],
+        query_vec_id=0,
+        k=10,
+        depth=50,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract
 # ---------------------------------------------------------------------------
@@ -1640,6 +1672,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk": q_tfidf_topk,  # NEW in r6
         "hll_distinct": q_hll_distinct,  # NEW in r6
         "cms_topk": q_cms_topk,  # NEW in r6
+        "bpe_encode": q_bpe_encode,  # NEW in r6
+        "chunk_docs": q_chunk_docs,  # NEW in r6
+        "rrf_fusion": q_rrf_fusion,  # NEW in r6
         # --- the 36 keys deferred in r05 (green r04 + local r05) ---
         "agg_multi": q_agg_multi,
         "agg_global": q_agg_global,
@@ -1775,6 +1810,55 @@ def _bpe_oracle_sql(n_merges: int = 8) -> str:
         "WITH " + ", ".join(ctes) + " SELECT rk, \"left\", \"right\", "
         "merged, n FROM (" + " UNION ALL ".join(selects) + ")"
     )
+def _bpe_encode_oracle_sql(n_merges: int = 8) -> str:
+    """DuckDB twin of text.bpe_encode: the training chain of
+    _bpe_oracle_sql with the word column carried through each fuse
+    step, then per-doc word counts joined against the final
+    symbol-count table."""
+
+    ctes = [
+        "toks AS (SELECT doc_id, "
+        "unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) "
+        "AS word FROM documents)",
+        "w0 AS (SELECT word, "
+        "'  ' || array_to_string(string_split(word, ''), '  ') || '  ' "
+        "AS seq, cnt FROM ("
+        "SELECT word, count(*)::BIGINT AS cnt FROM toks GROUP BY 1))",
+    ]
+    for i in range(1, n_merges + 1):
+        prev = f"w{i - 1}"
+        ctes.append(
+            f"p{i} AS (SELECT l[i] AS lt, l[i+1] AS rt, cnt FROM ("
+            f"SELECT string_split(trim(seq, ' '), '  ') AS l, cnt "
+            f"FROM {prev}), "
+            "unnest(generate_series(1, len(l) - 1)) AS t(i))"
+        )
+        ctes.append(
+            f"b{i} AS (SELECT lt, rt, sum(cnt)::BIGINT AS n FROM p{i} "
+            "GROUP BY 1, 2 ORDER BY n DESC, lt, rt LIMIT 1)"
+        )
+        ctes.append(
+            f"w{i} AS (SELECT {prev}.word, replace({prev}.seq, "
+            f"' ' || b{i}.lt || '  ' || b{i}.rt || ' ', "
+            f"' ' || b{i}.lt || b{i}.rt || ' ') AS seq, {prev}.cnt "
+            f"FROM {prev}, b{i})"
+        )
+    ctes.append(
+        "dt AS (SELECT doc_id, word, count(*)::BIGINT AS c FROM toks "
+        "GROUP BY 1, 2)"
+    )
+    ctes.append(
+        f"ns AS (SELECT word, len(string_split(trim(seq, ' '), '  '))"
+        f"::BIGINT AS n_sym FROM w{n_merges})"
+    )
+    return (
+        "WITH " + ", ".join(ctes) + " "
+        "SELECT doc_id, sum(c)::BIGINT AS n_words, "
+        "sum(c * n_sym)::BIGINT AS n_tokens "
+        "FROM dt JOIN ns USING (word) GROUP BY 1"
+    )
+
+
 _DUCK_H32 = "(('0x' || substr(md5({t}), 1, 8))::BIGINT)"
 
 
@@ -2971,4 +3055,58 @@ def oracle_sql() -> dict[str, str]:
         ),
         "hll_distinct": _hll_oracle_sql(),
         "cms_topk": _cms_oracle_sql(20),
+        "bpe_encode": _bpe_encode_oracle_sql(8),
+        "chunk_docs": (
+            "WITH t AS (SELECT doc_id, "
+            "regexp_split_to_array(trim(lower(text)), '\\s+') AS tk "
+            "FROM documents WHERE length(trim(text)) > 0), "
+            "c AS (SELECT doc_id, i, list_slice(tk, i + 1, i + 32) AS ch "
+            "FROM t, unnest(generate_series(0, len(tk) - 1, 24)) AS g(i)) "
+            "SELECT doc_id, (i // 24)::BIGINT AS chunk_id, "
+            "i::BIGINT AS start, len(ch)::INT AS n_tokens, "
+            "md5(array_to_string(ch, ' ')) AS h FROM c"
+        ),
+        "rrf_fusion": (
+            "WITH toks AS (SELECT doc_id, "
+            "unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) "
+            "AS term FROM documents), "
+            "dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks "
+            "GROUP BY 1), "
+            "st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl), "
+            "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks "
+            "WHERE term IN ('spark', 'query', 'window', 'vector') "
+            "GROUP BY 1, 2), "
+            "df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1), "
+            "p AS (SELECT tf.doc_id, CAST(round("
+            "ln(1 + (st.n_docs - df.df + 0.5) / (df.df + 0.5)) "
+            "* (tf.tf * 2.2) "
+            "/ (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)), 6) "
+            "AS DECIMAL(18,6)) AS part "
+            "FROM tf JOIN df USING (term) JOIN dl USING (doc_id) "
+            "CROSS JOIN st), "
+            "s AS (SELECT doc_id, CAST(sum(part) AS DOUBLE) AS score "
+            "FROM p GROUP BY 1), "
+            "bm AS (SELECT doc_id, (ROW_NUMBER() OVER "
+            "(ORDER BY score DESC, doc_id))::BIGINT AS rk_bm FROM s "
+            "QUALIFY rk_bm <= 50), "
+            "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+            "FROM embeddings), "
+            "q AS (SELECT vec_id AS q, v AS qv FROM e WHERE vec_id = 0), "
+            "sc AS (SELECT e.vec_id AS doc_id, "
+            "round(list_dot_product(q.qv, e.v) / "
+            "(sqrt(list_dot_product(q.qv, q.qv)) * "
+            "sqrt(list_dot_product(e.v, e.v))), 4) AS sim "
+            "FROM e CROSS JOIN q WHERE e.vec_id != q.q), "
+            "co AS (SELECT doc_id, (ROW_NUMBER() OVER "
+            "(ORDER BY sim DESC, doc_id))::BIGINT AS rk_cos FROM sc "
+            "QUALIFY rk_cos <= 50), "
+            "f AS (SELECT doc_id, "
+            "round(coalesce(CAST(1 AS DOUBLE) / (60 + rk_bm), 0) + "
+            "coalesce(CAST(1 AS DOUBLE) / (60 + rk_cos), 0), 9) AS rrf, "
+            "rk_bm, rk_cos "
+            "FROM bm FULL OUTER JOIN co USING (doc_id)), "
+            "r AS (SELECT *, (ROW_NUMBER() OVER "
+            "(ORDER BY rrf DESC, doc_id))::BIGINT AS rk FROM f) "
+            "SELECT doc_id, rrf, rk_bm, rk_cos, rk FROM r WHERE rk <= 10"
+        ),
     }

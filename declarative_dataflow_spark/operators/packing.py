@@ -84,3 +84,48 @@ def seq_pack_oracle_sql(
         "ROWS UNBOUNDED PRECEDING) - n_tokens) "
         f"/ {budget}) AS BIGINT) AS pack_id FROM toks"
     )
+
+def chunk_docs(
+    docs: DataFrame,
+    window: int = 32,
+    stride: int = 24,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """RAG-style overlapping token-window chunking: each document
+    splits into windows of ``window`` tokens starting every ``stride``
+    tokens (the last window may be shorter; whitespace-only documents
+    produce no chunks). Returns (doc_id, chunk_id, start, n_tokens, h)
+    where ``h`` is the md5 of the space-joined chunk — chunk identity
+    without shipping chunk text through the gate.
+
+    Scale shape: entirely map-side — split, ``sequence``-explode of
+    the start offsets, ``slice``, hash; no shuffle, no window
+    function, no driver traffic. Chunk count per task is bounded by
+    the task's input bytes (each token lands in <= ceil(window/stride)
+    chunks), so a 100 TB corpus chunks at scan speed.
+    """
+
+    if stride <= 0 or window <= 0:
+        raise ValueError("window and stride must be positive")
+    toks = docs.filter(F.length(F.trim(F.col(text_col))) > 0).select(
+        F.col(id_col),
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("t"),
+    )
+    chunks = toks.select(
+        id_col,
+        "t",
+        F.explode(
+            F.sequence(
+                F.lit(0), F.size("t") - 1, F.lit(stride)
+            )
+        ).alias("start"),
+    )
+    chunk = F.expr(f"slice(t, start + 1, {window})")
+    return chunks.select(
+        id_col,
+        (F.col("start") / stride).cast("long").alias("chunk_id"),
+        F.col("start").cast("long").alias("start"),
+        F.size(chunk).alias("n_tokens"),
+        F.md5(F.array_join(chunk, " ")).alias("h"),
+    )

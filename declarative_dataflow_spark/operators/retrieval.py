@@ -130,3 +130,55 @@ def tfidf_topk_terms(
         scored.withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= k)
     )
+
+def rrf_fusion(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    query_terms: list[str],
+    query_vec_id: int = 0,
+    k: int = 10,
+    depth: int = 50,
+    c: int = 60,
+    text_col: str = "text",
+) -> DataFrame:
+    """Hybrid retrieval by reciprocal-rank fusion (Cormack et al.
+    2009): fuse the lexical BM25 top-``depth`` and the dense cosine
+    top-``depth`` (the embedding row whose vec_id equals the doc_id)
+    with rrf(d) = sum over lists of 1/(c + rank_d); documents absent
+    from a list contribute 0. Returns (doc_id, rrf, rk_bm, rk_cos, rk)
+    — the per-list ranks kept for audit; ties break by doc_id.
+
+    Scale shape: both inputs are top-``depth`` lists (k-heap bounded,
+    never corpus-sized), so the fusion join, the rounding, and the
+    final orderBy+limit all run on <= 2*depth rows. The engine
+    parity argument: 1/(c+rank) is one correctly-rounded IEEE divide
+    on identical integers, the two-term sum is one correctly-rounded
+    add, and the result rounds to 9 decimals.
+    """
+
+    from pyspark.sql import Window
+
+    from . import similarity
+
+    bm = bm25_topk(docs, query_terms, k=depth, text_col=text_col).select(
+        "doc_id", F.col("rk").alias("rk_bm")
+    )
+    cos = similarity.cosine_topk(
+        embeddings, query_ids=[query_vec_id], k=depth
+    ).select(
+        F.col("neighbor").alias("doc_id"),
+        F.col("rank").cast("long").alias("rk_cos"),
+    )
+    fused = bm.join(cos, "doc_id", "full_outer").select(
+        "doc_id",
+        F.round(
+            F.coalesce(1.0 / (F.lit(c) + F.col("rk_bm")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(c) + F.col("rk_cos")), F.lit(0.0)),
+            9,
+        ).alias("rrf"),
+        "rk_bm",
+        "rk_cos",
+    )
+    top = fused.orderBy(F.col("rrf").desc(), "doc_id").limit(k)
+    w = Window.orderBy(F.col("rrf").desc(), "doc_id")
+    return top.withColumn("rk", F.row_number().over(w).cast("long"))

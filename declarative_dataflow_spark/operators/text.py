@@ -458,3 +458,69 @@ def bpe_merges(
     return spark.createDataFrame(
         merges, "rk INT, left STRING, right STRING, merged STRING, n BIGINT"
     )
+
+
+def bpe_encode(
+    docs: DataFrame, n_merges: int = 8, text_col: str = "text"
+) -> DataFrame:
+    """Tokenize the corpus with the first ``n_merges`` learned BPE
+    merges (the APPLY step to ``bpe_merges``'s TRAIN step): per
+    document, the token count after greedy merge application — the
+    number an LLM data pipeline budgets against. Returns
+    (doc_id, n_words, n_tokens).
+
+    Scale shape: merges apply to the DISTINCT-word table only
+    (vocabulary-sized), as a chain of ``n_merges`` static map-only
+    replaces over the double-space-delimited symbol string (same
+    semantics as training — greedy left-to-right, exact BPE). The
+    corpus-sized work is one (doc_id, word) aggregation and one
+    word-keyed join of per-doc word counts against the
+    vocabulary-sized symbol-count table; AQE handles stopword skew.
+    The only driver traffic is training's n_merges one-row argmax
+    collects.
+    """
+
+    learned = bpe_merges(docs, n_merges, text_col).collect()
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        ).alias("word"),
+    )
+    per_doc = toks.groupBy("doc_id", "word").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    words = per_doc.select("word").distinct().select(
+        "word",
+        F.concat(
+            F.lit("  "),
+            F.array_join(
+                F.regexp_extract_all(F.col("word"), F.lit("(?s)."), 0),
+                "  ",
+            ),
+            F.lit("  "),
+        ).alias("seq"),
+    )
+    for m in learned:
+        words = words.withColumn(
+            "seq",
+            F.replace(
+                F.col("seq"),
+                F.lit(f" {m['left']}  {m['right']} "),
+                F.lit(f" {m['left']}{m['right']} "),
+            ),
+        )
+    n_sym = words.select(
+        "word",
+        F.size(F.split(F.trim(F.col("seq")), "  ")).alias("n_sym"),
+    )
+    return (
+        per_doc.join(n_sym, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_words"),
+            F.sum(F.col("c") * F.col("n_sym")).cast("long").alias(
+                "n_tokens"
+            ),
+        )
+    )

@@ -1347,3 +1347,85 @@ def test_cms_sketch_merges_by_sum(spark):
     assert sorted(map(tuple, merged.collect())) == sorted(
         map(tuple, whole.collect())
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE encode, RAG chunking, RRF hybrid retrieval
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_encode_matches_hand_derivation(spark):
+    """Corpus 'abab abab' + 'ab cd': merge1=(a,b), merge2=(ab,ab);
+    doc1 encodes to 2 tokens, doc2 to 1 + 2 = 3."""
+
+    docs = spark.createDataFrame(
+        [(1, "abab abab"), (2, "ab cd")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in text.bpe_encode(docs, n_merges=2).collect()}
+    assert out[1]["n_words"] == 2 and out[1]["n_tokens"] == 2
+    assert out[2]["n_words"] == 2 and out[2]["n_tokens"] == 3
+    # with zero merges every char is a token
+    out0 = {r["doc_id"]: r for r in text.bpe_encode(docs, n_merges=0).collect()}
+    assert out0[1]["n_tokens"] == 8 and out0[2]["n_tokens"] == 4
+
+
+def test_chunk_docs_windows_and_hashes(spark):
+    import hashlib
+
+    from declarative_dataflow_spark.operators import packing
+
+    words = [f"w{i}" for i in range(10)]
+    docs = spark.createDataFrame(
+        [(1, " ".join(words)), (2, "   "), (3, "single")],
+        ["doc_id", "text"],
+    )
+    out = sorted(
+        packing.chunk_docs(docs, window=4, stride=3).collect(),
+        key=lambda r: (r["doc_id"], r["chunk_id"]),
+    )
+    d1 = [r for r in out if r["doc_id"] == 1]
+    assert [(r["start"], r["n_tokens"]) for r in d1] == [
+        (0, 4), (3, 4), (6, 4), (9, 1),
+    ]
+    # whitespace-only doc yields nothing; 1-token doc yields one chunk
+    assert not [r for r in out if r["doc_id"] == 2]
+    assert [(r["start"], r["n_tokens"]) for r in out if r["doc_id"] == 3] == [
+        (0, 1)
+    ]
+    # chunk hash is md5 of the space-joined window
+    expect = hashlib.md5(" ".join(words[3:7]).encode()).hexdigest()
+    assert d1[1]["h"] == expect
+
+
+def test_rrf_fusion_prefers_docs_in_both_lists(spark):
+    from declarative_dataflow_spark.operators import retrieval
+
+    docs = spark.createDataFrame(
+        [
+            (0, "probe itself"),
+            (1, "spark spark spark spark"),   # lexical hit
+            (2, "spark query other words"),   # lexical hit, also dense
+            (3, "unrelated text entirely"),   # dense-only hit
+        ],
+        ["doc_id", "text"],
+    )
+    embs = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.0, 1.0]),      # orthogonal to probe
+            (2, [0.9, 0.1]),      # close to probe
+            (3, [1.0, 0.05]),     # closest to probe
+        ],
+        ["vec_id", "embedding"],
+    )
+    out = retrieval.rrf_fusion(
+        docs, embs, ["spark", "query"], query_vec_id=0, k=4, depth=2
+    ).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    # doc 2 is in both lists -> two reciprocal terms -> top fused rank
+    assert out[0]["doc_id"] == 2
+    assert by_id[2]["rk_bm"] is not None and by_id[2]["rk_cos"] is not None
+    expect = round(1.0 / (60 + by_id[2]["rk_bm"]) + 1.0 / (60 + by_id[2]["rk_cos"]), 9)
+    assert by_id[2]["rrf"] == pytest.approx(expect, abs=1e-12)
+    # single-list docs carry a NULL rank on the missing side
+    assert by_id[1]["rk_cos"] is None or by_id[1]["rk_bm"] is None
