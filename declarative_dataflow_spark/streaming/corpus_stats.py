@@ -702,3 +702,53 @@ class IncrementalLineDedup(_GenerationalState):
         if stored is None or counts is None:
             return None
         return self._assemble(stored, counts)
+
+class IncrementalHLL:
+    """Streaming HyperLogLog distinct-token cardinality: the
+    constant-state sketch maintained across epochs. Each micro-batch
+    contributes its own <= m-row register table (an O(batch) map +
+    uniform-key max); reads consolidate appended register tables by
+    pairwise MAX — the merge the sketch is built for — so state on
+    disk stays O(m * epochs-since-compaction) and compacts back to
+    <= m rows on the shared generational schedule.
+
+    Append-only by construction: registers are maxes, so a retraction
+    cannot be applied (the standard HLL limitation — retractable
+    cardinality needs a different sketch family entirely, e.g.
+    linear counting over a bitmap); retract by rebuilding the state.
+    The streaming twin of operators/sketch.py::hll_distinct's sketch
+    side, gated equal to it in tests/test_streaming.py.
+    """
+
+    def __init__(
+        self, spark: SparkSession, state_dir: str, text_col: str = "text"
+    ) -> None:
+        self.spark = spark
+        self.state_dir = state_dir.rstrip("/")
+        self.text_col = text_col
+        self._io = IncrementalDupNgram(spark, self.state_dir)  # reuse io
+
+    def process_batch(
+        self, batch: DataFrame, epoch: Optional[int] = None
+    ) -> None:
+        from ..operators.sketch import hll_registers
+
+        regs = hll_registers(batch, self.text_col)
+        self._io._append("hll", regs, epoch=epoch)
+        self._io._epochs = getattr(self._io, "_epochs", 0) + 1
+        if self._io._epochs % self._io.compact_every == 0:
+            self._io._compact("hll", self.registers())
+
+    def registers(self) -> Optional[DataFrame]:
+        inc = self._io._read_versioned("hll")
+        if inc is None:
+            return None
+        return inc.groupBy("bucket").agg(F.max("r").alias("r"))
+
+    def estimate(self) -> Optional[DataFrame]:
+        from ..operators.sketch import hll_estimate_from_registers
+
+        regs = self.registers()
+        if regs is None:
+            return None
+        return hll_estimate_from_registers(regs)

@@ -1115,3 +1115,39 @@ def test_stream_curate_gopher_gate(spark, tmp_path):
         assert got == {1}
     finally:
         q.stop()
+
+
+def test_incremental_hll_matches_batch_across_compaction(spark, tmp_path):
+    """Register state maintained by max-merge equals the batch sketch
+    at every epoch, including across the generational compaction
+    boundary and under an epoch retry (exactly-once overwrite)."""
+
+    from declarative_dataflow_spark.operators import sketch
+    from declarative_dataflow_spark.streaming.corpus_stats import (
+        IncrementalHLL,
+    )
+
+    ih = IncrementalHLL(spark, str(tmp_path / "hll_state"))
+    ih._io.compact_every = 2  # force a compaction mid-run
+    seen = []
+    for e in range(4):
+        rows = [
+            (e * 10 + i, " ".join(f"tok{e}_{i}_{j} shared{j}" for j in range(20)))
+            for i in range(3)
+        ]
+        seen.extend(rows)
+        batch = spark.createDataFrame(rows, ["doc_id", "text"])
+        ih.process_batch(batch, epoch=e)
+        if e == 1:  # retried micro-batch must not double-count
+            ih.process_batch(batch, epoch=e)
+        full = spark.createDataFrame(seen, ["doc_id", "text"])
+        expect = sorted(
+            map(tuple, sketch.hll_registers(full).collect())
+        )
+        got = sorted(map(tuple, ih.registers().collect()))
+        assert got == expect, e
+    est = ih.estimate().collect()[0]
+    batch_est = sketch.hll_estimate_from_registers(
+        sketch.hll_registers(spark.createDataFrame(seen, ["doc_id", "text"]))
+    ).collect()[0]
+    assert tuple(est) == tuple(batch_est)
