@@ -1616,6 +1616,17 @@ def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lm_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity tiers: head/middle/tail thirds of the
+    corpus by bigram-LM mean log-prob. Cut points are k-th-largest
+    tuples found by TakeOrderedAndProject + one-row broadcast — never
+    a global rank window."""
+
+    return text.lm_quality_buckets(
+        load_table(spark, sf_dir, "documents"), buckets=3
+    )
+
+
 def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval: reciprocal-rank fusion (c=60) of BM25
     top-50 and dense cosine top-50 for probe query 0."""
@@ -1675,6 +1686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": q_bpe_encode,  # NEW in r6
         "chunk_docs": q_chunk_docs,  # NEW in r6
         "rrf_fusion": q_rrf_fusion,  # NEW in r6
+        "lm_buckets": q_lm_buckets,  # NEW in r6
         # --- the 36 keys deferred in r05 (green r04 + local r05) ---
         "agg_multi": q_agg_multi,
         "agg_global": q_agg_global,
@@ -3056,6 +3068,37 @@ def oracle_sql() -> dict[str, str]:
         "hll_distinct": _hll_oracle_sql(),
         "cms_topk": _cms_oracle_sql(20),
         "bpe_encode": _bpe_encode_oracle_sql(8),
+        "lm_buckets": (
+            "WITH toks AS (SELECT doc_id, i AS pos, w[i] AS w FROM ("
+            "SELECT doc_id, regexp_split_to_array(trim(lower(text)), "
+            "'\\s+') AS w FROM documents), "
+            "unnest(generate_series(1, len(w))) AS t(i)), "
+            "bg AS (SELECT a.doc_id, a.w AS w, b.w AS w2 FROM toks a "
+            "JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1), "
+            "c2 AS (SELECT w, w2, count(*) AS c2 FROM bg GROUP BY 1, 2), "
+            "c1 AS (SELECT w, count(*) AS c1 FROM toks GROUP BY 1), "
+            "v AS (SELECT count(DISTINCT w) AS v FROM toks), "
+            "m AS (SELECT c2.w, c2.w2, CAST(round("
+            "ln((c2.c2 + 0.5) / (c1.c1 + 0.5 * v.v)), 9) "
+            "AS DECIMAL(24,9)) AS logp "
+            "FROM c2 JOIN c1 USING (w) CROSS JOIN v), "
+            "sc AS (SELECT bg.doc_id, "
+            "round(CAST(sum(m.logp) AS DOUBLE) / count(*), 6) AS avg_logp "
+            "FROM bg JOIN m ON bg.w = m.w AND bg.w2 = m.w2 GROUP BY 1), "
+            "n AS (SELECT count(*) AS n FROM sc), "
+            "t1 AS (SELECT avg_logp AS l, doc_id AS d FROM sc "
+            "QUALIFY row_number() OVER (ORDER BY avg_logp DESC, "
+            "doc_id DESC) = (SELECT n // 3 FROM n)), "
+            "t2 AS (SELECT avg_logp AS l, doc_id AS d FROM sc "
+            "QUALIFY row_number() OVER (ORDER BY avg_logp DESC, "
+            "doc_id DESC) = (SELECT (2 * n) // 3 FROM n)) "
+            "SELECT sc.doc_id, sc.avg_logp, CAST(1 "
+            "+ (CASE WHEN (sc.avg_logp, sc.doc_id) < (t1.l, t1.d) "
+            "THEN 1 ELSE 0 END) "
+            "+ (CASE WHEN (sc.avg_logp, sc.doc_id) < (t2.l, t2.d) "
+            "THEN 1 ELSE 0 END) AS INT) AS bucket "
+            "FROM sc, t1, t2"
+        ),
         "chunk_docs": (
             "WITH t AS (SELECT doc_id, "
             "regexp_split_to_array(trim(lower(text)), '\\s+') AS tk "

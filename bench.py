@@ -55,6 +55,11 @@ HEADLINE = [
     "bm25_topk",       # BM25 lexical retrieval
     "ngram_lm_score",  # bigram-LM quality scoring
     "bpe_merges",      # BPE tokenizer training (8 argmax rounds)
+    "bpe_encode",      # BPE tokenizer application (per-doc token counts)
+    "hll_distinct",    # HyperLogLog distinct tokens (256 registers)
+    "cms_topk",        # Count-Min heavy hitters (4x512 grid)
+    "chunk_docs",      # RAG token-window chunking (map-only)
+    "rrf_fusion",      # hybrid BM25 + dense retrieval fusion
 ]
 
 

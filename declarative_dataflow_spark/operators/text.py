@@ -524,3 +524,53 @@ def bpe_encode(
             ),
         )
     )
+
+def lm_quality_buckets(
+    docs: DataFrame,
+    buckets: int = 3,
+    alpha: float = 0.5,
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet-style perplexity bucketing: rank documents by their
+    bigram-LM mean log-probability (:func:`ngram_lm_score`) and cut
+    the corpus into ``buckets`` equal tiers — bucket 1 = "head" (most
+    fluent), last = "tail" (the slice CCNet drops or downweights).
+    Returns (doc_id, avg_logp, bucket).
+
+    Scale shape: never a global rank window. Each of the buckets-1
+    cut points is the k-th largest (avg_logp, doc_id) tuple, found by
+    orderBy+limit(k) (TakeOrderedAndProject: per-partition k-heaps)
+    followed by a one-row min-of-struct aggregate that BROADCASTS back;
+    bucket assignment is then a map-only tuple comparison. The only
+    driver traffic is one count() to size the cuts. Ties break by
+    doc_id (descending, matching the cut order) so the tiers are
+    total and engine-portable.
+    """
+
+    if buckets < 2:
+        raise ValueError("buckets must be >= 2")
+    scored = ngram_lm_score(docs, alpha=alpha, text_col=text_col).select(
+        "doc_id", "avg_logp"
+    )
+    n = scored.count()
+    tup = F.struct("avg_logp", "doc_id")
+    bucket = F.lit(1)
+    out = scored
+    for i in range(1, buckets):
+        k = (i * n) // buckets
+        if k < 1:
+            continue
+        thr = (
+            scored.orderBy(
+                F.col("avg_logp").desc(), F.col("doc_id").desc()
+            )
+            .limit(k)
+            .agg(F.min(tup).alias("thr"))
+        )
+        out = out.crossJoin(
+            F.broadcast(thr.select(F.col("thr").alias(f"thr{i}")))
+        )
+        bucket = bucket + F.when(tup < F.col(f"thr{i}"), 1).otherwise(0)
+    return out.select(
+        "doc_id", "avg_logp", bucket.cast("int").alias("bucket")
+    )

@@ -1429,3 +1429,25 @@ def test_rrf_fusion_prefers_docs_in_both_lists(spark):
     assert by_id[2]["rrf"] == pytest.approx(expect, abs=1e-12)
     # single-list docs carry a NULL rank on the missing side
     assert by_id[1]["rk_cos"] is None or by_id[1]["rk_bm"] is None
+
+
+def test_lm_quality_buckets_tiers(spark):
+    """9 docs split into thirds by fluency: repeated common bigrams
+    land in bucket 1, rare/garbled in bucket 3; bucket sizes 3/3/3."""
+
+    from collections import Counter
+
+    fluent = "the cat sat on the mat and the cat sat"
+    docs = spark.createDataFrame(
+        [(i, fluent) for i in range(3)]
+        + [(i, "the cat ran off the mat quickly today") for i in range(3, 6)]
+        + [(i, f"zx{i} qq{i} vv{i} kk{i} jj{i} ww{i}") for i in range(6, 9)],
+        ["doc_id", "text"],
+    )
+    out = text.lm_quality_buckets(docs, buckets=3).collect()
+    by_id = {r["doc_id"]: r["bucket"] for r in out}
+    assert Counter(by_id.values()) == {1: 3, 2: 3, 3: 3}
+    # the three gibberish docs are the tail
+    assert all(by_id[i] == 3 for i in range(6, 9))
+    # the three most fluent (max repeated-bigram mass) are the head
+    assert all(by_id[i] == 1 for i in range(3))
