@@ -1662,11 +1662,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Round 6 front-loads the CHANGED queries (embed_neardup /
     # embed_groups — now density-adjusted planes="auto" in both
     # engines; ngram_jaccard — prefix-ceil epsilon; shortest_cost —
-    # adaptive relaxation step), the SEVEN queries NEW this round
+    # adaptive relaxation step), the FIFTEEN queries NEW this round
     # (simhash_neardup, pq_topk, gopher_rules, line_dedup, bm25_topk,
-    # ngram_lm_score, bpe_merges), then ALL 36 keys r05 deferred (each
-    # green in r04 and in the r05 local oracle run), then as many
-    # r05-front keys as fit; every tail key was driver-green in r05.
+    # ngram_lm_score, bpe_merges, mix_weights, tfidf_topk,
+    # hll_distinct, cms_topk, bpe_encode, chunk_docs, rrf_fusion,
+    # lm_buckets), then the 36 keys r05 deferred. 19 + 36 = 55 > the
+    # driver's 50-row cap, so the 5 tail keys of the deferred block
+    # (simhash, cosine_topk, ann_quantized, ann_ivf, ann_ivf_kmeans —
+    # all UNCHANGED since their r04 driver-green rows, all green in
+    # the r05 and r06 full local oracle runs) defer once more to r07;
+    # never-driver-checked and changed keys take priority.
     return {
         "embed_neardup": q_embed_neardup,
         "embed_groups": q_embed_groups,
@@ -1717,9 +1722,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "minhash_lsh": q_minhash_lsh,
         "dedup_groups": q_dedup_groups,
-        "simhash": q_simhash,
         "text_subwords": q_text_subwords,
         "vocab_topk": q_vocab_topk,
+        # --- 50-key cap lands here: the 5 below (unchanged since
+        # their r04 driver rows, green in every local full run)
+        # defer to r07 ---
+        "simhash": q_simhash,
         "cosine_topk": q_cosine_topk,
         "ann_quantized": q_ann_quantized,
         "ann_ivf": q_ann_ivf,
