@@ -449,3 +449,43 @@ def test_ngram_lm_score_uniform_key_joins_only(spark):
     assert len(nested) <= 2, phys
     for line in nested:
         assert "BuildRight, Cross" in line, line
+
+
+def test_cms_topk_broadcasts_sketch_and_takes_ordered(spark):
+    """cms_topk's estimation join must broadcast the <= d*w-row sketch
+    (never shuffle the candidate terms against it) and the final rank
+    must lower to TakeOrderedAndProject."""
+
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.q_cms_topk(spark, SF_DIR)
+    phys = _executed(df)
+    assert "TakeOrderedAndProject" in phys, phys
+    assert "BroadcastHashJoin" in phys, phys
+    assert "CartesianProduct" not in phys, phys
+
+
+def test_chunk_docs_is_map_only(spark):
+    """chunk_docs must not shuffle: no Exchange anywhere in the plan —
+    split, sequence-explode, slice, hash all fuse into the scan."""
+
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.q_chunk_docs(spark, SF_DIR)
+    phys = _executed(df)
+    assert "Exchange" not in phys, phys
+    assert "Generate" in phys, phys  # the explode
+
+
+def test_hll_registers_aggregate_partially(spark):
+    """hll_distinct's register build must partial-aggregate map-side
+    (two HashAggregates around one uniform-key exchange), never sort
+    globally."""
+
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.q_hll_distinct(spark, SF_DIR)
+    phys = _executed(df)
+    assert "CartesianProduct" not in phys, phys
+    assert phys.count("HashAggregate") >= 2, phys
+    assert "Sort [" not in phys, phys
