@@ -752,3 +752,105 @@ class IncrementalHLL:
         if regs is None:
             return None
         return hll_estimate_from_registers(regs)
+
+class IncrementalCMS:
+    """Differential Count-Min sketch: the counter grid is LINEAR —
+    cells are sums of per-token contributions — so unlike HLL it
+    maintains under RETRACTIONS too (a removed document subtracts the
+    cell increments it once added; the estimate-query min over rows is
+    taken at read time). The streaming twin of
+    operators/sketch.py::cms_sketch.
+
+    Each epoch appends the batch's <= d*w-row cell-delta table
+    (negative cnt for retractions) to the shared generational state;
+    reads consolidate by SUM and drop zeroed cells, so a fully
+    retracted corpus leaves an empty sketch. State on disk stays
+    O(d*w * epochs-since-compaction) and compacts to <= d*w rows.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        depth: int = 4,
+        width: int = 512,
+        text_col: str = "text",
+    ) -> None:
+        self.spark = spark
+        self.state_dir = state_dir.rstrip("/")
+        self.depth = depth
+        self.width = width
+        self.text_col = text_col
+        self._io = IncrementalDupNgram(spark, self.state_dir)  # reuse io
+
+    def _cells(self, docs: DataFrame) -> DataFrame:
+        from ..operators.sketch import cms_sketch
+
+        return cms_sketch(docs, self.depth, self.width, self.text_col)
+
+    def process_batch(
+        self,
+        adds: Optional[DataFrame] = None,
+        retracts: Optional[DataFrame] = None,
+        epoch: Optional[int] = None,
+    ) -> None:
+        delta = None
+        if adds is not None:
+            delta = self._cells(adds)
+        if retracts is not None:
+            neg = self._cells(retracts).select(
+                "j", "c", (-F.col("cnt")).alias("cnt")
+            )
+            delta = neg if delta is None else delta.unionByName(neg)
+        if delta is None:
+            return
+        # Consolidate the epoch's own adds+retracts before writing.
+        delta = delta.groupBy("j", "c").agg(F.sum("cnt").alias("cnt"))
+        self._io._append("cms", delta, epoch=epoch)
+        self._io._epochs = getattr(self._io, "_epochs", 0) + 1
+        if self._io._epochs % self._io.compact_every == 0:
+            self._io._compact("cms", self.sketch())
+
+    def sketch(self) -> Optional[DataFrame]:
+        inc = self._io._read_versioned("cms")
+        if inc is None:
+            return None
+        return (
+            inc.groupBy("j", "c")
+            .agg(F.sum("cnt").alias("cnt"))
+            .filter(F.col("cnt") != 0)
+        )
+
+    def estimate(self, terms: list[str]) -> Optional[DataFrame]:
+        """(term, est) for a probe list: min over the d rows' cells
+        (absent cell == 0 count)."""
+
+        from ..operators.sketch import _SPARK_H32
+
+        sk = self.sketch()
+        if sk is None:
+            return None
+        probes = self.spark.createDataFrame(
+            [(t,) for t in terms], ["term"]
+        )
+        cells = F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("j"),
+                    F.expr(
+                        _SPARK_H32.format(t=f"concat('{j}_', term)")
+                        + f" % {self.width}"
+                    ).alias("c"),
+                )
+                for j in range(self.depth)
+            ]
+        )
+        return (
+            probes.select("term", F.explode(cells).alias("cell"))
+            .select("term", "cell.j", "cell.c")
+            .join(F.broadcast(sk), ["j", "c"], "left")
+            .groupBy("term")
+            .agg(
+                F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est")
+            )
+        )

@@ -1151,3 +1151,41 @@ def test_incremental_hll_matches_batch_across_compaction(spark, tmp_path):
         sketch.hll_registers(spark.createDataFrame(seen, ["doc_id", "text"]))
     ).collect()[0]
     assert tuple(est) == tuple(batch_est)
+
+
+def test_incremental_cms_adds_and_retracts(spark, tmp_path):
+    """Cell state maintained by sum-merge equals the batch sketch on
+    the NET corpus at every epoch — including after retractions and
+    down to the empty sketch when everything retracts."""
+
+    from declarative_dataflow_spark.operators import sketch
+    from declarative_dataflow_spark.streaming.corpus_stats import (
+        IncrementalCMS,
+    )
+
+    ic = IncrementalCMS(spark, str(tmp_path / "cms_state"))
+    d1 = spark.createDataFrame(
+        [(1, "heavy heavy heavy common"), (2, "common rare1 rare2")],
+        ["doc_id", "text"],
+    )
+    d2 = spark.createDataFrame([(3, "heavy common rare3")], ["doc_id", "text"])
+
+    ic.process_batch(adds=d1, epoch=0)
+    ic.process_batch(adds=d2, epoch=1)
+    both = d1.unionByName(d2)
+    assert sorted(map(tuple, ic.sketch().collect())) == sorted(
+        map(tuple, sketch.cms_sketch(both).collect())
+    )
+    est = {r["term"]: r["est"] for r in ic.estimate(["heavy", "common", "absent"]).collect()}
+    assert est["heavy"] >= 4 and est["common"] >= 3
+    assert est["absent"] == 0  # no collision at this tiny fill
+
+    # retract doc 1: state equals the batch sketch of docs 2+3
+    ic.process_batch(retracts=d1.filter("doc_id = 1"), epoch=2)
+    net = both.filter("doc_id != 1")
+    assert sorted(map(tuple, ic.sketch().collect())) == sorted(
+        map(tuple, sketch.cms_sketch(net).collect())
+    )
+    # retract the rest: the sketch empties completely
+    ic.process_batch(retracts=net, epoch=3)
+    assert ic.sketch().count() == 0
