@@ -54,29 +54,56 @@ def bm25_topk(
     qtoks = toks.filter(F.col("term").isin(list(query_terms)))
     tf = qtoks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    return rank_bm25(tf, df_, dl, stats, k=k, k1=k1, b=b)
+
+
+def bm25_part_column(k1: float = 1.2, b: float = 0.75):
+    """The per-(doc, term) BM25 partial score over columns
+    (tf, df, dl, n_docs, avgdl) — rounded to 6 decimals and cast to
+    DECIMAL(18,6) so score sums are order-independent. Shared verbatim
+    by the batch operator and the maintained index (the PageRank
+    discipline: one expression, every path)."""
+
+    return (
+        F.round(
+            F.log(
+                1.0
+                + (F.col("n_docs") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5)
+            )
+            * (F.col("tf") * (k1 + 1.0))
+            / (
+                F.col("tf")
+                + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+            ),
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("part")
+    )
+
+
+def rank_bm25(
+    tf: DataFrame,
+    df_: DataFrame,
+    dl: DataFrame,
+    stats: DataFrame,
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Score and rank from the BM25 state tables: tf(doc_id, term,
+    tf), df_(term, df), dl(doc_id, dl), stats one row (n_docs,
+    avgdl). The df / stats sides broadcast; the final top-k lowers to
+    TakeOrderedAndProject."""
+
+    from pyspark.sql import Window
+
     scored = (
         tf.join(F.broadcast(df_), "term")
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
-        .select(
-            "doc_id",
-            F.round(
-                F.log(
-                    1.0
-                    + (F.col("n_docs") - F.col("df") + 0.5)
-                    / (F.col("df") + 0.5)
-                )
-                * (F.col("tf") * (k1 + 1.0))
-                / (
-                    F.col("tf")
-                    + k1
-                    * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
-                ),
-                6,
-            )
-            .cast("decimal(18,6)")
-            .alias("part"),
-        )
+        .select("doc_id", bm25_part_column(k1, b))
     )
     top = (
         scored.groupBy("doc_id")

@@ -854,3 +854,140 @@ class IncrementalCMS:
                 F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est")
             )
         )
+
+class IncrementalBM25:
+    """Maintained BM25 index for a FIXED probe query (the curation
+    monitor: "which documents most match this benchmark / domain
+    probe right now"). BM25's corpus statistics are global — every
+    add/retract moves N, avgdl, and df, which rescores EVERY matching
+    document — so the maintained state is not the ranking but the
+    linear tables the ranking derives from:
+
+    - scalars (n_docs, sum_dl): one signed row per epoch;
+    - qdl (doc_id, dl): document lengths for matching docs, signed;
+    - qtf (doc_id, term, tf): query-term frequencies, signed.
+
+    All three are sums, so retractions subtract exactly (the CMS
+    argument, not the HLL one). ``topk`` re-derives df and avgdl from
+    the consolidated state and ranks via the SAME scoring expression
+    as the batch operator (operators/retrieval.py::rank_bm25) over
+    the |matching docs| rows — never the corpus. Gated equal to
+    batch bm25_topk on the net corpus every epoch.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        query_terms: list,
+        k1: float = 1.2,
+        b: float = 0.75,
+        text_col: str = "text",
+    ) -> None:
+        self.spark = spark
+        self.state_dir = state_dir.rstrip("/")
+        self.query_terms = list(query_terms)
+        self.k1 = k1
+        self.b = b
+        self.text_col = text_col
+        self._io = IncrementalDupNgram(spark, self.state_dir)  # reuse io
+
+    def _toks(self, docs: DataFrame) -> DataFrame:
+        return docs.select(
+            "doc_id",
+            F.explode(
+                F.split(F.trim(F.lower(F.col(self.text_col))), r"\s+")
+            ).alias("term"),
+        )
+
+    def process_batch(
+        self,
+        adds: Optional[DataFrame] = None,
+        retracts: Optional[DataFrame] = None,
+        epoch: Optional[int] = None,
+    ) -> None:
+        scal, qdl, qtf = None, None, None
+        for docs, sign in ((adds, 1), (retracts, -1)):
+            if docs is None:
+                continue
+            toks = self._toks(docs)
+            dl = toks.groupBy("doc_id").agg(
+                (F.lit(sign) * F.count(F.lit(1))).cast("long").alias("dl")
+            )
+            s = dl.agg(
+                F.lit(sign) * F.count(F.lit(1)).cast("long"),
+                F.sum("dl").cast("long"),
+            ).toDF("n", "sdl")
+            tf = (
+                toks.filter(F.col("term").isin(self.query_terms))
+                .groupBy("doc_id", "term")
+                .agg(
+                    (F.lit(sign) * F.count(F.lit(1)))
+                    .cast("long")
+                    .alias("tf")
+                )
+            )
+            d = dl.join(tf.select("doc_id").distinct(), "doc_id")
+            scal = s if scal is None else scal.unionByName(s)
+            qdl = d if qdl is None else qdl.unionByName(d)
+            qtf = tf if qtf is None else qtf.unionByName(tf)
+        if scal is None:
+            return
+        self._io._append("bm25_scalars", scal, epoch=epoch)
+        self._io._append("bm25_qdl", qdl, epoch=epoch)
+        self._io._append("bm25_qtf", qtf, epoch=epoch)
+        self._io._epochs = getattr(self._io, "_epochs", 0) + 1
+        if self._io._epochs % self._io.compact_every == 0:
+            for name, cur in (
+                ("bm25_scalars", self._scalars_df()),
+                ("bm25_qdl", self._qdl()),
+                ("bm25_qtf", self._qtf()),
+            ):
+                self._io._compact(name, cur)
+
+    def _scalars_df(self) -> Optional[DataFrame]:
+        inc = self._io._read_versioned("bm25_scalars")
+        if inc is None:
+            return None
+        return inc.agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("sdl").cast("long").alias("sdl"),
+        )
+
+    def _qdl(self) -> Optional[DataFrame]:
+        inc = self._io._read_versioned("bm25_qdl")
+        if inc is None:
+            return None
+        return (
+            inc.groupBy("doc_id")
+            .agg(F.sum("dl").cast("long").alias("dl"))
+            .filter(F.col("dl") > 0)
+        )
+
+    def _qtf(self) -> Optional[DataFrame]:
+        inc = self._io._read_versioned("bm25_qtf")
+        if inc is None:
+            return None
+        return (
+            inc.groupBy("doc_id", "term")
+            .agg(F.sum("tf").cast("long").alias("tf"))
+            .filter(F.col("tf") > 0)
+        )
+
+    def topk(self, k: int = 20) -> Optional[DataFrame]:
+        from ..operators.retrieval import rank_bm25
+
+        scal = self._scalars_df()
+        if scal is None:
+            return None
+        # avgdl exactly as batch's F.avg over longs: exact long sum,
+        # one double divide.
+        stats = scal.select(
+            F.col("n").alias("n_docs"),
+            (F.col("sdl").cast("double") / F.col("n")).alias("avgdl"),
+        )
+        qtf = self._qtf()
+        df_ = qtf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        return rank_bm25(
+            qtf, df_, self._qdl(), stats, k=k, k1=self.k1, b=self.b
+        )

@@ -1189,3 +1189,48 @@ def test_incremental_cms_adds_and_retracts(spark, tmp_path):
     # retract the rest: the sketch empties completely
     ic.process_batch(retracts=net, epoch=3)
     assert ic.sketch().count() == 0
+
+
+def test_incremental_bm25_matches_batch_under_churn(spark, tmp_path):
+    """The maintained BM25 state (scalars + matching-doc tables, all
+    signed sums) re-derives exactly the batch ranking on the net
+    corpus at every epoch — including after retractions that change
+    N, avgdl, and df for every remaining document."""
+
+    import random
+
+    from declarative_dataflow_spark.operators import retrieval
+    from declarative_dataflow_spark.streaming.corpus_stats import (
+        IncrementalBM25,
+    )
+
+    terms = ["spark", "query"]
+    ib = IncrementalBM25(spark, str(tmp_path / "bm25_state"), terms)
+    rng = random.Random(7)
+    words = ["spark", "query", "engine", "fast", "data", "plan"]
+    live = {}
+    next_id = 0
+    for e in range(5):
+        adds = []
+        for _ in range(rng.randint(1, 3)):
+            text = " ".join(rng.choice(words) for _ in range(rng.randint(3, 8)))
+            adds.append((next_id, text))
+            live[next_id] = text
+            next_id += 1
+        rets = []
+        if e >= 2 and live:
+            rid = rng.choice(sorted(live))
+            rets.append((rid, live.pop(rid)))
+        ib.process_batch(
+            adds=spark.createDataFrame(adds, ["doc_id", "text"]),
+            retracts=(
+                spark.createDataFrame(rets, ["doc_id", "text"])
+                if rets
+                else None
+            ),
+            epoch=e,
+        )
+        net = spark.createDataFrame(sorted(live.items()), ["doc_id", "text"])
+        expect = sorted(map(tuple, retrieval.bm25_topk(net, terms, k=10).collect()))
+        got = sorted(map(tuple, ib.topk(k=10).collect()))
+        assert got == expect, (e, sorted(live))
