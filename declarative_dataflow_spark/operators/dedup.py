@@ -477,17 +477,25 @@ def simhash_neardup_pairs(
     width = bits // bands
     mask = (1 << width) - 1
     sh = simhash(docs, bits, text_col)
-    banded = sh.select(
-        "doc_id",
-        "simhash",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {bands - 1}), i -> "
-                f"named_struct('band', i, 'key', "
-                f"(simhash >> (i * {width})) & {mask}))"
-            )
-        ).alias("bk"),
-    ).select("doc_id", "simhash", "bk.band", "bk.key")
+    banded = (
+        sh.select(
+            "doc_id",
+            "simhash",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, {bands - 1}), i -> "
+                    f"named_struct('band', i, 'key', "
+                    f"(simhash >> (i * {width})) & {mask}))"
+                )
+            ).alias("bk"),
+        )
+        .select("doc_id", "simhash", "bk.band", "bk.key")
+        # Materialize ONCE (the minhash discipline, dedup.py ~:248):
+        # both sides of the self-join read this table, and without the
+        # checkpoint each side re-runs the interpreted per-token
+        # fingerprint fold — measured 3.5x wall at sf0.1 (8.5s -> 2.4s).
+        .localCheckpoint(eager=True)
+    )
     a = banded.toDF("a", "ha", "band", "key")
     b = banded.toDF("b", "hb", "band", "key")
     return (

@@ -241,10 +241,14 @@ def embedding_neardup(
         planes = None
     if planes is not None:
         # Bucket computed inline on the pair base (one single-row
-        # weights broadcast per side) — no extra equi-join back on id.
+        # weights broadcast per side) — no extra equi-join back on id —
+        # then materialized ONCE: both self-join sides read the base,
+        # and the planes x dim interpreted bucket fold re-run per side
+        # costs more than the join itself (measured 10.8s -> ~4s for
+        # 20k x 64-dim vectors; the minhash/simhash discipline).
         base = _with_bucket(base, planes, dim, "v").select(
             "id", "v", "nrm", "bucket"
-        )
+        ).localCheckpoint(eager=True)
         left = base.toDF("a", "va", "na", "bucket")
         right = base.toDF("b", "vb", "nb", "bucket")
         pairs = left.join(right, "bucket").filter(F.col("a") < F.col("b"))
