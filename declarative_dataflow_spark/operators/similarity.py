@@ -652,19 +652,16 @@ def _pq_assign(sv: DataFrame, books: DataFrame) -> DataFrame:
     lowest squared L2, ties to the lowest code. Codebooks broadcast
     (m x n_codes x d doubles — always tiny)."""
 
-    from pyspark.sql.window import Window
-
     scored = sv.join(F.broadcast(books), "sub").withColumn(
         "__d", _l2sq("sv", "cv")
     )
-    w = Window.partitionBy("vid", "sub").orderBy(
-        F.col("__d").asc(), F.col("code").asc()
-    )
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select("vid", "sub", "code", "sv")
-    )
+    # argmin as a hash-aggregate min-of-struct — (vid, sub) groups hold
+    # n_codes rows each, and a partial-aggregating HashAggregate beats
+    # sorting every group in a rank window (no Sort in the plan).
+    return scored.groupBy("vid", "sub").agg(
+        F.min(F.struct("__d", "code")).getField("code").alias("code"),
+        F.first("sv").alias("sv"),
+    ).select("vid", "sub", "code", "sv")
 
 
 def pq_codebooks(
