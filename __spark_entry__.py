@@ -1616,6 +1616,17 @@ def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup signal: maximal runs of 5-token windows
+    shared by >= 2 distinct documents, as cut-ready (start, end)
+    spans. Windows shuffle as md5 keys; the run merge is a
+    doc-partitioned window."""
+
+    return curation.dup_spans(
+        load_table(spark, sf_dir, "documents"), n=5, min_docs=2
+    )
+
+
 def q_lm_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style perplexity tiers: head/middle/tail thirds of the
     corpus by bigram-LM mean log-prob. Cut points are k-th-largest
@@ -1692,6 +1703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_docs": q_chunk_docs,  # NEW in r6
         "rrf_fusion": q_rrf_fusion,  # NEW in r6
         "lm_buckets": q_lm_buckets,  # NEW in r6
+        "dup_spans": q_dup_spans,  # NEW in r6
         # --- the 36 keys deferred in r05 (green r04 + local r05) ---
         "agg_multi": q_agg_multi,
         "agg_global": q_agg_global,
@@ -3076,6 +3088,27 @@ def oracle_sql() -> dict[str, str]:
         "hll_distinct": _hll_oracle_sql(),
         "cms_topk": _cms_oracle_sql(20),
         "bpe_encode": _bpe_encode_oracle_sql(8),
+        "dup_spans": (
+            "WITH t AS (SELECT doc_id, "
+            "regexp_split_to_array(trim(lower(text)), '\\s+') AS w "
+            "FROM documents), "
+            "t2 AS (SELECT doc_id, w FROM t WHERE len(w) >= 5), "
+            "g AS (SELECT doc_id, i, "
+            "md5(array_to_string(list_slice(w, i + 1, i + 5), ' ')) AS h "
+            "FROM t2, unnest(generate_series(0, len(w) - 5)) AS s(i)), "
+            "hot AS (SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS d "
+            "FROM g GROUP BY 1) WHERE d >= 2), "
+            "m AS (SELECT doc_id, i FROM g JOIN hot USING (h)), "
+            "r AS (SELECT doc_id, i, CASE WHEN i - lag(i) OVER "
+            "(PARTITION BY doc_id ORDER BY i) <= 4 THEN 0 ELSE 1 END AS brk "
+            "FROM m), "
+            "s AS (SELECT doc_id, i, sum(brk) OVER (PARTITION BY doc_id "
+            "ORDER BY i ROWS UNBOUNDED PRECEDING) AS run FROM r) "
+            "SELECT doc_id, min(i)::BIGINT AS start, "
+            "(max(i) + 4)::BIGINT AS \"end\", count(*)::BIGINT AS n_windows, "
+            "(max(i) + 5 - min(i))::BIGINT AS n_tokens "
+            "FROM s GROUP BY doc_id, run"
+        ),
         "lm_buckets": (
             "WITH toks AS (SELECT doc_id, i AS pos, w[i] AS w FROM ("
             "SELECT doc_id, regexp_split_to_array(trim(lower(text)), "

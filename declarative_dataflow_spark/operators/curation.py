@@ -323,3 +323,69 @@ def mix_weights(
         F.round(F.col("p"), 6).alias("p"),
         F.round(F.col("w") / F.col("z"), 6).alias("q"),
     )
+
+def dup_spans(
+    docs: DataFrame,
+    n: int = 5,
+    min_docs: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """Maximal cross-document duplicated token runs — the exact-
+    substring dedup signal (Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better"), reported as actionable spans
+    a removal pass can cut: every position window of ``n`` consecutive
+    tokens occurring in >= ``min_docs`` DISTINCT documents is marked,
+    and overlapping marked windows merge into maximal runs. Returns
+    (doc_id, start, end, n_windows, n_tokens) with 0-based inclusive
+    token offsets. Within-document repetition is deliberately out of
+    scope (that is text.repetition_stats's signal).
+
+    Scale shape: windows hash to md5 before they shuffle (constant-
+    width keys, never n-token strings); the cross-doc count is one
+    uniform-key aggregation; the merge step is a lag/sum window
+    PARTITIONED by doc_id — parallel across documents, never global.
+    """
+
+    from pyspark.sql.window import Window
+
+    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    base = docs.select("doc_id", words.alias("w")).filter(
+        F.size("w") >= n
+    )
+    parts = ", ".join(f"w[i + {j}]" for j in range(n))
+    wins = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, size(w) - {n}), i -> "
+                f"named_struct('i', i, 'h', md5(concat_ws(' ', {parts}))))"
+            )
+        ).alias("g"),
+    ).select("doc_id", "g.i", "g.h")
+    hot = (
+        wins.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("__docs"))
+        .filter(F.col("__docs") >= min_docs)
+        .select("h")
+    )
+    marked = wins.join(hot, "h").select("doc_id", "i")
+    w_doc = Window.partitionBy("doc_id").orderBy("i")
+    brk = F.when(
+        F.col("i") - F.lag("i").over(w_doc) <= n - 1, 0
+    ).otherwise(1)
+    runs = marked.withColumn("__brk", brk).withColumn(
+        "__run",
+        F.sum("__brk").over(
+            w_doc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        runs.groupBy("doc_id", "__run")
+        .agg(
+            F.min("i").cast("long").alias("start"),
+            (F.max("i") + n - 1).cast("long").alias("end"),
+            F.count(F.lit(1)).alias("n_windows"),
+            (F.max("i") + n - F.min("i")).cast("long").alias("n_tokens"),
+        )
+        .select("doc_id", "start", "end", "n_windows", "n_tokens")
+    )

@@ -113,3 +113,49 @@ def test_topk_per_group(spark, docs):
     # lower doc_id wins
     en_src0 = [r for r in out if r["lang"] == "en" and r["source"] == "src0"]
     assert en_src0[0]["doc_id"] == 1
+
+
+def test_dup_spans_merges_overlapping_windows(spark):
+    """Two docs share the run 'a b c d e f' (three overlapping 4-token
+    windows -> ONE maximal span) plus a disjoint shared window later;
+    a doc with unique text reports nothing."""
+
+    from declarative_dataflow_spark.operators import curation
+
+    shared = "a b c d e f"
+    tail = "x y z w"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{shared} uniq1 uniq2 uniq3 {tail}"),
+            (2, f"pre1 pre2 {shared} other stuff here {tail}"),
+            (3, "entirely different words nothing shared at all here"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = sorted(
+        map(tuple, curation.dup_spans(docs, n=4, min_docs=2).collect())
+    )
+    # doc 1: tokens 0-5 shared run (windows at 0,1,2), tokens 9-12 tail
+    # doc 2: tokens 2-7 shared run, tokens 11-14 tail
+    assert out == [
+        (1, 0, 5, 3, 6),
+        (1, 9, 12, 1, 4),
+        (2, 2, 7, 3, 6),
+        (2, 11, 14, 1, 4),
+    ]
+
+
+def test_dup_spans_ignores_within_doc_repeats(spark):
+    """A window repeated only WITHIN one document is not a cross-doc
+    duplicate (min_docs counts distinct documents)."""
+
+    from declarative_dataflow_spark.operators import curation
+
+    docs = spark.createDataFrame(
+        [
+            (1, "p q r s t u p q r s t u"),
+            (2, "completely unrelated content in this document"),
+        ],
+        ["doc_id", "text"],
+    )
+    assert curation.dup_spans(docs, n=4, min_docs=2).count() == 0
