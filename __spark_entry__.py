@@ -1616,6 +1616,16 @@ def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_nb_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-based quality filter: multinomial NB trained on the
+    corpus's own Gopher gate (min_words=40, the declared gopher_rules
+    thresholds), scoring every doc by pass-class log-odds."""
+
+    return text.nb_quality_score(
+        load_table(spark, sf_dir, "documents"), min_words=40
+    )
+
+
 def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring dedup signal: maximal runs of 5-token windows
     shared by >= 2 distinct documents, as cut-ready (start, end)
@@ -1704,6 +1714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rrf_fusion": q_rrf_fusion,  # NEW in r6
         "lm_buckets": q_lm_buckets,  # NEW in r6
         "dup_spans": q_dup_spans,  # NEW in r6
+        "nb_quality": q_nb_quality,  # NEW in r6
         # --- the 36 keys deferred in r05 (green r04 + local r05) ---
         "agg_multi": q_agg_multi,
         "agg_global": q_agg_global,
@@ -3088,6 +3099,48 @@ def oracle_sql() -> dict[str, str]:
         "hll_distinct": _hll_oracle_sql(),
         "cms_topk": _cms_oracle_sql(20),
         "bpe_encode": _bpe_encode_oracle_sql(8),
+        "nb_quality": (
+            "WITH m AS (SELECT doc_id, "
+            "regexp_split_to_array(trim(lower(text)), '\\s+') AS w, "
+            "length(text) - length(replace(text, '#', '')) AS n_hash, "
+            "(length(text) - length(replace(text, '...', ''))) / 3 "
+            "AS n_ellipsis, "
+            "len(list_filter(string_split(lower(text), ' '), "
+            "x -> x IN ('the', 'a', 'and', 'of', 'to', 'in', 'is', 'on', "
+            "'for')))::BIGINT AS n_stop FROM documents), "
+            "s AS (SELECT doc_id, len(w)::BIGINT AS n_words, "
+            "round(list_sum(list_transform(w, x -> length(x))) "
+            "/ greatest(len(w), 1), 4) AS mean_word_len, "
+            "round((n_hash + n_ellipsis) / greatest(len(w), 1), 4) "
+            "AS symbol_ratio, "
+            "round(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) "
+            "/ greatest(len(w), 1), 4) AS alpha_frac, n_stop FROM m), "
+            "lab AS (SELECT doc_id, ((n_words >= 40 AND n_words <= 100000) "
+            "AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0) "
+            "AND symbol_ratio <= 0.1 AND alpha_frac >= 0.8 "
+            "AND n_stop >= 2) AS label FROM s), "
+            "toks AS (SELECT d.doc_id, lab.label, "
+            "unnest(regexp_split_to_array(trim(lower(d.text)), '\\s+')) "
+            "AS term FROM documents d JOIN lab USING (doc_id)), "
+            "cls AS (SELECT sum(CASE WHEN label THEN 1 ELSE 0 END) "
+            "AS d_pass, sum(CASE WHEN label THEN 0 ELSE 1 END) AS d_fail "
+            "FROM lab), "
+            "tot AS (SELECT sum(CASE WHEN label THEN 1 ELSE 0 END) "
+            "AS n_pass, sum(CASE WHEN label THEN 0 ELSE 1 END) AS n_fail, "
+            "count(DISTINCT term) AS v FROM toks), "
+            "model AS (SELECT term, CAST(round("
+            "ln((cp + 0.5) / (n_pass + 0.5 * v)) "
+            "- ln((cf + 0.5) / (n_fail + 0.5 * v)), 9) AS DECIMAL(24,9)) "
+            "AS w FROM (SELECT term, "
+            "sum(CASE WHEN label THEN 1 ELSE 0 END) AS cp, "
+            "sum(CASE WHEN label THEN 0 ELSE 1 END) AS cf "
+            "FROM toks GROUP BY 1), tot) "
+            "SELECT toks.doc_id, count(*)::BIGINT AS n_tokens, toks.label, "
+            "round(CAST(sum(model.w) AS DOUBLE) + "
+            "(SELECT round(ln((d_pass + 0.5) / (d_fail + 0.5)), 9) "
+            "FROM cls), 6) AS score "
+            "FROM toks JOIN model USING (term) GROUP BY 1, 3"
+        ),
         "dup_spans": (
             "WITH t AS (SELECT doc_id, "
             "regexp_split_to_array(trim(lower(text)), '\\s+') AS w "

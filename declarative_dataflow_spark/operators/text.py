@@ -574,3 +574,100 @@ def lm_quality_buckets(
     return out.select(
         "doc_id", "avg_logp", bucket.cast("int").alias("bucket")
     )
+
+def nb_quality_score(
+    docs: DataFrame,
+    alpha: float = 0.5,
+    text_col: str = "text",
+    label_col: str | None = None,
+    **gopher_thresholds,
+) -> DataFrame:
+    """Model-based quality scoring — the classifier-filter shape of
+    CCNet / LLaMA-style pipelines (a linear model trained on weak
+    labels, then applied corpus-wide). Trains an add-alpha multinomial
+    Naive Bayes where the default weak label is the corpus's OWN
+    Gopher A1.1 gate (:func:`gopher_columns`'s ``pass``), and scores
+    every document by its log-odds of the pass class:
+
+        score(d) = ln(P(pass)/P(fail)) +
+                   sum_t [ln P(t|pass) - ln P(t|fail)]
+
+    Returns (doc_id, n_tokens, label, score) — ``label`` is the weak
+    training label, kept so callers can find the interesting
+    disagreements (rule-fail but model-pass documents are the gate's
+    false negatives and vice versa).
+
+    Scale shape: training is two uniform-key aggregations (per-term
+    conditional counts; per-class totals to a broadcast one-row
+    frame); the per-term log-odds weights form a vocabulary-sized
+    model joined back on the uniform term key (the ngram_lm_score
+    plan). Per-token weights round to 9 decimals and sum in
+    DECIMAL(24,9) so the doc score is order-independent; the final
+    score rounds to 6.
+    """
+
+    if label_col is None:
+        label = gopher_columns(text_col, **gopher_thresholds)["pass"]
+        labeled = docs.select("doc_id", F.col(text_col), label.alias("label"))
+    else:
+        labeled = docs.select(
+            "doc_id", F.col(text_col), F.col(label_col).alias("label")
+        )
+    toks = labeled.select(
+        "doc_id",
+        "label",
+        F.explode(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        ).alias("term"),
+    )
+    cls = labeled.agg(
+        F.sum(F.when(F.col("label"), 1).otherwise(0)).alias("d_pass"),
+        F.sum(F.when(F.col("label"), 0).otherwise(1)).alias("d_fail"),
+    )
+    tot = toks.agg(
+        F.sum(F.when(F.col("label"), 1).otherwise(0)).alias("n_pass"),
+        F.sum(F.when(F.col("label"), 0).otherwise(1)).alias("n_fail"),
+        F.countDistinct("term").alias("v"),
+    )
+    model = (
+        toks.groupBy("term")
+        .agg(
+            F.sum(F.when(F.col("label"), 1).otherwise(0)).alias("cp"),
+            F.sum(F.when(F.col("label"), 0).otherwise(1)).alias("cf"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "term",
+            F.round(
+                F.log(
+                    (F.col("cp") + alpha)
+                    / (F.col("n_pass") + alpha * F.col("v"))
+                )
+                - F.log(
+                    (F.col("cf") + alpha)
+                    / (F.col("n_fail") + alpha * F.col("v"))
+                ),
+                9,
+            )
+            .cast("decimal(24,9)")
+            .alias("w"),
+        )
+    )
+    prior = F.round(
+        F.log((F.col("d_pass") + alpha) / (F.col("d_fail") + alpha)), 9
+    )
+    return (
+        toks.join(model, "term")
+        .groupBy("doc_id", "label")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("w").cast("double").alias("__s"),
+        )
+        .crossJoin(F.broadcast(cls))
+        .select(
+            "doc_id",
+            "n_tokens",
+            "label",
+            F.round(F.col("__s") + prior, 6).alias("score"),
+        )
+    )

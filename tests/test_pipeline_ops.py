@@ -1451,3 +1451,59 @@ def test_lm_quality_buckets_tiers(spark):
     assert all(by_id[i] == 3 for i in range(6, 9))
     # the three most fluent (max repeated-bigram mass) are the head
     assert all(by_id[i] == 1 for i in range(3))
+
+
+def test_nb_quality_separates_classes_and_matches_hand_model(spark):
+    """Explicit labels on a 4-doc corpus: the log-odds of a doc made of
+    pass-class words beats one made of fail-class words, and doc 1's
+    score reproduces the hand-computed NB value."""
+
+    import math
+
+    docs = spark.createDataFrame(
+        [
+            (1, "good clean prose", True),
+            (2, "good solid prose", True),
+            (3, "spam junk noise", False),
+            (4, "good junk prose", False),
+        ],
+        ["doc_id", "text", "lbl"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in text.nb_quality_score(docs, label_col="lbl").collect()
+    }
+    assert out[1]["label"] is True and out[3]["label"] is False
+    assert out[1]["score"] > out[3]["score"]
+
+    # hand model: pass tokens = 6, fail tokens = 6, V = 7 distinct
+    def w(cp, cf):
+        return round(
+            math.log((cp + 0.5) / (6 + 0.5 * 7))
+            - math.log((cf + 0.5) / (6 + 0.5 * 7)),
+            9,
+        )
+
+    prior = round(math.log((2 + 0.5) / (2 + 0.5)), 9)
+    expect = round(w(2, 1) + w(1, 0) + w(2, 1) + prior, 6)  # good clean prose
+    assert out[1]["score"] == pytest.approx(expect, abs=1e-9)
+
+
+def test_nb_quality_gopher_weak_labels(spark):
+    """Default mode trains on the corpus's own Gopher gate: a fluent
+    long doc outranks a symbol-heavy short one."""
+
+    fluent = " ".join(
+        ["the quick brown fox jumps over the lazy dog and runs on"] * 6
+    )
+    junk = "### ### ### ..."
+    docs = spark.createDataFrame(
+        [(1, fluent), (2, junk), (3, fluent + " again"), (4, "## .. #")],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in text.nb_quality_score(docs, min_words=10).collect()
+    }
+    assert out[1]["label"] is True and out[2]["label"] is False
+    assert out[1]["score"] > out[2]["score"]
