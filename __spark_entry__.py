@@ -1616,6 +1616,16 @@ def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic clustering: k=8 Lloyd k-means assignments after 2
+    refinement steps (deterministic seeds + 6-decimal-rounded means —
+    the ivf_kmeans discipline, exposed as the assignment)."""
+
+    return similarity.kmeans_assign(
+        load_table(spark, sf_dir, "embeddings"), k=8, iters=2
+    )
+
+
 def q_nb_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classifier-based quality filter: multinomial NB trained on the
     corpus's own Gopher gate (min_words=40, the declared gopher_rules
@@ -1715,6 +1725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_buckets": q_lm_buckets,  # NEW in r6
         "dup_spans": q_dup_spans,  # NEW in r6
         "nb_quality": q_nb_quality,  # NEW in r6
+        "kmeans": q_kmeans,  # NEW in r6
         # --- the 36 keys deferred in r05 (green r04 + local r05) ---
         "agg_multi": q_agg_multi,
         "agg_global": q_agg_global,
@@ -1899,6 +1910,55 @@ def _bpe_encode_oracle_sql(n_merges: int = 8) -> str:
         "SELECT doc_id, sum(c)::BIGINT AS n_words, "
         "sum(c * n_sym)::BIGINT AS n_tokens "
         "FROM dt JOIN ns USING (word) GROUP BY 1"
+    )
+
+
+def _kmeans_oracle_sql(k: int = 8, iters: int = 2) -> str:
+    """DuckDB twin of similarity.kmeans_assign: the ann_ivf_kmeans
+    one-step Lloyd CTE unrolled ``iters`` times (lowest-id seeds,
+    cosine argmax assignment with cell tiebreak, per-component means
+    rounded to 6 decimals, empty cells keep their centroid)."""
+
+    def assign(src: str, cents: str, cols: str) -> str:
+        return (
+            f"(SELECT {cols} FROM ("
+            f"SELECT e.vec_id, e.v, c.cell, row_number() OVER ("
+            "PARTITION BY e.vec_id ORDER BY "
+            "list_dot_product(e.v, c.cv) / "
+            "(sqrt(list_dot_product(e.v, e.v)) * "
+            "sqrt(list_dot_product(c.cv, c.cv))) DESC, "
+            f"c.cell) AS rn FROM {src} e CROSS JOIN {cents} c) "
+            "WHERE rn = 1)"
+        )
+
+    ctes = [
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        "FROM embeddings)",
+        f"c0 AS (SELECT vec_id AS cell, v AS cv FROM e "
+        f"ORDER BY vec_id LIMIT {k})",
+    ]
+    for i in range(1, iters + 1):
+        prev = f"c{i - 1}"
+        ctes.append(
+            f"a{i} AS " + assign("e", prev, "vec_id, v, cell")
+        )
+        ctes.append(
+            f"comp{i} AS (SELECT cell, i, round(avg(x), 6) AS m FROM ("
+            f"SELECT cell, unnest(v) AS x, "
+            f"unnest(range(1, len(v) + 1)) AS i FROM a{i}) "
+            "GROUP BY cell, i)"
+        )
+        ctes.append(
+            f"m{i} AS (SELECT cell, list(m ORDER BY i) AS mv "
+            f"FROM comp{i} GROUP BY cell)"
+        )
+        ctes.append(
+            f"c{i} AS (SELECT {prev}.cell, coalesce(m{i}.mv, {prev}.cv) "
+            f"AS cv FROM {prev} LEFT JOIN m{i} USING (cell))"
+        )
+    return (
+        "WITH " + ", ".join(ctes) + " SELECT vec_id, cell FROM "
+        + assign("e", f"c{iters}", "vec_id, cell") + " t"
     )
 
 
@@ -3099,6 +3159,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_distinct": _hll_oracle_sql(),
         "cms_topk": _cms_oracle_sql(20),
         "bpe_encode": _bpe_encode_oracle_sql(8),
+        "kmeans": _kmeans_oracle_sql(8, 2),
         "nb_quality": (
             "WITH m AS (SELECT doc_id, "
             "regexp_split_to_array(trim(lower(text)), '\\s+') AS w, "

@@ -799,3 +799,29 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("q", "neighbor", "adist", "rank")
     )
+
+def kmeans_assign(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic k-means clustering of the embedding corpus:
+    (vec_id, cell) after ``iters`` Lloyd steps — the semantic-
+    clustering primitive behind topic balancing, per-cluster sampling
+    quotas, and cluster-labeled corpus browsing (pair with
+    retrieval.tfidf_topk_terms for labels).
+
+    Same machinery as the IVF index build (:func:`ivf_centroids`:
+    lowest-id seeds, broadcast-assign passes, 6-decimal-rounded
+    per-component means, empty cells keep their centroid) — exposed as
+    a first-class operator whose output is the ASSIGNMENT rather than
+    the index. Each iteration is one corpus scan + a k x dim partial
+    aggregate; the k x dim centroid table is the only driver traffic.
+    """
+
+    cents = ivf_centroids(embeddings, k, iters, id_col, vec_col)
+    return _assign_cells(embeddings, cents, id_col, vec_col).select(
+        "vec_id", "cell"
+    )

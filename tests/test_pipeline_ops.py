@@ -1507,3 +1507,20 @@ def test_nb_quality_gopher_weak_labels(spark):
     }
     assert out[1]["label"] is True and out[2]["label"] is False
     assert out[1]["score"] > out[2]["score"]
+
+
+def test_kmeans_assign_separates_obvious_clusters(spark):
+    """Two tight orthogonal bundles with k=2: each bundle lands in one
+    cell, refinement pulls the centroid to the bundle mean (assignment
+    stable across an extra iteration)."""
+
+    rows = [(i, [1.0, 0.01 * i]) for i in range(5)] + [
+        (10 + i, [0.01 * i, 1.0]) for i in range(5)
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out2 = {r["vec_id"]: r["cell"] for r in similarity.kmeans_assign(emb, k=2, iters=2).collect()}
+    a = {out2[i] for i in range(5)}
+    b = {out2[10 + i] for i in range(5)}
+    assert len(a) == 1 and len(b) == 1 and a != b
+    out3 = {r["vec_id"]: r["cell"] for r in similarity.kmeans_assign(emb, k=2, iters=3).collect()}
+    assert out3 == out2
