@@ -1693,15 +1693,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Round 6 front-loads the CHANGED queries (embed_neardup /
     # embed_groups — now density-adjusted planes="auto" in both
     # engines; ngram_jaccard — prefix-ceil epsilon; shortest_cost —
-    # adaptive relaxation step), the FIFTEEN queries NEW this round
+    # adaptive relaxation step), the EIGHTEEN queries NEW this round
     # (simhash_neardup, pq_topk, gopher_rules, line_dedup, bm25_topk,
     # ngram_lm_score, bpe_merges, mix_weights, tfidf_topk,
     # hll_distinct, cms_topk, bpe_encode, chunk_docs, rrf_fusion,
-    # lm_buckets), then the 36 keys r05 deferred. 19 + 36 = 55 > the
-    # driver's 50-row cap, so the 5 tail keys of the deferred block
-    # (simhash, cosine_topk, ann_quantized, ann_ivf, ann_ivf_kmeans —
-    # all UNCHANGED since their r04 driver-green rows, all green in
-    # the r05 and r06 full local oracle runs) defer once more to r07;
+    # lm_buckets, dup_spans, nb_quality, kmeans), then the 36 keys
+    # r05 deferred. 22 + 36 = 58 > the driver's 50-row cap, so the 8
+    # tail keys of the deferred block (pii_redact, repetition,
+    # text_subwords, simhash, cosine_topk, ann_quantized, ann_ivf,
+    # ann_ivf_kmeans — all UNCHANGED since their r04 driver-green
+    # rows, all green in the r05 and r06 full local oracle runs, the
+    # simplest operators of the block) defer once more to r07;
     # never-driver-checked and changed keys take priority.
     return {
         "embed_neardup": q_embed_neardup,
@@ -1751,16 +1753,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_mix": q_token_budget_mix,
         "topk_per_group": q_topk_per_group,
         "seq_pack": q_seq_pack,
-        "pii_redact": q_pii_redact,
-        "repetition": q_repetition,
         "dedup_exact": q_dedup_exact,
         "minhash_lsh": q_minhash_lsh,
         "dedup_groups": q_dedup_groups,
-        "text_subwords": q_text_subwords,
         "vocab_topk": q_vocab_topk,
-        # --- 50-key cap lands here: the 5 below (unchanged since
-        # their r04 driver rows, green in every local full run)
-        # defer to r07 ---
+        # --- 50-key cap lands here: the 8 below (unchanged since
+        # their r04 driver rows, green in every local full run — the
+        # simplest, most stable of the deferred block) defer to r07 ---
+        "pii_redact": q_pii_redact,
+        "repetition": q_repetition,
+        "text_subwords": q_text_subwords,
         "simhash": q_simhash,
         "cosine_topk": q_cosine_topk,
         "ann_quantized": q_ann_quantized,
