@@ -60,6 +60,10 @@ HEADLINE = [
     "cms_topk",        # Count-Min heavy hitters (4x512 grid)
     "chunk_docs",      # RAG token-window chunking (map-only)
     "rrf_fusion",      # hybrid BM25 + dense retrieval fusion
+    "lm_buckets",      # CCNet perplexity tiers (TakeOrdered cut points)
+    "dup_spans",       # exact-substring dedup spans (Lee et al. 2022)
+    "nb_quality",      # NB quality classifier on Gopher weak labels
+    "kmeans",          # Lloyd k-means assignments (2 iters, k=8)
 ]
 
 

@@ -991,3 +991,162 @@ class IncrementalBM25:
         return rank_bm25(
             qtf, df_, self._qdl(), stats, k=k, k1=self.k1, b=self.b
         )
+
+class IncrementalNB:
+    """Maintained Naive-Bayes quality classifier (the streaming twin
+    of operators/text.py::nb_quality_score with explicit labels): all
+    model state — per-term conditional counts, per-class token totals,
+    per-class document counts, and the distinct-vocabulary register —
+    is LINEAR, so additions and retractions maintain exactly (signed
+    sums, the CMS argument). ``score`` re-derives the log-odds model
+    from the consolidated counts and scores any probe frame with the
+    batch operator's arithmetic.
+
+    The one non-obvious piece is V (distinct vocabulary size): a
+    retraction only removes a term from V when its LAST occurrence
+    retracts, which falls out of the same signed per-term count table
+    (V = count of terms with net count > 0) rather than a separate
+    structure.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        alpha: float = 0.5,
+        text_col: str = "text",
+        label_col: str = "label",
+    ) -> None:
+        self.spark = spark
+        self.state_dir = state_dir.rstrip("/")
+        self.alpha = alpha
+        self.text_col = text_col
+        self.label_col = label_col
+        self._io = IncrementalDupNgram(spark, self.state_dir)  # reuse io
+
+    def _toks(self, docs: DataFrame) -> DataFrame:
+        return docs.select(
+            "doc_id",
+            F.col(self.label_col).alias("label"),
+            F.explode(
+                F.split(F.trim(F.lower(F.col(self.text_col))), r"\s+")
+            ).alias("term"),
+        )
+
+    def process_batch(
+        self,
+        adds: Optional[DataFrame] = None,
+        retracts: Optional[DataFrame] = None,
+        epoch: Optional[int] = None,
+    ) -> None:
+        tc, dc = None, None
+        for docs, sign in ((adds, 1), (retracts, -1)):
+            if docs is None:
+                continue
+            toks = self._toks(docs)
+            t = toks.groupBy("term").agg(
+                (F.lit(sign) * F.sum(F.when(F.col("label"), 1).otherwise(0)))
+                .cast("long")
+                .alias("cp"),
+                (F.lit(sign) * F.sum(F.when(F.col("label"), 0).otherwise(1)))
+                .cast("long")
+                .alias("cf"),
+            )
+            d = docs.agg(
+                (F.lit(sign) * F.sum(F.when(F.col(self.label_col), 1).otherwise(0)))
+                .cast("long")
+                .alias("d_pass"),
+                (F.lit(sign) * F.sum(F.when(F.col(self.label_col), 0).otherwise(1)))
+                .cast("long")
+                .alias("d_fail"),
+            )
+            tc = t if tc is None else tc.unionByName(t)
+            dc = d if dc is None else dc.unionByName(d)
+        if tc is None:
+            return
+        self._io._append("nb_terms", tc, epoch=epoch)
+        self._io._append("nb_docs", dc, epoch=epoch)
+        self._io._epochs = getattr(self._io, "_epochs", 0) + 1
+        if self._io._epochs % self._io.compact_every == 0:
+            self._io._compact("nb_terms", self._terms())
+            self._io._compact("nb_docs", self._docs())
+
+    def _terms(self) -> Optional[DataFrame]:
+        inc = self._io._read_versioned("nb_terms")
+        if inc is None:
+            return None
+        return (
+            inc.groupBy("term")
+            .agg(
+                F.sum("cp").cast("long").alias("cp"),
+                F.sum("cf").cast("long").alias("cf"),
+            )
+            .filter((F.col("cp") > 0) | (F.col("cf") > 0))
+        )
+
+    def _docs(self) -> Optional[DataFrame]:
+        inc = self._io._read_versioned("nb_docs")
+        if inc is None:
+            return None
+        return inc.agg(
+            F.sum("d_pass").cast("long").alias("d_pass"),
+            F.sum("d_fail").cast("long").alias("d_fail"),
+        )
+
+    def score(self, probe: DataFrame) -> Optional[DataFrame]:
+        """(doc_id, n_tokens, score) for a probe document frame under
+        the CURRENT maintained model — the batch operator's arithmetic
+        (9-decimal log-odds weights, DECIMAL(24,9) sums, 6-decimal
+        final round)."""
+
+        terms = self._terms()
+        if terms is None:
+            return None
+        alpha = self.alpha
+        tot = terms.agg(
+            F.sum("cp").cast("long").alias("n_pass"),
+            F.sum("cf").cast("long").alias("n_fail"),
+            F.count(F.lit(1)).alias("v"),
+        )
+        model = terms.crossJoin(F.broadcast(tot)).select(
+            "term",
+            F.round(
+                F.log(
+                    (F.col("cp") + alpha)
+                    / (F.col("n_pass") + alpha * F.col("v"))
+                )
+                - F.log(
+                    (F.col("cf") + alpha)
+                    / (F.col("n_fail") + alpha * F.col("v"))
+                ),
+                9,
+            )
+            .cast("decimal(24,9)")
+            .alias("w"),
+        )
+        prior = F.round(
+            F.log(
+                (F.col("d_pass") + alpha) / (F.col("d_fail") + alpha)
+            ),
+            9,
+        )
+        ptoks = probe.select(
+            "doc_id",
+            F.explode(
+                F.split(F.trim(F.lower(F.col(self.text_col))), r"\s+")
+            ).alias("term"),
+        )
+        return (
+            ptoks.join(model, "term")
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_tokens"),
+                F.sum("w").cast("double").alias("__s"),
+            )
+            .crossJoin(F.broadcast(self._docs()))
+            .select(
+                "doc_id",
+                "n_tokens",
+                F.round(F.col("__s") + prior, 6).alias("score"),
+            )
+        )

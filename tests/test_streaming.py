@@ -1234,3 +1234,51 @@ def test_incremental_bm25_matches_batch_under_churn(spark, tmp_path):
         expect = sorted(map(tuple, retrieval.bm25_topk(net, terms, k=10).collect()))
         got = sorted(map(tuple, ib.topk(k=10).collect()))
         assert got == expect, (e, sorted(live))
+
+
+def test_incremental_nb_matches_batch_under_churn(spark, tmp_path):
+    """Signed NB count state equals the batch classifier on the net
+    corpus at every epoch — vocabulary V shrinks when a term's last
+    occurrence retracts, priors and totals track exactly."""
+
+    import random
+
+    from declarative_dataflow_spark.operators import text as text_ops
+    from declarative_dataflow_spark.streaming.corpus_stats import (
+        IncrementalNB,
+    )
+
+    inb = IncrementalNB(spark, str(tmp_path / "nb_state"))
+    rng = random.Random(11)
+    words = ["clean", "prose", "junk", "spam", "data", "noise"]
+    live = {}
+    next_id = 0
+    for e in range(4):
+        adds = []
+        for _ in range(rng.randint(1, 3)):
+            txt = " ".join(rng.choice(words) for _ in range(rng.randint(2, 6)))
+            adds.append((next_id, txt, rng.random() < 0.5))
+            live[next_id] = adds[-1]
+            next_id += 1
+        rets = []
+        if e >= 2 and live:
+            rid = rng.choice(sorted(live))
+            rets.append(live.pop(rid))
+        inb.process_batch(
+            adds=spark.createDataFrame(adds, ["doc_id", "text", "label"]),
+            retracts=(
+                spark.createDataFrame(rets, ["doc_id", "text", "label"])
+                if rets
+                else None
+            ),
+            epoch=e,
+        )
+        net = spark.createDataFrame(
+            sorted(live.values()), ["doc_id", "text", "label"]
+        )
+        expect = sorted(
+            (r["doc_id"], r["n_tokens"], r["score"])
+            for r in text_ops.nb_quality_score(net, label_col="label").collect()
+        )
+        got = sorted(map(tuple, inb.score(net).collect()))
+        assert got == expect, (e, sorted(live))
