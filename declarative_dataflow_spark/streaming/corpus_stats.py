@@ -1150,3 +1150,37 @@ class IncrementalNB:
                 F.round(F.col("__s") + prior, 6).alias("score"),
             )
         )
+
+
+def attach_epochs(
+    stream: DataFrame,
+    inc,
+    checkpoint: str,
+    query_name: str = "corpus_stats",
+    sink=None,
+):
+    """Drive any maintained corpus-statistic operator from a real
+    Structured Streaming source: each micro-batch folds into ``inc``
+    via ``process_batch(batch, epoch=epoch_id)`` — the epoch id makes
+    retried micro-batches idempotent (the generational state's
+    epoch-keyed overwrite), which is exactly the at-least-once ->
+    exactly-once bridge foreachBatch requires. ``sink(inc, epoch)``
+    (optional) runs after each fold for read-your-writes consumers.
+
+    Works for IncrementalHLL, IncrementalVocab, IncrementalDupNgram,
+    and (add-only streams) IncrementalCMS / IncrementalNB /
+    IncrementalBM25 — their adds-first signatures accept a positional
+    batch.
+    """
+
+    def _on_batch(df: DataFrame, epoch: int) -> None:
+        inc.process_batch(df, epoch=epoch)
+        if sink is not None:
+            sink(inc, epoch)
+
+    return (
+        stream.writeStream.foreachBatch(_on_batch)
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

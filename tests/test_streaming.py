@@ -1282,3 +1282,47 @@ def test_incremental_nb_matches_batch_under_churn(spark, tmp_path):
         )
         got = sorted(map(tuple, inb.score(net).collect()))
         assert got == expect, (e, sorted(live))
+
+
+def test_attach_epochs_drives_hll_from_file_stream(spark, tmp_path):
+    """attach_epochs wires a maintained sketch to a REAL Structured
+    Streaming file source: after two micro-batches drain, the
+    maintained registers equal the batch sketch on everything
+    ingested."""
+
+    import json
+
+    from declarative_dataflow_spark.operators import sketch
+    from declarative_dataflow_spark.streaming.corpus_stats import (
+        IncrementalHLL,
+        attach_epochs,
+    )
+
+    src = tmp_path / "hll_in"
+    src.mkdir()
+    rows1 = [{"doc_id": 1, "text": "alpha beta gamma"},
+             {"doc_id": 2, "text": "beta delta"}]
+    rows2 = [{"doc_id": 3, "text": "gamma epsilon zeta eta"}]
+    (src / "b1.json").write_text("\n".join(json.dumps(r) for r in rows1))
+
+    ih = IncrementalHLL(spark, str(tmp_path / "hll_stream_state"))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = attach_epochs(stream, ih, str(tmp_path / "hll_ckpt"))
+    try:
+        q.processAllAvailable()
+        (src / "b2.json").write_text("\n".join(json.dumps(r) for r in rows2))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    full = spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for r in rows1 + rows2],
+        ["doc_id", "text"],
+    )
+    expect = sorted(map(tuple, sketch.hll_registers(full).collect()))
+    got = sorted(map(tuple, ih.registers().collect()))
+    assert got == expect
