@@ -91,6 +91,38 @@ def main() -> None:
         )
     )
 
+    # Materialize once: everything below fans out from `unique`, and
+    # without a persist each consumer would recompute the full
+    # quality -> dedup -> anti-join lineage (at cluster scale: re-read
+    # the corpus per stage).  localCheckpoint also truncates the plan.
+    unique = unique.localCheckpoint(eager=True)
+    n_after_dedup = unique.count()
+
+    # 5b. Model-based quality: NB log-odds on the corpus's own Gopher
+    #     gate; drop the CCNet-style perplexity tail as well.
+    nb = text.nb_quality_score(unique, min_words=10)
+    tiers = text.lm_quality_buckets(unique, buckets=3)
+    unique = (
+        unique.join(
+            nb.filter(F.col("score") < -50).select("doc_id"),
+            "doc_id",
+            "left_anti",
+        ).join(
+            tiers.filter(F.col("bucket") == 3).select("doc_id"),
+            "doc_id",
+            "left_anti",
+        )
+    )
+    unique = unique.localCheckpoint(eager=True)
+
+    # 5c. Corpus report from constant-state sketches + the
+    #     exact-substring duplication signal.
+    from declarative_dataflow_spark.operators import retrieval, sketch
+
+    hll = sketch.hll_distinct(unique).first()
+    heavy = sketch.cms_topk(unique, k=3).collect()
+    spans = curation.dup_spans(unique, n=5).count()
+
     # 6. Assemble the mix under per-language token budgets, then split
     #    deterministically and pack the train split into sequences.
     mix = curation.token_budget_mix(
@@ -107,14 +139,32 @@ def main() -> None:
     #    positions (a writer would partitionBy(shard) sortBy(pos)).
     order = curation.global_shuffle(split.filter(F.col("split") == "train"))
 
-    # 8. Embedding side: int8 quantization for the ANN index.
+    # 8. Embedding side: int8 quantization for the ANN index, k-means
+    #    topic cells labeled by TF-IDF keywords, and a hybrid
+    #    (BM25 + dense) retrieval probe.
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     quant = similarity.quantize_embeddings(emb)
+    cells = similarity.kmeans_assign(emb, k=4, iters=2)
+    labels = retrieval.tfidf_topk_terms(docs, k=1)
+    probe = retrieval.rrf_fusion(
+        docs, emb, ["spark", "query"], query_vec_id=0, k=3, depth=20
+    )
 
     print(f"docs in: {n0}")
     print(f"after quality/lang/repetition: {kept.count()}")
     print(f"after exact dedup: {canon.count()}")
-    print(f"after near-dup + decontamination + boilerplate: {unique.count()}")
+    print(f"after near-dup + decontamination + boilerplate: {n_after_dedup}")
+    print(f"after NB-classifier + perplexity-tail drop: {unique.count()}")
+    print(
+        "distinct tokens ~ "
+        f"{hll['est']:.0f} (exact {hll['exact']}); "
+        "heavy hitters: "
+        + ", ".join(f"{r['term']}({r['est']})" for r in heavy)
+    )
+    print(f"cross-doc duplicated spans: {spans}")
+    print(f"kmeans cells: {cells.select('cell').distinct().count()}")
+    print(f"hybrid probe top doc: {probe.first()['doc_id']}")
+    print(f"cluster label sample: {labels.first()['term']}")
     print(f"after token-budget mix: {mixed.count()}")
     print(f"train packs: {packed.agg(F.max('pack_id')).first()[0]}")
     print(f"train shards: {order.agg(F.countDistinct('shard')).first()[0]}")
