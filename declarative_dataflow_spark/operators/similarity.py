@@ -289,11 +289,28 @@ def _seed_centroids(
 def _assign_cells(
     embeddings: DataFrame, cents: DataFrame, id_col: str, vec_col: str
 ) -> DataFrame:
-    """(vec_id, v, cell): each vector's argmax-cosine centroid, ties
-    broken by lowest cell id. Centroids broadcast — one map-side pass
-    over the corpus, no shuffle of the vectors."""
+    """(vec_id, cell): each vector's argmax-cosine centroid, ties
+    broken by lowest cell id.
 
-    from pyspark.sql.window import Window
+    Centroids broadcast (k x dim — driver-small by construction), so
+    scoring is a map-side broadcast join; the argmax is a HASH
+    aggregate over max(struct(csim, -cell, cell)) with map-side
+    partial combine, so the one exchange carries ~n pre-reduced SKINNY
+    rows (the winning (vec_id, cell) per map task), never the n x k
+    scored expansion — and nothing sorts (the previous form ranked
+    that expansion with a vec_id window: a sort shuffle of corpus x k
+    x dim bytes per Lloyd pass). The max-struct is all-primitive on
+    purpose: an array field in the aggregate buffer (or in the
+    grouping key) silently downgrades Spark to SortAggregate, which is
+    why the vectors do NOT ride through the argmax — the one consumer
+    that needs them (the Lloyd means pass) joins them back on the
+    already-hash-partitioned vec_id. A NULL cosine (zero-norm vector)
+    coalesces to -inf so such vectors fall back to the lowest cell id,
+    exactly the old (csim DESC NULLS LAST, cell ASC) order. (A fully
+    shuffle-free variant — folding a literal centroid array per row
+    with transform/aggregate — measured 1.5x SLOWER at sf0.1: nested
+    higher-order lambdas evaluate interpreted, losing more to per-row
+    overhead than the pre-reduced exchange costs.)"""
 
     scored = (
         embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
@@ -303,14 +320,16 @@ def _assign_cells(
             _dot("v", "cv") / F.nullif(_norm("v") * _norm("cv"), F.lit(0.0)),
         )
     )
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("csim").desc(), F.col("cell").asc()
+    best = scored.groupBy("vec_id").agg(
+        F.max(
+            F.struct(
+                F.coalesce(F.col("csim"), F.lit(float("-inf"))).alias("s"),
+                (-F.col("cell")).alias("nc"),
+                F.col("cell").alias("cell"),
+            )
+        ).alias("b")
     )
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select("vec_id", "v", "cell")
-    )
+    return best.select("vec_id", F.col("b.cell").alias("cell"))
 
 
 def ivf_centroids(
@@ -343,7 +362,12 @@ def ivf_centroids(
     spark = embeddings.sparkSession
     cents = _seed_centroids(embeddings, n_centroids, id_col, vec_col)
     for _ in range(max(0, iters)):
-        assigned = _assign_cells(embeddings, cents, id_col, vec_col)
+        assigned = _assign_cells(embeddings, cents, id_col, vec_col).join(
+            embeddings.select(
+                F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")
+            ),
+            "vec_id",
+        )
         means = assigned.groupBy("cell").agg(
             F.array(
                 *[F.round(F.avg(F.col("v").getItem(i)), 6) for i in range(dim)]

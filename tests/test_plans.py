@@ -489,3 +489,26 @@ def test_hll_registers_aggregate_partially(spark):
     assert "CartesianProduct" not in phys, phys
     assert phys.count("HashAggregate") >= 2, phys
     assert "Sort [" not in phys, phys
+
+
+def test_cell_assignment_combines_before_exchange(spark):
+    """The k-means/IVF cell assignment must rank with an aggregate
+    struct-max, never a window: the partial max combines the n x k
+    scored expansion down to one skinny (vec_id, cell) row per vector
+    BEFORE the single shuffle exchange (the old form shuffled the full
+    expansion — corpus x k x dim bytes — and ranked it with a vec_id
+    window). Any Sort left is the local pre-aggregation run sort
+    inside SortAggregate (struct-max has no mutable hash buffer), not
+    a post-shuffle ranking."""
+
+    from declarative_dataflow_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cents = similarity.ivf_centroids(emb, n_centroids=4, iters=0)
+    df = similarity._assign_cells(emb, cents, "vec_id", "embedding")
+    phys = _executed(df).split("== Initial Plan ==")[0]
+    assert "Window" not in phys, phys
+    assert "partial_max" in phys, phys  # map-side combine
+    assert phys.count("Exchange hashpartitioning") == 1, phys
+    assert "Exchange hashpartitioning(vec_id" in phys, phys
+    assert "CartesianProduct" not in phys, phys
