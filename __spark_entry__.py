@@ -49,6 +49,7 @@ from declarative_dataflow_spark.operators import (
     graph,
     multimodal,
     packing,
+    profile,
     retrieval,
     similarity,
     sketch,
@@ -1598,6 +1599,25 @@ def q_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketch.cms_topk(load_table(spark, sf_dir, "documents"), k=20)
 
 
+def q_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-bucket histogram quantiles of document length: p50/p90/p99
+    of n_chars from <= 41 rows of constant, sum-mergeable state (the
+    third sketch family member next to HLL and CMS). Integer-exact in
+    both engines: bit-length CASE ladder buckets, fraction-arithmetic
+    ranks — no floating log2 or float-product ceil anywhere."""
+
+    return sketch.hist_quantiles(load_table(spark, sf_dir, "documents"))
+
+
+def q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data card: per-column (rows, non-nulls, distinct count, min,
+    max) for the documents table from ONE corpus pass — Catalyst plans
+    the multi-distinct as a single Expand + two hash aggregates, never
+    one scan per column."""
+
+    return profile.corpus_profile(load_table(spark, sf_dir, "documents"))
+
+
 def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer APPLY step: per-document token counts after the first
     8 learned BPE merges — merges apply to the distinct-word table
@@ -1721,6 +1741,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk": q_tfidf_topk,  # NEW in r6
         "hll_distinct": q_hll_distinct,  # NEW in r6
         "cms_topk": q_cms_topk,  # NEW in r6
+        "hist_quantiles": q_hist_quantiles,  # NEW in r6
+        "corpus_profile": q_corpus_profile,  # NEW in r6
         "bpe_encode": q_bpe_encode,  # NEW in r6
         "chunk_docs": q_chunk_docs,  # NEW in r6
         "rrf_fusion": q_rrf_fusion,  # NEW in r6
@@ -1755,11 +1777,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_pack": q_seq_pack,
         "dedup_exact": q_dedup_exact,
         "minhash_lsh": q_minhash_lsh,
+        # --- 50-key cap lands here: the 10 below (unchanged since
+        # their r04 driver rows, green in every local full run — the
+        # simplest, most stable of the deferred block) defer to r07;
+        # two more than the original 8 because hist_quantiles and
+        # corpus_profile (brand-new keys) take front slots ---
         "dedup_groups": q_dedup_groups,
         "vocab_topk": q_vocab_topk,
-        # --- 50-key cap lands here: the 8 below (unchanged since
-        # their r04 driver rows, green in every local full run — the
-        # simplest, most stable of the deferred block) defer to r07 ---
         "pii_redact": q_pii_redact,
         "repetition": q_repetition,
         "text_subwords": q_text_subwords,
@@ -1993,6 +2017,57 @@ def _hll_oracle_sql() -> str:
         f"ELSE {raw} END, 6) AS est, exact, "
         "round((est - exact) / exact * 100.0, 6) AS err_pct "
         "FROM agg, ex"
+    )
+
+
+def _profile_oracle_sql(cols: tuple[str, ...]) -> str:
+    """DuckDB twin of profile.corpus_profile on the documents table:
+    one UNION ALL branch per column (DuckDB reads the parquet once per
+    branch — the one-pass Expand is the Spark-side win being gated)."""
+
+    branches = " UNION ALL ".join(
+        f"SELECT '{c}' AS col, count(*)::BIGINT AS n_rows, "
+        f"count({c})::BIGINT AS n_nonnull, "
+        f"(count(*) - count({c}))::BIGINT AS n_nulls, "
+        f"count(DISTINCT {c})::BIGINT AS ndv, "
+        f"CAST(min({c}) AS VARCHAR) AS min_val, "
+        f"CAST(max({c}) AS VARCHAR) AS max_val FROM documents"
+        for c in sorted(cols)
+    )
+    return branches
+
+
+def _hist_oracle_sql(qs: tuple[float, ...] = (0.5, 0.9, 0.99)) -> str:
+    """DuckDB twin of sketch.hist_quantiles — identical bit-length
+    CASE ladder, integer fraction ranks ((n*num + den - 1) // den),
+    shift-left bucket bounds. The q fractions come from the same
+    Fraction(str(q)) conversion as the Spark side."""
+
+    from fractions import Fraction
+
+    bitlen = sketch._bitlen_case_sql("n_chars", sketch.HIST_BITS)
+    vals = ", ".join(
+        f"(CAST({q!r} AS DOUBLE), {Fraction(str(q)).numerator}::BIGINT, "
+        f"{Fraction(str(q)).denominator}::BIGINT)"
+        for q in qs
+    )
+    return (
+        f"WITH h AS (SELECT {bitlen} AS bucket, count(*)::BIGINT AS cnt "
+        "FROM documents GROUP BY 1), "
+        "tot AS (SELECT sum(cnt)::BIGINT AS n FROM h), "
+        "cum AS (SELECT a.bucket, sum(b.cnt)::BIGINT AS n_le "
+        "FROM h a JOIN h b ON b.bucket <= a.bucket GROUP BY a.bucket), "
+        f"qs AS (SELECT * FROM (VALUES {vals}) t(q, num, den)), "
+        "r AS (SELECT q, (n * num + den - 1) // den AS rk, n "
+        "FROM qs, tot), "
+        "p AS (SELECT q, rk, n, min(bucket) AS bucket FROM r "
+        "JOIN cum ON n_le >= rk GROUP BY 1, 2, 3) "
+        "SELECT q, p.bucket, "
+        "(CASE WHEN p.bucket = 0 THEN 0 "
+        "ELSE (1::BIGINT << (p.bucket - 1)) END)::BIGINT AS lb, "
+        "((1::BIGINT << p.bucket) - 1)::BIGINT AS ub, "
+        "n_le, rk, n FROM p JOIN cum ON cum.bucket = p.bucket "
+        "ORDER BY q"
     )
 
 
@@ -3160,6 +3235,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "hll_distinct": _hll_oracle_sql(),
         "cms_topk": _cms_oracle_sql(20),
+        "hist_quantiles": _hist_oracle_sql(),
+        "corpus_profile": _profile_oracle_sql(
+            ("doc_id", "text", "lang", "source", "n_chars")
+        ),
         "bpe_encode": _bpe_encode_oracle_sql(8),
         "kmeans": _kmeans_oracle_sql(8, 2),
         "nb_quality": (

@@ -64,6 +64,8 @@ HEADLINE = [
     "dup_spans",       # exact-substring dedup spans (Lee et al. 2022)
     "nb_quality",      # NB quality classifier on Gopher weak labels
     "kmeans",          # Lloyd k-means assignments (2 iters, k=8)
+    "hist_quantiles",  # log-bucket histogram p50/p90/p99 (<= 41-row state)
+    "corpus_profile",  # one-pass per-column data card (Expand multi-distinct)
 ]
 
 

@@ -247,3 +247,125 @@ def cms_topk(
         "exact",
         F.row_number().over(w).cast("long").alias("rk"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Log-bucket histogram quantiles
+# ---------------------------------------------------------------------------
+
+HIST_BITS = 40  # buckets cover values < 2^40; <= 41 rows of state
+
+
+def hist_buckets(
+    df: DataFrame, value_col: str = "n_chars", bits: int = HIST_BITS
+) -> DataFrame:
+    """The log2-bucket histogram (bucket, cnt) of a non-negative
+    integer column: bucket = integer bit-length, so bucket b holds
+    values in [2^(b-1), 2^b - 1] (bucket 0 holds 0). Constant-size
+    (<= bits+1 rows), LINEAR (counts sum-merge across shards/epochs
+    and are retraction-exact with signed counts — see
+    ``streaming.corpus_stats.IncrementalHistogram``), and exact in
+    both engines: the bucket comes from the same integer CASE ladder
+    as HLL's rho (no floating log2).
+
+    Scale shape: one scan -> map-only bucket projection -> a <= bits+1
+    key groupBy with map-side partial combine; the exchange carries at
+    most (bits+1) x tasks pre-reduced rows regardless of corpus size.
+    """
+
+    b = F.expr(_bitlen_case_sql(value_col, bits))
+    return (
+        df.select(b.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def hist_quantiles(
+    df: DataFrame,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    value_col: str = "n_chars",
+    bits: int = HIST_BITS,
+) -> DataFrame:
+    """Quantile estimates off the log-bucket histogram: for each q,
+    the smallest bucket whose cumulative count reaches rank
+    ceil(q * n), reported as (q, bucket, lb, ub, n_le, rk, n) — the
+    true q-quantile is guaranteed inside [lb, ub] (a <= 2x relative
+    error envelope, the log-bucket trade: constant state instead of a
+    global sort).
+
+    Integer-exact and engine-portable: q is converted to an exact
+    fraction num/den and the rank is (n*num + den - 1) DIV den —
+    never ceil() of a float product, whose last-ulp rounding flips
+    exactly-integral products (the jaccard prefix-length lesson). The
+    cumulative table is a <= (bits+1)^2 self-join, not a window, and
+    everything past the histogram aggregate touches only sketch-sized
+    tables.
+    """
+
+    return hist_quantiles_from(hist_buckets(df, value_col, bits), qs)
+
+
+def hist_quantiles_from(
+    hist: DataFrame, qs: tuple[float, ...] = (0.5, 0.9, 0.99)
+) -> DataFrame:
+    """Quantile extraction from a prebuilt (bucket, cnt) histogram —
+    shared by the batch operator and the maintained twin
+    (``streaming.corpus_stats.IncrementalHistogram``), so both derive
+    ranks and bounds through the identical expressions."""
+
+    from fractions import Fraction
+
+    cum = (
+        hist.alias("a")
+        .join(
+            F.broadcast(hist.alias("b")),
+            F.col("b.bucket") <= F.col("a.bucket"),
+        )
+        .groupBy(F.col("a.bucket").alias("bucket"))
+        .agg(F.sum(F.col("b.cnt")).alias("n_le"))
+    )
+    tot = hist.agg(F.sum("cnt").alias("n"))
+    fracs = [Fraction(str(q)) for q in qs]
+    qarr = F.array(
+        *[
+            F.struct(
+                F.lit(float(q)).alias("q"),
+                F.lit(int(fr.numerator)).cast("long").alias("num"),
+                F.lit(int(fr.denominator)).cast("long").alias("den"),
+            )
+            for q, fr in zip(qs, fracs)
+        ]
+    )
+    ranks = tot.select(F.explode(qarr).alias("qr"), "n").select(
+        F.col("qr.q").alias("q"),
+        F.expr("CAST((n * qr.num + qr.den - 1) DIV qr.den AS BIGINT)").alias(
+            "rk"
+        ),
+        "n",
+    )
+    picked = (
+        ranks.join(F.broadcast(cum), F.col("n_le") >= F.col("rk"))
+        .groupBy("q", "rk", "n")
+        .agg(F.min("bucket").alias("bucket"))
+    )
+    return (
+        picked.join(F.broadcast(cum), "bucket")
+        .select(
+            "q",
+            "bucket",
+            F.when(F.col("bucket") == 0, F.lit(0))
+            .otherwise(
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bucket AS INT) - 1)")
+            )
+            .cast("long")
+            .alias("lb"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bucket AS INT)) - 1")
+            .cast("long")
+            .alias("ub"),
+            "n_le",
+            "rk",
+            "n",
+        )
+        .orderBy("q")
+    )

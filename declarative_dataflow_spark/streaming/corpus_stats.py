@@ -855,6 +855,83 @@ class IncrementalCMS:
             )
         )
 
+class IncrementalHistogram:
+    """Differential log-bucket histogram: bucket counts are LINEAR
+    (sums of per-row contributions), so the state maintains under
+    retractions exactly like the CMS grid — a removed row subtracts
+    the bucket increment it once added, and a fully retracted corpus
+    leaves an empty histogram. The streaming twin of
+    operators/sketch.py::hist_buckets; quantiles re-derive through the
+    SAME extraction (``hist_quantiles_from``) as the batch operator,
+    so maintained and batch answers are identical, not just close.
+
+    Each epoch appends the batch's <= bits+1-row bucket-delta table
+    (negative cnt for retractions); reads consolidate by SUM and drop
+    zeroed buckets. State on disk stays O(bits * epochs-since-
+    compaction) and compacts to <= bits+1 rows.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        value_col: str = "n_chars",
+        bits: int = 40,
+    ) -> None:
+        self.spark = spark
+        self.state_dir = state_dir.rstrip("/")
+        self.value_col = value_col
+        self.bits = bits
+        self._io = IncrementalDupNgram(spark, self.state_dir)  # reuse io
+
+    def _buckets(self, rows: DataFrame) -> DataFrame:
+        from ..operators.sketch import hist_buckets
+
+        return hist_buckets(rows, self.value_col, self.bits)
+
+    def process_batch(
+        self,
+        adds: Optional[DataFrame] = None,
+        retracts: Optional[DataFrame] = None,
+        epoch: Optional[int] = None,
+    ) -> None:
+        delta = None
+        if adds is not None:
+            delta = self._buckets(adds)
+        if retracts is not None:
+            neg = self._buckets(retracts).select(
+                "bucket", (-F.col("cnt")).alias("cnt")
+            )
+            delta = neg if delta is None else delta.unionByName(neg)
+        if delta is None:
+            return
+        delta = delta.groupBy("bucket").agg(F.sum("cnt").alias("cnt"))
+        self._io._append("hist", delta, epoch=epoch)
+        self._io._epochs = getattr(self._io, "_epochs", 0) + 1
+        if self._io._epochs % self._io.compact_every == 0:
+            self._io._compact("hist", self.histogram())
+
+    def histogram(self) -> Optional[DataFrame]:
+        inc = self._io._read_versioned("hist")
+        if inc is None:
+            return None
+        return (
+            inc.groupBy("bucket")
+            .agg(F.sum("cnt").alias("cnt"))
+            .filter(F.col("cnt") != 0)
+        )
+
+    def quantiles(
+        self, qs: tuple[float, ...] = (0.5, 0.9, 0.99)
+    ) -> Optional[DataFrame]:
+        from ..operators.sketch import hist_quantiles_from
+
+        hist = self.histogram()
+        if hist is None:
+            return None
+        return hist_quantiles_from(hist, qs)
+
+
 class IncrementalBM25:
     """Maintained BM25 index for a FIXED probe query (the curation
     monitor: "which documents most match this benchmark / domain

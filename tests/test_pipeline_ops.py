@@ -1524,3 +1524,84 @@ def test_kmeans_assign_separates_obvious_clusters(spark):
     assert len(a) == 1 and len(b) == 1 and a != b
     out3 = {r["vec_id"]: r["cell"] for r in similarity.kmeans_assign(emb, k=2, iters=3).collect()}
     assert out3 == out2
+
+
+def test_hist_quantiles_envelope_contains_true_quantile(spark):
+    """For every q, the true ceil(q*n)-th smallest value lies inside
+    the reported [lb, ub] bucket — the log-bucket accuracy contract —
+    on an adversarial value set (zeros, exact powers of two, power-
+    of-two minus one, big outliers)."""
+
+    import math
+
+    from declarative_dataflow_spark.operators import sketch
+
+    vals = [0, 1, 1, 2, 3, 4, 7, 8, 15, 16, 100, 1023, 1024, 65535, 10**9]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], ["i", "n_chars"])
+    qs = (0.01, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0)
+    out = {r["q"]: r for r in sketch.hist_quantiles(df, qs=qs).collect()}
+    srt = sorted(vals)
+    n = len(srt)
+    for q in qs:
+        rk = math.ceil(
+            __import__("fractions").Fraction(str(q)) * n
+        )
+        true = srt[rk - 1]
+        r = out[q]
+        assert r["lb"] <= true <= r["ub"], (q, true, dict(r.asDict()))
+        assert r["rk"] == rk
+        assert r["n"] == n
+
+
+def test_hist_buckets_merge_across_shards(spark):
+    """Histograms are sum-mergeable: the bucket table of a union
+    equals the per-shard tables consolidated by SUM (the property the
+    incremental twin and any shard-parallel rollup rely on)."""
+
+    from pyspark.sql import functions as F
+
+    from declarative_dataflow_spark.operators import sketch
+
+    s1 = spark.createDataFrame([(1, 5), (2, 300)], ["i", "n_chars"])
+    s2 = spark.createDataFrame([(3, 6), (4, 70000)], ["i", "n_chars"])
+    merged = (
+        sketch.hist_buckets(s1)
+        .unionByName(sketch.hist_buckets(s2))
+        .groupBy("bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    direct = sketch.hist_buckets(s1.unionByName(s2))
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+
+def test_corpus_profile_matches_bruteforce(spark):
+    """Per-column stats equal hand-computed values, including a column
+    with nulls and exact=False staying within HLL++ tolerance."""
+
+    from declarative_dataflow_spark.operators import profile
+
+    rows = [
+        (1, "alpha", None),
+        (2, "beta", 10),
+        (3, "alpha", 20),
+        (4, None, 20),
+    ]
+    df = spark.createDataFrame(rows, ["id", "name", "score"])
+    out = {r["col"]: r for r in profile.corpus_profile(df).collect()}
+    assert set(out) == {"id", "name", "score"}
+    assert out["id"].asDict() == {
+        "col": "id", "n_rows": 4, "n_nonnull": 4, "n_nulls": 0,
+        "ndv": 4, "min_val": "1", "max_val": "4",
+    }
+    assert out["name"].asDict() == {
+        "col": "name", "n_rows": 4, "n_nonnull": 3, "n_nulls": 1,
+        "ndv": 2, "min_val": "alpha", "max_val": "beta",
+    }
+    assert out["score"].asDict() == {
+        "col": "score", "n_rows": 4, "n_nonnull": 3, "n_nulls": 1,
+        "ndv": 2, "min_val": "10", "max_val": "20",
+    }
+    approx = {r["col"]: r for r in profile.corpus_profile(df, exact=False).collect()}
+    assert approx["id"]["ndv"] == 4  # HLL++ exact at tiny cardinality

@@ -512,3 +512,34 @@ def test_cell_assignment_combines_before_exchange(spark):
     assert phys.count("Exchange hashpartitioning") == 1, phys
     assert "Exchange hashpartitioning(vec_id" in phys, phys
     assert "CartesianProduct" not in phys, phys
+
+
+def test_corpus_profile_is_one_pass(spark):
+    """Profiling N columns must read the corpus ONCE: Catalyst plans
+    the multi-distinct as a single Expand over one FileScan (never one
+    scan per column), with hash aggregation around the one exchange
+    pair."""
+
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.q_corpus_profile(spark, SF_DIR)
+    phys = _executed(df).split("== Initial Plan ==")[0]
+    assert phys.count("FileScan parquet") == 1, phys
+    assert "Expand" in phys, phys
+    assert "CartesianProduct" not in phys, phys
+
+
+def test_hist_buckets_combine_before_exchange(spark):
+    """The histogram aggregate must partial-combine map-side: the one
+    exchange carries <= (bits+1) pre-reduced rows per task, never the
+    raw corpus (two HashAggregates around one hashpartitioning
+    exchange, no Sort, no window)."""
+
+    from declarative_dataflow_spark.operators import sketch
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    phys = _executed(sketch.hist_buckets(docs)).split("== Initial Plan ==")[0]
+    assert phys.count("HashAggregate") >= 2, phys
+    assert "partial_count" in phys, phys
+    assert "Sort [" not in phys, phys
+    assert "Window" not in phys, phys

@@ -1326,3 +1326,47 @@ def test_attach_epochs_drives_hll_from_file_stream(spark, tmp_path):
     expect = sorted(map(tuple, sketch.hll_registers(full).collect()))
     got = sorted(map(tuple, ih.registers().collect()))
     assert got == expect
+
+
+def test_incremental_histogram_adds_and_retracts(spark, tmp_path):
+    """Bucket state maintained by sum-merge equals the batch histogram
+    on the NET corpus at every epoch — and the maintained quantiles
+    equal the batch operator EXACTLY (both derive via
+    hist_quantiles_from), including after retractions and down to the
+    empty histogram when everything retracts."""
+
+    from declarative_dataflow_spark.operators import sketch
+    from declarative_dataflow_spark.streaming.corpus_stats import (
+        IncrementalHistogram,
+    )
+
+    ih = IncrementalHistogram(spark, str(tmp_path / "hist_state"))
+    ih._io.compact_every = 2  # cross the compaction boundary mid-run
+    d1 = spark.createDataFrame(
+        [(1, 10), (2, 300), (3, 5000), (4, 17)], ["doc_id", "n_chars"]
+    )
+    d2 = spark.createDataFrame([(5, 0), (6, 1023), (7, 1024)], ["doc_id", "n_chars"])
+
+    ih.process_batch(adds=d1, epoch=0)
+    ih.process_batch(adds=d2, epoch=1)
+    both = d1.unionByName(d2)
+    assert sorted(map(tuple, ih.histogram().collect())) == sorted(
+        map(tuple, sketch.hist_buckets(both).collect())
+    )
+    assert sorted(map(tuple, ih.quantiles().collect())) == sorted(
+        map(tuple, sketch.hist_quantiles(both).collect())
+    )
+
+    # retract docs 3 and 7: state equals the batch histogram of the rest
+    gone = both.filter("doc_id IN (3, 7)")
+    ih.process_batch(retracts=gone, epoch=2)
+    net = both.filter("doc_id NOT IN (3, 7)")
+    assert sorted(map(tuple, ih.histogram().collect())) == sorted(
+        map(tuple, sketch.hist_buckets(net).collect())
+    )
+    assert sorted(map(tuple, ih.quantiles().collect())) == sorted(
+        map(tuple, sketch.hist_quantiles(net).collect())
+    )
+    # retract the rest: the histogram empties completely
+    ih.process_batch(retracts=net, epoch=3)
+    assert ih.histogram().count() == 0
