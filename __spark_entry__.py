@@ -1692,6 +1692,87 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023): hashed-bigram
+    importance of every document toward the 'en' target slice —
+    two <=1024-row bucket models, one-row-broadcast totals, broadcast
+    logratio join, DECIMAL(24,9) order-independent sums."""
+
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.dsir_weights(
+        docs, docs.filter(F.col("lang") == "en"), n_buckets=1024
+    )
+
+
+def q_bloom_contam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination (Dolma shape): eval 3-grams folded
+    into a 4096-bit / 3-hash filter; per-doc fraction of n-grams whose
+    bits are all set. One-sided error, fixed m-bit state — the filter
+    broadcasts at any corpus size."""
+
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.bloom_contamination(
+        docs, docs.filter(F.col("doc_id") % 50 == 0), n=3
+    )
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted reservoir sampling (Efraimidis-Spirakis
+    A-Res): 100 documents drawn proportional to n_chars via
+    ln(u)/w keys; top-k lowers to TakeOrderedAndProject."""
+
+    from declarative_dataflow_spark.operators import sampling
+
+    return sampling.weighted_sample(
+        load_table(spark, sf_dir, "documents"), k=100, weight_col="n_chars"
+    )
+
+
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketized interval join: clicks matched to the 4-hour window
+    after each same-user purchase. The time axis buckets at the window
+    width, so the range predicate runs as an EQUI-join on
+    (user_id, bucket) + residual filter — never a
+    BroadcastNestedLoopJoin/cartesian."""
+
+    from declarative_dataflow_spark.operators import timeseries
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("start"),
+        (F.col("ts") + F.expr("INTERVAL 4 HOURS")).alias("end"),
+    )
+    return timeseries.interval_join(
+        clicks, purchases, on=["user_id"], bucket_seconds=4 * 3600
+    ).select("click_id", "purchase_id", "user_id")
+
+
+def q_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user trailing 1-hour count/mean/max over the event stream:
+    RANGE window over epoch microseconds, PARTITIONED by user — never
+    a global sort; DECIMAL sums keep the mean order-independent."""
+
+    from declarative_dataflow_spark.operators import timeseries
+
+    return timeseries.rolling_stats(
+        load_table(spark, sf_dir, "events"), window_seconds=3600
+    )
+
+
+def q_tok_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer fertility (subword tokens per word,
+    bytes per token) — the budget-fairness check run before fixing a
+    multilingual training mix. One scan, map-side partials, one row
+    per language."""
+
+    return text.tokenizer_fertility(load_table(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Contract
 # ---------------------------------------------------------------------------
@@ -1713,18 +1794,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Round 6 front-loads the CHANGED queries (embed_neardup /
     # embed_groups — now density-adjusted planes="auto" in both
     # engines; ngram_jaccard — prefix-ceil epsilon; shortest_cost —
-    # adaptive relaxation step), the EIGHTEEN queries NEW this round
-    # (simhash_neardup, pq_topk, gopher_rules, line_dedup, bm25_topk,
-    # ngram_lm_score, bpe_merges, mix_weights, tfidf_topk,
-    # hll_distinct, cms_topk, bpe_encode, chunk_docs, rrf_fusion,
-    # lm_buckets, dup_spans, nb_quality, kmeans), then the 36 keys
-    # r05 deferred. 22 + 36 = 58 > the driver's 50-row cap, so the 8
-    # tail keys of the deferred block (pii_redact, repetition,
-    # text_subwords, simhash, cosine_topk, ann_quantized, ann_ivf,
-    # ann_ivf_kmeans — all UNCHANGED since their r04 driver-green
-    # rows, all green in the r05 and r06 full local oracle runs, the
-    # simplest operators of the block) defer once more to r07;
-    # never-driver-checked and changed keys take priority.
+    # adaptive relaxation step), the TWENTY-SIX queries NEW this
+    # round (simhash_neardup, pq_topk, gopher_rules, line_dedup,
+    # bm25_topk, ngram_lm_score, bpe_merges, mix_weights, tfidf_topk,
+    # hll_distinct, cms_topk, hist_quantiles, corpus_profile,
+    # bpe_encode, chunk_docs, rrf_fusion, lm_buckets, dup_spans,
+    # nb_quality, kmeans, dsir_weights, bloom_contam, weighted_sample,
+    # interval_join, rolling_stats, tok_fertility), then the 36 keys
+    # r05 deferred. 30 + 36 = 66 > the driver's 50-row cap, so the 16
+    # tail keys of the deferred block (all UNCHANGED since their r04
+    # driver-green rows, all green in the r05 and r06 full local
+    # oracle runs, the simplest operators of the block) defer once
+    # more to r07; never-driver-checked and changed keys take
+    # priority.
     return {
         "embed_neardup": q_embed_neardup,
         "embed_groups": q_embed_groups,
@@ -1750,6 +1832,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans": q_dup_spans,  # NEW in r6
         "nb_quality": q_nb_quality,  # NEW in r6
         "kmeans": q_kmeans,  # NEW in r6
+        "dsir_weights": q_dsir_weights,  # NEW in r6
+        "bloom_contam": q_bloom_contam,  # NEW in r6
+        "weighted_sample": q_weighted_sample,  # NEW in r6
+        "interval_join": q_interval_join,  # NEW in r6
+        "rolling_stats": q_rolling_stats,  # NEW in r6
+        "tok_fertility": q_tok_fertility,  # NEW in r6
         # --- the 36 keys deferred in r05 (green r04 + local r05) ---
         "agg_multi": q_agg_multi,
         "agg_global": q_agg_global,
@@ -1771,17 +1859,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_meta_ppm": q_image_meta_ppm,
         "contamination": q_contamination,
         "dup_ngram_frac": q_dup_ngram_frac,
+        # --- 50-key cap lands here: the 16 below (unchanged since
+        # their r04 driver rows, green in every local full run — the
+        # simplest, most stable of the deferred block) defer to r07;
+        # brand-new keys (incl. dsir_weights..tok_fertility) take the
+        # front slots ---
         "global_shuffle": q_global_shuffle,
         "token_budget_mix": q_token_budget_mix,
         "topk_per_group": q_topk_per_group,
         "seq_pack": q_seq_pack,
         "dedup_exact": q_dedup_exact,
         "minhash_lsh": q_minhash_lsh,
-        # --- 50-key cap lands here: the 10 below (unchanged since
-        # their r04 driver rows, green in every local full run — the
-        # simplest, most stable of the deferred block) defer to r07;
-        # two more than the original 8 because hist_quantiles and
-        # corpus_profile (brand-new keys) take front slots ---
         "dedup_groups": q_dedup_groups,
         "vocab_topk": q_vocab_topk,
         "pii_redact": q_pii_redact,
@@ -3387,5 +3475,111 @@ def oracle_sql() -> dict[str, str]:
             "r AS (SELECT *, (ROW_NUMBER() OVER "
             "(ORDER BY rrf DESC, doc_id))::BIGINT AS rk FROM f) "
             "SELECT doc_id, rrf, rk_bm, rk_cos, rk FROM r WHERE rk <= 10"
+        ),
+        "dsir_weights": (
+            # Same hashed-bigram featurization, bucket models, and
+            # add-alpha log ratios as curation.dsir_weights; target =
+            # the 'en' slice of the same corpus.
+            "WITH words AS (SELECT doc_id, lang, "
+            "string_split(lower(text), ' ') AS w FROM documents), "
+            "sh AS (SELECT DISTINCT doc_id, lang, "
+            "unnest([w[i] || '_' || w[i+1] for i in range(1, len(w))]) "
+            "AS shingle FROM words WHERE len(w) >= 2), "
+            "feats AS (SELECT doc_id, lang, "
+            "(('0x' || substr(md5('dsir_' || shingle), 1, 8))::BIGINT) "
+            "% 1024 AS bucket FROM sh), "
+            "raw_b AS (SELECT bucket, count(*) AS cr FROM feats "
+            "GROUP BY 1), "
+            "tgt_b AS (SELECT bucket, count(*) AS ct FROM feats "
+            "WHERE lang = 'en' GROUP BY 1), "
+            "model AS (SELECT coalesce(r.bucket, t.bucket) AS bucket, "
+            "CAST(round(ln((coalesce(t.ct, 0) + 0.5) / "
+            "((SELECT sum(ct) FROM tgt_b) + 0.5 * 1024)) "
+            "- ln((coalesce(r.cr, 0) + 0.5) / "
+            "((SELECT sum(cr) FROM raw_b) + 0.5 * 1024)), 9) "
+            "AS DECIMAL(24,9)) AS logratio "
+            "FROM raw_b r FULL OUTER JOIN tgt_b t ON r.bucket = t.bucket) "
+            "SELECT f.doc_id, count(*)::BIGINT AS n_feats, "
+            "round(CAST(sum(m.logratio) AS DOUBLE), 6) AS dsir_logw "
+            "FROM feats f JOIN model m ON f.bucket = m.bucket GROUP BY 1"
+        ),
+        "bloom_contam": (
+            # 4096-bit / 3-hash Bloom filter over the eval set's
+            # 3-grams; a corpus n-gram is flagged when all three of
+            # its bits are set (one-sided error, superset of the
+            # exact `contamination` hits).
+            "WITH words AS (SELECT doc_id, "
+            "string_split(lower(text), ' ') AS w FROM documents), "
+            "sh AS (SELECT DISTINCT doc_id, "
+            "unnest([w[i] || '_' || w[i+1] || '_' || w[i+2] "
+            "for i in range(1, len(w) - 1)]) AS shingle "
+            "FROM words WHERE len(w) >= 3), "
+            "ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0), "
+            "set_bits AS (SELECT DISTINCT unnest(["
+            "(('0x' || substr(md5('bloom0_' || shingle), 1, 8))::BIGINT) "
+            "% 4096, "
+            "(('0x' || substr(md5('bloom1_' || shingle), 1, 8))::BIGINT) "
+            "% 4096, "
+            "(('0x' || substr(md5('bloom2_' || shingle), 1, 8))::BIGINT) "
+            "% 4096]) AS bit FROM ev), "
+            "probes AS (SELECT doc_id, md5(shingle) AS h, unnest(["
+            "(('0x' || substr(md5('bloom0_' || shingle), 1, 8))::BIGINT) "
+            "% 4096, "
+            "(('0x' || substr(md5('bloom1_' || shingle), 1, 8))::BIGINT) "
+            "% 4096, "
+            "(('0x' || substr(md5('bloom2_' || shingle), 1, 8))::BIGINT) "
+            "% 4096]) AS bit FROM sh), "
+            "hits AS (SELECT doc_id, h, "
+            "sum(CASE WHEN s.bit IS NOT NULL THEN 1 ELSE 0 END) AS nh "
+            "FROM probes p LEFT JOIN set_bits s ON p.bit = s.bit "
+            "GROUP BY 1, 2) "
+            "SELECT doc_id, count(*)::BIGINT AS n_ngrams, "
+            "sum(CASE WHEN nh >= 3 THEN 1 ELSE 0 END)::BIGINT "
+            "AS n_flagged, "
+            "round(sum(CASE WHEN nh >= 3 THEN 1 ELSE 0 END) "
+            "/ count(*), 4) AS flag_frac FROM hits GROUP BY 1"
+        ),
+        "weighted_sample": (
+            # Efraimidis-Spirakis A-Res keys from the same md5-uint32
+            # u as sampling.weighted_sample.
+            "SELECT doc_id, CAST(n_chars AS DOUBLE) AS w, "
+            "round(ln(((('0x' || substr(md5('wsample_' || "
+            "CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT) + 1) "
+            "/ 4294967296.0) / n_chars, 12) AS sample_key "
+            "FROM documents WHERE n_chars > 0 "
+            "ORDER BY sample_key DESC, doc_id LIMIT 100"
+        ),
+        "interval_join": (
+            # Plain range-predicate formulation — the bucketized
+            # equi-join must produce the identical match set.
+            "SELECT c.event_id AS click_id, p.event_id AS purchase_id, "
+            "c.user_id AS user_id "
+            "FROM events c JOIN events p ON c.user_id = p.user_id "
+            "WHERE c.event_type = 'click' AND p.event_type = 'purchase' "
+            "AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 4 HOUR"
+        ),
+        "rolling_stats": (
+            "SELECT event_id, user_id, "
+            "(count(*) OVER w)::BIGINT AS n_win, "
+            "round(CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w "
+            "AS DOUBLE) / (count(*) OVER w), 6) AS avg_win, "
+            "CAST(max(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) "
+            "AS max_win FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) "
+            "RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)"
+        ),
+        "tok_fertility": (
+            "WITH d AS (SELECT lang AS grp, "
+            "CASE WHEN len(trim(text)) = 0 THEN 0 ELSE "
+            "len(string_split_regex(trim(text), '\\s+')) END AS nw, "
+            "len(regexp_extract_all(lower(text), "
+            "'[a-z]+|[0-9]|[^a-z0-9 ]')) AS ns, "
+            "strlen(text) AS nb FROM documents) "
+            "SELECT grp, count(*)::BIGINT AS n_docs, "
+            "sum(nw)::BIGINT AS n_words, sum(ns)::BIGINT AS n_subwords, "
+            "sum(nb)::BIGINT AS n_bytes, "
+            "round(sum(ns) / sum(nw), 4) AS fertility, "
+            "round(sum(nb) / sum(ns), 4) AS bytes_per_token "
+            "FROM d GROUP BY 1"
         ),
     }

@@ -66,6 +66,11 @@ HEADLINE = [
     "kmeans",          # Lloyd k-means assignments (2 iters, k=8)
     "hist_quantiles",  # log-bucket histogram p50/p90/p99 (<= 41-row state)
     "corpus_profile",  # one-pass per-column data card (Expand multi-distinct)
+    "dsir_weights",    # DSIR hashed-bigram importance weights
+    "bloom_contam",    # Bloom-filter decontamination (4096-bit broadcast)
+    "weighted_sample",  # Efraimidis-Spirakis weighted reservoir (top-k keys)
+    "interval_join",   # bucketized range join (equi-join + residual filter)
+    "rolling_stats",   # per-key trailing-window stats (partitioned RANGE)
 ]
 
 

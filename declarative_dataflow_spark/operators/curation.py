@@ -389,3 +389,185 @@ def dup_spans(
         )
         .select("doc_id", "start", "end", "n_windows", "n_tokens")
     )
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target: DataFrame,
+    n_buckets: int = 1024,
+    alpha: float = 0.5,
+    n: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every raw
+    document by how target-like its hashed n-gram features are, so a
+    curation pass can resample raw web data toward a high-quality
+    target domain. Returns (doc_id, n_feats, dsir_logw) where
+    dsir_logw = sum over the document's features of
+    ln p_target(b) - ln p_raw(b) under add-alpha-smoothed bucket
+    unigram models; resampling keeps the top-weight documents.
+
+    Features are word n-grams hashed into ``n_buckets`` buckets
+    (hashed bag-of-ngrams, the paper's featurization) — the model
+    state is TWO <= n_buckets-row count tables regardless of corpus
+    size, which is what makes the estimator cheap at 100 TB.
+
+    Scale shape: bucket counts are two uniform-key aggregations with
+    map-side partials collapsing to <= n_buckets rows; totals ride on
+    one-row broadcasts; the scoring join broadcasts the bucket->logratio
+    table (KBs) against the exploded corpus features. One doc_id
+    shuffle for the final per-doc sum. Per-bucket log ratios round to
+    9 decimals and sum in DECIMAL(24,9) (the ngram_lm_score
+    discipline) so dsir_logw is order-independent.
+    """
+
+    feats = shingles(docs, n, text_col).select(
+        "doc_id",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("dsir_"), F.col("shingle"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+            % n_buckets
+        ).alias("bucket"),
+    )
+    tgt_feats = shingles(target, n, text_col).select(
+        "doc_id",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("dsir_"), F.col("shingle"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+            % n_buckets
+        ).alias("bucket"),
+    )
+    raw_b = feats.groupBy("bucket").agg(F.count(F.lit(1)).alias("cr"))
+    tgt_b = tgt_feats.groupBy("bucket").agg(F.count(F.lit(1)).alias("ct"))
+    raw_tot = raw_b.agg(F.sum("cr").alias("tr"))
+    tgt_tot = tgt_b.agg(F.sum("ct").alias("tt"))
+    model = (
+        raw_b.join(tgt_b, "bucket", "full_outer")
+        .select(
+            "bucket",
+            F.coalesce(F.col("cr"), F.lit(0)).alias("cr"),
+            F.coalesce(F.col("ct"), F.lit(0)).alias("ct"),
+        )
+        .crossJoin(F.broadcast(raw_tot))
+        .crossJoin(F.broadcast(tgt_tot))
+        .select(
+            "bucket",
+            F.round(
+                F.log(
+                    (F.col("ct") + alpha)
+                    / (F.col("tt") + alpha * n_buckets)
+                )
+                - F.log(
+                    (F.col("cr") + alpha)
+                    / (F.col("tr") + alpha * n_buckets)
+                ),
+                9,
+            )
+            .cast("decimal(24,9)")
+            .alias("logratio"),
+        )
+    )
+    return (
+        feats.join(F.broadcast(model), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.round(F.sum("logratio").cast("double"), 6).alias("dsir_logw"),
+        )
+    )
+
+
+def bloom_contamination(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 3,
+    m_bits: int = 4096,
+    k_hashes: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Bloom-filter decontamination (the Dolma/Bloom-dedup shape): the
+    eval set is folded into an m-bit Bloom filter (k hash functions)
+    and each corpus document reports the fraction of its n-grams whose
+    k bits are ALL set. Returns (doc_id, n_ngrams, n_flagged,
+    flag_frac). Superset of exact ``contamination`` hits: one-sided
+    error (false positives from cross-n-gram bit collisions, never
+    false negatives), with filter state fixed at m bits no matter how
+    many benchmarks accumulate — the property that lets a 100 TB scan
+    carry the filter as a broadcast instead of re-joining every eval
+    n-gram set.
+
+    Shape: the set-bit table (<= m_bits rows) broadcasts; the corpus
+    side unpivots each n-gram to its k candidate bits (constant-width
+    md5 keys), marks hits with one broadcast join, and counts
+    all-k-hit n-grams per document. One doc_id shuffle.
+    """
+
+    js = list(range(k_hashes))
+
+    def bits_of(sh_df: DataFrame) -> DataFrame:
+        cols = F.array(
+            *[
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat(
+                                    F.lit(f"bloom{j}_"), F.col("shingle")
+                                )
+                            ),
+                            1,
+                            8,
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % m_bits
+                )
+                for j in js
+            ]
+        )
+        return sh_df.select(
+            "doc_id", F.md5(F.col("shingle")).alias("h"), cols.alias("bits")
+        )
+
+    set_bits = (
+        bits_of(shingles(eval_docs, n, text_col))
+        .select(F.explode("bits").alias("bit"))
+        .distinct()
+    )
+    probes = bits_of(shingles(docs, n, text_col)).select(
+        "doc_id", "h", F.explode("bits").alias("bit")
+    )
+    flagged = (
+        probes.join(
+            F.broadcast(set_bits.withColumn("__set", F.lit(1))), "bit", "left"
+        )
+        .groupBy("doc_id", "h")
+        .agg(
+            F.sum(F.coalesce(F.col("__set"), F.lit(0))).alias("__hits")
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.sum(F.when(F.col("__hits") >= len(js), 1).otherwise(0))
+            .cast("long")
+            .alias("n_flagged"),
+        )
+    )
+    return flagged.select(
+        "doc_id",
+        "n_ngrams",
+        "n_flagged",
+        F.round(F.col("n_flagged") / F.col("n_ngrams"), 4).alias("flag_frac"),
+    )

@@ -86,3 +86,41 @@ def stratified_sample(
         else frac.otherwise(F.lit(default_fraction))
     )
     return docs.filter(pos < frac)
+
+
+def weighted_sample(
+    docs: DataFrame,
+    k: int = 100,
+    weight_col: str = "n_chars",
+    id_col: str = "doc_id",
+    salt: str = "wsample",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis
+    & Spirakis 2006, A-Res): each row gets key = ln(u) / w with u in
+    (0, 1] drawn from the content hash, and the k LARGEST keys win —
+    exactly the distribution of sequentially drawing k rows with
+    probability proportional to weight, but computed as one map-only
+    projection plus a top-k. Rows with weight <= 0 are excluded.
+    Returns (id, w, sample_key), sorted nowhere (the selection is the
+    contract, not the order).
+
+    Scale shape: the key is a pure column expression; the top-k lowers
+    to TakeOrderedAndProject (per-partition k-heaps, no global sort) —
+    the same plan discipline as vocab_topk. Keys round to 12 decimals
+    so the ln() is engine-portable; ties break by id.
+    """
+
+    u = (
+        _h32(F.concat(F.lit(salt + "_"), F.col(id_col).cast("string"))) + 1
+    ) / F.lit(float(HASH_SPACE))
+    keyed = (
+        docs.filter(F.col(weight_col) > 0)
+        .select(
+            F.col(id_col),
+            F.col(weight_col).cast("double").alias("w"),
+            F.round(F.log(u) / F.col(weight_col), 12).alias("sample_key"),
+        )
+    )
+    return keyed.orderBy(
+        F.col("sample_key").desc(), F.col(id_col)
+    ).limit(k)

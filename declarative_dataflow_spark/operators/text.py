@@ -671,3 +671,57 @@ def nb_quality_score(
             F.round(F.col("__s") + prior, 6).alias("score"),
         )
     )
+
+
+def tokenizer_fertility(
+    docs: DataFrame, group_col: str = "lang", text_col: str = "text"
+) -> DataFrame:
+    """Per-group tokenizer fertility statistics — the standard check
+    that a tokenizer serves every language fairly before a training
+    mix is fixed (fertility = subword tokens per word; multilingual
+    tokenizers routinely cost low-resource languages 2-3x the tokens
+    per word of English, which silently shrinks their effective
+    budget). Returns (group, n_docs, n_words, n_subwords, n_bytes,
+    fertility, bytes_per_token).
+
+    One corpus scan: words, subword pieces, and UTF-8 bytes are
+    map-only column expressions; the aggregation groups by ``group_col``
+    (tiny output — one row per language) with map-side partials doing
+    the work. Ratios round to 4 decimals.
+    """
+
+    t = F.trim(F.lower(F.col(text_col)))
+    words = F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))
+    )
+    subwords = F.size(
+        F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(SUBWORD_PATTERN), 0)
+    )
+    per_doc = docs.select(
+        F.col(group_col).alias("grp"),
+        words.cast("long").alias("__w"),
+        subwords.cast("long").alias("__s"),
+        F.octet_length(F.col(text_col)).cast("long").alias("__b"),
+    )
+    return (
+        per_doc.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__w").alias("n_words"),
+            F.sum("__s").alias("n_subwords"),
+            F.sum("__b").alias("n_bytes"),
+        )
+        .select(
+            "grp",
+            "n_docs",
+            "n_words",
+            "n_subwords",
+            "n_bytes",
+            F.round(F.col("n_subwords") / F.col("n_words"), 4).alias(
+                "fertility"
+            ),
+            F.round(F.col("n_bytes") / F.col("n_subwords"), 4).alias(
+                "bytes_per_token"
+            ),
+        )
+    )

@@ -1,0 +1,340 @@
+"""Time-series operators (interval join, rolling stats) plus the
+round-6 curation/sampling additions (DSIR, Bloom decontamination,
+weighted reservoir sampling, tokenizer fertility).
+
+Semantics on hand-built and randomized inputs, brute-force equality
+gates, and plan-quality gates (the bucketized interval join must run
+as an equi-join — never a BroadcastNestedLoopJoin/cartesian; the
+weighted sample must lower to TakeOrderedAndProject)."""
+
+import datetime as dt
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from declarative_dataflow_spark.operators import curation, sampling, text, timeseries
+
+
+def _ts(day, hour, minute=0, second=0):
+    return dt.datetime(2024, 1, day, hour, minute, second)
+
+
+@pytest.fixture()
+def events(spark):
+    rows = [
+        # (event_id, ts, user_id, value)
+        (1, _ts(1, 0, 0), 1, 10.0),
+        (2, _ts(1, 0, 30), 1, 20.0),
+        (3, _ts(1, 1, 0), 1, 30.0),   # 1h window: events 1..3 (range inclusive)
+        (4, _ts(1, 3, 0), 1, 40.0),   # alone
+        (5, _ts(1, 0, 45), 2, 5.0),   # other user
+    ]
+    return spark.createDataFrame(rows, ["event_id", "ts", "user_id", "value"])
+
+
+# ---------------------------------------------------------------------------
+# interval_join
+# ---------------------------------------------------------------------------
+
+
+def test_interval_join_basic(spark, events):
+    points = events.select("event_id", "user_id", "ts")
+    iv = spark.createDataFrame(
+        [
+            (100, 1, _ts(1, 0, 0), _ts(1, 0, 59)),
+            (101, 1, _ts(1, 1, 0), _ts(1, 4, 0)),
+            (102, 2, _ts(1, 0, 0), _ts(1, 23, 0)),
+        ],
+        ["iv_id", "user_id", "start", "end"],
+    )
+    out = sorted(
+        (r["event_id"], r["iv_id"])
+        for r in timeseries.interval_join(
+            points, iv, on=["user_id"], bucket_seconds=3600
+        ).collect()
+    )
+    # event 3 lands exactly on 101's start (inclusive); event 1 on 100's.
+    assert out == [(1, 100), (2, 100), (3, 101), (4, 101), (5, 102)]
+
+
+def test_interval_join_equals_naive_range_join_randomized(spark):
+    rng = random.Random(7)
+    base = dt.datetime(2024, 1, 1)
+    pts = [
+        (i, rng.randrange(3), base + dt.timedelta(seconds=rng.randrange(200_000)))
+        for i in range(120)
+    ]
+    ivs = []
+    for j in range(40):
+        s = base + dt.timedelta(seconds=rng.randrange(200_000))
+        ivs.append(
+            (j, rng.randrange(3), s, s + dt.timedelta(seconds=rng.randrange(30_000)))
+        )
+    p = spark.createDataFrame(pts, ["pid", "k", "ts"])
+    v = spark.createDataFrame(ivs, ["vid", "k", "start", "end"])
+    got = sorted(
+        (r["pid"], r["vid"])
+        for r in timeseries.interval_join(
+            p, v, on=["k"], bucket_seconds=7200
+        ).collect()
+    )
+    want = sorted(
+        (pid, vid)
+        for (pid, pk, pt) in pts
+        for (vid, vk, s, e) in ivs
+        if pk == vk and s <= pt <= e
+    )
+    assert got == want
+
+
+def test_interval_join_is_equi_join_not_cartesian(spark, events):
+    points = events.select("event_id", "user_id", "ts")
+    iv = spark.createDataFrame(
+        [(100, 1, _ts(1, 0, 0), _ts(1, 2, 0))],
+        ["iv_id", "user_id", "start", "end"],
+    )
+    plan = (
+        timeseries.interval_join(points, iv, on=["user_id"], bucket_seconds=3600)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# rolling_stats
+# ---------------------------------------------------------------------------
+
+
+def test_rolling_stats_trailing_window(spark, events):
+    out = {
+        r["event_id"]: (r["n_win"], r["avg_win"], r["max_win"])
+        for r in timeseries.rolling_stats(events, window_seconds=3600).collect()
+    }
+    assert out[1] == (1, 10.0, 10.0)
+    assert out[2] == (2, 15.0, 20.0)
+    assert out[3] == (3, 20.0, 30.0)  # range frame is inclusive of -1h
+    assert out[4] == (1, 40.0, 40.0)
+    assert out[5] == (1, 5.0, 5.0)
+
+
+def test_rolling_stats_equals_brute_force_randomized(spark):
+    rng = random.Random(13)
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (
+            i,
+            base + dt.timedelta(seconds=rng.randrange(20_000)),
+            rng.randrange(4),
+            round(rng.uniform(-50, 50), 3),
+        )
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "ts", "user_id", "value"])
+    got = {
+        r["event_id"]: (r["n_win"], r["avg_win"], r["max_win"])
+        for r in timeseries.rolling_stats(df, window_seconds=3600).collect()
+    }
+    for (i, ts, u, v) in rows:
+        win = [
+            w
+            for (_, t2, u2, w) in rows
+            if u2 == u and ts - dt.timedelta(hours=1) <= t2 <= ts
+        ]
+        assert got[i][0] == len(win)
+        assert got[i][1] == pytest.approx(sum(win) / len(win), abs=2e-6)
+        assert got[i][2] == pytest.approx(max(win), abs=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# weighted_sample
+# ---------------------------------------------------------------------------
+
+
+def test_weighted_sample_matches_brute_force_keys(spark):
+    rows = [(i, f"doc {i}", (i % 7) + 1) for i in range(50)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "n_chars"])
+    out = sampling.weighted_sample(df, k=10, weight_col="n_chars").collect()
+    assert len(out) == 10
+    # Recompute every key driver-side from the same md5 hash and check
+    # the selection is exactly the 10 largest.
+    import hashlib
+
+    def key(i, w):
+        h = int(hashlib.md5(f"wsample_{i}".encode()).hexdigest()[:8], 16)
+        return round(math.log((h + 1) / 4294967296.0) / w, 12)
+
+    want = sorted(
+        ((key(i, w), -i) for (i, _, w) in rows), reverse=True
+    )[:10]
+    want_ids = sorted(-x[1] for x in want)
+    assert sorted(r["doc_id"] for r in out) == want_ids
+    for r in out:
+        assert r["sample_key"] == pytest.approx(key(r["doc_id"], r["w"]), abs=1e-12)
+
+
+def test_weighted_sample_excludes_nonpositive_weights(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 0), (2, "b", -3), (3, "c", 5)], ["doc_id", "text", "n_chars"]
+    )
+    out = sampling.weighted_sample(df, k=10, weight_col="n_chars").collect()
+    assert [r["doc_id"] for r in out] == [3]
+
+
+def test_weighted_sample_lowers_to_take_ordered(spark):
+    df = spark.createDataFrame(
+        [(i, "x", i + 1) for i in range(20)], ["doc_id", "text", "n_chars"]
+    )
+    plan = (
+        sampling.weighted_sample(df, k=5, weight_col="n_chars")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+
+
+# ---------------------------------------------------------------------------
+# dsir_weights
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def dsir_docs(spark):
+    tgt = [
+        (i, "high quality prose with varied careful words number " + str(i), "en")
+        for i in range(8)
+    ]
+    raw = [
+        (100 + i, "spam spam buy now click here spam buy " + str(i), "de")
+        for i in range(8)
+    ]
+    return spark.createDataFrame(tgt + raw, ["doc_id", "text", "lang"])
+
+
+def test_dsir_prefers_target_like_documents(spark, dsir_docs):
+    out = curation.dsir_weights(
+        dsir_docs, dsir_docs.filter(F.col("lang") == "en"), n_buckets=256
+    ).collect()
+    w = {r["doc_id"]: r["dsir_logw"] for r in out}
+    tgt_mean = sum(w[i] for i in range(8)) / 8
+    raw_mean = sum(w[100 + i] for i in range(8)) / 8
+    # Target-like docs must score strictly higher than the spam slice.
+    assert tgt_mean > raw_mean + 1.0
+    assert len(out) == 16
+
+
+def test_dsir_feature_counts_are_distinct_bigrams(spark, dsir_docs):
+    out = {
+        r["doc_id"]: r["n_feats"]
+        for r in curation.dsir_weights(
+            dsir_docs, dsir_docs.limit(1), n_buckets=256
+        ).collect()
+    }
+    # 9 tokens -> 8 distinct bigrams (all unique in the constructed text)
+    assert out[0] == 8
+
+
+def test_dsir_model_join_broadcasts(spark, dsir_docs):
+    plan = (
+        curation.dsir_weights(dsir_docs, dsir_docs.limit(4), n_buckets=64)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+
+
+# ---------------------------------------------------------------------------
+# bloom_contamination
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_flags_superset_of_exact_contamination(spark):
+    rng = random.Random(3)
+    vocab = [f"w{i}" for i in range(60)]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(30)))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    ev = df.filter(F.col("doc_id") % 10 == 0)
+    exact = {
+        r["doc_id"]: r["n_hit"]
+        for r in curation.contamination(df, ev, n=3).collect()
+    }
+    bloom = {
+        r["doc_id"]: r["n_flagged"]
+        for r in curation.bloom_contamination(df, ev, n=3).collect()
+    }
+    # One-sided error: every exact hit is flagged (no false negatives).
+    for d, hits in exact.items():
+        assert bloom[d] >= hits
+    # Eval docs themselves are fully flagged.
+    assert bloom[0] == exact[0]
+    ngrams = {
+        r["doc_id"]: r["n_ngrams"]
+        for r in curation.bloom_contamination(df, ev, n=3).collect()
+    }
+    assert all(bloom[d] == ngrams[d] for d in (0, 10, 20, 30))
+
+
+def test_bloom_tiny_filter_false_positives(spark):
+    # An 8-bit filter saturates: everything collides -> all flagged.
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "v w x y z")], ["doc_id", "text"]
+    )
+    ev = df.filter("doc_id = 1")
+    out = {
+        r["doc_id"]: (r["n_flagged"], r["n_ngrams"])
+        for r in curation.bloom_contamination(
+            df, ev, n=3, m_bits=2, k_hashes=1
+        ).collect()
+    }
+    assert out[2][0] > 0  # false positive by construction
+    assert out[1][0] == out[1][1]
+
+
+def test_bloom_filter_broadcasts(spark):
+    df = spark.createDataFrame(
+        [(i, f"a b c d e f g {i}") for i in range(10)], ["doc_id", "text"]
+    )
+    plan = (
+        curation.bloom_contamination(df, df.limit(2), n=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+
+
+# ---------------------------------------------------------------------------
+# tokenizer_fertility
+# ---------------------------------------------------------------------------
+
+
+def test_tokenizer_fertility_hand_case(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "ab cd", "en"),   # 2 words, 2 subwords, 5 bytes
+            (2, "a1b", "en"),     # 1 word, 3 subwords (a|1|b), 3 bytes
+            (3, "xyz", "de"),     # 1 word, 1 subword, 3 bytes
+        ],
+        ["doc_id", "text", "lang"],
+    )
+    out = {r["grp"]: r for r in text.tokenizer_fertility(df).collect()}
+    en = out["en"]
+    assert (en["n_docs"], en["n_words"], en["n_subwords"], en["n_bytes"]) == (
+        2,
+        3,
+        5,
+        8,
+    )
+    assert en["fertility"] == pytest.approx(5 / 3, abs=1e-4)
+    assert en["bytes_per_token"] == pytest.approx(8 / 5, abs=1e-4)
+    de = out["de"]
+    assert (de["n_words"], de["n_subwords"], de["n_bytes"]) == (1, 1, 3)
