@@ -422,37 +422,46 @@ def dsir_weights(
     discipline) so dsir_logw is order-independent.
     """
 
-    feats = shingles(docs, n, text_col).select(
-        "doc_id",
-        (
-            F.conv(
-                F.substring(
-                    F.md5(F.concat(F.lit("dsir_"), F.col("shingle"))), 1, 8
-                ),
-                16,
-                10,
-            ).cast("long")
-            % n_buckets
-        ).alias("bucket"),
-    )
-    tgt_feats = shingles(target, n, text_col).select(
-        "doc_id",
-        (
-            F.conv(
-                F.substring(
-                    F.md5(F.concat(F.lit("dsir_"), F.col("shingle"))), 1, 8
-                ),
-                16,
-                10,
-            ).cast("long")
-            % n_buckets
-        ).alias("bucket"),
-    )
+    feats = dsir_features(docs, n_buckets, n, text_col)
+    tgt_feats = dsir_features(target, n_buckets, n, text_col)
     raw_b = feats.groupBy("bucket").agg(F.count(F.lit(1)).alias("cr"))
     tgt_b = tgt_feats.groupBy("bucket").agg(F.count(F.lit(1)).alias("ct"))
+    model = dsir_model(raw_b, tgt_b, n_buckets, alpha)
+    return dsir_score(feats, model)
+
+
+def dsir_features(
+    docs: DataFrame, n_buckets: int, n: int = 2, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, bucket) hashed n-gram features — one row per distinct
+    n-gram of each document (shared by the batch operator and the
+    streaming maintainer so both sides hash identically)."""
+
+    return shingles(docs, n, text_col).select(
+        "doc_id",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("dsir_"), F.col("shingle"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+            % n_buckets
+        ).alias("bucket"),
+    )
+
+
+def dsir_model(
+    raw_b: DataFrame, tgt_b: DataFrame, n_buckets: int, alpha: float
+) -> DataFrame:
+    """(bucket, logratio) from the two bucket-count tables
+    (raw: (bucket, cr); target: (bucket, ct)). Totals ride on one-row
+    broadcasts; log ratios round to 9 decimals into DECIMAL(24,9)."""
+
     raw_tot = raw_b.agg(F.sum("cr").alias("tr"))
     tgt_tot = tgt_b.agg(F.sum("ct").alias("tt"))
-    model = (
+    return (
         raw_b.join(tgt_b, "bucket", "full_outer")
         .select(
             "bucket",
@@ -478,6 +487,13 @@ def dsir_weights(
             .alias("logratio"),
         )
     )
+
+
+def dsir_score(feats: DataFrame, model: DataFrame) -> DataFrame:
+    """(doc_id, n_feats, dsir_logw): broadcast the <= n_buckets-row
+    model against the exploded features; DECIMAL sums keep the weight
+    order-independent."""
+
     return (
         feats.join(F.broadcast(model), "bucket")
         .groupBy("doc_id")
@@ -513,40 +529,55 @@ def bloom_contamination(
     all-k-hit n-grams per document. One doc_id shuffle.
     """
 
-    js = list(range(k_hashes))
-
-    def bits_of(sh_df: DataFrame) -> DataFrame:
-        cols = F.array(
-            *[
-                (
-                    F.conv(
-                        F.substring(
-                            F.md5(
-                                F.concat(
-                                    F.lit(f"bloom{j}_"), F.col("shingle")
-                                )
-                            ),
-                            1,
-                            8,
-                        ),
-                        16,
-                        10,
-                    ).cast("long")
-                    % m_bits
-                )
-                for j in js
-            ]
-        )
-        return sh_df.select(
-            "doc_id", F.md5(F.col("shingle")).alias("h"), cols.alias("bits")
-        )
-
     set_bits = (
-        bits_of(shingles(eval_docs, n, text_col))
+        bloom_bits(shingles(eval_docs, n, text_col), m_bits, k_hashes)
         .select(F.explode("bits").alias("bit"))
         .distinct()
     )
-    probes = bits_of(shingles(docs, n, text_col)).select(
+    return bloom_probe(docs, set_bits, n, m_bits, k_hashes, text_col)
+
+
+def bloom_bits(sh_df: DataFrame, m_bits: int, k_hashes: int) -> DataFrame:
+    """(doc_id, h, bits): each shingle's constant-width md5 key plus
+    its k candidate bit positions — shared by the batch operator and
+    the streaming maintainer so both sides hash identically."""
+
+    cols = F.array(
+        *[
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(F.lit(f"bloom{j}_"), F.col("shingle"))
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % m_bits
+            )
+            for j in range(k_hashes)
+        ]
+    )
+    return sh_df.select(
+        "doc_id", F.md5(F.col("shingle")).alias("h"), cols.alias("bits")
+    )
+
+
+def bloom_probe(
+    docs: DataFrame,
+    set_bits: DataFrame,
+    n: int,
+    m_bits: int,
+    k_hashes: int,
+    text_col: str = "text",
+) -> DataFrame:
+    """Probe every document's n-grams against a one-column (bit)
+    set-bit table: (doc_id, n_ngrams, n_flagged, flag_frac)."""
+
+    probes = bloom_bits(shingles(docs, n, text_col), m_bits, k_hashes).select(
         "doc_id", "h", F.explode("bits").alias("bit")
     )
     flagged = (
@@ -560,7 +591,7 @@ def bloom_contamination(
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_ngrams"),
-            F.sum(F.when(F.col("__hits") >= len(js), 1).otherwise(0))
+            F.sum(F.when(F.col("__hits") >= k_hashes, 1).otherwise(0))
             .cast("long")
             .alias("n_flagged"),
         )

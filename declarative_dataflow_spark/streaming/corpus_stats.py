@@ -1261,3 +1261,213 @@ def attach_epochs(
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+class IncrementalBloom:
+    """Maintained decontamination Bloom filter: benchmarks land over
+    time (and are occasionally withdrawn), and every probe of the
+    corpus must see the filter for ALL eval docs so far. State is the
+    COUNTING form — (bit, cnt) with cnt = number of eval-shingle hash
+    contributions landing on the bit — which is LINEAR, so unlike the
+    pure bitmask it maintains under retractions (withdrawing a
+    benchmark subtracts its contributions; a bit shared with another
+    benchmark stays set). Membership = cnt > 0 reproduces the plain
+    m-bit filter exactly.
+
+    Per epoch: the batch's <= m_bits-row bit-delta table appends to
+    the shared generational state (epoch-keyed retries, folded-epoch
+    manifest); reads consolidate by SUM and drop zeroed bits.
+    ``probe(docs)`` equals the batch operator
+    ``curation.bloom_contamination(docs, all eval docs so far)`` —
+    gated in tests/test_streaming.py.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        n: int = 3,
+        m_bits: int = 4096,
+        k_hashes: int = 3,
+        text_col: str = "text",
+    ) -> None:
+        self.spark = spark
+        self.n = n
+        self.m_bits = m_bits
+        self.k_hashes = k_hashes
+        self.text_col = text_col
+        self._io = IncrementalDupNgram(spark, state_dir.rstrip("/"))
+
+    def _bit_counts(self, eval_docs: DataFrame) -> DataFrame:
+        from ..operators.curation import bloom_bits
+        from ..operators.dedup import shingles
+
+        sh = shingles(eval_docs, self.n, self.text_col)
+        return (
+            bloom_bits(sh, self.m_bits, self.k_hashes)
+            .select(F.explode("bits").alias("bit"))
+            .groupBy("bit")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+
+    def process_batch(
+        self,
+        adds: Optional[DataFrame] = None,
+        retracts: Optional[DataFrame] = None,
+        epoch: Optional[int] = None,
+    ) -> None:
+        delta = None
+        if adds is not None:
+            delta = self._bit_counts(adds)
+        if retracts is not None:
+            neg = self._bit_counts(retracts).select(
+                "bit", (-F.col("cnt")).alias("cnt")
+            )
+            delta = neg if delta is None else delta.unionByName(neg)
+        if delta is None:
+            return
+        delta = delta.groupBy("bit").agg(F.sum("cnt").alias("cnt"))
+        self._io._append("bloom", delta, epoch=epoch)
+        self._io._epochs = getattr(self._io, "_epochs", 0) + 1
+        if self._io._epochs % self._io.compact_every == 0:
+            self._io._compact("bloom", self.bit_counts())
+
+    def bit_counts(self) -> Optional[DataFrame]:
+        inc = self._io._read_versioned("bloom")
+        if inc is None:
+            return None
+        return (
+            inc.groupBy("bit")
+            .agg(F.sum("cnt").alias("cnt"))
+            .filter(F.col("cnt") > 0)
+        )
+
+    def set_bits(self) -> Optional[DataFrame]:
+        counts = self.bit_counts()
+        return None if counts is None else counts.select("bit")
+
+    def probe(self, docs: DataFrame) -> Optional[DataFrame]:
+        from ..operators.curation import bloom_probe
+
+        bits = self.set_bits()
+        if bits is None:
+            return None
+        return bloom_probe(
+            docs, bits, self.n, self.m_bits, self.k_hashes, self.text_col
+        )
+
+
+class IncrementalDSIR:
+    """Maintained DSIR importance model: the raw-corpus and target
+    bucket-count tables are signed LINEAR counters (the IncrementalNB
+    discipline), so both sides maintain under adds AND retracts, and
+    ``weights(docs)`` scores any probe set against the accumulated
+    model with exactly the batch operator's expressions
+    (curation.dsir_model / dsir_score — shared code, not a mirror).
+
+    Per epoch: two <= n_buckets-row delta tables append to the shared
+    generational state; reads consolidate by SUM. ``weights(probe)``
+    equals ``curation.dsir_weights(raw_so_far, target_so_far)``
+    restricted to the probe docs — gated in tests/test_streaming.py
+    across randomized add/retract epochs.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        n_buckets: int = 1024,
+        alpha: float = 0.5,
+        n: int = 2,
+        text_col: str = "text",
+    ) -> None:
+        self.spark = spark
+        self.n_buckets = n_buckets
+        self.alpha = alpha
+        self.n = n
+        self.text_col = text_col
+        self._io = IncrementalDupNgram(spark, state_dir.rstrip("/"))
+
+    def _bucket_counts(self, docs: DataFrame) -> DataFrame:
+        from ..operators.curation import dsir_features
+
+        return (
+            dsir_features(docs, self.n_buckets, self.n, self.text_col)
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+
+    def _delta(
+        self, adds: Optional[DataFrame], retracts: Optional[DataFrame]
+    ) -> Optional[DataFrame]:
+        delta = None
+        if adds is not None:
+            delta = self._bucket_counts(adds)
+        if retracts is not None:
+            neg = self._bucket_counts(retracts).select(
+                "bucket", (-F.col("c")).alias("c")
+            )
+            delta = neg if delta is None else delta.unionByName(neg)
+        if delta is None:
+            return None
+        return delta.groupBy("bucket").agg(F.sum("c").alias("c"))
+
+    def process_batch(
+        self,
+        raw_adds: Optional[DataFrame] = None,
+        raw_retracts: Optional[DataFrame] = None,
+        target_adds: Optional[DataFrame] = None,
+        target_retracts: Optional[DataFrame] = None,
+        epoch: Optional[int] = None,
+    ) -> None:
+        wrote = False
+        raw = self._delta(raw_adds, raw_retracts)
+        if raw is not None:
+            self._io._append("dsir_raw", raw, epoch=epoch)
+            wrote = True
+        tgt = self._delta(target_adds, target_retracts)
+        if tgt is not None:
+            self._io._append("dsir_tgt", tgt, epoch=epoch)
+            wrote = True
+        if not wrote:
+            return
+        self._io._epochs = getattr(self._io, "_epochs", 0) + 1
+        if self._io._epochs % self._io.compact_every == 0:
+            self._io._compact("dsir_raw", self._state("dsir_raw"))
+            self._io._compact("dsir_tgt", self._state("dsir_tgt"))
+
+    def _state(self, name: str) -> Optional[DataFrame]:
+        inc = self._io._read_versioned(name)
+        if inc is None:
+            return None
+        return (
+            inc.groupBy("bucket")
+            .agg(F.sum("c").alias("c"))
+            .filter(F.col("c") != 0)
+        )
+
+    def model(self) -> Optional[DataFrame]:
+        from ..operators.curation import dsir_model
+
+        raw = self._state("dsir_raw")
+        if raw is None:
+            return None
+        tgt = self._state("dsir_tgt")
+        if tgt is None:
+            tgt = raw.limit(0)
+        return dsir_model(
+            raw.select("bucket", F.col("c").alias("cr")),
+            tgt.select("bucket", F.col("c").alias("ct")),
+            self.n_buckets,
+            self.alpha,
+        )
+
+    def weights(self, docs: DataFrame) -> Optional[DataFrame]:
+        from ..operators.curation import dsir_features, dsir_score
+
+        model = self.model()
+        if model is None:
+            return None
+        return dsir_score(
+            dsir_features(docs, self.n_buckets, self.n, self.text_col), model
+        )

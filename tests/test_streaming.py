@@ -1370,3 +1370,99 @@ def test_incremental_histogram_adds_and_retracts(spark, tmp_path):
     # retract the rest: the histogram empties completely
     ih.process_batch(retracts=net, epoch=3)
     assert ih.histogram().count() == 0
+
+
+def test_incremental_bloom_matches_batch_under_churn(spark, tmp_path):
+    """The counting-Bloom state equals the batch filter built on the
+    NET eval set at every epoch: membership survives a retraction of
+    one of two benchmarks sharing a bit, and a fully retracted eval
+    set empties the filter."""
+
+    from declarative_dataflow_spark.operators import curation
+    from declarative_dataflow_spark.streaming.corpus_stats import (
+        IncrementalBloom,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "one two three four five"),
+            (3, "alpha beta gamma nine ten"),
+        ],
+        ["doc_id", "text"],
+    )
+    ev1 = spark.createDataFrame([(100, "alpha beta gamma delta")], ["doc_id", "text"])
+    ev2 = spark.createDataFrame([(101, "alpha beta gamma zz")], ["doc_id", "text"])
+
+    ib = IncrementalBloom(spark, str(tmp_path / "bloom_state"), n=3, m_bits=64)
+
+    def batch(ev):
+        return sorted(
+            map(tuple, curation.bloom_contamination(corpus, ev, n=3, m_bits=64).collect())
+        )
+
+    ib.process_batch(adds=ev1, epoch=0)
+    assert sorted(map(tuple, ib.probe(corpus).collect())) == batch(ev1)
+    ib.process_batch(adds=ev2, epoch=1)
+    assert sorted(map(tuple, ib.probe(corpus).collect())) == batch(
+        ev1.unionByName(ev2)
+    )
+    # retract ev1: the shared "alpha beta gamma" shingle stays set
+    # (ev2 still holds it) — the counting form gets this right where
+    # a plain bitmask could not.
+    ib.process_batch(retracts=ev1, epoch=2)
+    assert sorted(map(tuple, ib.probe(corpus).collect())) == batch(ev2)
+    ib.process_batch(retracts=ev2, epoch=3)
+    assert ib.bit_counts().count() == 0
+
+
+def test_incremental_dsir_matches_batch_under_randomized_churn(spark, tmp_path):
+    """weights(probe) from the maintained bucket counters equals the
+    batch dsir_weights on the net raw/target sets after every epoch of
+    randomized adds and retracts (shared model/score expressions, so
+    equality is exact including the rounding)."""
+
+    import random
+
+    from declarative_dataflow_spark.operators import curation
+    from declarative_dataflow_spark.streaming.corpus_stats import (
+        IncrementalDSIR,
+    )
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(12)), "en" if i % 3 == 0 else "de")
+        for i in range(24)
+    ]
+    full = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    inc = IncrementalDSIR(spark, str(tmp_path / "dsir_state"), n_buckets=128)
+
+    live: set[int] = set()
+    epoch = 0
+    for step in range(4):
+        dead = set(r[0] for r in rows) - live
+        adds = set(rng.sample(sorted(dead), k=min(8, len(dead))))
+        rets = set(rng.sample(sorted(live), k=min(3, len(live)))) if live else set()
+        add_df = full.filter(full.doc_id.isin(list(adds)))
+        ret_df = full.filter(full.doc_id.isin(list(rets))) if rets else None
+        inc.process_batch(
+            raw_adds=add_df,
+            raw_retracts=ret_df,
+            target_adds=add_df.filter("lang = 'en'"),
+            target_retracts=ret_df.filter("lang = 'en'") if ret_df is not None else None,
+            epoch=epoch,
+        )
+        epoch += 1
+        live = (live | adds) - rets
+        net = full.filter(full.doc_id.isin(list(live)))
+        got = sorted(map(tuple, inc.weights(net).collect()))
+        want = sorted(
+            map(
+                tuple,
+                curation.dsir_weights(
+                    net, net.filter("lang = 'en'"), n_buckets=128
+                ).collect(),
+            )
+        )
+        assert got == want, f"epoch {epoch}"
