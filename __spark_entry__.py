@@ -1764,6 +1764,43 @@ def q_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time as-of join (the feature-store primitive): every
+    click sees the most recent same-user purchase at-or-before its own
+    event time. One union + one partitioned window — never an
+    inequality join (plan-gated: no Join operator at all)."""
+
+    from declarative_dataflow_spark.operators import timeseries
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("quote_id"), "user_id", "ts", "value"
+    )
+    return timeseries.asof_join(clicks, purchases, on=["user_id"]).select(
+        "event_id", "user_id", "asof_quote_id", "asof_value"
+    )
+
+
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over (user, minute) — the
+    multi-dimensional layout key whose sort keeps parquet min/max
+    stats tight in BOTH dimensions (OPTIMIZE ZORDER as a plain column
+    expression; pure bit arithmetic, map-only)."""
+
+    from declarative_dataflow_spark import layout
+    from declarative_dataflow_spark.operators.timeseries import _epoch_us
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        (F.col("user_id") % 256).alias("u8"),
+        (F.floor(_epoch_us("ts") / 60_000_000) % 256).alias("m8"),
+    )
+    return ev.select(
+        "event_id", layout.zorder_key(["u8", "m8"], bits=8).alias("zkey")
+    )
+
+
 def q_tok_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language tokenizer fertility (subword tokens per word,
     bytes per token) — the budget-fairness check run before fixing a
@@ -1794,19 +1831,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Round 6 front-loads the CHANGED queries (embed_neardup /
     # embed_groups — now density-adjusted planes="auto" in both
     # engines; ngram_jaccard — prefix-ceil epsilon; shortest_cost —
-    # adaptive relaxation step), the TWENTY-SIX queries NEW this
+    # adaptive relaxation step), the TWENTY-EIGHT queries NEW this
     # round (simhash_neardup, pq_topk, gopher_rules, line_dedup,
     # bm25_topk, ngram_lm_score, bpe_merges, mix_weights, tfidf_topk,
     # hll_distinct, cms_topk, hist_quantiles, corpus_profile,
     # bpe_encode, chunk_docs, rrf_fusion, lm_buckets, dup_spans,
     # nb_quality, kmeans, dsir_weights, bloom_contam, weighted_sample,
-    # interval_join, rolling_stats, tok_fertility), then the 36 keys
-    # r05 deferred. 30 + 36 = 66 > the driver's 50-row cap, so the 16
-    # tail keys of the deferred block (all UNCHANGED since their r04
-    # driver-green rows, all green in the r05 and r06 full local
-    # oracle runs, the simplest operators of the block) defer once
-    # more to r07; never-driver-checked and changed keys take
-    # priority.
+    # interval_join, rolling_stats, tok_fertility, asof_join,
+    # zorder_key), then the 36 keys r05 deferred. 32 + 36 = 68 > the
+    # driver's 50-row cap, so the 18 tail keys of the deferred block
+    # (all UNCHANGED since their r04 driver-green rows, all green in
+    # the r05 and r06 full local oracle runs, the simplest operators
+    # of the block) defer once more to r07; never-driver-checked and
+    # changed keys take priority.
     return {
         "embed_neardup": q_embed_neardup,
         "embed_groups": q_embed_groups,
@@ -1838,6 +1875,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join": q_interval_join,  # NEW in r6
         "rolling_stats": q_rolling_stats,  # NEW in r6
         "tok_fertility": q_tok_fertility,  # NEW in r6
+        "asof_join": q_asof_join,  # NEW in r6
+        "zorder_key": q_zorder_key,  # NEW in r6
         # --- the 36 keys deferred in r05 (green r04 + local r05) ---
         "agg_multi": q_agg_multi,
         "agg_global": q_agg_global,
@@ -1857,13 +1896,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pull_level": q_pull_level,
         "text_tokens": q_text_tokens,
         "image_meta_ppm": q_image_meta_ppm,
-        "contamination": q_contamination,
-        "dup_ngram_frac": q_dup_ngram_frac,
-        # --- 50-key cap lands here: the 16 below (unchanged since
+        # --- 50-key cap lands here: the 18 below (unchanged since
         # their r04 driver rows, green in every local full run — the
         # simplest, most stable of the deferred block) defer to r07;
-        # brand-new keys (incl. dsir_weights..tok_fertility) take the
-        # front slots ---
+        # brand-new keys (dsir_weights..zorder_key) take the front
+        # slots ---
+        "contamination": q_contamination,
+        "dup_ngram_frac": q_dup_ngram_frac,
         "global_shuffle": q_global_shuffle,
         "token_budget_mix": q_token_budget_mix,
         "topk_per_group": q_topk_per_group,
@@ -2338,6 +2377,23 @@ _DEDUP_GROUPS_ORACLE = (
     "SELECT d.doc_id, coalesce(c.component, d.doc_id) AS canonical "
     "FROM documents d LEFT JOIN comp c ON c.u = d.doc_id"
 )
+
+
+def _zorder_oracle_sql(bits: int) -> str:
+    """DuckDB twin of layout.zorder_key over (u8, m8): the identical
+    bit interleave spelled as |-combined shift/mask terms."""
+
+    terms = []
+    for j, c in enumerate(("u8", "m8")):
+        for b in range(bits):
+            pos = b * 2 + (1 - j)
+            terms.append(f"((({c} >> {b}) & 1) << {pos})")
+    expr = " | ".join(terms)
+    return (
+        "WITH e AS (SELECT event_id, user_id % 256 AS u8, "
+        "(epoch_us(ts) // 60000000) % 256 AS m8 FROM events) "
+        f"SELECT event_id, CAST({expr} AS BIGINT) AS zkey FROM e"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3568,6 +3624,26 @@ def oracle_sql() -> dict[str, str]:
             "WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) "
             "RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)"
         ),
+        "asof_join": (
+            # Same union + partitioned-window formulation as the
+            # operator (a portable ASOF: last non-null quote carried
+            # forward over (time, tag, id) order).
+            "WITH u AS (SELECT user_id, ts, event_id AS pid, "
+            "NULL::BIGINT AS qid, NULL::DOUBLE AS qv, 1 AS tag "
+            "FROM events WHERE event_type = 'click' "
+            "UNION ALL "
+            "SELECT user_id, ts, NULL::BIGINT, event_id, value, 0 "
+            "FROM events WHERE event_type = 'purchase'), "
+            "w AS (SELECT user_id, pid, tag, "
+            "last_value(qid IGNORE NULLS) OVER win AS asof_quote_id, "
+            "last_value(qv IGNORE NULLS) OVER win AS asof_value "
+            "FROM u WINDOW win AS (PARTITION BY user_id "
+            "ORDER BY epoch_us(ts), tag, coalesce(qid, pid) "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) "
+            "SELECT pid AS event_id, user_id, asof_quote_id, asof_value "
+            "FROM w WHERE tag = 1"
+        ),
+        "zorder_key": _zorder_oracle_sql(8),
         "tok_fertility": (
             "WITH d AS (SELECT lang AS grp, "
             "CASE WHEN len(trim(text)) = 0 THEN 0 ELSE "

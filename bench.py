@@ -71,6 +71,8 @@ HEADLINE = [
     "weighted_sample",  # Efraimidis-Spirakis weighted reservoir (top-k keys)
     "interval_join",   # bucketized range join (equi-join + residual filter)
     "rolling_stats",   # per-key trailing-window stats (partitioned RANGE)
+    "asof_join",       # point-in-time join (union + window, no range join)
+    "zorder_key",      # Morton clustering key (pure bit arithmetic)
 ]
 
 

@@ -67,3 +67,54 @@ def salt_skewed_join(
     ).withColumn("__salt", F.explode("__salt_arr")).drop("__salt_arr")
     out = salted_left.join(salted_right, on=[key, "__salt"], how=how)
     return out.drop("__salt")
+
+
+def zorder_key(
+    cols: list[str], bits: int = 16
+) -> "F.Column":
+    """Z-order (Morton) key over integer columns: interleave the low
+    ``bits`` bits of each column, first column in the highest lanes of
+    each round. Sorting/range-partitioning a table by this key keeps
+    rows that are close in EVERY dimension inside the same files, so
+    parquet min/max stats prune scans filtered on ANY of the
+    dimensions — the multi-dimensional clustering trick behind
+    Delta/Iceberg OPTIMIZE ZORDER, available here as a plain column
+    expression (pure bit arithmetic, map-only, engine-portable).
+
+    Columns must already be non-negative integers (quantize doubles by
+    bucketing first — e.g. floor-division of an epoch or a fixed-point
+    value). n columns * ``bits`` bits must fit a signed 64-bit key:
+    n * bits <= 62.
+    """
+
+    n = len(cols)
+    if n * bits > 62:
+        raise ValueError("zorder key exceeds 63 bits")
+    key = F.lit(0).cast("long")
+    for j, c in enumerate(cols):
+        v = F.col(c).cast("long")
+        for b in range(bits):
+            # bit b of column j lands at position b*n + (n-1-j)
+            key = key.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(v, b).bitwiseAND(F.lit(1)),
+                    b * n + (n - 1 - j),
+                )
+            )
+    return key
+
+
+def zorder_layout(
+    df: DataFrame, cols: list[str], bits: int = 16, partitions: int = 32
+) -> DataFrame:
+    """Range-partition and sort ``df`` by its Z-order key: the write
+    layout whose per-file min/max ranges stay tight in every one of
+    ``cols``. ``repartitionByRange`` samples the key distribution, so
+    skewed dimensions still split evenly."""
+
+    keyed = df.withColumn("__z", zorder_key(cols, bits))
+    return (
+        keyed.repartitionByRange(partitions, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )

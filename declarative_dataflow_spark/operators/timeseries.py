@@ -116,3 +116,77 @@ def rolling_stats(
         ).alias("avg_win"),
         F.max(v).over(w).cast("double").alias("max_win"),
     )
+
+
+def asof_join(
+    points: DataFrame,
+    quotes: DataFrame,
+    on: list[str],
+    ts_col: str = "ts",
+    quote_ts_col: str = "ts",
+    point_id_col: str = "event_id",
+    quote_id_col: str = "quote_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Point-in-time (as-of) join: attach to every point row the most
+    recent quote row with the same keys and quote-time <= point-time —
+    the feature-store primitive that prevents training-serving skew
+    (each training example must see exactly the feature values that
+    existed at its own event time, never later ones). Returns
+    (point_id, keys..., ts, asof_quote_id, asof_value); points with no
+    prior quote keep NULLs (left semantics).
+
+    NOT implemented as a range join: the classic formulation
+    (quote.ts = max over quotes <= point.ts) needs an inequality join
+    that Spark lowers to a nested loop. Instead both sides UNION into
+    one stream tagged quote=0 / point=1 and a single window
+    PARTITIONED by key, ordered by (time, tag, id), carries the last
+    non-null quote forward (``last(..., ignorenulls=True)``) — one
+    uniform-key shuffle + per-key sort, the same cost as any grouped
+    window, at any scale. A quote at exactly the point's timestamp IS
+    visible (tag orders quotes first), matching ASOF JOIN ``>=``
+    semantics; equal-time quotes resolve to the highest quote id —
+    total order, engine-portable.
+    """
+
+    pid, qid = F.col(point_id_col), F.col(quote_id_col)
+    pt = points.select(
+        *[F.col(c) for c in on],
+        F.col(ts_col).alias("__t"),
+        pid.alias("__pid"),
+        F.lit(None).cast("long").alias("__qid"),
+        F.lit(None).cast("double").alias("__qv"),
+        F.lit(1).alias("__tag"),
+    )
+    qt = quotes.select(
+        *[F.col(c) for c in on],
+        F.col(quote_ts_col).alias("__t"),
+        F.lit(None).cast("long").alias("__pid"),
+        qid.cast("long").alias("__qid"),
+        F.col(value_col).cast("double").alias("__qv"),
+        F.lit(0).alias("__tag"),
+    )
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(
+            _epoch_us("__t"),
+            F.col("__tag"),
+            F.coalesce(F.col("__qid"), F.col("__pid")),
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = pt.unionByName(qt).select(
+        *on,
+        "__t",
+        "__pid",
+        "__tag",
+        F.last("__qid", ignorenulls=True).over(w).alias("asof_quote_id"),
+        F.last("__qv", ignorenulls=True).over(w).alias("asof_value"),
+    )
+    return merged.filter(F.col("__tag") == 1).select(
+        F.col("__pid").alias(point_id_col),
+        *on,
+        F.col("__t").alias(ts_col),
+        "asof_quote_id",
+        "asof_value",
+    )

@@ -338,3 +338,166 @@ def test_tokenizer_fertility_hand_case(spark):
     assert en["bytes_per_token"] == pytest.approx(8 / 5, abs=1e-4)
     de = out["de"]
     assert (de["n_words"], de["n_subwords"], de["n_bytes"]) == (1, 1, 3)
+
+
+# ---------------------------------------------------------------------------
+# asof_join
+# ---------------------------------------------------------------------------
+
+
+def test_asof_join_basic(spark):
+    pts = spark.createDataFrame(
+        [
+            (1, 1, _ts(1, 10)),
+            (2, 1, _ts(1, 12)),
+            (3, 2, _ts(1, 9)),   # no prior quote -> NULLs
+        ],
+        ["event_id", "user_id", "ts"],
+    )
+    qts = spark.createDataFrame(
+        [
+            (100, 1, _ts(1, 9), 5.0),
+            (101, 1, _ts(1, 12), 7.0),  # exactly at point 2's ts -> visible
+            (102, 2, _ts(1, 11), 9.0),
+        ],
+        ["quote_id", "user_id", "ts", "value"],
+    )
+    from declarative_dataflow_spark.operators import timeseries
+
+    out = {
+        r["event_id"]: (r["asof_quote_id"], r["asof_value"])
+        for r in timeseries.asof_join(pts, qts, on=["user_id"]).collect()
+    }
+    assert out[1] == (100, 5.0)
+    assert out[2] == (101, 7.0)
+    assert out[3] == (None, None)
+
+
+def test_asof_join_equals_brute_force_randomized(spark):
+    rng = random.Random(23)
+    base = dt.datetime(2024, 1, 1)
+    pts = [
+        (i, rng.randrange(3), base + dt.timedelta(seconds=rng.randrange(50_000)))
+        for i in range(150)
+    ]
+    qts = [
+        (
+            1000 + j,
+            rng.randrange(3),
+            base + dt.timedelta(seconds=rng.randrange(50_000)),
+            float(j),
+        )
+        for j in range(60)
+    ]
+    from declarative_dataflow_spark.operators import timeseries
+
+    p = spark.createDataFrame(pts, ["event_id", "user_id", "ts"])
+    q = spark.createDataFrame(qts, ["quote_id", "user_id", "ts", "value"])
+    got = {
+        r["event_id"]: (r["asof_quote_id"], r["asof_value"])
+        for r in timeseries.asof_join(p, q, on=["user_id"]).collect()
+    }
+    for (i, u, t) in pts:
+        cand = [(qid, qu, qt, v) for (qid, qu, qt, v) in qts if qu == u and qt <= t]
+        if not cand:
+            assert got[i] == (None, None)
+        else:
+            best = max(cand, key=lambda c: (c[2], c[0]))
+            assert got[i] == (best[0], best[3]), f"point {i}"
+
+
+def test_asof_join_plan_has_no_join_operator(spark):
+    from declarative_dataflow_spark.operators import timeseries
+
+    pts = spark.createDataFrame(
+        [(1, 1, _ts(1, 10))], ["event_id", "user_id", "ts"]
+    )
+    qts = spark.createDataFrame(
+        [(100, 1, _ts(1, 9), 5.0)], ["quote_id", "user_id", "ts", "value"]
+    )
+    plan = (
+        timeseries.asof_join(pts, qts, on=["user_id"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in plan  # union + window, no inequality join
+
+
+# ---------------------------------------------------------------------------
+# zorder
+# ---------------------------------------------------------------------------
+
+
+def _morton(vals, bits):
+    key = 0
+    n = len(vals)
+    for j, v in enumerate(vals):
+        for b in range(bits):
+            key |= ((v >> b) & 1) << (b * n + (n - 1 - j))
+    return key
+
+
+def test_zorder_key_hand_case(spark):
+    from declarative_dataflow_spark import layout
+
+    df = spark.createDataFrame([(0b101, 0b011)], ["x", "y"])
+    out = df.select(layout.zorder_key(["x", "y"], bits=3).alias("z")).collect()
+    # interleave: x bits in odd lanes (higher), y bits in even lanes
+    assert out[0]["z"] == _morton((0b101, 0b011), 3) == 0b100111
+
+
+def test_zorder_key_matches_python_morton_randomized(spark):
+    from declarative_dataflow_spark import layout
+
+    rng = random.Random(31)
+    rows = [(i, rng.randrange(1 << 16), rng.randrange(1 << 16)) for i in range(300)]
+    df = spark.createDataFrame(rows, ["i", "x", "y"])
+    got = {
+        r["i"]: r["z"]
+        for r in df.select(
+            "i", layout.zorder_key(["x", "y"], bits=16).alias("z")
+        ).collect()
+    }
+    for (i, x, y) in rows:
+        assert got[i] == _morton((x, y), 16)
+
+
+def test_zorder_key_rejects_overflow(spark):
+    from declarative_dataflow_spark import layout
+
+    with pytest.raises(ValueError):
+        layout.zorder_key(["a", "b", "c"], bits=21)
+
+
+def test_zorder_layout_tightens_per_partition_ranges(spark):
+    """Range-partitioning by the z-key keeps BOTH dimensions' min/max
+    spans narrow inside each partition — the property parquet min/max
+    pruning feeds on. Compare against partitioning by x alone, where
+    the y spans stay corpus-wide."""
+
+    from declarative_dataflow_spark import layout
+
+    rng = random.Random(5)
+    rows = [(rng.randrange(256), rng.randrange(256)) for _ in range(4096)]
+    df = spark.createDataFrame(rows, ["x", "y"]).coalesce(4)
+
+    def mean_span(frame, col):
+        import math as m
+
+        parts = (
+            frame.withColumn("pid", F.spark_partition_id())
+            .groupBy("pid")
+            .agg((F.max(col) - F.min(col)).alias("span"))
+            .collect()
+        )
+        return sum(r["span"] for r in parts) / len(parts)
+
+    z = layout.zorder_layout(df, ["x", "y"], bits=8, partitions=16)
+    by_x = df.repartitionByRange(16, "x")
+    # z-order: both dims localized; 16 partitions over a 256x256 grid
+    # should leave mean spans well under half the domain in each dim.
+    assert mean_span(z, "x") < 128
+    assert mean_span(z, "y") < 128
+    # single-dim layout: the other dimension stays corpus-wide.
+    assert mean_span(by_x, "y") > 200
