@@ -1801,6 +1801,15 @@ def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-distribution Shannon entropy (the
+    compressibility quality proxy): entirely row-local higher-order
+    array expressions — zero shuffles; sorted alphabet pins the
+    summation order across engines."""
+
+    return text.char_entropy(load_table(spark, sf_dir, "documents"))
+
+
 def q_tok_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language tokenizer fertility (subword tokens per word,
     bytes per token) — the budget-fairness check run before fixing a
@@ -1831,15 +1840,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Round 6 front-loads the CHANGED queries (embed_neardup /
     # embed_groups — now density-adjusted planes="auto" in both
     # engines; ngram_jaccard — prefix-ceil epsilon; shortest_cost —
-    # adaptive relaxation step), the TWENTY-EIGHT queries NEW this
+    # adaptive relaxation step), the TWENTY-NINE queries NEW this
     # round (simhash_neardup, pq_topk, gopher_rules, line_dedup,
     # bm25_topk, ngram_lm_score, bpe_merges, mix_weights, tfidf_topk,
     # hll_distinct, cms_topk, hist_quantiles, corpus_profile,
     # bpe_encode, chunk_docs, rrf_fusion, lm_buckets, dup_spans,
     # nb_quality, kmeans, dsir_weights, bloom_contam, weighted_sample,
     # interval_join, rolling_stats, tok_fertility, asof_join,
-    # zorder_key), then the 36 keys r05 deferred. 32 + 36 = 68 > the
-    # driver's 50-row cap, so the 18 tail keys of the deferred block
+    # zorder_key, char_entropy), then the 36 keys r05 deferred.
+    # 33 + 36 = 69 > the driver's 50-row cap, so the 19 tail keys of
+    # the deferred block
     # (all UNCHANGED since their r04 driver-green rows, all green in
     # the r05 and r06 full local oracle runs, the simplest operators
     # of the block) defer once more to r07; never-driver-checked and
@@ -1877,6 +1887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tok_fertility": q_tok_fertility,  # NEW in r6
         "asof_join": q_asof_join,  # NEW in r6
         "zorder_key": q_zorder_key,  # NEW in r6
+        "char_entropy": q_char_entropy,  # NEW in r6
         # --- the 36 keys deferred in r05 (green r04 + local r05) ---
         "agg_multi": q_agg_multi,
         "agg_global": q_agg_global,
@@ -1895,12 +1906,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cas": q_cas,
         "pull_level": q_pull_level,
         "text_tokens": q_text_tokens,
-        "image_meta_ppm": q_image_meta_ppm,
-        # --- 50-key cap lands here: the 18 below (unchanged since
+        # --- 50-key cap lands here: the 19 below (unchanged since
         # their r04 driver rows, green in every local full run — the
         # simplest, most stable of the deferred block) defer to r07;
-        # brand-new keys (dsir_weights..zorder_key) take the front
+        # brand-new keys (dsir_weights..char_entropy) take the front
         # slots ---
+        "image_meta_ppm": q_image_meta_ppm,
         "contamination": q_contamination,
         "dup_ngram_frac": q_dup_ngram_frac,
         "global_shuffle": q_global_shuffle,
@@ -3644,6 +3655,22 @@ def oracle_sql() -> dict[str, str]:
             "FROM w WHERE tag = 1"
         ),
         "zorder_key": _zorder_oracle_sql(8),
+        "char_entropy": (
+            # Same sorted-alphabet left fold as text.char_entropy
+            # (list_reduce is the in-order fold; 0.0 - fold avoids a
+            # -0.0 for one-symbol alphabets).
+            "WITH d AS (SELECT doc_id, "
+            "regexp_extract_all(text, '(?s).') AS cs FROM documents), "
+            "a AS (SELECT doc_id, cs, len(cs) AS n, "
+            "list_sort(list_distinct(cs)) AS alpha FROM d) "
+            "SELECT doc_id, CAST(n AS BIGINT) AS n_chars, "
+            "CAST(len(alpha) AS BIGINT) AS n_distinct, "
+            "CASE WHEN n = 0 THEN 0.0 ELSE "
+            "round(0.0 - list_reduce(list_transform(alpha, c -> "
+            "(len(list_filter(cs, x -> x = c)) / CAST(n AS DOUBLE)) "
+            "* ln(len(list_filter(cs, x -> x = c)) / CAST(n AS DOUBLE))), "
+            "(acc, p) -> acc + p), 6) END AS entropy FROM a"
+        ),
         "tok_fertility": (
             "WITH d AS (SELECT lang AS grp, "
             "CASE WHEN len(trim(text)) = 0 THEN 0 ELSE "

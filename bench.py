@@ -73,6 +73,7 @@ HEADLINE = [
     "rolling_stats",   # per-key trailing-window stats (partitioned RANGE)
     "asof_join",       # point-in-time join (union + window, no range join)
     "zorder_key",      # Morton clustering key (pure bit arithmetic)
+    "char_entropy",    # row-local Shannon entropy (map-only fold)
 ]
 
 

@@ -725,3 +725,41 @@ def tokenizer_fertility(
             ),
         )
     )
+
+
+def char_entropy(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document Shannon entropy of the character distribution —
+    the compressibility proxy quality filters use to drop low-entropy
+    boilerplate (repeated padding, ASCII art) and flag high-entropy
+    noise (minified code, base64 blobs). Returns (doc_id, n_chars,
+    n_distinct, entropy) with entropy in nats, 0.0 for empty text.
+
+    Entirely row-local (map-only, ZERO shuffles at any scale): the
+    char array, its SORTED distinct alphabet, per-char counts, and the
+    -sum(p ln p) fold are higher-order array expressions. Sorting the
+    alphabet pins the summation order, so the double fold is
+    reproducible across engines and partitionings; the result rounds
+    to 6 decimals.
+    """
+
+    chars = F.regexp_extract_all(F.col(text_col), F.lit("(?s)."), 0)
+    d = docs.select("doc_id", chars.alias("__cs"))
+    alphabet = F.array_sort(F.array_distinct(F.col("__cs")))
+    n = F.size(F.col("__cs"))
+    # 0.0 - fold (not -fold): a one-symbol alphabet folds to 0.0 and
+    # unary minus would emit -0.0, which hashes differently.
+    ent = F.expr(
+        "round(0.0 - aggregate(transform(__alpha, c -> "
+        "size(filter(__cs, x -> x = c)) / CAST(__n AS DOUBLE)), "
+        "CAST(0.0 AS DOUBLE), (acc, p) -> acc + p * ln(p)), 6)"
+    )
+    return (
+        d.withColumn("__n", n)
+        .withColumn("__alpha", alphabet)
+        .select(
+            "doc_id",
+            F.col("__n").cast("long").alias("n_chars"),
+            F.size("__alpha").cast("long").alias("n_distinct"),
+            F.when(F.col("__n") == 0, F.lit(0.0)).otherwise(ent).alias("entropy"),
+        )
+    )

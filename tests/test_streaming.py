@@ -1466,3 +1466,78 @@ def test_incremental_dsir_matches_batch_under_randomized_churn(spark, tmp_path):
             )
         )
         assert got == want, f"epoch {epoch}"
+
+
+def test_stream_interval_join_equals_batch(spark, tmp_path):
+    """The watermarked stream-stream time-range join, fed the same
+    rows as micro-batches (out of order across batches), finalizes to
+    exactly the batch interval_join result."""
+
+    from declarative_dataflow_spark.operators.timeseries import interval_join
+    from declarative_dataflow_spark.streaming.joins import (
+        stream_interval_join,
+    )
+
+    psrc = tmp_path / "pts"
+    isrc = tmp_path / "ivs"
+    psrc.mkdir()
+    isrc.mkdir()
+    pts = [
+        {"pid": 1, "k": 1, "ts": "2024-01-01 00:10:00"},
+        {"pid": 2, "k": 1, "ts": "2024-01-01 00:40:00"},
+        {"pid": 3, "k": 2, "ts": "2024-01-01 00:15:00"},
+        {"pid": 4, "k": 1, "ts": "2024-01-01 01:30:00"},
+    ]
+    ivs = [
+        {"vid": 10, "k": 1, "start": "2024-01-01 00:00:00", "end": "2024-01-01 00:20:00"},
+        {"vid": 11, "k": 1, "start": "2024-01-01 00:30:00", "end": "2024-01-01 01:00:00"},
+        {"vid": 12, "k": 2, "start": "2024-01-01 00:00:00", "end": "2024-01-01 00:30:00"},
+    ]
+    # out-of-order delivery across micro-batches
+    _write_jsonl(str(psrc / "b1.json"), [pts[1], pts[3]])
+    _write_jsonl(str(psrc / "b2.json"), [pts[0], pts[2]])
+    _write_jsonl(str(isrc / "b1.json"), [ivs[1]])
+    _write_jsonl(str(isrc / "b2.json"), [ivs[0], ivs[2]])
+
+    def src(path, schema, ts_cols):
+        df = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(path))
+        )
+        for c in ts_cols:
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
+        return df
+
+    p = src(psrc, "pid long, k long, ts string", ["ts"])
+    v = src(isrc, "vid long, k long, start string, end string", ["start", "end"])
+    out = stream_interval_join(
+        p, v, on=["k"], max_duration="1 hour", watermark="0 seconds"
+    ).select("pid", "vid")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sij_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "sij_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = sorted((r["pid"], r["vid"]) for r in spark.table("sij_test").collect())
+    finally:
+        q.stop()
+
+    bp = spark.createDataFrame(
+        [(r["pid"], r["k"], r["ts"]) for r in pts], ["pid", "k", "ts"]
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    bv = spark.createDataFrame(
+        [(r["vid"], r["k"], r["start"], r["end"]) for r in ivs],
+        ["vid", "k", "start", "end"],
+    ).withColumn("start", F.col("start").cast("timestamp")).withColumn(
+        "end", F.col("end").cast("timestamp")
+    )
+    want = sorted(
+        (r["pid"], r["vid"])
+        for r in interval_join(bp, bv, on=["k"], bucket_seconds=3600).collect()
+    )
+    assert got == want and len(got) == 3

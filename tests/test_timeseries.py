@@ -501,3 +501,30 @@ def test_zorder_layout_tightens_per_partition_ranges(spark):
     assert mean_span(z, "y") < 128
     # single-dim layout: the other dimension stays corpus-wide.
     assert mean_span(by_x, "y") > 200
+
+
+# ---------------------------------------------------------------------------
+# char_entropy
+# ---------------------------------------------------------------------------
+
+
+def test_char_entropy_hand_cases(spark):
+    df = spark.createDataFrame(
+        [(1, "aabb"), (2, "aaaa"), (3, ""), (4, "abcd")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in text.char_entropy(df).collect()}
+    assert out[1]["entropy"] == pytest.approx(math.log(2), abs=1e-6)
+    assert out[1]["n_distinct"] == 2 and out[1]["n_chars"] == 4
+    # one-symbol alphabet: exactly 0.0, never -0.0
+    assert out[2]["entropy"] == 0.0 and math.copysign(1, out[2]["entropy"]) == 1
+    assert out[3] ["n_chars"] == 0 and out[3]["entropy"] == 0.0
+    assert out[4]["entropy"] == pytest.approx(math.log(4), abs=1e-6)
+
+
+def test_char_entropy_is_map_only(spark):
+    df = spark.createDataFrame([(1, "abc")], ["doc_id", "text"])
+    plan = (
+        text.char_entropy(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
