@@ -1801,6 +1801,18 @@ def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style blocklist gate: word-delimited matching (one shingle
+    explode per distinct phrase length + broadcast phrase set — never
+    substring scans or a giant regex alternation). Blocklist mixes
+    single words and a two-word phrase."""
+
+    return text.blocklist_filter(
+        load_table(spark, sf_dir, "documents"),
+        ["slow", "spill", "skew", "slow scan"],
+    )
+
+
 def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document character-distribution Shannon entropy (the
     compressibility quality proxy): entirely row-local higher-order
@@ -1840,16 +1852,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Round 6 front-loads the CHANGED queries (embed_neardup /
     # embed_groups — now density-adjusted planes="auto" in both
     # engines; ngram_jaccard — prefix-ceil epsilon; shortest_cost —
-    # adaptive relaxation step), the TWENTY-NINE queries NEW this
+    # adaptive relaxation step), the THIRTY queries NEW this
     # round (simhash_neardup, pq_topk, gopher_rules, line_dedup,
     # bm25_topk, ngram_lm_score, bpe_merges, mix_weights, tfidf_topk,
     # hll_distinct, cms_topk, hist_quantiles, corpus_profile,
     # bpe_encode, chunk_docs, rrf_fusion, lm_buckets, dup_spans,
     # nb_quality, kmeans, dsir_weights, bloom_contam, weighted_sample,
     # interval_join, rolling_stats, tok_fertility, asof_join,
-    # zorder_key, char_entropy), then the 36 keys r05 deferred.
-    # 33 + 36 = 69 > the driver's 50-row cap, so the 19 tail keys of
-    # the deferred block
+    # zorder_key, char_entropy, blocklist), then the 36 keys r05
+    # deferred. 34 + 36 = 70 > the driver's 50-row cap, so the 20
+    # tail keys of the deferred block
     # (all UNCHANGED since their r04 driver-green rows, all green in
     # the r05 and r06 full local oracle runs, the simplest operators
     # of the block) defer once more to r07; never-driver-checked and
@@ -1888,6 +1900,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,  # NEW in r6
         "zorder_key": q_zorder_key,  # NEW in r6
         "char_entropy": q_char_entropy,  # NEW in r6
+        "blocklist": q_blocklist,  # NEW in r6
         # --- the 36 keys deferred in r05 (green r04 + local r05) ---
         "agg_multi": q_agg_multi,
         "agg_global": q_agg_global,
@@ -1905,12 +1918,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lww": q_lww,
         "cas": q_cas,
         "pull_level": q_pull_level,
-        "text_tokens": q_text_tokens,
-        # --- 50-key cap lands here: the 19 below (unchanged since
+        # --- 50-key cap lands here: the 20 below (unchanged since
         # their r04 driver rows, green in every local full run — the
         # simplest, most stable of the deferred block) defer to r07;
-        # brand-new keys (dsir_weights..char_entropy) take the front
+        # brand-new keys (dsir_weights..blocklist) take the front
         # slots ---
+        "text_tokens": q_text_tokens,
         "image_meta_ppm": q_image_meta_ppm,
         "contamination": q_contamination,
         "dup_ngram_frac": q_dup_ngram_frac,
@@ -3655,6 +3668,23 @@ def oracle_sql() -> dict[str, str]:
             "FROM w WHERE tag = 1"
         ),
         "zorder_key": _zorder_oracle_sql(8),
+        "blocklist": (
+            "WITH words AS (SELECT doc_id, string_split(lower(text), ' ') "
+            "AS w FROM documents), "
+            "s1 AS (SELECT DISTINCT doc_id, unnest(w) AS shingle "
+            "FROM words WHERE len(w) >= 1), "
+            "s2 AS (SELECT DISTINCT doc_id, "
+            "unnest([w[i] || '_' || w[i+1] for i in range(1, len(w))]) "
+            "AS shingle FROM words WHERE len(w) >= 2), "
+            "hits AS (SELECT doc_id FROM s1 "
+            "WHERE shingle IN ('slow', 'spill', 'skew') "
+            "UNION ALL SELECT doc_id FROM s2 WHERE shingle = 'slow_scan'), "
+            "c AS (SELECT doc_id, count(*)::BIGINT AS n_blocked "
+            "FROM hits GROUP BY 1) "
+            "SELECT d.doc_id, coalesce(c.n_blocked, 0)::BIGINT AS n_blocked, "
+            "coalesce(c.n_blocked, 0) > 0 AS blocked "
+            "FROM documents d LEFT JOIN c USING (doc_id)"
+        ),
         "char_entropy": (
             # Same sorted-alphabet left fold as text.char_entropy
             # (list_reduce is the in-order fold; 0.0 - fold avoids a

@@ -74,6 +74,7 @@ HEADLINE = [
     "asof_join",       # point-in-time join (union + window, no range join)
     "zorder_key",      # Morton clustering key (pure bit arithmetic)
     "char_entropy",    # row-local Shannon entropy (map-only fold)
+    "blocklist",       # C4 badwords gate (per-length shingle + broadcast)
 ]
 
 

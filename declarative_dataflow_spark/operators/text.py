@@ -763,3 +763,61 @@ def char_entropy(docs: DataFrame, text_col: str = "text") -> DataFrame:
             F.when(F.col("__n") == 0, F.lit(0.0)).otherwise(ent).alias("entropy"),
         )
     )
+
+
+def blocklist_filter(
+    docs: DataFrame, phrases: list[str], text_col: str = "text"
+) -> DataFrame:
+    """Blocklist (badwords) filtering — the C4-style gate that drops
+    documents containing any term from a curated list (profanity,
+    boilerplate markers, machine-generated tells). Returns
+    (doc_id, n_blocked, blocked) with n_blocked = how many DISTINCT
+    blocked phrases occur in the document.
+
+    Phrases are word sequences: single words match tokens, multi-word
+    phrases match word n-grams of their own length — never substring
+    matching (a blocklist entry "ass" must not flag "assembly"; the
+    reference C4 list is word-delimited for exactly this reason).
+
+    Scale shape: one shingle explode per DISTINCT phrase length (a
+    blocklist has a handful of lengths), each joined against a
+    broadcast phrase set; no regex alternation over thousands of
+    phrases (that becomes a per-row scan over the whole list), no
+    substring scan. Uniform doc_id shuffle for the final count.
+    """
+
+    from .dedup import shingles
+
+    by_len: dict[int, list[str]] = {}
+    for p in phrases:
+        toks = p.lower().split()
+        if toks:
+            by_len.setdefault(len(toks), []).append("_".join(toks))
+    spark = docs.sparkSession
+    hits = None
+    for length, keys in sorted(by_len.items()):
+        pl = spark.createDataFrame([(k,) for k in sorted(set(keys))], ["shingle"])
+        h = shingles(docs, length, text_col).join(
+            F.broadcast(pl), "shingle"
+        ).select("doc_id", "shingle")
+        hits = h if hits is None else hits.unionByName(h)
+    base = docs.select("doc_id")
+    if hits is None:
+        return base.select(
+            "doc_id",
+            F.lit(0).cast("long").alias("n_blocked"),
+            F.lit(False).alias("blocked"),
+        )
+    counts = hits.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_blocked")
+    )
+    return (
+        base.join(counts, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_blocked"), F.lit(0)).cast("long").alias(
+                "n_blocked"
+            ),
+            (F.coalesce(F.col("n_blocked"), F.lit(0)) > 0).alias("blocked"),
+        )
+    )

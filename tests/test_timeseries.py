@@ -528,3 +528,58 @@ def test_char_entropy_is_map_only(spark):
         text.char_entropy(df)._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# blocklist_filter
+# ---------------------------------------------------------------------------
+
+
+def test_blocklist_word_delimited_matching(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the assembly passed cleanly"),   # 'ass' must NOT match
+            (2, "what an ass he was"),
+            (3, "a slow scan is bad"),            # phrase match
+            (4, "slow is fine scan is fine"),     # phrase NOT adjacent
+            (5, "totally clean text here"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: (r["n_blocked"], r["blocked"])
+        for r in text.blocklist_filter(df, ["ass", "slow scan"]).collect()
+    }
+    assert out[1] == (0, False)
+    assert out[2] == (1, True)
+    assert out[3] == (1, True)
+    assert out[4] == (0, False)
+    assert out[5] == (0, False)
+
+
+def test_blocklist_counts_distinct_phrases(spark):
+    df = spark.createDataFrame(
+        [(1, "bad worse bad worse terrible")], ["doc_id", "text"]
+    )
+    out = text.blocklist_filter(df, ["bad", "worse", "absent"]).collect()[0]
+    # distinct phrases hit, not occurrences
+    assert out["n_blocked"] == 2
+
+
+def test_blocklist_empty_list_blocks_nothing(spark):
+    df = spark.createDataFrame([(1, "anything")], ["doc_id", "text"])
+    out = text.blocklist_filter(df, []).collect()[0]
+    assert out["n_blocked"] == 0 and out["blocked"] is False
+
+
+def test_blocklist_broadcasts_phrase_set(spark):
+    df = spark.createDataFrame(
+        [(i, f"word soup {i}") for i in range(20)], ["doc_id", "text"]
+    )
+    plan = (
+        text.blocklist_filter(df, ["soup", "word soup"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
