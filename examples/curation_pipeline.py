@@ -1,12 +1,17 @@
 """Training-data curation walkthrough: the 100 TB pipeline in miniature.
 
 Composes the beyond-reference operators end-to-end over the driver
-testdata: quality filtering -> language ID -> PII scrubbing ->
-exact + near-duplicate removal (with connected-component group
-resolution) -> repetition filtering -> benchmark decontamination +
-boilerplate (duplicate-ngram) filtering -> per-language token-budget
-mixing -> deterministic train/val/test split -> sequence packing ->
-sharded reproducible shuffle -> int8-quantized embeddings for ANN.
+testdata: quality filtering -> language ID -> blocklist + char-entropy
+gates -> PII scrubbing -> exact + near-duplicate removal (with
+connected-component group resolution) -> repetition filtering ->
+Bloom-prefiltered benchmark decontamination (the m-bit broadcast scans
+everything; the exact n-gram join only touches flagged docs) +
+boilerplate (duplicate-ngram) filtering -> NB-classifier + perplexity
+tail drop -> DSIR importance reweighting with a weighted deterministic
+resample -> per-language token-budget mixing -> deterministic
+train/val/test split -> sequence packing -> sharded reproducible
+shuffle + Z-order clustered write layout -> int8-quantized embeddings
+for ANN.
 Every stage is JVM-side DataFrame expressions; the only shuffles are
 the dedup band join, the component resolution, the n-gram
 aggregations, the partitioned pack/shuffle windows, and the final
@@ -49,11 +54,29 @@ def main() -> None:
         .join(reps.select("doc_id", "rep_ratio"), "doc_id")
     )
 
-    # 2. Filter: keep scored, non-repetitive, language-identified docs.
-    kept = scored.filter(
-        (F.col("quality") > 0.2)
-        & (F.col("rep_ratio") < 0.9)
-        & (F.col("lang_pred") != "und")
+    # 2. Filter: keep scored, non-repetitive, language-identified docs
+    #    that pass the blocklist (word-delimited, broadcast phrase set)
+    #    and sit in a sane char-entropy band (drops padding/noise).
+    ent = text.char_entropy(docs)
+    blocked = text.blocklist_filter(docs, ["xxx", "click here", "lorem ipsum"])
+    kept = (
+        scored.filter(
+            (F.col("quality") > 0.2)
+            & (F.col("rep_ratio") < 0.9)
+            & (F.col("lang_pred") != "und")
+        )
+        .join(
+            blocked.filter(F.col("blocked")).select("doc_id"),
+            "doc_id",
+            "left_anti",
+        )
+        .join(
+            ent.filter(
+                (F.col("entropy") < 1.0) | (F.col("entropy") > 6.0)
+            ).select("doc_id"),
+            "doc_id",
+            "left_anti",
+        )
     )
 
     # 3. PII scrub the surviving text.
@@ -77,7 +100,18 @@ def main() -> None:
 
     # 5. Decontaminate against the "benchmark" (stand-in: every 50th
     #    doc) and drop boilerplate-heavy docs (duplicate-3-gram frac).
-    cont = curation.contamination(unique, docs.filter(F.col("doc_id") % 50 == 0))
+    #    The Bloom filter goes FIRST: m bits broadcast against the
+    #    whole corpus, and the exact n-gram join only runs on the docs
+    #    the filter flagged (one-sided error means nothing is missed) —
+    #    at 100 TB the expensive exact check touches a sliver.
+    ev = docs.filter(F.col("doc_id") % 50 == 0)
+    pre = curation.bloom_contamination(unique, ev)
+    suspects = unique.join(
+        pre.filter(F.col("n_flagged") > 0).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    cont = curation.contamination(suspects, ev)
     boiler = curation.dup_ngram_frac(unique)
     unique = (
         unique.join(
@@ -123,6 +157,19 @@ def main() -> None:
     heavy = sketch.cms_topk(unique, k=3).collect()
     spans = curation.dup_spans(unique, n=5).count()
 
+    # 5d. DSIR: reweight the survivors toward the 'en' slice (stand-in
+    #     for a high-quality target domain) and draw a length-weighted
+    #     deterministic sample — the importance-resampling step that
+    #     tilts a raw web mix toward the target distribution.
+    dsir = curation.dsir_weights(unique, unique.filter(F.col("lang") == "en"))
+    resample = sampling.weighted_sample(
+        unique.join(dsir.select("doc_id", "dsir_logw"), "doc_id").withColumn(
+            "w", F.exp(F.col("dsir_logw") / 10).cast("double") * F.col("n_chars")
+        ),
+        k=400,
+        weight_col="w",
+    )
+
     # 6. Assemble the mix under per-language token budgets, then split
     #    deterministically and pack the train split into sequences.
     mix = curation.token_budget_mix(
@@ -137,7 +184,20 @@ def main() -> None:
 
     # 7. Reproducible training order: hash-dealt shards, in-shard
     #    positions (a writer would partitionBy(shard) sortBy(pos)).
+    #    The physical write clusters on a Z-order key over
+    #    (lang-bucket, length-bucket) so a reader filtering on either
+    #    dimension prunes files by parquet min/max stats.
+    from declarative_dataflow_spark import layout
+
     order = curation.global_shuffle(split.filter(F.col("split") == "train"))
+    zlaid = layout.zorder_layout(
+        split.withColumn(
+            "lang_b", F.abs(F.hash("lang")) % 64
+        ).withColumn("len_b", F.least(F.col("n_chars") / 16, F.lit(63)).cast("long")),
+        ["lang_b", "len_b"],
+        bits=6,
+        partitions=8,
+    )
 
     # 8. Embedding side: int8 quantization for the ANN index, k-means
     #    topic cells labeled by TF-IDF keywords, and a hybrid
@@ -165,6 +225,8 @@ def main() -> None:
     print(f"kmeans cells: {cells.select('cell').distinct().count()}")
     print(f"hybrid probe top doc: {probe.first()['doc_id']}")
     print(f"cluster label sample: {labels.first()['term']}")
+    print(f"DSIR-resampled docs: {resample.count()}")
+    print(f"z-order layout partitions: {zlaid.rdd.getNumPartitions()}")
     print(f"after token-budget mix: {mixed.count()}")
     print(f"train packs: {packed.agg(F.max('pack_id')).first()[0]}")
     print(f"train shards: {order.agg(F.countDistinct('shard')).first()[0]}")
