@@ -1706,9 +1706,11 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_bloom_contam(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter decontamination (Dolma shape): eval 3-grams folded
-    into a 4096-bit / 3-hash filter; per-doc fraction of n-grams whose
-    bits are all set. One-sided error, fixed m-bit state — the filter
-    broadcasts at any corpus size."""
+    into an adaptively-sized (16 bits per eval n-gram) 3-hash filter;
+    per-doc fraction of n-grams whose bits are all set. One-sided
+    error; the filter broadcasts at any corpus size and its sizing
+    tracks the eval set in BOTH engines (a fixed m would saturate as
+    benchmarks accumulate — the planes=6 lesson)."""
 
     docs = load_table(spark, sf_dir, "documents")
     return curation.bloom_contamination(
@@ -3584,10 +3586,13 @@ def oracle_sql() -> dict[str, str]:
             "FROM feats f JOIN model m ON f.bucket = m.bucket GROUP BY 1"
         ),
         "bloom_contam": (
-            # 4096-bit / 3-hash Bloom filter over the eval set's
-            # 3-grams; a corpus n-gram is flagged when all three of
-            # its bits are set (one-sided error, superset of the
-            # exact `contamination` hits).
+            # Adaptively-sized (16 bits per eval n-gram, floor 64)
+            # 3-hash Bloom filter over the eval set's 3-grams; a
+            # corpus n-gram is flagged when all three of its bits are
+            # set (one-sided error, superset of the exact
+            # `contamination` hits). The m scalar comes from the same
+            # count in both engines — a fixed m would saturate as
+            # benchmarks accumulate.
             "WITH words AS (SELECT doc_id, "
             "string_split(lower(text), ' ') AS w FROM documents), "
             "sh AS (SELECT DISTINCT doc_id, "
@@ -3595,20 +3600,22 @@ def oracle_sql() -> dict[str, str]:
             "for i in range(1, len(w) - 1)]) AS shingle "
             "FROM words WHERE len(w) >= 3), "
             "ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0), "
+            "mm AS (SELECT greatest(64, 16 * count(*))::BIGINT AS m "
+            "FROM ev), "
             "set_bits AS (SELECT DISTINCT unnest(["
             "(('0x' || substr(md5('bloom0_' || shingle), 1, 8))::BIGINT) "
-            "% 4096, "
+            "% mm.m, "
             "(('0x' || substr(md5('bloom1_' || shingle), 1, 8))::BIGINT) "
-            "% 4096, "
+            "% mm.m, "
             "(('0x' || substr(md5('bloom2_' || shingle), 1, 8))::BIGINT) "
-            "% 4096]) AS bit FROM ev), "
+            "% mm.m]) AS bit FROM ev, mm), "
             "probes AS (SELECT doc_id, md5(shingle) AS h, unnest(["
             "(('0x' || substr(md5('bloom0_' || shingle), 1, 8))::BIGINT) "
-            "% 4096, "
+            "% mm.m, "
             "(('0x' || substr(md5('bloom1_' || shingle), 1, 8))::BIGINT) "
-            "% 4096, "
+            "% mm.m, "
             "(('0x' || substr(md5('bloom2_' || shingle), 1, 8))::BIGINT) "
-            "% 4096]) AS bit FROM sh), "
+            "% mm.m]) AS bit FROM sh, mm), "
             "hits AS (SELECT doc_id, h, "
             "sum(CASE WHEN s.bit IS NOT NULL THEN 1 ELSE 0 END) AS nh "
             "FROM probes p LEFT JOIN set_bits s ON p.bit = s.bit "

@@ -422,7 +422,13 @@ def dsir_weights(
     discipline) so dsir_logw is order-independent.
     """
 
-    feats = dsir_features(docs, n_buckets, n, text_col)
+    # Materialize the raw feature table once: it feeds BOTH the raw
+    # bucket model and the final scoring join, and without the
+    # checkpoint each consumer replays the full explode+hash lineage
+    # (the simhash/embedding-neardup materialize-once discipline).
+    feats = dsir_features(docs, n_buckets, n, text_col).localCheckpoint(
+        eager=False
+    )
     tgt_feats = dsir_features(target, n_buckets, n, text_col)
     raw_b = feats.groupBy("bucket").agg(F.count(F.lit(1)).alias("cr"))
     tgt_b = tgt_feats.groupBy("bucket").agg(F.count(F.lit(1)).alias("ct"))
@@ -508,9 +514,10 @@ def bloom_contamination(
     docs: DataFrame,
     eval_docs: DataFrame,
     n: int = 3,
-    m_bits: int = 4096,
+    m_bits: int | str = "auto",
     k_hashes: int = 3,
     text_col: str = "text",
+    bits_per_ngram: int = 16,
 ) -> DataFrame:
     """Bloom-filter decontamination (the Dolma/Bloom-dedup shape): the
     eval set is folded into an m-bit Bloom filter (k hash functions)
@@ -523,14 +530,26 @@ def bloom_contamination(
     carry the filter as a broadcast instead of re-joining every eval
     n-gram set.
 
+    ``m_bits="auto"`` (default) sizes the filter to
+    ``bits_per_ngram`` * |distinct eval n-grams| (floor 64) from one
+    scalar count — the standard bits-per-element rule. A FIXED m is
+    the planes=6 trap in a new costume: benchmarks accumulate, the
+    filter saturates, the false-positive rate walks to 1, and the
+    "cheap pre-filter" silently degrades into flagging the whole
+    corpus. Pass an int only for a pinned-state maintained filter
+    (IncrementalBloom, whose on-disk bit space cannot resize).
+
     Shape: the set-bit table (<= m_bits rows) broadcasts; the corpus
     side unpivots each n-gram to its k candidate bits (constant-width
     md5 keys), marks hits with one broadcast join, and counts
     all-k-hit n-grams per document. One doc_id shuffle.
     """
 
+    ev = shingles(eval_docs, n, text_col)
+    if m_bits == "auto":
+        m_bits = max(64, bits_per_ngram * ev.select("shingle").distinct().count())
     set_bits = (
-        bloom_bits(shingles(eval_docs, n, text_col), m_bits, k_hashes)
+        bloom_bits(ev, m_bits, k_hashes)
         .select(F.explode("bits").alias("bit"))
         .distinct()
     )
@@ -575,26 +594,51 @@ def bloom_probe(
     text_col: str = "text",
 ) -> DataFrame:
     """Probe every document's n-grams against a one-column (bit)
-    set-bit table: (doc_id, n_ngrams, n_flagged, flag_frac)."""
+    set-bit table: (doc_id, n_ngrams, n_flagged, flag_frac).
 
-    probes = bloom_bits(shingles(docs, n, text_col), m_bits, k_hashes).select(
-        "doc_id", "h", F.explode("bits").alias("bit")
+    The k bit lookups run as k MAP-SIDE broadcast joins on separate
+    bit columns (never an explode-to-k-rows + re-group: that shape
+    shuffles k x |n-grams| rows back together just to AND the flags).
+    The only shuffle is the final doc_id aggregation, partial-combined
+    map-side — one pass, at any scale.
+    """
+
+    sh = shingles(docs, n, text_col)
+    probes = sh.select(
+        "doc_id",
+        *[
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(F.lit(f"bloom{j}_"), F.col("shingle"))
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % m_bits
+            ).alias(f"__b{j}")
+            for j in range(k_hashes)
+        ],
     )
-    flagged = (
-        probes.join(
-            F.broadcast(set_bits.withColumn("__set", F.lit(1))), "bit", "left"
+    for j in range(k_hashes):
+        sb = set_bits.select(
+            F.col("bit").alias(f"__b{j}"), F.lit(1).alias(f"__s{j}")
         )
-        .groupBy("doc_id", "h")
-        .agg(
-            F.sum(F.coalesce(F.col("__set"), F.lit(0))).alias("__hits")
+        probes = probes.join(F.broadcast(sb), f"__b{j}", "left")
+    all_set = F.when(
+        sum(
+            F.coalesce(F.col(f"__s{j}"), F.lit(0)) for j in range(k_hashes)
         )
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_ngrams"),
-            F.sum(F.when(F.col("__hits") >= k_hashes, 1).otherwise(0))
-            .cast("long")
-            .alias("n_flagged"),
-        )
+        >= k_hashes,
+        1,
+    ).otherwise(0)
+    flagged = probes.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_ngrams"),
+        F.sum(all_set).cast("long").alias("n_flagged"),
     )
     return flagged.select(
         "doc_id",

@@ -44,6 +44,13 @@ def shingles(
 
     Tokenization is a plain space split; n-grams join tokens with '_'.
     For n=1 this is the distinct word set.
+
+    The per-document dedup happens ROW-LOCALLY (array_distinct before
+    the explode), never as a dropDuplicates shuffle: a document's
+    n-grams all live in its own row, so deduplicating them needs no
+    data movement — at corpus scale this removes an entire
+    full-width shuffle of raw n-gram strings from every consumer
+    (contamination, dup_ngram_frac, jaccard, MinHash, DSIR, Bloom).
     """
 
     words = F.split(F.lower(F.col(text_col)), " ")
@@ -55,8 +62,8 @@ def shingles(
         sh = F.expr(
             f"transform(sequence(0, size(w) - {n}), i -> concat_ws('_', {parts}))"
         )
-    return base.select("doc_id", F.explode(sh).alias("shingle")).dropDuplicates(
-        ["doc_id", "shingle"]
+    return base.select(
+        "doc_id", F.explode(F.array_distinct(sh)).alias("shingle")
     )
 
 
