@@ -333,16 +333,33 @@ def ngram_lm_score(
 
     toks = docs.select(
         F.col("doc_id"),
-        F.posexplode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias(
-            "pos", "w"
-        ),
+        F.explode(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        ).alias("w"),
     )
-    nxt = toks.select(
-        F.col("doc_id"),
-        (F.col("pos") - 1).alias("pos"),
-        F.col("w").alias("w2"),
+    # Bigrams form ROW-LOCALLY (consecutive pairs of the token array)
+    # — a (doc_id, pos) self-join would shuffle the whole token table
+    # twice just to pair neighbors that already live in the same row.
+    # The size >= 2 filter guards sequence(), which DESCENDS when its
+    # stop is below its start (a 1-token doc must yield no bigrams).
+    warr = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    bigrams = (
+        docs.select("doc_id", warr.alias("__w"))
+        .filter(F.size("__w") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(__w) - 2), "
+                    "i -> struct(__w[i] AS w, __w[i+1] AS w2))"
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", "bg.w", "bg.w2")
+        # feeds BOTH the model counts and the scoring join — the
+        # materialize-once discipline.
+        .localCheckpoint(eager=False)
     )
-    bigrams = toks.join(nxt, ["doc_id", "pos"]).select("doc_id", "w", "w2")
     c2 = bigrams.groupBy("w", "w2").agg(F.count(F.lit(1)).alias("c2"))
     c1 = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
     vocab = toks.select(
