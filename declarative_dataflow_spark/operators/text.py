@@ -838,3 +838,59 @@ def blocklist_filter(
             (F.coalesce(F.col("n_blocked"), F.lit(0)) > 0).alias("blocked"),
         )
     )
+
+
+def char_entropy_column(text_col: str = "text") -> Column:
+    """:func:`char_entropy`'s entropy as ONE raw Column expression —
+    composable into a streaming map-only projection (zero state)."""
+
+    cs = f"regexp_extract_all({text_col}, '(?s).', 0)"
+    alpha = f"array_sort(array_distinct({cs}))"
+    n = f"size({cs})"
+    return F.expr(
+        f"CASE WHEN {n} = 0 THEN 0.0 ELSE "
+        f"round(0.0 - aggregate(transform({alpha}, c -> "
+        f"size(filter({cs}, x -> x = c)) / CAST({n} AS DOUBLE)), "
+        "CAST(0.0 AS DOUBLE), (acc, p) -> acc + p * ln(p)), 6) END"
+    )
+
+
+def blocklist_column(
+    phrases: list[str], text_col: str = "text"
+) -> Column:
+    """Blocked-document flag as ONE row-local Column expression: for
+    each distinct phrase length L, the document's distinct L-grams are
+    tested against the phrase-literal array with ``arrays_overlap`` —
+    the same word-delimited semantics as :func:`blocklist_filter`, but
+    with zero joins and zero state, which is what a streaming
+    projection needs. Right for gate-sized lists (the phrases become
+    an expression literal); use the join form for very large lists.
+    """
+
+    by_len: dict[int, list[str]] = {}
+    for p in phrases:
+        toks = p.lower().split()
+        if toks:
+            by_len.setdefault(len(toks), []).append("_".join(toks))
+    if not by_len:
+        return F.lit(False)
+    conds = []
+    for length, keys in sorted(by_len.items()):
+        lits = ", ".join("'" + k.replace("'", "\\'") + "'" for k in sorted(set(keys)))
+        w = f"split(lower({text_col}), ' ')"
+        if length == 1:
+            grams = w
+        else:
+            parts = ", ".join(f"w[i + {j}]" for j in range(length))
+            grams = (
+                f"CASE WHEN size({w}) >= {length} THEN "
+                f"transform(sequence(0, size({w}) - {length}), i -> "
+                f"concat_ws('_', {parts})) ELSE array() END"
+            )
+            # name the token array for the lambda via a let-less inline
+            grams = grams.replace("w[i", f"{w}[i")
+        conds.append(F.expr(f"arrays_overlap({grams}, array({lits}))"))
+    out = conds[0]
+    for c in conds[1:]:
+        out = out | c
+    return out

@@ -233,14 +233,20 @@ def stream_curate(
     max_repetition: float = 0.9,
     require_lang: bool = True,
     gopher: dict | None = None,
+    blocklist: list[str] | None = None,
+    entropy_band: tuple[float, float] | None = None,
 ) -> DataFrame:
     """Map-only streaming curation stage: quality score, language ID,
     repetition ratio, PII scrubbing — and, when ``gopher`` is given
     (a dict of gopher_columns threshold overrides, ``{}`` for the
-    paper's defaults), the Gopher A1.1 word-level gate — composed as
-    ONE projection (raw Column expressions, no self-joins — a
-    streaming self-join would demand watermarks and state for what is
-    purely map work). Zero state; fuses into the micro-batch scan."""
+    paper's defaults), the Gopher A1.1 word-level gate; when
+    ``blocklist`` is given, the word-delimited badwords gate (the
+    row-local arrays_overlap form — zero joins, right for gate-sized
+    lists); when ``entropy_band`` is given, the (lo, hi) char-entropy
+    keep-band — all composed as ONE projection (raw Column
+    expressions, no self-joins — a streaming self-join would demand
+    watermarks and state for what is purely map work). Zero state;
+    fuses into the micro-batch scan."""
 
     out = stream.select(
         "*",
@@ -258,4 +264,10 @@ def stream_curate(
         out = out.filter(
             text_ops.gopher_columns(text_col, **gopher)["pass"]
         )
+    if blocklist is not None:
+        out = out.filter(~text_ops.blocklist_column(blocklist, text_col))
+    if entropy_band is not None:
+        lo, hi = entropy_band
+        ent = text_ops.char_entropy_column(text_col)
+        out = out.filter((ent >= lo) & (ent <= hi))
     return out.drop(text_col).withColumnRenamed("__redacted", text_col)

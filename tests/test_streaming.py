@@ -1541,3 +1541,43 @@ def test_stream_interval_join_equals_batch(spark, tmp_path):
         for r in interval_join(bp, bv, on=["k"], bucket_seconds=3600).collect()
     )
     assert got == want and len(got) == 3
+
+
+def test_stream_curate_blocklist_and_entropy_band(spark, tmp_path):
+    """The blocklist and char-entropy gates run INSIDE the streaming
+    map-only projection (no joins, no state): a blocked doc and an
+    entropy outlier drop; a clean doc passes."""
+
+    from declarative_dataflow_spark.streaming.curation import stream_curate
+
+    src = tmp_path / "bl_in"
+    src.mkdir()
+    _write_jsonl(str(src / "b1.json"), [
+        {"doc_id": 1, "text": "the quick brown fox is on the hill for now"},
+        {"doc_id": 2, "text": "the slow scan is on the hill for the day now"},  # blocked phrase
+        {"doc_id": 3, "text": "aaaaaaa a aa the a is on a for a now a the"},  # low entropy
+    ])
+    stream = (
+        spark.readStream.schema("doc_id long, text string").json(str(src))
+    )
+    curated = stream_curate(
+        stream,
+        min_quality=0.0,
+        max_repetition=1.0,
+        require_lang=False,
+        blocklist=["slow scan"],
+        entropy_band=(2.5, 7.0),
+    )
+    q = (
+        curated.writeStream.format("memory")
+        .queryName("bl_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "bl_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {r["doc_id"] for r in spark.table("bl_test").collect()}
+        assert got == {1}
+    finally:
+        q.stop()

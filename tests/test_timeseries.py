@@ -583,3 +583,44 @@ def test_blocklist_broadcasts_phrase_set(spark):
         .toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_blocklist_column_equals_join_form(spark):
+    """The row-local arrays_overlap form (streaming gate) flags
+    exactly the docs the join-based blocklist_filter flags."""
+
+    rng = random.Random(41)
+    vocab = ["alpha", "beta", "gamma", "delta", "slow", "scan", "ass"]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(8))) for i in range(60)
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    phrases = ["ass", "slow scan", "beta gamma delta"]
+    via_join = {
+        r["doc_id"]: r["blocked"]
+        for r in text.blocklist_filter(df, phrases).collect()
+    }
+    via_col = {
+        r["doc_id"]: r["b"]
+        for r in df.select(
+            "doc_id", text.blocklist_column(phrases).alias("b")
+        ).collect()
+    }
+    assert via_join == via_col
+
+
+def test_char_entropy_column_equals_operator(spark):
+    df = spark.createDataFrame(
+        [(1, "aabb"), (2, "aaaa"), (3, ""), (4, "mixed bag of chars")],
+        ["doc_id", "text"],
+    )
+    via_op = {
+        r["doc_id"]: r["entropy"] for r in text.char_entropy(df).collect()
+    }
+    via_col = {
+        r["doc_id"]: r["e"]
+        for r in df.select(
+            "doc_id", text.char_entropy_column().alias("e")
+        ).collect()
+    }
+    assert via_op == via_col
