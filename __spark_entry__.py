@@ -1824,6 +1824,28 @@ def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.char_entropy(load_table(spark, sf_dir, "documents"))
 
 
+def q_quality_calibrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language percentile calibration of the heuristic quality
+    score (FineWeb-style): thresholds become comparable across
+    languages. One window PARTITIONED by lang — never a global sort."""
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select("doc_id", "lang").join(
+        text.quality_score(docs).select("doc_id", "quality"), "doc_id"
+    )
+    return curation.quality_calibrate(scored, "quality", "lang")
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): near-identical embedding pairs
+    WITHIN k-means clusters — candidates are cluster-bucketed (equi-
+    join on the cell id), never all-pairs; k is the density lever."""
+
+    return curation.semdedup(
+        load_table(spark, sf_dir, "embeddings"), k=8, iters=2, threshold=0.3
+    )
+
+
 def q_tok_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language tokenizer fertility (subword tokens per word,
     bytes per token) — the budget-fairness check run before fixing a
@@ -1854,16 +1876,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Round 6 front-loads the CHANGED queries (embed_neardup /
     # embed_groups — now density-adjusted planes="auto" in both
     # engines; ngram_jaccard — prefix-ceil epsilon; shortest_cost —
-    # adaptive relaxation step), the THIRTY queries NEW this
+    # adaptive relaxation step), the THIRTY-TWO queries NEW this
     # round (simhash_neardup, pq_topk, gopher_rules, line_dedup,
     # bm25_topk, ngram_lm_score, bpe_merges, mix_weights, tfidf_topk,
     # hll_distinct, cms_topk, hist_quantiles, corpus_profile,
     # bpe_encode, chunk_docs, rrf_fusion, lm_buckets, dup_spans,
     # nb_quality, kmeans, dsir_weights, bloom_contam, weighted_sample,
     # interval_join, rolling_stats, tok_fertility, asof_join,
-    # zorder_key, char_entropy, blocklist), then the 36 keys r05
-    # deferred. 34 + 36 = 70 > the driver's 50-row cap, so the 20
-    # tail keys of the deferred block
+    # zorder_key, char_entropy, blocklist, quality_calibrate,
+    # semdedup), then the 36 keys r05 deferred. 36 + 36 = 72 > the
+    # driver's 50-row cap, so the 22 tail keys of the deferred block
     # (all UNCHANGED since their r04 driver-green rows, all green in
     # the r05 and r06 full local oracle runs, the simplest operators
     # of the block) defer once more to r07; never-driver-checked and
@@ -1903,6 +1925,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_key": q_zorder_key,  # NEW in r6
         "char_entropy": q_char_entropy,  # NEW in r6
         "blocklist": q_blocklist,  # NEW in r6
+        "quality_calibrate": q_quality_calibrate,  # NEW in r6
+        "semdedup": q_semdedup,  # NEW in r6
         # --- the 36 keys deferred in r05 (green r04 + local r05) ---
         "agg_multi": q_agg_multi,
         "agg_global": q_agg_global,
@@ -1918,13 +1942,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "confusion_filter": q_confusion_filter,
         "confusion_agg": q_confusion_agg,
         "lww": q_lww,
-        "cas": q_cas,
-        "pull_level": q_pull_level,
-        # --- 50-key cap lands here: the 20 below (unchanged since
+        # --- 50-key cap lands here: the 22 below (unchanged since
         # their r04 driver rows, green in every local full run — the
         # simplest, most stable of the deferred block) defer to r07;
-        # brand-new keys (dsir_weights..blocklist) take the front
+        # brand-new keys (dsir_weights..semdedup) take the front
         # slots ---
+        "cas": q_cas,
+        "pull_level": q_pull_level,
         "text_tokens": q_text_tokens,
         "image_meta_ppm": q_image_meta_ppm,
         "contamination": q_contamination,
@@ -3675,6 +3699,33 @@ def oracle_sql() -> dict[str, str]:
             "FROM w WHERE tag = 1"
         ),
         "zorder_key": _zorder_oracle_sql(8),
+        "quality_calibrate": (
+            "WITH q AS (SELECT doc_id, "
+            f"round(len(list_filter(string_split(lower(text), ' '), w -> w IN {_SQL_STOP})) "
+            "  / greatest(len(string_split(lower(text), ' ')), 1) * 0.5 "
+            "  + least(length(text) / 500.0, 1.0) * 0.3 "
+            "  + (1.0 - (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) "
+            "      / greatest(length(text), 1)) * 0.2, 4) AS quality "
+            "FROM documents), "
+            "j AS (SELECT d.doc_id, d.lang AS grp, "
+            "CAST(q.quality AS DOUBLE) AS score "
+            "FROM documents d JOIN q USING (doc_id)) "
+            "SELECT doc_id, grp, score, "
+            "round(percent_rank() OVER (PARTITION BY grp ORDER BY score), 6) "
+            "AS pct FROM j"
+        ),
+        "semdedup": (
+            "WITH asg AS (SELECT * FROM (" + _kmeans_oracle_sql(8, 2) + ") _k), "
+            "ee AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+            "FROM embeddings), "
+            "bb AS (SELECT asg.vec_id AS id, asg.cell, ee.v, "
+            "sqrt(list_dot_product(ee.v, ee.v)) AS nrm "
+            "FROM asg JOIN ee ON asg.vec_id = ee.vec_id), "
+            "p AS (SELECT l.id AS a, r.id AS b, "
+            "round(list_dot_product(l.v, r.v) / (l.nrm * r.nrm), 4) AS cos "
+            "FROM bb l JOIN bb r ON l.cell = r.cell AND l.id < r.id) "
+            "SELECT a, b, cos FROM p WHERE cos >= 0.3"
+        ),
         "blocklist": (
             "WITH words AS (SELECT doc_id, string_split(lower(text), ' ') "
             "AS w FROM documents), "

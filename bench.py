@@ -75,6 +75,8 @@ HEADLINE = [
     "zorder_key",      # Morton clustering key (pure bit arithmetic)
     "char_entropy",    # row-local Shannon entropy (map-only fold)
     "blocklist",       # C4 badwords gate (per-length shingle + broadcast)
+    "quality_calibrate",  # per-language percentile (partitioned window)
+    "semdedup",        # SemDeDup: within-kmeans-cluster cosine pairs
 ]
 
 

@@ -646,3 +646,97 @@ def bloom_probe(
         "n_flagged",
         F.round(F.col("n_flagged") / F.col("n_ngrams"), 4).alias("flag_frac"),
     )
+
+
+def quality_calibrate(
+    docs: DataFrame,
+    score_col: str,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group percentile calibration of a quality score — the step
+    that makes one global threshold meaningful across languages
+    (raw heuristic scores are NOT comparable between languages:
+    stopword lists, punctuation norms, and length distributions
+    differ, so 'keep quality > 0.5' silently over-prunes some
+    languages; FineWeb-style pipelines therefore threshold the
+    WITHIN-language percentile instead). Returns
+    (id, group, score, pct) with pct = percent_rank within the group,
+    rounded to 6 decimals; ties share a rank (ties by id broken only
+    for determinism of row order, not of pct).
+
+    One window PARTITIONED by group — parallel across groups, never a
+    global sort; AQE splits skewed groups.
+    """
+
+    w = Window.partitionBy(group_col).orderBy(F.col(score_col).cast("double"))
+    return docs.select(
+        F.col(id_col),
+        F.col(group_col).alias("grp"),
+        F.col(score_col).cast("double").alias("score"),
+        F.round(F.percent_rank().over(w), 6).alias("pct"),
+    )
+
+
+def semdedup(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication inside
+    k-means clusters — embed, cluster, and drop near-identical pairs
+    WITHIN each cluster (cross-cluster pairs are by construction far
+    apart, so the candidate set is cluster-bucketed, never all-pairs).
+    Returns (a, b, cos) pairs with a < b and within-cluster cosine >=
+    threshold — the pairs a removal pass resolves (compose with
+    dedup.connected_components for group resolution, exactly like the
+    LSH families).
+
+    Shape: assignments from :func:`kmeans_assign` (broadcast-centroid
+    passes, deterministic); the pair join is an equi-join on the cell
+    id; cosines are row-local array folds rounded to 4 decimals.
+    At 100 TB the cell count k scales with the corpus so per-cell
+    membership stays bounded — k is the density lever, exactly like
+    LSH planes and SimHash block width.
+    """
+
+    from .similarity import kmeans_assign, _norm
+
+    cells = kmeans_assign(embeddings, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+    base = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        _norm(vec_col).alias("nrm"),
+    ).join(cells.withColumnRenamed("vec_id", "id"), "id")
+    # Both sides of the pair join derive from this table — checkpoint
+    # once (the materialize-once discipline).
+    base = base.localCheckpoint(eager=False)
+    left = base.select(
+        F.col("cell"),
+        F.col("id").alias("a"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    right = base.select(
+        F.col("cell"),
+        F.col("id").alias("b"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    dot = F.expr(
+        "aggregate(zip_with(va, vb, (x, y) -> x * y), CAST(0.0 AS DOUBLE), "
+        "(acc, z) -> acc + z)"
+    )
+    return (
+        left.join(right, "cell")
+        .filter(F.col("a") < F.col("b"))
+        .select(
+            "a",
+            "b",
+            F.round(dot / (F.col("na") * F.col("nb")), 4).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )

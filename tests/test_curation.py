@@ -159,3 +159,81 @@ def test_dup_spans_ignores_within_doc_repeats(spark):
         ["doc_id", "text"],
     )
     assert curation.dup_spans(docs, n=4, min_docs=2).count() == 0
+
+
+def test_quality_calibrate_per_group_percentiles(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "en", 0.9),
+            (2, "en", 0.5),
+            (3, "en", 0.1),
+            (4, "de", 0.2),   # de's best despite low absolute score
+            (5, "de", 0.1),
+        ],
+        ["doc_id", "lang", "q"],
+    )
+    out = {
+        r["doc_id"]: r["pct"]
+        for r in curation.quality_calibrate(df, "q", "lang").collect()
+    }
+    # within-group percentiles: absolute scores don't leak across groups
+    assert out[1] == 1.0 and out[3] == 0.0 and out[2] == 0.5
+    assert out[4] == 1.0 and out[5] == 0.0
+
+
+def test_quality_calibrate_window_is_partitioned(spark):
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 else "de", float(i)) for i in range(10)],
+        ["doc_id", "lang", "q"],
+    )
+    plan = (
+        curation.quality_calibrate(df, "q", "lang")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    import re
+
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        first = m.group(1).split(",")[0]
+        assert " ASC" not in first and " DESC" not in first
+
+
+def test_semdedup_within_cluster_pairs_match_brute_force(spark):
+    import random
+
+    rng = random.Random(17)
+    # Two tight bundles + noise: bundle members must pair up.
+    def jitter(base):
+        return [x + rng.uniform(-0.01, 0.01) for x in base]
+
+    b1 = [1.0, 0.0, 0.0, 0.0]
+    b2 = [0.0, 1.0, 0.0, 0.0]
+    rows = [(i, jitter(b1)) for i in range(5)] + [
+        (10 + i, jitter(b2)) for i in range(5)
+    ] + [
+        (100 + i, [rng.uniform(-1, 1) for _ in range(4)]) for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = curation.semdedup(df, k=4, iters=2, threshold=0.999)
+    got = sorted((r["a"], r["b"]) for r in out.collect())
+    # every within-bundle pair lands in one cluster and clears 0.999
+    want_bundle_pairs = {(a, b) for a in range(5) for b in range(5) if a < b} | {
+        (a, b) for a in range(10, 15) for b in range(10, 15) if a < b
+    }
+    assert want_bundle_pairs.issubset(set(got))
+    # no cross-bundle pair (orthogonal bundles can never clear 0.999)
+    assert not any(a < 10 <= b < 100 for a, b in got)
+
+
+def test_semdedup_no_cartesian(spark):
+    df = spark.createDataFrame(
+        [(i, [float(i % 3), 1.0]) for i in range(12)], ["vec_id", "embedding"]
+    )
+    plan = (
+        curation.semdedup(df, k=2, iters=1, threshold=0.5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
