@@ -96,7 +96,9 @@ def dup_ngram_frac(
     does the heavy lifting map-side.
     """
 
-    sh = shingles(docs, n, text_col)
+    # The shingle table feeds BOTH the corpus-wide count and the join
+    # back — checkpoint once (the materialize-once discipline).
+    sh = shingles(docs, n, text_col).localCheckpoint(eager=False)
     counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__docs"))
     return (
         sh.join(counts, "shingle")
