@@ -1846,6 +1846,15 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing document embeddings (hashing trick): model-free
+    deterministic vectors straight off raw text — one explode + one
+    doc_id aggregation with dim conditional sums; integer-exact
+    normalization arithmetic."""
+
+    return text.hash_embed(load_table(spark, sf_dir, "documents"), dim=16)
+
+
 def q_tok_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language tokenizer fertility (subword tokens per word,
     bytes per token) — the budget-fairness check run before fixing a
@@ -1876,7 +1885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Round 6 front-loads the CHANGED queries (embed_neardup /
     # embed_groups — now density-adjusted planes="auto" in both
     # engines; ngram_jaccard — prefix-ceil epsilon; shortest_cost —
-    # adaptive relaxation step), the THIRTY-TWO queries NEW this
+    # adaptive relaxation step), the THIRTY-THREE queries NEW this
     # round (simhash_neardup, pq_topk, gopher_rules, line_dedup,
     # bm25_topk, ngram_lm_score, bpe_merges, mix_weights, tfidf_topk,
     # hll_distinct, cms_topk, hist_quantiles, corpus_profile,
@@ -1884,8 +1893,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # nb_quality, kmeans, dsir_weights, bloom_contam, weighted_sample,
     # interval_join, rolling_stats, tok_fertility, asof_join,
     # zorder_key, char_entropy, blocklist, quality_calibrate,
-    # semdedup), then the 36 keys r05 deferred. 36 + 36 = 72 > the
-    # driver's 50-row cap, so the 22 tail keys of the deferred block
+    # semdedup, hash_embed), then the 36 keys r05 deferred.
+    # 37 + 36 = 73 > the driver's 50-row cap, so the 23 tail keys of
+    # the deferred block
     # (all UNCHANGED since their r04 driver-green rows, all green in
     # the r05 and r06 full local oracle runs, the simplest operators
     # of the block) defer once more to r07; never-driver-checked and
@@ -1927,6 +1937,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocklist": q_blocklist,  # NEW in r6
         "quality_calibrate": q_quality_calibrate,  # NEW in r6
         "semdedup": q_semdedup,  # NEW in r6
+        "hash_embed": q_hash_embed,  # NEW in r6
         # --- the 36 keys deferred in r05 (green r04 + local r05) ---
         "agg_multi": q_agg_multi,
         "agg_global": q_agg_global,
@@ -1941,12 +1952,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wco_clique4": q_wco_clique4,
         "confusion_filter": q_confusion_filter,
         "confusion_agg": q_confusion_agg,
-        "lww": q_lww,
-        # --- 50-key cap lands here: the 22 below (unchanged since
+        # --- 50-key cap lands here: the 23 below (unchanged since
         # their r04 driver rows, green in every local full run — the
         # simplest, most stable of the deferred block) defer to r07;
-        # brand-new keys (dsir_weights..semdedup) take the front
+        # brand-new keys (dsir_weights..hash_embed) take the front
         # slots ---
+        "lww": q_lww,
         "cas": q_cas,
         "pull_level": q_pull_level,
         "text_tokens": q_text_tokens,
@@ -2443,6 +2454,32 @@ def _zorder_oracle_sql(bits: int) -> str:
         "WITH e AS (SELECT event_id, user_id % 256 AS u8, "
         "(epoch_us(ts) // 60000000) % 256 AS m8 FROM events) "
         f"SELECT event_id, CAST({expr} AS BIGINT) AS zkey FROM e"
+    )
+
+
+def _hash_embed_oracle_sql(dim: int) -> str:
+    """DuckDB twin of text.hash_embed: identical md5 hash, sign bit,
+    conditional sums, and integer-exact normalization."""
+
+    cs = ", ".join(
+        f"sum(CASE WHEN d = {i} THEN sg ELSE 0 END)::BIGINT AS c{i}"
+        for i in range(dim)
+    )
+    sq = " + ".join(f"c{i} * c{i}" for i in range(dim))
+    es = ", ".join(
+        f"CASE WHEN nrm = 0 THEN 0.0 ELSE round(c{i} / nrm, 6) END AS e{i}"
+        for i in range(dim)
+    )
+    return (
+        "WITH t AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) "
+        "AS w FROM documents), "
+        "hh AS (SELECT doc_id, "
+        "(('0x' || substr(md5('he_' || w), 1, 8))::BIGINT) AS h FROM t), "
+        f"s AS (SELECT doc_id, h % {dim} AS d, "
+        "CASE WHEN ((h >> 16) & 1) = 1 THEN 1 ELSE -1 END AS sg FROM hh), "
+        f"c AS (SELECT doc_id, {cs} FROM s GROUP BY 1), "
+        f"n AS (SELECT *, sqrt({sq}) AS nrm FROM c) "
+        f"SELECT doc_id, {es} FROM n"
     )
 
 
@@ -3699,6 +3736,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM w WHERE tag = 1"
         ),
         "zorder_key": _zorder_oracle_sql(8),
+        "hash_embed": _hash_embed_oracle_sql(16),
         "quality_calibrate": (
             "WITH q AS (SELECT doc_id, "
             f"round(len(list_filter(string_split(lower(text), ' '), w -> w IN {_SQL_STOP})) "

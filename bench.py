@@ -77,6 +77,7 @@ HEADLINE = [
     "blocklist",       # C4 badwords gate (per-length shingle + broadcast)
     "quality_calibrate",  # per-language percentile (partitioned window)
     "semdedup",        # SemDeDup: within-kmeans-cluster cosine pairs
+    "hash_embed",      # feature-hashing embeddings (1 agg, dim cond sums)
 ]
 
 

@@ -894,3 +894,56 @@ def blocklist_column(
     for c in conds[1:]:
         out = out | c
     return out
+
+
+def hash_embed(
+    docs: DataFrame, dim: int = 16, text_col: str = "text"
+) -> DataFrame:
+    """Feature-hashing document embeddings (the hashing trick,
+    Weinberger et al. 2009): each token hashes to one of ``dim``
+    components with a hash-derived sign, counts accumulate, and the
+    vector L2-normalizes — a deterministic, model-free embedding that
+    lets the similarity/ANN/SemDeDup family run straight off raw text
+    (bag-of-words cosine geometry). Returns (doc_id, e0..e{dim-1})
+    with components rounded to 6 decimals (one column per component:
+    scalar schemas hash cleanly in the driver compare; callers wanting
+    an array column can F.array the components back).
+
+    Scale shape: one explode + ONE uniform doc_id aggregation with
+    ``dim`` conditional sums (map-side partials carry dim longs per
+    doc); the normalization is row-local integer-exact arithmetic
+    (integer sums, correctly-rounded sqrt/division — bit-identical
+    across engines before the rounding even applies).
+    """
+
+    w = F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("w")
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("he_"), F.col("w"))), 1, 8), 16, 10
+    ).cast("long")
+    toks = docs.select("doc_id", w).select(
+        "doc_id",
+        (h % dim).alias("__d"),
+        F.when((F.shiftright(h, 16).bitwiseAND(F.lit(1))) == 1, F.lit(1))
+        .otherwise(F.lit(-1))
+        .alias("__s"),
+    )
+    sums = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(F.when(F.col("__d") == i, F.col("__s")).otherwise(0))
+            .cast("long")
+            .alias(f"__c{i}")
+            for i in range(dim)
+        ]
+    )
+    nrm = F.sqrt(
+        sum(F.col(f"__c{i}") * F.col(f"__c{i}") for i in range(dim))
+    )
+    return sums.select(
+        "doc_id",
+        *[
+            F.when(nrm == 0, F.lit(0.0))
+            .otherwise(F.round(F.col(f"__c{i}") / nrm, 6))
+            .alias(f"e{i}")
+            for i in range(dim)
+        ],
+    )

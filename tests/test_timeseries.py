@@ -624,3 +624,73 @@ def test_char_entropy_column_equals_operator(spark):
         ).collect()
     }
     assert via_op == via_col
+
+
+# ---------------------------------------------------------------------------
+# hash_embed
+# ---------------------------------------------------------------------------
+
+
+def test_hash_embed_unit_norm_and_determinism(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "spark query engine"),
+            (2, "spark query engine"),
+            (3, "completely different words here"),
+            (4, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: [r[f"e{i}"] for i in range(16)] for r in text.hash_embed(df, dim=16).collect()}
+    # identical docs -> identical vectors
+    assert out[1] == out[2]
+    # unit L2 norm (within rounding)
+    assert sum(x * x for x in out[1]) == pytest.approx(1.0, abs=1e-4)
+    # different text -> different vector
+    assert out[1] != out[3]
+    # empty text -> hash of '' still lands somewhere; norm 1 vector
+    assert sum(abs(x) for x in out[4]) > 0
+
+
+def test_hash_embed_cosine_geometry(spark):
+    # shared-vocabulary docs are closer than disjoint-vocabulary docs
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon eta"),
+            (3, "one two three four five six"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: [r[f"e{i}"] for i in range(16)] for r in text.hash_embed(df, dim=16).collect()}
+
+    def cos(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    assert cos(out[1], out[2]) > cos(out[1], out[3])
+
+
+def test_hash_embed_single_aggregation(spark):
+    df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    plan = text.hash_embed(df)._jdf.queryExecution().executedPlan().toString()
+    # one shuffle: the doc_id aggregation (AQE wraps it; no join at all)
+    assert "Join" not in plan
+
+
+def test_hash_embed_feeds_semdedup(spark):
+    """Composition: model-free embeddings straight into SemDeDup —
+    duplicate documents pair up through the kmeans-bucketed path."""
+
+    rows = [(i, "the quick brown fox jumps high") for i in range(3)] + [
+        (10 + i, f"totally unrelated text number {i} with words") for i in range(6)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    emb = text.hash_embed(df, dim=16).select(
+        F.col("doc_id").alias("vec_id"),
+        F.array(*[f"e{i}" for i in range(16)]).alias("embedding"),
+    )
+    pairs = sorted(
+        (r["a"], r["b"])
+        for r in curation.semdedup(emb, k=2, iters=1, threshold=0.999).collect()
+    )
+    assert [(0, 1), (0, 2), (1, 2)] == [p for p in pairs if p[0] < 10]
