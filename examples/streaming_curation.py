@@ -74,7 +74,11 @@ def main() -> None:
         .json(src)
     )
     q = (
-        stream_curate(stream)
+        stream_curate(
+            stream,
+            blocklist=["click here", "lorem ipsum"],
+            entropy_band=(1.0, 7.0),
+        )
         .writeStream.foreachBatch(stage)
         .option("checkpointLocation", os.path.join(work, "ckpt"))
         .start()

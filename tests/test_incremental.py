@@ -1542,3 +1542,57 @@ def test_incremental_pagerank_random_churn(spark):
         assert inc.last_epoch_mode in ("incremental", "noop")
         got = {r["node"]: r["rank"] for r in inc.current().collect()}
         assert got == _batch_pagerank(spark, backbone + sorted(extra))
+
+
+def test_incremental_weighted_sample_via_topk(spark):
+    """Maintained weighted reservoir sampling by COMPOSITION: the
+    Efraimidis-Spirakis sample IS the top-k of the deterministic
+    ln(u)/w keys, so IncrementalTopK over a sample-key attribute
+    maintains it under churn — the selection equals batch
+    sampling.weighted_sample on the net corpus after every epoch
+    (including a retraction that promotes a runner-up into the
+    sample)."""
+
+    import hashlib
+    import math
+
+    from declarative_dataflow_spark.operators import sampling
+    from declarative_dataflow_spark.streaming.incremental import (
+        IncrementalTopK,
+    )
+
+    def skey(i, w):
+        h = int(hashlib.md5(f"wsample_{i}".encode()).hexdigest()[:8], 16)
+        return round(math.log((h + 1) / 4294967296.0) / w, 12)
+
+    docs = {i: (i % 5) + 1 for i in range(20)}  # id -> weight
+    dj = DeltaJoin(spark, ["?e", "?k"], [AttributeBinding("?e", "skey", "?k")])
+    tk = IncrementalTopK(dj, order_by=[("?k", False), ("?e", True)], k=4)
+    acc: Counter = Counter()
+    acc = _apply(
+        acc,
+        tk.transact([Datom.add(i, "skey", skey(i, w)) for i, w in docs.items()]),
+    )
+
+    def batch_sample(live: dict) -> set:
+        df = spark.createDataFrame(
+            [(i, "t", w) for i, w in live.items()], ["doc_id", "text", "n_chars"]
+        )
+        return {
+            r["doc_id"]
+            for r in sampling.weighted_sample(df, k=4, weight_col="n_chars").collect()
+        }
+
+    assert {e for (e, k) in acc} == batch_sample(docs)
+    # Retract two sampled docs: the maintained top-k pulls in the
+    # runner-ups and still equals the batch selection on the net set.
+    sampled = sorted(e for (e, k) in acc)[:2]
+    acc = _apply(
+        acc,
+        tk.transact(
+            [Datom.retract(i, "skey", skey(i, docs[i])) for i in sampled]
+        ),
+    )
+    for i in sampled:
+        del docs[i]
+    assert {e for (e, k) in acc} == batch_sample(docs)
