@@ -287,7 +287,11 @@ def _seed_centroids(
 
 
 def _assign_cells(
-    embeddings: DataFrame, cents: DataFrame, id_col: str, vec_col: str
+    embeddings: DataFrame,
+    cents: DataFrame,
+    id_col: str,
+    vec_col: str,
+    keep_vec: bool = False,
 ) -> DataFrame:
     """(vec_id, cell): each vector's argmax-cosine centroid, ties
     broken by lowest cell id.
@@ -312,24 +316,99 @@ def _assign_cells(
     higher-order lambdas evaluate interpreted, losing more to per-row
     overhead than the pre-reduced exchange costs.)"""
 
-    scored = (
-        embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
-        .crossJoin(F.broadcast(cents))
-        .withColumn(
-            "csim",
-            _dot("v", "cv") / F.nullif(_norm("v") * _norm("cv"), F.lit(0.0)),
-        )
-    )
-    best = scored.groupBy("vec_id").agg(
-        F.max(
-            F.struct(
-                F.coalesce(F.col("csim"), F.lit(float("-inf"))).alias("s"),
-                (-F.col("cell")).alias("nc"),
-                F.col("cell").alias("cell"),
+    import math
+
+    rows = sorted(cents.collect(), key=lambda r: r["cell"])
+    if not rows or rows[0]["cv"] is None:
+        scored = (
+            embeddings.select(
+                F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")
             )
-        ).alias("b")
+            .crossJoin(F.broadcast(cents))
+            .withColumn(
+                "csim",
+                _dot("v", "cv")
+                / F.nullif(_norm("v") * _norm("cv"), F.lit(0.0)),
+            )
+        )
+        best = scored.groupBy("vec_id").agg(
+            F.max(
+                F.struct(
+                    F.coalesce(F.col("csim"), F.lit(float("-inf"))).alias("s"),
+                    (-F.col("cell")).alias("nc"),
+                    F.col("cell").alias("cell"),
+                )
+            ).alias("b")
+        )
+        # keep_vec is honored by the caller joining v back (this path
+        # aggregates, so the vector cannot ride through the argmax).
+        return best.select("vec_id", F.col("b.cell").alias("cell"))
+
+    # Centroids are k x dim and ALREADY driver-side by construction
+    # (every Lloyd pass collects them to re-broadcast), so the scoring
+    # unrolls to literal multiply-adds: dim products per cell, summed
+    # left-to-right — the exact fold order of the aggregate(zip_with)
+    # form, hence bit-identical doubles — but all plain arithmetic
+    # that whole-stage codegen compiles, where nested higher-order
+    # lambdas evaluate interpreted (measured ~3x on the Lloyd passes).
+    # No crossJoin, no exchange at all: the argmax is a per-row CASE
+    # chain over k scalar columns (ties keep the LOWEST cell id, the
+    # max(struct(s, -cell)) order of the fallback path above).
+    # Expressions are built as SQL STRINGS and parsed with one
+    # F.expr per column: building k x dim literal terms as Column
+    # objects costs thousands of py4j round-trips (~8s of driver
+    # chatter for k=8, dim=64), where string assembly is free.
+    # Double literals go through CAST('<repr>' AS DOUBLE) — repr is
+    # shortest-round-trip, so the parsed double is bit-identical.
+    dim = len(rows[0]["cv"])
+
+    def dlit(x: float) -> str:
+        return f"CAST('{x!r}' AS DOUBLE)"
+
+    vterm = " + ".join(
+        f"CAST(v[{i}] AS DOUBLE) * CAST(v[{i}] AS DOUBLE)"
+        for i in range(dim)
     )
-    return best.select("vec_id", F.col("b.cell").alias("cell"))
+    pre = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("v"),
+        F.expr(f"sqrt({vterm})").alias("__vn"),
+    )
+    sims = []
+    for r in rows:
+        cv = [float(x) for x in r["cv"]]
+        acc = 0.0
+        for x in cv:
+            acc += x * x
+        cnorm = math.sqrt(acc)
+        dot = " + ".join(
+            f"CAST(v[{i}] AS DOUBLE) * {dlit(cv[i])}" for i in range(dim)
+        )
+        sims.append(
+            f"coalesce(({dot}) / nullif(__vn * {dlit(cnorm)}, "
+            f"CAST(0.0 AS DOUBLE)), CAST('-Infinity' AS DOUBLE))"
+        )
+    # One aliased sims array; the argmax is first-max position (cells
+    # sorted ascending, so double ties AND the all--inf zero-norm row
+    # both resolve to the LOWEST cell id — the fallback path's
+    # max(struct(s, -cell)) order). Each expression tree stays
+    # cell-sized (a when-chained running argmax nests the previous
+    # best into every step — tree growth is exponential in k and
+    # Janino rejects the generated method).
+    cells = ", ".join(f"CAST({int(r['cell'])} AS BIGINT)" for r in rows)
+    scored = pre.select(
+        "vec_id",
+        *(["v"] if keep_vec else []),
+        F.expr("array(" + ", ".join(sims) + ")").alias("__sims"),
+    )
+    return scored.select(
+        "vec_id",
+        *(["v"] if keep_vec else []),
+        F.expr(
+            f"element_at(array({cells}), "
+            "CAST(array_position(__sims, array_max(__sims)) AS INT))"
+        ).alias("cell"),
+    )
 
 
 def ivf_centroids(
@@ -362,12 +441,17 @@ def ivf_centroids(
     spark = embeddings.sparkSession
     cents = _seed_centroids(embeddings, n_centroids, id_col, vec_col)
     for _ in range(max(0, iters)):
-        assigned = _assign_cells(embeddings, cents, id_col, vec_col).join(
-            embeddings.select(
-                F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")
-            ),
-            "vec_id",
+        assigned = _assign_cells(
+            embeddings, cents, id_col, vec_col, keep_vec=True
         )
+        if "v" not in assigned.columns:
+            # fallback argmax path drops the vector: join it back
+            assigned = assigned.join(
+                embeddings.select(
+                    F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")
+                ),
+                "vec_id",
+            )
         means = assigned.groupBy("cell").agg(
             F.array(
                 *[F.round(F.avg(F.col("v").getItem(i)), 6) for i in range(dim)]
