@@ -1784,6 +1784,44 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key session labeling (gaps-and-islands, 30-min gap) rolled
+    up to session stats — one window PARTITIONED by user plus a
+    same-key aggregation, never a global sort."""
+
+    from declarative_dataflow_spark.operators import timeseries
+
+    return timeseries.session_stats(
+        load_table(spark, sf_dir, "events"), gap_seconds=1800
+    )
+
+
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view→click→purchase funnel per user: earliest
+    strictly-increasing completion chain. k filtered scans (type
+    predicate pushed down) aggregated to per-user tables, chained by
+    equi-joins — never an inequality join or event-stream window."""
+
+    from declarative_dataflow_spark.operators import timeseries
+
+    return timeseries.funnel(
+        load_table(spark, sf_dir, "events"), ["view", "click", "purchase"]
+    )
+
+
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily cohort retention: users cohorted by first-event day,
+    distinct-user counts per (cohort, offset). Two uniform-key
+    shuffles; epoch-bucket arithmetic is exact-integer in both
+    engines."""
+
+    from declarative_dataflow_spark.operators import timeseries
+
+    return timeseries.retention(
+        load_table(spark, sf_dir, "events"), period_seconds=86_400
+    )
+
+
 def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton) clustering key over (user, minute) — the
     multi-dimensional layout key whose sort keeps parquet min/max
@@ -1885,7 +1923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Round 6 front-loads the CHANGED queries (embed_neardup /
     # embed_groups — now density-adjusted planes="auto" in both
     # engines; ngram_jaccard — prefix-ceil epsilon; shortest_cost —
-    # adaptive relaxation step), the THIRTY-THREE queries NEW this
+    # adaptive relaxation step), the THIRTY-SIX queries NEW this
     # round (simhash_neardup, pq_topk, gopher_rules, line_dedup,
     # bm25_topk, ngram_lm_score, bpe_merges, mix_weights, tfidf_topk,
     # hll_distinct, cms_topk, hist_quantiles, corpus_profile,
@@ -1893,8 +1931,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # nb_quality, kmeans, dsir_weights, bloom_contam, weighted_sample,
     # interval_join, rolling_stats, tok_fertility, asof_join,
     # zorder_key, char_entropy, blocklist, quality_calibrate,
-    # semdedup, hash_embed), then the 36 keys r05 deferred.
-    # 37 + 36 = 73 > the driver's 50-row cap, so the 23 tail keys of
+    # semdedup, hash_embed, sessionize, funnel, retention), then the
+    # 36 keys r05 deferred.
+    # 40 + 36 = 76 > the driver's 50-row cap, so the 26 tail keys of
     # the deferred block
     # (all UNCHANGED since their r04 driver-green rows, all green in
     # the r05 and r06 full local oracle runs, the simplest operators
@@ -1938,6 +1977,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_calibrate": q_quality_calibrate,  # NEW in r6
         "semdedup": q_semdedup,  # NEW in r6
         "hash_embed": q_hash_embed,  # NEW in r6
+        "sessionize": q_sessionize,  # NEW in r6
+        "funnel": q_funnel,  # NEW in r6
+        "retention": q_retention,  # NEW in r6
         # --- the 36 keys deferred in r05 (green r04 + local r05) ---
         "agg_multi": q_agg_multi,
         "agg_global": q_agg_global,
@@ -1949,14 +1991,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count": q_triangle_count,
         "triangle_wco": q_triangle_wco,
         "wco_4clause": q_wco_4clause,
+        # --- 50-key cap lands here: the 26 below (unchanged since
+        # their r04 driver rows, green in every local full run — the
+        # simplest, most stable of the deferred block) defer to r07;
+        # brand-new keys (dsir_weights..retention) take the front
+        # slots ---
         "wco_clique4": q_wco_clique4,
         "confusion_filter": q_confusion_filter,
         "confusion_agg": q_confusion_agg,
-        # --- 50-key cap lands here: the 23 below (unchanged since
-        # their r04 driver rows, green in every local full run — the
-        # simplest, most stable of the deferred block) defer to r07;
-        # brand-new keys (dsir_weights..hash_embed) take the front
-        # slots ---
         "lww": q_lww,
         "cas": q_cas,
         "pull_level": q_pull_level,
@@ -3734,6 +3776,53 @@ def oracle_sql() -> dict[str, str]:
             "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) "
             "SELECT pid AS event_id, user_id, asof_quote_id, asof_value "
             "FROM w WHERE tag = 1"
+        ),
+        "sessionize": (
+            # Same gaps-and-islands labeling: new session when the gap
+            # to the key's previous event strictly exceeds 30 min.
+            "WITH t AS (SELECT user_id, event_id, epoch_us(ts) AS tu "
+            "FROM events), "
+            "flagged AS (SELECT user_id, event_id, tu, "
+            "CASE WHEN lag(tu) OVER w IS NULL "
+            "OR tu - lag(tu) OVER w > 1800000000 THEN 1 ELSE 0 END AS nf "
+            "FROM t WINDOW w AS (PARTITION BY user_id ORDER BY tu, event_id)), "
+            "sess AS (SELECT user_id, tu, "
+            "CAST(sum(nf) OVER (PARTITION BY user_id ORDER BY tu, event_id "
+            "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq "
+            "FROM flagged) "
+            "SELECT user_id, session_seq, count(*) AS n_events, "
+            "min(tu) AS start_us, max(tu) AS end_us, "
+            "(max(tu) - min(tu)) / 1000000.0 AS duration_s "
+            "FROM sess GROUP BY user_id, session_seq"
+        ),
+        "funnel": (
+            # Chained earliest-completion CTEs with strict ts ordering.
+            "WITH s1 AS (SELECT user_id, min(epoch_us(ts)) AS t1 "
+            "FROM events WHERE event_type = 'view' GROUP BY user_id), "
+            "s2 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t2 "
+            "FROM events e JOIN s1 ON e.user_id = s1.user_id "
+            "AND epoch_us(e.ts) > s1.t1 "
+            "WHERE e.event_type = 'click' GROUP BY e.user_id), "
+            "s3 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t3 "
+            "FROM events e JOIN s2 ON e.user_id = s2.user_id "
+            "AND epoch_us(e.ts) > s2.t2 "
+            "WHERE e.event_type = 'purchase' GROUP BY e.user_id) "
+            "SELECT s1.user_id, CAST(1 "
+            "+ CASE WHEN s2.t2 IS NOT NULL THEN 1 ELSE 0 END "
+            "+ CASE WHEN s3.t3 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) "
+            "AS depth, s1.t1, s2.t2, s3.t3 "
+            "FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id "
+            "LEFT JOIN s3 ON s1.user_id = s3.user_id"
+        ),
+        "retention": (
+            "WITH a AS (SELECT DISTINCT user_id, "
+            "epoch_us(ts) // 86400000000 AS bucket FROM events), "
+            "f AS (SELECT user_id, min(bucket) AS cohort "
+            "FROM a GROUP BY user_id) "
+            "SELECT f.cohort, a.bucket - f.cohort AS offset, "
+            "count(*) AS n_users "
+            "FROM a JOIN f ON a.user_id = f.user_id "
+            "GROUP BY f.cohort, a.bucket - f.cohort"
         ),
         "zorder_key": _zorder_oracle_sql(8),
         "hash_embed": _hash_embed_oracle_sql(16),

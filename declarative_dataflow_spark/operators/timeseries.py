@@ -118,6 +118,171 @@ def rolling_stats(
     )
 
 
+def sessionize(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Assign every event a per-key session index (gaps-and-islands):
+    a new session starts when the gap to the key's previous event
+    exceeds ``gap_seconds`` (strictly; an event exactly at the gap
+    boundary continues the session). Returns the events' columns plus
+    ``session_seq`` (1-based within the key).
+
+    Unlike ``windows.session_agg`` — which AGGREGATES events into
+    merged session windows — this labels each event row, the form a
+    training pipeline needs to carry session context into downstream
+    features. One window PARTITIONED by key (parallel across keys,
+    never a global sort); equal-timestamp events tiebreak on the id
+    column so the labeling is a deterministic total order, though the
+    session assignment itself is tiebreak-independent (a zero gap
+    never opens a session).
+    """
+
+    us = gap_seconds * 1_000_000
+    w = Window.partitionBy(key_col).orderBy("__t", id_col)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t = events.withColumn("__t", _epoch_us(ts_col))
+    flagged = t.withColumn(
+        "__new",
+        F.when(
+            F.lag("__t").over(w).isNull()
+            | ((F.col("__t") - F.lag("__t").over(w)) > F.lit(us)),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    return (
+        flagged.withColumn(
+            "session_seq", F.sum("__new").over(run).cast("long")
+        )
+        .drop("__t", "__new")
+    )
+
+
+def session_stats(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Per-session summary over :func:`sessionize`: (key, session_seq,
+    n_events, start_us, end_us, duration_s). The window labeling and
+    the rollup shuffle on the same key, so the aggregation reuses the
+    session partitioning."""
+
+    lab = sessionize(events, key_col, ts_col, id_col, gap_seconds)
+    t = _epoch_us(ts_col)
+    return lab.groupBy(key_col, "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(t).alias("start_us"),
+        F.max(t).alias("end_us"),
+        ((F.max(t) - F.min(t)) / F.lit(1_000_000.0)).alias("duration_s"),
+    )
+
+
+def funnel(
+    events: DataFrame,
+    steps: list[str],
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered funnel completion: for every key with at least one
+    ``steps[0]`` event, the earliest chain of strictly-increasing
+    timestamps walking the step sequence, and the depth reached.
+    Returns (key, depth, t1..tk) with ``t{i}`` the epoch-us completion
+    time of step i (NULL once the chain breaks).
+
+    Each step is one filtered scan (the type predicate pushes into the
+    parquet scan) aggregated to at most one row per key, then an
+    equi-join against the previous step's per-key table — never a
+    window over the full event stream and never an inequality join:
+    the ``ts > t_{i-1}`` comparison is a residual filter on the
+    equi-joined rows. Per-key tables are the smallest relation in
+    every join, so AQE broadcasts them when they fit; the chain is
+    k-1 uniform-key joins for a k-step funnel.
+
+    Greedy-earliest is the standard funnel semantics: taking the
+    earliest completion of each prefix never shrinks the set of keys
+    that can complete the next step (any later step-i event admits a
+    superset of nothing the earliest admits — min is optimal).
+    """
+
+    if len(steps) < 1:
+        raise ValueError("funnel needs at least one step")
+    t = _epoch_us(ts_col)
+    out = (
+        events.filter(F.col(type_col) == steps[0])
+        .groupBy(key_col)
+        .agg(F.min(t).alias("t1"))
+    )
+    for i, step in enumerate(steps[1:], start=2):
+        ev = events.filter(F.col(type_col) == step).select(
+            F.col(key_col), t.alias("__t")
+        )
+        nxt = (
+            ev.join(out.select(key_col, f"t{i-1}"), key_col)
+            .filter(F.col("__t") > F.col(f"t{i-1}"))
+            .groupBy(key_col)
+            .agg(F.min("__t").alias(f"t{i}"))
+        )
+        out = out.join(nxt, key_col, "left")
+    depth = F.lit(1)
+    for i in range(2, len(steps) + 1):
+        depth = depth + F.when(F.col(f"t{i}").isNotNull(), 1).otherwise(0)
+    return out.select(
+        key_col,
+        depth.cast("long").alias("depth"),
+        *[F.col(f"t{i}") for i in range(1, len(steps) + 1)],
+    )
+
+
+def retention(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    period_seconds: int = 86_400,
+) -> DataFrame:
+    """Cohort retention: keys cohorted by the period bucket of their
+    first event; for every (cohort, offset) the number of distinct
+    keys active ``offset`` periods after their cohort period. Returns
+    (cohort, offset, n_users) with cohort = floor(first_ts / period)
+    as an epoch bucket (integer bucket arithmetic — engine-portable,
+    no calendar-week convention to disagree on).
+
+    Two uniform-key shuffles: distinct (key, bucket) activity, then
+    the per-key min bucket joined back on the key — the activity table
+    is already one row per (key, period) so the final count is a plain
+    ``count(*)``. No windows, no driver-side state.
+    """
+
+    us = period_seconds * 1_000_000
+    # Exact integer bucketing: subtracting the modulus first makes the
+    # division an exact integer-valued double (< 2^53), so the bucket
+    # matches DuckDB's integer `//` on every input — a plain
+    # floor(epoch / period) in double can round a timestamp within
+    # ~the quotient's half-ulp of a boundary into the wrong period.
+    epoch = _epoch_us(ts_col)
+    bucket = ((epoch - epoch % F.lit(us)) / F.lit(us)).cast("long")
+    active = (
+        events.select(
+            F.col(key_col).alias("__k"), bucket.alias("__bucket")
+        )
+        .distinct()
+    )
+    first = active.groupBy("__k").agg(F.min("__bucket").alias("cohort"))
+    return (
+        active.join(first, "__k")
+        .groupBy(
+            "cohort", (F.col("__bucket") - F.col("cohort")).alias("offset")
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
 def asof_join(
     points: DataFrame,
     quotes: DataFrame,

@@ -151,6 +151,220 @@ def test_rolling_stats_equals_brute_force_randomized(spark):
 
 
 # ---------------------------------------------------------------------------
+# sessionize / session_stats
+# ---------------------------------------------------------------------------
+
+
+def test_sessionize_gap_boundary_and_ordering(spark):
+    rows = [
+        (1, _ts(1, 0, 0), 1, 0.0),
+        (2, _ts(1, 0, 10), 1, 0.0),   # 10 min gap -> same session
+        (3, _ts(1, 0, 40), 1, 0.0),   # exactly 30 min -> still same (strict >)
+        (4, _ts(1, 2, 0), 1, 0.0),    # 80 min -> new session
+        (5, _ts(1, 0, 5), 2, 0.0),    # other key, own numbering
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "ts", "user_id", "value"])
+    out = {
+        r["event_id"]: r["session_seq"]
+        for r in timeseries.sessionize(df, gap_seconds=1800).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 4: 2, 5: 1}
+
+
+def test_sessionize_equals_brute_force_randomized(spark):
+    rng = random.Random(17)
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(seconds=rng.randrange(100_000)), rng.randrange(5), 0.0)
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "ts", "user_id", "value"])
+    got = {
+        r["event_id"]: r["session_seq"]
+        for r in timeseries.sessionize(df, gap_seconds=600).collect()
+    }
+    by_user = {}
+    for (i, ts, u, _) in rows:
+        by_user.setdefault(u, []).append((ts, i))
+    for u, evs in by_user.items():
+        evs.sort()
+        seq = 0
+        prev = None
+        for ts, i in evs:
+            if prev is None or (ts - prev).total_seconds() > 600:
+                seq += 1
+            prev = ts
+            assert got[i] == seq, f"event {i}"
+
+
+def test_session_stats_rollup(spark, events):
+    out = {
+        (r["user_id"], r["session_seq"]): (r["n_events"], r["duration_s"])
+        for r in timeseries.session_stats(events, gap_seconds=3600).collect()
+    }
+    # user 1: events 1,2,3 within 1h gaps; event 4 is 2h after event 3.
+    assert out[(1, 1)] == (3, 3600.0)
+    assert out[(1, 2)] == (1, 0.0)
+    assert out[(2, 1)] == (1, 0.0)
+
+
+def test_sessionize_window_is_partitioned(spark, events):
+    from tools.plan_audit import global_sort_windows
+
+    plan = (
+        timeseries.sessionize(events)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert not global_sort_windows(plan)
+
+
+# ---------------------------------------------------------------------------
+# funnel
+# ---------------------------------------------------------------------------
+
+
+def test_funnel_strictly_ordered_chain(spark):
+    rows = [
+        # user 1 completes view -> click -> buy in order
+        (1, _ts(1, 1), 1, "view"),
+        (2, _ts(1, 2), 1, "click"),
+        (3, _ts(1, 3), 1, "buy"),
+        # user 2: click BEFORE the first view -> depth 1
+        (4, _ts(1, 2), 2, "view"),
+        (5, _ts(1, 1), 2, "click"),
+        # user 3: view and click at the SAME instant -> strict > breaks
+        (6, _ts(1, 1), 3, "view"),
+        (7, _ts(1, 1), 3, "click"),
+        # user 4 never views -> absent
+        (8, _ts(1, 1), 4, "click"),
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "ts", "user_id", "event_type"])
+    out = {
+        r["user_id"]: (r["depth"], r["t1"], r["t2"], r["t3"])
+        for r in timeseries.funnel(df, ["view", "click", "buy"]).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    assert out[1][0] == 3 and None not in out[1][1:]
+    assert out[2][0] == 1 and out[2][2] is None
+    assert out[3][0] == 1
+    # chain breaks imply suffix NULLs
+    assert out[2][3] is None and out[3][3] is None
+
+
+def test_funnel_greedy_earliest_is_optimal(spark):
+    # A later view would let click at t=2 count, but greedy-earliest
+    # still completes via the click at t=4: min never loses keys.
+    rows = [
+        (1, _ts(1, 1), 1, "view"),
+        (2, _ts(1, 3), 1, "view"),
+        (3, _ts(1, 4), 1, "click"),
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "ts", "user_id", "event_type"])
+    out = timeseries.funnel(df, ["view", "click"]).collect()[0]
+    assert out["depth"] == 2
+    assert out["t1"] < out["t2"]
+
+
+def test_funnel_equals_brute_force_randomized(spark):
+    rng = random.Random(29)
+    base = dt.datetime(2024, 1, 1)
+    types = ["a", "b", "c", "x"]
+    rows = [
+        (
+            i,
+            base + dt.timedelta(seconds=rng.randrange(10_000)),
+            rng.randrange(8),
+            rng.choice(types),
+        )
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "ts", "user_id", "event_type"])
+    got = {
+        r["user_id"]: r["depth"]
+        for r in timeseries.funnel(df, ["a", "b", "c"]).collect()
+    }
+    for u in range(8):
+        evs = sorted((ts, t) for (_, ts, uu, t) in rows if uu == u)
+        cur, depth = None, 0
+        for step in ["a", "b", "c"]:
+            nxt = [ts for (ts, t) in evs if t == step and (cur is None or ts > cur)]
+            if not nxt:
+                break
+            cur = min(nxt)
+            depth += 1
+        if depth == 0:
+            assert u not in got
+        else:
+            assert got[u] == depth, f"user {u}"
+
+
+def test_funnel_plan_no_cartesian(spark):
+    df = spark.createDataFrame(
+        [(1, _ts(1, 1), 1, "view"), (2, _ts(1, 2), 1, "click")],
+        ["event_id", "ts", "user_id", "event_type"],
+    )
+    plan = (
+        timeseries.funnel(df, ["view", "click"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# retention
+# ---------------------------------------------------------------------------
+
+
+def test_retention_hand_case(spark):
+    d0, d1, d2 = _ts(1, 5), _ts(2, 5), _ts(3, 5)
+    rows = [
+        (1, d0, 1), (2, d1, 1), (3, d2, 1),     # user 1: offsets 0,1,2
+        (4, d1, 2), (5, d1, 2),                  # user 2: cohort day1, offset 0 once
+        (6, d0, 3), (7, d2, 3),                  # user 3: offsets 0,2
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "ts", "user_id"])
+    out = {
+        (r["cohort"], r["offset"]): r["n_users"]
+        for r in timeseries.retention(df, period_seconds=86_400).collect()
+    }
+    day0 = (dt.date(2024, 1, 1) - dt.date(1970, 1, 1)).days
+    assert out[(day0, 0)] == 2      # users 1, 3
+    assert out[(day0, 1)] == 1      # user 1
+    assert out[(day0, 2)] == 2      # users 1, 3
+    assert out[(day0 + 1, 0)] == 1  # user 2, counted once
+    assert len(out) == 4
+
+
+def test_retention_equals_brute_force_randomized(spark):
+    rng = random.Random(37)
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(seconds=rng.randrange(400_000)), rng.randrange(10))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "ts", "user_id"])
+    got = {
+        (r["cohort"], r["offset"]): r["n_users"]
+        for r in timeseries.retention(df, period_seconds=86_400).collect()
+    }
+    buckets = {}
+    for (_, ts, u) in rows:
+        b = int((ts - dt.datetime(1970, 1, 1)).total_seconds()) // 86_400
+        buckets.setdefault(u, set()).add(b)
+    want = {}
+    for u, bs in buckets.items():
+        c = min(bs)
+        for b in bs:
+            want[(c, b - c)] = want.get((c, b - c), 0) + 1
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
 # weighted_sample
 # ---------------------------------------------------------------------------
 
