@@ -213,7 +213,27 @@ def funnel(
 
     if len(steps) < 1:
         raise ValueError("funnel needs at least one step")
-    t = _epoch_us(ts_col)
+    return funnel_us(
+        events.withColumn("__tu", _epoch_us(ts_col)),
+        steps,
+        key_col=key_col,
+        tu_col="__tu",
+        type_col=type_col,
+    )
+
+
+def funnel_us(
+    events: DataFrame,
+    steps: list[str],
+    key_col: str = "user_id",
+    tu_col: str = "tu",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """:func:`funnel` core over a precomputed epoch-microseconds long
+    column — the form the incremental maintainer feeds from its event
+    state (which stores epoch-us, not timestamps)."""
+
+    t = F.col(tu_col)
     out = (
         events.filter(F.col(type_col) == steps[0])
         .groupBy(key_col)
@@ -273,11 +293,21 @@ def retention(
         )
         .distinct()
     )
-    first = active.groupBy("__k").agg(F.min("__bucket").alias("cohort"))
+    return retention_from_activity(active)
+
+
+def retention_from_activity(
+    active: DataFrame, key_col: str = "__k", bucket_col: str = "__bucket"
+) -> DataFrame:
+    """:func:`retention` core over a deduplicated (key, period-bucket)
+    activity table — the table the incremental maintainer keeps as its
+    state (with signed support counts consolidated away first)."""
+
+    first = active.groupBy(key_col).agg(F.min(bucket_col).alias("cohort"))
     return (
-        active.join(first, "__k")
+        active.join(first, key_col)
         .groupBy(
-            "cohort", (F.col("__bucket") - F.col("cohort")).alias("offset")
+            "cohort", (F.col(bucket_col) - F.col("cohort")).alias("offset")
         )
         .agg(F.count(F.lit(1)).alias("n_users"))
     )

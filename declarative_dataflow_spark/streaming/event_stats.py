@@ -1,0 +1,310 @@
+"""Incrementally-maintained event analytics: funnel depth and cohort
+retention kept up to date under streaming adds AND retractions.
+
+Both results are per-key aggregates of a key's OWN events only, so the
+maintenance discipline is the IncrementalTopK one — touched-key
+recompute with diff emission:
+
+per epoch (signed event rows):
+  1. the epoch's events consolidate to signed support rows keyed the
+     way the state is keyed (funnel: (key, step-type, epoch-us);
+     retention: (key, period-bucket)) — events of types outside the
+     funnel's steps are dropped at the door, they cannot affect it;
+  2. affected keys = the distinct keys in the delta;
+  3. the OLD result restricted to affected keys is recomputed from the
+     pre-append state, the NEW result from the post-append state —
+     both through the SAME batch operator core
+     (``operators/timeseries.py::funnel_us`` /
+     ``retention_from_activity``), so maintained and batch semantics
+     cannot drift;
+  4. the emitted diffs are new-minus-old with ±1 weights; for
+     retention the (cohort, offset) count deltas from the affected
+     keys' old/new contributions.
+
+Per-epoch compute is O(batch + affected keys' state rows) — never a
+scan of unaffected keys; per-epoch persistence is O(batch) append-only
+on the shared crash-safe generational machinery (_GenerationalState:
+epoch-keyed retry-idempotent increments, folded-epoch manifests,
+periodic compaction). Retraction needs no DRed machinery: a key's
+result depends only on its own surviving events, so re-deriving the
+touched keys from state is already exact.
+
+Funnel under INSERT-ONLY streams is a lattice: adding events can only
+move each step's completion time earlier and the depth deeper
+(an earlier step-i time admits a superset of step-i+1 candidates), so
+append-only deployments can skip the old-result read entirely; the
+implementation keeps one code path because the old-result read is
+already restricted to affected keys.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators.timeseries import funnel_us, retention_from_activity
+from .corpus_stats import _GenerationalState
+
+
+def _signed_union(
+    adds: Optional[DataFrame], retracts: Optional[DataFrame], cols: list[str]
+) -> Optional[DataFrame]:
+    delta = None
+    if adds is not None:
+        delta = adds.select(*cols, F.lit(1).alias("cnt"))
+    if retracts is not None:
+        neg = retracts.select(*cols, F.lit(-1).alias("cnt"))
+        delta = neg if delta is None else delta.unionByName(neg)
+    return delta
+
+
+class IncrementalFunnel(_GenerationalState):
+    """Maintained ordered-funnel depths (operators/timeseries.py::
+    funnel). State: signed support counts of the step-typed events,
+    (key, type, tu, cnt). ``process_batch`` returns the epoch's result
+    diffs as (key, depth, t1..tk, diff) with diff = -1 retracting the
+    key's previous funnel row and +1 asserting the new one; a key
+    whose funnel did not change emits nothing."""
+
+    KEY_COL = "user_id"
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        steps: list[str],
+        key_col: str = "user_id",
+        ts_col: str = "ts",
+        type_col: str = "event_type",
+    ) -> None:
+        if len(steps) < 1:
+            raise ValueError("funnel needs at least one step")
+        self.spark = spark
+        self.state_dir = state_dir.rstrip("/")
+        self.steps = list(steps)
+        self.key_col = key_col
+        self.ts_col = ts_col
+        self.type_col = type_col
+
+    def _project(self, events: DataFrame) -> DataFrame:
+        from ..operators.timeseries import _epoch_us
+
+        return events.filter(
+            F.col(self.type_col).isin(self.steps)
+        ).select(
+            F.col(self.key_col).alias("k"),
+            F.col(self.type_col).alias("t"),
+            _epoch_us(self.ts_col).alias("tu"),
+        )
+
+    def _events_state(self) -> Optional[DataFrame]:
+        inc = self._read_versioned("events")
+        if inc is None:
+            return None
+        return (
+            inc.groupBy("k", "t", "tu")
+            .agg(F.sum("cnt").alias("cnt"))
+            .filter(F.col("cnt") > 0)
+        )
+
+    def _funnel_of(self, ev: Optional[DataFrame]) -> Optional[DataFrame]:
+        if ev is None:
+            return None
+        return funnel_us(
+            ev, self.steps, key_col="k", tu_col="tu", type_col="t"
+        )
+
+    def current(self) -> Optional[DataFrame]:
+        """The full maintained result, recomputed from state — the
+        equality-gate read; per-epoch diffs never take this path."""
+
+        out = self._funnel_of(self._events_state())
+        if out is None:
+            return None
+        return out.withColumnRenamed("k", self.key_col)
+
+    def process_batch(
+        self,
+        adds: Optional[DataFrame] = None,
+        retracts: Optional[DataFrame] = None,
+        epoch: Optional[int] = None,
+    ) -> Optional[DataFrame]:
+        delta = _signed_union(
+            None if adds is None else self._project(adds),
+            None if retracts is None else self._project(retracts),
+            ["k", "t", "tu"],
+        )
+        if delta is None:
+            return None
+        delta = (
+            delta.groupBy("k", "t", "tu")
+            .agg(F.sum("cnt").alias("cnt"))
+            .filter(F.col("cnt") != 0)
+            .localCheckpoint(eager=True)
+        )
+        touched = delta.select("k").distinct()
+        before = self._events_state()
+        # Materialize the OLD restricted result BEFORE the append: a
+        # retried epoch overwrites its own epoch partition in place,
+        # and a lazy plan would list the replaced files.
+        old = (
+            None
+            if before is None
+            else self._funnel_of(
+                before.join(touched, "k", "left_semi")
+            ).localCheckpoint(eager=True)
+        )
+        self._append("events", delta, epoch=epoch)
+        self._epochs = getattr(self, "_epochs", 0) + 1
+        if self._epochs % self.compact_every == 0:
+            consolidated = self._events_state()
+            if consolidated is not None:
+                self._compact("events", consolidated)
+        after = self._events_state()
+        new = (
+            None
+            if after is None
+            else self._funnel_of(after.join(touched, "k", "left_semi"))
+        )
+        cols = ["k", "depth"] + [f"t{i}" for i in range(1, len(self.steps) + 1)]
+
+        def tag(df: Optional[DataFrame], w: int) -> Optional[DataFrame]:
+            if df is None:
+                return None
+            return df.select(*cols, F.lit(w).alias("diff"))
+
+        olds, news = tag(old, -1), tag(new, 1)
+        if olds is None and news is None:
+            return None
+        both = news if olds is None else (
+            olds if news is None else olds.unionByName(news)
+        )
+        return (
+            both.groupBy(*cols)
+            .agg(F.sum("diff").alias("diff"))
+            .filter(F.col("diff") != 0)
+            .withColumnRenamed("k", self.key_col)
+        )
+
+
+class IncrementalRetention(_GenerationalState):
+    """Maintained cohort retention (operators/timeseries.py::
+    retention). State: signed support counts of the deduplicated
+    (key, period-bucket) activity. ``process_batch`` returns
+    (cohort, offset, diff) count deltas; retracting a key's earliest
+    activity re-cohorts the key exactly (its old contribution is
+    subtracted in full, the new one re-derived from the surviving
+    buckets)."""
+
+    KEY_COL = "k"
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        key_col: str = "user_id",
+        ts_col: str = "ts",
+        period_seconds: int = 86_400,
+    ) -> None:
+        self.spark = spark
+        self.state_dir = state_dir.rstrip("/")
+        self.key_col = key_col
+        self.ts_col = ts_col
+        self.period_us = period_seconds * 1_000_000
+
+    def _project(self, events: DataFrame) -> DataFrame:
+        from ..operators.timeseries import _epoch_us
+
+        epoch = _epoch_us(self.ts_col)
+        us = F.lit(self.period_us)
+        bucket = ((epoch - epoch % us) / us).cast("long")
+        return events.select(
+            F.col(self.key_col).alias("k"), bucket.alias("bucket")
+        )
+
+    def _activity_state(self) -> Optional[DataFrame]:
+        inc = self._read_versioned("activity")
+        if inc is None:
+            return None
+        return (
+            inc.groupBy("k", "bucket")
+            .agg(F.sum("cnt").alias("cnt"))
+            .filter(F.col("cnt") > 0)
+        )
+
+    def current(self) -> Optional[DataFrame]:
+        act = self._activity_state()
+        if act is None:
+            return None
+        return retention_from_activity(
+            act.select("k", "bucket"), key_col="k", bucket_col="bucket"
+        )
+
+    def _contrib(
+        self, act: Optional[DataFrame], touched: DataFrame
+    ) -> Optional[DataFrame]:
+        if act is None:
+            return None
+        return retention_from_activity(
+            act.join(touched, "k", "left_semi").select("k", "bucket"),
+            key_col="k",
+            bucket_col="bucket",
+        )
+
+    def process_batch(
+        self,
+        adds: Optional[DataFrame] = None,
+        retracts: Optional[DataFrame] = None,
+        epoch: Optional[int] = None,
+    ) -> Optional[DataFrame]:
+        # Event-level signed support: N add-events for the same
+        # (key, bucket) contribute cnt=N, so partial retraction of a
+        # bucket's support keeps the bucket alive until the LAST
+        # supporting event retracts — multiset semantics, matching the
+        # batch operator's distinct() over surviving events.
+        raw = _signed_union(
+            None if adds is None else self._project(adds),
+            None if retracts is None else self._project(retracts),
+            ["k", "bucket"],
+        )
+        if raw is None:
+            return None
+        delta = (
+            raw.groupBy("k", "bucket")
+            .agg(F.sum("cnt").alias("cnt"))
+            .filter(F.col("cnt") != 0)
+            .localCheckpoint(eager=True)
+        )
+        touched = delta.select("k").distinct()
+        old = self._contrib(self._activity_state(), touched)
+        if old is not None:
+            # materialize before the append (retried epochs overwrite
+            # their own partition in place)
+            old = old.localCheckpoint(eager=True)
+        self._append("activity", delta, epoch=epoch)
+        self._epochs = getattr(self, "_epochs", 0) + 1
+        if self._epochs % self.compact_every == 0:
+            consolidated = self._activity_state()
+            if consolidated is not None:
+                self._compact("activity", consolidated)
+        new = self._contrib(self._activity_state(), touched)
+
+        def tag(df: Optional[DataFrame], sign: int) -> Optional[DataFrame]:
+            if df is None:
+                return None
+            return df.select(
+                "cohort", "offset", (F.lit(sign) * F.col("n_users")).alias("diff")
+            )
+
+        olds, news = tag(old, -1), tag(new, 1)
+        if olds is None and news is None:
+            return None
+        both = news if olds is None else (
+            olds if news is None else olds.unionByName(news)
+        )
+        return (
+            both.groupBy("cohort", "offset")
+            .agg(F.sum("diff").alias("diff"))
+            .filter(F.col("diff") != 0)
+        )

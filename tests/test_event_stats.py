@@ -1,0 +1,255 @@
+"""Maintained event analytics (streaming/event_stats.py): funnel and
+cohort retention under add/retract epochs — equality with the batch
+operators (operators/timeseries.py) across deterministic and
+randomized churn, diff-stream consistency, and retraction cases that
+force re-derivation (chain breaks, re-cohorting)."""
+
+import datetime as dt
+import random
+
+import pytest
+
+from declarative_dataflow_spark.operators import timeseries
+from declarative_dataflow_spark.streaming.event_stats import (
+    IncrementalFunnel,
+    IncrementalRetention,
+)
+
+
+def _ts(day, hour, minute=0):
+    return dt.datetime(2024, 1, day, hour, minute)
+
+
+EV_COLS = ["event_id", "ts", "user_id", "event_type"]
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, EV_COLS)
+
+
+def _funnel_rows(df, steps):
+    out = timeseries.funnel(df, steps).collect()
+    return sorted(tuple(r) for r in out)
+
+
+def _retention_rows(df):
+    out = timeseries.retention(df, period_seconds=86_400).collect()
+    return sorted(tuple(r) for r in out)
+
+
+# ---------------------------------------------------------------------------
+# IncrementalFunnel
+# ---------------------------------------------------------------------------
+
+
+def test_incremental_funnel_adds_deepen_and_diffs(spark, tmp_path):
+    steps = ["view", "click", "buy"]
+    inc = IncrementalFunnel(spark, str(tmp_path / "f"), steps)
+
+    e1 = [(1, _ts(1, 1), 1, "view")]
+    d1 = inc.process_batch(adds=_df(spark, e1), epoch=0).collect()
+    assert [(r["user_id"], r["depth"], r["diff"]) for r in d1] == [(1, 1, 1)]
+
+    e2 = [(2, _ts(1, 2), 1, "click"), (3, _ts(1, 3), 1, "buy")]
+    d2 = {(r["user_id"], r["depth"]): r["diff"] for r in
+          inc.process_batch(adds=_df(spark, e2), epoch=1).collect()}
+    # old depth-1 row retracted, new depth-3 row asserted
+    assert d2 == {(1, 1): -1, (1, 3): 1}
+
+    live = _df(spark, e1 + e2)
+    assert sorted(tuple(r) for r in inc.current().collect()) == _funnel_rows(
+        live, steps
+    )
+
+
+def test_incremental_funnel_retraction_breaks_chain(spark, tmp_path):
+    steps = ["view", "click"]
+    inc = IncrementalFunnel(spark, str(tmp_path / "f"), steps)
+    rows = [
+        (1, _ts(1, 1), 1, "view"),
+        (2, _ts(1, 2), 1, "click"),
+        (3, _ts(1, 1), 2, "view"),
+    ]
+    inc.process_batch(adds=_df(spark, rows), epoch=0)
+    # retract user 1's click -> depth falls back to 1
+    d = {(r["user_id"], r["depth"]): r["diff"] for r in
+         inc.process_batch(retracts=_df(spark, [rows[1]]), epoch=1).collect()}
+    assert d == {(1, 2): -1, (1, 1): 1}
+    live = _df(spark, [rows[0], rows[2]])
+    assert sorted(tuple(r) for r in inc.current().collect()) == _funnel_rows(
+        live, steps
+    )
+
+
+def test_incremental_funnel_untouched_keys_emit_nothing(spark, tmp_path):
+    steps = ["view", "click"]
+    inc = IncrementalFunnel(spark, str(tmp_path / "f"), steps)
+    base = [
+        (i, _ts(1, 1), u, t)
+        for i, (u, t) in enumerate(
+            [(u, t) for u in range(10) for t in ("view", "click")]
+        )
+    ]
+    inc.process_batch(adds=_df(spark, base), epoch=0)
+    d = inc.process_batch(
+        adds=_df(spark, [(100, _ts(1, 5), 3, "view")]), epoch=1
+    ).collect()
+    assert {r["user_id"] for r in d} <= {3}
+
+
+def test_incremental_funnel_randomized_churn_equals_batch(spark, tmp_path):
+    rng = random.Random(43)
+    steps = ["a", "b", "c"]
+    inc = IncrementalFunnel(spark, str(tmp_path / "f"), steps)
+    base = dt.datetime(2024, 1, 1)
+    live = {}
+    next_id = 0
+    for epoch in range(6):
+        adds = []
+        for _ in range(rng.randrange(3, 9)):
+            adds.append(
+                (
+                    next_id,
+                    base + dt.timedelta(seconds=rng.randrange(10_000)),
+                    rng.randrange(4),
+                    rng.choice(steps + ["x"]),
+                )
+            )
+            next_id += 1
+        retracts = []
+        if live and epoch >= 2:
+            for rid in rng.sample(sorted(live), min(3, len(live))):
+                retracts.append(live[rid])
+        inc.process_batch(
+            adds=_df(spark, adds) if adds else None,
+            retracts=_df(spark, retracts) if retracts else None,
+            epoch=epoch,
+        )
+        for row in adds:
+            live[row[0]] = row
+        for row in retracts:
+            del live[row[0]]
+        got = sorted(tuple(r) for r in inc.current().collect())
+        want = _funnel_rows(_df(spark, list(live.values())), steps)
+        assert got == want, f"epoch {epoch}"
+
+
+def test_incremental_funnel_diff_stream_folds_to_current(spark, tmp_path):
+    """Accumulating every epoch's diffs reproduces current() — the
+    subscription-sink contract."""
+
+    rng = random.Random(47)
+    steps = ["a", "b"]
+    inc = IncrementalFunnel(spark, str(tmp_path / "f"), steps)
+    base = dt.datetime(2024, 1, 1)
+    acc = {}
+    next_id = 0
+    for epoch in range(4):
+        adds = [
+            (
+                next_id + j,
+                base + dt.timedelta(seconds=rng.randrange(5_000)),
+                rng.randrange(3),
+                rng.choice(steps),
+            )
+            for j in range(4)
+        ]
+        next_id += 4
+        diffs = inc.process_batch(adds=_df(spark, adds), epoch=epoch)
+        for r in diffs.collect():
+            key = tuple(r)[:-1]
+            acc[key] = acc.get(key, 0) + r["diff"]
+    folded = sorted(k for k, w in acc.items() if w != 0)
+    assert folded == sorted(tuple(r) for r in inc.current().collect())
+
+
+# ---------------------------------------------------------------------------
+# IncrementalRetention
+# ---------------------------------------------------------------------------
+
+
+def test_incremental_retention_recohorts_on_retraction(spark, tmp_path):
+    inc = IncrementalRetention(spark, str(tmp_path / "r"))
+    rows = [
+        (1, _ts(1, 5), 1, "view"),   # user 1 cohort day0
+        (2, _ts(2, 5), 1, "view"),   # active day1 (offset 1)
+        (3, _ts(2, 5), 2, "view"),   # user 2 cohort day1
+    ]
+    inc.process_batch(adds=_df(spark, rows), epoch=0)
+    day0 = (dt.date(2024, 1, 1) - dt.date(1970, 1, 1)).days
+    got = {(r["cohort"], r["offset"]): r["n_users"] for r in inc.current().collect()}
+    assert got == {(day0, 0): 1, (day0, 1): 1, (day0 + 1, 0): 1}
+
+    # retract user 1's day0 event: cohort moves to day1
+    d = {(r["cohort"], r["offset"]): r["diff"] for r in
+         inc.process_batch(retracts=_df(spark, [rows[0]]), epoch=1).collect()}
+    assert d == {(day0, 0): -1, (day0, 1): -1, (day0 + 1, 0): 1}
+    live = _df(spark, rows[1:])
+    assert sorted(tuple(r) for r in inc.current().collect()) == _retention_rows(
+        live
+    )
+
+
+def test_incremental_retention_duplicate_support_counts(spark, tmp_path):
+    """Two events in the same (user, day): retracting one keeps the
+    bucket alive, retracting both kills it — multiset semantics of the
+    batch operator's distinct over surviving events."""
+
+    inc = IncrementalRetention(spark, str(tmp_path / "r"))
+    rows = [
+        (1, _ts(1, 5), 1, "view"),
+        (2, _ts(1, 7), 1, "view"),
+    ]
+    inc.process_batch(adds=_df(spark, rows), epoch=0)
+    d1 = inc.process_batch(retracts=_df(spark, [rows[0]]), epoch=1)
+    assert d1.collect() == []  # bucket still supported
+    d2 = inc.process_batch(retracts=_df(spark, [rows[1]]), epoch=2).collect()
+    assert len(d2) == 1 and d2[0]["diff"] == -1
+    assert inc.current().collect() == []
+
+
+def test_incremental_retention_randomized_churn_equals_batch(spark, tmp_path):
+    rng = random.Random(53)
+    inc = IncrementalRetention(spark, str(tmp_path / "r"))
+    base = dt.datetime(2024, 1, 1)
+    live = {}
+    next_id = 0
+    for epoch in range(6):
+        adds = []
+        for _ in range(rng.randrange(4, 10)):
+            adds.append(
+                (
+                    next_id,
+                    base + dt.timedelta(seconds=rng.randrange(400_000)),
+                    rng.randrange(6),
+                    "view",
+                )
+            )
+            next_id += 1
+        retracts = []
+        if live and epoch >= 2:
+            for rid in rng.sample(sorted(live), min(4, len(live))):
+                retracts.append(live[rid])
+        inc.process_batch(
+            adds=_df(spark, adds) if adds else None,
+            retracts=_df(spark, retracts) if retracts else None,
+            epoch=epoch,
+        )
+        for row in adds:
+            live[row[0]] = row
+        for row in retracts:
+            del live[row[0]]
+        got = sorted(tuple(r) for r in inc.current().collect())
+        want = _retention_rows(_df(spark, list(live.values())))
+        assert got == want, f"epoch {epoch}"
+
+
+def test_incremental_retention_retried_epoch_is_idempotent(spark, tmp_path):
+    inc = IncrementalRetention(spark, str(tmp_path / "r"))
+    rows = [(1, _ts(1, 5), 1, "view"), (2, _ts(2, 5), 2, "view")]
+    inc.process_batch(adds=_df(spark, rows), epoch=0)
+    once = sorted(tuple(r) for r in inc.current().collect())
+    # the same epoch replayed (foreachBatch at-least-once) replaces its
+    # own contribution instead of double-counting
+    inc.process_batch(adds=_df(spark, rows), epoch=0)
+    assert sorted(tuple(r) for r in inc.current().collect()) == once

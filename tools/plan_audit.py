@@ -40,7 +40,6 @@ ALLOWLIST: dict[tuple[str, str], str] = {
     ("ann_lsh", "BroadcastNestedLoopJoin"): "one-row plane-weights broadcast",
     ("cosine_topk", "BroadcastNestedLoopJoin"): "one-row query-vector broadcast",
     ("ann_ivf", "BroadcastNestedLoopJoin"): "one-row query-vector broadcast",
-    ("ann_ivf_kmeans", "BroadcastNestedLoopJoin"): "one-row query-vector broadcast",
     ("ann_quantized", "BroadcastNestedLoopJoin"): "one-row query-vector broadcast",
     ("rrf_fusion", "BroadcastNestedLoopJoin"): "one-row (N, avgdl) + query-vector broadcasts",
     ("bm25_topk", "BroadcastNestedLoopJoin"): "one-row (N, avgdl) broadcast",
@@ -52,7 +51,6 @@ ALLOWLIST: dict[tuple[str, str], str] = {
     ("tfidf_topk", "BroadcastNestedLoopJoin"): "one-row doc-count broadcast",
     ("hll_distinct", "BroadcastNestedLoopJoin"): "one-row register-table fold",
     ("hist_quantiles", "BroadcastNestedLoopJoin"): "one-row total broadcast",
-    ("kmeans", "BroadcastNestedLoopJoin"): "k x dim centroid-table broadcast",
     # Empty-partition rank windows that run over BOUNDED inputs: the
     # global sort they imply touches <= k (or <= 2*depth) rows that a
     # TakeOrderedAndProject already reduced — not the corpus.
