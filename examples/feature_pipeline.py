@@ -8,9 +8,10 @@ attribution via the bucketized interval join (equi-join on
 (user, time-bucket) + residual filter — never a nested loop) ->
 point-in-time as-of features (union + window, NO Join operator in the
 plan: each click sees the latest prior purchase value, the
-training-serving-skew guard) -> a Z-order clustered layout so readers
-filtering on either (user, time) dimension prune files by parquet
-min/max stats.
+training-serving-skew guard) -> session/funnel/retention context
+(gaps-and-islands labels, ordered completion depths, cohort rollup)
+-> a Z-order clustered layout so readers filtering on either
+(user, time) dimension prune files by parquet min/max stats.
 
 Run: python examples/feature_pipeline.py [sf_dir]
 """
@@ -64,7 +65,18 @@ def main() -> None:
         quote_id_col="purchase_id",
     )
 
-    # 4. Assemble + cluster the write on (user, hour) Z-order.
+    # 4. Session + conversion context: gaps-and-islands session labels
+    #    joined onto the click features, funnel depth per user, daily
+    #    cohort retention as the monitoring rollup.
+    sess = timeseries.sessionize(ev, gap_seconds=1800).select(
+        F.col("event_id").alias("click_id"), "session_seq"
+    )
+    depths = timeseries.funnel(ev, ["view", "click", "purchase"]).select(
+        "user_id", "depth"
+    )
+    cohorts = timeseries.retention(ev, period_seconds=86_400)
+
+    # 5. Assemble + cluster the write on (user, hour) Z-order.
     feats = (
         asof.join(
             rolling.withColumnRenamed("event_id", "click_id").select(
@@ -72,6 +84,8 @@ def main() -> None:
             ),
             "click_id",
         )
+        .join(sess, "click_id")
+        .join(depths, "user_id", "left")
         .withColumn("u6", F.col("user_id") % 64)
         .withColumn(
             "h6", (F.floor(_epoch_us("ts") / 3_600_000_000) % 64)
@@ -84,6 +98,9 @@ def main() -> None:
     print(f"attributed clicks: {attributed.count()}")
     no_hist = asof.filter(F.col("asof_quote_id").isNull()).count()
     print(f"asof rows: {asof.count()} (no prior purchase: {no_hist})")
+    full = depths.filter(F.col("depth") == 3).count()
+    print(f"funnel: {depths.count()} users entered, {full} completed")
+    print(f"retention cells: {cohorts.count()}")
     print(f"feature partitions: {laid.rdd.getNumPartitions()}")
     spark.stop()
 
