@@ -1784,6 +1784,18 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user hourly-grid resample with last-observation-carried-
+    forward gap fill: two uniform-key shuffles + a map-side explode
+    whose volume IS the output — never a grid×events range join."""
+
+    from declarative_dataflow_spark.operators import timeseries
+
+    return timeseries.resample_locf(
+        load_table(spark, sf_dir, "events"), grid_seconds=3600
+    )
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-key session labeling (gaps-and-islands, 30-min gap) rolled
     up to session stats — one window PARTITIONED by user plus a
@@ -1969,6 +1981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,  # NEW in r6
         "interval_join": q_interval_join,  # NEW in r6
         "rolling_stats": q_rolling_stats,  # NEW in r6
+        "resample_locf": q_resample_locf,  # NEW in r6
         "tok_fertility": q_tok_fertility,  # NEW in r6
         "asof_join": q_asof_join,  # NEW in r6
         "zorder_key": q_zorder_key,  # NEW in r6
@@ -3757,6 +3770,25 @@ def oracle_sql() -> dict[str, str]:
             "AS max_win FROM events "
             "WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) "
             "RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)"
+        ),
+        "resample_locf": (
+            # Same validity-interval formulation: dedup equal
+            # timestamps (highest event_id wins), lead() bounds each
+            # observation's [ts, next_ts) interval, generate_series
+            # emits exactly the covered hourly ticks.
+            "WITH obs AS (SELECT user_id, epoch_us(ts) AS us, "
+            "max_by(value, event_id) AS v FROM events "
+            "GROUP BY user_id, epoch_us(ts)), "
+            "nxt AS (SELECT user_id, us, v, "
+            "lead(us) OVER (PARTITION BY user_id ORDER BY us) AS next_us "
+            "FROM obs), "
+            "ticks AS (SELECT user_id, v, "
+            "unnest(generate_series((us + 3599999999) // 3600000000, "
+            "CASE WHEN next_us IS NULL THEN us // 3600000000 "
+            "ELSE (next_us + 3599999999) // 3600000000 - 1 END)) AS tick "
+            "FROM nxt) "
+            "SELECT user_id, tick * 3600000000 AS grid_us, "
+            "CAST(v AS DOUBLE) AS value FROM ticks"
         ),
         "asof_join": (
             # Same union + partitioned-window formulation as the

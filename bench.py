@@ -78,6 +78,7 @@ HEADLINE = [
     "quality_calibrate",  # per-language percentile (partitioned window)
     "semdedup",        # SemDeDup: within-kmeans-cluster cosine pairs
     "hash_embed",      # feature-hashing embeddings (1 agg, dim cond sums)
+    "resample_locf",   # hourly-grid LOCF gap fill (explode == output)
     "sessionize",      # gaps-and-islands session stats (partitioned window)
     "funnel",          # ordered 3-step funnel (per-key equi-join chain)
     "retention",       # daily cohort retention (two uniform-key shuffles)

@@ -908,3 +908,100 @@ def test_hash_embed_feeds_semdedup(spark):
         for r in curation.semdedup(emb, k=2, iters=1, threshold=0.999).collect()
     )
     assert [(0, 1), (0, 2), (1, 2)] == [p for p in pairs if p[0] < 10]
+
+
+# ---------------------------------------------------------------- resample
+
+
+def _mk_events(spark, rows):
+    return spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "value"]
+    )
+
+
+def test_resample_locf_gap_fill(spark):
+    # obs at 0s (v=1) and 3h+10s (v=2), hourly grid: ticks 0..3 all
+    # carry v=1 (tick 3 = 10800s predates the 10810s observation);
+    # the final observation sits off-grid so it emits nothing.
+    df = _mk_events(
+        spark,
+        [
+            (1, dt.datetime(1970, 1, 1, 0, 0, 0), 7, 1.0),
+            (2, dt.datetime(1970, 1, 1, 3, 0, 10), 7, 2.0),
+        ],
+    )
+    out = sorted(
+        (r["grid_us"], r["value"])
+        for r in timeseries.resample_locf(df, grid_seconds=3600).collect()
+    )
+    assert out == [(i * 3_600_000_000, 1.0) for i in range(4)]
+
+
+def test_resample_locf_on_grid_and_ties(spark):
+    # two observations at the SAME timestamp: the higher event_id wins
+    # (max_by total order); an observation exactly on a grid tick is
+    # visible at that tick.
+    df = _mk_events(
+        spark,
+        [
+            (1, dt.datetime(1970, 1, 1, 2, 0, 0), 7, 10.0),
+            (2, dt.datetime(1970, 1, 1, 2, 0, 0), 7, 20.0),
+        ],
+    )
+    out = [
+        (r["grid_us"], r["value"])
+        for r in timeseries.resample_locf(df, grid_seconds=3600).collect()
+    ]
+    assert out == [(7_200_000_000, 20.0)]
+
+
+def test_resample_locf_matches_bruteforce(spark):
+    rng = random.Random(42)
+    rows = []
+    eid = 0
+    for user in range(5):
+        for _ in range(rng.randint(1, 30)):
+            eid += 1
+            secs = rng.randint(0, 86_400)
+            rows.append(
+                (
+                    eid,
+                    dt.datetime(1970, 1, 1) + dt.timedelta(seconds=secs),
+                    user,
+                    float(rng.randint(0, 100)),
+                )
+            )
+    grid = 1800
+    got = sorted(
+        (r["user_id"], r["grid_us"], r["value"])
+        for r in timeseries.resample_locf(
+            _mk_events(spark, rows), grid_seconds=grid
+        ).collect()
+    )
+
+    # brute force: per key, latest (ts, event_id) observation <= tick
+    exp = []
+    by_user = {}
+    for e, ts, u, v in rows:
+        by_user.setdefault(u, []).append((ts.timestamp(), e, v))
+    for u, obs in by_user.items():
+        obs.sort()
+        lo_t = min(t for t, _, _ in obs)
+        hi_t = max(t for t, _, _ in obs)
+        tick = math.ceil(lo_t / grid)
+        while tick * grid <= hi_t:
+            best = max((t, e, v) for t, e, v in obs if t <= tick * grid)
+            exp.append((u, tick * grid * 1_000_000, best[2]))
+            tick += 1
+    assert got == sorted(exp)
+
+
+def test_resample_locf_no_nested_loop(spark):
+    df = _mk_events(spark, [(1, dt.datetime(1970, 1, 1), 1, 1.0)])
+    plan = (
+        timeseries.resample_locf(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
