@@ -1886,6 +1886,16 @@ def q_quality_calibrate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.quality_calibrate(scored, "quality", "lang")
 
 
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language winsorization of document lengths: clamp to the
+    nearest-rank [p05, p95] bounds computed in exact integer
+    arithmetic — one partitioned window + broadcast bounds join."""
+
+    return curation.winsorize(
+        load_table(spark, sf_dir, "documents"), "n_chars", "lang"
+    )
+
+
 def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): near-identical embedding pairs
     WITHIN k-means clusters — candidates are cluster-bucketed (equi-
@@ -1988,6 +1998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_entropy": q_char_entropy,  # NEW in r6
         "blocklist": q_blocklist,  # NEW in r6
         "quality_calibrate": q_quality_calibrate,  # NEW in r6
+        "winsorize": q_winsorize,  # NEW in r6
         "semdedup": q_semdedup,  # NEW in r6
         "hash_embed": q_hash_embed,  # NEW in r6
         "sessionize": q_sessionize,  # NEW in r6
@@ -3872,6 +3883,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, grp, score, "
             "round(percent_rank() OVER (PARTITION BY grp ORDER BY score), 6) "
             "AS pct FROM j"
+        ),
+        "winsorize": (
+            # Same nearest-rank bounds in exact integer arithmetic:
+            # the value at row ceil(pct*n/100) of (value, id) order.
+            "WITH ranked AS (SELECT doc_id, lang AS grp, "
+            "CAST(n_chars AS DOUBLE) AS v, "
+            "row_number() OVER (PARTITION BY lang "
+            "ORDER BY CAST(n_chars AS DOUBLE), doc_id) AS r, "
+            "count(*) OVER (PARTITION BY lang) AS n FROM documents), "
+            "bounds AS (SELECT grp, "
+            "max(CASE WHEN r = greatest(1, (5*n+99)//100) THEN v END) AS lo, "
+            "max(CASE WHEN r = greatest(1, (95*n+99)//100) THEN v END) AS hi "
+            "FROM ranked GROUP BY grp) "
+            "SELECT doc_id, ranked.grp AS grp, v AS value, "
+            "least(greatest(v, lo), hi) AS w_value "
+            "FROM ranked JOIN bounds ON ranked.grp = bounds.grp"
         ),
         "semdedup": (
             "WITH asg AS (SELECT * FROM (" + _kmeans_oracle_sql(8, 2) + ") _k), "

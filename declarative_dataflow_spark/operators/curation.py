@@ -680,6 +680,60 @@ def quality_calibrate(
     )
 
 
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    group_col: str = "lang",
+    lo_pct: int = 5,
+    hi_pct: int = 95,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group winsorization: clamp ``value_col`` to the group's
+    [lo_pct, hi_pct] percentile bounds — the outlier-trim step before
+    per-group statistics feed a mixing/weighting decision (a single
+    pathological document otherwise drags a whole language's mean).
+    Returns (id, grp, value, w_value).
+
+    Bounds are NEAREST-RANK percentiles (the value at row
+    ``ceil(pct * n / 100)`` in (value, id) order) computed in exact
+    integer arithmetic — ``(pct*n + 99) div 100`` — never
+    ``ceil(0.05 * n)`` in doubles, where 0.05*100 rounds to
+    5.000000000000001 and ceil silently shifts the cut by one row
+    (the same trap ADVICE flagged in the Jaccard prefix filter).
+    Interpolated percentiles are avoided entirely: both engines pick
+    an actual data value, so the clamp boundary is bit-identical.
+
+    Shape: one window PARTITIONED by group (rank + count), a
+    conditional aggregation to one bounds row per group, and a
+    broadcast join back — parallel across groups at any scale.
+    """
+
+    v = F.col(value_col).cast("double")
+    w = Window.partitionBy(group_col).orderBy(v, F.col(id_col))
+    wn = Window.partitionBy(group_col)
+    ranked = df.select(
+        F.col(id_col),
+        F.col(group_col).alias("grp"),
+        v.alias("__v"),
+        F.row_number().over(w).alias("__r"),
+        F.count(F.lit(1)).over(wn).alias("__n"),
+    )
+    lo_r = F.greatest(F.lit(1), F.expr(f"({lo_pct} * __n + 99) div 100"))
+    hi_r = F.greatest(F.lit(1), F.expr(f"({hi_pct} * __n + 99) div 100"))
+    bounds = ranked.groupBy("grp").agg(
+        F.max(F.when(F.col("__r") == lo_r, F.col("__v"))).alias("__lo"),
+        F.max(F.when(F.col("__r") == hi_r, F.col("__v"))).alias("__hi"),
+    )
+    return ranked.join(F.broadcast(bounds), "grp").select(
+        F.col(id_col),
+        F.col("grp"),
+        F.col("__v").alias("value"),
+        F.least(F.greatest(F.col("__v"), F.col("__lo")), F.col("__hi")).alias(
+            "w_value"
+        ),
+    )
+
+
 def semdedup(
     embeddings: DataFrame,
     k: int = 8,

@@ -237,3 +237,71 @@ def test_semdedup_no_cartesian(spark):
         .toString()
     )
     assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------- winsorize
+
+
+def test_winsorize_clamps_to_rank_bounds(spark):
+    # group of 20 values 1..20: p05 rank = ceil(5*20/100) = 1 -> lo=1,
+    # p95 rank = ceil(95*20/100) = 19 -> hi=19; only the max clamps.
+    rows = [(i, "en", float(i)) for i in range(1, 21)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "v"])
+    out = {
+        r["doc_id"]: r["w_value"]
+        for r in curation.winsorize(df, "v").collect()
+    }
+    assert out[20] == 19.0
+    assert all(out[i] == float(i) for i in range(1, 20))
+
+
+def test_winsorize_integer_rank_arithmetic(spark):
+    # n=100, lo_pct=5: the bound must be the rank-5 element (float
+    # 0.05*100 rounds ABOVE 5.0, so a double ceil would pick rank 6).
+    rows = [(i, "en", float(i)) for i in range(1, 101)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "v"])
+    out = {
+        r["doc_id"]: r["w_value"]
+        for r in curation.winsorize(df, "v").collect()
+    }
+    assert out[1] == 5.0 and out[4] == 5.0 and out[5] == 5.0
+    assert out[6] == 6.0
+    assert out[96] == 95.0 and out[100] == 95.0
+
+
+def test_winsorize_matches_bruteforce(spark):
+    import math
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, rng.choice(["en", "es", "fr"]), round(rng.uniform(-50, 50), 3))
+        for i in range(1, 201)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "v"])
+    got = {
+        r["doc_id"]: r["w_value"]
+        for r in curation.winsorize(df, "v").collect()
+    }
+    by_grp = {}
+    for i, g, v in rows:
+        by_grp.setdefault(g, []).append((v, i))
+    for g, vals in by_grp.items():
+        vals.sort()
+        n = len(vals)
+        lo = vals[max(1, math.ceil(5 * n / 100)) - 1][0]
+        hi = vals[max(1, math.ceil(95 * n / 100)) - 1][0]
+        for v, i in vals:
+            assert got[i] == min(max(v, lo), hi)
+
+
+def test_winsorize_broadcasts_bounds(spark):
+    df = spark.createDataFrame([(1, "en", 1.0)], ["doc_id", "lang", "v"])
+    plan = (
+        curation.winsorize(df, "v")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
