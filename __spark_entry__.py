@@ -1886,6 +1886,25 @@ def q_quality_calibrate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.quality_calibrate(scored, "quality", "lang")
 
 
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed schema-on-read over the embedded JSON sidecar column:
+    one from_json with an EXPLICIT schema (JVM-side, codegen) projects
+    props.k, then a per-k rollup — no inference job, no Python."""
+
+    from declarative_dataflow_spark.sources.files import json_fields
+
+    ev = json_fields(
+        load_table(spark, sf_dir, "events"), "props", {"k": "bigint"}
+    )
+    v = F.col("value").cast("decimal(18,6)")
+    return ev.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(v).cast("double") / F.count(F.lit(1)), 6).alias(
+            "avg_value"
+        ),
+    )
+
+
 def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language winsorization of document lengths: clamp to the
     nearest-rank [p05, p95] bounds computed in exact integer
@@ -1999,6 +2018,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocklist": q_blocklist,  # NEW in r6
         "quality_calibrate": q_quality_calibrate,  # NEW in r6
         "winsorize": q_winsorize,  # NEW in r6
+        "json_props": q_json_props,  # NEW in r6
         "semdedup": q_semdedup,  # NEW in r6
         "hash_embed": q_hash_embed,  # NEW in r6
         "sessionize": q_sessionize,  # NEW in r6
@@ -3883,6 +3903,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, grp, score, "
             "round(percent_rank() OVER (PARTITION BY grp ORDER BY score), 6) "
             "AS pct FROM j"
+        ),
+        "json_props": (
+            "SELECT CAST(props->>'$.k' AS BIGINT) AS k, "
+            "count(*) AS n, "
+            "round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) "
+            "/ count(*), 6) AS avg_value "
+            "FROM events GROUP BY 1"
         ),
         "winsorize": (
             # Same nearest-rank bounds in exact integer arithmetic:

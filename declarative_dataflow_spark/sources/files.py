@@ -18,7 +18,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Optional
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..engine import Engine
 
@@ -87,6 +87,30 @@ def register_json_source(
             aid, table_name, eid_column, f"`{field.name}`"
         )
     return df
+
+
+def json_fields(
+    df: DataFrame, json_col: str, fields: dict[str, str]
+) -> DataFrame:
+    """Project typed columns out of an embedded JSON-string column
+    (the metadata-sidecar pattern: a parquet table carries a `props`
+    VARCHAR holding per-row JSON). ``fields`` maps field name ->
+    Spark SQL type; one ``from_json`` with an EXPLICIT schema parses
+    the blob JVM-side inside whole-stage codegen — schema-on-read
+    without inference jobs, no Python in the loop, and unparseable
+    rows or type-mismatched fields (e.g. a string-typed "7" against a
+    BIGINT field) yield NULLs instead of failures (the large-corpus
+    contract: a single malformed sidecar must not kill a 100 TB scan).
+
+    Beyond-reference: the reference ingests JSON only as whole files
+    (json_file.rs); embedded per-row JSON columns have no analog.
+    """
+
+    schema = ", ".join(f"`{name}` {typ}" for name, typ in fields.items())
+    parsed = F.from_json(F.col(json_col), schema)
+    return df.select(
+        "*", *[parsed[name].alias(name) for name in fields]
+    ).drop(json_col)
 
 
 def stream_csv_source(

@@ -8,6 +8,7 @@ from declarative_dataflow_spark import Join, MatchA
 from declarative_dataflow_spark.engine import Engine
 from declarative_dataflow_spark.sources.files import (
     ColumnSpec,
+    json_fields,
     register_csv_source,
     register_json_source,
 )
@@ -244,3 +245,41 @@ def test_kafka_broker_end_to_end(spark):
         ]
     finally:
         q.stop()
+
+
+# ---------------------------------------------------------------- json_fields
+
+
+def test_json_fields_typed_projection(spark):
+    df = spark.createDataFrame(
+        [
+            (1, '{"k": 69, "tag": "a"}'),
+            (2, '{"k": "7"}'),          # string-typed number: NULL, not coerced
+            (3, "not json at all"),      # malformed -> NULLs, no failure
+            (4, None),                    # NULL blob -> NULLs
+        ],
+        ["id", "props"],
+    )
+    out = {
+        r["id"]: (r["k"], r["tag"])
+        for r in json_fields(df, "props", {"k": "bigint", "tag": "string"})
+        .collect()
+    }
+    assert out[1] == (69, "a")
+    assert out[2] == (None, None)
+    assert out[3] == (None, None)
+    assert out[4] == (None, None)
+    # the raw blob column is dropped from the projection
+    assert "props" not in json_fields(df, "props", {"k": "bigint"}).columns
+
+
+def test_json_fields_stays_jvm_side(spark):
+    df = spark.createDataFrame([(1, '{"k": 1}')], ["id", "props"])
+    plan = (
+        json_fields(df, "props", {"k": "bigint"})
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # single projection, no Python evaluation, no shuffle
+    assert "BatchEvalPython" not in plan and "Exchange" not in plan
