@@ -724,6 +724,20 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.pagerank(edges, iters=10).select("node", "rank")
 
 
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """12-core of the derived 1000-node event graph: shrink-to-
+    fixpoint peel (degree agg + endpoint-restriction joins per round,
+    all node-partitioned), converging in a handful of rounds; the
+    operator raises if it has not actually converged."""
+
+    ev = load_table(spark, sf_dir, "events")
+    edges = ev.select(
+        (F.col("user_id") % 1000).alias("src"),
+        (F.col("event_id") % 1000).alias("dst"),
+    )
+    return graph.kcore(edges, k=12)
+
+
 def q_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Label propagation to fixpoint — the reference's flagship
     recursive benchmark (experiments/src/bin/labelprop.rs:23-47):
@@ -2031,6 +2045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tclosure_nonlinear": q_tclosure_nonlinear,
         "shortest_hops": q_shortest_hops,
         "pagerank": q_pagerank,
+        "kcore": q_kcore,  # NEW in r6
         "labelprop": q_labelprop,
         "triangle_count": q_triangle_count,
         "triangle_wco": q_triangle_wco,
@@ -2211,6 +2226,37 @@ def _bpe_encode_oracle_sql(n_merges: int = 8) -> str:
         "sum(c * n_sym)::BIGINT AS n_tokens "
         "FROM dt JOIN ns USING (word) GROUP BY 1"
     )
+
+
+def _kcore_oracle_sql(k: int = 12, iters: int = 8) -> str:
+    """DuckDB twin of graph.kcore: the shrink-to-fixpoint peel
+    unrolled ``iters`` times (idempotent past the fixpoint, so any
+    unroll depth >= the actual peel depth yields the converged core;
+    the Spark side RAISES if it has not converged, so a mismatch can
+    only mean the unroll is too shallow — deepen it, don't loosen)."""
+
+    # AS MATERIALIZED is load-bearing: each stage references the
+    # previous one three times (directly + via both endpoint
+    # restrictions), so default CTE inlining expands the chain
+    # 3^iters-fold and the planner never returns.
+    parts = [
+        "WITH e0 AS MATERIALIZED (SELECT DISTINCT src, dst FROM ("
+        "SELECT user_id % 1000 AS src, event_id % 1000 AS dst FROM events "
+        "UNION ALL SELECT event_id % 1000, user_id % 1000 FROM events"
+        ") WHERE src <> dst)"
+    ]
+    for i in range(iters):
+        parts.append(
+            f", n{i + 1} AS MATERIALIZED (SELECT src AS node FROM e{i} "
+            f"GROUP BY src HAVING count(*) >= {k})"
+            f", e{i + 1} AS MATERIALIZED (SELECT e{i}.src, e{i}.dst FROM e{i} "
+            f"JOIN n{i + 1} a ON e{i}.src = a.node "
+            f"JOIN n{i + 1} b ON e{i}.dst = b.node)"
+        )
+    parts.append(
+        f" SELECT src AS node, count(*) AS deg FROM e{iters} GROUP BY src"
+    )
+    return "".join(parts)
 
 
 def _kmeans_oracle_sql(k: int = 8, iters: int = 2) -> str:
@@ -3558,6 +3604,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "bpe_encode": _bpe_encode_oracle_sql(8),
         "kmeans": _kmeans_oracle_sql(8, 2),
+        "kcore": _kcore_oracle_sql(12, 8),
         "nb_quality": (
             "WITH m AS (SELECT doc_id, "
             "regexp_split_to_array(trim(lower(text)), '\\s+') AS w, "

@@ -47,6 +47,7 @@ HEADLINE = [
     "ann_ivf",         # IVF ANN (broadcast centroids, nprobe cells)
     "pq_topk",         # product-quantization ANN (ADC table lookups)
     "shortest_cost",   # weighted recursive aggregate (delta relaxation)
+    "kcore",           # shrink-to-fixpoint peel (degree agg + joins)
     "window_tumbling",  # streaming window operator on batch input
     "window_sliding",  # overlapping sliding windows
     "window_session",  # merging session windows

@@ -282,3 +282,71 @@ def shortest_paths(
                 step = max(1, step // 2)
         prev_count = n_delta
     raise RuntimeError(f"shortest_paths did not converge in {max_iters} rounds")
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_iters: int = 30,
+    require_convergence: bool = True,
+) -> DataFrame:
+    """k-core decomposition: the maximal subgraph in which every node
+    keeps at least ``k`` neighbors — the standard graph-density gate
+    (spam/bot subgraph mining, community pre-filtering, and coreness
+    features). Input is a directed edge list; it is symmetrized and
+    deduplicated first, so degree means DISTINCT undirected neighbors
+    and self-loops never count. Returns (node, deg): the surviving
+    nodes with their within-core degree.
+
+    Peeling is NOT monotone (removing a node lowers neighbors'
+    degrees), so this cannot ride the engine's semi-naive set
+    fixpoint; it is the complementary shrink-to-fixpoint loop. Each
+    round: one uniform-key degree aggregation + two equi-joins that
+    restrict edges to surviving endpoints — all shuffle-partitioned
+    by node id, no broadcast of anything data-sized, AQE sizes the
+    shrinking edge table. ``localCheckpoint`` truncates lineage per
+    round (the shortest-paths discipline); convergence is edge-count
+    stability (the new edge set is a subset, so equal count ==
+    fixpoint). Rounds are bounded by the peel depth — for real
+    graphs a handful — never by node count.
+    """
+
+    und = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .union(edges.select(F.col(dst).alias("src"), F.col(src).alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_edges = und.count()
+    converged = n_edges == 0
+    for _ in range(max_iters):
+        if converged:
+            break
+        keep = (
+            und.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= k)
+            .select("src")
+        )
+        nxt = (
+            und.join(keep, "src")
+            .join(keep.withColumnRenamed("src", "dst"), "dst")
+            .select("src", "dst")
+            .localCheckpoint()
+        )
+        m = nxt.count()
+        if m == n_edges:
+            converged = True
+            break
+        und, n_edges = nxt, m
+        converged = m == 0
+    if require_convergence and not converged:
+        raise RuntimeError(
+            f"kcore: no fixpoint within {max_iters} rounds"
+        )
+    return und.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )

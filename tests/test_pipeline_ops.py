@@ -1605,3 +1605,80 @@ def test_corpus_profile_matches_bruteforce(spark):
     }
     approx = {r["col"]: r for r in profile.corpus_profile(df, exact=False).collect()}
     assert approx["id"]["ndv"] == 4  # HLL++ exact at tiny cardinality
+
+
+# ---------------------------------------------------------------- k-core
+
+
+def test_kcore_peels_transitively(spark):
+    from declarative_dataflow_spark.operators import graph
+
+    # triangle {1,2,3} + a pendant chain 3-4-5: removing 5 (deg 1)
+    # drops 4 to deg 1, so the 2-core is exactly the triangle.
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)], ["src", "dst"]
+    )
+    out = {
+        r["node"]: r["deg"] for r in graph.kcore(edges, k=2).collect()
+    }
+    assert out == {1: 2, 2: 2, 3: 2}
+
+
+def test_kcore_symmetrizes_and_ignores_self_loops(spark):
+    from declarative_dataflow_spark.operators import graph
+
+    # duplicate directed pairs and self-loops must not inflate degree
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 1), (2, 3), (1, 3)], ["src", "dst"]
+    )
+    out = {
+        r["node"]: r["deg"] for r in graph.kcore(edges, k=2).collect()
+    }
+    assert out == {1: 2, 2: 2, 3: 2}
+
+
+def test_kcore_empty_when_over_k(spark):
+    from declarative_dataflow_spark.operators import graph
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], ["src", "dst"])
+    assert graph.kcore(edges, k=5).count() == 0
+
+
+def test_kcore_raises_without_convergence(spark):
+    from declarative_dataflow_spark.operators import graph
+
+    # a 6-chain peels from both ends: 1 round per endpoint pair,
+    # needs 3 rounds to empty under k=2 — max_iters=1 must raise.
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 6)], ["src", "dst"]
+    )
+    with pytest.raises(RuntimeError, match="kcore"):
+        graph.kcore(edges, k=2, max_iters=1).collect()
+
+
+def test_kcore_matches_bruteforce(spark):
+    import random
+
+    from declarative_dataflow_spark.operators import graph
+
+    rng = random.Random(11)
+    pairs = {(rng.randint(0, 29), rng.randint(0, 29)) for _ in range(120)}
+    edges = spark.createDataFrame(sorted(pairs), ["src", "dst"])
+    k = 4
+    got = {r["node"]: r["deg"] for r in graph.kcore(edges, k=k).collect()}
+
+    und = {(s, d) for s, d in pairs if s != d}
+    und |= {(d, s) for s, d in und}
+    while True:
+        deg = {}
+        for s, _ in und:
+            deg[s] = deg.get(s, 0) + 1
+        keep = {n for n, c in deg.items() if c >= k}
+        nxt = {(s, d) for s, d in und if s in keep and d in keep}
+        if nxt == und:
+            break
+        und = nxt
+    exp = {}
+    for s, _ in und:
+        exp[s] = exp.get(s, 0) + 1
+    assert got == exp
