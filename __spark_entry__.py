@@ -1932,10 +1932,16 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): near-identical embedding pairs
     WITHIN k-means clusters — candidates are cluster-bucketed (equi-
-    join on the cell id), never all-pairs; k is the density lever."""
+    join on the cell id), never all-pairs. k is DENSITY-DERIVED
+    (``k="auto"`` -> max(8, ceil(n/256)) in both engines): a fixed k
+    makes the pair join ~n²/k — measured 20x wall for 10x data at
+    k=8 — while the derived form caps cell occupancy and stays
+    linear. At sf0.01 (n=500) the derived k IS 8, so the oracle
+    row is unchanged."""
 
     return curation.semdedup(
-        load_table(spark, sf_dir, "embeddings"), k=8, iters=2, threshold=0.3
+        load_table(spark, sf_dir, "embeddings"), k="auto", iters=2,
+        threshold=0.3,
     )
 
 
@@ -2259,11 +2265,16 @@ def _kcore_oracle_sql(k: int = 12, iters: int = 8) -> str:
     return "".join(parts)
 
 
-def _kmeans_oracle_sql(k: int = 8, iters: int = 2) -> str:
+def _kmeans_oracle_sql(k: int = 8, iters: int = 2, k_sql: str = "") -> str:
     """DuckDB twin of similarity.kmeans_assign: the ann_ivf_kmeans
     one-step Lloyd CTE unrolled ``iters`` times (lowest-id seeds,
     cosine argmax assignment with cell tiebreak, per-component means
-    rounded to 6 decimals, empty cells keep their centroid)."""
+    rounded to 6 decimals, empty cells keep their centroid).
+
+    ``k_sql`` (a scalar SQL expression over the corpus, e.g. the
+    density_cells form) overrides the literal ``k`` — the seed CTE
+    then takes the lowest-rn rows under a row_number filter instead
+    of a LIMIT, mirroring semdedup's k="auto"."""
 
     def assign(src: str, cents: str, cols: str) -> str:
         return (
@@ -2280,8 +2291,14 @@ def _kmeans_oracle_sql(k: int = 8, iters: int = 2) -> str:
     ctes = [
         "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
         "FROM embeddings)",
-        f"c0 AS (SELECT vec_id AS cell, v AS cv FROM e "
-        f"ORDER BY vec_id LIMIT {k})",
+        (
+            "c0 AS (SELECT vec_id AS cell, v AS cv FROM "
+            "(SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) AS rn "
+            f"FROM e) WHERE rn <= (SELECT {k_sql} FROM e))"
+            if k_sql
+            else f"c0 AS (SELECT vec_id AS cell, v AS cv FROM e "
+            f"ORDER BY vec_id LIMIT {k})"
+        ),
     ]
     for i in range(1, iters + 1):
         prev = f"c{i - 1}"
@@ -3975,7 +3992,11 @@ def oracle_sql() -> dict[str, str]:
             "FROM ranked JOIN bounds ON ranked.grp = bounds.grp"
         ),
         "semdedup": (
-            "WITH asg AS (SELECT * FROM (" + _kmeans_oracle_sql(8, 2) + ") _k), "
+            "WITH asg AS (SELECT * FROM ("
+            + _kmeans_oracle_sql(
+                iters=2, k_sql="greatest(8, (count(*) + 255) // 256)"
+            )
+            + ") _k), "
             "ee AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
             "FROM embeddings), "
             "bb AS (SELECT asg.vec_id AS id, asg.cell, ee.v, "

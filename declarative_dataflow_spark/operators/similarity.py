@@ -40,6 +40,22 @@ def density_planes(n: int, target_bucket: int = 32) -> int:
     return max(1, math.ceil(math.log2(max(n, 2) / target_bucket)))
 
 
+def density_cells(n: int, target_cell: int = 256, k_min: int = 8) -> int:
+    """Density-adjusted k-means cell count: ``max(k_min,
+    ceil(n / target_cell))`` in exact integer arithmetic.
+
+    Within-cell pair joins (SemDeDup) grow ~(n/k)²·k = n²/k, so a
+    FIXED k degrades quadratically as the corpus densifies — the same
+    trap as a fixed LSH plane count (measured 20x wall-time for 10x
+    data at k=8). Deriving k from the corpus count caps expected cell
+    occupancy at ~``target_cell``, making the pair join linear in n.
+    ``(n + t - 1) // t`` — never ``ceil(n / t)`` in doubles, where the
+    float quotient of an exact multiple can round up past the integer
+    (the winsorize/prefix-filter discipline)."""
+
+    return max(k_min, (n + target_cell - 1) // target_cell)
+
+
 def _dot(a: str, b: str) -> Column:
     return F.expr(
         f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
@@ -361,6 +377,62 @@ def _assign_cells(
     # Double literals go through CAST('<repr>' AS DOUBLE) — repr is
     # shortest-round-trip, so the parsed double is bit-identical.
     dim = len(rows[0]["cv"])
+
+    if len(rows) * dim > 4096:
+        # Large-k path: the literal unroll below grows the generated
+        # method with k x dim terms, falls past Janino's JIT budget,
+        # and Spark silently evaluates the whole expression tree
+        # INTERPRETED — measured ~50x slower at k=79, dim=64 (the
+        # density-derived SemDeDup cell counts). Instead score against
+        # the BROADCAST centroid table with positionally-unrolled
+        # dots: every expression stays dim-sized (codegen-friendly at
+        # any k), the n x k expansion is map-side, and the argmax
+        # pre-reduces in the same max-struct hash aggregate as the
+        # dynamic fallback. Bit-identical to the unroll: SQL
+        # left-assoc sums == the Python-accumulated literal norms,
+        # ties and zero-norm rows resolve to the lowest cell id
+        # through the same (s, -cell) order.
+        def psum(a: str, b: str) -> str:
+            return " + ".join(
+                f"CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE)"
+                for i in range(dim)
+            )
+
+        pre = embeddings.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("v"),
+            F.expr(f"sqrt({psum('v', 'v')})").alias("__vn"),
+        )
+        # The n x k expansion parallelizes per INPUT partition; a
+        # small corpus can arrive as one parquet split and serialize
+        # the whole scoring pass on one core (measured 33s vs 2s at
+        # n=20k, k=79). Widen to the session parallelism only when
+        # the scan is narrower — at real scale (thousands of splits)
+        # this is a no-op, so no shuffle is added at 100 TB.
+        spark = embeddings.sparkSession
+        par = spark.sparkContext.defaultParallelism
+        if pre.rdd.getNumPartitions() < par:
+            pre = pre.repartition(par)
+        cb = cents.select(
+            "cell", "cv", F.expr(f"sqrt({psum('cv', 'cv')})").alias("__cn")
+        )
+        scored = pre.crossJoin(F.broadcast(cb)).withColumn(
+            "csim",
+            F.expr(psum("v", "cv"))
+            / F.nullif(F.col("__vn") * F.col("__cn"), F.lit(0.0)),
+        )
+        best = scored.groupBy("vec_id").agg(
+            F.max(
+                F.struct(
+                    F.coalesce(F.col("csim"), F.lit(float("-inf"))).alias("s"),
+                    (-F.col("cell")).alias("nc"),
+                    F.col("cell").alias("cell"),
+                )
+            ).alias("b")
+        )
+        # keep_vec is honored by the caller joining v back (this path
+        # aggregates, so the vector cannot ride through the argmax).
+        return best.select("vec_id", F.col("b.cell").alias("cell"))
 
     def dlit(x: float) -> str:
         return f"CAST('{x!r}' AS DOUBLE)"

@@ -1682,3 +1682,46 @@ def test_kcore_matches_bruteforce(spark):
     for s, _ in und:
         exp[s] = exp.get(s, 0) + 1
     assert got == exp
+
+
+def test_assign_cells_large_k_path_matches_bruteforce(spark):
+    """k*dim above the unroll budget takes the broadcast-scored path;
+    its argmax must equal the literal-unroll semantics exactly
+    (lowest cell id on ties, zero-norm rows to the lowest cell)."""
+
+    import math
+    import random
+
+    from declarative_dataflow_spark.operators.similarity import (
+        _assign_cells,
+        _seed_centroids,
+    )
+
+    rng = random.Random(3)
+    dim, n = 16, 300  # k = n seeds -> k*dim = 4800 > 4096 budget
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(n)
+    ]
+    rows[7] = (7, [0.0] * dim)  # zero-norm row
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = _seed_centroids(emb, n, "vec_id", "embedding")
+    got = {
+        r["vec_id"]: r["cell"]
+        for r in _assign_cells(emb, cents, "vec_id", "embedding").collect()
+    }
+    cent_rows = sorted(
+        ((r["cell"], r["cv"]) for r in cents.collect()), key=lambda t: t[0]
+    )
+    for vid, v in rows:
+        vn = math.sqrt(sum(x * x for x in v))
+        best = None
+        for cell, cv in cent_rows:
+            cn = math.sqrt(sum(x * x for x in cv))
+            sim = (
+                float("-inf")
+                if vn * cn == 0
+                else sum(a * b for a, b in zip(v, cv)) / (vn * cn)
+            )
+            if best is None or sim > best[0]:
+                best = (sim, cell)
+        assert got[vid] == best[1], vid
