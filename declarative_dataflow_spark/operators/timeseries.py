@@ -141,24 +141,37 @@ def sessionize(
     never opens a session).
     """
 
-    us = gap_seconds * 1_000_000
-    w = Window.partitionBy(key_col).orderBy("__t", id_col)
-    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     t = events.withColumn("__t", _epoch_us(ts_col))
-    flagged = t.withColumn(
+    return sessionize_us(
+        t, key_col, "__t", id_col, gap_seconds * 1_000_000
+    ).drop("__t")
+
+
+def sessionize_us(
+    events: DataFrame,
+    key_col: str,
+    tu_col: str,
+    id_col: str,
+    gap_us: int,
+) -> DataFrame:
+    """:func:`sessionize` core over a pre-computed epoch-us column —
+    shared verbatim by the batch operator and the incremental
+    maintainer (streaming/event_stats.py) so their session semantics
+    cannot drift."""
+
+    w = Window.partitionBy(key_col).orderBy(tu_col, id_col)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    flagged = events.withColumn(
         "__new",
         F.when(
-            F.lag("__t").over(w).isNull()
-            | ((F.col("__t") - F.lag("__t").over(w)) > F.lit(us)),
+            F.lag(tu_col).over(w).isNull()
+            | ((F.col(tu_col) - F.lag(tu_col).over(w)) > F.lit(gap_us)),
             F.lit(1),
         ).otherwise(F.lit(0)),
     )
-    return (
-        flagged.withColumn(
-            "session_seq", F.sum("__new").over(run).cast("long")
-        )
-        .drop("__t", "__new")
-    )
+    return flagged.withColumn(
+        "session_seq", F.sum("__new").over(run).cast("long")
+    ).drop("__new")
 
 
 def session_stats(
@@ -173,8 +186,25 @@ def session_stats(
     the rollup shuffle on the same key, so the aggregation reuses the
     session partitioning."""
 
-    lab = sessionize(events, key_col, ts_col, id_col, gap_seconds)
-    t = _epoch_us(ts_col)
+    t = events.withColumn("__t", _epoch_us(ts_col))
+    return session_stats_us(
+        t, key_col, "__t", id_col, gap_seconds * 1_000_000
+    )
+
+
+def session_stats_us(
+    events: DataFrame,
+    key_col: str = "k",
+    tu_col: str = "tu",
+    id_col: str = "eid",
+    gap_us: int = 1_800_000_000,
+) -> DataFrame:
+    """:func:`session_stats` core over a pre-computed epoch-us column
+    — the maintainer's entry point (same shared-core discipline as
+    funnel_us / retention_from_activity)."""
+
+    lab = sessionize_us(events, key_col, tu_col, id_col, gap_us)
+    t = F.col(tu_col)
     return lab.groupBy(key_col, "session_seq").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.min(t).alias("start_us"),

@@ -308,3 +308,135 @@ class IncrementalRetention(_GenerationalState):
             .agg(F.sum("diff").alias("diff"))
             .filter(F.col("diff") != 0)
         )
+
+
+class IncrementalSessionize(_GenerationalState):
+    """Maintained per-session statistics (operators/timeseries.py::
+    session_stats). State: signed support counts of the events as
+    (key, tu, eid, cnt) — SET semantics per event id (an id is
+    present while its support is positive; duplicate assertions are
+    idempotent until equally retracted), matching the batch operator
+    over a stream of unique event ids. ``process_batch`` returns the
+    epoch's result diffs as (key, session_seq, n_events, start_us,
+    end_us, duration_s, diff): retracting a bridging event can SPLIT
+    a session (or renumber every later session of that key), and the
+    touched-key recompute handles both exactly — the old rows retract
+    in full, the re-derived ones assert."""
+
+    KEY_COL = "user_id"
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        key_col: str = "user_id",
+        ts_col: str = "ts",
+        id_col: str = "event_id",
+        gap_seconds: int = 1800,
+    ) -> None:
+        self.spark = spark
+        self.state_dir = state_dir.rstrip("/")
+        self.key_col = key_col
+        self.ts_col = ts_col
+        self.id_col = id_col
+        self.gap_us = gap_seconds * 1_000_000
+
+    def _project(self, events: DataFrame) -> DataFrame:
+        from ..operators.timeseries import _epoch_us
+
+        return events.select(
+            F.col(self.key_col).alias("k"),
+            _epoch_us(self.ts_col).alias("tu"),
+            F.col(self.id_col).alias("eid"),
+        )
+
+    def _events_state(self) -> Optional[DataFrame]:
+        inc = self._read_versioned("events")
+        if inc is None:
+            return None
+        return (
+            inc.groupBy("k", "tu", "eid")
+            .agg(F.sum("cnt").alias("cnt"))
+            .filter(F.col("cnt") > 0)
+        )
+
+    def _stats_of(self, ev: Optional[DataFrame]) -> Optional[DataFrame]:
+        from ..operators.timeseries import session_stats_us
+
+        if ev is None:
+            return None
+        return session_stats_us(
+            ev, key_col="k", tu_col="tu", id_col="eid", gap_us=self.gap_us
+        )
+
+    def current(self) -> Optional[DataFrame]:
+        """The full maintained result, recomputed from state — the
+        equality-gate read; per-epoch diffs never take this path."""
+
+        out = self._stats_of(self._events_state())
+        if out is None:
+            return None
+        return out.withColumnRenamed("k", self.key_col)
+
+    def process_batch(
+        self,
+        adds: Optional[DataFrame] = None,
+        retracts: Optional[DataFrame] = None,
+        epoch: Optional[int] = None,
+    ) -> Optional[DataFrame]:
+        delta = _signed_union(
+            None if adds is None else self._project(adds),
+            None if retracts is None else self._project(retracts),
+            ["k", "tu", "eid"],
+        )
+        if delta is None:
+            return None
+        delta = (
+            delta.groupBy("k", "tu", "eid")
+            .agg(F.sum("cnt").alias("cnt"))
+            .filter(F.col("cnt") != 0)
+            .localCheckpoint(eager=True)
+        )
+        touched = delta.select("k").distinct()
+        before = self._events_state()
+        old = (
+            None
+            if before is None
+            else self._stats_of(
+                before.join(touched, "k", "left_semi")
+            ).localCheckpoint(eager=True)
+        )
+        self._append("events", delta, epoch=epoch)
+        self._epochs = getattr(self, "_epochs", 0) + 1
+        if self._epochs % self.compact_every == 0:
+            consolidated = self._events_state()
+            if consolidated is not None:
+                self._compact("events", consolidated)
+        after = self._events_state()
+        new = (
+            None
+            if after is None
+            else self._stats_of(after.join(touched, "k", "left_semi"))
+        )
+        cols = [
+            "k", "session_seq", "n_events", "start_us", "end_us",
+            "duration_s",
+        ]
+
+        def tag(df: Optional[DataFrame], w: int) -> Optional[DataFrame]:
+            if df is None:
+                return None
+            return df.select(*cols, F.lit(w).alias("diff"))
+
+        olds, news = tag(old, -1), tag(new, 1)
+        if olds is None and news is None:
+            return None
+        both = news if olds is None else (
+            olds if news is None else olds.unionByName(news)
+        )
+        return (
+            both.groupBy(*cols)
+            .agg(F.sum("diff").alias("diff"))
+            .filter(F.col("diff") != 0)
+            .withColumnRenamed("k", self.key_col)
+        )

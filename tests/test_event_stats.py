@@ -253,3 +253,129 @@ def test_incremental_retention_retried_epoch_is_idempotent(spark, tmp_path):
     # own contribution instead of double-counting
     inc.process_batch(adds=_df(spark, rows), epoch=0)
     assert sorted(tuple(r) for r in inc.current().collect()) == once
+
+
+# ---------------------------------------------------------------------------
+# IncrementalSessionize
+# ---------------------------------------------------------------------------
+
+from declarative_dataflow_spark.streaming.event_stats import (  # noqa: E402
+    IncrementalSessionize,
+)
+
+
+def _session_rows(df, gap_seconds=1800):
+    out = timeseries.session_stats(df, gap_seconds=gap_seconds).collect()
+    return sorted(tuple(r) for r in out)
+
+
+def test_incremental_sessionize_retraction_splits_session(spark, tmp_path):
+    inc = IncrementalSessionize(spark, str(tmp_path / "s"), gap_seconds=1800)
+    # three events 20 min apart: one session only while the middle
+    # event bridges the 40-min outer gap.
+    rows = [
+        (1, _ts(1, 1, 0), 7, "view"),
+        (2, _ts(1, 1, 20), 7, "view"),
+        (3, _ts(1, 1, 40), 7, "view"),
+    ]
+    inc.process_batch(adds=_df(spark, rows), epoch=0)
+    assert [
+        (r["user_id"], r["session_seq"], r["n_events"])
+        for r in inc.current().collect()
+    ] == [(7, 1, 3)]
+
+    diffs = {
+        (r["user_id"], r["session_seq"], r["n_events"]): r["diff"]
+        for r in inc.process_batch(
+            retracts=_df(spark, [rows[1]]), epoch=1
+        ).collect()
+    }
+    # the single 3-event session retracts; two 1-event sessions assert
+    assert diffs == {(7, 1, 3): -1, (7, 1, 1): 1, (7, 2, 1): 1}
+    live = _df(spark, [rows[0], rows[2]])
+    assert sorted(tuple(r) for r in inc.current().collect()) == _session_rows(
+        live
+    )
+
+
+def test_incremental_sessionize_duplicate_event_ids_idempotent(spark, tmp_path):
+    inc = IncrementalSessionize(spark, str(tmp_path / "s"))
+    row = (1, _ts(1, 1), 7, "view")
+    inc.process_batch(adds=_df(spark, [row, row]), epoch=0)
+    # double-asserted id is ONE event
+    assert [
+        (r["session_seq"], r["n_events"]) for r in inc.current().collect()
+    ] == [(1, 1)]
+    # one retraction leaves support 1 -> still present
+    inc.process_batch(retracts=_df(spark, [row]), epoch=1)
+    assert inc.current().count() == 1
+    # the second retraction removes it
+    inc.process_batch(retracts=_df(spark, [row]), epoch=2)
+    assert inc.current().count() == 0
+
+
+def test_incremental_sessionize_randomized_churn_equals_batch(spark, tmp_path):
+    rng = random.Random(47)
+    inc = IncrementalSessionize(spark, str(tmp_path / "s"), gap_seconds=600)
+    base = dt.datetime(2024, 1, 1)
+    live = {}
+    next_id = 0
+    for epoch in range(6):
+        adds = []
+        for _ in range(rng.randrange(3, 9)):
+            adds.append(
+                (
+                    next_id,
+                    base + dt.timedelta(seconds=rng.randrange(8_000)),
+                    rng.randrange(3),
+                    "view",
+                )
+            )
+            next_id += 1
+        retracts = []
+        if live and epoch >= 2:
+            for rid in rng.sample(sorted(live), min(3, len(live))):
+                retracts.append(live[rid])
+        inc.process_batch(
+            adds=_df(spark, adds) if adds else None,
+            retracts=_df(spark, retracts) if retracts else None,
+            epoch=epoch,
+        )
+        for row in adds:
+            live[row[0]] = row
+        for row in retracts:
+            del live[row[0]]
+        got = sorted(tuple(r) for r in inc.current().collect())
+        want = _session_rows(_df(spark, list(live.values())), gap_seconds=600)
+        assert got == want, f"epoch {epoch}"
+
+
+def test_incremental_sessionize_diff_stream_folds_to_current(spark, tmp_path):
+    rng = random.Random(48)
+    inc = IncrementalSessionize(spark, str(tmp_path / "s"), gap_seconds=600)
+    base = dt.datetime(2024, 1, 1)
+    folded = {}
+    next_id = 0
+    for epoch in range(4):
+        adds = []
+        for _ in range(rng.randrange(2, 6)):
+            adds.append(
+                (
+                    next_id,
+                    base + dt.timedelta(seconds=rng.randrange(5_000)),
+                    rng.randrange(2),
+                    "view",
+                )
+            )
+            next_id += 1
+        d = inc.process_batch(adds=_df(spark, adds), epoch=epoch)
+        for r in d.collect():
+            key = (
+                r["user_id"], r["session_seq"], r["n_events"],
+                r["start_us"], r["end_us"], r["duration_s"],
+            )
+            folded[key] = folded.get(key, 0) + r["diff"]
+    folded = {k for k, v in folded.items() if v != 0}
+    assert folded == {
+        tuple(r) for r in inc.current().collect()
+    }
