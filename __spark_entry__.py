@@ -450,6 +450,85 @@ def q_agg_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EPOCH_US_SQL = (
+    "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {c})"
+)
+
+
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q3-shaped shipping-priority query driven through the
+    PLAN DSL: segment/date Filters over three Scans, a two-step Join
+    chain (customer⋈orders on custkey, ⋈lineitem on orderkey — the
+    compiler broadcasts the small filtered sides under AQE), then
+    revenue as an exact DECIMAL sum of per-row rounded products
+    (order-independent) and a top-10 that lowers to
+    TakeOrderedAndProject. Dates ride as epoch-us scan expressions so
+    the Filter constants are plain integers in both engines."""
+
+    import datetime as _dt
+
+    eng = _engine(spark, sf_dir)
+    cutoff = int(
+        _dt.datetime(1998, 6, 1, tzinfo=_dt.timezone.utc).timestamp()
+        * 1_000_000
+    )
+    cust = Filter(
+        ["?seg"],
+        Predicate.EQ,
+        Scan("customer", {"c_custkey": "?c", "c_mktsegment": "?seg"}),
+        {1: "BUILDING"},
+    )
+    orders = Filter(
+        ["?od"],
+        Predicate.LT,
+        Scan(
+            "orders",
+            {
+                "o_orderkey": "?o",
+                "o_custkey": "?c",
+                _EPOCH_US_SQL.format(c="o_orderdate"): "?od",
+                "o_orderpriority": "?pri",
+            },
+        ),
+        {1: cutoff},
+    )
+    li = Filter(
+        ["?sd"],
+        Predicate.GT,
+        Scan(
+            "lineitem",
+            {
+                "l_orderkey": "?o",
+                "l_extendedprice": "?ep",
+                "l_discount": "?disc",
+                _EPOCH_US_SQL.format(c="l_shipdate"): "?sd",
+                "l_linenumber": "?ln",
+            },
+        ),
+        {1: cutoff},
+    )
+    joined = Join(["?o"], Join(["?c"], cust, orders), li)
+    # output order: join key ++ left rest ++ right rest
+    df = eng.implement(
+        joined,
+        ["o", "c", "seg", "od", "pri", "ep", "disc", "sd", "ln"],
+    )
+    rev = F.round(F.col("ep") * (1 - F.col("disc")), 6).cast(
+        "decimal(18,6)"
+    )
+    agg = df.groupBy("o", "od", "pri").agg(F.sum(rev).alias("__rev"))
+    return (
+        agg.orderBy(F.col("__rev").desc(), "o")
+        .limit(10)
+        .select(
+            F.col("o").alias("orderkey"),
+            F.col("od").alias("od_us"),
+            F.col("pri").alias("priority"),
+            F.round(F.col("__rev").cast("double"), 2).alias("revenue"),
+        )
+    )
+
+
 def q_agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global (keyless) aggregation."""
 
@@ -1367,6 +1446,68 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MRR + nDCG@10 of cosine retrieval against label ground truth
+    for 32 probe queries — probe-bounded (broadcast probes + label
+    tables), never corpus-quadratic; log2 discounts are Python
+    literals in BOTH engines (libm parity is not assumed)."""
+
+    from declarative_dataflow_spark.operators import retrieval
+
+    return retrieval.retrieval_eval(
+        load_table(spark, sf_dir, "embeddings"),
+        query_ids=list(range(32)),
+        k=10,
+    )
+
+
+def _retrieval_eval_oracle_sql(k: int = 10, n_queries: int = 32) -> str:
+    """DuckDB twin of retrieval.retrieval_eval: same rounded-cosine
+    ranking as the cosine_topk oracle, same Python-literal log2
+    discounts, DECIMAL DCG, exact-operand final divisions."""
+
+    import math
+
+    disc = [1.0 / math.log2(i + 1) for i in range(1, k + 1)]
+    idcg, acc = [], 0.0
+    for d in disc:
+        acc += d
+        idcg.append(acc)
+
+    def dlits(xs: list[float]) -> str:
+        return ", ".join(f"CAST('{x!r}' AS DOUBLE)" for x in xs)
+
+    return (
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, "
+        "label FROM embeddings), "
+        f"q AS (SELECT vec_id AS q, v AS qv, label AS qlbl FROM e "
+        f"WHERE vec_id < {n_queries}), "
+        "s AS (SELECT q.q, q.qlbl, e.vec_id AS neighbor, e.label AS nlbl, "
+        "round(list_dot_product(q.qv, e.v) / "
+        "(sqrt(list_dot_product(q.qv, q.qv)) * "
+        "sqrt(list_dot_product(e.v, e.v))), 4) AS sim "
+        "FROM e CROSS JOIN q WHERE e.vec_id != q.q), "
+        "t AS (SELECT *, CAST(row_number() OVER (PARTITION BY q "
+        "ORDER BY sim DESC, neighbor) AS INT) AS rank FROM s), "
+        f"tk AS (SELECT * FROM t WHERE rank <= {k}), "
+        "lc AS (SELECT label, count(*) AS lcnt FROM embeddings "
+        "GROUP BY label), "
+        "sc AS (SELECT tk.q, tk.rank, "
+        "CASE WHEN tk.nlbl = tk.qlbl THEN 1 ELSE 0 END AS rel, lc.lcnt "
+        "FROM tk JOIN lc ON lc.label = tk.qlbl), "
+        "a AS (SELECT q, max(lcnt) - 1 AS n_rel, "
+        "CAST(sum(rel) AS BIGINT) AS hits, "
+        "min(CASE WHEN rel = 1 THEN rank END) AS fr, "
+        f"sum(CAST(round(list_extract([{dlits(disc)}], rank) * rel, 15) "
+        "AS DECIMAL(24,15))) AS dcg FROM sc GROUP BY q) "
+        "SELECT q, n_rel, hits, "
+        "round(coalesce(CAST(1.0 AS DOUBLE) / fr, 0.0), 6) AS mrr, "
+        "CASE WHEN n_rel <= 0 THEN 0.0 ELSE "
+        f"round(CAST(dcg AS DOUBLE) / list_extract([{dlits(idcg)}], "
+        f"CAST(least({k}, n_rel) AS INT)), 6) END AS ndcg FROM a"
+    )
+
+
 def q_ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k search over the int8-quantized corpus: quantize →
     row-local dequantize → exact cosine top-k. The quantized table is
@@ -1810,6 +1951,22 @@ def q_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection: events more than 2 sigma
+    from their user's trailing 7-day distribution (min 8 supporting
+    events). One partitioned RANGE window; DECIMAL moments, IEEE
+    z arithmetic on identical operands in both engines."""
+
+    from declarative_dataflow_spark.operators import timeseries
+
+    return timeseries.rolling_zscore(
+        load_table(spark, sf_dir, "events"),
+        window_seconds=604_800,
+        min_n=8,
+        threshold=2.0,
+    )
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-key session labeling (gaps-and-islands, 30-min gap) rolled
     up to session stats — one window PARTITIONED by user plus a
@@ -2031,6 +2188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join": q_interval_join,  # NEW in r6
         "rolling_stats": q_rolling_stats,  # NEW in r6
         "resample_locf": q_resample_locf,  # NEW in r6
+        "anomalies": q_anomalies,  # NEW in r6
         "tok_fertility": q_tok_fertility,  # NEW in r6
         "asof_join": q_asof_join,  # NEW in r6
         "zorder_key": q_zorder_key,  # NEW in r6
@@ -2046,6 +2204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention": q_retention,  # NEW in r6
         # --- the 36 keys deferred in r05 (green r04 + local r05) ---
         "agg_multi": q_agg_multi,
+        "tpch_q3": q_tpch_q3,  # NEW in r6
         "agg_global": q_agg_global,
         "tclosure": q_tclosure,
         "tclosure_nonlinear": q_tclosure_nonlinear,
@@ -2084,6 +2243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_subwords": q_text_subwords,
         "simhash": q_simhash,
         "cosine_topk": q_cosine_topk,
+        "retrieval_eval": q_retrieval_eval,  # NEW in r6
         "ann_quantized": q_ann_quantized,
         "ann_ivf": q_ann_ivf,
         "ann_ivf_kmeans": q_ann_ivf_kmeans,
@@ -2745,6 +2905,23 @@ def oracle_sql() -> dict[str, str]:
             "- (sum(l_quantity) / count(*)) * (sum(l_quantity) / count(*))), "
             "4) AS v FROM lineitem GROUP BY 1"
         ),
+        "tpch_q3": (
+            "WITH j AS (SELECT l.l_orderkey AS o, "
+            "epoch_us(o.o_orderdate) AS od_us, "
+            "o.o_orderpriority AS pri, "
+            "CAST(round(l.l_extendedprice * (1 - l.l_discount), 6) "
+            "AS DECIMAL(18,6)) AS rev "
+            "FROM customer c "
+            "JOIN orders o ON c.c_custkey = o.o_custkey "
+            "JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+            "WHERE c.c_mktsegment = 'BUILDING' "
+            "AND epoch_us(o.o_orderdate) < 896659200000000 "
+            "AND epoch_us(l.l_shipdate) > 896659200000000) "
+            "SELECT o AS orderkey, od_us, pri AS priority, "
+            "round(CAST(sum(rev) AS DOUBLE), 2) AS revenue "
+            "FROM j GROUP BY o, od_us, pri "
+            "ORDER BY sum(rev) DESC, o LIMIT 10"
+        ),
         "agg_multi": (
             "SELECT l_returnflag AS rf, l_linestatus AS ls, "
             "round(sum(l_quantity), 2) AS sum_qty, "
@@ -3232,6 +3409,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT a, b, CAST(bit_count(xor(ha, hb)) AS INT) AS dist "
             "FROM cand WHERE bit_count(xor(ha, hb)) <= 3"
         ),
+        "retrieval_eval": _retrieval_eval_oracle_sql(10, 32),
         "cosine_topk": (
             "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
             "FROM embeddings), "
@@ -3865,6 +4043,25 @@ def oracle_sql() -> dict[str, str]:
             "AS max_win FROM events "
             "WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) "
             "RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)"
+        ),
+        "anomalies": (
+            # Same DECIMAL moments + IEEE z arithmetic; var clamps at
+            # 0 (exact cancellation can land a hair negative).
+            "WITH w AS (SELECT event_id, user_id, "
+            "CAST(value AS DOUBLE) AS value, "
+            "count(*) OVER win AS n, "
+            "CAST(sum(CAST(value AS DECIMAL(18,6))) OVER win AS DOUBLE) "
+            "AS s, "
+            "CAST(sum(CAST(value AS DECIMAL(18,6)) * "
+            "CAST(value AS DECIMAL(18,6))) OVER win AS DOUBLE) AS ss "
+            "FROM events WINDOW win AS (PARTITION BY user_id "
+            "ORDER BY epoch_us(ts) "
+            "RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)), "
+            "z AS (SELECT event_id, user_id, value, "
+            "round((value - s/n) / "
+            "nullif(sqrt(greatest(ss/n - (s/n)*(s/n), 0.0)), 0.0), 6) AS z "
+            "FROM w WHERE n >= 8) "
+            "SELECT event_id, user_id, value, z FROM z WHERE abs(z) > 2.0"
         ),
         "resample_locf": (
             # Same validity-interval formulation: dedup equal

@@ -80,6 +80,10 @@ HEADLINE = [
     "semdedup",        # SemDeDup: within-kmeans-cluster cosine pairs
     "hash_embed",      # feature-hashing embeddings (1 agg, dim cond sums)
     "resample_locf",   # hourly-grid LOCF gap fill (explode == output)
+    "tpch_q3",         # plan-DSL 3-table join + decimal revenue top-10
+    "retrieval_eval",  # MRR/nDCG@10 against label ground truth
+    "anomalies",       # rolling z-score outliers (partitioned window)
+    "winsorize",       # per-group nearest-rank percentile clamp
     "sessionize",      # gaps-and-islands session stats (partitioned window)
     "funnel",          # ordered 3-step funnel (per-key equi-join chain)
     "retention",       # daily cohort retention (two uniform-key shuffles)

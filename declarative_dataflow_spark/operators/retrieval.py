@@ -209,3 +209,99 @@ def rrf_fusion(
     top = fused.orderBy(F.col("rrf").desc(), "doc_id").limit(k)
     w = Window.orderBy(F.col("rrf").desc(), "doc_id")
     return top.withColumn("rk", F.row_number().over(w).cast("long"))
+
+
+def retrieval_eval(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Retrieval-quality metrics for the cosine index against label
+    ground truth (a neighbor is RELEVANT iff it shares the query's
+    label): per query, the relevant-corpus size, top-k hit count,
+    MRR, and nDCG@k. The eval loop every embedding/index change runs
+    before shipping — expressed as one declarative query so it runs
+    where the index runs. Returns (q, n_rel, hits, mrr, ndcg).
+
+    Engine portability: the log2 rank discounts are PYTHON-computed
+    constants injected as shortest-round-trip literals into both
+    engines — cross-engine libm log2 may differ in the last ulp, so
+    neither engine ever calls log2 at query time. DCG sums its <= k
+    per-rank terms in DECIMAL (order-independent); MRR's 1/rank and
+    the final DCG/IDCG are single exact-operand double divisions.
+
+    Scale shape: rides :func:`similarity.cosine_topk` (broadcast
+    probes, one corpus scan) plus two broadcast joins of label tables
+    and a per-query aggregation over <= k rows — probe-bounded, never
+    corpus-quadratic.
+    """
+
+    import math
+
+    from .similarity import cosine_topk
+
+    disc = [1.0 / math.log2(i + 1) for i in range(1, k + 1)]
+    idcg = []
+    acc = 0.0
+    for d in disc:
+        acc += d
+        idcg.append(acc)
+
+    def dlits(xs: list[float]) -> str:
+        return ", ".join(f"CAST('{x!r}' AS DOUBLE)" for x in xs)
+
+    top = cosine_topk(embeddings, query_ids, k=k, id_col=id_col, vec_col=vec_col)
+    labels = embeddings.select(
+        F.col(id_col).alias("__id"), F.col(label_col).alias("__lbl")
+    )
+    lbl_counts = embeddings.groupBy(
+        F.col(label_col).alias("__qlbl")
+    ).agg(F.count(F.lit(1)).alias("__lcnt"))
+    qlab = labels.filter(F.col("__id").isin(query_ids)).select(
+        F.col("__id").alias("q"), F.col("__lbl").alias("__qlbl")
+    )
+    scored = (
+        top.join(F.broadcast(qlab), "q")
+        .join(
+            F.broadcast(labels.withColumnRenamed("__id", "neighbor")),
+            "neighbor",
+        )
+        .join(F.broadcast(lbl_counts), "__qlbl")
+        .withColumn(
+            "__rel",
+            (F.col("__lbl") == F.col("__qlbl")).cast("int"),
+        )
+        .withColumn(
+            "__term",
+            F.expr(
+                f"CAST(round(element_at(array({dlits(disc)}), rank) "
+                "* __rel, 15) AS DECIMAL(24,15))"
+            ),
+        )
+    )
+    agg = scored.groupBy("q").agg(
+        (F.max("__lcnt") - 1).alias("n_rel"),
+        F.sum("__rel").cast("long").alias("hits"),
+        F.min(F.when(F.col("__rel") == 1, F.col("rank"))).alias("__fr"),
+        F.sum("__term").alias("__dcg"),
+    )
+    ideal = F.expr(
+        f"element_at(array({dlits(idcg)}), "
+        f"CAST(least({k}, n_rel) AS INT))"
+    )
+    return agg.select(
+        "q",
+        "n_rel",
+        "hits",
+        F.round(
+            F.coalesce(1.0 / F.col("__fr"), F.lit(0.0)), 6
+        ).alias("mrr"),
+        F.when(F.col("n_rel") <= 0, F.lit(0.0))
+        .otherwise(
+            F.round(F.col("__dcg").cast("double") / ideal, 6)
+        )
+        .alias("ndcg"),
+    )

@@ -479,3 +479,59 @@ def resample_locf(
         (F.col("__tick") * g).alias("grid_us"),
         F.col("__v").cast("double").alias("value"),
     )
+
+def rolling_zscore(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    window_seconds: int = 604_800,
+    min_n: int = 8,
+    threshold: float = 2.0,
+) -> DataFrame:
+    """Per-key rolling z-score anomaly detection: flag events whose
+    value deviates more than ``threshold`` standard deviations from
+    the key's own trailing-window distribution (monitoring spikes,
+    feature drift, bad-sensor runs). Returns (id, key, value, z) for
+    the anomalous events only; windows with fewer than ``min_n``
+    events are never flagged (a 2-event "distribution" flags half of
+    everything).
+
+    Engine portability: count/sum/sum-of-squares accumulate in exact
+    DECIMAL over the RANGE window (order-independent), then the
+    moment arithmetic runs as single IEEE double ops on identical
+    operands — mean = s/n, var = ss/n - mean² (clamped at 0: exact
+    cancellation can land a hair negative), z = (v - mean)/std — so
+    both engines produce bit-identical z. Same one-partitioned-window
+    shape as :func:`rolling_stats`: parallel across keys, never a
+    global sort.
+    """
+
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(_epoch_us(ts_col))
+        .rangeBetween(-window_seconds * 1_000_000, 0)
+    )
+    dv = F.col(value_col).cast("decimal(18,6)")
+    stats = events.select(
+        F.col(id_col),
+        F.col(key_col),
+        F.col(value_col).cast("double").alias("value"),
+        F.count(F.lit(1)).over(w).alias("__n"),
+        F.sum(dv).over(w).cast("double").alias("__s"),
+        F.sum(dv * dv).over(w).cast("double").alias("__ss"),
+    )
+    mean = F.col("__s") / F.col("__n")
+    var = F.greatest(
+        F.col("__ss") / F.col("__n") - mean * mean, F.lit(0.0)
+    )
+    z = F.round(
+        (F.col("value") - mean) / F.nullif(F.sqrt(var), F.lit(0.0)), 6
+    )
+    return (
+        stats.filter(F.col("__n") >= min_n)
+        .withColumn("z", z)
+        .filter(F.abs(F.col("z")) > threshold)
+        .select(id_col, key_col, "value", "z")
+    )

@@ -1725,3 +1725,76 @@ def test_assign_cells_large_k_path_matches_bruteforce(spark):
             if best is None or sim > best[0]:
                 best = (sim, cell)
         assert got[vid] == best[1], vid
+
+
+def test_retrieval_eval_metrics_by_hand(spark):
+    """4 query vectors in a 10-vector corpus with label ground truth:
+    MRR and nDCG@k agree with hand-computed values."""
+
+    import math
+
+    from declarative_dataflow_spark.operators import retrieval
+
+    # label 0 vectors cluster along e0, label 1 along e1; one label-0
+    # outlier (id 8) sits closer to the label-1 axis.
+    def vec(axis, mag, noise_axis, noise):
+        v = [0.0, 0.0, 0.0]
+        v[axis] = mag
+        v[noise_axis] = noise
+        return v
+
+    rows = [
+        (0, vec(0, 1.0, 2, 0.10), 0),
+        (1, vec(0, 1.0, 2, 0.11), 0),
+        (2, vec(0, 1.0, 2, 0.30), 0),
+        (3, vec(1, 1.0, 2, 0.10), 1),
+        (4, vec(1, 1.0, 2, 0.12), 1),
+        (5, vec(1, 1.0, 2, 0.25), 1),
+        (6, vec(0, 1.0, 2, 0.50), 0),
+        (7, vec(1, 1.0, 2, 0.50), 1),
+        (8, vec(1, 1.0, 2, 0.05), 0),  # mislabeled outlier
+        (9, vec(0, 1.0, 2, 0.05), 1),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    k = 3
+    out = {
+        r["q"]: r
+        for r in retrieval.retrieval_eval(
+            emb, query_ids=[0, 3], k=k
+        ).collect()
+    }
+
+    # brute-force expectation
+    import itertools
+
+    def cos(a, b):
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return round(
+            sum(x * y for x, y in zip(a, b)) / (na * nb), 4
+        )
+
+    by_id = {i: (v, l) for i, v, l in rows}
+    disc = [1.0 / math.log2(i + 1) for i in range(1, k + 1)]
+    for q in (0, 3):
+        qv, ql = by_id[q]
+        ranked = sorted(
+            ((cos(qv, by_id[n][0]), n) for n in by_id if n != q),
+            key=lambda t: (-t[0], t[1]),
+        )[:k]
+        rels = [1 if by_id[n][1] == ql else 0 for _, n in ranked]
+        n_rel = sum(1 for n in by_id if n != q and by_id[n][1] == ql)
+        dcg = sum(d * r for d, r in zip(disc, rels))
+        idcg = sum(disc[: min(k, n_rel)])
+        mrr = 0.0
+        for i, r in enumerate(rels, 1):
+            if r:
+                mrr = 1.0 / i
+                break
+        row = out[q]
+        assert row["n_rel"] == n_rel
+        assert row["hits"] == sum(rels)
+        assert abs(row["mrr"] - round(mrr, 6)) < 1e-9
+        assert abs(row["ndcg"] - round(dcg / idcg, 6)) < 1e-6

@@ -543,3 +543,17 @@ def test_hist_buckets_combine_before_exchange(spark):
     assert "partial_count" in phys, phys
     assert "Sort [" not in phys, phys
     assert "Window" not in phys, phys
+
+
+def test_tpch_q3_plan_quality(spark):
+    """The Q3-shaped declared query: top-10 lowers to
+    TakeOrderedAndProject, the join chain never degenerates to a
+    cartesian, and the Filter constants prune at the scans."""
+
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.queries()["tpch_q3"](spark, "/root/testdata/sf0.001")
+    phys = _executed(df)
+    assert "TakeOrderedAndProject" in phys, phys
+    assert "CartesianProduct" not in phys
+    assert "BroadcastNestedLoopJoin" not in phys

@@ -1005,3 +1005,77 @@ def test_resample_locf_no_nested_loop(spark):
         .toString()
     )
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------- z-score
+
+
+def test_rolling_zscore_flags_spike(spark):
+    rows = [
+        (i, dt.datetime(1970, 1, 1) + dt.timedelta(hours=i), 7, 10.0)
+        for i in range(1, 9)
+    ] + [(9, dt.datetime(1970, 1, 1, 9), 7, 100.0)]
+    df = spark.createDataFrame(rows, ["event_id", "ts", "user_id", "value"])
+    out = timeseries.rolling_zscore(
+        df, window_seconds=86_400, min_n=8, threshold=2.0
+    ).collect()
+    assert [(r["event_id"], r["value"]) for r in out] == [(9, 100.0)]
+    # z of the spike against 8x10 + 1x100: mean 20, std 28.28 -> ~2.83
+    assert abs(out[0]["z"] - 2.828427) < 1e-5
+
+
+def test_rolling_zscore_min_n_guard(spark):
+    # 3 events: even a wild spike is unflagged below min_n support
+    rows = [
+        (1, dt.datetime(1970, 1, 1, 0), 7, 10.0),
+        (2, dt.datetime(1970, 1, 1, 1), 7, 10.0),
+        (3, dt.datetime(1970, 1, 1, 2), 7, 9999.0),
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "ts", "user_id", "value"])
+    assert (
+        timeseries.rolling_zscore(df, min_n=8, threshold=2.0).count() == 0
+    )
+
+
+def test_rolling_zscore_matches_bruteforce(spark):
+    rng = random.Random(13)
+    rows = []
+    for eid in range(1, 120):
+        rows.append(
+            (
+                eid,
+                dt.datetime(1970, 1, 1)
+                + dt.timedelta(seconds=rng.randint(0, 200_000)),
+                rng.randrange(3),
+                float(rng.randint(0, 60)),
+            )
+        )
+    df = spark.createDataFrame(rows, ["event_id", "ts", "user_id", "value"])
+    win, min_n, thr = 50_000, 5, 1.5
+    got = {
+        r["event_id"]: r["z"]
+        for r in timeseries.rolling_zscore(
+            df, window_seconds=win, min_n=min_n, threshold=thr
+        ).collect()
+    }
+    exp = {}
+    for eid, ts, u, v in rows:
+        t = ts.timestamp()
+        peers = [
+            w
+            for _, ts2, u2, w in rows
+            if u2 == u and t - win <= ts2.timestamp() <= t
+        ]
+        n = len(peers)
+        if n < min_n:
+            continue
+        mean = sum(peers) / n
+        var = max(sum(x * x for x in peers) / n - mean * mean, 0.0)
+        if var == 0:
+            continue
+        z = round((v - mean) / (var ** 0.5), 6)
+        if abs(z) > thr:
+            exp[eid] = z
+    assert set(got) == set(exp)
+    for eid in exp:
+        assert abs(got[eid] - exp[eid]) < 1e-6, eid

@@ -39,6 +39,7 @@ ALLOWLIST: dict[tuple[str, str], str] = {
     # plane weights / corpus scalars — constant work per row.
     ("ann_lsh", "BroadcastNestedLoopJoin"): "one-row plane-weights broadcast",
     ("cosine_topk", "BroadcastNestedLoopJoin"): "one-row query-vector broadcast",
+    ("retrieval_eval", "BroadcastNestedLoopJoin"): "32-row probe broadcast (rides cosine_topk)",
     ("ann_ivf", "BroadcastNestedLoopJoin"): "one-row query-vector broadcast",
     ("ann_quantized", "BroadcastNestedLoopJoin"): "one-row query-vector broadcast",
     ("rrf_fusion", "BroadcastNestedLoopJoin"): "one-row (N, avgdl) + query-vector broadcasts",
