@@ -2160,8 +2160,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "embed_neardup": q_embed_neardup,
         "embed_groups": q_embed_groups,
-        "ngram_jaccard": q_ngram_jaccard,
-        "shortest_cost": q_shortest_cost,
+        "kcore": q_kcore,  # NEW in r6
+        "retrieval_eval": q_retrieval_eval,  # NEW in r6
         "simhash_neardup": q_simhash_neardup,  # NEW in r6
         "pq_topk": q_pq_topk,  # NEW in r6
         "gopher_rules": q_gopher_rules,  # NEW in r6
@@ -2210,7 +2210,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tclosure_nonlinear": q_tclosure_nonlinear,
         "shortest_hops": q_shortest_hops,
         "pagerank": q_pagerank,
-        "kcore": q_kcore,  # NEW in r6
         "labelprop": q_labelprop,
         "triangle_count": q_triangle_count,
         "triangle_wco": q_triangle_wco,
@@ -2243,7 +2242,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_subwords": q_text_subwords,
         "simhash": q_simhash,
         "cosine_topk": q_cosine_topk,
-        "retrieval_eval": q_retrieval_eval,  # NEW in r6
         "ann_quantized": q_ann_quantized,
         "ann_ivf": q_ann_ivf,
         "ann_ivf_kmeans": q_ann_ivf_kmeans,
@@ -2259,6 +2257,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "ann_lsh": q_ann_lsh,
         # --- deferred this round (driver cap); all green in r05 ---
+        "ngram_jaccard": q_ngram_jaccard,
+        "shortest_cost": q_shortest_cost,
         "graphql": q_graphql,
         "bitemporal_asof": q_bitemporal_asof,
         "stratified_sample": q_stratified_sample,

@@ -451,9 +451,30 @@ def resample_locf(
     there.
     """
 
-    g = grid_seconds * 1_000_000
+    return resample_locf_us(
+        events.withColumn("__us", _epoch_us(ts_col)),
+        key_col,
+        "__us",
+        value_col,
+        id_col,
+        grid_seconds * 1_000_000,
+    )
+
+
+def resample_locf_us(
+    events: DataFrame,
+    key_col: str = "k",
+    tu_col: str = "tu",
+    value_col: str = "value",
+    id_col: str = "eid",
+    grid_us: int = 3_600_000_000,
+) -> DataFrame:
+    """:func:`resample_locf` core over a pre-computed epoch-us column
+    — the maintainer's entry point (shared-core discipline)."""
+
+    g = grid_us
     obs = (
-        events.withColumn("__us", _epoch_us(ts_col))
+        events.withColumn("__us", F.col(tu_col))
         .groupBy(key_col, "__us")
         .agg(F.max_by(F.col(value_col), F.col(id_col)).alias("__v"))
     )

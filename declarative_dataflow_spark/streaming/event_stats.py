@@ -440,3 +440,134 @@ class IncrementalSessionize(_GenerationalState):
             .filter(F.col("diff") != 0)
             .withColumnRenamed("k", self.key_col)
         )
+
+
+class IncrementalResample(_GenerationalState):
+    """Maintained regular-grid LOCF resampling (operators/
+    timeseries.py::resample_locf). State: signed support counts of
+    the observations as (key, tu, eid, value, cnt) — set semantics
+    per event id, like IncrementalSessionize. ``process_batch``
+    returns (key, grid_us, value, diff): retracting an observation
+    re-extends its predecessor's validity interval (and can shrink
+    the key's grid span); touched-key recompute through the shared
+    :func:`resample_locf_us` core handles both exactly."""
+
+    KEY_COL = "user_id"
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        key_col: str = "user_id",
+        ts_col: str = "ts",
+        id_col: str = "event_id",
+        value_col: str = "value",
+        grid_seconds: int = 3600,
+    ) -> None:
+        self.spark = spark
+        self.state_dir = state_dir.rstrip("/")
+        self.key_col = key_col
+        self.ts_col = ts_col
+        self.id_col = id_col
+        self.value_col = value_col
+        self.grid_us = grid_seconds * 1_000_000
+
+    def _project(self, events: DataFrame) -> DataFrame:
+        from ..operators.timeseries import _epoch_us
+
+        return events.select(
+            F.col(self.key_col).alias("k"),
+            _epoch_us(self.ts_col).alias("tu"),
+            F.col(self.id_col).alias("eid"),
+            F.col(self.value_col).cast("double").alias("value"),
+        )
+
+    def _events_state(self) -> Optional[DataFrame]:
+        inc = self._read_versioned("events")
+        if inc is None:
+            return None
+        return (
+            inc.groupBy("k", "tu", "eid", "value")
+            .agg(F.sum("cnt").alias("cnt"))
+            .filter(F.col("cnt") > 0)
+        )
+
+    def _series_of(self, ev: Optional[DataFrame]) -> Optional[DataFrame]:
+        from ..operators.timeseries import resample_locf_us
+
+        if ev is None:
+            return None
+        return resample_locf_us(
+            ev,
+            key_col="k",
+            tu_col="tu",
+            value_col="value",
+            id_col="eid",
+            grid_us=self.grid_us,
+        )
+
+    def current(self) -> Optional[DataFrame]:
+        out = self._series_of(self._events_state())
+        if out is None:
+            return None
+        return out.withColumnRenamed("k", self.key_col)
+
+    def process_batch(
+        self,
+        adds: Optional[DataFrame] = None,
+        retracts: Optional[DataFrame] = None,
+        epoch: Optional[int] = None,
+    ) -> Optional[DataFrame]:
+        delta = _signed_union(
+            None if adds is None else self._project(adds),
+            None if retracts is None else self._project(retracts),
+            ["k", "tu", "eid", "value"],
+        )
+        if delta is None:
+            return None
+        delta = (
+            delta.groupBy("k", "tu", "eid", "value")
+            .agg(F.sum("cnt").alias("cnt"))
+            .filter(F.col("cnt") != 0)
+            .localCheckpoint(eager=True)
+        )
+        touched = delta.select("k").distinct()
+        before = self._events_state()
+        old = (
+            None
+            if before is None
+            else self._series_of(
+                before.join(touched, "k", "left_semi")
+            ).localCheckpoint(eager=True)
+        )
+        self._append("events", delta, epoch=epoch)
+        self._epochs = getattr(self, "_epochs", 0) + 1
+        if self._epochs % self.compact_every == 0:
+            consolidated = self._events_state()
+            if consolidated is not None:
+                self._compact("events", consolidated)
+        after = self._events_state()
+        new = (
+            None
+            if after is None
+            else self._series_of(after.join(touched, "k", "left_semi"))
+        )
+        cols = ["k", "grid_us", "value"]
+
+        def tag(df: Optional[DataFrame], w: int) -> Optional[DataFrame]:
+            if df is None:
+                return None
+            return df.select(*cols, F.lit(w).alias("diff"))
+
+        olds, news = tag(old, -1), tag(new, 1)
+        if olds is None and news is None:
+            return None
+        both = news if olds is None else (
+            olds if news is None else olds.unionByName(news)
+        )
+        return (
+            both.groupBy(*cols)
+            .agg(F.sum("diff").alias("diff"))
+            .filter(F.col("diff") != 0)
+            .withColumnRenamed("k", self.key_col)
+        )

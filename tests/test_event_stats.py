@@ -379,3 +379,88 @@ def test_incremental_sessionize_diff_stream_folds_to_current(spark, tmp_path):
     assert folded == {
         tuple(r) for r in inc.current().collect()
     }
+
+
+# ---------------------------------------------------------------------------
+# IncrementalResample
+# ---------------------------------------------------------------------------
+
+from declarative_dataflow_spark.streaming.event_stats import (  # noqa: E402
+    IncrementalResample,
+)
+
+EVV_COLS = ["event_id", "ts", "user_id", "value"]
+
+
+def _vdf(spark, rows):
+    return spark.createDataFrame(rows, EVV_COLS)
+
+
+def _resample_rows(df, grid_seconds=3600):
+    out = timeseries.resample_locf(df, grid_seconds=grid_seconds).collect()
+    return sorted(tuple(r) for r in out)
+
+
+def test_incremental_resample_retraction_reextends(spark, tmp_path):
+    inc = IncrementalResample(spark, str(tmp_path / "r"), grid_seconds=3600)
+    rows = [
+        (1, dt.datetime(1970, 1, 1, 0, 0, 0), 7, 1.0),
+        (2, dt.datetime(1970, 1, 1, 1, 30, 0), 7, 2.0),
+        (3, dt.datetime(1970, 1, 1, 3, 0, 0), 7, 3.0),
+    ]
+    inc.process_batch(adds=_vdf(spark, rows), epoch=0)
+    # ticks: 0h->1.0, 1h->1.0, 2h->2.0, 3h->3.0
+    assert sorted(
+        (r["grid_us"] // 3_600_000_000, r["value"])
+        for r in inc.current().collect()
+    ) == [(0, 1.0), (1, 1.0), (2, 2.0), (3, 3.0)]
+
+    diffs = {
+        (r["grid_us"] // 3_600_000_000, r["value"]): r["diff"]
+        for r in inc.process_batch(
+            retracts=_vdf(spark, [rows[1]]), epoch=1
+        ).collect()
+    }
+    # obs 2 retracts: tick 2h re-extends to obs 1's value
+    assert diffs == {(2, 2.0): -1, (2, 1.0): 1}
+    assert sorted(tuple(r) for r in inc.current().collect()) == (
+        _resample_rows(_vdf(spark, [rows[0], rows[2]]))
+    )
+
+
+def test_incremental_resample_randomized_churn_equals_batch(spark, tmp_path):
+    rng = random.Random(51)
+    inc = IncrementalResample(spark, str(tmp_path / "r"), grid_seconds=1800)
+    base = dt.datetime(1970, 1, 1)
+    live = {}
+    next_id = 0
+    for epoch in range(5):
+        adds = []
+        for _ in range(rng.randrange(3, 8)):
+            adds.append(
+                (
+                    next_id,
+                    base + dt.timedelta(seconds=rng.randrange(30_000)),
+                    rng.randrange(3),
+                    float(rng.randint(0, 50)),
+                )
+            )
+            next_id += 1
+        retracts = []
+        if live and epoch >= 2:
+            for rid in rng.sample(sorted(live), min(2, len(live))):
+                retracts.append(live[rid])
+        inc.process_batch(
+            adds=_vdf(spark, adds) if adds else None,
+            retracts=_vdf(spark, retracts) if retracts else None,
+            epoch=epoch,
+        )
+        for row in adds:
+            live[row[0]] = row
+        for row in retracts:
+            del live[row[0]]
+        got = sorted(tuple(r) for r in inc.current().collect())
+        want = _resample_rows(
+            _vdf(spark, list(live.values())), grid_seconds=1800
+        )
+        assert got == want, f"epoch {epoch}"
