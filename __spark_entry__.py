@@ -529,6 +529,84 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5-shaped local-supplier-volume query through the PLAN
+    DSL: a SIX-way join (customer⋈orders⋈lineitem⋈supplier⋈nation⋈
+    region) where supplier joins on TWO shared vars (suppkey AND the
+    customer's nationkey — the 'local supplier' condition), the
+    region/nation dims are tiny and broadcast under AQE, and the date
+    range is a pair of integer Filters over an epoch-us scan
+    expression. Revenue aggregates per nation in exact DECIMAL.
+    Output columns come from plan.variables() order — never
+    hand-tracked."""
+
+    eng = _engine(spark, sf_dir)
+    lo = 788_918_400_000_000   # 1995-01-01 UTC, epoch us
+    hi = 946_684_800_000_000   # 2000-01-01 UTC, epoch us
+    cust = Scan("customer", {"c_custkey": "?c", "c_nationkey": "?nk"})
+    ords = Filter(
+        ["?od"],
+        Predicate.LT,
+        Filter(
+            ["?od"],
+            Predicate.GTE,
+            Scan(
+                "orders",
+                {
+                    "o_orderkey": "?o",
+                    "o_custkey": "?c",
+                    _EPOCH_US_SQL.format(c="o_orderdate"): "?od",
+                },
+            ),
+            {1: lo},
+        ),
+        {1: hi},
+    )
+    li = Scan(
+        "lineitem",
+        {
+            "l_orderkey": "?o",
+            "l_suppkey": "?s",
+            "l_extendedprice": "?ep",
+            "l_discount": "?disc",
+            "l_linenumber": "?ln",
+        },
+    )
+    sup = Scan("supplier", {"s_suppkey": "?s", "s_nationkey": "?nk"})
+    nat = Scan(
+        "nation",
+        {"n_nationkey": "?nk", "n_name": "?nname", "n_regionkey": "?rk"},
+    )
+    reg = Filter(
+        ["?rname"],
+        Predicate.EQ,
+        Scan("region", {"r_regionkey": "?rk", "r_name": "?rname"}),
+        {1: "ASIA"},
+    )
+    plan = Join(
+        ["?rk"],
+        Join(
+            ["?nk"],
+            Join(
+                ["?s", "?nk"],
+                Join(["?o"], Join(["?c"], cust, ords), li),
+                sup,
+            ),
+            nat,
+        ),
+        reg,
+    )
+    names = [v[1:] for v in plan.variables()]
+    df = eng.implement(plan, names)
+    rev = F.round(F.col("ep") * (1 - F.col("disc")), 6).cast(
+        "decimal(18,6)"
+    )
+    return df.groupBy(F.col("nname").alias("nation")).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum(rev).cast("double"), 2).alias("revenue"),
+    )
+
+
 def q_agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global (keyless) aggregation."""
 
@@ -2162,6 +2240,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_groups": q_embed_groups,
         "kcore": q_kcore,  # NEW in r6
         "retrieval_eval": q_retrieval_eval,  # NEW in r6
+        "tpch_q5": q_tpch_q5,  # NEW in r6
         "simhash_neardup": q_simhash_neardup,  # NEW in r6
         "pq_topk": q_pq_topk,  # NEW in r6
         "gopher_rules": q_gopher_rules,  # NEW in r6
@@ -2904,6 +2983,23 @@ def oracle_sql() -> dict[str, str]:
             "round(sqrt(sum(l_quantity * l_quantity) / count(*) "
             "- (sum(l_quantity) / count(*)) * (sum(l_quantity) / count(*))), "
             "4) AS v FROM lineitem GROUP BY 1"
+        ),
+        "tpch_q5": (
+            "SELECT n.n_name AS nation, count(*) AS n_items, "
+            "round(CAST(sum(CAST(round(l.l_extendedprice "
+            "* (1 - l.l_discount), 6) AS DECIMAL(18,6))) AS DOUBLE), 2) "
+            "AS revenue "
+            "FROM customer c "
+            "JOIN orders o ON c.c_custkey = o.o_custkey "
+            "JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+            "JOIN supplier s ON l.l_suppkey = s.s_suppkey "
+            "AND c.c_nationkey = s.s_nationkey "
+            "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+            "JOIN region rg ON n.n_regionkey = rg.r_regionkey "
+            "WHERE rg.r_name = 'ASIA' "
+            "AND epoch_us(o.o_orderdate) >= 788918400000000 "
+            "AND epoch_us(o.o_orderdate) < 946684800000000 "
+            "GROUP BY n.n_name"
         ),
         "tpch_q3": (
             "WITH j AS (SELECT l.l_orderkey AS o, "

@@ -81,6 +81,7 @@ HEADLINE = [
     "hash_embed",      # feature-hashing embeddings (1 agg, dim cond sums)
     "resample_locf",   # hourly-grid LOCF gap fill (explode == output)
     "tpch_q3",         # plan-DSL 3-table join + decimal revenue top-10
+    "tpch_q5",         # plan-DSL 6-way join, two-var key, broadcast dims
     "retrieval_eval",  # MRR/nDCG@10 against label ground truth
     "anomalies",       # rolling z-score outliers (partitioned window)
     "winsorize",       # per-group nearest-rank percentile clamp

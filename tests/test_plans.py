@@ -557,3 +557,17 @@ def test_tpch_q3_plan_quality(spark):
     assert "TakeOrderedAndProject" in phys, phys
     assert "CartesianProduct" not in phys
     assert "BroadcastNestedLoopJoin" not in phys
+
+
+def test_tpch_q5_plan_quality(spark):
+    """The Q5-shaped declared query: six-way join with a two-var
+    supplier key; the dim joins broadcast, nothing degenerates to a
+    cartesian or nested loop."""
+
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.queries()["tpch_q5"](spark, "/root/testdata/sf0.001")
+    phys = _executed(df)
+    assert "CartesianProduct" not in phys
+    assert "BroadcastNestedLoopJoin" not in phys
+    assert "BroadcastHashJoin" in phys, phys
