@@ -504,14 +504,33 @@ def test_cell_assignment_combines_before_exchange(spark):
     from declarative_dataflow_spark.operators import similarity
 
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+    # Small k (k*dim under the JIT budget): the literal unroll is a
+    # pure per-row Project — NO exchange, no window, no join at all.
     cents = similarity.ivf_centroids(emb, n_centroids=4, iters=0)
     df = similarity._assign_cells(emb, cents, "vec_id", "embedding")
     phys = _executed(df).split("== Initial Plan ==")[0]
     assert "Window" not in phys, phys
-    assert "partial_max" in phys, phys  # map-side combine
-    assert phys.count("Exchange hashpartitioning") == 1, phys
-    assert "Exchange hashpartitioning(vec_id" in phys, phys
+    assert "Exchange" not in phys, phys
     assert "CartesianProduct" not in phys, phys
+
+    # Large k (k*dim past the budget): broadcast-scored expansion,
+    # argmax pre-reduced by a partial max BEFORE the one exchange.
+    big = spark.createDataFrame(
+        [
+            (i, [float((i * 7 + j) % 5 - 2) for j in range(16)])
+            for i in range(400)
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    bcents = similarity.ivf_centroids(big, n_centroids=300, iters=0)
+    bdf = similarity._assign_cells(big, bcents, "vec_id", "embedding")
+    bphys = _executed(bdf).split("== Initial Plan ==")[0]
+    assert "Window" not in bphys, bphys
+    assert "partial_max" in bphys, bphys  # map-side combine
+    assert bphys.count("Exchange hashpartitioning") == 1, bphys
+    assert "Exchange hashpartitioning(vec_id" in bphys, bphys
+    assert "CartesianProduct" not in bphys, bphys
 
 
 def test_corpus_profile_is_one_pass(spark):
