@@ -316,9 +316,9 @@ def kcore(
     restrict edges to surviving endpoints — all shuffle-partitioned
     by node id, no broadcast of anything data-sized, AQE sizes the
     shrinking edge table. ``localCheckpoint`` truncates lineage per
-    round (the shortest-paths discipline); convergence is edge-count
-    stability (the new edge set is a subset, so equal count ==
-    fixpoint). Rounds are bounded by the peel depth — for real
+    round (the shortest-paths discipline); convergence probes the
+    NODE-sized degree table for any entry under k (limit(1) — never a
+    full edge count). Rounds are bounded by the peel depth — for real
     graphs a handful — never by node count.
     """
 
@@ -329,33 +329,32 @@ def kcore(
         .distinct()
         .localCheckpoint()
     )
-    n_edges = und.count()
-    converged = n_edges == 0
+    deg = None
+    converged = False
     for _ in range(max_iters):
-        if converged:
-            break
-        keep = (
+        # Convergence probes the NODE-sized degree table for any entry
+        # under k — limit(1) stops at the first hit — instead of
+        # counting the full edge state per round, and detects the
+        # fixpoint BEFORE paying a no-op restriction join. The lazy
+        # checkpoint materializes deg once and serves the probe, the
+        # keep-filter, and (on convergence) the final result.
+        deg = (
             und.groupBy("src")
             .agg(F.count(F.lit(1)).alias("deg"))
-            .filter(F.col("deg") >= k)
-            .select("src")
+            .localCheckpoint(eager=False)
         )
-        nxt = (
+        if deg.filter(F.col("deg") < k).limit(1).isEmpty():
+            converged = True
+            break
+        keep = deg.filter(F.col("deg") >= k).select("src")
+        und = (
             und.join(keep, "src")
             .join(keep.withColumnRenamed("src", "dst"), "dst")
             .select("src", "dst")
             .localCheckpoint()
         )
-        m = nxt.count()
-        if m == n_edges:
-            converged = True
-            break
-        und, n_edges = nxt, m
-        converged = m == 0
     if require_convergence and not converged:
         raise RuntimeError(
             f"kcore: no fixpoint within {max_iters} rounds"
         )
-    return und.groupBy(F.col("src").alias("node")).agg(
-        F.count(F.lit(1)).alias("deg")
-    )
+    return deg.select(F.col("src").alias("node"), "deg")
