@@ -529,16 +529,41 @@ def rolling_zscore(
     global sort.
     """
 
+    return rolling_zscore_us(
+        events.withColumn("__tu", _epoch_us(ts_col)),
+        key_col=key_col,
+        tu_col="__tu",
+        value_col=value_col,
+        id_col=id_col,
+        window_us=window_seconds * 1_000_000,
+        min_n=min_n,
+        threshold=threshold,
+    )
+
+
+def rolling_zscore_us(
+    events: DataFrame,
+    key_col: str = "k",
+    tu_col: str = "tu",
+    value_col: str = "value",
+    id_col: str = "eid",
+    window_us: int = 604_800_000_000,
+    min_n: int = 8,
+    threshold: float = 2.0,
+) -> DataFrame:
+    """:func:`rolling_zscore` core over a pre-computed epoch-us column
+    — the maintainer's entry point (shared-core discipline)."""
+
     w = (
         Window.partitionBy(key_col)
-        .orderBy(_epoch_us(ts_col))
-        .rangeBetween(-window_seconds * 1_000_000, 0)
+        .orderBy(F.col(tu_col))
+        .rangeBetween(-window_us, 0)
     )
     dv = F.col(value_col).cast("decimal(18,6)")
     stats = events.select(
         F.col(id_col),
         F.col(key_col),
-        F.col(value_col).cast("double").alias("value"),
+        F.col(value_col).cast("double").alias("__val"),
         F.count(F.lit(1)).over(w).alias("__n"),
         F.sum(dv).over(w).cast("double").alias("__s"),
         F.sum(dv * dv).over(w).cast("double").alias("__ss"),
@@ -548,11 +573,16 @@ def rolling_zscore(
         F.col("__ss") / F.col("__n") - mean * mean, F.lit(0.0)
     )
     z = F.round(
-        (F.col("value") - mean) / F.nullif(F.sqrt(var), F.lit(0.0)), 6
+        (F.col("__val") - mean) / F.nullif(F.sqrt(var), F.lit(0.0)), 6
     )
     return (
         stats.filter(F.col("__n") >= min_n)
         .withColumn("z", z)
         .filter(F.abs(F.col("z")) > threshold)
-        .select(id_col, key_col, "value", "z")
+        .select(
+            F.col(id_col),
+            F.col(key_col),
+            F.col("__val").alias("value"),
+            "z",
+        )
     )

@@ -571,3 +571,141 @@ class IncrementalResample(_GenerationalState):
             .filter(F.col("diff") != 0)
             .withColumnRenamed("k", self.key_col)
         )
+
+
+class IncrementalAnomalies(_GenerationalState):
+    """Maintained rolling z-score anomalies (operators/timeseries.py::
+    rolling_zscore). State: signed per-event-id observation support,
+    (key, tu, eid, value, cnt) — the IncrementalResample shape.
+    ``process_batch`` returns (key, eid, value, z, diff): adding or
+    retracting an observation shifts the trailing moments of every
+    LATER event of that key within window reach, so flags can appear
+    and disappear away from the touched timestamps — the touched-key
+    recompute through the shared :func:`rolling_zscore_us` core
+    re-derives the whole key exactly."""
+
+    KEY_COL = "user_id"
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        key_col: str = "user_id",
+        ts_col: str = "ts",
+        id_col: str = "event_id",
+        value_col: str = "value",
+        window_seconds: int = 604_800,
+        min_n: int = 8,
+        threshold: float = 2.0,
+    ) -> None:
+        self.spark = spark
+        self.state_dir = state_dir.rstrip("/")
+        self.key_col = key_col
+        self.ts_col = ts_col
+        self.id_col = id_col
+        self.value_col = value_col
+        self.window_us = window_seconds * 1_000_000
+        self.min_n = min_n
+        self.threshold = threshold
+
+    def _project(self, events: DataFrame) -> DataFrame:
+        from ..operators.timeseries import _epoch_us
+
+        return events.select(
+            F.col(self.key_col).alias("k"),
+            _epoch_us(self.ts_col).alias("tu"),
+            F.col(self.id_col).alias("eid"),
+            F.col(self.value_col).cast("double").alias("value"),
+        )
+
+    def _events_state(self) -> Optional[DataFrame]:
+        inc = self._read_versioned("events")
+        if inc is None:
+            return None
+        return (
+            inc.groupBy("k", "tu", "eid", "value")
+            .agg(F.sum("cnt").alias("cnt"))
+            .filter(F.col("cnt") > 0)
+        )
+
+    def _flags_of(self, ev: Optional[DataFrame]) -> Optional[DataFrame]:
+        from ..operators.timeseries import rolling_zscore_us
+
+        if ev is None:
+            return None
+        return rolling_zscore_us(
+            ev,
+            key_col="k",
+            tu_col="tu",
+            value_col="value",
+            id_col="eid",
+            window_us=self.window_us,
+            min_n=self.min_n,
+            threshold=self.threshold,
+        )
+
+    def current(self) -> Optional[DataFrame]:
+        out = self._flags_of(self._events_state())
+        if out is None:
+            return None
+        return out.withColumnRenamed("k", self.key_col)
+
+    def process_batch(
+        self,
+        adds: Optional[DataFrame] = None,
+        retracts: Optional[DataFrame] = None,
+        epoch: Optional[int] = None,
+    ) -> Optional[DataFrame]:
+        delta = _signed_union(
+            None if adds is None else self._project(adds),
+            None if retracts is None else self._project(retracts),
+            ["k", "tu", "eid", "value"],
+        )
+        if delta is None:
+            return None
+        delta = (
+            delta.groupBy("k", "tu", "eid", "value")
+            .agg(F.sum("cnt").alias("cnt"))
+            .filter(F.col("cnt") != 0)
+            .localCheckpoint(eager=True)
+        )
+        touched = delta.select("k").distinct()
+        before = self._events_state()
+        old = (
+            None
+            if before is None
+            else self._flags_of(
+                before.join(touched, "k", "left_semi")
+            ).localCheckpoint(eager=True)
+        )
+        self._append("events", delta, epoch=epoch)
+        self._epochs = getattr(self, "_epochs", 0) + 1
+        if self._epochs % self.compact_every == 0:
+            consolidated = self._events_state()
+            if consolidated is not None:
+                self._compact("events", consolidated)
+        after = self._events_state()
+        new = (
+            None
+            if after is None
+            else self._flags_of(after.join(touched, "k", "left_semi"))
+        )
+        cols = ["k", "eid", "value", "z"]
+
+        def tag(df: Optional[DataFrame], w: int) -> Optional[DataFrame]:
+            if df is None:
+                return None
+            return df.select(*cols, F.lit(w).alias("diff"))
+
+        olds, news = tag(old, -1), tag(new, 1)
+        if olds is None and news is None:
+            return None
+        both = news if olds is None else (
+            olds if news is None else olds.unionByName(news)
+        )
+        return (
+            both.groupBy(*cols)
+            .agg(F.sum("diff").alias("diff"))
+            .filter(F.col("diff") != 0)
+            .withColumnRenamed("k", self.key_col)
+        )

@@ -464,3 +464,76 @@ def test_incremental_resample_randomized_churn_equals_batch(spark, tmp_path):
             _vdf(spark, list(live.values())), grid_seconds=1800
         )
         assert got == want, f"epoch {epoch}"
+
+
+# ---------------------------------------------------------------------------
+# IncrementalAnomalies
+# ---------------------------------------------------------------------------
+
+from declarative_dataflow_spark.streaming.event_stats import (  # noqa: E402
+    IncrementalAnomalies,
+)
+
+
+def _anomaly_rows(df, **kw):
+    out = timeseries.rolling_zscore(df, **kw).collect()
+    return sorted(tuple(r) for r in out)
+
+
+def test_incremental_anomalies_retraction_unflags(spark, tmp_path):
+    inc = IncrementalAnomalies(
+        spark, str(tmp_path / "a"),
+        window_seconds=86_400, min_n=8, threshold=2.0,
+    )
+    base = [
+        (i, dt.datetime(1970, 1, 1) + dt.timedelta(hours=i), 7, 10.0)
+        for i in range(1, 9)
+    ]
+    spike = (9, dt.datetime(1970, 1, 1, 9), 7, 100.0)
+    d0 = inc.process_batch(adds=_vdf(spark, base + [spike]), epoch=0)
+    assert [(r["eid"], r["diff"]) for r in d0.collect()] == [(9, 1)]
+
+    # retracting two quiet events drops support below min_n: the
+    # spike un-flags even though IT was not touched directly
+    d1 = inc.process_batch(
+        retracts=_vdf(spark, base[:2]), epoch=1
+    )
+    assert [(r["eid"], r["diff"]) for r in d1.collect()] == [(9, -1)]
+    assert inc.current().count() == 0
+
+
+def test_incremental_anomalies_randomized_churn_equals_batch(spark, tmp_path):
+    rng = random.Random(61)
+    kw = dict(window_seconds=86_400, min_n=5, threshold=1.5)
+    inc = IncrementalAnomalies(spark, str(tmp_path / "a"), **kw)
+    base = dt.datetime(1970, 1, 1)
+    live = {}
+    next_id = 0
+    for epoch in range(5):
+        adds = []
+        for _ in range(rng.randrange(4, 10)):
+            adds.append(
+                (
+                    next_id,
+                    base + dt.timedelta(seconds=rng.randrange(90_000)),
+                    rng.randrange(3),
+                    float(rng.randint(0, 80)),
+                )
+            )
+            next_id += 1
+        retracts = []
+        if live and epoch >= 2:
+            for rid in rng.sample(sorted(live), min(2, len(live))):
+                retracts.append(live[rid])
+        inc.process_batch(
+            adds=_vdf(spark, adds) if adds else None,
+            retracts=_vdf(spark, retracts) if retracts else None,
+            epoch=epoch,
+        )
+        for row in adds:
+            live[row[0]] = row
+        for row in retracts:
+            del live[row[0]]
+        got = sorted(tuple(r) for r in inc.current().collect())
+        want = _anomaly_rows(_vdf(spark, list(live.values())), **kw)
+        assert got == want, f"epoch {epoch}"
