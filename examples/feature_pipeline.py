@@ -76,6 +76,14 @@ def main() -> None:
     )
     cohorts = timeseries.retention(ev, period_seconds=86_400)
 
+    # 4b. Data-quality guards on the raw stream: regular-grid LOCF
+    #     series for downstream windowing, rolling z-score outliers
+    #     excluded from the training rows.
+    grid = timeseries.resample_locf(ev, grid_seconds=3600)
+    outliers = timeseries.rolling_zscore(
+        ev, window_seconds=604_800, min_n=8, threshold=2.0
+    ).select(F.col("event_id").alias("click_id"))
+
     # 5. Assemble + cluster the write on (user, hour) Z-order.
     feats = (
         asof.join(
@@ -86,6 +94,7 @@ def main() -> None:
         )
         .join(sess, "click_id")
         .join(depths, "user_id", "left")
+        .join(outliers, "click_id", "left_anti")
         .withColumn("u6", F.col("user_id") % 64)
         .withColumn(
             "h6", (F.floor(_epoch_us("ts") / 3_600_000_000) % 64)
@@ -101,6 +110,8 @@ def main() -> None:
     full = depths.filter(F.col("depth") == 3).count()
     print(f"funnel: {depths.count()} users entered, {full} completed")
     print(f"retention cells: {cohorts.count()}")
+    print(f"resampled grid rows: {grid.count()}")
+    print(f"outlier events flagged (clicks among them excluded): {outliers.count()}")
     print(f"feature partitions: {laid.rdd.getNumPartitions()}")
     spark.stop()
 
