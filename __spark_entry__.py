@@ -1437,6 +1437,18 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dedup_groups(load_table(spark, sf_dir, "documents"))
 
 
+def q_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood blocking pairs (window 5 over a 16-char
+    normalized sort key). Global order via range partition + offset
+    shift — never a single-partition row_number window; neighbor join
+    bucketized by window width (equi-join + residual, never a range
+    join)."""
+
+    return dedup.sorted_neighborhood_pairs(
+        load_table(spark, sf_dir, "documents"), window=5, key_chars=16
+    )
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Jaccard pairs with the PREFIX-FILTERED candidate join
     (AllPairs/PPJoin): rarest-first prefixes bound the fanout of
@@ -2241,6 +2253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore": q_kcore,  # NEW in r6
         "retrieval_eval": q_retrieval_eval,  # NEW in r6
         "tpch_q5": q_tpch_q5,  # NEW in r6
+        "sorted_neighborhood": q_sorted_neighborhood,  # NEW in r6
         "simhash_neardup": q_simhash_neardup,  # NEW in r6
         "pq_topk": q_pq_topk,  # NEW in r6
         "gopher_rules": q_gopher_rules,  # NEW in r6
@@ -2983,6 +2996,18 @@ def oracle_sql() -> dict[str, str]:
             "round(sqrt(sum(l_quantity * l_quantity) / count(*) "
             "- (sum(l_quantity) / count(*)) * (sum(l_quantity) / count(*))), "
             "4) AS v FROM lineitem GROUP BY 1"
+        ),
+        "sorted_neighborhood": (
+            # Same normalized sort key and positional-window pairs;
+            # the oracle's plain rank-range join equals the bucketized
+            # equi-join by construction.
+            "WITH base AS (SELECT doc_id AS id, "
+            "substring(lower(regexp_replace(text, '\\s+', ' ', 'g')), "
+            "1, 16) AS k FROM documents), "
+            "r AS (SELECT id, row_number() OVER (ORDER BY k, id) AS rn "
+            "FROM base) "
+            "SELECT a.id AS a, b.id AS b, (b.rn - a.rn) AS gap "
+            "FROM r a JOIN r b ON b.rn > a.rn AND b.rn - a.rn <= 5"
         ),
         "tpch_q5": (
             "SELECT n.n_name AS nation, count(*) AS n_items, "

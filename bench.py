@@ -31,6 +31,7 @@ HEADLINE = [
     "union",           # set union
     "pull_level",      # document projection
     "dedup_exact",     # exact hash dedup
+    "sorted_neighborhood",  # SNM blocking (global rn via range+offsets)
     "minhash_lsh",     # MinHash LSH near-dup (banded candidates + verify)
     "simhash",         # SimHash fingerprints
     "simhash_neardup",  # Manku-banded Hamming-LSH near-dup pairs

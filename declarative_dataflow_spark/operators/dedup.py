@@ -20,6 +20,7 @@ Scale design (100 TB):
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
 
 # uint32 from the first 8 hex chars of md5 — portable to DuckDB as
 # ('0x' || substr(md5(x),1,8))::BIGINT.
@@ -516,4 +517,114 @@ def simhash_neardup_pairs(
         )
         .filter(F.col("dist") <= max_distance)
         .select("a", "b", "dist")
+    )
+
+
+def global_row_number(
+    df: DataFrame,
+    order_cols: list[str],
+    partitions: int = 0,
+) -> DataFrame:
+    """Append a contiguous 1-based global row number ``rn`` in
+    ``order_cols`` order — WITHOUT the single-partition window a naive
+    ``row_number() OVER (ORDER BY ...)`` plans. The scalable form:
+    range-partition on the order columns (Spark's distributed sort),
+    number WITHIN each partition, then shift by the partition-size
+    prefix sums — the sizes are one driver-small collect (one row per
+    partition), broadcast back as a literal CASE map. The caller's
+    ``order_cols`` must be a total order (append a unique id column)
+    or numbering is nondeterministic.
+    """
+
+    n = partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = (
+        df.repartitionByRange(n, *[F.col(c) for c in order_cols])
+        .sortWithinPartitions(*[F.col(c) for c in order_cols])
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    sizes = {
+        r["__pid"]: r["cnt"]
+        for r in ranged.groupBy("__pid").agg(
+            F.count(F.lit(1)).alias("cnt")
+        ).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(sizes):
+        offsets[pid] = acc
+        acc += sizes[pid]
+    w = Window.partitionBy("__pid").orderBy(*[F.col(c) for c in order_cols])
+    off = F.element_at(
+        F.create_map(
+            *[
+                F.lit(x)
+                for pid in sorted(offsets)
+                for x in (pid, offsets[pid])
+            ]
+        ),
+        F.col("__pid"),
+    ) if offsets else F.lit(0)
+    return ranged.withColumn(
+        "rn", (F.row_number().over(w) + off).cast("long")
+    ).drop("__pid")
+
+
+def sorted_neighborhood_pairs(
+    docs: DataFrame,
+    window: int = 5,
+    key_chars: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sorted-neighborhood blocking (the record-linkage classic,
+    Hernández & Stolfo 1995): order the corpus by a normalized sort
+    key and emit every pair within ``window`` positions — the
+    candidate generator for near-dup families whose errors cluster
+    under sorting (prefix typos, near-identical boilerplate heads)
+    that hash blocking misses. Returns (a, b, gap) with a < b by
+    position and ``gap`` the positional distance (1..window).
+
+    Scale shape: the global order comes from :func:`global_row_number`
+    (range partition + offset shift — no single-partition window);
+    the neighbor join BUCKETIZES rn by ``window`` so each row joins
+    its own and the next bucket with a residual gap filter (the
+    interval-join discipline) — an equi-join on uniform integer keys,
+    never a range join, output exactly n*window pairs.
+    """
+
+    key = F.substring(
+        F.lower(F.regexp_replace(F.col(text_col), r"\s+", " ")),
+        1,
+        key_chars,
+    )
+    base = global_row_number(
+        docs.select(
+            F.col(id_col).alias("id"), key.alias("__k")
+        ),
+        ["__k", "id"],
+    ).select("id", "rn")
+    left = base.select(
+        F.col("id").alias("a"),
+        F.col("rn").alias("rn_a"),
+        F.explode(
+            F.array(
+                F.expr(f"rn div {window}"),
+                F.expr(f"rn div {window} + 1"),
+            )
+        ).alias("__blk"),
+    )
+    right = base.select(
+        F.col("id").alias("b"),
+        F.col("rn").alias("rn_b"),
+        F.expr(f"rn div {window}").alias("__blk"),
+    )
+    return (
+        left.join(right, "__blk")
+        .filter(
+            (F.col("rn_b") > F.col("rn_a"))
+            & (F.col("rn_b") - F.col("rn_a") <= window)
+        )
+        .select(
+            "a", "b", (F.col("rn_b") - F.col("rn_a")).alias("gap")
+        )
     )

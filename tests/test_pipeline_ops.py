@@ -1798,3 +1798,67 @@ def test_retrieval_eval_metrics_by_hand(spark):
         assert row["hits"] == sum(rels)
         assert abs(row["mrr"] - round(mrr, 6)) < 1e-9
         assert abs(row["ndcg"] - round(dcg / idcg, 6)) < 1e-6
+
+
+def test_global_row_number_is_contiguous_across_partitions(spark):
+    from declarative_dataflow_spark.operators import dedup as dd
+
+    rows = [(i, f"key{i % 37:03d}x{i}") for i in range(500)]
+    df = spark.createDataFrame(rows, ["id", "k"])
+    out = dd.global_row_number(df, ["k", "id"], partitions=8).collect()
+    by_rn = sorted((r["rn"], r["k"], r["id"]) for r in out)
+    # contiguous 1..n
+    assert [t[0] for t in by_rn] == list(range(1, 501))
+    # rn order == (k, id) order
+    assert [t[1:] for t in by_rn] == sorted((r["k"], r["id"]) for r in out)
+
+
+def test_sorted_neighborhood_matches_bruteforce(spark):
+    import re
+
+    from declarative_dataflow_spark.operators import dedup as dd
+
+    rows = [
+        (i, f"The  quick doc {i % 23:02d} body text number {i}")
+        for i in range(120)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    w = 4
+    got = sorted(
+        (r["a"], r["b"], r["gap"])
+        for r in dd.sorted_neighborhood_pairs(
+            docs, window=w, key_chars=16
+        ).collect()
+    )
+    keyed = sorted(
+        (re.sub(r"\s+", " ", t.lower())[:16], i) for i, t in rows
+    )
+    exp = []
+    for p in range(len(keyed)):
+        for q in range(p + 1, min(p + w + 1, len(keyed))):
+            exp.append((keyed[p][1], keyed[q][1], q - p))
+    assert got == sorted(exp)
+
+
+def test_sorted_neighborhood_no_global_window(spark):
+    """The global numbering must not plan a single-partition window
+    (windowspecdefinition with no partition columns) or a range
+    join."""
+
+    from declarative_dataflow_spark.operators import dedup as dd
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(50)], ["doc_id", "text"]
+    )
+    df = dd.sorted_neighborhood_pairs(docs, window=3)
+    df.collect()
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in phys
+    assert "CartesianProduct" not in phys
+    # every window in the plan is PARTITIONED by __pid — the global
+    # numbering never plans an un-partitioned (single-partition) sort
+    assert "windowspecdefinition(__pid" in phys, phys
+    import re as _re
+
+    for m in _re.finditer(r"windowspecdefinition\(([^)]*)\)", phys):
+        assert m.group(1).startswith("__pid"), m.group(0)
