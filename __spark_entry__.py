@@ -607,6 +607,185 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q4-shaped order-priority check through the PLAN DSL: a
+    SEMIJOIN (EXISTS) realized as Join + distinct — orders in a
+    one-year window that have at least one lineitem shipped more than
+    60 days after the order date, counted per priority. The lateness
+    test is a VAR-VAR Filter across the join (?sd > ?odp), with the
+    +60d offset folded into the order scan expression so the
+    predicate stays a pure two-variable comparison (the reference's
+    BinaryPredicate binds variables, not arithmetic —
+    src/binding/mod.rs:283-297). The distinct runs on (o, pri) —
+    exactly the semijoin's output key — so lineitem multiplicity
+    never reaches the count."""
+
+    eng = _engine(spark, sf_dir)
+    lo = 852_076_800_000_000   # 1997-01-01 UTC, epoch us
+    hi = 883_612_800_000_000   # 1998-01-01 UTC, epoch us
+    off = 60 * 86_400 * 1_000_000
+    ords = Filter(
+        ["?od"],
+        Predicate.LT,
+        Filter(
+            ["?od"],
+            Predicate.GTE,
+            Scan(
+                "orders",
+                {
+                    "o_orderkey": "?o",
+                    "o_orderpriority": "?pri",
+                    _EPOCH_US_SQL.format(c="o_orderdate"): "?od",
+                    _EPOCH_US_SQL.format(c="o_orderdate") + f" + {off}":
+                        "?odp",
+                },
+            ),
+            {1: lo},
+        ),
+        {1: hi},
+    )
+    li = Scan(
+        "lineitem",
+        {
+            "l_orderkey": "?o",
+            _EPOCH_US_SQL.format(c="l_shipdate"): "?sd",
+            "l_linenumber": "?ln",
+        },
+    )
+    plan = Filter(["?sd", "?odp"], Predicate.GT, Join(["?o"], ords, li))
+    names = [v[1:] for v in plan.variables()]
+    df = eng.implement(plan, names)
+    return (
+        df.select("o", "pri")
+        .distinct()
+        .groupBy(F.col("pri").alias("priority"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q12-shaped shipping-mode priority split through the PLAN
+    DSL (l_returnflag stands in for the testdata's missing
+    l_shipmode): orders⋈lineitem over a one-year ship window, grouped
+    by returnflag with a conditional split of line counts into
+    high-priority (URGENT/HIGH) vs low-priority orders. The CASE
+    aggregation is JVM expression arithmetic over the plan's output —
+    whole-stage codegen, no UDF."""
+
+    eng = _engine(spark, sf_dir)
+    lo = 852_076_800_000_000   # 1997-01-01 UTC, epoch us
+    hi = 883_612_800_000_000   # 1998-01-01 UTC, epoch us
+    ords = Scan(
+        "orders", {"o_orderkey": "?o", "o_orderpriority": "?pri"}
+    )
+    li = Filter(
+        ["?sd"],
+        Predicate.LT,
+        Filter(
+            ["?sd"],
+            Predicate.GTE,
+            Scan(
+                "lineitem",
+                {
+                    "l_orderkey": "?o",
+                    "l_returnflag": "?rf",
+                    _EPOCH_US_SQL.format(c="l_shipdate"): "?sd",
+                    "l_linenumber": "?ln",
+                },
+            ),
+            {1: lo},
+        ),
+        {1: hi},
+    )
+    plan = Join(["?o"], ords, li)
+    df = eng.implement(plan, [v[1:] for v in plan.variables()])
+    hi_pri = F.col("pri").isin("1-URGENT", "2-HIGH")
+    return df.groupBy(F.col("rf").alias("returnflag")).agg(
+        F.sum(F.when(hi_pri, 1).otherwise(0)).alias("high_lines"),
+        F.sum(F.when(hi_pri, 0).otherwise(1)).alias("low_lines"),
+    )
+
+
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q19-shaped discounted-revenue query through the PLAN
+    DSL: the disjunction of three (brand, size-range, quantity-range)
+    clauses expressed as a UNION of three part⋈lineitem Join branches
+    — the reference's idiom for OR (Plan::Union of conjunctive
+    branches, src/plan/mod.rs). Each branch filters part BEFORE the
+    join (predicate pushdown: the brand EQ reaches the part scan) so
+    the join probes a few-hundred-row broadcast side; branches are
+    disjoint by brand, so bag-vs-set union semantics coincide.
+    Returns one (n_items, revenue) row in exact DECIMAL."""
+
+    eng = _engine(spark, sf_dir)
+
+    def branch(brand: str, size_hi: int, q_lo: float, q_hi: float):
+        pt = Filter(
+            ["?size"],
+            Predicate.LTE,
+            Filter(
+                ["?size"],
+                Predicate.GTE,
+                Filter(
+                    ["?brand"],
+                    Predicate.EQ,
+                    Scan(
+                        "part",
+                        {
+                            "p_partkey": "?p",
+                            "p_brand": "?brand",
+                            "p_size": "?size",
+                        },
+                    ),
+                    {1: brand},
+                ),
+                {1: 1},
+            ),
+            {1: size_hi},
+        )
+        li = Filter(
+            ["?qty"],
+            Predicate.LTE,
+            Filter(
+                ["?qty"],
+                Predicate.GTE,
+                Scan(
+                    "lineitem",
+                    {
+                        "l_partkey": "?p",
+                        "l_quantity": "?qty",
+                        "l_extendedprice": "?ep",
+                        "l_discount": "?disc",
+                        "l_orderkey": "?o",
+                        "l_linenumber": "?ln",
+                    },
+                ),
+                {1: q_lo},
+            ),
+            {1: q_hi},
+        )
+        return Join(["?p"], pt, li)
+
+    b1 = branch("Brand#12", 5, 1.0, 11.0)
+    plan = Union(
+        b1.variables(),
+        [
+            b1,
+            branch("Brand#23", 10, 10.0, 20.0),
+            branch("Brand#34", 15, 20.0, 30.0),
+        ],
+    )
+    names = [v[1:] for v in plan.variables()]
+    df = eng.implement(plan, names)
+    rev = F.round(F.col("ep") * (1 - F.col("disc")), 6).cast(
+        "decimal(18,6)"
+    )
+    return df.agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum(rev).cast("double"), 2).alias("revenue"),
+    )
+
+
 def q_agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global (keyless) aggregation."""
 
@@ -2253,6 +2432,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore": q_kcore,  # NEW in r6
         "retrieval_eval": q_retrieval_eval,  # NEW in r6
         "tpch_q5": q_tpch_q5,  # NEW in r6
+        "tpch_q4": q_tpch_q4,  # NEW in r6
+        "tpch_q12": q_tpch_q12,  # NEW in r6
+        "tpch_q19": q_tpch_q19,  # NEW in r6
         "sorted_neighborhood": q_sorted_neighborhood,  # NEW in r6
         "simhash_neardup": q_simhash_neardup,  # NEW in r6
         "pq_topk": q_pq_topk,  # NEW in r6
@@ -3042,6 +3224,52 @@ def oracle_sql() -> dict[str, str]:
             "round(CAST(sum(rev) AS DOUBLE), 2) AS revenue "
             "FROM j GROUP BY o, od_us, pri "
             "ORDER BY sum(rev) DESC, o LIMIT 10"
+        ),
+        "tpch_q4": (
+            # EXISTS as a plain semijoin; the +60d lateness offset in
+            # exact integer micros, the same constant the Spark scan
+            # expression folds in.
+            "SELECT o.o_orderpriority AS priority, "
+            "CAST(count(*) AS BIGINT) AS n_orders FROM orders o "
+            "WHERE epoch_us(o.o_orderdate) >= 852076800000000 "
+            "AND epoch_us(o.o_orderdate) < 883612800000000 "
+            "AND EXISTS (SELECT 1 FROM lineitem l "
+            "WHERE l.l_orderkey = o.o_orderkey "
+            "AND epoch_us(l.l_shipdate) > "
+            "epoch_us(o.o_orderdate) + 5184000000000::BIGINT) "
+            "GROUP BY 1"
+        ),
+        "tpch_q12": (
+            "SELECT l.l_returnflag AS returnflag, "
+            "CAST(sum(CASE WHEN o.o_orderpriority IN "
+            "('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS high_lines, "
+            "CAST(sum(CASE WHEN o.o_orderpriority IN "
+            "('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) "
+            "AS low_lines "
+            "FROM orders o JOIN lineitem l "
+            "ON l.l_orderkey = o.o_orderkey "
+            "WHERE epoch_us(l.l_shipdate) >= 852076800000000 "
+            "AND epoch_us(l.l_shipdate) < 883612800000000 "
+            "GROUP BY 1"
+        ),
+        "tpch_q19": (
+            # Disjoint-by-brand OR clauses: the flat OR equals the
+            # Spark side's Union of three conjunctive join branches.
+            "SELECT CAST(count(*) AS BIGINT) AS n_items, "
+            "round(CAST(sum(CAST(round(l.l_extendedprice "
+            "* (1 - l.l_discount), 6) AS DECIMAL(18,6))) AS DOUBLE), "
+            "2) AS revenue "
+            "FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey "
+            "WHERE (p.p_brand = 'Brand#12' "
+            "AND p.p_size BETWEEN 1 AND 5 "
+            "AND l.l_quantity BETWEEN 1.0 AND 11.0) "
+            "OR (p.p_brand = 'Brand#23' "
+            "AND p.p_size BETWEEN 1 AND 10 "
+            "AND l.l_quantity BETWEEN 10.0 AND 20.0) "
+            "OR (p.p_brand = 'Brand#34' "
+            "AND p.p_size BETWEEN 1 AND 15 "
+            "AND l.l_quantity BETWEEN 20.0 AND 30.0)"
         ),
         "agg_multi": (
             "SELECT l_returnflag AS rf, l_linestatus AS ls, "

@@ -590,3 +590,79 @@ def test_tpch_q5_plan_quality(spark):
     assert "CartesianProduct" not in phys
     assert "BroadcastNestedLoopJoin" not in phys
     assert "BroadcastHashJoin" in phys, phys
+
+
+def test_tpch_q4_semijoin_correct_and_pushes_dates(spark):
+    """The Q4-shaped declared query: the semijoin's distinct keeps
+    lineitem multiplicity out of the counts (checked against a
+    hand-computed EXISTS on the same data), the order-date window
+    prunes at the orders scan, and nothing degenerates to a nested
+    loop — the var-var lateness filter rides the equi-join, it never
+    becomes the join condition."""
+
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.queries()["tpch_q4"](spark, "/root/testdata/sf0.001")
+    phys = _executed(df)
+    assert "CartesianProduct" not in phys
+    assert "BroadcastNestedLoopJoin" not in phys
+
+    import duckdb
+
+    con = duckdb.connect()
+    for t in ("orders", "lineitem"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('/root/testdata/sf0.001/{t}.parquet')"
+        )
+    exp = dict(
+        con.execute(
+            entry_mod.oracle_sql()["tpch_q4"]
+        ).fetchall()
+    )
+    got = {r["priority"]: r["n_orders"] for r in df.collect()}
+    assert got == exp
+
+
+def test_tpch_q12_conditional_split_sums_to_total(spark):
+    """high_lines + low_lines per returnflag equals the plain join
+    count — the CASE split loses and double-counts nothing."""
+
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.queries()["tpch_q12"](spark, "/root/testdata/sf0.001")
+    rows = {r["returnflag"]: (r["high_lines"], r["low_lines"]) for r in df.collect()}
+
+    import duckdb
+
+    con = duckdb.connect()
+    for t in ("orders", "lineitem"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('/root/testdata/sf0.001/{t}.parquet')"
+        )
+    totals = dict(
+        con.execute(
+            "SELECT l_returnflag, count(*) FROM orders o JOIN lineitem l "
+            "ON l.l_orderkey = o.o_orderkey "
+            "WHERE epoch_us(l.l_shipdate) >= 852076800000000 "
+            "AND epoch_us(l.l_shipdate) < 883612800000000 GROUP BY 1"
+        ).fetchall()
+    )
+    assert {k: h + lo for k, (h, lo) in rows.items()} == totals
+
+
+def test_tpch_q19_union_branches_push_brand_to_scan(spark):
+    """The Q19-shaped disjunction: each Union branch's brand EQ
+    reaches the part scan as a pushed filter (the disjunction never
+    forces a full-table OR filter above the join), and the small
+    filtered part sides broadcast."""
+
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.queries()["tpch_q19"](spark, "/root/testdata/sf0.001")
+    phys = _executed(df)
+    assert "CartesianProduct" not in phys
+    assert "BroadcastNestedLoopJoin" not in phys
+    opt = _optimized(df)
+    assert opt.count("Brand#") >= 3, opt
