@@ -1074,6 +1074,26 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.kcore(edges, k=12)
 
 
+def q_graph_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components as a FIRST-CLASS declared query — the
+    pairs->clusters step every dedup family composes with
+    (dedup_groups uses it behind MinHash-LSH), here exposed directly
+    over a sparse events-derived graph (1/31 sparsifier, 10k-node
+    domain: mixed component sizes, not one giant blob). Hash-min
+    label propagation to a CHECKED fixpoint; each round is one
+    shuffle on vertex id with map-side min-combine. The DuckDB twin
+    is the textbook recursive-CTE reachability closure + min — the
+    operator never materializes that closure (quadratic per
+    component), only the (id, component) frontier."""
+
+    ev = load_table(spark, sf_dir, "events")
+    edges = ev.filter(F.col("event_id") % 31 == 0).select(
+        (F.col("user_id") % 10000).alias("a"),
+        (F.col("event_id") % 10000).alias("b"),
+    )
+    return dedup.connected_components(edges, "a", "b")
+
+
 def q_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Label propagation to fixpoint — the reference's flagship
     recursive benchmark (experiments/src/bin/labelprop.rs:23-47):
@@ -2430,6 +2450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_neardup": q_embed_neardup,
         "embed_groups": q_embed_groups,
         "kcore": q_kcore,  # NEW in r6
+        "graph_cc": q_graph_cc,  # NEW in r6
         "retrieval_eval": q_retrieval_eval,  # NEW in r6
         "tpch_q5": q_tpch_q5,  # NEW in r6
         "tpch_q4": q_tpch_q4,  # NEW in r6
@@ -4148,6 +4169,19 @@ def oracle_sql() -> dict[str, str]:
         ),
         "bpe_encode": _bpe_encode_oracle_sql(8),
         "kmeans": _kmeans_oracle_sql(8, 2),
+        "graph_cc": (
+            # Reachability closure + min via recursive CTE — exact on
+            # the sparse instance; the Spark operator converges by
+            # frontier, never materializing the closure.
+            "WITH RECURSIVE base AS (SELECT user_id % 10000 AS a, "
+            "event_id % 10000 AS b FROM events WHERE event_id % 31 = 0), "
+            "e AS (SELECT DISTINCT u, v FROM (SELECT a AS u, b AS v "
+            "FROM base UNION ALL SELECT b, a FROM base) t), "
+            "verts AS (SELECT DISTINCT u FROM e), "
+            "r AS (SELECT u AS x, u AS y FROM verts "
+            "UNION SELECT r.x, e.v FROM r JOIN e ON r.y = e.u) "
+            "SELECT x AS id, min(y) AS component FROM r GROUP BY x"
+        ),
         "kcore": _kcore_oracle_sql(12, 8),
         "nb_quality": (
             "WITH m AS (SELECT doc_id, "

@@ -49,6 +49,7 @@ HEADLINE = [
     "pq_topk",         # product-quantization ANN (ADC table lookups)
     "shortest_cost",   # weighted recursive aggregate (delta relaxation)
     "kcore",           # shrink-to-fixpoint peel (degree agg + joins)
+    "graph_cc",        # hash-min connected components to checked fixpoint
     "window_tumbling",  # streaming window operator on batch input
     "window_sliding",  # overlapping sliding windows
     "window_session",  # merging session windows

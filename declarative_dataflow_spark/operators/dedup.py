@@ -333,28 +333,45 @@ def connected_components(
     src: str = "a",
     dst: str = "b",
     max_iters: int = 25,
+    strict: bool = True,
+    step: int = 6,
 ) -> DataFrame:
     """Connected components over an undirected edge list: (id, component)
     where component is the smallest vertex id reachable from ``id``.
 
-    Hash-min label propagation, run to fixpoint: each round pushes every
-    vertex's current label across its edges and keeps the per-vertex
-    minimum. Rounds = graph diameter, and each round is one shuffle on
-    vertex id with map-side combine on min(). Near-duplicate graphs are
-    the intended input — many tiny star/clique components, diameter a
-    handful — so this converges in a few rounds with labels never wider
-    than one (id, component) pair per vertex. (For adversarial
-    long-chain graphs the O(log n)-round large-star/small-star
-    alternating trick [Kiveris et al., "Connected Components in
-    MapReduce and Beyond"] drops in behind the same signature.)
-    Lineage is truncated per round with localCheckpoint, as in the
-    recursive-rule fixpoint (engine.py).
+    Hash-min label propagation, run to fixpoint: labels push across
+    edges and each vertex keeps the minimum. Hop count to converge =
+    graph diameter; ``step`` unrolls that many pushes into ONE Spark
+    job between materializations (the shortest_cost unroll
+    discipline) — min-combine is monotone and idempotent, so
+    over-pushing past convergence is harmless and driver rounds drop
+    to ceil(diameter/step). Each materialized round is one eager
+    localCheckpoint; the convergence probe reads a CHANGE FLAG
+    computed inside the round's FINAL hop (each vertex's
+    before-last-hop label rides along as a tag column that never
+    crosses edges — pushed rows carry NULL — so min(tag) recovers it
+    without a probe join). Tagging the LAST hop rather than the round
+    start means changed==0 ⟺ one full push was a no-op ⟺ true
+    fixpoint — a round whose last hop lands past convergence
+    terminates immediately, no pure confirm round. Near-duplicate
+    graphs are the intended input — many tiny star/clique components,
+    diameter a handful, so the default step converges them in ONE
+    round. (For adversarial long-chain graphs the O(log n)-round
+    large-star/small-star alternating trick [Kiveris et al.,
+    "Connected Components in MapReduce and Beyond"] drops in behind
+    the same signature.)
+
+    ``strict=True`` (default) raises if ``max_iters`` rounds (of
+    ``step`` hops each) pass without reaching the fixpoint — a
+    silently-unconverged labeling merges fewer components than
+    reachability implies (the kcore convergence discipline).
     """
 
     sym = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     labels = (
         sym.select(F.col("u").alias("id"))
@@ -362,26 +379,50 @@ def connected_components(
         .select("id", F.col("id").alias("component"))
         .localCheckpoint(eager=True)
     )
+    ctype = dict(labels.dtypes)["component"]
     for _ in range(max_iters):
+        cur = labels
+        for _hop in range(max(0, step - 1)):
+            pushed = sym.join(
+                cur.withColumnRenamed("id", "u"), "u"
+            ).select(F.col("v").alias("id"), "component")
+            cur = (
+                cur.union(pushed)
+                .groupBy("id")
+                .agg(F.min("component").alias("component"))
+            )
+        tagged = cur.withColumn("__old", F.col("component"))
         pushed = sym.join(
-            labels.withColumnRenamed("id", "u"), "u"
-        ).select(F.col("v").alias("id"), "component")
+            tagged.withColumnRenamed("id", "u"), "u"
+        ).select(
+            F.col("v").alias("id"),
+            "component",
+            F.expr(f"CAST(NULL AS {ctype})").alias("__old"),
+        )
         new = (
-            labels.union(pushed)
+            tagged.select("id", "component", "__old")
+            .union(pushed)
             .groupBy("id")
-            .agg(F.min("component").alias("component"))
+            .agg(
+                F.min("component").alias("component"),
+                F.min("__old").alias("__old"),
+            )
             .localCheckpoint(eager=True)
         )
         changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
+            new.filter(F.col("component") < F.col("__old")).limit(1).count()
         )
-        labels = new
+        labels = new.drop("__old")
         if changed == 0:
             break
+    else:
+        if strict:
+            raise RuntimeError(
+                f"connected_components: no fixpoint within {max_iters} "
+                "rounds (graph diameter exceeds the budget); raise "
+                "max_iters or use strict=False for the best-effort "
+                "labeling"
+            )
     return labels
 
 

@@ -1862,3 +1862,61 @@ def test_sorted_neighborhood_no_global_window(spark):
 
     for m in _re.finditer(r"windowspecdefinition\(([^)]*)\)", phys):
         assert m.group(1).startswith("__pid"), m.group(0)
+
+
+def test_connected_components_matches_union_find(spark):
+    import random
+
+    from declarative_dataflow_spark.operators import dedup as dd
+
+    rng = random.Random(20260815)
+    edges = [
+        (rng.randrange(200), rng.randrange(200)) for _ in range(150)
+    ]
+    df = spark.createDataFrame(edges, ["a", "b"])
+    got = {
+        r["id"]: r["component"]
+        for r in dd.connected_components(df).collect()
+    }
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    exp = {}
+    for a, b in edges:
+        for v in (a, b):
+            exp[v] = find(v)
+    assert got == exp
+
+
+def test_connected_components_strict_raises_on_budget(spark):
+    import pytest as _pytest
+
+    from declarative_dataflow_spark.operators import dedup as dd
+
+    # a 12-vertex path needs 11 hash-min hops; 2 rounds x 3 = 6 cannot
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], ["a", "b"]
+    )
+    with _pytest.raises(RuntimeError, match="fixpoint"):
+        dd.connected_components(chain, max_iters=2, step=3).collect()
+    # non-strict returns the best-effort labeling instead
+    out = dd.connected_components(chain, max_iters=2, step=3, strict=False)
+    assert out.count() == 12
+    # ...and a budget that covers the diameter converges without a
+    # pure confirm round (last-hop no-op tagging)
+    done = {
+        r["component"]
+        for r in dd.connected_components(chain, max_iters=2).collect()
+    }
+    assert done == {0}
