@@ -1078,8 +1078,10 @@ def q_graph_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components as a FIRST-CLASS declared query — the
     pairs->clusters step every dedup family composes with
     (dedup_groups uses it behind MinHash-LSH), here exposed directly
-    over a sparse events-derived graph (1/31 sparsifier, 10k-node
-    domain: mixed component sizes, not one giant blob). Hash-min
+    over a sparse events-derived graph (1/7 sparsifier — a modulus the
+    sf-scaler stride preserves, so replicas keep the topology; 10k-
+    node domain: mixed component sizes at the gate sf, a giant
+    component + fringe at sf0.1+). Hash-min
     label propagation to a CHECKED fixpoint; each round is one
     shuffle on vertex id with map-side min-combine. The DuckDB twin
     is the textbook recursive-CTE reachability closure + min — the
@@ -1087,7 +1089,7 @@ def q_graph_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     component), only the (id, component) frontier."""
 
     ev = load_table(spark, sf_dir, "events")
-    edges = ev.filter(F.col("event_id") % 31 == 0).select(
+    edges = ev.filter(F.col("event_id") % 7 == 0).select(
         (F.col("user_id") % 10000).alias("a"),
         (F.col("event_id") % 10000).alias("b"),
     )
@@ -4174,7 +4176,7 @@ def oracle_sql() -> dict[str, str]:
             # the sparse instance; the Spark operator converges by
             # frontier, never materializing the closure.
             "WITH RECURSIVE base AS (SELECT user_id % 10000 AS a, "
-            "event_id % 10000 AS b FROM events WHERE event_id % 31 = 0), "
+            "event_id % 10000 AS b FROM events WHERE event_id % 7 = 0), "
             "e AS (SELECT DISTINCT u, v FROM (SELECT a AS u, b AS v "
             "FROM base UNION ALL SELECT b, a FROM base) t), "
             "verts AS (SELECT DISTINCT u FROM e), "
