@@ -1618,6 +1618,135 @@ class IncrementalShortestHops(IncrementalShortestPaths):
         )
 
 
+class IncrementalCC:
+    """Incrementally-maintained connected components over a changing
+    undirected edge set — the maintained twin of
+    ``operators/dedup.py::connected_components`` (and hence of the
+    declared ``graph_cc`` / ``dedup_groups`` pairs→clusters step).
+
+    CC is not a per-key aggregate — one edge can merge or split
+    label sets spanning many vertices — so the maintenance unit is
+    the COMPONENT, not the key:
+
+    - affected components = the maintained labels of every endpoint
+      touched by the epoch's delta (adds and retracts alike);
+    - the affected SUBGRAPH is the surviving edges with an endpoint
+      in those components (old components are closed under old edges,
+      and a new edge's endpoints are touched by construction, so the
+      one-sided semi-join covers every relevant edge);
+    - the batch operator recomputes labels on that subgraph only —
+      merges (an add bridging two components) and splits (a retract
+      disconnecting one) both fall out of the recompute, no DRed
+      bookkeeping — and new-minus-old on the restricted labelings is
+      the epoch's ± diff stream. Unaffected components are never
+      read, never recomputed, never re-emitted.
+
+    Work per epoch is O(delta + affected components' edges). Edge
+    semantics are SET semantics, exactly the batch operator's
+    (it distincts its input): re-adding a present edge is a no-op and
+    a retract removes the edge outright; when one epoch adds and
+    retracts the same edge, the retract wins. State (edge set +
+    labels) is localCheckpointed per epoch; ``current()`` is the
+    maintained labeling, gated equal to the batch operator on the
+    surviving edges in test_incremental.py.
+    """
+
+    def __init__(
+        self,
+        edges: DataFrame,
+        src: str = "src",
+        dst: str = "dst",
+        max_iters: int = 25,
+        step: int = 6,
+    ) -> None:
+        from ..operators.dedup import connected_components
+
+        self.max_iters = max_iters
+        self.step = step
+        self.edges = (
+            self._norm(edges.select(F.col(src), F.col(dst)))
+            .localCheckpoint(eager=True)
+        )
+        self.labels = connected_components(
+            self.edges, "u", "v", max_iters=max_iters, step=step
+        ).localCheckpoint(eager=True)
+
+    @staticmethod
+    def _norm(df: DataFrame) -> DataFrame:
+        """(u, v) with u <= v, distinct — undirected set form; takes
+        the frame's first two columns as endpoints."""
+
+        a, b = df.columns[:2]
+        return df.select(
+            F.least(F.col(a), F.col(b)).alias("u"),
+            F.greatest(F.col(a), F.col(b)).alias("v"),
+        ).distinct()
+
+    def current(self) -> DataFrame:
+        return self.labels
+
+    def apply(
+        self,
+        added: Optional[DataFrame] = None,
+        retracted: Optional[DataFrame] = None,
+    ) -> DataFrame:
+        from ..operators.dedup import connected_components
+
+        spark = self.edges.sparkSession
+        empty_pairs = spark.createDataFrame([], self.edges.schema)
+        add_e = self._norm(added) if added is not None else empty_pairs
+        ret_e = (
+            self._norm(retracted) if retracted is not None else empty_pairs
+        )
+        new_edges = (
+            self.edges.unionByName(add_e)
+            .distinct()
+            .join(ret_e, ["u", "v"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        delta_verts = (
+            add_e.select(F.col("u").alias("id"))
+            .unionByName(add_e.select(F.col("v").alias("id")))
+            .unionByName(ret_e.select(F.col("u").alias("id")))
+            .unionByName(ret_e.select(F.col("v").alias("id")))
+            .distinct()
+        )
+        touched_comps = (
+            self.labels.join(delta_verts, "id", "left_semi")
+            .select("component")
+            .distinct()
+        )
+        old_sub = self.labels.join(
+            touched_comps, "component", "left_semi"
+        ).localCheckpoint(eager=True)
+        affected = (
+            old_sub.select("id").unionByName(delta_verts).distinct()
+        )
+        sub_edges = new_edges.join(
+            affected.withColumnRenamed("id", "u"), "u", "left_semi"
+        )
+        new_sub = connected_components(
+            sub_edges, "u", "v", max_iters=self.max_iters, step=self.step
+        ).localCheckpoint(eager=True)
+        diffs = (
+            old_sub.select("id", "component", F.lit(-1).alias("diff"))
+            .unionByName(
+                new_sub.select("id", "component", F.lit(1).alias("diff"))
+            )
+            .groupBy("id", "component")
+            .agg(F.sum("diff").alias("diff"))
+            .filter(F.col("diff") != 0)
+            .localCheckpoint(eager=True)
+        )
+        self.labels = (
+            self.labels.join(old_sub, "id", "left_anti")
+            .unionByName(new_sub)
+            .localCheckpoint(eager=True)
+        )
+        self.edges = new_edges
+        return diffs
+
+
 class IncrementalPageRank:
     """Incrementally-maintained PageRank with the batch operator's
     exact semantics (operators/graph.py::pagerank): fixed ``iters``

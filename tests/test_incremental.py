@@ -1596,3 +1596,107 @@ def test_incremental_weighted_sample_via_topk(spark):
     for i in sampled:
         del docs[i]
     assert {e for (e, k) in acc} == batch_sample(docs)
+
+
+def test_incremental_cc_merge_split_and_locality(spark):
+    """Directed cases: an add that bridges two components relabels
+    only the absorbed side (the surviving-label side emits NOTHING —
+    component-local maintenance); a retract that disconnects a
+    component splits it back; a vertex whose last edge is retracted
+    leaves the labeling."""
+
+    from declarative_dataflow_spark.streaming.incremental import (
+        IncrementalCC,
+    )
+
+    inc = IncrementalCC(
+        spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11), (20, 21)], ["src", "dst"]
+        )
+    )
+    assert {
+        (r["id"], r["component"]) for r in inc.current().collect()
+    } == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (20, 20), (21, 20)}
+
+    # bridge {1,2,3} and {10,11}: only the 10-side relabels; the
+    # untouched {20,21} component must not appear in the diffs
+    diffs = inc.apply(
+        added=spark.createDataFrame([(3, 10)], ["src", "dst"])
+    ).collect()
+    got = {(r["id"], r["component"], r["diff"]) for r in diffs}
+    assert got == {
+        (10, 10, -1), (11, 10, -1), (3, 1, -1),
+        (10, 1, 1), (11, 1, 1), (3, 1, 1),
+    } - {(3, 1, -1), (3, 1, 1)}, got
+    assert not any(r["id"] in (20, 21) for r in diffs)
+
+    # retract the bridge: the merged component splits back
+    diffs2 = inc.apply(
+        retracted=spark.createDataFrame([(3, 10)], ["src", "dst"])
+    ).collect()
+    got2 = {(r["id"], r["component"], r["diff"]) for r in diffs2}
+    assert got2 == {(10, 1, -1), (11, 1, -1), (10, 10, 1), (11, 10, 1)}
+
+    # retract a leaf's only edge: it leaves the labeling
+    diffs3 = inc.apply(
+        retracted=spark.createDataFrame([(20, 21)], ["src", "dst"])
+    ).collect()
+    got3 = {(r["id"], r["component"], r["diff"]) for r in diffs3}
+    assert got3 == {(20, 20, -1), (21, 20, -1)}
+
+
+def test_incremental_cc_randomized_churn_equals_batch(spark):
+    """Randomized add/retract epochs: the maintained labeling stays
+    equal to the batch operator on the surviving edge set, and the
+    folded diff stream reconstructs it."""
+
+    import random
+
+    from declarative_dataflow_spark.operators.dedup import (
+        connected_components,
+    )
+    from declarative_dataflow_spark.streaming.incremental import (
+        IncrementalCC,
+    )
+
+    rng = random.Random(20260816)
+    current = {(1, 2), (2, 3), (4, 5), (6, 7), (7, 8), (9, 9)}
+
+    def frame(pairs):
+        return spark.createDataFrame(
+            sorted(pairs) or [(None, None)], "src long, dst long"
+        ).dropna()
+
+    inc = IncrementalCC(frame(current))
+    folded = {
+        (r["id"], r["component"]): 1 for r in inc.current().collect()
+    }
+    for epoch in range(5):
+        adds, rems = set(), set()
+        for _ in range(rng.randint(1, 4)):
+            if rng.random() < 0.55:
+                a, b = rng.randrange(12), rng.randrange(12)
+                adds.add((min(a, b), max(a, b)))
+            elif current:
+                rems.add(rng.choice(sorted(current)))
+        adds -= rems
+        current = (current | adds) - rems
+        diffs = inc.apply(added=frame(adds), retracted=frame(rems))
+        for r in diffs.collect():
+            k = (r["id"], r["component"])
+            folded[k] = folded.get(k, 0) + r["diff"]
+            if folded[k] == 0:
+                del folded[k]
+        got = {
+            (r["id"], r["component"]) for r in inc.current().collect()
+        }
+        expect = {
+            (r["id"], r["component"])
+            for r in connected_components(
+                frame(current), "src", "dst"
+            ).collect()
+        }
+        assert got == expect, (epoch, sorted(current))
+        assert set(folded) == got and all(
+            v == 1 for v in folded.values()
+        ), (epoch, folded)
