@@ -271,3 +271,230 @@ def stream_curate(
         ent = text_ops.char_entropy_column(text_col)
         out = out.filter((ent >= lo) & (ent <= hi))
     return out.drop(text_col).withColumnRenamed("__redacted", text_col)
+
+
+class IncrementalDedupGroups:
+    """Incrementally-maintained EXACT near-duplicate groups — the
+    maintained twin of ``operators/dedup.py::dedup_groups`` (MinHash-
+    LSH pairs → connected components → min-id canonical), kept
+    current under document ADDS and RETRACTS.
+
+    Where :class:`StreamNearDedup` suppresses greedily (first-accepted
+    wins, documented over-suppression, no retraction), this maintainer
+    reproduces the batch operator bit-for-bit after every epoch:
+
+    - pair maintenance: an epoch's new documents band their MinHash
+      signatures and key-join against the LIVE band index (new×state
+      and new×new candidates only — a pair of old documents can never
+      appear, their keys already met), then verify with EXACT Jaccard
+      against the hashed shingle sets, exactly the batch candidate
+      discipline; a retracted document drags all its pairs out;
+    - group maintenance: the pair deltas feed
+      :class:`~..streaming.incremental.IncrementalCC` (component-
+      granular relabel, no global recompute);
+    - result maintenance: touched documents (added, retracted, or
+      relabeled) re-derive ``canonical = coalesce(component, own id)``
+      and new-minus-old is the ± diff stream.
+
+    State: hashed shingle sets (needed for exact verification — the
+    price of exactness over :class:`StreamNearDedup`'s estimator),
+    the band index, the pair set, the component labels, and the
+    result — all O(live corpus), localCheckpointed per epoch (a
+    Delta/iceberg table at cluster scale). Per-epoch work is
+    O(batch × collides + affected components). Document ids must be
+    fresh on add (retract first to replace). ``current()`` is gated
+    equal to batch ``dedup_groups`` on the surviving documents under
+    randomized churn in test_incremental.py.
+    """
+
+    def __init__(
+        self,
+        docs: DataFrame,
+        k: int = 16,
+        bands: int = 4,
+        n: int = 3,
+        threshold: float = 0.5,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+    ) -> None:
+        if k % bands != 0:
+            raise ValueError("bands must divide k")
+        from .incremental import IncrementalCC
+
+        self.k, self.bands, self.n = k, bands, n
+        self.threshold = threshold
+        base = docs.select(
+            F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+        )
+        self.sets = dedup_ops.hashed_shingle_sets(base, n).localCheckpoint(
+            eager=True
+        )
+        self.bkeys = self._band_keys(self.sets).localCheckpoint(eager=True)
+        self.pairs = (
+            dedup_ops.minhash_lsh_pairs(base, k, bands, n, threshold)
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+        self.cc = IncrementalCC(self.pairs, "a", "b")
+        self.live = base.select("doc_id").distinct().localCheckpoint(
+            eager=True
+        )
+        self.result = self._derive(self.live).localCheckpoint(eager=True)
+
+    # -- helpers -----------------------------------------------------
+    def _band_keys(self, sets: DataFrame) -> DataFrame:
+        rows = self.k // self.bands
+        sig = sets.select(
+            "doc_id", dedup_ops._sig_array(self.k).alias("sig")
+        )
+        return sig.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.xxhash64(
+                            F.lit(bi),
+                            F.slice(F.col("sig"), bi * rows + 1, rows),
+                        )
+                        for bi in range(self.bands)
+                    ]
+                )
+            ).alias("key"),
+        )
+
+    def _verify(self, cand: DataFrame, sets: DataFrame) -> DataFrame:
+        """Exact-Jaccard gate over candidate pairs — the batch
+        operator's verification, work proportional to candidates."""
+
+        a_sets = sets.select(F.col("doc_id").alias("a"), F.col("hs").alias("ha"))
+        b_sets = sets.select(F.col("doc_id").alias("b"), F.col("hs").alias("hb"))
+        return (
+            cand.join(a_sets, "a")
+            .join(b_sets, "b")
+            .select(
+                "a",
+                "b",
+                F.size(F.array_intersect("ha", "hb")).alias("i"),
+                F.size("ha").alias("sa"),
+                F.size("hb").alias("sb"),
+            )
+            .filter(
+                F.round(
+                    F.col("i") / (F.col("sa") + F.col("sb") - F.col("i")), 4
+                )
+                >= self.threshold
+            )
+            .select("a", "b")
+        )
+
+    def _derive(self, ids: DataFrame) -> DataFrame:
+        """(doc_id, canonical) for ``ids``: component label if the doc
+        has near-dup partners, else itself."""
+
+        labels = self.cc.current().withColumnRenamed("id", "doc_id")
+        return ids.join(labels, "doc_id", "left").select(
+            "doc_id",
+            F.coalesce("component", "doc_id").alias("canonical"),
+        )
+
+    def current(self) -> DataFrame:
+        return self.result
+
+    def apply(
+        self,
+        added: Optional[DataFrame] = None,
+        retracted: Optional[DataFrame] = None,
+    ) -> DataFrame:
+        """Apply one epoch; returns (doc_id, canonical, diff) with
+        diff = -1 retracting a document's previous group row and +1
+        asserting the new one."""
+
+        spark = self.sets.sparkSession
+        ret_ids = (
+            retracted.select(
+                F.col(retracted.columns[0]).alias("doc_id")
+            ).distinct()
+            if retracted is not None
+            else spark.createDataFrame([], "doc_id long")
+        ).localCheckpoint(eager=True)
+        add = (
+            added.select(
+                F.col(added.columns[0]).alias("doc_id"),
+                F.col("text" if "text" in added.columns else added.columns[1]).alias("text"),
+            )
+            if added is not None
+            else spark.createDataFrame([], "doc_id long, text string")
+        )
+        new_sets = dedup_ops.hashed_shingle_sets(add, self.n)
+        sets1 = self.sets.join(ret_ids, "doc_id", "left_anti")
+        sets2 = sets1.unionByName(new_sets).localCheckpoint(eager=True)
+        new_bk = self._band_keys(new_sets)
+        bk2 = (
+            self.bkeys.join(ret_ids, "doc_id", "left_anti")
+            .unionByName(new_bk)
+            .localCheckpoint(eager=True)
+        )
+        cand = (
+            new_bk.toDF("x", "key")
+            .join(bk2.toDF("y", "key"), "key")
+            .filter(F.col("x") != F.col("y"))
+            .select(
+                F.least("x", "y").alias("a"),
+                F.greatest("x", "y").alias("b"),
+            )
+            .dropDuplicates(["a", "b"])
+        )
+        add_pairs = self._verify(cand, sets2).localCheckpoint(eager=True)
+        ret_pairs = (
+            self.pairs.join(
+                ret_ids.withColumnRenamed("doc_id", "a"), "a", "left_semi"
+            )
+            .unionByName(
+                self.pairs.join(
+                    ret_ids.withColumnRenamed("doc_id", "b"),
+                    "b",
+                    "left_semi",
+                )
+            )
+            .dropDuplicates(["a", "b"])
+            .localCheckpoint(eager=True)
+        )
+        ccdiffs = self.cc.apply(added=add_pairs, retracted=ret_pairs)
+        pairs2 = (
+            self.pairs.join(ret_pairs, ["a", "b"], "left_anti")
+            .unionByName(add_pairs)
+            .dropDuplicates(["a", "b"])
+            .localCheckpoint(eager=True)
+        )
+        add_ids = add.select("doc_id").distinct()
+        live2 = (
+            self.live.join(ret_ids, "doc_id", "left_anti")
+            .unionByName(add_ids)
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        touched = (
+            add_ids.unionByName(ret_ids)
+            .unionByName(ccdiffs.select(F.col("id").alias("doc_id")))
+            .distinct()
+        )
+        old_res = self.result.join(touched, "doc_id", "left_semi")
+        new_res = self._derive(live2.join(touched, "doc_id", "left_semi"))
+        diffs = (
+            old_res.select("doc_id", "canonical", F.lit(-1).alias("diff"))
+            .unionByName(
+                new_res.select("doc_id", "canonical", F.lit(1).alias("diff"))
+            )
+            .groupBy("doc_id", "canonical")
+            .agg(F.sum("diff").alias("diff"))
+            .filter(F.col("diff") != 0)
+            .localCheckpoint(eager=True)
+        )
+        self.result = (
+            self.result.join(touched, "doc_id", "left_anti")
+            .unionByName(new_res)
+            .localCheckpoint(eager=True)
+        )
+        self.sets, self.bkeys = sets2, bk2
+        self.pairs, self.live = pairs2, live2
+        return diffs

@@ -1700,3 +1700,77 @@ def test_incremental_cc_randomized_churn_equals_batch(spark):
         assert set(folded) == got and all(
             v == 1 for v in folded.values()
         ), (epoch, folded)
+
+
+def test_incremental_dedup_groups_churn_equals_batch(spark):
+    """Maintained near-dup groups: randomized epochs of document adds
+    and retracts keep current() equal to the batch dedup_groups
+    operator on the surviving corpus, and the folded diff stream
+    reconstructs it (including canonical takeover when a group's
+    min-id doc is retracted)."""
+
+    import random
+
+    from declarative_dataflow_spark.operators.dedup import dedup_groups
+    from declarative_dataflow_spark.streaming.curation import (
+        IncrementalDedupGroups,
+    )
+
+    rng = random.Random(20260817)
+    templates = [
+        "the quick brown fox jumps over the lazy dog near the river",
+        "pack my box with five dozen liquor jugs before the deadline",
+        "sphinx of black quartz judge my vow tonight under the moon",
+    ]
+
+    def text(i):
+        t = templates[i % 3]
+        return t + f" tail {i}" if i % 2 else t
+
+    corpus = {i: text(i) for i in range(8)}
+    next_id = 8
+
+    def frame(d):
+        return spark.createDataFrame(
+            sorted(d.items()) or [(None, None)], "doc_id long, text string"
+        ).dropna()
+
+    inc = IncrementalDedupGroups(frame(corpus), threshold=0.4)
+    folded = {
+        (r["doc_id"], r["canonical"]): 1
+        for r in inc.current().collect()
+    }
+    for epoch in range(4):
+        adds, rems = {}, set()
+        for _ in range(rng.randint(1, 3)):
+            if rng.random() < 0.6 or not corpus:
+                adds[next_id] = text(next_id)
+                next_id += 1
+            else:
+                rems.add(rng.choice(sorted(corpus)))
+        for i in rems:
+            corpus.pop(i, None)
+        corpus.update(adds)
+        diffs = inc.apply(
+            added=frame(adds),
+            retracted=spark.createDataFrame(
+                [(i,) for i in sorted(rems)] or [(None,)], "doc_id long"
+            ).dropna(),
+        )
+        for r in diffs.collect():
+            key = (r["doc_id"], r["canonical"])
+            folded[key] = folded.get(key, 0) + r["diff"]
+            if folded[key] == 0:
+                del folded[key]
+        got = {
+            (r["doc_id"], r["canonical"])
+            for r in inc.current().collect()
+        }
+        expect = {
+            (r["doc_id"], r["canonical"])
+            for r in dedup_groups(frame(corpus), threshold=0.4).collect()
+        }
+        assert got == expect, (epoch, sorted(corpus))
+        assert set(folded) == got and all(
+            v == 1 for v in folded.values()
+        ), (epoch, folded)
