@@ -1881,6 +1881,10 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate NN via hyperplane LSH buckets (scale path). The
     md5-parity plane weights are pure SQL, so DuckDB mirrors the
     bucket assignment exactly and the query is fully hash-checked.
+    planes="auto" derives the signature width from the corpus count
+    (density_planes) in BOTH engines — a pinned width lets per-query
+    bucket probes grow linearly as the corpus densifies (the r5
+    verdict's planes=6 note, closed for the last pinned site).
     dim=64 matches the testdata embeddings; passing it avoids the
     dimension-sniffing driver query."""
 
@@ -1888,7 +1892,7 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "embeddings"),
         query_ids=list(range(10)),
         k=5,
-        planes=6,
+        planes="auto",
         dim=64,
     )
 
@@ -3989,17 +3993,22 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ann_lsh": (
             # Mirrors similarity.lsh_topk: identical md5-parity plane
-            # weights (PLANE_WEIGHT_SQL), 6-bit signature, exact cosine
-            # within equal buckets, rank by (sim desc, neighbor).
-            "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+            # weights (PLANE_WEIGHT_SQL), DENSITY-DERIVED signature
+            # width (the same ceil(log2(n/32)) the Spark side computes
+            # for planes="auto"), exact cosine within equal buckets,
+            # rank by (sim desc, neighbor).
+            "WITH params AS (SELECT greatest(1, CAST(ceil(log2("
+            "greatest(n, 2) / 32.0)) AS INT)) AS np "
+            "FROM (SELECT count(*) AS n FROM embeddings)), "
+            "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
             "FROM embeddings), "
             "sig AS (SELECT vec_id, CAST(list_sum(["
             "CASE WHEN list_dot_product(v, "
             "[CASE WHEN substr(md5(p::VARCHAR || '_' || i::VARCHAR), 8, 1) "
             "IN ('1','3','5','7','9','b','d','f') THEN 1.0 ELSE -1.0 END "
             "for i in range(0, len(v))]) > 0 "
-            "THEN (1 << p) ELSE 0 END for p in range(0, 6)]) AS INT) "
-            "AS bucket FROM e), "
+            "THEN (1 << p) ELSE 0 END for p in range(0, np)]) AS INT) "
+            "AS bucket FROM e, params), "
             "eb AS (SELECT e.vec_id, e.v, sig.bucket FROM e "
             "JOIN sig USING (vec_id)), "
             "q AS (SELECT vec_id AS q, v AS qv, bucket FROM eb "

@@ -639,20 +639,28 @@ def lsh_topk(
     embeddings: DataFrame,
     query_ids: list[int],
     k: int = 5,
-    planes: int = 8,
+    planes: Union[int, str] = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: Optional[int] = None,
+    target_bucket: int = 32,
 ) -> DataFrame:
     """Approximate top-k: exact cosine within hyperplane buckets.
 
     The scale path: the corpus self-join is restricted to equal
     signatures (2^planes buckets), so comparisons drop by ~2^planes
-    versus brute force at the cost of recall.
+    versus brute force at the cost of recall. ``planes="auto"``
+    (the declared query's form) derives the count from the corpus
+    size (:func:`density_planes`) so per-bucket probe cost stays
+    ~``target_bucket`` as the corpus grows — a FIXED plane count
+    makes every query's bucket scan grow linearly with a densifying
+    corpus, the same trap as a fixed SemDeDup k.
     """
 
     from pyspark.sql.window import Window
 
+    if planes == "auto":
+        planes = density_planes(embeddings.count(), target_bucket)
     sig = hyperplane_signature(embeddings, planes, id_col, vec_col, dim=dim)
     emb = embeddings.join(sig, embeddings[id_col] == sig["vec_id"]).select(
         embeddings[id_col].alias("id"),
