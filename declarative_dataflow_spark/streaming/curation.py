@@ -498,3 +498,41 @@ class IncrementalDedupGroups:
         self.sets, self.bkeys = sets2, bk2
         self.pairs, self.live = pairs2, live2
         return diffs
+
+    def attach(
+        self,
+        stream: DataFrame,
+        sink: Callable[[DataFrame, int], None],
+        checkpoint: str,
+        query_name: str = "dedup_groups",
+        op_col: str = "op",
+    ):
+        """Maintain the groups over a streaming DataFrame: rows are
+        document ADDS unless an ``op_col`` column says ``'retract'``
+        (then only ``doc_id`` is read). Each micro-batch's ± group
+        diffs go to ``sink(diffs_df, epoch_id)``. A replayed epoch id
+        is skipped (foreachBatch is at-least-once; ``apply`` is not
+        idempotent). State is in-memory localCheckpoints — a restart
+        rebuilds from the initial corpus; at cluster scale the state
+        tables live in a transactional table format instead."""
+
+        def _on_batch(df: DataFrame, epoch: int) -> None:
+            if epoch == getattr(self, "_last_epoch", None):
+                return
+            if op_col in df.columns:
+                adds = df.filter(
+                    (F.col(op_col).isNull()) | (F.col(op_col) != "retract")
+                ).drop(op_col)
+                rets = df.filter(F.col(op_col) == "retract").select("doc_id")
+            else:
+                adds, rets = df, None
+            diffs = self.apply(added=adds, retracted=rets)
+            self._last_epoch = epoch
+            sink(diffs, epoch)
+
+        return (
+            stream.writeStream.foreachBatch(_on_batch)
+            .queryName(query_name)
+            .option("checkpointLocation", checkpoint)
+            .start()
+        )

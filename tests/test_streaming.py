@@ -1581,3 +1581,64 @@ def test_stream_curate_blocklist_and_entropy_band(spark, tmp_path):
         assert got == {1}
     finally:
         q.stop()
+
+
+def test_incremental_dedup_groups_foreachbatch(spark, tmp_path):
+    """The maintained near-dup groups over a file stream with an op
+    column: a cross-batch near-dup joins the group (diff asserts its
+    canonical), and retracting the group's min-id doc hands the
+    canonical to the survivor."""
+
+    from declarative_dataflow_spark.streaming.curation import (
+        IncrementalDedupGroups,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog again and again today"
+    )
+    src = tmp_path / "idg_in"
+    src.mkdir()
+    _write_jsonl(str(src / "b1.json"), [
+        {"doc_id": 10, "text": base, "op": "add"},
+    ])
+    _write_jsonl(str(src / "b2.json"), [
+        {"doc_id": 1, "text": None, "op": "retract"},
+    ])
+    inc = IncrementalDedupGroups(
+        spark.createDataFrame(
+            [(1, base), (2, "some other words making a distinct body")],
+            ["doc_id", "text"],
+        ),
+        threshold=0.5,
+    )
+    assert {
+        (r["doc_id"], r["canonical"]) for r in inc.current().collect()
+    } == {(1, 1), (2, 2)}
+
+    diffs_by_epoch: dict[int, set] = {}
+    stream = (
+        spark.readStream.schema("doc_id long, text string, op string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = inc.attach(
+        stream,
+        sink=lambda df, epoch: diffs_by_epoch.setdefault(epoch, set()).update(
+            (r["doc_id"], r["canonical"], r["diff"]) for r in df.collect()
+        ),
+        checkpoint=str(tmp_path / "idg_ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["doc_id"], r["canonical"]) for r in inc.current().collect()
+    }
+    assert got == {(2, 2), (10, 10)}, got
+    all_diffs = set().union(*diffs_by_epoch.values())
+    # doc 10 joined doc 1's group, then inherited the canonical when
+    # doc 1 was retracted
+    assert (10, 1, 1) in all_diffs
+    assert (10, 1, -1) in all_diffs and (10, 10, 1) in all_diffs
+    assert (1, 1, -1) in all_diffs
