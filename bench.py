@@ -84,6 +84,9 @@ HEADLINE = [
     "resample_locf",   # hourly-grid LOCF gap fill (explode == output)
     "tpch_q3",         # plan-DSL 3-table join + decimal revenue top-10
     "tpch_q5",         # plan-DSL 6-way join, two-var key, broadcast dims
+    "tpch_q4",         # plan-DSL semijoin (EXISTS) + var-var lateness filter
+    "tpch_q12",        # plan-DSL ship-window join + CASE priority split
+    "tpch_q19",        # plan-DSL disjunction as Union of pushed-filter joins
     "retrieval_eval",  # MRR/nDCG@10 against label ground truth
     "anomalies",       # rolling z-score outliers (partitioned window)
     "winsorize",       # per-group nearest-rank percentile clamp
