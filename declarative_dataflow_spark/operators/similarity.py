@@ -378,12 +378,20 @@ def _assign_cells(
     # shortest-round-trip, so the parsed double is bit-identical.
     dim = len(rows[0]["cv"])
 
-    if len(rows) * dim > 4096:
+    if len(rows) * dim > 512:
         # Large-k path: the literal unroll below grows the generated
         # method with k x dim terms, falls past Janino's JIT budget,
         # and Spark silently evaluates the whole expression tree
         # INTERPRETED — measured ~50x slower at k=79, dim=64 (the
-        # density-derived SemDeDup cell counts). Instead score against
+        # density-derived SemDeDup cell counts). The budget is far
+        # tighter than the raw term count suggests: once the scoring
+        # column fuses into a larger whole-stage method (join +
+        # window downstream), subexpression elimination inflates the
+        # generated code and 1,024 terms (k=16, dim=64) already hits
+        # janino's `Code grows beyond 64 KB` — reproduced on the
+        # declared ann_ivf query, a 3x interpreted-fallback slowdown.
+        # 512 terms is the largest shape verified to compile fused.
+        # Instead score against
         # the BROADCAST centroid table with positionally-unrolled
         # dots: every expression stays dim-sized (codegen-friendly at
         # any k), the n x k expansion is map-side, and the argmax
