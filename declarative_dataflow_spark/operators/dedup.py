@@ -256,12 +256,20 @@ def minhash_lsh_pairs(
     # materialized ONCE with disk spill rather than recomputed: the md5
     # pass costs ~70% of the query when run four times (round-4
     # measurement at sf0.1 after the repartition fix below: ~1.0s warm
-    # persisted vs ~2.3s before it; recomputing was 5.3s). MEMORY_AND_DISK is the
-    # 100 TB-safe choice — the materialization is a scratch table the
-    # size of the corpus's distinct shingles, spilled to executor disk
-    # like any shuffle file, not a memory-resident cache. The DuckDB
-    # oracle mirrors the hashing.
-    from pyspark.storagelevel import StorageLevel
+    # materialized vs ~2.3s before it; recomputing was 5.3s). It is a
+    # non-eager localCheckpoint, NOT a persist: spill behavior is the
+    # same (MEMORY_AND_DISK), but a persist() holds a STRONG
+    # CacheManager reference until someone calls unpersist() — which a
+    # lazy operator returning an unevaluated DataFrame can never do —
+    # so every call leaked a corpus-sized scratch table for the
+    # session's lifetime (the r7 bench marathon accumulated these
+    # into a uniform ~1.3-1.5x tax on later queries). Checkpoint
+    # blocks are reaped by the ContextCleaner as soon as the caller
+    # drops the result, with periodic driver GC forced minutely
+    # (session.py). The lineage truncation is a scratch table the
+    # size of the corpus's distinct shingles, spilled to executor
+    # disk like any shuffle file. The DuckDB oracle mirrors the
+    # hashing.
 
     # The hashing pass parallelizes per input split; a small corpus in
     # one parquet row-group would otherwise run it on ONE core. Spread
@@ -271,9 +279,7 @@ def minhash_lsh_pairs(
     if docs.rdd.getNumPartitions() < target:
         docs = docs.repartition(target)
 
-    sets = hashed_shingle_sets(docs, n, text_col).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    sets = hashed_shingle_sets(docs, n, text_col).localCheckpoint(eager=False)
     sig = sets.select("doc_id", _sig_array(k).alias("sig"))
     # The band key is the xxhash64 of (band, slice): a fixed 8-byte
     # join key instead of shuffling rows-wide signature arrays. A hash
@@ -356,10 +362,13 @@ def connected_components(
     terminates immediately, no pure confirm round. Near-duplicate
     graphs are the intended input — many tiny star/clique components,
     diameter a handful, so the default step converges them in ONE
-    round. (For adversarial long-chain graphs the O(log n)-round
-    large-star/small-star alternating trick [Kiveris et al.,
-    "Connected Components in MapReduce and Beyond"] drops in behind
-    the same signature.)
+    round. Adversarial long-chain graphs are covered too: every
+    non-final round ends with a POINTER JUMP (component <-
+    label(component) — the path-compression idea behind Kiveris et
+    al., "Connected Components in MapReduce and Beyond"), doubling
+    the labels' reach per round, so driver rounds are O(log diameter)
+    and the default budget (25 rounds x step 6) converges
+    million-vertex paths, not just star-shaped dedup graphs.
 
     ``strict=True`` (default) raises if ``max_iters`` rounds (of
     ``step`` hops each) pass without reaching the fixpoint — a
@@ -415,6 +424,24 @@ def connected_components(
         labels = new.drop("__old")
         if changed == 0:
             break
+        # Pointer jump (label doubling): component <- label(component).
+        # Every label IS a vertex id of the same component (min over
+        # labels seen, all vertex ids), so label(label(v)) exists, is
+        # <= label(v) (labels are monotone, label includes self), and
+        # stays in-component — reach DOUBLES per round on top of the
+        # additive ``step`` hops, so driver rounds are O(log diameter)
+        # instead of O(diameter/step): the 10k-edge path converges in
+        # ~11 rounds where pure hash-min needs ~1,667. The fixpoint
+        # test is untouched — it still fires only when a full hop is a
+        # no-op, which remains iff labels are constant per component.
+        # The join key is skewed toward component roots, but each hot
+        # key matches exactly ONE right row (the root's own label) —
+        # the AQE skew-join splits the fat side cleanly at scale.
+        labels = (
+            labels.join(labels.toDF("component", "__c2"), "component")
+            .select("id", F.col("__c2").alias("component"))
+            .localCheckpoint(eager=True)
+        )
     else:
         if strict:
             raise RuntimeError(

@@ -1920,3 +1920,21 @@ def test_connected_components_strict_raises_on_budget(spark):
         for r in dd.connected_components(chain, max_iters=2).collect()
     }
     assert done == {0}
+
+
+def test_connected_components_adversarial_diameter(spark):
+    # A 10,000-edge PATH is the worst case for hash-min label
+    # propagation: diameter 10,000, so pure min-pushing needs ~1,667
+    # six-hop rounds — far past the default 25-round budget. The
+    # per-round pointer jump (component <- label(component)) doubles
+    # label reach each round, making convergence O(log diameter):
+    # this must finish inside the DEFAULT budget with every vertex
+    # labeled 0, and strict=True guarantees the labeling is a checked
+    # fixpoint, not a best-effort cut-off.
+    from declarative_dataflow_spark.operators import dedup as dd
+
+    edges = spark.range(10_000).selectExpr("id AS a", "id + 1 AS b")
+    out = dd.connected_components(edges)  # strict by default
+    roots = out.select("component").distinct().collect()
+    assert [r["component"] for r in roots] == [0]
+    assert out.count() == 10_001
