@@ -1,6 +1,10 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
-ONE JSON line: {"metric", "value", "unit", "queries", "sf"}.
+ONE compact JSON line: {"metric", "value", "unit", "queries" (slowest
+10), "sf", "load1", "sf1"} — the FULL per-query map for both scale
+factors is written to BENCH_LOCAL.json next to this file (the printed
+line stays small so the driver's tail capture can't truncate it; the
+r7 record was lost exactly that way).
 
 Each query is forced with a count() action (full compute, no
 driver-side result materialization beyond the count).
@@ -46,6 +50,7 @@ HEADLINE = [
     "topk_plan",       # TopK operator (TakeOrderedAndProject lowering)
     "wco_clique4",     # generic WCO lowering, 6-binding 4-clique
     "ann_ivf",         # IVF ANN (broadcast centroids, nprobe cells)
+    "ann_recall",      # IVF recall@k vs exact scan (index-quality eval)
     "pq_topk",         # product-quantization ANN (ADC table lookups)
     "shortest_cost",   # weighted recursive aggregate (delta relaxation)
     "kcore",           # shrink-to-fixpoint peel (degree agg + joins)
@@ -87,6 +92,10 @@ HEADLINE = [
     "tpch_q4",         # plan-DSL semijoin (EXISTS) + var-var lateness filter
     "tpch_q12",        # plan-DSL ship-window join + CASE priority split
     "tpch_q19",        # plan-DSL disjunction as Union of pushed-filter joins
+    "tpch_q6",         # plan-DSL pure pushed-filter scan + global decimal sum
+    "tpch_q10",        # plan-DSL 4-way join + top-20 TakeOrdered
+    "tpch_q14",        # plan-DSL promo ratio (exact sums, one double div)
+    "tpch_q18",        # plan-DSL HAVING as pre-join aggregate + filter
     "retrieval_eval",  # MRR/nDCG@10 against label ground truth
     "anomalies",       # rolling z-score outliers (partitioned window)
     "winsorize",       # per-group nearest-rank percentile clamp
@@ -146,6 +155,17 @@ def main() -> None:
             t0 = time.perf_counter()
             qs[name](spark, block_dir).count()
             out[name] = round(time.perf_counter() - t0, 3)
+            # Scratch localCheckpoint blocks (minhash shingle sets,
+            # fixpoint rounds) are reaped by the ContextCleaner only
+            # after a DRIVER GC enqueues their weak refs; left alone
+            # across the 83-query marathon they squeezed the single
+            # local-mode JVM until every later query paid a uniform
+            # ~1.3-1.5x tax (the r7 drift). One forced GC between
+            # timed queries is outside every timing window and safe —
+            # no tasks are in flight, so no accumulator updates can be
+            # dropped (a mid-query periodic GC sprays 'non-existent
+            # accumulator' errors for completed-plan metrics).
+            spark.sparkContext._jvm.System.gc()
         # The DECLARED embed_neardup query IS the density-adjusted
         # form now (planes = ceil(log2(n/32)) derived from the corpus
         # count in both engines, r6) — the key keeps its trend name.
@@ -251,7 +271,46 @@ def main() -> None:
         except Exception as exc:  # the primary metric must survive
             result["sf1_error"] = str(exc)[:200]
 
-    print(json.dumps(result))
+    # The r7 driver record came back `"parsed": null`: 83 queries x two
+    # scale factors outgrew the driver's tail capture and the single
+    # JSON line truncated mid-object. So the FULL per-query result is
+    # written to BENCH_LOCAL.json (committed artifact, the auditable
+    # record) and the printed line is a compact digest: totals per sf,
+    # load, and the slowest 10 queries per block — small enough that
+    # tail capture can never lose the headline metric again.
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_LOCAL.json"),
+        "w",
+    ) as fh:
+        json.dump(result, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+
+    def slowest(qmap: dict[str, float], n: int = 10) -> dict[str, float]:
+        return dict(
+            sorted(qmap.items(), key=lambda kv: kv[1], reverse=True)[:n]
+        )
+
+    compact = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "sf": result["sf"],
+        "load1": load1,
+        "n_queries": len(timings),
+        "queries": slowest(timings),
+        "full": "BENCH_LOCAL.json",
+    }
+    if "sf1" in result:
+        compact["sf1"] = {
+            "value": result["sf1"]["value"],
+            "sf": 1.0,
+            "n_queries": len(result["sf1"]["queries"]),
+            "queries": slowest(result["sf1"]["queries"]),
+        }
+    elif "sf1_error" in result:
+        compact["sf1_error"] = result["sf1_error"]
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":
