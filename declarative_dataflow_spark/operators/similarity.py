@@ -643,6 +643,60 @@ def ivf_topk(
     )
 
 
+def ann_recall(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k of the IVF index against the exact scan: (q, recall).
+
+    The index-quality eval every ANN deployment needs before trading
+    the exact scan for :func:`ivf_topk`: for each probe query, the
+    fraction of the TRUE top-k (:func:`cosine_topk`, ties broken by
+    neighbor id — deterministic in both engines) that the IVF probe
+    set recovers at the same k. Cost is probe-bounded: both sides are
+    per-query top-k over broadcast probes, the intersection joins two
+    |queries| x k result sets — nothing corpus-quadratic beyond the
+    documented exact-baseline scan, and the denominator is the exact
+    side's actual result size (== k unless the corpus is smaller).
+    Tuning loop: sweep nprobe until recall clears the target, then
+    ship that nprobe to the cluster job.
+    """
+
+    exact = cosine_topk(
+        embeddings, query_ids, k=k, id_col=id_col, vec_col=vec_col
+    )
+    approx = ivf_topk(
+        embeddings,
+        query_ids,
+        k=k,
+        n_centroids=n_centroids,
+        nprobe=nprobe,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    hits = (
+        exact.select("q", "neighbor")
+        .join(approx.select("q", "neighbor"), ["q", "neighbor"])
+        .groupBy("q")
+        .agg(F.count(F.lit(1)).alias("__hits"))
+    )
+    base = exact.groupBy("q").agg(F.count(F.lit(1)).alias("__k"))
+    return (
+        base.join(hits, "q", "left")
+        .select(
+            "q",
+            F.round(
+                F.coalesce(F.col("__hits"), F.lit(0)) / F.col("__k"), 4
+            ).alias("recall"),
+        )
+    )
+
+
 def lsh_topk(
     embeddings: DataFrame,
     query_ids: list[int],

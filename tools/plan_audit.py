@@ -41,7 +41,15 @@ ALLOWLIST: dict[tuple[str, str], str] = {
     ("cosine_topk", "BroadcastNestedLoopJoin"): "one-row query-vector broadcast",
     ("retrieval_eval", "BroadcastNestedLoopJoin"): "32-row probe broadcast (rides cosine_topk)",
     ("ann_ivf", "BroadcastNestedLoopJoin"): "one-row query-vector broadcast",
+    ("ann_ivf_kmeans", "BroadcastNestedLoopJoin"): (
+        "k-row centroid-table broadcast (codegen-safe large-k scoring "
+        "path; the n x k expansion is map-side, argmax pre-reduces)"
+    ),
     ("ann_quantized", "BroadcastNestedLoopJoin"): "one-row query-vector broadcast",
+    ("ann_recall", "BroadcastNestedLoopJoin"): (
+        "probe broadcasts riding cosine_topk (exact side) and "
+        "ivf_topk (centroid table) — both probe/k-bounded"
+    ),
     ("rrf_fusion", "BroadcastNestedLoopJoin"): "one-row (N, avgdl) + query-vector broadcasts",
     ("bm25_topk", "BroadcastNestedLoopJoin"): "one-row (N, avgdl) broadcast",
     ("ngram_lm_score", "BroadcastNestedLoopJoin"): "one-row vocab-size broadcast",
