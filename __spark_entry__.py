@@ -1026,6 +1026,519 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_REV_SQL = "CAST(round(l_extendedprice * (1 - l_discount), 6) AS DECIMAL(18,6))"
+
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1 in FULL through the plan Aggregate (agg_multi is the
+    4-agg shape; this is the whole 8-column pricing summary): one
+    pushed shipdate filter, disc_price and charge as exact-decimal
+    scan expressions (per-row round(…,6) on identical double chains in
+    both engines), a single-pass grouped aggregate — 4 SUMs, 3 AVGs, 1
+    COUNT — with map-side partial combine. Spark reads 6 physical
+    columns for the 10-column answer; nothing shuffles but the
+    per-group partials."""
+
+    eng = _engine(spark, sf_dir)
+    cutoff = 946_684_800_000_000   # 2000-01-01 UTC, epoch us
+    li = Filter(
+        ["?sd"],
+        Predicate.LTE,
+        Scan(
+            "lineitem",
+            {
+                "l_returnflag": "?rf",
+                "l_linestatus": "?ls",
+                "l_quantity": "?qty",
+                "l_extendedprice": "?ep",
+                _REV_SQL: "?dp",
+                "CAST(round(l_extendedprice * (1 - l_discount) * "
+                "(1 + l_tax), 6) AS DECIMAL(18,6))": "?ch",
+                "CAST(l_quantity AS DOUBLE)": "?qty2",
+                "CAST(l_extendedprice AS DOUBLE)": "?ep2",
+                "l_discount": "?disc",
+                "l_orderkey": "?ok",
+                _EPOCH_US_SQL.format(c="l_shipdate"): "?sd",
+            },
+        ),
+        {1: cutoff},
+    )
+    plan = Aggregate(
+        li.variables(),
+        li,
+        [
+            AggregationFn.SUM,
+            AggregationFn.SUM,
+            AggregationFn.SUM,
+            AggregationFn.SUM,
+            AggregationFn.AVG,
+            AggregationFn.AVG,
+            AggregationFn.AVG,
+            AggregationFn.COUNT,
+        ],
+        ["?rf", "?ls"],
+        ["?qty", "?ep", "?dp", "?ch", "?qty2", "?ep2", "?disc", "?ok"],
+    )
+    df = eng.implement(
+        plan,
+        [
+            "rf", "ls", "sum_qty", "sum_base_price", "sum_disc_price",
+            "sum_charge", "avg_qty", "avg_price", "avg_disc",
+            "count_order",
+        ],
+    )
+    return df.select(
+        "rf",
+        "ls",
+        F.round("sum_qty", 2).alias("sum_qty"),
+        F.round("sum_base_price", 2).alias("sum_base_price"),
+        F.round(F.col("sum_disc_price").cast("double"), 2).alias(
+            "sum_disc_price"
+        ),
+        F.round(F.col("sum_charge").cast("double"), 2).alias("sum_charge"),
+        F.round("avg_qty", 2).alias("avg_qty"),
+        F.round("avg_price", 2).alias("avg_price"),
+        F.round("avg_disc", 4).alias("avg_disc"),
+        "count_order",
+    )
+
+
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q7-shaped bilateral shipping volume through the PLAN DSL:
+    the (supp=N1 ∧ cust=N2) ∨ (supp=N2 ∧ cust=N1) disjunction is a
+    Union of two conjunctive 5-join branches (the q19 discipline —
+    each branch pushes its nation literal into the nation scan, so
+    both sides of every join arrive pre-filtered), ship years ride as
+    year() scan expressions, revenue as the exact-decimal expression.
+    Nation scans are 25-row dims: AQE broadcasts them."""
+
+    eng = _engine(spark, sf_dir)
+
+    def branch(sn: str, cn: str) -> Join:
+        sup = Scan("supplier", {"s_suppkey": "?s", "s_nationkey": "?snk"})
+        nat_s = Filter(
+            ["?sn"],
+            Predicate.EQ,
+            Scan("nation", {"n_nationkey": "?snk", "n_name": "?sn"}),
+            {1: sn},
+        )
+        li = Filter(
+            ["?yr"],
+            Predicate.LTE,
+            Filter(
+                ["?yr"],
+                Predicate.GTE,
+                Scan(
+                    "lineitem",
+                    {
+                        "l_suppkey": "?s",
+                        "l_orderkey": "?o",
+                        _REV_SQL: "?rev",
+                        "year(l_shipdate)": "?yr",
+                        "l_linenumber": "?ln",
+                    },
+                ),
+                {1: 1996},
+            ),
+            {1: 1997},
+        )
+        ords = Scan("orders", {"o_orderkey": "?o", "o_custkey": "?c"})
+        cust = Scan("customer", {"c_custkey": "?c", "c_nationkey": "?cnk"})
+        nat_c = Filter(
+            ["?cn"],
+            Predicate.EQ,
+            Scan("nation", {"n_nationkey": "?cnk", "n_name": "?cn"}),
+            {1: cn},
+        )
+        j = Join(["?snk"], sup, nat_s)
+        j = Join(["?s"], j, li)
+        j = Join(["?o"], j, ords)
+        j = Join(["?c"], j, cust)
+        return Join(["?cnk"], j, nat_c)
+
+    b1 = branch("NATION_1", "NATION_2")
+    plan = Union(b1.variables(), [b1, branch("NATION_2", "NATION_1")])
+    names = [v[1:] for v in plan.variables()]
+    df = eng.implement(plan, names)
+    return (
+        df.groupBy(
+            F.col("sn").alias("supp_nation"),
+            F.col("cn").alias("cust_nation"),
+            F.col("yr").alias("l_year"),
+        )
+        .agg(F.round(F.sum("rev").cast("double"), 2).alias("revenue"))
+    )
+
+
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q8-shaped national market share through the PLAN DSL —
+    the deepest relational chain in the suite: 7 Joins across part /
+    lineitem / orders / customer / nation×2 / region / supplier, with
+    the p_type and region literals pushed into their scans and the
+    two-year order window as a year() expression filter. The share is
+    a conditional-over-total ratio of exact decimal sums; the single
+    double step is the final division."""
+
+    eng = _engine(spark, sf_dir)
+    pt = Filter(
+        ["?ptype"],
+        Predicate.EQ,
+        Scan("part", {"p_partkey": "?p", "p_type": "?ptype"}),
+        {1: "ECONOMY"},
+    )
+    li = Scan(
+        "lineitem",
+        {
+            "l_partkey": "?p",
+            "l_orderkey": "?o",
+            "l_suppkey": "?s",
+            _REV_SQL: "?rev",
+            "l_linenumber": "?ln",
+        },
+    )
+    ords = Filter(
+        ["?yr"],
+        Predicate.LTE,
+        Filter(
+            ["?yr"],
+            Predicate.GTE,
+            Scan(
+                "orders",
+                {
+                    "o_orderkey": "?o",
+                    "o_custkey": "?c",
+                    "year(o_orderdate)": "?yr",
+                },
+            ),
+            {1: 1996},
+        ),
+        {1: 1997},
+    )
+    cust = Scan("customer", {"c_custkey": "?c", "c_nationkey": "?cnk"})
+    nat_c = Scan("nation", {"n_nationkey": "?cnk", "n_regionkey": "?rk"})
+    reg = Filter(
+        ["?rn"],
+        Predicate.EQ,
+        Scan("region", {"r_regionkey": "?rk", "r_name": "?rn"}),
+        {1: "ASIA"},
+    )
+    sup = Scan("supplier", {"s_suppkey": "?s", "s_nationkey": "?snk"})
+    nat_s = Scan("nation", {"n_nationkey": "?snk", "n_name": "?sn"})
+    j = Join(["?p"], pt, li)
+    j = Join(["?o"], j, ords)
+    j = Join(["?c"], j, cust)
+    j = Join(["?cnk"], j, nat_c)
+    j = Join(["?rk"], j, reg)
+    j = Join(["?s"], j, sup)
+    plan = Join(["?snk"], j, nat_s)
+    names = [v[1:] for v in plan.variables()]
+    df = eng.implement(plan, names)
+    zero = F.lit(0).cast("decimal(18,6)")
+    nat_rev = F.sum(
+        F.when(F.col("sn") == "NATION_3", F.col("rev")).otherwise(zero)
+    )
+    return (
+        df.groupBy(F.col("yr").alias("o_year"))
+        .agg(
+            F.round(
+                nat_rev.cast("double") / F.sum("rev").cast("double"), 4
+            ).alias("mkt_share")
+        )
+    )
+
+
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q13-shaped customer order-count distribution through the
+    PLAN DSL: orders-per-customer as a plan Aggregate over the
+    customer⋈orders join, zero-order customers recovered with the
+    plan Antijoin (the reference's negation operator — never an outer
+    join), unioned and re-grouped into the distribution. Both
+    shuffles key on custkey (uniform); the distribution re-group is
+    tiny-cardinality."""
+
+    eng = _engine(spark, sf_dir)
+    cust = Scan("customer", {"c_custkey": "?c"})
+    ords = Scan("orders", {"o_custkey": "?c", "o_orderkey": "?o"})
+    counts = Aggregate(
+        ["?c", "?o"],
+        Join(["?c"], cust, ords),
+        [AggregationFn.COUNT],
+        ["?c"],
+        ["?o"],
+    )
+    zeros = Antijoin(["?c"], cust, ords)
+    with_orders = eng.implement(counts, ["c", "c_count"])
+    without = eng.implement(zeros, ["c"]).select(
+        "c", F.lit(0).cast("long").alias("c_count")
+    )
+    return (
+        with_orders.unionByName(without)
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q15-shaped top supplier through the PLAN DSL: quarterly
+    revenue per supplier as a plan Aggregate (exact decimal sums, :with
+    linenumber), the global MAX as a second keyless Aggregate over the
+    same name, and the view⋈max equality expressed as a JOIN ON THE
+    AGGREGATE VALUE itself (Join(['?rev'], sums, max)) — no HAVING, no
+    window; the max side is one row, so the equality join is a
+    broadcast probe. Ties all surface, as in the spec."""
+
+    eng = _engine(spark, sf_dir)
+    lo = 852_076_800_000_000   # 1997-01-01 UTC, epoch us
+    hi = 859_852_800_000_000   # 1997-04-01 UTC, epoch us
+    li = Filter(
+        ["?sd"],
+        Predicate.LT,
+        Filter(
+            ["?sd"],
+            Predicate.GTE,
+            Scan(
+                "lineitem",
+                {
+                    "l_suppkey": "?s",
+                    _REV_SQL: "?rev",
+                    _EPOCH_US_SQL.format(c="l_shipdate"): "?sd",
+                    "l_linenumber": "?ln",
+                },
+            ),
+            {1: lo},
+        ),
+        {1: hi},
+    )
+    sums = Aggregate(
+        li.variables(), li, [AggregationFn.SUM], ["?s"], ["?rev"], ["?ln"]
+    )
+    mx = Aggregate(
+        ["?rev"],
+        Project(["?rev"], sums),
+        [AggregationFn.MAX],
+        [],
+        ["?rev"],
+    )
+    top = Join(["?rev"], sums, mx)
+    sup = Scan("supplier", {"s_suppkey": "?s", "s_name": "?sn"})
+    plan = Join(["?s"], top, sup)
+    names = [v[1:] for v in plan.variables()]
+    df = eng.implement(plan, names)
+    return df.select(
+        F.col("s").alias("suppkey"),
+        F.col("sn").alias("name"),
+        F.round(F.col("rev").cast("double"), 2).alias("total_revenue"),
+    )
+
+
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q17-shaped small-quantity-order revenue through the PLAN
+    DSL: per-part average quantity as a pre-join plan Aggregate, the
+    qty < 0.2*avg test rewritten multiplication-free as 5*qty < avg —
+    the 5x via three chained Transform ADDs (the reference's transform
+    algebra has ADD/SUBTRACT only, src/plan/transform.rs:16-24) — and
+    the final comparison a pure var-var Filter. The aggregate keys and
+    the join key are both partkey, so the pre-aggregation and the
+    probe co-partition."""
+
+    eng = _engine(spark, sf_dir)
+    pre = Aggregate(
+        ["?p", "?qty", "?ln"],
+        Scan(
+            "lineitem",
+            {
+                "l_partkey": "?p",
+                "l_quantity": "?qty",
+                "l_linenumber": "?ln",
+            },
+        ),
+        [AggregationFn.AVG],
+        ["?p"],
+        ["?qty"],
+        ["?ln"],
+    )
+    li2 = Scan(
+        "lineitem",
+        {
+            "l_partkey": "?p",
+            "l_quantity": "?qty2",
+            "CAST(round(l_extendedprice, 6) AS DECIMAL(18,6))": "?ep",
+            "l_linenumber": "?ln2",
+        },
+    )
+    j = Join(["?p"], li2, pre)
+    t = Transform(["?qty2", "?qty2"], "?d2", j, Function.ADD)
+    t = Transform(["?d2", "?d2"], "?d4", t, Function.ADD)
+    t = Transform(["?d4", "?qty2"], "?d5", t, Function.ADD)
+    plan = Filter(["?d5", "?qty"], Predicate.LT, t)
+    names = [v[1:] for v in plan.variables()]
+    df = eng.implement(plan, names)
+    return df.agg(
+        F.round(F.sum("ep").cast("double"), 2).alias("small_order_revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q21-shaped waiting-suppliers query through the PLAN DSL —
+    the EXISTS / NOT-EXISTS pair as pure aggregate algebra: late
+    (supplier, order) pairs deduped by a grouped COUNT, the number of
+    DISTINCT late suppliers per order as a second-level COUNT over the
+    first (== 1 keeps only sole-blame orders), the number of distinct
+    suppliers per order from a parallel two-level chain (> 1 keeps
+    multi-supplier orders), all equality-joined on orderkey. Lateness
+    is the q4 surrogate (shipped > 60 days after order date, the
+    testdata's receipt/commit stand-in); status F filters finished
+    orders. Every shuffle keys on orderkey (uniform); the supplier
+    name join is a dim broadcast."""
+
+    eng = _engine(spark, sf_dir)
+    off = 60 * 86_400 * 1_000_000
+
+    def late_pairs(sv: str, lnv: str) -> Aggregate:
+        ords = Filter(
+            ["?st"],
+            Predicate.EQ,
+            Scan(
+                "orders",
+                {
+                    "o_orderkey": "?o",
+                    "o_orderstatus": "?st",
+                    _EPOCH_US_SQL.format(c="o_orderdate") + f" + {off}":
+                        "?odp",
+                },
+            ),
+            {1: "F"},
+        )
+        li = Scan(
+            "lineitem",
+            {
+                "l_orderkey": "?o",
+                "l_suppkey": sv,
+                _EPOCH_US_SQL.format(c="l_shipdate"): "?sd" + sv[2:],
+                "l_linenumber": lnv,
+            },
+        )
+        late = Filter(
+            ["?sd" + sv[2:], "?odp"], Predicate.GT, Join(["?o"], ords, li)
+        )
+        # grouped count dedupes the (order, supplier) bag to one row
+        return Aggregate(
+            late.variables(), late, [AggregationFn.COUNT],
+            ["?o", sv], [lnv],
+        )
+
+    pairs = late_pairs("?s", "?ln")           # (o, s, ln=line count)
+    n_late = Aggregate(                        # (o, s1 = #late suppliers)
+        ["?o", "?s1", "?lnb"],
+        late_pairs("?s1", "?lnb"),
+        [AggregationFn.COUNT],
+        ["?o"],
+        ["?s1"],
+    )
+    all_pairs = Aggregate(                     # (o, s2, ln2) distinct pairs
+        ["?o", "?s2", "?ln2"],
+        Scan(
+            "lineitem",
+            {
+                "l_orderkey": "?o",
+                "l_suppkey": "?s2",
+                "l_linenumber": "?ln2",
+            },
+        ),
+        [AggregationFn.COUNT],
+        ["?o", "?s2"],
+        ["?ln2"],
+    )
+    n_supp = Aggregate(                        # (o, s2 = #suppliers)
+        ["?o", "?s2"],
+        all_pairs,
+        [AggregationFn.COUNT],
+        ["?o"],
+        ["?s2"],
+    )
+    j = Join(["?o"], pairs, n_late)
+    j = Filter(["?s1"], Predicate.EQ, j, {1: 1})
+    j = Join(["?o"], j, n_supp)
+    j = Filter(["?s2"], Predicate.GT, j, {1: 1})
+    sup = Scan("supplier", {"s_suppkey": "?s", "s_name": "?sn"})
+    plan = Join(["?s"], j, sup)
+    names = [v[1:] for v in plan.variables()]
+    df = eng.implement(plan, names)
+    return (
+        df.groupBy(F.col("s").alias("suppkey"), F.col("sn").alias("name"))
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "suppkey")
+        .limit(20)
+    )
+
+
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q22-shaped lost-customer report through the PLAN DSL: the
+    above-average-balance cut as a keyless plan Aggregate joined in as
+    a one-row broadcast scalar (Join([]) — the documented single-row
+    cartesian pattern) feeding a var-var Filter, and the no-orders
+    test as the plan Antijoin. Grouped by nation (the testdata's
+    phone-prefix stand-in) with count + balance sum."""
+
+    eng = _engine(spark, sf_dir)
+    cust = Filter(
+        ["?bal"],
+        Predicate.GT,
+        Scan(
+            "customer",
+            {
+                "c_custkey": "?c",
+                "c_acctbal": "?bal",
+                "c_nationkey": "?nk",
+            },
+        ),
+        {1: 0.0},
+    )
+    avgp = Aggregate(
+        ["?bal2"],
+        Project(
+            ["?bal2"],
+            Filter(
+                ["?bal2"],
+                Predicate.GT,
+                Scan("customer", {"c_acctbal": "?bal2", "c_custkey": "?c2"}),
+                {1: 0.0},
+            ),
+        ),
+        [AggregationFn.AVG],
+        [],
+        ["?bal2"],
+    )
+    rich = Filter(["?bal", "?bal2"], Predicate.GT, Join([], cust, avgp))
+    # "lost" = no orders since 2000-01-01 (an unwindowed no-orders test
+    # matches nobody in this testdata — every rich customer has SOME
+    # order — so the recency window keeps the antijoin load-bearing).
+    recent = Filter(
+        ["?od"],
+        Predicate.GTE,
+        Scan(
+            "orders",
+            {
+                "o_custkey": "?c",
+                "o_orderkey": "?o",
+                _EPOCH_US_SQL.format(c="o_orderdate"): "?od",
+            },
+        ),
+        {1: 946_684_800_000_000},   # 2000-01-01 UTC, epoch us
+    )
+    plan = Antijoin(["?c"], rich, recent)
+    names = [v[1:] for v in plan.variables()]
+    df = eng.implement(plan, names)
+    return (
+        df.groupBy(F.col("nk").alias("nationkey"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("bal"), 2).alias("totacctbal"),
+        )
+    )
+
+
 def q_agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global (keyless) aggregation."""
 
@@ -2731,6 +3244,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q10": q_tpch_q10,  # NEW in r8
         "tpch_q14": q_tpch_q14,  # NEW in r8
         "tpch_q18": q_tpch_q18,  # NEW in r8
+        "tpch_q1": q_tpch_q1,  # NEW in r8
+        "tpch_q7": q_tpch_q7,  # NEW in r8
+        "tpch_q8": q_tpch_q8,  # NEW in r8
+        "tpch_q13": q_tpch_q13,  # NEW in r8
+        "tpch_q15": q_tpch_q15,  # NEW in r8
+        "tpch_q17": q_tpch_q17,  # NEW in r8
+        "tpch_q21": q_tpch_q21,  # NEW in r8
+        "tpch_q22": q_tpch_q22,  # NEW in r8
         "sorted_neighborhood": q_sorted_neighborhood,  # NEW in r6
         "simhash_neardup": q_simhash_neardup,  # NEW in r6
         "pq_topk": q_pq_topk,  # NEW in r6
@@ -2885,11 +3406,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_kmeans",
         # NEW in r8 (never driver-sampled, same debt class as tpch_q3)
         "tpch_q6", "tpch_q10", "tpch_q14", "tpch_q18", "ann_recall",
-        # latest driver-green row = r05 (oldest declared first; the
-        # rest of the r05 block rotates in next round)
-        "embed_quantize", "wco_clique5", "window_tumbling",
-        "window_sliding", "window_session", "coarsen_batch",
-        "datalog_text", "text_quality",
+        "tpch_q1", "tpch_q7", "tpch_q8", "tpch_q13", "tpch_q15",
+        "tpch_q17", "tpch_q21", "tpch_q22",
+        # the r05-latest block rotates back in next round (all green in
+        # this round's full local gates)
     ]
     assert len(front) == 50 and set(front) <= set(q), "rotation list drift"
     return {**{k: q[k] for k in front}, **{k: v for k, v in q.items() if k not in front}}
@@ -3638,6 +4158,129 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey "
             "WHERE epoch_us(l.l_shipdate) >= 873072000000000 "
             "AND epoch_us(l.l_shipdate) < 875664000000000"
+        ),
+        "tpch_q1": (
+            "SELECT l_returnflag AS rf, l_linestatus AS ls, "
+            "round(sum(l_quantity), 2) AS sum_qty, "
+            "round(sum(l_extendedprice), 2) AS sum_base_price, "
+            "round(CAST(sum(CAST(round(l_extendedprice * "
+            "(1 - l_discount), 6) AS DECIMAL(18,6))) AS DOUBLE), 2) "
+            "AS sum_disc_price, "
+            "round(CAST(sum(CAST(round(l_extendedprice * "
+            "(1 - l_discount) * (1 + l_tax), 6) AS DECIMAL(18,6))) "
+            "AS DOUBLE), 2) AS sum_charge, "
+            "round(avg(l_quantity), 2) AS avg_qty, "
+            "round(avg(l_extendedprice), 2) AS avg_price, "
+            "round(avg(l_discount), 4) AS avg_disc, "
+            "CAST(count(*) AS BIGINT) AS count_order FROM lineitem "
+            "WHERE epoch_us(l_shipdate) <= 946684800000000 "
+            "GROUP BY 1, 2"
+        ),
+        "tpch_q7": (
+            "SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation, "
+            "year(l.l_shipdate) AS l_year, "
+            "round(CAST(sum(CAST(round(l.l_extendedprice * "
+            "(1 - l.l_discount), 6) AS DECIMAL(18,6))) AS DOUBLE), 2) "
+            "AS revenue "
+            "FROM supplier s "
+            "JOIN nation sn ON sn.n_nationkey = s.s_nationkey "
+            "JOIN lineitem l ON l.l_suppkey = s.s_suppkey "
+            "JOIN orders o ON o.o_orderkey = l.l_orderkey "
+            "JOIN customer c ON c.c_custkey = o.o_custkey "
+            "JOIN nation cn ON cn.n_nationkey = c.c_nationkey "
+            "WHERE year(l.l_shipdate) BETWEEN 1996 AND 1997 "
+            "AND ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2') "
+            "OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')) "
+            "GROUP BY 1, 2, 3"
+        ),
+        "tpch_q8": (
+            "SELECT year(o.o_orderdate) AS o_year, "
+            "round(CAST(sum(CASE WHEN sn.n_name = 'NATION_3' THEN "
+            "CAST(round(l.l_extendedprice * (1 - l.l_discount), 6) "
+            "AS DECIMAL(18,6)) ELSE CAST(0 AS DECIMAL(18,6)) END) "
+            "AS DOUBLE) / "
+            "CAST(sum(CAST(round(l.l_extendedprice * "
+            "(1 - l.l_discount), 6) AS DECIMAL(18,6))) AS DOUBLE), 4) "
+            "AS mkt_share "
+            "FROM part p "
+            "JOIN lineitem l ON l.l_partkey = p.p_partkey "
+            "JOIN orders o ON o.o_orderkey = l.l_orderkey "
+            "JOIN customer c ON c.c_custkey = o.o_custkey "
+            "JOIN nation ncust ON ncust.n_nationkey = c.c_nationkey "
+            "JOIN region r ON r.r_regionkey = ncust.n_regionkey "
+            "JOIN supplier s ON s.s_suppkey = l.l_suppkey "
+            "JOIN nation sn ON sn.n_nationkey = s.s_nationkey "
+            "WHERE p.p_type = 'ECONOMY' AND r.r_name = 'ASIA' "
+            "AND year(o.o_orderdate) BETWEEN 1996 AND 1997 "
+            "GROUP BY 1"
+        ),
+        "tpch_q13": (
+            # Inner-count + antijoin-zeros on the Spark side == one
+            # LEFT JOIN count here.
+            "WITH counts AS (SELECT c.c_custkey AS c, "
+            "CAST(count(o.o_orderkey) AS BIGINT) AS c_count "
+            "FROM customer c "
+            "LEFT JOIN orders o ON o.o_custkey = c.c_custkey "
+            "GROUP BY 1) "
+            "SELECT c_count, CAST(count(*) AS BIGINT) AS custdist "
+            "FROM counts GROUP BY 1"
+        ),
+        "tpch_q15": (
+            "WITH rev AS (SELECT l_suppkey AS s, "
+            "sum(CAST(round(l_extendedprice * (1 - l_discount), 6) "
+            "AS DECIMAL(18,6))) AS r FROM lineitem "
+            "WHERE epoch_us(l_shipdate) >= 852076800000000 "
+            "AND epoch_us(l_shipdate) < 859852800000000 GROUP BY 1) "
+            "SELECT s AS suppkey, sup.s_name AS name, "
+            "round(CAST(r AS DOUBLE), 2) AS total_revenue "
+            "FROM rev JOIN supplier sup ON sup.s_suppkey = rev.s "
+            "WHERE r = (SELECT max(r) FROM rev)"
+        ),
+        "tpch_q17": (
+            # The addition chain mirrors the Spark Transform ADDs:
+            # whole-number doubles, so ((q+q)+(q+q))+q == 5*q exactly.
+            "WITH pa AS (SELECT l_partkey AS p, avg(l_quantity) AS aq "
+            "FROM lineitem GROUP BY 1) "
+            "SELECT round(CAST(sum(CAST(round(l.l_extendedprice, 6) "
+            "AS DECIMAL(18,6))) AS DOUBLE), 2) AS small_order_revenue, "
+            "CAST(count(*) AS BIGINT) AS n_lines "
+            "FROM lineitem l JOIN pa ON pa.p = l.l_partkey "
+            "WHERE l.l_quantity + l.l_quantity + l.l_quantity "
+            "+ l.l_quantity + l.l_quantity < pa.aq"
+        ),
+        "tpch_q21": (
+            # Lateness surrogate == tpch_q4's (+60d in integer micros);
+            # the two-level distinct-count chains mirror the plan
+            # aggregates exactly.
+            "WITH late AS (SELECT l.l_orderkey AS o, l.l_suppkey AS s "
+            "FROM lineitem l "
+            "JOIN orders o2 ON o2.o_orderkey = l.l_orderkey "
+            "WHERE o2.o_orderstatus = 'F' "
+            "AND epoch_us(l.l_shipdate) > "
+            "epoch_us(o2.o_orderdate) + 5184000000000::BIGINT "
+            "GROUP BY 1, 2), "
+            "nlate AS (SELECT o, count(*) AS nl FROM late GROUP BY 1), "
+            "np AS (SELECT o, count(*) AS ns FROM ("
+            "SELECT l_orderkey AS o, l_suppkey AS s2 FROM lineitem "
+            "GROUP BY 1, 2) GROUP BY 1) "
+            "SELECT late.s AS suppkey, sup.s_name AS name, "
+            "CAST(count(*) AS BIGINT) AS numwait "
+            "FROM late JOIN nlate ON nlate.o = late.o "
+            "JOIN np ON np.o = late.o "
+            "JOIN supplier sup ON sup.s_suppkey = late.s "
+            "WHERE nlate.nl = 1 AND np.ns > 1 "
+            "GROUP BY 1, 2 ORDER BY numwait DESC, suppkey LIMIT 20"
+        ),
+        "tpch_q22": (
+            "WITH pos AS (SELECT c_custkey AS c, c_acctbal AS bal, "
+            "c_nationkey AS nk FROM customer WHERE c_acctbal > 0.0), "
+            "a AS (SELECT avg(bal) AS ab FROM pos), "
+            "rich AS (SELECT pos.* FROM pos, a WHERE bal > ab), "
+            "lost AS (SELECT * FROM rich WHERE c NOT IN ("
+            "SELECT o_custkey FROM orders "
+            "WHERE epoch_us(o_orderdate) >= 946684800000000)) "
+            "SELECT nk AS nationkey, CAST(count(*) AS BIGINT) AS numcust, "
+            "round(sum(bal), 2) AS totacctbal FROM lost GROUP BY 1"
         ),
         "tpch_q18": (
             # HAVING as a pre-join aggregate, the Spark plan's shape:

@@ -96,6 +96,14 @@ HEADLINE = [
     "tpch_q10",        # plan-DSL 4-way join + top-20 TakeOrdered
     "tpch_q14",        # plan-DSL promo ratio (exact sums, one double div)
     "tpch_q18",        # plan-DSL HAVING as pre-join aggregate + filter
+    "tpch_q1",         # plan-DSL full 8-agg pricing summary
+    "tpch_q7",         # plan-DSL nation-pair disjunction as Union of joins
+    "tpch_q8",         # plan-DSL 7-join market-share chain
+    "tpch_q13",        # plan-DSL count-distribution (agg + antijoin zeros)
+    "tpch_q15",        # plan-DSL top supplier (join on the aggregate value)
+    "tpch_q17",        # plan-DSL avg-qty correlated filter via Transform ADDs
+    "tpch_q21",        # plan-DSL exists/not-exists as two-level count chains
+    "tpch_q22",        # plan-DSL scalar-avg broadcast + antijoin
     "retrieval_eval",  # MRR/nDCG@10 against label ground truth
     "anomalies",       # rolling z-score outliers (partitioned window)
     "winsorize",       # per-group nearest-rank percentile clamp

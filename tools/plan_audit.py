@@ -60,6 +60,10 @@ ALLOWLIST: dict[tuple[str, str], str] = {
     ("tfidf_topk", "BroadcastNestedLoopJoin"): "one-row doc-count broadcast",
     ("hll_distinct", "BroadcastNestedLoopJoin"): "one-row register-table fold",
     ("hist_quantiles", "BroadcastNestedLoopJoin"): "one-row total broadcast",
+    ("tpch_q22", "BroadcastNestedLoopJoin"): (
+        "one-row global-average-balance broadcast (keyless plan "
+        "Aggregate joined via Join([]))"
+    ),
     # Empty-partition rank windows that run over BOUNDED inputs: the
     # global sort they imply touches <= k (or <= 2*depth) rows that a
     # TakeOrderedAndProject already reduced — not the corpus.
