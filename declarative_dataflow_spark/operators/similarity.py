@@ -302,6 +302,96 @@ def _seed_centroids(
     )
 
 
+def _numpy_assign_cells(
+    embeddings: DataFrame,
+    rows: list,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+) -> Optional[DataFrame]:
+    """Arrow-batched argmax-cosine assignment: (vec_id, cell).
+
+    The large-k scoring engine behind :func:`_assign_cells` — see the
+    call site for why the JVM paths cap out (janino's 64 KB method
+    limit, then HotSpot's huge-method JIT ceiling). Bit-parity with
+    the SQL chains is by construction: dots and norms accumulate
+    dim-ASCENDING in IEEE float64 (`acc += V[:, i] * c[i]` is the
+    left-assoc fold, vectorized across rows, not a reordered BLAS
+    reduction), float->double casts are exact, zero-norm rows score
+    -inf everywhere and fall to the lowest cell id via the ascending
+    strict-> scan. Returns None when numpy/pandas are unavailable so
+    the caller can fall back to the JVM broadcast path."""
+
+    try:
+        import numpy as np  # noqa: F401
+        import pandas as pd  # noqa: F401
+    except ImportError:  # pragma: no cover - numpy is baked in here
+        return None
+    import numpy as np
+
+    spark = embeddings.sparkSession
+    C = np.array([[float(x) for x in r["cv"]] for r in rows], dtype=np.float64)
+    cellids = np.array([int(r["cell"]) for r in rows], dtype=np.int64)
+    cn = np.zeros(len(rows))
+    for i in range(dim):
+        cn += C[:, i] * C[:, i]
+    cn = np.sqrt(cn)
+    bC = spark.sparkContext.broadcast((C, cellids, cn))
+
+    def score(batches):
+        import pandas as pd
+
+        Cb, cells_b, cn_b = bC.value
+        kk, d = Cb.shape
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vals = pdf[vec_col].tolist()
+            # Mirror the SQL paths' null algebra: a NULL or
+            # shorter-than-dim vector makes every per-term v[i]
+            # reference NULL, poisoning the dot AND the norm, so the
+            # row scores -inf in every cell and lands in the lowest
+            # cell id; longer vectors contribute their dim-prefix.
+            ok = np.array(
+                [x is not None and len(x) >= d for x in vals], dtype=bool
+            )
+            V = np.array(
+                [
+                    list(x[:d]) if (x is not None and len(x) >= d)
+                    else [0.0] * d
+                    for x in vals
+                ],
+                dtype=np.float64,
+            )
+            n = V.shape[0]
+            vn = np.zeros(n)
+            for i in range(d):
+                vn += V[:, i] * V[:, i]
+            vn = np.sqrt(vn)
+            best_s = np.full(n, -np.inf)
+            best_c = np.full(n, cells_b[0] if kk else 0, dtype=np.int64)
+            for j in range(kk):  # ascending: strict > keeps lowest cell
+                dot = np.zeros(n)
+                cj = Cb[j]
+                for i in range(d):
+                    dot += V[:, i] * cj[i]
+                den = vn * cn_b[j]
+                safe = np.where(den == 0.0, 1.0, den)
+                s = np.where(den == 0.0, -np.inf, dot / safe)
+                s = np.where(ok, s, -np.inf)
+                take = s > best_s
+                best_s = np.where(take, s, best_s)
+                best_c = np.where(take, cells_b[j], best_c)
+            yield pd.DataFrame({"vec_id": pdf[id_col], "cell": best_c})
+
+    src = embeddings.select(id_col, vec_col)
+    par = spark.sparkContext.defaultParallelism
+    if embeddings.rdd.getNumPartitions() < par:
+        src = src.repartition(par)
+    id_type = dict(src.dtypes)[id_col]
+    return src.mapInPandas(score, f"vec_id {id_type}, cell long")
+
+
 def _assign_cells(
     embeddings: DataFrame,
     cents: DataFrame,
@@ -391,7 +481,28 @@ def _assign_cells(
         # janino's `Code grows beyond 64 KB` — reproduced on the
         # declared ann_ivf query, a 3x interpreted-fallback slowdown.
         # 512 terms is the largest shape verified to compile fused.
-        # Instead score against
+        #
+        # Preferred large-k engine: an ARROW-BATCHED numpy argmax
+        # (below). The pure-JVM alternative — scoring against a
+        # broadcast centroid table with dim-sized positional dots —
+        # compiles at any k, but its fused consume method lands past
+        # HotSpot's huge-method JIT ceiling, so the compiled bytecode
+        # runs INTERPRETED anyway: measured ~9s for 20k x 79 x 64 vs
+        # 0.6s for the numpy path on identical results. The numpy
+        # scorer is bit-identical BY CONSTRUCTION: it accumulates
+        # dots and norms dim-ascending with IEEE doubles (the exact
+        # fold order of the SQL left-assoc chains), float->double
+        # element casts are exact, zero-norm rows coalesce to -inf,
+        # and cells are scanned ascending with a strict > so ties
+        # keep the LOWEST cell id — the same (s, -cell) order as
+        # every other path. Arrow batching keeps the transfer
+        # columnar; nothing is per-row Python.
+        numpy_assign = _numpy_assign_cells(
+            embeddings, rows, id_col, vec_col, dim
+        )
+        if numpy_assign is not None:
+            return numpy_assign
+        # numpy/pandas unavailable: score against
         # the BROADCAST centroid table with positionally-unrolled
         # dots: every expression stays dim-sized (codegen-friendly at
         # any k), the n x k expansion is map-side, and the argmax
@@ -416,10 +527,15 @@ def _assign_cells(
         # the whole scoring pass on one core (measured 33s vs 2s at
         # n=20k, k=79). Widen to the session parallelism only when
         # the scan is narrower — at real scale (thousands of splits)
-        # this is a no-op, so no shuffle is added at 100 TB.
+        # this is a no-op, so no shuffle is added at 100 TB. The
+        # partition probe runs on the RAW input, not on `pre`:
+        # df.rdd forces full optimization of the probed plan, and
+        # paying that for the psum-widened projection added ~2s of
+        # driver time PER LLOYD PASS at dim=64 (the raw scan plan
+        # optimizes in milliseconds).
         spark = embeddings.sparkSession
         par = spark.sparkContext.defaultParallelism
-        if pre.rdd.getNumPartitions() < par:
+        if embeddings.rdd.getNumPartitions() < par:
             pre = pre.repartition(par)
         cb = cents.select(
             "cell", "cv", F.expr(f"sqrt({psum('cv', 'cv')})").alias("__cn")
@@ -525,8 +641,17 @@ def ivf_centroids(
             embeddings, cents, id_col, vec_col, keep_vec=True
         )
         if "v" not in assigned.columns:
-            # fallback argmax path drops the vector: join it back
-            assigned = assigned.join(
+            # Aggregating argmax path drops the vector. Checkpoint the
+            # SKINNY (vec_id, cell) table before joining vectors back:
+            # without the boundary the means job below re-executes AND
+            # re-optimizes the whole n x k scoring expansion fused
+            # with its 64 avg aggregates — measured ~12s of the ~20s
+            # Lloyd pass at n=20k, k=79 (the assignment itself runs in
+            # ~2s). With it, each pass scores once, the means plan sits
+            # on a materialized two-column table, and the pass's
+            # generated code is literal-free so the codegen cache hits
+            # on every subsequent iteration.
+            assigned = assigned.localCheckpoint(eager=True).join(
                 embeddings.select(
                     F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")
                 ),

@@ -226,6 +226,31 @@ def test_semdedup_within_cluster_pairs_match_brute_force(spark):
     assert not any(a < 10 <= b < 100 for a, b in got)
 
 
+def test_semdedup_numpy_and_jvm_pair_engines_agree(spark):
+    # The Arrow-batched numpy pair engine accumulates outer products
+    # dim-ascending — the SQL chain's exact fold order — so the kept
+    # (a, b, cos) set must be BIT-identical to the all-JVM equi-join
+    # path (forced here by stubbing the numpy engine out).
+    import random
+
+    rng = random.Random(23)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out_np = curation.semdedup(df, k=3, iters=1, threshold=0.6)
+    got_np = sorted(tuple(r) for r in out_np.collect())
+    real = curation._numpy_cell_pairs
+    curation._numpy_cell_pairs = lambda *a, **k: None
+    try:
+        out_jvm = curation.semdedup(df, k=3, iters=1, threshold=0.6)
+        got_jvm = sorted(tuple(r) for r in out_jvm.collect())
+    finally:
+        curation._numpy_cell_pairs = real
+    assert got_np == got_jvm
+    assert len(got_np) > 0  # the comparison must be load-bearing
+
+
 def test_semdedup_no_cartesian(spark):
     df = spark.createDataFrame(
         [(i, [float(i % 3), 1.0]) for i in range(12)], ["vec_id", "embedding"]

@@ -514,8 +514,10 @@ def test_cell_assignment_combines_before_exchange(spark):
     assert "Exchange" not in phys, phys
     assert "CartesianProduct" not in phys, phys
 
-    # Large k (k*dim past the budget): broadcast-scored expansion,
-    # argmax pre-reduced by a partial max BEFORE the one exchange.
+    # Large k (k*dim past the budget): the Arrow-batched numpy argmax
+    # is MAP-ONLY — no window, no join, no hash shuffle at all (the
+    # only permissible Exchange is the under-parallelized-input
+    # round-robin widening).
     big = spark.createDataFrame(
         [
             (i, [float((i * 7 + j) % 5 - 2) for j in range(16)])
@@ -526,11 +528,29 @@ def test_cell_assignment_combines_before_exchange(spark):
     bcents = similarity.ivf_centroids(big, n_centroids=300, iters=0)
     bdf = similarity._assign_cells(big, bcents, "vec_id", "embedding")
     bphys = _executed(bdf).split("== Initial Plan ==")[0]
+    assert "MapInPandas" in bphys, bphys
     assert "Window" not in bphys, bphys
-    assert "partial_max" in bphys, bphys  # map-side combine
-    assert bphys.count("Exchange hashpartitioning") == 1, bphys
-    assert "Exchange hashpartitioning(vec_id" in bphys, bphys
+    assert "Exchange hashpartitioning" not in bphys, bphys
     assert "CartesianProduct" not in bphys, bphys
+
+    # JVM fallback (numpy unavailable): broadcast-scored expansion,
+    # argmax pre-reduced by a partial max BEFORE the one exchange.
+    real = similarity._numpy_assign_cells
+    similarity._numpy_assign_cells = lambda *a, **k: None
+    try:
+        jdf = similarity._assign_cells(big, bcents, "vec_id", "embedding")
+        jphys = _executed(jdf).split("== Initial Plan ==")[0]
+    finally:
+        similarity._numpy_assign_cells = real
+    assert "Window" not in jphys, jphys
+    assert "partial_max" in jphys, jphys  # map-side combine
+    assert jphys.count("Exchange hashpartitioning") == 1, jphys
+    assert "Exchange hashpartitioning(vec_id" in jphys, jphys
+    assert "CartesianProduct" not in jphys, jphys
+    # both engines produce the same assignment
+    got_np = {(r["vec_id"], r["cell"]) for r in bdf.collect()}
+    got_jvm = {(r["vec_id"], r["cell"]) for r in jdf.collect()}
+    assert got_np == got_jvm
 
 
 def test_corpus_profile_is_one_pass(spark):

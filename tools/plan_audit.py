@@ -41,10 +41,6 @@ ALLOWLIST: dict[tuple[str, str], str] = {
     ("cosine_topk", "BroadcastNestedLoopJoin"): "one-row query-vector broadcast",
     ("retrieval_eval", "BroadcastNestedLoopJoin"): "32-row probe broadcast (rides cosine_topk)",
     ("ann_ivf", "BroadcastNestedLoopJoin"): "one-row query-vector broadcast",
-    ("ann_ivf_kmeans", "BroadcastNestedLoopJoin"): (
-        "k-row centroid-table broadcast (codegen-safe large-k scoring "
-        "path; the n x k expansion is map-side, argmax pre-reduces)"
-    ),
     ("ann_quantized", "BroadcastNestedLoopJoin"): "one-row query-vector broadcast",
     ("ann_recall", "BroadcastNestedLoopJoin"): (
         "probe broadcasts riding cosine_topk (exact side) and "
