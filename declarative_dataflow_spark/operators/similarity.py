@@ -1025,8 +1025,22 @@ def _subvectors(
 def _pq_assign(sv: DataFrame, books: DataFrame) -> DataFrame:
     """(vid, sub, code, sv): nearest codebook entry per subvector —
     lowest squared L2, ties to the lowest code. Codebooks broadcast
-    (m x n_codes x d doubles — always tiny)."""
+    (m x n_codes x d doubles — always tiny).
 
+    Preferred engine: an Arrow-batched numpy argmin — the JVM
+    zip_with/aggregate fold is an interpreted per-element lambda
+    (~1µs/subvector-code pair; the n x m x n_codes expansion makes it
+    the dominant cost of PQ training AND encoding). Bit-parity by
+    construction: squared-difference terms accumulate dim-ASCENDING
+    (the aggregate fold's order), codes scan ascending with a strict
+    < so ties keep the lowest code, and a NULL/short subvector (whose
+    JVM distance is NULL, which struct-min sorts first — every code's
+    dist is NULL, so the tie falls to the lowest code) maps to +inf
+    distances, landing in the lowest code identically."""
+
+    np_assign = _numpy_pq_assign(sv, books)
+    if np_assign is not None:
+        return np_assign
     scored = sv.join(F.broadcast(books), "sub").withColumn(
         "__d", _l2sq("sv", "cv")
     )
@@ -1037,6 +1051,96 @@ def _pq_assign(sv: DataFrame, books: DataFrame) -> DataFrame:
         F.min(F.struct("__d", "code")).getField("code").alias("code"),
         F.first("sv").alias("sv"),
     ).select("vid", "sub", "code", "sv")
+
+
+def _numpy_pq_assign(sv: DataFrame, books: DataFrame) -> Optional[DataFrame]:
+    """Arrow-batched nearest-codebook assignment (see
+    :func:`_pq_assign` for the parity contract). Returns None when
+    numpy/pandas are unavailable so the caller falls back to the JVM
+    scored-join path."""
+
+    try:
+        import numpy as np  # noqa: F401
+        import pandas as pd  # noqa: F401
+    except ImportError:  # pragma: no cover - numpy is baked in here
+        return None
+    import numpy as np
+
+    spark = sv.sparkSession
+    book_rows = books.select("sub", "code", "cv").collect()
+    by_sub: dict = {}
+    for r in book_rows:
+        by_sub.setdefault(int(r["sub"]), []).append(
+            (int(r["code"]), [float(x) for x in r["cv"]])
+        )
+    packed = {
+        s: (
+            np.array([c for c, _ in sorted(entries)], dtype=np.int64),
+            np.array([v for _, v in sorted(entries)], dtype=np.float64),
+        )
+        for s, entries in by_sub.items()
+    }
+    bB = spark.sparkContext.broadcast(packed)
+
+    def assign(batches):
+        import pandas as pd
+
+        bk = bB.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out_code = np.zeros(len(pdf), dtype=np.int64)
+            subs = pdf["sub"].to_numpy()
+            vals = pdf["sv"].tolist()
+            for s in np.unique(subs):
+                entry = bk.get(int(s))
+                if entry is None:
+                    continue
+                codes, C = entry
+                d = C.shape[1]
+                idx = np.nonzero(subs == s)[0]
+                ok = np.array(
+                    [
+                        vals[i] is not None and len(vals[i]) == d
+                        for i in idx
+                    ],
+                    dtype=bool,
+                )
+                V = np.array(
+                    [
+                        list(vals[i]) if ok_i else [0.0] * d
+                        for i, ok_i in zip(idx, ok)
+                    ],
+                    dtype=np.float64,
+                )
+                best_d = np.full(len(idx), np.inf)
+                best_c = np.full(len(idx), codes[0], dtype=np.int64)
+                for j in range(len(codes)):  # ascending: ties -> lowest
+                    acc = np.zeros(len(idx))
+                    cj = C[j]
+                    for i in range(d):  # the aggregate fold's order
+                        diff = V[:, i] - cj[i]
+                        acc += diff * diff
+                    acc = np.where(ok, acc, np.inf)
+                    take = acc < best_d
+                    best_d = np.where(take, acc, best_d)
+                    best_c = np.where(take, codes[j], best_c)
+                out_code[idx] = best_c
+            yield pd.DataFrame(
+                {
+                    "vid": pdf["vid"],
+                    "sub": pdf["sub"],
+                    "code": out_code,
+                    "sv": pdf["sv"],
+                }
+            )
+
+    vid_type = dict(sv.dtypes)["vid"]
+    sub_type = dict(sv.dtypes)["sub"]
+    return sv.mapInPandas(
+        assign,
+        f"vid {vid_type}, sub {sub_type}, code long, sv array<double>",
+    )
 
 
 def pq_codebooks(

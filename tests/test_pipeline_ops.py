@@ -894,6 +894,40 @@ def test_pq_adc_equals_reconstructed_distance(spark):
         assert abs(r["adist"] - round(expect, 4)) <= 1e-9, (q, n)
 
 
+def test_pq_assign_numpy_and_jvm_engines_agree(spark):
+    # The Arrow-batched numpy argmin accumulates squared differences
+    # dim-ascending (the zip_with/aggregate fold's exact order) and
+    # scans codes ascending with a strict <, so codebooks, encodings,
+    # and the final top-k must be identical to the JVM scored-join
+    # path (forced here by stubbing the numpy engine out).
+    import random
+
+    rng = random.Random(11)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(50)
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got_np = sorted(
+        tuple(r)
+        for r in similarity.pq_topk(
+            emb, [0, 1, 2], k=4, m=4, n_codes=8, iters=1, dim=16
+        ).collect()
+    )
+    real = similarity._numpy_pq_assign
+    similarity._numpy_pq_assign = lambda *a, **k: None
+    try:
+        got_jvm = sorted(
+            tuple(r)
+            for r in similarity.pq_topk(
+                emb, [0, 1, 2], k=4, m=4, n_codes=8, iters=1, dim=16
+            ).collect()
+        )
+    finally:
+        similarity._numpy_pq_assign = real
+    assert got_np == got_jvm
+    assert len(got_np) == 12
+
+
 def test_pq_compression_shape_and_validation(spark):
     emb = spark.createDataFrame(
         [(i, [float(i + j) for j in range(12)]) for i in range(20)],
