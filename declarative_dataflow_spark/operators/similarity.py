@@ -90,30 +90,41 @@ def cosine_topk(
 
     from pyspark.sql.window import Window
 
-    q = embeddings.filter(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("q"),
-        F.col(vec_col).alias("qv"),
-        _norm(vec_col).alias("q_norm"),
-    )
-    n = embeddings.select(
-        F.col(id_col).alias("neighbor"),
-        F.col(vec_col).alias("nv"),
-        _norm(vec_col).alias("n_norm"),
-    )
-    sims = (
-        n.crossJoin(F.broadcast(q))
-        .filter(F.col("q") != F.col("neighbor"))
-        .withColumn(
-            "sim",
-            # nullif guards zero-norm vectors (ANSI divide-by-zero);
-            # they have no meaningful cosine neighbors and drop out.
-            F.round(
+    # Preferred scoring engine: Arrow-batched numpy (raw sims; the
+    # exact round(.,4) + ranking stays JVM-side). The zip_with/
+    # aggregate dot is an interpreted per-element lambda — on a 20k x
+    # 64 corpus with 32 probes it is the whole cost of retrieval_eval.
+    # Parity contract as everywhere: dots and norms accumulate
+    # dim-ascending in IEEE float64 (the aggregate fold's exact
+    # order), zero-norm or length-mismatched pairs drop exactly like
+    # the SQL NULL algebra drops them.
+    scored = _numpy_cosine_scores(embeddings, query_ids, id_col, vec_col)
+    if scored is None:
+        q = embeddings.filter(F.col(id_col).isin(query_ids)).select(
+            F.col(id_col).alias("q"),
+            F.col(vec_col).alias("qv"),
+            _norm(vec_col).alias("q_norm"),
+        )
+        n = embeddings.select(
+            F.col(id_col).alias("neighbor"),
+            F.col(vec_col).alias("nv"),
+            _norm(vec_col).alias("n_norm"),
+        )
+        scored = (
+            n.crossJoin(F.broadcast(q))
+            .filter(F.col("q") != F.col("neighbor"))
+            .withColumn(
+                "sim",
+                # nullif guards zero-norm vectors (ANSI divide-by-
+                # zero); they have no meaningful cosine neighbors and
+                # drop out.
                 _dot("qv", "nv")
                 / F.nullif(F.col("q_norm") * F.col("n_norm"), F.lit(0.0)),
-                4,
-            ),
+            )
+            .select("q", "neighbor", "sim")
         )
-        .filter(F.col("sim").isNotNull())
+    sims = scored.withColumn("sim", F.round(F.col("sim"), 4)).filter(
+        F.col("sim").isNotNull()
     )
     w = Window.partitionBy("q").orderBy(
         F.col("sim").desc(), F.col("neighbor").asc()
@@ -122,6 +133,103 @@ def cosine_topk(
         sims.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("q", "neighbor", "sim", "rank")
+    )
+
+
+def _numpy_cosine_scores(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    id_col: str,
+    vec_col: str,
+) -> Optional[DataFrame]:
+    """(q, neighbor, sim): RAW cosine of every (probe, corpus) pair,
+    self-pairs and undefined cosines (zero norms, length mismatches)
+    dropped — the numpy engine under :func:`cosine_topk`. Returns
+    None when numpy/pandas are unavailable."""
+
+    try:
+        import numpy as np  # noqa: F401
+        import pandas as pd  # noqa: F401
+    except ImportError:  # pragma: no cover - numpy is baked in here
+        return None
+    import numpy as np
+
+    spark = embeddings.sparkSession
+    q_rows = (
+        embeddings.filter(F.col(id_col).isin(query_ids))
+        .select(id_col, vec_col)
+        .collect()
+    )
+    probes = []
+    for r in q_rows:
+        qv = r[vec_col]
+        if qv is None:
+            continue  # JVM: every dot NULL -> every pair drops
+        v = np.array([float(x) for x in qv], dtype=np.float64)
+        qn = 0.0
+        for x in v:  # dim-ascending, like _norm's fold
+            qn += x * x
+        probes.append((r[id_col], v, float(np.sqrt(qn))))
+    bQ = spark.sparkContext.broadcast(probes)
+
+    def score(batches):
+        import pandas as pd
+
+        qs = bQ.value
+        for pdf in batches:
+            if len(pdf) == 0 or not qs:
+                continue
+            ids = pdf["__nid"].to_numpy()
+            vals = pdf["__nv"].tolist()
+            out_q, out_n, out_s = [], [], []
+            by_len: dict = {}
+            for qid, qv, qn in qs:
+                by_len.setdefault(len(qv), []).append((qid, qv, qn))
+            for d, group in by_len.items():
+                ok = np.array(
+                    [x is not None and len(x) == d for x in vals],
+                    dtype=bool,
+                )
+                if not ok.any():
+                    continue
+                idx = np.nonzero(ok)[0]
+                V = np.array(
+                    [list(vals[i]) for i in idx], dtype=np.float64
+                )
+                vn = np.zeros(len(idx))
+                for i in range(d):
+                    vn += V[:, i] * V[:, i]
+                vn = np.sqrt(vn)
+                for qid, qv, qn in group:
+                    dot = np.zeros(len(idx))
+                    for i in range(d):
+                        dot += V[:, i] * qv[i]
+                    den = vn * qn
+                    valid = (den != 0.0) & (ids[idx] != qid)
+                    if not valid.any():
+                        continue
+                    safe = np.where(den == 0.0, 1.0, den)
+                    sim = dot / safe
+                    out_q.extend([qid] * int(valid.sum()))
+                    out_n.extend(ids[idx][valid].tolist())
+                    out_s.extend(sim[valid].tolist())
+            yield pd.DataFrame(
+                {
+                    "q": np.array(out_q, dtype=ids.dtype),
+                    "neighbor": np.array(out_n, dtype=ids.dtype),
+                    "sim": np.array(out_s, dtype=np.float64),
+                }
+            )
+
+    src = embeddings.select(
+        F.col(id_col).alias("__nid"), F.col(vec_col).alias("__nv")
+    )
+    par = spark.sparkContext.defaultParallelism
+    if embeddings.rdd.getNumPartitions() < par:
+        src = src.repartition(par)
+    id_type = dict(src.dtypes)["__nid"]
+    return src.mapInPandas(
+        score, f"q {id_type}, neighbor {id_type}, sim double"
     )
 
 
