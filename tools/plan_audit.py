@@ -38,10 +38,7 @@ ALLOWLIST: dict[tuple[str, str], str] = {
     # BroadcastNestedLoopJoin; the "loop" side is a single row of
     # plane weights / corpus scalars — constant work per row.
     ("ann_lsh", "BroadcastNestedLoopJoin"): "one-row plane-weights broadcast",
-    ("cosine_topk", "BroadcastNestedLoopJoin"): "one-row query-vector broadcast",
-    ("retrieval_eval", "BroadcastNestedLoopJoin"): "32-row probe broadcast (rides cosine_topk)",
     ("ann_ivf", "BroadcastNestedLoopJoin"): "one-row query-vector broadcast",
-    ("ann_quantized", "BroadcastNestedLoopJoin"): "one-row query-vector broadcast",
     ("ann_recall", "BroadcastNestedLoopJoin"): (
         "probe broadcasts riding cosine_topk (exact side) and "
         "ivf_topk (centroid table) — both probe/k-bounded"
