@@ -739,8 +739,10 @@ def _numpy_cell_pairs(base, threshold: float, dim: int):
     with a < b, rounded and thresholded JVM-side for bit-parity with
     the all-JVM pair join (see the semdedup call site). ``dim`` is the
     CORPUS-wide vector width (the same constant the JVM dot unrolls
-    over), so shorter vectors poison their pairs identically in both
-    engines. Returns None when numpy/pandas are unavailable."""
+    over). Shorter-than-dim vectors DROP their pairs here — strictly
+    more tolerant than the JVM unroll, which raises
+    INVALID_ARRAY_INDEX on them under Spark 4's ANSI mode. Returns
+    None when numpy/pandas are unavailable."""
 
     try:
         import numpy as np  # noqa: F401
@@ -890,9 +892,11 @@ def semdedup(
     # whole-stage-codegen arithmetic where the aggregate(zip_with)
     # fold evaluates interpreted lambdas per element; the left-assoc
     # `+` chain is the exact fold order of the aggregate form (0.0 +
-    # x0 is exactly x0), hence bit-identical doubles. An out-of-range
-    # index (ragged vector) nulls the sum and the pair drops — the
-    # same poisoned-sum outcome as zip_with's null padding.
+    # x0 is exactly x0), hence bit-identical doubles. NOTE: under
+    # Spark 4's ANSI mode an out-of-range index (ragged vector)
+    # RAISES INVALID_ARRAY_INDEX — ragged corpora are an input error
+    # on this JVM path (the numpy engine above tolerates them by
+    # dropping the affected pairs).
     if dim:
         dot = F.expr(
             " + ".join(

@@ -427,8 +427,12 @@ def _numpy_assign_cells(
     left-assoc fold, vectorized across rows, not a reordered BLAS
     reduction), float->double casts are exact, zero-norm rows score
     -inf everywhere and fall to the lowest cell id via the ascending
-    strict-> scan. Returns None when numpy/pandas are unavailable so
-    the caller can fall back to the JVM broadcast path."""
+    strict-> scan. NULL and shorter-than-dim vectors also land in the
+    lowest cell — strictly MORE tolerant than the JVM literal unroll,
+    which raises INVALID_ARRAY_INDEX on short vectors under Spark 4's
+    ANSI mode (pinned in test_numpy_assign_edge_semantics_match_jvm).
+    Returns None when numpy/pandas are unavailable so the caller can
+    fall back to the JVM broadcast path."""
 
     try:
         import numpy as np  # noqa: F401

@@ -491,6 +491,75 @@ def test_hll_registers_aggregate_partially(spark):
     assert "Sort [" not in phys, phys
 
 
+def test_numpy_assign_edge_semantics_match_jvm(spark):
+    """The corners where the numpy argmax could silently diverge from
+    the SQL NULL algebra: exact cosine TIES (duplicate centroids must
+    resolve to the LOWEST cell id), zero-norm vectors (undefined
+    cosine everywhere -> lowest cell id), NULL vectors, and
+    shorter-than-dim vectors (poisoned dot -> lowest cell id). Both
+    engines must agree row for row."""
+
+    from declarative_dataflow_spark.operators import similarity
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),   # seed centroid 0
+        (1, [1.0, 0.0, 0.0, 0.0]),   # seed centroid 1 == centroid 0: tie
+        (2, [0.0, 1.0, 0.0, 0.0]),   # seed centroid 2
+        (3, [2.0, 0.0, 0.0, 0.0]),   # ties between cells 0 and 1
+        (4, [0.0, 0.0, 0.0, 0.0]),   # zero norm -> lowest cell
+        (5, None),                   # NULL vector -> lowest cell
+        (7, [0.0, 3.0, 0.1, 0.0]),   # clear cell-2 winner
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # 3 centroids x 4 dims = 12 terms routes _assign_cells to the
+    # literal-unroll JVM path, so calling the numpy engine directly
+    # and _assign_cells with numpy stubbed compares the two
+    # independent implementations on identical centroids.
+    cents = similarity._seed_centroids(emb, 3, "vec_id", "embedding")
+    rows_c = sorted(cents.collect(), key=lambda r: r["cell"])
+    np_df = similarity._numpy_assign_cells(emb, rows_c, "vec_id", "embedding", 4)
+    got_np = {r["vec_id"]: r["cell"] for r in np_df.collect()}
+    real = similarity._numpy_assign_cells
+    similarity._numpy_assign_cells = lambda *a, **k: None
+    try:
+        jvm_df = similarity._assign_cells(emb, cents, "vec_id", "embedding")
+        # force the broadcast path regardless of term count by calling
+        # through _assign_cells with the numpy engine stubbed: 3x4=12
+        # terms routes to the literal unroll, which is ALSO a JVM
+        # reference implementation -- compare against both.
+        got_lit = {r["vec_id"]: r["cell"] for r in jvm_df.collect()}
+    finally:
+        similarity._numpy_assign_cells = real
+    assert got_np == got_lit
+    # the reasoned outcomes, pinned explicitly
+    assert got_np[3] == 0        # tie between duplicate centroids -> 0
+    assert got_np[4] == 0        # zero norm -> lowest cell id
+    assert got_np[5] == 0        # NULL vector -> lowest cell id
+    assert got_np[7] == 2        # clear winner
+
+    # Shorter-than-dim vectors: the JVM literal unroll RAISES under
+    # Spark 4's ANSI mode (INVALID_ARRAY_INDEX on v[i]); the numpy
+    # engine is strictly more tolerant — the row scores -inf
+    # everywhere and lands in the lowest cell. Pin the numpy behavior
+    # (the JVM contract for ragged corpora is "an error", so there is
+    # no value-parity to assert).
+    ragged = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.5, 0.5]), (2, [0.0, 1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    rc = sorted(
+        similarity._seed_centroids(ragged, 1, "vec_id", "embedding").collect(),
+        key=lambda r: r["cell"],
+    )
+    got_ragged = {
+        r["vec_id"]: r["cell"]
+        for r in similarity._numpy_assign_cells(
+            ragged, rc, "vec_id", "embedding", 4
+        ).collect()
+    }
+    assert got_ragged[1] == rc[0]["cell"]
+
+
 def test_cell_assignment_combines_before_exchange(spark):
     """The k-means/IVF cell assignment must rank with an aggregate
     struct-max, never a window: the partial max combines the n x k
