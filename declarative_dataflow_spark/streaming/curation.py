@@ -273,6 +273,156 @@ def stream_curate(
     return out.drop(text_col).withColumnRenamed("__redacted", text_col)
 
 
+class StreamSemDeDup:
+    """Streaming SemDeDup: keep the first-accepted member of every
+    SEMANTIC near-duplicate cluster across an unbounded embedding
+    stream — the streaming twin of ``operators/curation.py::semdedup``
+    (Abbas et al. 2023), with the StreamNearDedup state discipline.
+
+    The index is a FROZEN centroid table trained offline (pass the
+    output of ``similarity.ivf_centroids`` / a bootstrap
+    ``kmeans_assign`` run): the batch operator's density-derived k
+    needs the whole corpus up front, so the streaming twin trades
+    index freshness for per-epoch work that tracks the batch — the
+    same trade StreamNearDedup makes with its frozen signature width.
+    Re-train centroids and re-bootstrap the state to absorb drift.
+
+    State = the ACCEPTED embeddings (id, vector, cell), parquet under
+    ``state_dir`` (a Delta/iceberg table at cluster scale). Each
+    micro-batch: assign batch vectors to cells against the broadcast
+    centroids (one map-side pass), compute within-cell cosines of
+    batch∪state rows via the Arrow-batched pair engine
+    (``curation._numpy_cell_pairs`` — the same dim-ascending kernel
+    the batch operator uses), drop a batch doc that pairs >= threshold
+    with ANY accepted doc or with a LOWER-id batch doc (greedy, one
+    pass — the documented over-suppression trade), append survivors.
+    With ``epoch`` set, the state append is epoch-keyed overwrite so a
+    retried micro-batch replaces its own contribution — exactly-once
+    state under foreachBatch's at-least-once retries.
+
+    Per-epoch cost tracks the batch: state is touched only through
+    the cell-keyed group shuffle (cells the batch actually hits), and
+    cell occupancy is bounded by the index's target_cell density."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        centroids: DataFrame,
+        threshold: float = 0.95,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        dim: Optional[int] = None,
+    ) -> None:
+        self.spark = spark
+        self.state_dir = state_dir
+        self.threshold = threshold
+        self.id_col, self.vec_col = id_col, vec_col
+        rows = sorted(centroids.collect(), key=lambda r: r["cell"])
+        if not rows:
+            raise ValueError("centroids must be non-empty")
+        self.dim = dim or len(rows[0]["cv"] or [])
+        self._cents = spark.createDataFrame(
+            [(int(r["cell"]), [float(x) for x in r["cv"]]) for r in rows],
+            "cell long, cv array<double>",
+        )
+
+    def _state(self, exclude_epoch: Optional[int] = None) -> Optional[DataFrame]:
+        try:
+            df = self.spark.read.parquet(self.state_dir)
+        except Exception:
+            return None
+        if exclude_epoch is not None and "epoch" in df.columns:
+            df = df.filter(F.col("epoch") != exclude_epoch)
+        return df.select("id", "v", "cell")
+
+    def process_batch(
+        self, batch: DataFrame, epoch: Optional[int] = None
+    ) -> DataFrame:
+        """One micro-batch: returns the accepted rows of ``batch`` and
+        appends their (id, v, cell) to the state. Callable directly
+        for batch-mode backfills; ``attach`` wires it into
+        foreachBatch."""
+
+        from ..operators import curation as curation_ops
+        from ..operators import similarity as similarity_ops
+
+        assign = similarity_ops._assign_cells(
+            batch.select(self.id_col, self.vec_col),
+            self._cents,
+            self.id_col,
+            self.vec_col,
+        )
+        b = (
+            batch.select(
+                F.col(self.id_col).alias("id"),
+                F.col(self.vec_col).cast("array<double>").alias("v"),
+            )
+            .join(assign.withColumnRenamed("vec_id", "id"), "id")
+            .localCheckpoint(eager=True)  # reused: pairs + survivors
+        )
+        state = self._state(exclude_epoch=epoch)
+        if state is None:
+            allr = b.withColumn("__new", F.lit(True))
+        else:
+            allr = state.withColumn("__new", F.lit(False)).unionByName(
+                b.withColumn("__new", F.lit(True))
+            )
+        pairs = curation_ops._numpy_cell_pairs(
+            allr, self.threshold, self.dim
+        )
+        if pairs is None:  # pragma: no cover - numpy is baked in here
+            raise RuntimeError(
+                "StreamSemDeDup needs numpy/pandas (the Arrow pair "
+                "engine); install them or use the batch semdedup"
+            )
+        flags = allr.select("id", "__new")
+        p = (
+            pairs.join(flags.toDF("a", "__na"), "a")
+            .join(flags.toDF("b", "__nb"), "b")
+        )
+        # first-accepted wins: a batch doc paired with ANY state doc
+        # drops regardless of id order; in-batch pairs drop the
+        # higher id (pairs carry a < b).
+        dropped = (
+            p.filter(F.col("__na") & ~F.col("__nb")).select(F.col("a").alias("id"))
+            .union(p.filter(~F.col("__na") & F.col("__nb")).select(F.col("b").alias("id")))
+            .union(p.filter(F.col("__na") & F.col("__nb")).select(F.col("b").alias("id")))
+            .distinct()
+        )
+        kept_rows = b.join(dropped, "id", "left_anti").select("id", "v", "cell")
+        if epoch is not None:
+            kept_rows.write.mode("overwrite").parquet(
+                f"{self.state_dir}/epoch={epoch}"
+            )
+        else:
+            kept_rows.write.mode("append").parquet(self.state_dir)
+        return batch.join(
+            dropped.withColumnRenamed("id", self.id_col), self.id_col, "left_anti"
+        )
+
+    def attach(
+        self,
+        stream: DataFrame,
+        sink: Callable[[DataFrame, int], None],
+        checkpoint: str,
+        query_name: str = "sem_dedup",
+    ):
+        """Run the suppression on a streaming DataFrame: each
+        micro-batch is deduped against all previously-accepted
+        embeddings, then handed to ``sink(kept_df, epoch_id)``."""
+
+        def _on_batch(df: DataFrame, epoch: int) -> None:
+            sink(self.process_batch(df, epoch=epoch), epoch)
+
+        return (
+            stream.writeStream.foreachBatch(_on_batch)
+            .queryName(query_name)
+            .option("checkpointLocation", checkpoint)
+            .start()
+        )
+
+
 class IncrementalDedupGroups:
     """Incrementally-maintained EXACT near-duplicate groups — the
     maintained twin of ``operators/dedup.py::dedup_groups`` (MinHash-

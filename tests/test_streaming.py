@@ -397,6 +397,66 @@ def test_stream_near_dedup_foreachbatch(spark, tmp_path):
     assert 2 in out
 
 
+def test_stream_semdedup_cross_batch(spark, tmp_path):
+    """Streaming SemDeDup with a frozen centroid index: in-batch
+    semantic near-dups collapse to the lowest id; a later batch's
+    near-dup of an ACCEPTED embedding is suppressed by the state;
+    distinct-direction vectors pass. Epoch-keyed state is idempotent
+    under a retried micro-batch."""
+
+    from declarative_dataflow_spark.operators import similarity
+    from declarative_dataflow_spark.streaming.curation import StreamSemDeDup
+
+    def jitter(base, eps):
+        return [x + eps for x in base]
+
+    b1_vec = [1.0, 0.0, 0.0, 0.0]
+    b2_vec = [0.0, 1.0, 0.0, 0.0]
+    bootstrap = spark.createDataFrame(
+        [
+            (0, b1_vec),
+            (1, b2_vec),
+            (2, [0.0, 0.0, 1.0, 0.0]),
+            (3, [0.0, 0.0, 0.0, 1.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    cents = similarity.ivf_centroids(bootstrap, 4, iters=0)
+    sd = StreamSemDeDup(
+        spark, str(tmp_path / "sd_state"), cents, threshold=0.999
+    )
+
+    e1 = spark.createDataFrame(
+        [
+            (10, jitter(b1_vec, 0.001)),
+            (11, jitter(b1_vec, 0.002)),  # in-batch near-dup -> dropped
+            (12, [0.0, 0.0, 1.0, 0.0]),   # own direction -> kept
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    kept1 = {r["vec_id"] for r in sd.process_batch(e1, epoch=0).collect()}
+    assert kept1 == {10, 12}
+
+    e2 = spark.createDataFrame(
+        [
+            (20, jitter(b1_vec, 0.003)),  # near-dup of ACCEPTED 10 -> dropped
+            (21, jitter(b2_vec, 0.001)),  # fresh direction -> kept
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    kept2 = {r["vec_id"] for r in sd.process_batch(e2, epoch=1).collect()}
+    assert kept2 == {21}
+
+    # retried epoch replaces its own state contribution (no dup rows,
+    # and the batch is NOT suppressed by its own prior write)
+    kept2_retry = {
+        r["vec_id"] for r in sd.process_batch(e2, epoch=1).collect()
+    }
+    assert kept2_retry == {21}
+    state = spark.read.parquet(str(tmp_path / "sd_state"))
+    assert sorted(r["id"] for r in state.collect()) == [10, 12, 21]
+
+
 def test_stream_compare_and_swap(spark, tmp_path):
     """Streaming CAS register: expect-absent set, failed swap, matching
     swap, and delete across micro-batches (the reference's commented
