@@ -484,6 +484,84 @@ def dedup_groups(
     )
 
 
+def _numpy_simhash(docs: DataFrame, bits: int, text_col: str):
+    """Arrow-batched SimHash fingerprints: (doc_id, simhash) — the
+    numpy engine under :func:`simhash`. Exact-integer parity with the
+    SQL fold: hashlib.md5(token).hexdigest()[:nhex] equals
+    substring(md5(token), 1, nhex) (same UTF-8 MD5, same hex prefix),
+    the +1/-1 bit counters are an integer sum over the DISTINCT token
+    set (order-free, so set() is safe), and the fingerprint packs
+    s > 0 bits exactly like the SQL IF chain. NULL text yields a NULL
+    fingerprint. Tokenization mirrors split(lower(text), ' ')
+    verbatim: literal single-space split (consecutive spaces produce
+    empty tokens, kept once by distinct), Python str.lower vs Java
+    toLowerCase diverge only on exotic locale-sensitive code points.
+    Returns None when numpy/pandas are unavailable."""
+
+    try:
+        import numpy as np  # noqa: F401
+        import pandas as pd  # noqa: F401
+    except ImportError:  # pragma: no cover - numpy is baked in here
+        return None
+    import hashlib
+
+    import numpy as np
+
+    nhex = (bits + 3) // 4
+    shifts = None
+
+    def fp(batches):
+        import pandas as pd
+
+        nonlocal shifts
+        if shifts is None:
+            shifts = np.arange(bits, dtype=np.uint64)
+        for pdf in batches:
+            out = []
+            for t in pdf[text_col]:
+                if t is None:
+                    out.append(None)
+                    continue
+                toks = set(t.lower().split(" "))
+                hs = np.array(
+                    [
+                        int(
+                            hashlib.md5(tok.encode("utf-8")).hexdigest()[
+                                :nhex
+                            ],
+                            16,
+                        )
+                        for tok in toks
+                    ],
+                    dtype=np.uint64,
+                )
+                ones = ((hs[:, None] >> shifts) & np.uint64(1)).astype(
+                    np.int64
+                )
+                s = ones.sum(axis=0) * 2 - len(hs)
+                val = int(
+                    (
+                        (s > 0).astype(np.int64)
+                        << np.arange(bits, dtype=np.int64)
+                    ).sum()
+                )
+                out.append(val)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "simhash": pd.Series(out, dtype="object"),
+                }
+            )
+
+    spark = docs.sparkSession
+    src = docs.select("doc_id", text_col)
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        src = src.repartition(par)
+    id_type = dict(src.dtypes)["doc_id"]
+    return src.mapInPandas(fp, f"doc_id {id_type}, simhash long")
+
+
 def simhash(docs: DataFrame, bits: int = 32, text_col: str = "text") -> DataFrame:
     """Per-document SimHash over the distinct word set: (doc_id, simhash).
 
@@ -500,6 +578,17 @@ def simhash(docs: DataFrame, bits: int = 32, text_col: str = "text") -> DataFram
 
     if not 0 < bits <= 60:
         raise ValueError(f"bits must be in 1..60 (got {bits})")
+    # Preferred engine: Arrow-batched numpy. The SQL form below is a
+    # PER-TOKEN interpreted fold (aggregate over zip_with over `bits`
+    # counters — tokens x bits lambda evaluations per document); at
+    # sf1 it dominated simhash_neardup's 24s wall. The numpy kernel is
+    # EXACT-INTEGER end to end — md5 hex prefix == substring(md5(s)),
+    # popcount-style bit sums in int64, no float anywhere — so there
+    # is no fold-order question at all; the only shared semantics are
+    # lower() + single-space split + distinct, mirrored verbatim.
+    np_df = _numpy_simhash(docs, bits, text_col)
+    if np_df is not None:
+        return np_df
     # Entirely row-local: hash the distinct word set, fold it once into
     # a per-bit counter array, then collapse the counters into the
     # fingerprint. Map-only — zero shuffle at any scale.
