@@ -3388,28 +3388,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_plan": q_topk_plan,
         "agg_rollup": q_agg_rollup,
     }
-    # Stalest-first driver rotation for round 8 (tpch_q3 has never had
-    # a driver row; the 36 after it are r04-latest; the 13 after those
-    # are the oldest r05-latest keys). Keys 51+ keep the dict's order.
+    # Stalest-first driver rotation for round 9: after r8's front-50,
+    # every key's latest driver-green row is r05/r07/r08 and the 48
+    # r05-latest keys are now the stalest (VERDICT r8 ask #2) — all 48
+    # lead, ordered CHANGED-first. semdedup joins them because its
+    # Arrow pair engine changed this round (_numpy_cell_pairs gained
+    # the a != b id guard), and sorted_neighborhood (oldest r07 key in
+    # bench's headline set) fills slot 50. Keys 51+ keep dict order;
+    # every key's latest driver row is then <= 3 rounds old.
     front = [
-        "tpch_q3",
-        # latest driver-green row = r04
-        "agg_multi", "agg_global", "tclosure", "tclosure_nonlinear",
-        "shortest_hops", "pagerank", "labelprop", "triangle_count",
-        "triangle_wco", "wco_4clause", "wco_clique4", "confusion_filter",
-        "confusion_agg", "lww", "cas", "pull_level", "text_tokens",
-        "image_meta_ppm", "contamination", "dup_ngram_frac",
-        "global_shuffle", "token_budget_mix", "topk_per_group",
-        "seq_pack", "dedup_exact", "minhash_lsh", "dedup_groups",
-        "vocab_topk", "pii_redact", "repetition", "text_subwords",
-        "simhash", "cosine_topk", "ann_quantized", "ann_ivf",
-        "ann_ivf_kmeans",
-        # NEW in r8 (never driver-sampled, same debt class as tpch_q3)
-        "tpch_q6", "tpch_q10", "tpch_q14", "tpch_q18", "ann_recall",
-        "tpch_q1", "tpch_q7", "tpch_q8", "tpch_q13", "tpch_q15",
-        "tpch_q17", "tpch_q21", "tpch_q22",
-        # the r05-latest block rotates back in next round (all green in
-        # this round's full local gates)
+        "semdedup",  # pair engine changed this round — re-verify first
+        # latest driver-green row = r05 (all 48)
+        "ngram_jaccard", "shortest_cost", "graphql", "wco_clique5",
+        "hector_fused", "hector_constants", "name_expr", "datalog_text",
+        "bitemporal_asof", "bitemporal_timeline", "coarsen_batch",
+        "window_tumbling", "window_sliding", "window_session",
+        "embed_quantize", "ann_lsh", "multimodal_meta", "frame_sample",
+        "fingerprint", "lang_id", "text_quality", "hash_split",
+        "stratified_sample", "distinct_ingest", "pull_all", "topk_plan",
+        "agg_rollup", "agg_min", "agg_max", "agg_count", "agg_sum",
+        "agg_avg", "agg_median", "agg_stddev", "agg_variance",
+        "match_a", "match_ea", "match_av", "project", "join_binary",
+        "antijoin", "union", "negate_setdiff", "filter_lt",
+        "filter_vars", "transform_truncate", "transform_add",
+        "transform_subtract",
+        # oldest r07 headline key fills slot 50
+        "sorted_neighborhood",
     ]
     assert len(front) == 50 and set(front) <= set(q), "rotation list drift"
     return {**{k: q[k] for k in front}, **{k: v for k, v in q.items() if k not in front}}

@@ -794,6 +794,12 @@ def _numpy_cell_pairs(base, threshold: float, dim: int):
         iu, ju = np.triu_indices(n, 1)
         c = cos[iu, ju]
         keep = ok[iu] & ok[ju] & (c >= margin)
+        # The JVM pair join filters a < b by VALUE; triu pairs by
+        # POSITION after the id sort, so duplicate ids in a cell would
+        # emit a self-pair (a==b, cos=1.0) the JVM path never produces
+        # — StreamSemDeDup feeds state rows and batch rows through one
+        # cell group, and a re-sent id must not drop itself here.
+        keep &= ids[iu] != ids[ju]
         return pd.DataFrame(
             {"a": ids[iu[keep]], "b": ids[ju[keep]], "cos": c[keep]}
         )

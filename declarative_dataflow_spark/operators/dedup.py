@@ -269,7 +269,13 @@ def minhash_lsh_pairs(
     # (session.py). The lineage truncation is a scratch table the
     # size of the corpus's distinct shingles, spilled to executor
     # disk like any shuffle file. The DuckDB oracle mirrors the
-    # hashing.
+    # hashing. TRADE (ADVICE r8): checkpoint blocks are executor-local
+    # and NOT replicated — on executor loss the truncated lineage
+    # cannot recompute them and the job fails instead of recovering.
+    # Right for local mode (one JVM, no executor loss); a cluster
+    # deployment that needs recompute-on-loss should swap this for
+    # persist() + an unpersist handle returned to the caller, or
+    # reliable checkpointing to the cluster FS.
 
     # The hashing pass parallelizes per input split; a small corpus in
     # one parquet row-group would otherwise run it on ONE core. Spread

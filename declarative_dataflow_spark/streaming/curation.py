@@ -302,7 +302,12 @@ class StreamSemDeDup:
 
     Per-epoch cost tracks the batch: state is touched only through
     the cell-keyed group shuffle (cells the batch actually hits), and
-    cell occupancy is bounded by the index's target_cell density."""
+    cell occupancy is bounded by the index's target_cell density.
+
+    Ids must be unique WITHIN a batch (the same freshness precondition
+    as IncrementalDedupGroups); a batch id that matches an ALREADY
+    ACCEPTED id is suppressed explicitly as a re-send of its own
+    accepted copy."""
 
     def __init__(
         self,
@@ -328,10 +333,22 @@ class StreamSemDeDup:
         )
 
     def _state(self, exclude_epoch: Optional[int] = None) -> Optional[DataFrame]:
+        # Only "state dir not written yet" may mean "no state": a
+        # transient IO/permission/corruption error must PROPAGATE so
+        # foreachBatch retries the micro-batch — swallowing it would
+        # dedup the batch against nothing and permanently admit
+        # semantic duplicates into the accepted set (ADVICE r8).
+        try:
+            from pyspark.errors import AnalysisException
+        except ImportError:  # pragma: no cover - pyspark < 3.4
+            from pyspark.sql.utils import AnalysisException
         try:
             df = self.spark.read.parquet(self.state_dir)
-        except Exception:
-            return None
+        except AnalysisException as exc:
+            msg = str(exc)
+            if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+                return None
+            raise
         if exclude_epoch is not None and "epoch" in df.columns:
             df = df.filter(F.col("epoch") != exclude_epoch)
         return df.select("id", "v", "cell")
@@ -363,10 +380,21 @@ class StreamSemDeDup:
         )
         state = self._state(exclude_epoch=epoch)
         if state is None:
+            resent = None
             allr = b.withColumn("__new", F.lit(True))
         else:
+            # A batch row whose id is ALREADY accepted is a literal
+            # re-send of an accepted doc: suppress it explicitly
+            # (first-accepted wins) and keep it out of the pair engine
+            # — the numpy kernel matches the JVM's strict a < b and
+            # emits NO pair for equal ids, so the old implicit
+            # self-pair side effect no longer exists (ADVICE r8).
+            resent = b.select("id").join(
+                state.select("id"), "id", "left_semi"
+            )
+            fresh = b.join(state.select("id"), "id", "left_anti")
             allr = state.withColumn("__new", F.lit(False)).unionByName(
-                b.withColumn("__new", F.lit(True))
+                fresh.withColumn("__new", F.lit(True))
             )
         pairs = curation_ops._numpy_cell_pairs(
             allr, self.threshold, self.dim
@@ -390,6 +418,14 @@ class StreamSemDeDup:
             .union(p.filter(F.col("__na") & F.col("__nb")).select(F.col("b").alias("id")))
             .distinct()
         )
+        if resent is not None:
+            dropped = dropped.union(resent).distinct()
+        # Materialize the drop set BEFORE the state write: the
+        # returned DataFrame must not re-read the state dir after this
+        # batch's own append lands there (a re-listed read would pair
+        # the batch against its own survivors — ADVICE r8). The set is
+        # one id column, bounded by the batch.
+        dropped = dropped.localCheckpoint(eager=True)
         kept_rows = b.join(dropped, "id", "left_anti").select("id", "v", "cell")
         if epoch is not None:
             kept_rows.write.mode("overwrite").parquet(
