@@ -1702,3 +1702,125 @@ def test_incremental_dedup_groups_foreachbatch(spark, tmp_path):
     assert (10, 1, 1) in all_diffs
     assert (10, 1, -1) in all_diffs and (10, 10, 1) in all_diffs
     assert (1, 1, -1) in all_diffs
+
+
+def test_stream_semdedup_randomized_churn_matches_greedy(spark, tmp_path):
+    """Randomized multi-epoch churn gate (the discipline the other
+    maintained twins already have): N epochs of random jittered
+    embeddings through StreamSemDeDup must reproduce an independent
+    Python simulation of the documented greedy semantics — a doc is
+    accepted iff it pairs (same cell, round4(cos) >= threshold) with
+    NO previously-accepted doc and NO lower-id doc of its own batch
+    (first-accepted wins, batch granularity, documented
+    over-suppression) — and the accepted prefix must be pair-free
+    under the BATCH semdedup operator. A re-sent accepted id is
+    suppressed without touching state."""
+
+    import math
+    import random
+
+    from declarative_dataflow_spark.operators import curation, similarity
+    from declarative_dataflow_spark.streaming.curation import StreamSemDeDup
+
+    rng = random.Random(4217)
+    dim = 8
+    bases = []
+    for j in range(4):
+        b = [0.0] * dim
+        b[2 * j] = 1.0
+        bases.append(b)
+
+    def jittered():
+        b = bases[rng.randrange(4)]
+        return [x + rng.uniform(-0.05, 0.05) for x in b]
+
+    epochs = []
+    next_id = 0
+    for _ in range(4):
+        batch = []
+        for _ in range(rng.randint(3, 12)):
+            batch.append((next_id, jittered()))
+            next_id += 1
+        epochs.append(batch)
+
+    cents = similarity.ivf_centroids(
+        spark.createDataFrame(
+            list(enumerate(bases)), "vec_id long, embedding array<double>"
+        ),
+        4,
+        iters=0,
+    )
+    threshold = 0.97
+    sd = StreamSemDeDup(
+        spark, str(tmp_path / "sd_rand_state"), cents, threshold=threshold
+    )
+
+    # cell assignment oracle: the SAME broadcast-argmax the engine uses
+    all_docs = [d for batch in epochs for d in batch]
+    cells = {
+        r["vec_id"]: r["cell"]
+        for r in similarity._assign_cells(
+            spark.createDataFrame(
+                all_docs, "vec_id long, embedding array<double>"
+            ),
+            sd._cents,
+            "vec_id",
+            "embedding",
+        ).collect()
+    }
+    vecs = dict(all_docs)
+
+    def near(a, b):
+        num = sum(vecs[a][i] * vecs[b][i] for i in range(dim))
+        den = math.sqrt(sum(x * x for x in vecs[a])) * math.sqrt(
+            sum(x * x for x in vecs[b])
+        )
+        return cells[a] == cells[b] and round(num / den, 4) >= threshold
+
+    expected_accepted: list[int] = []
+    expected_per_epoch: list[set] = []
+    for batch in epochs:
+        ids = sorted(i for i, _ in batch)
+        kept = set()
+        for i in ids:
+            if any(near(i, s) for s in expected_accepted) or any(
+                near(i, j) for j in ids if j < i
+            ):
+                continue
+            kept.add(i)
+        expected_per_epoch.append(kept)
+        expected_accepted.extend(sorted(kept))
+
+    for ep, batch in enumerate(epochs):
+        df = spark.createDataFrame(
+            batch, "vec_id long, embedding array<double>"
+        )
+        got = {r["vec_id"] for r in sd.process_batch(df, epoch=ep).collect()}
+        assert got == expected_per_epoch[ep], f"epoch {ep}"
+
+    state = spark.read.parquet(str(tmp_path / "sd_rand_state"))
+    accepted = sorted(r["id"] for r in state.select("id").collect())
+    assert accepted == sorted(expected_accepted)
+
+    # the accepted prefix is pair-free under the BATCH operator
+    accepted_df = spark.createDataFrame(
+        [(i, vecs[i]) for i in accepted],
+        "vec_id long, embedding array<double>",
+    )
+    assert (
+        curation.semdedup(accepted_df, threshold=threshold).count() == 0
+    )
+
+    # a re-sent accepted id is suppressed explicitly, state unchanged
+    resend = spark.createDataFrame(
+        [(accepted[0], vecs[accepted[0]])],
+        "vec_id long, embedding array<double>",
+    )
+    assert sd.process_batch(resend, epoch=len(epochs)).count() == 0
+    after = sorted(
+        r["id"]
+        for r in spark.read.parquet(str(tmp_path / "sd_rand_state"))
+        .select("id")
+        .collect()
+    )
+    assert after == accepted
