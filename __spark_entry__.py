@@ -2466,6 +2466,45 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cross_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus near-dup decontamination (NEW in r9): train docs
+    whose shingle-set Jaccard with an eval/benchmark doc (every 50th
+    doc, the contamination query's split) reaches threshold —
+    bipartite MinHash-LSH band join (train-banded x eval-banded, no
+    self-join work), exact-Jaccard verify inside buckets. The eval
+    side is benchmark-sized so AQE broadcasts it at scale; dropping
+    the returned train_ids is the GPT-3-style decontamination pass
+    that n-gram overlap (q_contamination) approximates without pair
+    attribution."""
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.cross_neardup(
+        docs.filter(F.col("doc_id") % 50 != 0),
+        docs.filter(F.col("doc_id") % 50 == 0),
+        k=16,
+        bands=4,
+        n=3,
+        threshold=0.2,
+    )
+
+
+def q_token_kl_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-distribution drift between two corpus slices (NEW in
+    r9): KL(P||Q), KL(Q||P), Jensen-Shannon divergence and union-vocab
+    size over add-one-smoothed token distributions — the monitor a
+    data mixer runs when a new source lands. Two token-count
+    aggregates, one full-outer join on token, one global fold; the
+    totals ride a one-row broadcast (allowlisted BNLJ)."""
+
+    from declarative_dataflow_spark.operators import profile as profile_ops
+
+    docs = load_table(spark, sf_dir, "documents")
+    return profile_ops.token_kl_shift(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+    )
+
+
 def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 scalar quantization of the embedding table (4x ANN memory
     cut; per-vector symmetric scale). Map-only higher-order array
@@ -3320,6 +3359,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_meta_ppm": q_image_meta_ppm,
         "contamination": q_contamination,
         "dup_ngram_frac": q_dup_ngram_frac,
+        "cross_neardup": q_cross_neardup,  # NEW in r9
+        "token_kl_shift": q_token_kl_shift,  # NEW in r9
         "global_shuffle": q_global_shuffle,
         "token_budget_mix": q_token_budget_mix,
         "topk_per_group": q_topk_per_group,
@@ -4746,6 +4787,60 @@ def oracle_sql() -> dict[str, str]:
         ),
         "minhash_lsh": _MINHASH_ORACLE,
         "dedup_groups": _DEDUP_GROUPS_ORACLE,
+        # cross_neardup: the minhash pipeline's CTEs over ALL docs,
+        # then a BIPARTITE band join filtered by the train/eval split.
+        # Band keys here are the raw minhash values (Spark uses
+        # xxhash64 of the slice); hash collisions can only ADD
+        # candidates and every candidate is exact-verified, so the
+        # thresholded output is identical (the minhash_lsh argument).
+        "cross_neardup": (
+            "WITH words AS (SELECT doc_id, string_split(lower(text), ' ') "
+            "AS w FROM documents), "
+            "sh AS (SELECT DISTINCT doc_id, "
+            "unnest([w[i] || '_' || w[i+1] || '_' || w[i+2] "
+            "for i in range(1, len(w) - 1)]) AS shingle "
+            "FROM words WHERE len(w) >= 3), "
+            "shh AS (SELECT DISTINCT doc_id, "
+            "('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h FROM sh), "
+            f"sig AS (SELECT doc_id, {_MINHASH_MINS} FROM shh GROUP BY doc_id), "
+            f"banded AS ({_MINHASH_BANDS}), "
+            "cand AS (SELECT DISTINCT t.doc_id AS train_id, "
+            "e.doc_id AS eval_id FROM banded t JOIN banded e "
+            "ON t.band = e.band AND t.key = e.key "
+            "WHERE t.doc_id % 50 <> 0 AND e.doc_id % 50 = 0), "
+            "sizes AS (SELECT doc_id, count(*) AS sz FROM shh GROUP BY 1), "
+            "inter AS (SELECT c.train_id, c.eval_id, count(*) AS i "
+            "FROM cand c JOIN shh st ON st.doc_id = c.train_id "
+            "JOIN shh se ON se.doc_id = c.eval_id AND se.h = st.h "
+            "GROUP BY 1, 2) "
+            "SELECT train_id, eval_id, "
+            "round(i / (zt.sz + ze.sz - i), 4) AS jaccard "
+            "FROM inter JOIN sizes zt ON zt.doc_id = train_id "
+            "JOIN sizes ze ON ze.doc_id = eval_id "
+            "WHERE round(i / (zt.sz + ze.sz - i), 4) >= 0.2"
+        ),
+        "token_kl_shift": (
+            "WITH ta AS (SELECT unnest(string_split(lower(text), ' ')) "
+            "AS token FROM documents WHERE doc_id % 2 = 0), "
+            "tb AS (SELECT unnest(string_split(lower(text), ' ')) "
+            "AS token FROM documents WHERE doc_id % 2 = 1), "
+            "ca AS (SELECT token, count(*) AS c FROM ta "
+            "WHERE token <> '' GROUP BY 1), "
+            "cb AS (SELECT token, count(*) AS c FROM tb "
+            "WHERE token <> '' GROUP BY 1), "
+            "merged AS (SELECT coalesce(ca.c, 0) AS ca, "
+            "coalesce(cb.c, 0) AS cb FROM ca FULL OUTER JOIN cb "
+            "USING (token)), "
+            "tot AS (SELECT count(*) AS v, sum(ca) AS na, sum(cb) AS nb "
+            "FROM merged), "
+            "pq AS (SELECT (ca + 1.0) / (na + v) AS p, "
+            "(cb + 1.0) / (nb + v) AS q, v FROM merged, tot) "
+            "SELECT round(sum(p * ln(p / q)), 6) AS kl_ab, "
+            "round(sum(q * ln(q / p)), 6) AS kl_ba, "
+            "round((sum(p * ln(2 * p / (p + q))) "
+            "+ sum(q * ln(2 * q / (p + q)))) / 2, 6) AS js, "
+            "max(v) AS vocab FROM pq"
+        ),
         "simhash": (
             "WITH words AS (SELECT DISTINCT doc_id, "
             "unnest(string_split(lower(text), ' ')) AS w FROM documents), "

@@ -340,6 +340,90 @@ def minhash_lsh_pairs(
     return jac.select("a", "b", "jaccard")
 
 
+def cross_neardup(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    k: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-corpus near-duplicate decontamination: (train_id, eval_id,
+    jaccard) for every TRAIN document whose shingle-set Jaccard with an
+    EVAL/benchmark document reaches ``threshold`` — the near-dup
+    analog of ``curation.contamination``'s n-gram-overlap gate (GPT-3
+    App. C-style decontamination drops the train side of each pair).
+
+    Same candidate discipline as :func:`minhash_lsh_pairs`, but the
+    band-bucket join is BIPARTITE (train-banded x eval-banded on the
+    xxhash64 band key) instead of a self-join, so no a < b filter and
+    no train x train or eval x eval work is ever generated. At 100 TB
+    the eval side is a benchmark — thousands of rows against billions
+    — so its banded keys and hashed sets broadcast (AQE picks
+    BroadcastHashJoin by size) and the whole pass is one map-side scan
+    of train; the shuffle-join shape stays correct if the eval side
+    ever grows past broadcast range. Signature/banding constants are
+    shared with minhash_lsh_pairs, mirrored in the DuckDB oracle.
+    """
+
+    rows = k // bands
+
+    def banded_side(docs: DataFrame, out: str):
+        sets = hashed_shingle_sets(docs, n, text_col).localCheckpoint(
+            eager=False
+        )  # two consumers: band keys + exact verify
+        sig = sets.select("doc_id", _sig_array(k).alias("sig"))
+        b = sig.select(
+            F.col("doc_id").alias(out),
+            F.explode(
+                F.array(
+                    *[
+                        F.xxhash64(
+                            F.lit(bi),
+                            F.slice(F.col("sig"), bi * rows + 1, rows),
+                        )
+                        for bi in range(bands)
+                    ]
+                )
+            ).alias("key"),
+        )
+        return sets, b
+
+    t_sets, t_banded = banded_side(train, "train_id")
+    e_sets, e_banded = banded_side(eval_docs, "eval_id")
+    candidates = (
+        t_banded.join(e_banded, ["key"])
+        .select("train_id", "eval_id")
+        .dropDuplicates(["train_id", "eval_id"])
+    )
+    jac = (
+        candidates.join(
+            t_sets.select(F.col("doc_id").alias("train_id"), F.col("hs").alias("ht")),
+            "train_id",
+        )
+        .join(
+            e_sets.select(F.col("doc_id").alias("eval_id"), F.col("hs").alias("he")),
+            "eval_id",
+        )
+        .select(
+            "train_id",
+            "eval_id",
+            F.size(F.array_intersect("ht", "he")).alias("i"),
+            F.size("ht").alias("sz_t"),
+            F.size("he").alias("sz_e"),
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("i") / (F.col("sz_t") + F.col("sz_e") - F.col("i")), 4
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return jac.select("train_id", "eval_id", "jaccard")
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "a",

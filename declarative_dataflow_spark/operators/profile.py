@@ -68,3 +68,73 @@ def corpus_profile(
         ]
     )
     return row.select(F.explode(per_col).alias("p")).select("p.*")
+
+
+def token_kl_shift(
+    a: DataFrame,
+    b: DataFrame,
+    text_col: str = "text",
+    round_to: int = 6,
+) -> DataFrame:
+    """Unigram-distribution drift between two corpus slices: one row
+    ``(kl_ab, kl_ba, js, vocab)`` — KL(P||Q), KL(Q||P), Jensen-Shannon
+    divergence, and the union vocabulary size, over add-one-smoothed
+    token distributions (smoothing makes both KLs finite on disjoint
+    vocabularies).
+
+    The monitor a training-data mixer runs when a new snapshot or
+    source lands: a JS spike against the previous mix means the token
+    distribution moved (new language, new boilerplate, a broken
+    extractor) before any model sees it.
+
+    Shape: each slice is one explode -> token-count aggregate (map-side
+    combine, uniform keys); the two count tables full-outer join on
+    token (one shuffle each side); the divergences are ONE global
+    aggregate over per-token terms. Linear in tokens, state = vocab
+    counts — at 100 TB the join keys are tokens, whose frequency skew
+    does not matter because the join is 1:1 on distinct tokens.
+    Results round to ``round_to`` decimals (1e-12-scale double
+    summation-order noise must not break byte-compare gates; the
+    DuckDB twin rounds identically).
+    """
+
+    def counts(df: DataFrame, out: str) -> DataFrame:
+        return (
+            df.select(
+                F.explode(
+                    F.split(F.lower(F.col(text_col)), " ")
+                ).alias("token")
+            )
+            .filter(F.col("token") != "")
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    ca, cb = counts(a, "ca"), counts(b, "cb")
+    merged = ca.join(cb, "token", "full_outer").select(
+        F.coalesce("ca", F.lit(0)).alias("ca"),
+        F.coalesce("cb", F.lit(0)).alias("cb"),
+    )
+    # Add-one smoothing over the UNION vocabulary: p = (ca+1)/(NA+V),
+    # q = (cb+1)/(NB+V). The totals (V = count(*), NA = sum(ca),
+    # NB = sum(cb)) are one tiny aggregate broadcast back — never a
+    # driver-side collect of the vocabulary.
+    totals = merged.agg(
+        F.count(F.lit(1)).alias("v"),
+        F.sum("ca").alias("na"),
+        F.sum("cb").alias("nb"),
+    )
+    joined = merged.crossJoin(F.broadcast(totals))
+    p = (F.col("ca") + 1) / (F.col("na") + F.col("v"))
+    q = (F.col("cb") + 1) / (F.col("nb") + F.col("v"))
+    m = (p + q) / 2
+    out = joined.agg(
+        F.round(F.sum(p * F.log(p / q)), round_to).alias("kl_ab"),
+        F.round(F.sum(q * F.log(q / p)), round_to).alias("kl_ba"),
+        F.round(
+            (F.sum(p * F.log(p / m)) + F.sum(q * F.log(q / m))) / 2,
+            round_to,
+        ).alias("js"),
+        F.max("v").alias("vocab"),
+    )
+    return out

@@ -41,6 +41,13 @@ def build_session(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
+    # NOTE on marathon sessions: ContextCleaner reaps localCheckpoint
+    # scratch blocks only when a DRIVER GC enqueues their weak refs.
+    # We deliberately do NOT set spark.cleaner.periodicGC.interval: a
+    # GC landing MID-QUERY sprays 'non-existent accumulator' errors
+    # for completed-plan metrics (observed; see bench.py). Marathon
+    # runners (bench.py, oracle_check.py) instead force one driver GC
+    # BETWEEN queries, when no tasks are in flight.
     if rocksdb_state:
         # Spill streaming state off-heap: at cluster scale (millions of
         # keys per partition for LWW/dedup state) the default HDFS-backed

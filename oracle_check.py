@@ -112,6 +112,13 @@ def main() -> int:
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        # Reap the previous query's localCheckpoint scratch blocks
+        # (ContextCleaner needs a driver GC to enqueue their weak
+        # refs) — across the 148-query marathon, leaked blocks squeeze
+        # the single local-mode JVM into a uniform later-query tax
+        # (the r7 drift, same discipline as bench.py). Between
+        # queries, so no in-flight accumulators can be hit.
+        spark.sparkContext._jvm.System.gc()
         try:
             sdf = fn(spark, sf_dir)
             if name not in oracles:

@@ -1972,3 +1972,87 @@ def test_connected_components_adversarial_diameter(spark):
     roots = out.select("component").distinct().collect()
     assert [r["component"] for r in roots] == [0]
     assert out.count() == 10_001
+
+
+def test_cross_neardup_bipartite(spark):
+    """Bipartite LSH decontamination: a train doc that near-duplicates
+    an eval doc is reported with its exact Jaccard; train x train and
+    eval x eval near-dups are NEVER generated (the self-join work the
+    bipartite form removes); unrelated docs stay silent."""
+
+    from declarative_dataflow_spark.operators import dedup
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    train = spark.createDataFrame(
+        [
+            (1, base),  # near-dup of eval doc 100
+            (2, base),  # identical to train 1 -> must NOT pair (same side)
+            (3, "completely different words about spark catalyst tungsten"),
+        ],
+        ["doc_id", "text"],
+    )
+    eval_docs = spark.createDataFrame(
+        [
+            (100, base + " extra"),
+            (101, base + " extra"),  # eval twin of 100 -> no same-side pair
+            (102, "nothing shared with anything at all here whatsoever"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r["train_id"], r["eval_id"]): r["jaccard"]
+        for r in dedup.cross_neardup(
+            train, eval_docs, threshold=0.5
+        ).collect()
+    }
+    assert set(got) == {(1, 100), (1, 101), (2, 100), (2, 101)}
+    # |train shingles|=11 of 13 words -> 11 3-gram shingles... compute
+    # expected exactly instead of hand-counting: J = |A∩B| / |A∪B| on
+    # distinct word-3-gram sets.
+    def sh(t):
+        w = t.lower().split(" ")
+        return {"_".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    a, b = sh(base), sh(base + " extra")
+    want = round(len(a & b) / len(a | b), 4)
+    assert got[(1, 100)] == want
+
+
+def test_token_kl_shift_zero_and_positive(spark):
+    """Identical slices have zero divergence; a drifted slice has
+    positive KL both ways and JS between 0 and ln(2); results match a
+    plain-Python computation of the same smoothed formulas."""
+
+    import math
+
+    from declarative_dataflow_spark.operators.profile import token_kl_shift
+
+    a = spark.createDataFrame(
+        [(1, "aa bb aa cc"), (2, "bb aa dd")], ["doc_id", "text"]
+    )
+    same = token_kl_shift(a, a).collect()[0]
+    assert same["kl_ab"] == 0.0 and same["kl_ba"] == 0.0 and same["js"] == 0.0
+    assert same["vocab"] == 4
+
+    b = spark.createDataFrame(
+        [(3, "aa bb ee ee ff")], ["doc_id", "text"]
+    )
+    got = token_kl_shift(a, b).collect()[0]
+
+    ca = {"aa": 3, "bb": 2, "cc": 1, "dd": 1}
+    cb = {"aa": 1, "bb": 1, "ee": 2, "ff": 1}
+    vocab = set(ca) | set(cb)
+    v, na, nb = len(vocab), sum(ca.values()), sum(cb.values())
+    kl_ab = kl_ba = js = 0.0
+    for t in vocab:
+        p = (ca.get(t, 0) + 1) / (na + v)
+        q = (cb.get(t, 0) + 1) / (nb + v)
+        m = (p + q) / 2
+        kl_ab += p * math.log(p / q)
+        kl_ba += q * math.log(q / p)
+        js += (p * math.log(p / m) + q * math.log(q / m)) / 2
+    assert got["vocab"] == v == 6
+    assert got["kl_ab"] == round(kl_ab, 6) > 0
+    assert got["kl_ba"] == round(kl_ba, 6) > 0
+    assert got["js"] == round(js, 6)
+    assert 0 < got["js"] < math.log(2)

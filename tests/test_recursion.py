@@ -326,3 +326,83 @@ def test_game_win_nonmonotone_naive(engine):
     got = rows(engine.interest("win", ["x"]))
     # 4 has no moves (loses), 3 wins, 2 loses, 1 wins.
     assert got == [(1,), (3,)]
+
+
+# ---------------------------------------------------------------------------
+# Property test: semi-naive fixpoint vs DuckDB WITH RECURSIVE
+# ---------------------------------------------------------------------------
+# Random weighted edge multisets (adds, retracts, duplicates): the
+# engine's transitive closure (Union rule => set semantics over
+# positive-net edges) must equal DuckDB's recursive CTE over the same
+# consolidated edge set. Complements the weight-algebra gates in
+# test_query.py with the fixpoint path (driver-side semi-naive rounds).
+
+import os as _os
+
+from hypothesis import HealthCheck as _HealthCheck
+from hypothesis import given as _given
+from hypothesis import settings as _settings
+from hypothesis import strategies as _st
+
+_edge_events = _st.lists(
+    _st.tuples(
+        _st.sampled_from([1, -1]), _st.integers(0, 7), _st.integers(0, 7)
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@_settings(
+    max_examples=int(_os.environ.get("SPARK_GRAFT_PROP_EXAMPLES", "50")) // 2,
+    deadline=None,
+    suppress_health_check=[_HealthCheck.too_slow],
+)
+@_given(events=_edge_events)
+def test_prop_tclosure_matches_duckdb_recursive(spark, events):
+    import duckdb
+
+    from declarative_dataflow_spark.engine import Engine
+
+    net: dict[tuple, int] = {}
+    for w, a, b in events:
+        net[(a, b)] = net.get((a, b), 0) + w
+    pos = [(a, b) for (a, b), w in net.items() if w > 0]
+
+    eng = Engine(spark)
+    eng.create_attribute("edge")
+    eng.transact([Datom(a, "edge", b, None, w) for w, a, b in events])
+    eng.register(
+        "reach",
+        Union(
+            ["?x", "?y"],
+            [
+                MatchA("?x", "edge", "?y"),
+                Join(
+                    ["?m"],
+                    NameExpr(["?x", "?m"], "reach"),
+                    MatchA("?m", "edge", "?y"),
+                ),
+            ],
+        ),
+    )
+    got = rows(eng.interest("reach", ["x", "y"]))
+
+    con = duckdb.connect()
+    try:
+        con.execute("CREATE TABLE edges (a BIGINT, b BIGINT)")
+        if pos:
+            con.executemany("INSERT INTO edges VALUES (?, ?)", pos)
+        want = sorted(
+            tuple(r)
+            for r in con.execute(
+                "WITH RECURSIVE r(x, y) AS ("
+                "  SELECT a, b FROM edges"
+                "  UNION"
+                "  SELECT r.x, e.b FROM r JOIN edges e ON r.y = e.a"
+                ") SELECT x, y FROM r"
+            ).fetchall()
+        )
+    finally:
+        con.close()
+    assert got == want

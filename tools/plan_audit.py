@@ -53,6 +53,9 @@ ALLOWLIST: dict[tuple[str, str], str] = {
     ("tfidf_topk", "BroadcastNestedLoopJoin"): "one-row doc-count broadcast",
     ("hll_distinct", "BroadcastNestedLoopJoin"): "one-row register-table fold",
     ("hist_quantiles", "BroadcastNestedLoopJoin"): "one-row total broadcast",
+    ("token_kl_shift", "BroadcastNestedLoopJoin"): (
+        "one-row (vocab, NA, NB) totals broadcast"
+    ),
     ("tpch_q22", "BroadcastNestedLoopJoin"): (
         "one-row global-average-balance broadcast (keyless plan "
         "Aggregate joined via Join([]))"

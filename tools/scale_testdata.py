@@ -73,24 +73,32 @@ def _replicate(df: DataFrame, table: str, factor: int) -> DataFrame:
     for k in KEYS[table]:
         out = out.withColumn(k, F.col(k) + F.col("__copy") * stride)
     if table == "documents":
-        # Rotate a high-frequency character alphabet per copy: most
-        # words (hence most shingles) differ between copies, so the
-        # corpus keeps sf0.1's near-dup RATE instead of giving every
-        # document nine near-twins (which would inflate LSH candidate
-        # counts ~100x and measure an artifact, not scaling). An
-        # 11-letter alphabet and copy < 11 means no copy maps to the
-        # identity.
-        alpha = "etaoinshrdl"
-        rots = ", ".join(
-            repr(alpha[c:] + alpha[:c]) for c in range(len(alpha))
-        )
+        # Rotate TWO disjoint high-frequency character alphabets per
+        # copy: most words (hence most shingles) differ between copies,
+        # so the corpus keeps sf0.1's near-dup RATE instead of giving
+        # every document factor-1 near-twins (which would inflate LSH
+        # candidate counts quadratically and measure an artifact, not
+        # scaling). A single 11-letter rotation was identity at
+        # copy % 11 == 0, so any factor > 11 gave copies 11/22/...
+        # text IDENTICAL to copy 0 — the r9 sf3 soak measured
+        # simhash_neardup at 8.6x for 3x data purely from those exact
+        # twins. The second alphabet rotates by copy div 11, making
+        # the combined translation injective up to 121 copies (identity
+        # only at copy 0, which IS the original). Copies < 11 see
+        # rotation 0 on the second alphabet — sf1 replicas are
+        # byte-identical to the old scaler's, so trend numbers hold.
+        a1, a2 = "etaoinshrdl", "cumwfgypbvk"
+        r1 = ", ".join(repr(a1[c:] + a1[:c]) for c in range(len(a1)))
+        r2 = ", ".join(repr(a2[c:] + a2[:c]) for c in range(len(a2)))
         out = out.withColumn(
             "text",
             F.when(
                 F.col("__copy") > 0,
                 F.expr(
-                    f"translate(text, '{alpha}', element_at(array({rots}), "
-                    "CAST(__copy % 11 AS INT) + 1))"
+                    f"translate(text, '{a1}{a2}', "
+                    f"element_at(array({r1}), CAST(__copy % 11 AS INT) + 1)"
+                    f" || element_at(array({r2}), "
+                    "CAST((__copy div 11) % 11 AS INT) + 1))"
                 ),
             ).otherwise(F.col("text")),
         )
