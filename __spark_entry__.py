@@ -2505,6 +2505,23 @@ def q_token_kl_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embed_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift between two corpus slices (NEW in r9):
+    cosine + norm ratio of the slices' mean vectors — the
+    embedding-side complement of q_token_kl_shift. Dim-wise means via
+    posexplode + groupBy(dim) (map-side partial aggregation makes the
+    exchange d x partitions rows), d-row mean join, one scalar fold;
+    the two count rows ride one-row broadcasts (allowlisted BNLJ)."""
+
+    from declarative_dataflow_spark.operators import profile as profile_ops
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return profile_ops.embed_drift(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 2 == 1),
+    )
+
+
 def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 scalar quantization of the embedding table (4x ANN memory
     cut; per-vector symmetric scale). Map-only higher-order array
@@ -3361,6 +3378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_ngram_frac": q_dup_ngram_frac,
         "cross_neardup": q_cross_neardup,  # NEW in r9
         "token_kl_shift": q_token_kl_shift,  # NEW in r9
+        "embed_drift": q_embed_drift,  # NEW in r9
         "global_shuffle": q_global_shuffle,
         "token_budget_mix": q_token_budget_mix,
         "topk_per_group": q_topk_per_group,
@@ -4818,6 +4836,25 @@ def oracle_sql() -> dict[str, str]:
             "FROM inter JOIN sizes zt ON zt.doc_id = train_id "
             "JOIN sizes ze ON ze.doc_id = eval_id "
             "WHERE round(i / (zt.sz + ze.sz - i), 4) >= 0.2"
+        ),
+        "embed_drift": (
+            "WITH ea AS (SELECT embedding AS e FROM embeddings "
+            "WHERE vec_id % 2 = 0), "
+            "eb AS (SELECT embedding AS e FROM embeddings "
+            "WHERE vec_id % 2 = 1), "
+            "xa AS (SELECT generate_subscripts(e, 1) AS dim, "
+            "unnest(e) AS x FROM ea), "
+            "xb AS (SELECT generate_subscripts(e, 1) AS dim, "
+            "unnest(e) AS x FROM eb), "
+            "ma AS (SELECT dim, avg(x) AS m FROM xa GROUP BY 1), "
+            "mb AS (SELECT dim, avg(x) AS m FROM xb GROUP BY 1), "
+            "f AS (SELECT sum(ma.m * mb.m) AS dot, "
+            "sqrt(sum(ma.m * ma.m)) AS la, sqrt(sum(mb.m * mb.m)) AS lb "
+            "FROM ma JOIN mb USING (dim)), "
+            "na AS (SELECT count(*) AS n_a FROM ea), "
+            "nb AS (SELECT count(*) AS n_b FROM eb) "
+            "SELECT round(dot / (la * lb), 6) AS cos_means, "
+            "round(lb / la, 6) AS norm_ratio, n_a, n_b FROM f, na, nb"
         ),
         "token_kl_shift": (
             "WITH ta AS (SELECT unnest(string_split(lower(text), ' ')) "

@@ -48,6 +48,7 @@ HEADLINE = [
     "dup_ngram_frac",  # corpus-wide duplicate-ngram boilerplate signal
     "cross_neardup",   # bipartite train x eval LSH decontamination (r9)
     "token_kl_shift",  # unigram KL/JS drift between corpus slices (r9)
+    "embed_drift",     # embedding mean-vector drift between slices (r9)
     "global_shuffle",  # deterministic sharded training-order shuffle
     "topk_plan",       # TopK operator (TakeOrderedAndProject lowering)
     "wco_clique4",     # generic WCO lowering, 6-binding 4-clique

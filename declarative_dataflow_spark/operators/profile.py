@@ -138,3 +138,59 @@ def token_kl_shift(
         F.max("v").alias("vocab"),
     )
     return out
+
+
+def embed_drift(
+    a: DataFrame,
+    b: DataFrame,
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Embedding-distribution drift between two corpus slices: one row
+    ``(cos_means, norm_ratio, n_a, n_b)`` — cosine between the two
+    slices' MEAN vectors, the ratio of the mean-vector norms, and the
+    slice sizes. The embedding-side complement of
+    :func:`token_kl_shift`: a cos_means dip or norm_ratio swing means
+    the new slice occupies a different region of embedding space (new
+    domain, new encoder version, a broken featurizer) before any
+    index is rebuilt on it.
+
+    Shape: each slice's dimension-wise mean comes from ONE
+    posexplode -> groupBy(dim) aggregate — the dim key has only
+    ``d`` values, but map-side partial aggregation reduces every
+    partition to d rows before the shuffle, so the exchange is
+    d x partitions rows regardless of corpus size. The two d-row mean
+    tables join on dim (broadcast, d rows) and fold to the scalar
+    outputs. Results round to ``round_to`` decimals (summation-order
+    noise vs the DuckDB twin)."""
+
+    def dim_means(df: DataFrame, out: str) -> DataFrame:
+        return (
+            df.select(F.posexplode(F.col(vec_col)).alias("dim", "x"))
+            .groupBy("dim")
+            .agg(F.avg("x").alias(out))
+        )
+
+    ma, mb = dim_means(a, "ma"), dim_means(b, "mb")
+    na = a.select(F.count(F.lit(1)).alias("n_a"))
+    nb = b.select(F.count(F.lit(1)).alias("n_b"))
+    folded = (
+        ma.join(mb, "dim")
+        .agg(
+            F.sum(F.col("ma") * F.col("mb")).alias("dot"),
+            F.sqrt(F.sum(F.col("ma") * F.col("ma"))).alias("la"),
+            F.sqrt(F.sum(F.col("mb") * F.col("mb"))).alias("lb"),
+        )
+    )
+    return (
+        folded.crossJoin(F.broadcast(na))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            F.round(
+                F.col("dot") / (F.col("la") * F.col("lb")), round_to
+            ).alias("cos_means"),
+            F.round(F.col("lb") / F.col("la"), round_to).alias("norm_ratio"),
+            "n_a",
+            "n_b",
+        )
+    )

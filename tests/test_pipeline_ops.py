@@ -2056,3 +2056,35 @@ def test_token_kl_shift_zero_and_positive(spark):
     assert got["kl_ba"] == round(kl_ba, 6) > 0
     assert got["js"] == round(js, 6)
     assert 0 < got["js"] < math.log(2)
+
+
+def test_embed_drift_identical_and_shifted(spark):
+    """Identical slices give cos_means=1, norm_ratio=1; an orthogonally
+    shifted slice drops the cosine; values match a plain-Python
+    computation of the same mean-vector formulas."""
+
+    import math
+
+    from declarative_dataflow_spark.operators.profile import embed_drift
+
+    a = spark.createDataFrame(
+        [(1, [1.0, 0.0, 2.0]), (2, [3.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    same = embed_drift(a, a).collect()[0]
+    assert same["cos_means"] == 1.0 and same["norm_ratio"] == 1.0
+    assert same["n_a"] == 2 and same["n_b"] == 2
+
+    b = spark.createDataFrame(
+        [(3, [0.0, 4.0, 0.0]), (4, [0.0, 2.0, 2.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = embed_drift(a, b).collect()[0]
+    ma = [2.0, 0.0, 1.0]
+    mb = [0.0, 3.0, 1.0]
+    dot = sum(x * y for x, y in zip(ma, mb))
+    la = math.sqrt(sum(x * x for x in ma))
+    lb = math.sqrt(sum(x * x for x in mb))
+    assert got["cos_means"] == round(dot / (la * lb), 6)
+    assert got["norm_ratio"] == round(lb / la, 6)
+    assert got["n_a"] == 2 and got["n_b"] == 2

@@ -56,6 +56,9 @@ ALLOWLIST: dict[tuple[str, str], str] = {
     ("token_kl_shift", "BroadcastNestedLoopJoin"): (
         "one-row (vocab, NA, NB) totals broadcast"
     ),
+    ("embed_drift", "BroadcastNestedLoopJoin"): (
+        "one-row slice-count broadcasts onto the one-row mean fold"
+    ),
     ("tpch_q22", "BroadcastNestedLoopJoin"): (
         "one-row global-average-balance broadcast (keyless plan "
         "Aggregate joined via Join([]))"
