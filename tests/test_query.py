@@ -582,3 +582,72 @@ def test_prop_aggregate_weight_algebra(spark, tuples, fn):
             assert abs(gv - wv) <= 1e-9 * max(1.0, abs(wv))
         else:
             assert gv == wv
+
+
+@_PROP
+@given(p=_events, c=st.integers(0, 3))
+def test_prop_filter_weight_algebra(spark, p, c):
+    """Filter is weight-transparent: it drops rows, never touches
+    diffs (reference: src/plan/filter.rs)."""
+
+    eng = _transacted(spark, p)
+    plan = Filter(["?v"], Predicate.GT, MatchA("?e", "p", "?v"), {1: c})
+    got = rows(eng.implement(plan, ["e", "v"]))
+    want = _duck(
+        {"p": _consolidate(p)},
+        f"SELECT e, v, SUM(diff) FROM p WHERE v > {c} "
+        "GROUP BY e, v HAVING SUM(diff) <> 0",
+    )
+    assert got == want
+
+
+@_PROP
+@given(p=_events, c=st.integers(-5, 5))
+def test_prop_transform_weight_algebra(spark, p, c):
+    """Transform appends a computed column row-locally and is
+    weight-transparent (reference: src/plan/transform.rs:86-192)."""
+
+    from declarative_dataflow_spark.plan.plans import Function, Transform
+
+    eng = _transacted(spark, p)
+    plan = Transform(
+        ["?v"], "?s", MatchA("?e", "p", "?v"), Function.ADD, {1: c}
+    )
+    got = rows(eng.implement(plan, ["e", "v", "s"]))
+    want = _duck(
+        {"p": _consolidate(p)},
+        f"SELECT e, v, v + {c} AS s, SUM(diff) FROM p "
+        "GROUP BY e, v HAVING SUM(diff) <> 0",
+    )
+    assert got == want
+
+
+@_PROP
+@given(p=_events)
+def test_prop_hector_triangle_weight_algebra(spark, p):
+    """The Hector chain lowering of the triangle conjunction
+    [?a p ?b][?b p ?c][?a p ?c] carries the three-way product of
+    multiplicities, consolidated (reference: src/plan/hector.rs —
+    raw transacted attributes route through the chain path; the WCO
+    path requires declared-distinct sources)."""
+
+    from declarative_dataflow_spark import q as hector_q
+
+    eng = _transacted(spark, p)
+    plan = hector_q(
+        ["?a", "?b", "?c"],
+        [
+            AttributeBinding("?a", "p", "?b"),
+            AttributeBinding("?b", "p", "?c"),
+            AttributeBinding("?a", "p", "?c"),
+        ],
+    )
+    got = rows(eng.implement(plan, ["a", "b", "c"]))
+    want = _duck(
+        {"p": _consolidate(p)},
+        "SELECT ab.e, ab.v, bc.v, SUM(ab.diff * bc.diff * ac.diff) "
+        "FROM p ab JOIN p bc ON bc.e = ab.v "
+        "JOIN p ac ON ac.e = ab.e AND ac.v = bc.v "
+        "GROUP BY 1, 2, 3 HAVING SUM(ab.diff * bc.diff * ac.diff) <> 0",
+    )
+    assert got == want
