@@ -2522,6 +2522,26 @@ def q_embed_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff (NEW in r9): the audit a pipeline runs
+    when a source re-lands. Old = docs without the % 7 slice, new =
+    docs without the % 5 slice with every % 3 doc's text revised —
+    deterministic stand-ins for a re-crawl's additions, removals, and
+    edits. One full-outer join of (id, md5(text)) projections."""
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 7 != 0)
+    new = docs.filter(F.col("doc_id") % 5 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return curation.snapshot_diff(old, new)
+
+
 def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 scalar quantization of the embedding table (4x ANN memory
     cut; per-vector symmetric scale). Map-only higher-order array
@@ -3379,6 +3399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_neardup": q_cross_neardup,  # NEW in r9
         "token_kl_shift": q_token_kl_shift,  # NEW in r9
         "embed_drift": q_embed_drift,  # NEW in r9
+        "snapshot_diff": q_snapshot_diff,  # NEW in r9
         "global_shuffle": q_global_shuffle,
         "token_budget_mix": q_token_budget_mix,
         "topk_per_group": q_topk_per_group,
@@ -4836,6 +4857,19 @@ def oracle_sql() -> dict[str, str]:
             "FROM inter JOIN sizes zt ON zt.doc_id = train_id "
             "JOIN sizes ze ON ze.doc_id = eval_id "
             "WHERE round(i / (zt.sz + ze.sz - i), 4) >= 0.2"
+        ),
+        "snapshot_diff": (
+            "WITH old AS (SELECT doc_id, md5(text) AS h FROM documents "
+            "WHERE doc_id % 7 <> 0), "
+            "new AS (SELECT doc_id, md5(CASE WHEN doc_id % 3 = 0 "
+            "THEN text || ' v2' ELSE text END) AS h FROM documents "
+            "WHERE doc_id % 5 <> 0) "
+            "SELECT coalesce(old.doc_id, new.doc_id) AS doc_id, "
+            "CASE WHEN old.h IS NULL THEN 'added' "
+            "WHEN new.h IS NULL THEN 'removed' "
+            "WHEN old.h = new.h THEN 'unchanged' "
+            "ELSE 'changed' END AS status "
+            "FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id"
         ),
         "embed_drift": (
             "WITH ea AS (SELECT embedding AS e FROM embeddings "

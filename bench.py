@@ -49,6 +49,7 @@ HEADLINE = [
     "cross_neardup",   # bipartite train x eval LSH decontamination (r9)
     "token_kl_shift",  # unigram KL/JS drift between corpus slices (r9)
     "embed_drift",     # embedding mean-vector drift between slices (r9)
+    "snapshot_diff",   # re-crawl audit: added/removed/changed/unchanged (r9)
     "global_shuffle",  # deterministic sharded training-order shuffle
     "topk_plan",       # TopK operator (TakeOrderedAndProject lowering)
     "wco_clique4",     # generic WCO lowering, 6-binding 4-clique

@@ -925,3 +925,40 @@ def semdedup(
         )
         .filter(F.col("cos") >= threshold)
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus snapshot diff: one row per document id present in either
+    snapshot, with ``status`` in {added, removed, changed, unchanged}
+    — the audit a pipeline runs when a crawl/source re-lands before
+    recomputing anything downstream (changed + added ids feed the
+    incremental maintainers; removed ids feed retractions).
+
+    Shape: each side projects to (id, md5(text)) — content identity
+    travels as a fixed-width hash, never the document — then ONE
+    full-outer equi-join on id and a row-local CASE. Linear, one
+    shuffle per side, no skew (ids are unique per snapshot). The
+    DuckDB twin mirrors the md5 comparison."""
+
+    o = old.select(
+        F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("__ho")
+    )
+    n = new.select(
+        F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("__hn")
+    )
+    return (
+        o.join(n, "id", "full_outer")
+        .select(
+            F.col("id").alias(id_col),
+            F.when(F.col("__ho").isNull(), F.lit("added"))
+            .when(F.col("__hn").isNull(), F.lit("removed"))
+            .when(F.col("__ho") == F.col("__hn"), F.lit("unchanged"))
+            .otherwise(F.lit("changed"))
+            .alias("status"),
+        )
+    )

@@ -2088,3 +2088,26 @@ def test_embed_drift_identical_and_shifted(spark):
     assert got["cos_means"] == round(dot / (la * lb), 6)
     assert got["norm_ratio"] == round(lb / la, 6)
     assert got["n_a"] == 2 and got["n_b"] == 2
+
+
+def test_snapshot_diff_statuses(spark):
+    """All four statuses from one diff: content identity travels as
+    md5, ids unique per snapshot, removed/added come from the outer
+    join's null sides."""
+
+    from declarative_dataflow_spark.operators.curation import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "gamma")], ["doc_id", "text"]
+    )
+    new = spark.createDataFrame(
+        [(2, "beta"), (3, "gamma revised"), (4, "delta")],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r["status"] for r in snapshot_diff(old, new).collect()}
+    assert got == {
+        1: "removed",
+        2: "unchanged",
+        3: "changed",
+        4: "added",
+    }
