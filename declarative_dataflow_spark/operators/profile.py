@@ -110,7 +110,17 @@ def token_kl_shift(
             .agg(F.count(F.lit(1)).alias(out))
         )
 
-    ca, cb = counts(a, "ca"), counts(b, "cb")
+    return kl_from_counts(counts(a, "ca"), counts(b, "cb"), round_to)
+
+
+def kl_from_counts(
+    ca: DataFrame, cb: DataFrame, round_to: int = 6
+) -> DataFrame:
+    """The divergence fold of :func:`token_kl_shift`, from two
+    (token, count) tables — shared with the incremental maintainer
+    (streaming/corpus_stats.py::IncrementalTokenKL), whose state IS
+    such a pair of count tables."""
+
     merged = ca.join(cb, "token", "full_outer").select(
         F.coalesce("ca", F.lit(0)).alias("ca"),
         F.coalesce("cb", F.lit(0)).alias("cb"),
@@ -174,6 +184,21 @@ def embed_drift(
     ma, mb = dim_means(a, "ma"), dim_means(b, "mb")
     na = a.select(F.count(F.lit(1)).alias("n_a"))
     nb = b.select(F.count(F.lit(1)).alias("n_b"))
+    return drift_from_means(ma, mb, na, nb, round_to)
+
+
+def drift_from_means(
+    ma: DataFrame,
+    mb: DataFrame,
+    na: DataFrame,
+    nb: DataFrame,
+    round_to: int = 6,
+) -> DataFrame:
+    """The scalar fold of :func:`embed_drift`, from two (dim, mean)
+    tables and two one-row count tables — shared with the incremental
+    maintainer (streaming/corpus_stats.py::IncrementalEmbedDrift),
+    whose state consolidates to exactly these inputs."""
+
     folded = (
         ma.join(mb, "dim")
         .agg(

@@ -1471,3 +1471,130 @@ class IncrementalDSIR:
         return dsir_score(
             dsir_features(docs, self.n_buckets, self.n, self.text_col), model
         )
+
+
+class IncrementalTokenKL:
+    """Differentially-maintained token-distribution drift: the
+    maintained twin of operators/profile.py::token_kl_shift. State is
+    the pair of (token, count) tables — O(vocab), storage-backed via
+    the shared generational io — kept current under document ADDS and
+    RETRACTS on either slice; ``current()`` recomputes the divergence
+    fold from the consolidated counts (token_kl_shift's own
+    kl_from_counts), so it equals the batch operator on the surviving
+    documents after every epoch. Per-epoch work is one token-count
+    aggregation over the batch; the |vocab|-sized fold only runs when
+    the monitor is read."""
+
+    def __init__(
+        self, spark: SparkSession, state_dir: str, text_col: str = "text"
+    ) -> None:
+        self.spark = spark
+        self.text_col = text_col
+        self._io = IncrementalDupNgram(spark, state_dir.rstrip("/"))
+
+    def _delta(self, batch: DataFrame, side: str, sign: int) -> None:
+        if side not in ("a", "b"):
+            raise ValueError("side must be 'a' or 'b'")
+        counts = (
+            batch.select(
+                F.explode(
+                    F.split(F.lower(F.col(self.text_col)), " ")
+                ).alias("token")
+            )
+            .filter(F.col("token") != "")
+            .groupBy("token")
+            .agg((F.count(F.lit(1)) * sign).cast("long").alias("n"))
+        )
+        name = f"kl_{side}"
+        self._io._append(name, counts)
+        self._io._epochs = getattr(self._io, "_epochs", 0) + 1
+        if self._io._epochs % self._io.compact_every == 0:
+            self._io._compact(name, self._counts(side, "n"))
+
+    def add(self, batch: DataFrame, side: str) -> None:
+        self._delta(batch, side, 1)
+
+    def retract(self, batch: DataFrame, side: str) -> None:
+        """Retract documents previously added to ``side`` (pass the
+        same rows); counts are increment rows, so retraction is the
+        negated aggregation — exact, integer arithmetic."""
+
+        self._delta(batch, side, -1)
+
+    def _counts(self, side: str, out: str) -> DataFrame:
+        inc = self._io._read_versioned(f"kl_{side}")
+        if inc is None:
+            return self.spark.createDataFrame([], f"token string, {out} long")
+        return (
+            inc.groupBy("token")
+            .agg(F.sum("n").alias(out))
+            .filter(F.col(out) > 0)
+        )
+
+    def current(self, round_to: int = 6) -> DataFrame:
+        from ..operators.profile import kl_from_counts
+
+        return kl_from_counts(
+            self._counts("a", "ca"), self._counts("b", "cb"), round_to
+        )
+
+
+class IncrementalEmbedDrift:
+    """Differentially-maintained embedding-space drift: the maintained
+    twin of operators/profile.py::embed_drift. State per slice is the
+    d-row (dim, sum, count) table — constant-size regardless of corpus
+    — maintained under vector ADDS and RETRACTS; ``current()`` derives
+    the means and runs the batch operator's own drift_from_means fold.
+    Per-epoch work is one posexplode aggregate over the batch (d keys,
+    map-side combine)."""
+
+    def __init__(
+        self, spark: SparkSession, state_dir: str, vec_col: str = "embedding"
+    ) -> None:
+        self.spark = spark
+        self.vec_col = vec_col
+        self._io = IncrementalDupNgram(spark, state_dir.rstrip("/"))
+
+    def _delta(self, batch: DataFrame, side: str, sign: int) -> None:
+        if side not in ("a", "b"):
+            raise ValueError("side must be 'a' or 'b'")
+        d = (
+            batch.select(
+                F.posexplode(F.col(self.vec_col)).alias("dim", "x")
+            )
+            .groupBy("dim")
+            .agg(
+                (F.sum("x") * sign).alias("s"),
+                (F.count(F.lit(1)) * sign).cast("long").alias("c"),
+            )
+        )
+        self._io._append(f"ed_{side}", d)
+
+    def add(self, batch: DataFrame, side: str) -> None:
+        self._delta(batch, side, 1)
+
+    def retract(self, batch: DataFrame, side: str) -> None:
+        self._delta(batch, side, -1)
+
+    def _side(self, side: str, mean_out: str, n_out: str):
+        inc = self._io._read_versioned(f"ed_{side}")
+        if inc is None:
+            return (
+                self.spark.createDataFrame([], f"dim int, {mean_out} double"),
+                self.spark.createDataFrame([(0,)], f"{n_out} long"),
+            )
+        cons = (
+            inc.groupBy("dim")
+            .agg(F.sum("s").alias("s"), F.sum("c").alias("c"))
+            .filter(F.col("c") > 0)
+        )
+        means = cons.select("dim", (F.col("s") / F.col("c")).alias(mean_out))
+        n = cons.agg(F.coalesce(F.max("c"), F.lit(0)).alias(n_out))
+        return means, n
+
+    def current(self, round_to: int = 6) -> DataFrame:
+        from ..operators.profile import drift_from_means
+
+        ma, na = self._side("a", "ma", "n_a")
+        mb, nb = self._side("b", "mb", "n_b")
+        return drift_from_means(ma, mb, na, nb, round_to)

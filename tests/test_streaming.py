@@ -1824,3 +1824,107 @@ def test_stream_semdedup_randomized_churn_matches_greedy(spark, tmp_path):
         .collect()
     )
     assert after == accepted
+
+
+def test_incremental_token_kl_matches_batch_under_churn(spark, tmp_path):
+    """IncrementalTokenKL equals batch token_kl_shift on the surviving
+    documents after randomized multi-epoch add/retract churn on both
+    slices (integer count state => exact equality)."""
+
+    import random
+
+    from declarative_dataflow_spark.operators.profile import token_kl_shift
+    from declarative_dataflow_spark.streaming.corpus_stats import (
+        IncrementalTokenKL,
+    )
+
+    rng = random.Random(91)
+    vocab = ["aa", "bb", "cc", "dd", "ee", "ff"]
+
+    def doc(i):
+        return (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(2, 8))))
+
+    inc = IncrementalTokenKL(spark, str(tmp_path / "kl_state"))
+    live = {"a": {}, "b": {}}
+    next_id = 0
+    for _ in range(4):
+        for side in ("a", "b"):
+            batch = []
+            for _ in range(rng.randint(1, 4)):
+                batch.append(doc(next_id))
+                next_id += 1
+            df = spark.createDataFrame(batch, ["doc_id", "text"])
+            inc.add(df, side)
+            live[side].update(dict(batch))
+            if len(live[side]) > 2 and rng.random() < 0.7:
+                gone = rng.sample(sorted(live[side]), k=1)
+                rdf = spark.createDataFrame(
+                    [(g, live[side][g]) for g in gone], ["doc_id", "text"]
+                )
+                inc.retract(rdf, side)
+                for g in gone:
+                    del live[side][g]
+
+    got = inc.current().collect()[0]
+    want = token_kl_shift(
+        spark.createDataFrame(sorted(live["a"].items()), ["doc_id", "text"]),
+        spark.createDataFrame(sorted(live["b"].items()), ["doc_id", "text"]),
+    ).collect()[0]
+    assert tuple(got) == tuple(want)
+
+
+def test_incremental_embed_drift_matches_batch_under_churn(spark, tmp_path):
+    """IncrementalEmbedDrift equals batch embed_drift on the surviving
+    vectors after randomized add/retract churn (d-row sum state; the
+    rounded outputs coincide — summation-order noise is ~1e-15 against
+    a 1e-6 rounding grid)."""
+
+    import random
+
+    from declarative_dataflow_spark.operators.profile import embed_drift
+    from declarative_dataflow_spark.streaming.corpus_stats import (
+        IncrementalEmbedDrift,
+    )
+
+    rng = random.Random(17)
+    d = 6
+
+    def vec(i):
+        return (i, [round(rng.uniform(-1, 1), 3) for _ in range(d)])
+
+    inc = IncrementalEmbedDrift(spark, str(tmp_path / "ed_state"))
+    live = {"a": {}, "b": {}}
+    next_id = 0
+    for _ in range(3):
+        for side in ("a", "b"):
+            batch = []
+            for _ in range(rng.randint(1, 4)):
+                batch.append(vec(next_id))
+                next_id += 1
+            df = spark.createDataFrame(
+                batch, "vec_id long, embedding array<double>"
+            )
+            inc.add(df, side)
+            live[side].update(dict(batch))
+            if len(live[side]) > 2 and rng.random() < 0.7:
+                gone = rng.sample(sorted(live[side]), k=1)
+                rdf = spark.createDataFrame(
+                    [(g, live[side][g]) for g in gone],
+                    "vec_id long, embedding array<double>",
+                )
+                inc.retract(rdf, side)
+                for g in gone:
+                    del live[side][g]
+
+    got = inc.current().collect()[0]
+    want = embed_drift(
+        spark.createDataFrame(
+            sorted(live["a"].items()), "vec_id long, embedding array<double>"
+        ),
+        spark.createDataFrame(
+            sorted(live["b"].items()), "vec_id long, embedding array<double>"
+        ),
+    ).collect()[0]
+    assert got["n_a"] == want["n_a"] and got["n_b"] == want["n_b"]
+    assert abs(got["cos_means"] - want["cos_means"]) <= 1e-5
+    assert abs(got["norm_ratio"] - want["norm_ratio"]) <= 1e-5
