@@ -3475,7 +3475,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Arrow pair engine changed this round (_numpy_cell_pairs gained
     # the a != b id guard), and sorted_neighborhood (oldest r07 key in
     # bench's headline set) fills slot 50. Keys 51+ keep dict order;
-    # every key's latest driver row is then <= 3 rounds old.
+    # every key's latest driver row is then <= 3 rounds old. The four
+    # r9-NEW keys (cross_neardup, token_kl_shift, embed_drift,
+    # snapshot_diff) deliberately wait for the r10 front — the r8
+    # verdict's done-check for this rotation is "exactly the r05 tail"
+    # — and are hash-verified in this round's local oracle runs
+    # (ORACLE_LOCAL.md).
     front = [
         "semdedup",  # pair engine changed this round — re-verify first
         # latest driver-green row = r05 (all 48)
