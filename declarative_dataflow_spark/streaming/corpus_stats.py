@@ -1492,7 +1492,13 @@ class IncrementalTokenKL:
         self.text_col = text_col
         self._io = IncrementalDupNgram(spark, state_dir.rstrip("/"))
 
-    def _delta(self, batch: DataFrame, side: str, sign: int) -> None:
+    def _delta(
+        self,
+        batch: DataFrame,
+        side: str,
+        sign: int,
+        epoch: Optional[int] = None,
+    ) -> None:
         if side not in ("a", "b"):
             raise ValueError("side must be 'a' or 'b'")
         counts = (
@@ -1506,20 +1512,49 @@ class IncrementalTokenKL:
             .agg((F.count(F.lit(1)) * sign).cast("long").alias("n"))
         )
         name = f"kl_{side}"
-        self._io._append(name, counts)
+        self._io._append(name, counts, epoch=epoch)
         self._io._epochs = getattr(self._io, "_epochs", 0) + 1
         if self._io._epochs % self._io.compact_every == 0:
             self._io._compact(name, self._counts(side, "n"))
 
-    def add(self, batch: DataFrame, side: str) -> None:
-        self._delta(batch, side, 1)
+    def add(
+        self, batch: DataFrame, side: str, epoch: Optional[int] = None
+    ) -> None:
+        """With ``epoch`` set, the increment is epoch-keyed so a
+        retried micro-batch replaces its own write (exactly-once under
+        foreachBatch); an epoch id identifies ONE delta per side."""
 
-    def retract(self, batch: DataFrame, side: str) -> None:
+        self._delta(batch, side, 1, epoch)
+
+    def retract(
+        self, batch: DataFrame, side: str, epoch: Optional[int] = None
+    ) -> None:
         """Retract documents previously added to ``side`` (pass the
         same rows); counts are increment rows, so retraction is the
         negated aggregation — exact, integer arithmetic."""
 
-        self._delta(batch, side, -1)
+        self._delta(batch, side, -1, epoch)
+
+    def attach(
+        self,
+        stream: DataFrame,
+        side: str,
+        checkpoint: str,
+        query_name: str = "token_kl",
+    ):
+        """Fold a streaming document source into one slice's counts —
+        epoch-keyed, so retries are idempotent. Run one attach per
+        slice; read ``current()`` between epochs for the live drift."""
+
+        def _on_batch(df: DataFrame, epoch: int) -> None:
+            self.add(df, side, epoch=epoch)
+
+        return (
+            stream.writeStream.foreachBatch(_on_batch)
+            .queryName(query_name)
+            .option("checkpointLocation", checkpoint)
+            .start()
+        )
 
     def _counts(self, side: str, out: str) -> DataFrame:
         inc = self._io._read_versioned(f"kl_{side}")
@@ -1555,7 +1590,13 @@ class IncrementalEmbedDrift:
         self.vec_col = vec_col
         self._io = IncrementalDupNgram(spark, state_dir.rstrip("/"))
 
-    def _delta(self, batch: DataFrame, side: str, sign: int) -> None:
+    def _delta(
+        self,
+        batch: DataFrame,
+        side: str,
+        sign: int,
+        epoch: Optional[int] = None,
+    ) -> None:
         if side not in ("a", "b"):
             raise ValueError("side must be 'a' or 'b'")
         d = (
@@ -1568,13 +1609,37 @@ class IncrementalEmbedDrift:
                 (F.count(F.lit(1)) * sign).cast("long").alias("c"),
             )
         )
-        self._io._append(f"ed_{side}", d)
+        self._io._append(f"ed_{side}", d, epoch=epoch)
 
-    def add(self, batch: DataFrame, side: str) -> None:
-        self._delta(batch, side, 1)
+    def add(
+        self, batch: DataFrame, side: str, epoch: Optional[int] = None
+    ) -> None:
+        self._delta(batch, side, 1, epoch)
 
-    def retract(self, batch: DataFrame, side: str) -> None:
-        self._delta(batch, side, -1)
+    def retract(
+        self, batch: DataFrame, side: str, epoch: Optional[int] = None
+    ) -> None:
+        self._delta(batch, side, -1, epoch)
+
+    def attach(
+        self,
+        stream: DataFrame,
+        side: str,
+        checkpoint: str,
+        query_name: str = "embed_drift",
+    ):
+        """Fold a streaming embedding source into one slice's sums —
+        epoch-keyed, retry-idempotent (one delta per epoch per side)."""
+
+        def _on_batch(df: DataFrame, epoch: int) -> None:
+            self.add(df, side, epoch=epoch)
+
+        return (
+            stream.writeStream.foreachBatch(_on_batch)
+            .queryName(query_name)
+            .option("checkpointLocation", checkpoint)
+            .start()
+        )
 
     def _side(self, side: str, mean_out: str, n_out: str):
         inc = self._io._read_versioned(f"ed_{side}")

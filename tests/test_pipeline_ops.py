@@ -2111,3 +2111,31 @@ def test_snapshot_diff_statuses(spark):
         3: "changed",
         4: "added",
     }
+
+
+def test_scale_testdata_salt_injective_past_factor_11(spark):
+    """The replica scaler's per-copy text salt must map NO two copies
+    to the same text (the r9 sf3 soak found copies 11/22 identical to
+    copy 0 under the old single-rotation salt, which quadratically
+    inflated near-dup pairs at factor > 11)."""
+
+    import os
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "tools",
+        ),
+    )
+    from scale_testdata import _replicate
+
+    docs = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog")],
+        ["doc_id", "text"],
+    )
+    out = _replicate(docs, "documents", 30).select("text").collect()
+    texts = [r["text"] for r in out]
+    assert len(texts) == 30
+    assert len(set(texts)) == 30, "per-copy salt must be injective"

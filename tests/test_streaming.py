@@ -1928,3 +1928,21 @@ def test_incremental_embed_drift_matches_batch_under_churn(spark, tmp_path):
     assert got["n_a"] == want["n_a"] and got["n_b"] == want["n_b"]
     assert abs(got["cos_means"] - want["cos_means"]) <= 1e-5
     assert abs(got["norm_ratio"] - want["norm_ratio"]) <= 1e-5
+
+
+def test_incremental_token_kl_epoch_retry_idempotent(spark, tmp_path):
+    """An epoch-keyed add replayed (foreachBatch retry) replaces its
+    own contribution instead of double-counting."""
+
+    from declarative_dataflow_spark.streaming.corpus_stats import (
+        IncrementalTokenKL,
+    )
+
+    inc = IncrementalTokenKL(spark, str(tmp_path / "klr_state"))
+    a = spark.createDataFrame([(1, "aa bb")], ["doc_id", "text"])
+    b = spark.createDataFrame([(2, "aa cc")], ["doc_id", "text"])
+    inc.add(a, "a", epoch=0)
+    inc.add(b, "b", epoch=0)
+    first = tuple(inc.current().collect()[0])
+    inc.add(a, "a", epoch=0)  # retried micro-batch
+    assert tuple(inc.current().collect()[0]) == first
