@@ -4473,12 +4473,17 @@ def oracle_sql() -> dict[str, str]:
             "FROM p GROUP BY 1, 2, 3"
         ),
         "window_session": (
-            # Sessions merge while [t, t+gap) intervals overlap:
-            # break when t - prev >= gap; end = last event + gap.
+            # Sessions merge while [t, t+gap] intervals overlap OR
+            # TOUCH: an event at exactly prev + gap still merges
+            # (verified against F.session_window by the randomized
+            # property gate in test_streaming.py, which caught the
+            # earlier >= break — latent here because microsecond event
+            # times never land exactly 10 minutes apart). Break only
+            # when t - prev > gap; end = last event + gap.
             "WITH b AS (SELECT event_type AS etype, epoch_us(ts) AS tu, "
             "value FROM events), "
             "m AS (SELECT *, CASE WHEN tu - lag(tu) OVER "
-            "(PARTITION BY etype ORDER BY tu) >= 600000000 "
+            "(PARTITION BY etype ORDER BY tu) > 600000000 "
             "THEN 1 ELSE 0 END AS brk FROM b), "
             "s AS (SELECT *, SUM(brk) OVER (PARTITION BY etype "
             "ORDER BY tu ROWS UNBOUNDED PRECEDING) AS sid FROM m) "

@@ -109,3 +109,73 @@ def test_lww_timeline_after_correction(spark):
         for r in lww_timeline(as_of(facts, 5, ["e"]), ["e"]).collect()
     }
     assert after == {(10.0, 100, 1), (10.0, 200, -1), (15.0, 200, 1)}
+
+
+# ---------------------------------------------------------------------------
+# Property gate: as_of vs DuckDB (random bitemporal fact tables)
+# ---------------------------------------------------------------------------
+
+import os as _os
+
+import duckdb as _duckdb
+from hypothesis import HealthCheck as _HealthCheck
+from hypothesis import given as _given
+from hypothesis import settings as _settings
+from hypothesis import strategies as _st
+
+# unique (e, ev_t, sys_t) keys => no ordering ties, deterministic both
+# engines; retracted corrections delete facts when they win.
+_facts = _st.dictionaries(
+    _st.tuples(
+        _st.integers(0, 3), _st.integers(0, 5), _st.integers(0, 9)
+    ),
+    _st.tuples(_st.integers(0, 99), _st.booleans()),
+    min_size=1,
+    max_size=25,
+)
+
+
+@_settings(
+    max_examples=int(_os.environ.get("SPARK_GRAFT_PROP_EXAMPLES", "50")) // 2,
+    deadline=None,
+    suppress_health_check=[_HealthCheck.too_slow],
+)
+@_given(facts=_facts, t=_st.integers(0, 10))
+def test_prop_as_of_matches_duckdb(spark, facts, t):
+    """For random bitemporal fact tables and a random as-of system
+    time, the engine's as_of (latest sys_t <= T correction per
+    (entity, event time), retraction-aware) equals DuckDB computing
+    the same window select."""
+
+    from declarative_dataflow_spark.operators.bitemporal import as_of
+
+    rows_in = [
+        (e, ev, sy, v, r) for (e, ev, sy), (v, r) in sorted(facts.items())
+    ]
+    df = spark.createDataFrame(
+        rows_in, "e long, ev_t long, sys_t long, v long, retracted boolean"
+    )
+    got = sorted(
+        tuple(r) for r in as_of(df, t, ["e"]).collect()
+    )
+
+    con = _duckdb.connect()
+    try:
+        con.execute(
+            "CREATE TABLE facts (e BIGINT, ev_t BIGINT, sys_t BIGINT, "
+            "v BIGINT, retracted BOOLEAN)"
+        )
+        con.executemany("INSERT INTO facts VALUES (?, ?, ?, ?, ?)", rows_in)
+        want = sorted(
+            tuple(r)
+            for r in con.execute(
+                "SELECT e, ev_t, sys_t, v, retracted FROM ("
+                "  SELECT *, row_number() OVER ("
+                "    PARTITION BY e, ev_t ORDER BY sys_t DESC) AS rn"
+                f"  FROM facts WHERE sys_t <= {t})"
+                " WHERE rn = 1 AND NOT coalesce(retracted, false)"
+            ).fetchall()
+        )
+    finally:
+        con.close()
+    assert got == want

@@ -1946,3 +1946,82 @@ def test_incremental_token_kl_epoch_retry_idempotent(spark, tmp_path):
     first = tuple(inc.current().collect()[0])
     inc.add(a, "a", epoch=0)  # retried micro-batch
     assert tuple(inc.current().collect()[0]) == first
+
+
+# ---------------------------------------------------------------------------
+# Property gate: session windows vs DuckDB islands (random event sets)
+# ---------------------------------------------------------------------------
+
+import os as _os
+
+import duckdb as _duckdb
+from hypothesis import HealthCheck as _HealthCheck
+from hypothesis import given as _given
+from hypothesis import settings as _settings
+from hypothesis import strategies as _st
+
+_sess_events = _st.lists(
+    _st.tuples(_st.integers(0, 2), _st.integers(0, 50)),
+    min_size=1,
+    max_size=30,
+)
+
+
+@_settings(
+    max_examples=int(_os.environ.get("SPARK_GRAFT_PROP_EXAMPLES", "50")) // 2,
+    deadline=None,
+    suppress_health_check=[_HealthCheck.too_slow],
+)
+@_given(events=_sess_events)
+def test_prop_session_windows_match_duckdb_islands(spark, events):
+    """F.session_window's merging semantics (start = first event,
+    end = last event + gap, sessions merge while intervals overlap OR
+    TOUCH — an event at exactly prev + gap still merges; only a
+    strictly-larger gap opens a new session) equals a lag-break +
+    running-session-id islands computation in DuckDB, for random
+    per-key event sets including duplicate timestamps. This gate
+    CAUGHT the declared window_session oracle's >= break, latent
+    because real event times never land exactly on the gap."""
+
+    from pyspark.sql import functions as F
+
+    from declarative_dataflow_spark.streaming import windows
+
+    gap = 5
+    df = spark.createDataFrame(events, ["u", "sec"]).select(
+        "u", F.timestamp_seconds(F.col("sec")).alias("t")
+    )
+    out = windows.session_agg(
+        df, "t", f"{gap} seconds", "0 seconds", ["u"], {"n": "count(*)"}
+    )
+    got = sorted(
+        tuple(r)
+        for r in out.select(
+            "u",
+            (F.unix_micros("window_start") / 1_000_000).cast("long").alias("ws"),
+            (F.unix_micros("window_end") / 1_000_000).cast("long").alias("we"),
+            "n",
+        ).collect()
+    )
+
+    con = _duckdb.connect()
+    try:
+        con.execute("CREATE TABLE ev (u BIGINT, sec BIGINT)")
+        con.executemany("INSERT INTO ev VALUES (?, ?)", events)
+        want = sorted(
+            tuple(r)
+            for r in con.execute(
+                "WITH lagged AS (SELECT u, sec, CASE WHEN "
+                "lag(sec) OVER (PARTITION BY u ORDER BY sec) IS NULL "
+                f"OR sec > lag(sec) OVER (PARTITION BY u ORDER BY sec) + {gap} "
+                "THEN 1 ELSE 0 END AS brk FROM ev), "
+                "isl AS (SELECT u, sec, sum(brk) OVER ("
+                "PARTITION BY u ORDER BY sec ROWS UNBOUNDED PRECEDING"
+                ") AS sid FROM lagged) "
+                f"SELECT u, min(sec) AS ws, max(sec) + {gap} AS we, "
+                "count(*) AS n FROM isl GROUP BY u, sid"
+            ).fetchall()
+        )
+    finally:
+        con.close()
+    assert got == want
