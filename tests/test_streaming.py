@@ -2025,3 +2025,105 @@ def test_prop_session_windows_match_duckdb_islands(spark, events):
     finally:
         con.close()
     assert got == want
+
+
+@_settings(
+    max_examples=int(_os.environ.get("SPARK_GRAFT_PROP_EXAMPLES", "50")) // 2,
+    deadline=None,
+    suppress_health_check=[_HealthCheck.too_slow],
+)
+@_given(events=_sess_events)
+def test_prop_tumbling_windows_match_duckdb_floor(spark, events):
+    """F.window tumbling assignment equals floor-bucket grouping: an
+    event at an exact boundary belongs to the window it STARTS."""
+
+    from pyspark.sql import functions as F
+
+    from declarative_dataflow_spark.streaming import windows
+
+    w = 7
+    df = spark.createDataFrame(events, ["u", "sec"]).select(
+        "u", F.timestamp_seconds(F.col("sec")).alias("t")
+    )
+    out = windows.tumbling_agg(
+        df, "t", f"{w} seconds", "0 seconds", ["u"], {"n": "count(*)"}
+    )
+    got = sorted(
+        tuple(r)
+        for r in out.select(
+            "u",
+            (F.unix_micros("window_start") / 1_000_000).cast("long").alias("ws"),
+            "n",
+        ).collect()
+    )
+    con = _duckdb.connect()
+    try:
+        con.execute("CREATE TABLE ev (u BIGINT, sec BIGINT)")
+        con.executemany("INSERT INTO ev VALUES (?, ?)", events)
+        want = sorted(
+            tuple(r)
+            for r in con.execute(
+                f"SELECT u, (sec // {w}) * {w} AS ws, count(*) AS n "
+                "FROM ev GROUP BY 1, 2"
+            ).fetchall()
+        )
+    finally:
+        con.close()
+    assert got == want
+
+
+@_settings(
+    max_examples=int(_os.environ.get("SPARK_GRAFT_PROP_EXAMPLES", "50")) // 2,
+    deadline=None,
+    suppress_health_check=[_HealthCheck.too_slow],
+)
+@_given(events=_sess_events)
+def test_prop_sliding_windows_match_duckdb_panes(spark, events):
+    """F.window(window, slide) assigns each event to every pane whose
+    [start, start+window) interval contains it, pane starts on slide
+    multiples — reproduced in DuckDB by generating the pane ids each
+    event overlaps."""
+
+    from pyspark.sql import functions as F
+
+    from declarative_dataflow_spark.streaming import windows
+
+    w, s = 10, 4
+    df = spark.createDataFrame(events, ["u", "sec"]).select(
+        "u", F.timestamp_seconds(F.col("sec")).alias("t")
+    )
+    out = windows.sliding_agg(
+        df, "t", f"{w} seconds", f"{s} seconds", "0 seconds",
+        ["u"], {"n": "count(*)"},
+    )
+    got = sorted(
+        tuple(r)
+        for r in out.select(
+            "u",
+            (F.unix_micros("window_start") / 1_000_000).cast("long").alias("ws"),
+            "n",
+        ).collect()
+    )
+    con = _duckdb.connect()
+    try:
+        con.execute("CREATE TABLE ev (u BIGINT, sec BIGINT)")
+        con.executemany("INSERT INTO ev VALUES (?, ?)", events)
+        # pane starts: multiples of s in (sec - w, sec] — i.e. the
+        # panes whose [ws, ws + w) contains sec (ws can be negative
+        # for small sec, exactly like Spark's).
+        want = sorted(
+            tuple(r)
+            for r in con.execute(
+                # range bounds widened by one slide each way: DuckDB's
+                # // truncates toward zero (Python floors), so exact
+                # bounds live in the IF predicate, not the range.
+                "WITH panes AS (SELECT u, sec, UNNEST(["
+                f"k * {s} FOR k IN range((sec - {w}) // {s} - 1, "
+                f"sec // {s} + 2) IF k * {s} > sec - {w} "
+                f"AND k * {s} <= sec]) AS ws FROM ev) "
+                "SELECT u, ws, count(*) AS n FROM panes GROUP BY 1, 2"
+            ).fetchall()
+        )
+    finally:
+        con.close()
+    assert got == want
