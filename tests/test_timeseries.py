@@ -1079,3 +1079,144 @@ def test_rolling_zscore_matches_bruteforce(spark):
     assert set(got) == set(exp)
     for eid in exp:
         assert abs(got[eid] - exp[eid]) < 1e-6, eid
+
+
+# ---------------------------------------------------------------------------
+# Property gates: interval_join and asof_join vs DuckDB (random data)
+# ---------------------------------------------------------------------------
+
+import os as _os
+
+import duckdb as _duckdb
+from hypothesis import HealthCheck as _HealthCheck
+from hypothesis import given as _given
+from hypothesis import settings as _settings
+from hypothesis import strategies as _st
+
+_PROP_TS = _settings(
+    max_examples=int(_os.environ.get("SPARK_GRAFT_PROP_EXAMPLES", "50")) // 2,
+    deadline=None,
+    suppress_health_check=[_HealthCheck.too_slow],
+)
+
+_points = _st.lists(
+    _st.tuples(_st.integers(0, 1), _st.integers(0, 40)),
+    min_size=1,
+    max_size=15,
+)
+_intervals = _st.lists(
+    _st.tuples(_st.integers(0, 1), _st.integers(0, 40), _st.integers(0, 20)),
+    min_size=1,
+    max_size=10,
+)
+
+
+@_PROP_TS
+@_given(points=_points, intervals=_intervals)
+def test_prop_interval_join_matches_duckdb(spark, points, intervals):
+    """The bucketized interval join (explode-by-bucket + residual
+    filter) equals a plain range-predicate join — inclusive on BOTH
+    ends — for random points and intervals, including intervals that
+    span many buckets and zero-length intervals."""
+
+    from pyspark.sql import functions as F
+
+    from declarative_dataflow_spark.operators.timeseries import interval_join
+
+    p_rows = [(k, i, s) for i, (k, s) in enumerate(points)]
+    i_rows = [(k, i, s, s + d) for i, (k, s, d) in enumerate(intervals)]
+    pdf = spark.createDataFrame(p_rows, ["k", "pid", "sec"]).select(
+        "k", "pid", F.timestamp_seconds(F.col("sec")).alias("ts")
+    )
+    idf = spark.createDataFrame(i_rows, ["k", "iid", "s", "e"]).select(
+        "k",
+        "iid",
+        F.timestamp_seconds(F.col("s")).alias("start"),
+        F.timestamp_seconds(F.col("e")).alias("end"),
+    )
+    # bucket deliberately small (5s) so intervals span many buckets
+    out = interval_join(pdf, idf, ["k"], bucket_seconds=5)
+    got = sorted((r["pid"], r["iid"]) for r in out.collect())
+
+    con = _duckdb.connect()
+    try:
+        con.execute("CREATE TABLE p (k BIGINT, pid BIGINT, sec BIGINT)")
+        con.execute(
+            "CREATE TABLE iv (k BIGINT, iid BIGINT, s BIGINT, e BIGINT)"
+        )
+        con.executemany("INSERT INTO p VALUES (?, ?, ?)", p_rows)
+        con.executemany("INSERT INTO iv VALUES (?, ?, ?, ?)", i_rows)
+        want = sorted(
+            tuple(r)
+            for r in con.execute(
+                "SELECT pid, iid FROM p JOIN iv USING (k) "
+                "WHERE sec >= s AND sec <= e"
+            ).fetchall()
+        )
+    finally:
+        con.close()
+    assert got == want
+
+
+_quotes = _st.lists(
+    _st.tuples(_st.integers(0, 1), _st.integers(0, 40), _st.integers(0, 99)),
+    min_size=1,
+    max_size=12,
+)
+
+
+@_PROP_TS
+@_given(points=_points, quotes=_quotes)
+def test_prop_asof_join_matches_duckdb(spark, points, quotes):
+    """The union+window as-of join (no inequality join in the plan)
+    equals the classic formulation: for each point, the latest quote
+    with quote_ts <= point_ts on the same key, ties on quote_ts
+    resolved to the highest quote id, points without a prior quote
+    keeping NULLs."""
+
+    from pyspark.sql import functions as F
+
+    from declarative_dataflow_spark.operators.timeseries import asof_join
+
+    p_rows = [(k, i, s) for i, (k, s) in enumerate(points)]
+    q_rows = [(k, i, s, v) for i, (k, s, v) in enumerate(quotes)]
+    pdf = spark.createDataFrame(p_rows, ["k", "event_id", "sec"]).select(
+        "k", "event_id", F.timestamp_seconds(F.col("sec")).alias("ts")
+    )
+    qdf = spark.createDataFrame(
+        q_rows, ["k", "quote_id", "sec", "value"]
+    ).select(
+        "k",
+        "quote_id",
+        F.timestamp_seconds(F.col("sec")).alias("ts"),
+        F.col("value").cast("double").alias("value"),
+    )
+    out = asof_join(pdf, qdf, ["k"])
+    got = sorted(
+        (r["event_id"], r["asof_quote_id"], r["asof_value"])
+        for r in out.collect()
+    )
+
+    con = _duckdb.connect()
+    try:
+        con.execute("CREATE TABLE p (k BIGINT, pid BIGINT, sec BIGINT)")
+        con.execute(
+            "CREATE TABLE q (k BIGINT, qid BIGINT, sec BIGINT, v BIGINT)"
+        )
+        con.executemany("INSERT INTO p VALUES (?, ?, ?)", p_rows)
+        con.executemany("INSERT INTO q VALUES (?, ?, ?, ?)", q_rows)
+        want = sorted(
+            tuple(r)
+            for r in con.execute(
+                "SELECT pid, "
+                "(SELECT qid FROM q WHERE q.k = p.k AND q.sec <= p.sec "
+                " ORDER BY q.sec DESC, qid DESC LIMIT 1) AS aqid, "
+                "(SELECT CAST(v AS DOUBLE) FROM q WHERE q.k = p.k "
+                " AND q.sec <= p.sec "
+                " ORDER BY q.sec DESC, qid DESC LIMIT 1) AS av "
+                "FROM p"
+            ).fetchall()
+        )
+    finally:
+        con.close()
+    assert got == want
