@@ -125,7 +125,7 @@ from hypothesis import strategies as _st
 
 # unique (e, ev_t, sys_t) keys => no ordering ties, deterministic both
 # engines; retracted corrections delete facts when they win.
-_facts = _st.dictionaries(
+_bt_facts = _st.dictionaries(
     _st.tuples(
         _st.integers(0, 3), _st.integers(0, 5), _st.integers(0, 9)
     ),
@@ -140,7 +140,7 @@ _facts = _st.dictionaries(
     deadline=None,
     suppress_health_check=[_HealthCheck.too_slow],
 )
-@_given(facts=_facts, t=_st.integers(0, 10))
+@_given(facts=_bt_facts, t=_st.integers(0, 10))
 def test_prop_as_of_matches_duckdb(spark, facts, t):
     """For random bitemporal fact tables and a random as-of system
     time, the engine's as_of (latest sys_t <= T correction per
