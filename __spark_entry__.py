@@ -2542,6 +2542,85 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.snapshot_diff(old, new)
 
 
+def q_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line-structural cleaning (NEW in r9): the corpus is word
+    soup, so the declared query seeds deterministic sentence structure
+    (a period + line break every 4 words — the q_line_dedup trick) and
+    deterministic contamination (a brace for doc_id % 23, a lorem-
+    ipsum placeholder for % 29, a javascript line for % 31) so every
+    rule fires both ways. Map-only in both engines."""
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.regexp_replace(
+                F.col("text"), r"((\S+ ){3}\S+) ", "$1.\n"
+            ),
+            F.when(F.col("doc_id") % 23 == 0, F.lit("\nbrace { line."))
+            .when(
+                F.col("doc_id") % 29 == 0,
+                F.lit("\nthis page is lorem ipsum filler text."),
+            )
+            .when(
+                F.col("doc_id") % 31 == 0,
+                F.lit("\nenable javascript to view this page now."),
+            )
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return text.c4_rules(docs, min_words_per_line=4, min_lines=3)
+
+
+def q_graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components (NEW in r9): the DIRECTED
+    complement of q_graph_cc — cycle families in a dependency/link
+    graph (here the events-derived 500-node graph, 1/11 sparsifier;
+    moduli the sf-scaler stride preserves). Iterative FW-BW coloring
+    with pointer-jumped min fixpoints (O(log path) inner rounds); the
+    DuckDB twin is the textbook mutual-reachability closure + min,
+    which the operator never materializes (quadratic per component).
+    At this graph: one 104-node SCC, two 2-cycles, a trimmed acyclic
+    fringe."""
+
+    ev = load_table(spark, sf_dir, "events")
+    edges = ev.filter(F.col("event_id") % 11 == 0).select(
+        (F.col("user_id") % 500).alias("src"),
+        (F.col("event_id") % 500).alias("dst"),
+    )
+    return graph.scc(edges)
+
+
+def q_minhash_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash sketch-quality eval (NEW in r9): signature-estimated
+    vs exact Jaccard with absolute error for every exact-band LSH
+    candidate pair — the eval that qualifies a (k, bands) setting the
+    way ann_recall qualifies nprobe. Same scale shape as minhash_lsh
+    plus one row-local zip_with compare per candidate."""
+
+    return dedup.minhash_est_error(
+        load_table(spark, sf_dir, "documents"), k=16, bands=4, n=3
+    )
+
+
+def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate string self-join (NEW in r9): every customer-name
+    pair within Levenshtein distance 1 — the record-linkage/entity-
+    resolution primitive (near-identical titles, author names, product
+    codes). Candidates come from COMPLETE symmetric-deletion blocking
+    (FastSS): constant-width xxhash64 variant keys, one uniform
+    equi-join, exact levenshtein verify per candidate — never an
+    all-pairs comparison. The oracle IS the brute-force length-banded
+    join, so the gate checks the blocking's completeness, not just
+    the verify."""
+
+    return dedup.fuzzy_match_pairs(
+        load_table(spark, sf_dir, "customer"),
+        id_col="c_custkey",
+        s_col="c_name",
+        max_dist=1,
+    )
+
+
 def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 scalar quantization of the embedding table (4x ANN memory
     cut; per-vector symmetric scale). Map-only higher-order array
@@ -3400,6 +3479,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_kl_shift": q_token_kl_shift,  # NEW in r9
         "embed_drift": q_embed_drift,  # NEW in r9
         "snapshot_diff": q_snapshot_diff,  # NEW in r9
+        "fuzzy_match": q_fuzzy_match,  # NEW in r9
+        "minhash_est": q_minhash_est,  # NEW in r9
+        "graph_scc": q_graph_scc,  # NEW in r9
+        "c4_rules": q_c4_rules,  # NEW in r9
         "global_shuffle": q_global_shuffle,
         "token_budget_mix": q_token_budget_mix,
         "topk_per_group": q_topk_per_group,
@@ -3917,6 +4000,46 @@ _MINHASH_ORACLE = (
     "FROM inter JOIN sizes za ON za.doc_id = a "
     "JOIN sizes zb ON zb.doc_id = b "
     "WHERE round(i / (za.sz + zb.sz - i), 4) >= 0.2"
+)
+
+# minhash_est oracle: the same shingle/signature/banding CTEs, exact-
+# band candidates, then the per-pair estimator (equal signature
+# components / k) beside the exact Jaccard. inter LEFT-joins so a
+# candidate with zero common shingles keeps jaccard 0 (the estimator
+# can still be positive — that IS the error being measured).
+_MINHASH_EQ = " + ".join(
+    f"(CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END)" for i in range(16)
+)
+_MINHASH_EST_ORACLE = (
+    "WITH words AS (SELECT doc_id, string_split(lower(text), ' ') AS w "
+    "FROM documents), "
+    "sh AS (SELECT DISTINCT doc_id, "
+    "unnest([w[i] || '_' || w[i+1] || '_' || w[i+2] "
+    "for i in range(1, len(w) - 1)]) AS shingle "
+    "FROM words WHERE len(w) >= 3), "
+    "shh AS (SELECT DISTINCT doc_id, "
+    "('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h FROM sh), "
+    f"sig AS (SELECT doc_id, {_MINHASH_MINS} FROM shh GROUP BY doc_id), "
+    f"banded AS ({_MINHASH_BANDS}), "
+    "cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b "
+    "FROM banded l JOIN banded r ON l.band = r.band AND l.key = r.key "
+    "AND l.doc_id < r.doc_id), "
+    f"eq AS (SELECT c.a, c.b, ({_MINHASH_EQ}) AS neq "
+    "FROM cand c JOIN sig sa ON sa.doc_id = c.a "
+    "JOIN sig sb ON sb.doc_id = c.b), "
+    "sizes AS (SELECT doc_id, count(*) AS sz FROM shh GROUP BY 1), "
+    "inter AS (SELECT c.a, c.b, count(*) AS i FROM cand c "
+    "JOIN shh sa ON sa.doc_id = c.a "
+    "JOIN shh sb ON sb.doc_id = c.b AND sb.h = sa.h "
+    "GROUP BY 1, 2), "
+    "scored AS (SELECT e.a, e.b, round(e.neq / 16.0, 4) AS est, "
+    "round(coalesce(i.i, 0) / (za.sz + zb.sz - coalesce(i.i, 0)), 4) "
+    "AS jaccard "
+    "FROM eq e JOIN sizes za ON za.doc_id = e.a "
+    "JOIN sizes zb ON zb.doc_id = e.b "
+    "LEFT JOIN inter i ON i.a = e.a AND i.b = e.b) "
+    "SELECT a, b, est, jaccard, round(abs(est - jaccard), 4) AS abs_err "
+    "FROM scored"
 )
 
 # dedup_groups oracle: the same LSH pair pipeline, then a recursive
@@ -4880,6 +5003,58 @@ def oracle_sql() -> dict[str, str]:
             "WHEN old.h = new.h THEN 'unchanged' "
             "ELSE 'changed' END AS status "
             "FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id"
+        ),
+        "minhash_est": _MINHASH_EST_ORACLE,
+        "c4_rules": (
+            "WITH seeded AS (SELECT doc_id, "
+            "regexp_replace(text, '((\\S+ ){3}\\S+) ', '\\1.' || chr(10), 'g') "
+            "|| (CASE WHEN doc_id % 23 = 0 THEN chr(10) || 'brace { line.' "
+            "WHEN doc_id % 29 = 0 THEN chr(10) || "
+            "'this page is lorem ipsum filler text.' "
+            "WHEN doc_id % 31 = 0 THEN chr(10) || "
+            "'enable javascript to view this page now.' "
+            "ELSE '' END) AS text FROM documents), "
+            "parts AS (SELECT doc_id, text, "
+            "string_split(text, chr(10)) AS lines FROM seeded), "
+            "k AS (SELECT doc_id, text, len(lines) AS n_lines, "
+            "list_filter(lines, x -> trim(x) <> '' "
+            "AND substr(trim(x), length(trim(x)), 1) IN ('.', '!', '?', '\"') "
+            "AND len(string_split_regex(trim(x), '\\s+')) >= 4 "
+            "AND NOT contains(lower(x), 'javascript')) AS kept "
+            "FROM parts) "
+            "SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines, "
+            "CAST(len(kept) AS BIGINT) AS n_kept, "
+            "contains(lower(text), 'lorem ipsum') AS has_lorem, "
+            "contains(text, '{') AS has_brace, "
+            "(len(kept) >= 3 AND NOT contains(lower(text), 'lorem ipsum') "
+            "AND NOT contains(text, '{')) AS keep, "
+            "array_to_string(kept, chr(10)) AS text FROM k"
+        ),
+        "graph_scc": (
+            # Textbook mutual-reachability SCC: closure both ways, the
+            # component id is the min over {v} ∪ {u : v⇝u ∧ u⇝v} — an
+            # independent formulation of the FW-BW coloring extraction.
+            "WITH RECURSIVE e AS (SELECT DISTINCT user_id % 500 AS a, "
+            "event_id % 500 AS b FROM events WHERE event_id % 11 = 0 "
+            "AND user_id % 500 <> event_id % 500), "
+            "nodes AS (SELECT a AS v FROM e UNION SELECT b FROM e), "
+            "reach(x, y) AS (SELECT a, b FROM e "
+            "UNION SELECT r.x, e2.b FROM reach r JOIN e e2 ON r.y = e2.a), "
+            "mutual AS (SELECT r1.x AS v, r1.y AS u FROM reach r1 "
+            "JOIN reach r2 ON r1.x = r2.y AND r1.y = r2.x), "
+            "lab AS (SELECT v, v AS u FROM nodes "
+            "UNION ALL SELECT v, u FROM mutual) "
+            "SELECT v AS node, min(u) AS scc FROM lab GROUP BY v"
+        ),
+        "fuzzy_match": (
+            # Brute-force length-banded join: candidate completeness of
+            # the Spark side's symmetric-deletion blocking is exactly
+            # what this gate checks (the oracle enumerates ALL pairs).
+            "SELECT a.c_custkey AS a, b.c_custkey AS b, "
+            "CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist "
+            "FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey "
+            "AND abs(length(a.c_name) - length(b.c_name)) <= 1 "
+            "WHERE levenshtein(a.c_name, b.c_name) <= 1"
         ),
         "embed_drift": (
             "WITH ea AS (SELECT embedding AS e FROM embeddings "

@@ -875,3 +875,175 @@ def sorted_neighborhood_pairs(
             "a", "b", (F.col("rn_b") - F.col("rn_a")).alias("gap")
         )
     )
+
+
+def fuzzy_match_pairs(
+    df: DataFrame,
+    id_col: str = "id",
+    s_col: str = "s",
+    max_dist: int = 1,
+) -> DataFrame:
+    """Approximate string self-join — record linkage / entity
+    resolution over short keys (names, titles, product codes): every
+    pair of rows whose strings are within Levenshtein distance
+    ``max_dist``, found WITHOUT an all-pairs comparison. Returns
+    (a, b, dist) with a < b by id.
+
+    Candidate generation is symmetric-deletion blocking (FastSS,
+    Bocek et al. 2007): two strings within edit distance 1 must share
+    an equal member of their {0,1}-deletion neighborhoods — delete the
+    substituted/inserted position and both sides collapse onto the
+    same string, so the blocking is COMPLETE (no recall loss; the
+    exact-oracle gate checks equality with the brute-force join).
+    Only ``max_dist=1`` is supported: the d-deletion neighborhood
+    grows O(len^d), and practical linkage stacks raise the radius by
+    re-running on normalized keys instead.
+
+    Scale shape: the explode factor is len(s)+1 rows per input row
+    (short keys by assumption); variants shuffle as constant-width
+    xxhash64 keys, never strings; one uniform-key equi-join generates
+    candidates, a distinct collapses multi-variant matches, and the
+    exact ``levenshtein`` verify runs per CANDIDATE, not per pair of
+    rows. Skew note: k near-identical strings share variant keys and
+    verify O(k^2) candidates — the same bucket-quadratic behavior as
+    every LSH family; the output itself is Θ(k^2) there, so the work
+    is output-bound.
+    """
+
+    if max_dist != 1:
+        raise ValueError("fuzzy_match_pairs supports max_dist=1 only")
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(s_col).alias("s")
+    ).filter(F.col("s").isNotNull())
+    variants = F.array_distinct(
+        F.concat(
+            F.array(F.col("s")),
+            F.expr(
+                "transform(sequence(1, length(s)), i -> "
+                "concat(substr(s, 1, i - 1), substr(s, i + 1)))"
+            ),
+        )
+    )
+    keyed = base.select(
+        "id", "s", F.explode(variants).alias("__v")
+    ).select("id", "s", F.xxhash64("__v").alias("__k"))
+    left = keyed.select(
+        F.col("id").alias("a"), F.col("s").alias("__sa"), "__k"
+    )
+    right = keyed.select(
+        F.col("id").alias("b"), F.col("s").alias("__sb"), "__k"
+    )
+    cands = (
+        left.join(right, "__k")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "__sa", "__sb")
+        .distinct()
+    )
+    return (
+        cands.withColumn(
+            "dist", F.levenshtein(F.col("__sa"), F.col("__sb")).cast("long")
+        )
+        .filter(F.col("dist") <= max_dist)
+        .select("a", "b", "dist")
+    )
+
+
+def minhash_est_error(
+    docs: DataFrame,
+    k: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Sketch-quality eval for the MinHash family: for every LSH
+    candidate pair, the signature-ESTIMATED Jaccard (fraction of equal
+    signature components — the unbiased MinHash estimator) next to the
+    EXACT shingle-set Jaccard and their absolute error. This is the
+    eval that qualifies a (k, bands) setting the way ann_recall
+    qualifies nprobe: run it on a sample, read the error distribution,
+    size k. Returns (a, b, est, jaccard, abs_err).
+
+    Scale shape: identical to minhash_lsh_pairs (the signatures, band
+    keys, and shingle sets are all row-local; the only shuffles are
+    the uniform band-bucket join and the candidate lookups) plus one
+    row-local zip_with compare per CANDIDATE. Candidates found via
+    xxhash64 band keys are re-verified against the EXACT band slices
+    (array equality) so a 64-bit band-key collision cannot admit a
+    pair the exact banding would not — the declared oracle enumerates
+    exact-band candidates, and this keeps the two candidate sets
+    identical by construction, not by luck.
+    """
+
+    rows = k // bands
+    target = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < target:
+        docs = docs.repartition(target)
+    sets = hashed_shingle_sets(docs, n, text_col).localCheckpoint(eager=False)
+    sig = sets.select("doc_id", _sig_array(k).alias("sig")).localCheckpoint(
+        eager=False
+    )
+    banded = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.lit(bi),
+                        F.slice(F.col("sig"), bi * rows + 1, rows),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("key"),
+    )
+    left = banded.toDF("a", "key")
+    right = banded.toDF("b", "key")
+    candidates = (
+        left.join(right, ["key"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .dropDuplicates(["a", "b"])
+    )
+    sa = sig.select(F.col("doc_id").alias("a"), F.col("sig").alias("sa"))
+    sb = sig.select(F.col("doc_id").alias("b"), F.col("sig").alias("sb"))
+    exact_band = F.expr(
+        " OR ".join(
+            f"(slice(sa, {bi * rows + 1}, {rows}) = "
+            f"slice(sb, {bi * rows + 1}, {rows}))"
+            for bi in range(bands)
+        )
+    )
+    est = (
+        F.expr(
+            "aggregate(zip_with(sa, sb, (x, y) -> IF(x = y, 1, 0)), "
+            "0, (acc, v) -> acc + v)"
+        )
+        / F.lit(float(k))
+    )
+    ha = sets.select(F.col("doc_id").alias("a"), F.col("hs").alias("ha"))
+    hb = sets.select(F.col("doc_id").alias("b"), F.col("hs").alias("hb"))
+    out = (
+        candidates.join(sa, "a")
+        .join(sb, "b")
+        .filter(exact_band)
+        .join(ha, "a")
+        .join(hb, "b")
+        .select(
+            "a",
+            "b",
+            F.round(est, 4).alias("est"),
+            F.round(
+                F.size(F.array_intersect("ha", "hb"))
+                / (
+                    F.size("ha")
+                    + F.size("hb")
+                    - F.size(F.array_intersect("ha", "hb"))
+                ),
+                4,
+            ).alias("jaccard"),
+        )
+        .withColumn(
+            "abs_err", F.round(F.abs(F.col("est") - F.col("jaccard")), 4)
+        )
+    )
+    return out

@@ -358,3 +358,258 @@ def kcore(
             f"kcore: no fixpoint within {max_iters} rounds"
         )
     return deg.select(F.col("src").alias("node"), "deg")
+
+
+def scc(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 40,
+    max_inner: int = 200,
+    require_convergence: bool = True,
+    state_dir: str | None = None,
+) -> DataFrame:
+    """Strongly connected components of a DIRECTED graph: (node, scc)
+    with ``scc`` the minimum node id in the component — the directed
+    complement of :func:`dedup.connected_components` (cycle detection
+    in dependency/citation/link graphs, condensation before DAG
+    algorithms). The reference reaches the same answers through
+    Datalog mutual-reachability rules; materializing that closure is
+    quadratic per component, so this runs the iterative FW-BW
+    coloring scheme (Fleischer-Hendrickson-Pinar divide-and-conquer
+    made iterative; Orzan's coloring) instead.
+
+    Each outer round, on the remaining subgraph:
+
+    1. TRIM to fixpoint: a node with no in-edges or no out-edges
+       cannot sit on a cycle — it is its own SCC. Trimming first
+       collapses the acyclic fringe (most of a random graph) without
+       any propagation.
+    2. COLOR forward: color(v) = min node id that reaches v, computed
+       as a min-propagation fixpoint (one edge-join + min-aggregate
+       per step, converges in O(longest path) steps).
+    3. EXTRACT backward, all classes in parallel: each color class c
+       has exactly one root (color(c) == c); the members of c's class
+       that reach the root back — a backward fixpoint restricted to
+       same-color edges — are PRECISELY the root's SCC (anything
+       outside the SCC but in the class either can't return to r, or
+       would have a smaller color). Assign and remove them.
+
+    Every step is an equi-join keyed on node id plus a map-side-
+    combining min aggregate; state is one row per remaining node and
+    edge, lineage truncated per round (localCheckpoint). Worst case
+    (a long chain of SCCs) needs O(chain) outer rounds — the known
+    FW-BW pathology, bounded by ``max_rounds``; real graphs finish in
+    a handful because trim eats the fringe and every color class
+    extracts one SCC per round.
+
+    STATE REBASE (measured, Spark 4.1): chaining many generations of
+    localCheckpoint frames through self-referential fixpoint plans
+    makes Catalyst's per-iteration optimize/execute cost DOUBLE per
+    generation (profiled on this operator: 5s -> 14s -> 47s -> 161s
+    per backward step after ~25 upstream generations; plan strings,
+    lineage, partition counts, and cached blocks all constant —
+    the cost rides JVM-side plan ancestry that both localCheckpoint
+    and reliable checkpoint() retain). A parquet round-trip produces
+    a LogicalRelation that carries nothing, restoring flat ~0.5s
+    iterations, so the node-sized fixpoint outputs are REBASED
+    through ``state_dir`` (a temp dir by default; pass a cluster-FS
+    path in multi-node deployments) once per fixpoint — the same
+    periodic-checkpoint discipline GraphFrames' connected components
+    uses for the same reason. The result is materialized (eager
+    localCheckpoint) before the temp dir is removed.
+    """
+
+    import shutil
+    import tempfile
+
+    _FIX_STEP = 3
+
+    E = (
+        edges.select(
+            F.col(src).cast("long").alias("a"),
+            F.col(dst).cast("long").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        E.select(F.col("a").alias("v"))
+        .union(E.select(F.col("b").alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    spark = edges.sparkSession
+    out_schema = "v long, scc long"
+    done = spark.createDataFrame([], out_schema)
+    converged = False
+    own_dir = state_dir is None
+    base = state_dir or tempfile.mkdtemp(prefix="scc_state_")
+    _seq = [0]
+
+    def _rebase(df: DataFrame) -> DataFrame:
+        _seq[0] += 1
+        path = f"{base}/g{_seq[0]}"
+        df.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
+    def _min_fixpoint(state: DataFrame, edges_ab: DataFrame) -> DataFrame:
+        """Min-label fixpoint in connected_components' EXACT shape:
+        ``_FIX_STEP`` label pushes fused per materialized round, each
+        push a union + min-aggregate (min is monotone and idempotent,
+        so over-pushing is harmless), the change flag riding as a tag
+        column that pushed rows carry as NULL (min(tag) recovers the
+        round-start label — no probe join), and one pointer jump per
+        non-final round (c <- c(c), valid because "reaches" is
+        transitive) so rounds are O(log longest-path). The
+        union/inner-join shape is deliberate: the left-join + coalesce
+        formulation of the same relaxation triggers a Spark 4.1
+        planner pathology where per-round optimize cost DOUBLES with
+        checkpoint ancestry (measured on this operator; see STATE
+        REBASE below) — the union shape, proven by
+        connected_components across 25-round marathons, does not."""
+
+        cur = state
+        ctype = dict(cur.dtypes)["c"]
+        for _i in range(max_inner):
+            work = cur.withColumn("__old", F.col("c"))
+            for _s in range(_FIX_STEP):
+                pushed = edges_ab.join(
+                    work.withColumnRenamed("v", "a"), "a"
+                ).select(
+                    F.col("b").alias("v"),
+                    "c",
+                    F.expr(f"CAST(NULL AS {ctype})").alias("__old"),
+                )
+                work = (
+                    work.select("v", "c", "__old")
+                    .union(pushed)
+                    .groupBy("v")
+                    .agg(
+                        F.min("c").alias("c"),
+                        F.min("__old").alias("__old"),
+                    )
+                )
+            cur = work.localCheckpoint()
+            if cur.filter(F.col("c") < F.col("__old")).limit(1).isEmpty():
+                return cur.select("v", "c")
+            cur = cur.select("v", "c")
+            # pointer jump: c <- c(c) (inner self-join; every label is
+            # a node id whose own label exists, is <= it, and reaches
+            # everything it reaches)
+            cur = (
+                cur.join(cur.toDF("c", "__c2"), "c")
+                .select("v", F.col("__c2").alias("c"))
+                .localCheckpoint()
+            )
+        return cur
+
+    for _round in range(max_rounds):
+        if nodes.limit(1).isEmpty():
+            converged = True
+            break
+        # --- 1. trim the acyclic fringe to fixpoint ---
+        # A node with no in- or no out-edges is its own SCC; removing
+        # it can expose more. Two peel layers fuse into ONE
+        # materialized round (inner joins only), and the whole block's
+        # removals come out of a single before/after anti-join — the
+        # fixpoint probe is empty-trivial ⟺ the first fused layer was
+        # already a no-op.
+        for _t in range(max_inner):
+            work_e = E
+            for _layer in range(2):
+                cyc = (
+                    work_e.select(F.col("a").alias("v"))
+                    .distinct()
+                    .join(
+                        work_e.select(F.col("b").alias("v")).distinct(),
+                        "v",
+                    )
+                )
+                work_e = (
+                    work_e.join(cyc.withColumnRenamed("v", "a"), "a")
+                    .join(cyc.withColumnRenamed("v", "b"), "b")
+                    .select("a", "b")
+                )
+            new_nodes = nodes.join(cyc, "v").localCheckpoint()
+            trivial = nodes.join(new_nodes, "v", "left_anti")
+            if trivial.limit(1).isEmpty():
+                break
+            done = done.union(
+                trivial.select("v", F.col("v").alias("scc"))
+            ).localCheckpoint(eager=False)
+            nodes = new_nodes
+            E = work_e.localCheckpoint()
+        if nodes.limit(1).isEmpty():
+            converged = True
+            break
+        # --- 2. forward min-color fixpoint (pointer-jumped) ---
+        colors = _min_fixpoint(
+            nodes.select("v", F.col("v").alias("c")), E
+        )
+        # Rebase the converged coloring: everything downstream (class
+        # edges, the backward fixpoint, extraction) re-references it
+        # several times per iteration — see STATE REBASE above.
+        colors = _rebase(colors)
+        # --- 3. backward extraction within color classes ---
+        ec = (
+            E.join(
+                colors.select(
+                    F.col("v").alias("a"), F.col("c").alias("ca")
+                ),
+                "a",
+            )
+            .join(
+                colors.select(
+                    F.col("v").alias("b"), F.col("c").alias("cb")
+                ),
+                "b",
+            )
+            .filter(F.col("ca") == F.col("cb"))
+            .select("a", "b")
+            .localCheckpoint()
+        )
+        # Backward pass as a MIN fixpoint rather than a frontier BFS so
+        # it pointer-jumps too: bc(v) = min id reachable FROM v along
+        # same-color edges (REVERSED class edges feed the same helper).
+        # Within class c the root c is the class's minimum id (a
+        # smaller member would have recolored the class), so bc(v) == c
+        # exactly when v reaches the root back — the SCC.
+        bc = _min_fixpoint(
+            colors.select("v", F.col("v").alias("c")),
+            ec.select(
+                F.col("b").alias("a"), F.col("a").alias("b")
+            ),
+        )
+        marked = (
+            bc.withColumnRenamed("c", "bc")
+            .join(colors, "v")
+            .filter(F.col("bc") == F.col("c"))
+            .select("v")
+            .localCheckpoint(eager=False)
+        )
+        found = colors.join(marked, "v").select("v", F.col("c").alias("scc"))
+        done = done.union(found).localCheckpoint(eager=False)
+        # Round boundary: rebase the shrunken node set so the next
+        # round's trim/color chains start from a clean relation.
+        nodes = _rebase(nodes.join(marked, "v", "left_anti"))
+        E = (
+            E.join(nodes.withColumnRenamed("v", "a"), "a")
+            .join(nodes.withColumnRenamed("v", "b"), "b")
+            .select("a", "b")
+            .localCheckpoint()
+        )
+    try:
+        if require_convergence and not converged:
+            raise RuntimeError(
+                f"scc: no fixpoint within {max_rounds} rounds"
+            )
+        # Materialize before the state dir disappears: the union plan
+        # reads the rebased parquet generations.
+        return done.select(
+            F.col("v").alias("node"), "scc"
+        ).localCheckpoint()
+    finally:
+        if own_dir:
+            shutil.rmtree(base, ignore_errors=True)

@@ -947,3 +947,55 @@ def hash_embed(
             for i in range(dim)
         ],
     )
+
+
+def c4_rules(
+    docs: DataFrame,
+    min_words_per_line: int = 5,
+    min_lines: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """The C4 cleaning heuristics (Raffel et al. 2020, §2.2) — the
+    line-structural complement of :func:`gopher_rules`' word-level
+    statistics: keep only lines that end in terminal punctuation, hold
+    at least ``min_words_per_line`` words, and do not mention
+    "javascript"; drop whole pages with fewer than ``min_lines``
+    surviving lines, a "lorem ipsum" placeholder, or a curly brace
+    (code). Returns (doc_id, n_lines, n_kept, has_lorem, has_brace,
+    keep, text) with ``text`` the surviving lines re-joined — the
+    cleaned page a keep-filtered pass would emit.
+
+    Scale shape: zero shuffles — the line split, per-line filter, and
+    re-join are higher-order array expressions over the page's own
+    row, so the operator is one map-only scan stage at any corpus
+    size (the same shape as gopher_rules; the bad-words list rule is
+    blocklist_filter's job and composes on top).
+    """
+
+    lines = F.split(F.col(text_col), "\n")
+
+    def _line_ok(line):
+        t = F.trim(line)
+        last = t.substr(F.length(t), F.lit(1))
+        return (
+            (F.length(t) > 0)
+            & last.isin(".", "!", "?", '"')
+            & (F.size(F.split(t, r"\s+")) >= min_words_per_line)
+            & ~F.contains(F.lower(line), F.lit("javascript"))
+        )
+
+    kept = F.filter(lines, _line_ok)
+    has_lorem = F.contains(F.lower(F.col(text_col)), F.lit("lorem ipsum"))
+    has_brace = F.contains(F.col(text_col), F.lit("{"))
+    n_kept = F.size(kept)
+    return docs.select(
+        "doc_id",
+        F.size(lines).cast("long").alias("n_lines"),
+        n_kept.cast("long").alias("n_kept"),
+        has_lorem.alias("has_lorem"),
+        has_brace.alias("has_brace"),
+        (
+            (n_kept >= min_lines) & ~has_lorem & ~has_brace
+        ).alias("keep"),
+        F.array_join(kept, "\n").alias("text"),
+    )

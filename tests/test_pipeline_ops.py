@@ -2139,3 +2139,272 @@ def test_scale_testdata_salt_injective_past_factor_11(spark):
     texts = [r["text"] for r in out]
     assert len(texts) == 30
     assert len(set(texts)) == 30, "per-copy salt must be injective"
+
+def _lev(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def test_fuzzy_match_matches_bruteforce(spark):
+    """Symmetric-deletion blocking is COMPLETE for distance 1: the
+    operator must equal the all-pairs levenshtein join on a randomized
+    small-alphabet corpus dense in 0/1/2-distance pairs (substitutions,
+    insertions, deletions, exact dupes)."""
+
+    import random
+
+    from declarative_dataflow_spark.operators import dedup as dd
+
+    rng = random.Random(907)
+    rows = [
+        (i, "".join(rng.choice("abc") for _ in range(rng.randint(1, 7))))
+        for i in range(160)
+    ]
+    got = sorted(
+        (r["a"], r["b"], r["dist"])
+        for r in dd.fuzzy_match_pairs(
+            spark.createDataFrame(rows, ["id", "s"]), id_col="id", s_col="s"
+        ).collect()
+    )
+    exp = sorted(
+        (ia, ib, _lev(sa, sb))
+        for ia, sa in rows
+        for ib, sb in rows
+        if ia < ib and _lev(sa, sb) <= 1
+    )
+    assert got == exp
+    assert any(d == 0 for _, _, d in exp)  # exact dupes exercised
+    assert any(d == 1 for _, _, d in exp)
+
+
+def test_fuzzy_match_rejects_wide_radius(spark):
+    from declarative_dataflow_spark.operators import dedup as dd
+
+    df = spark.createDataFrame([(1, "a")], ["id", "s"])
+    with pytest.raises(ValueError):
+        dd.fuzzy_match_pairs(df, max_dist=2)
+
+
+def test_fuzzy_match_no_cartesian(spark):
+    from declarative_dataflow_spark.operators import dedup as dd
+
+    df = spark.createDataFrame(
+        [(i, f"name{i:04d}") for i in range(200)], ["id", "s"]
+    )
+    out = dd.fuzzy_match_pairs(df)
+    out.collect()
+    phys = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in phys
+    assert "BroadcastNestedLoopJoin" not in phys
+
+def _tarjan_scc(edges):
+    """Iterative Tarjan over an adjacency dict; returns {node: min id
+    of its SCC} — the independent reference for the scc operator."""
+
+    adj = {}
+    nodes = set()
+    for a, b in edges:
+        if a != b:
+            adj.setdefault(a, []).append(b)
+        nodes.add(a)
+        nodes.add(b)
+    index = {}
+    low = {}
+    on_stack = set()
+    stack = []
+    out = {}
+    counter = [0]
+    for root in nodes:
+        if root in index:
+            continue
+        work = [(root, iter(adj.get(root, [])))]
+        index[root] = low[root] = counter[0]
+        counter[0] += 1
+        stack.append(root)
+        on_stack.add(root)
+        while work:
+            v, it = work[-1]
+            advanced = False
+            for w in it:
+                if w not in index:
+                    index[w] = low[w] = counter[0]
+                    counter[0] += 1
+                    stack.append(w)
+                    on_stack.add(w)
+                    work.append((w, iter(adj.get(w, []))))
+                    advanced = True
+                    break
+                elif w in on_stack:
+                    low[v] = min(low[v], index[w])
+            if advanced:
+                continue
+            work.pop()
+            if work:
+                pv = work[-1][0]
+                low[pv] = min(low[pv], low[v])
+            if low[v] == index[v]:
+                comp = []
+                while True:
+                    w = stack.pop()
+                    on_stack.discard(w)
+                    comp.append(w)
+                    if w == v:
+                        break
+                m = min(comp)
+                for w in comp:
+                    out[w] = m
+    return out
+
+
+def test_scc_matches_tarjan_randomized(spark):
+    import random
+
+    from declarative_dataflow_spark.operators import graph as G
+
+    rng = random.Random(911)
+    n = 60
+    edges = list(
+        {
+            (rng.randrange(n), rng.randrange(n))
+            for _ in range(110)
+        }
+    )
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["scc"] for r in G.scc(df, max_rounds=60).collect()
+    }
+    exp = _tarjan_scc([(a, b) for a, b in edges if a != b])
+    assert got == exp
+
+
+def test_scc_chain_of_cycles(spark):
+    """A DAG chain of 3-cycles: trim removes nothing (every node sits
+    on a cycle), so the outer FW-BW rounds must peel the chain — the
+    adversarial shape for the coloring scheme."""
+
+    from declarative_dataflow_spark.operators import graph as G
+
+    edges = []
+    k = 8
+    for i in range(k):
+        base = 3 * i
+        edges += [
+            (base, base + 1),
+            (base + 1, base + 2),
+            (base + 2, base),
+        ]
+        if i + 1 < k:
+            edges.append((base, base + 3))
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["scc"] for r in G.scc(df, max_rounds=60).collect()}
+    exp = {3 * i + j: 3 * i for i in range(k) for j in range(3)}
+    assert got == exp
+
+
+def test_scc_self_loops_and_isolated_cycles(spark):
+    from declarative_dataflow_spark.operators import graph as G
+
+    edges = [(1, 1), (1, 2), (2, 3), (3, 2), (7, 8), (8, 7)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["scc"] for r in G.scc(df).collect()}
+    # node 1 keeps only a trimmed singleton (self-loop dropped)
+    assert got == {1: 1, 2: 2, 3: 2, 7: 7, 8: 7}
+
+
+def test_c4_rules_directed(spark):
+    from declarative_dataflow_spark.operators import text as tx
+
+    docs = spark.createDataFrame(
+        [
+            # 3 good lines -> kept page, bad lines removed
+            (
+                1,
+                "alpha beta gamma delta end.\n"
+                "one two three four five!\n"
+                "no terminal punctuation here\n"
+                "short line.\n"
+                'quoted line with five words"',
+            ),
+            # javascript line removed, page falls under min_lines
+            (
+                2,
+                "enable javascript to view this.\n"
+                "good line one two three.\n"
+                "another good line right here.",
+            ),
+            (3, "this page is lorem ipsum filler text.\na.\nb.\nc."),
+            (4, "code sample { int x } here.\nmore.\nwords."),
+            (5, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in tx.c4_rules(docs, min_words_per_line=5, min_lines=3).collect()
+    }
+    assert rows[1]["n_lines"] == 5 and rows[1]["n_kept"] == 3
+    assert rows[1]["keep"] is True
+    assert rows[1]["text"].count("\n") == 2
+    assert rows[2]["n_kept"] == 2 and rows[2]["keep"] is False
+    assert rows[3]["has_lorem"] is True and rows[3]["keep"] is False
+    assert rows[4]["has_brace"] is True and rows[4]["keep"] is False
+    assert rows[5]["n_kept"] == 0 and rows[5]["keep"] is False
+
+
+def test_minhash_est_error_bruteforce(spark):
+    """est must equal the exact fraction of equal signature
+    components and jaccard the exact set overlap, for every
+    exact-band candidate pair — verified against a row-side brute
+    force on a corpus dense in near-duplicates."""
+
+    from declarative_dataflow_spark.operators import dedup as dd
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    words = base.split()
+    docs = []
+    for i in range(24):
+        w = list(words)
+        if i % 3 == 1:
+            w[i % len(w)] = "mutant"
+        if i % 3 == 2:
+            w = w[::-1]
+        docs.append((i, " ".join(w)))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    k, bands, n = 16, 4, 3
+    got = {
+        (r["a"], r["b"]): (r["est"], r["jaccard"], r["abs_err"])
+        for r in dd.minhash_est_error(df, k=k, bands=bands, n=n).collect()
+    }
+    assert got, "no candidate pairs — corpus not near-dup dense"
+    sigs = {
+        r["doc_id"]: r["sig"]
+        for r in dd.minhash_signatures(df, k=k, n=n).collect()
+    }
+    sets = {
+        r["doc_id"]: set(r["hs"])
+        for r in dd.hashed_shingle_sets(df, n=n).collect()
+    }
+    rows = k // bands
+    for (a, b), (est, jac, err) in got.items():
+        sa, sb = sigs[a], sigs[b]
+        assert any(
+            sa[bi * rows : (bi + 1) * rows] == sb[bi * rows : (bi + 1) * rows]
+            for bi in range(bands)
+        ), (a, b)
+        eq = sum(1 for x, y in zip(sa, sb) if x == y)
+        assert est == round(eq / k, 4)
+        i = len(sets[a] & sets[b])
+        assert jac == round(i / (len(sets[a]) + len(sets[b]) - i), 4)
+        assert err == round(abs(est - jac), 4)
+    # exact duplicates appear and carry zero error
+    dups = [(a, b) for (a, b), (e, j, r) in got.items() if e == 1.0]
+    assert dups and all(got[p][2] == 0.0 for p in dups)
