@@ -114,6 +114,10 @@ HEADLINE = [
     "sessionize",      # gaps-and-islands session stats (partitioned window)
     "funnel",          # ordered 3-step funnel (per-key equi-join chain)
     "retention",       # daily cohort retention (two uniform-key shuffles)
+    "fuzzy_match",     # symmetric-deletion blocked edit-distance join (r9)
+    "graph_scc",       # FW-BW strongly connected components (r9)
+    "minhash_est",     # MinHash estimator-vs-exact quality eval (r9)
+    "c4_rules",        # C4 line-structural cleaning (map-only) (r9)
 ]
 
 
