@@ -350,8 +350,10 @@ def dup_spans(
 
     from pyspark.sql.window import Window
 
+    from declarative_dataflow_spark.operators.dedup import spread_input
+
     words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-    base = docs.select("doc_id", words.alias("w")).filter(
+    base = spread_input(docs).select("doc_id", words.alias("w")).filter(
         F.size("w") >= n
     )
     parts = ", ".join(f"w[i + {j}]" for j in range(n))

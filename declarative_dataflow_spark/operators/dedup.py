@@ -28,6 +28,22 @@ def _h32(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
 
 
+def spread_input(docs: DataFrame) -> DataFrame:
+    """Repartition ONLY when the source is under-parallelized (fewer
+    splits than cores): the per-token md5/fold passes downstream are
+    CPU-bound, and a mid-sized parquet file lands in 1-2
+    maxPartitionBytes splits, running a 32-core host 2-wide (measured
+    at the 10x bench scale: cross_neardup 21.7s -> the minhash_lsh
+    guard's 3.0s shape once spread). At 100 TB the scan already has
+    >> defaultParallelism splits and this is a no-op — the shuffle
+    only ever pays where the alternative is idle cores."""
+
+    target = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < target:
+        return docs.repartition(target)
+    return docs
+
+
 def exact_dedup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Group documents by content hash: (h, n, canonical doc_id)."""
 
@@ -55,7 +71,9 @@ def shingles(
     """
 
     words = F.split(F.lower(F.col(text_col)), " ")
-    base = docs.select("doc_id", words.alias("w")).filter(F.size("w") >= n)
+    base = spread_input(docs).select("doc_id", words.alias("w")).filter(
+        F.size("w") >= n
+    )
     if n == 1:
         sh = F.col("w")
     else:
@@ -185,7 +203,9 @@ def hashed_shingle_sets(
     """
 
     words = F.split(F.lower(F.col(text_col)), " ")
-    base = docs.select("doc_id", words.alias("w")).filter(F.size("w") >= n)
+    base = spread_input(docs).select("doc_id", words.alias("w")).filter(
+        F.size("w") >= n
+    )
     if n == 1:
         sh_expr = "w"
     else:

@@ -78,7 +78,9 @@ _SPARK_H32 = "CAST(conv(substring(md5({t}), 1, 8), 16, 10) AS BIGINT)"
 
 
 def _tokens(docs: DataFrame, text_col: str) -> DataFrame:
-    return docs.select(
+    from declarative_dataflow_spark.operators.dedup import spread_input
+
+    return spread_input(docs).select(
         F.explode(
             F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
         ).alias("term")

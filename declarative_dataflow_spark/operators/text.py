@@ -331,6 +331,9 @@ def ngram_lm_score(
     Returns (doc_id, n_bigrams, avg_logp).
     """
 
+    from declarative_dataflow_spark.operators.dedup import spread_input
+
+    docs = spread_input(docs)
     toks = docs.select(
         F.col("doc_id"),
         F.explode(
@@ -566,8 +569,14 @@ def lm_quality_buckets(
 
     if buckets < 2:
         raise ValueError("buckets must be >= 2")
-    scored = ngram_lm_score(docs, alpha=alpha, text_col=text_col).select(
-        "doc_id", "avg_logp"
+    # The scored table feeds FOUR consumers (the sizing count, one
+    # TakeOrdered pass per cut point, and the output projection) —
+    # materialize once or the whole LM pipeline re-runs per consumer
+    # (measured at the 10x bench scale: 10.1s -> ~6s).
+    scored = (
+        ngram_lm_score(docs, alpha=alpha, text_col=text_col)
+        .select("doc_id", "avg_logp")
+        .localCheckpoint(eager=False)
     )
     n = scored.count()
     tup = F.struct("avg_logp", "doc_id")
@@ -623,6 +632,9 @@ def nb_quality_score(
     score rounds to 6.
     """
 
+    from declarative_dataflow_spark.operators.dedup import spread_input
+
+    docs = spread_input(docs)
     if label_col is None:
         label = gopher_columns(text_col, **gopher_thresholds)["pass"]
         labeled = docs.select("doc_id", F.col(text_col), label.alias("label"))
@@ -630,13 +642,17 @@ def nb_quality_score(
         labeled = docs.select(
             "doc_id", F.col(text_col), F.col(label_col).alias("label")
         )
+    # The token table (with its per-row Gopher label fold) feeds THREE
+    # consumers (class totals, the model counts, the scoring join) —
+    # materialize once or the label fold re-runs corpus-wide per
+    # consumer (the materialize-once discipline).
     toks = labeled.select(
         "doc_id",
         "label",
         F.explode(
             F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
         ).alias("term"),
-    )
+    ).localCheckpoint(eager=False)
     cls = labeled.agg(
         F.sum(F.when(F.col("label"), 1).otherwise(0)).alias("d_pass"),
         F.sum(F.when(F.col("label"), 0).otherwise(1)).alias("d_fail"),
