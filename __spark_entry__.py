@@ -2542,6 +2542,25 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.snapshot_diff(old, new)
 
 
+def q_fuzzy_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution end-to-end (NEW in r9): fuzzy_match pairs ->
+    connected components -> canonical id. The % 7 slice keeps the
+    distance-1 graph sparse (two multiples of 7 are edit-distance 1
+    only via a digit differing by exactly 7), so the gate sees real
+    cluster structure — mixed multi-member clusters and singletons —
+    instead of one trivial giant component. The oracle is the brute-
+    force pair join + recursive reachability closure."""
+
+    return dedup.fuzzy_match_groups(
+        load_table(spark, sf_dir, "customer").filter(
+            F.col("c_custkey") % 7 == 0
+        ),
+        id_col="c_custkey",
+        s_col="c_name",
+        max_dist=1,
+    )
+
+
 def q_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4 line-structural cleaning (NEW in r9): the corpus is word
     soup, so the declared query seeds deterministic sentence structure
@@ -3483,6 +3502,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_est": q_minhash_est,  # NEW in r9
         "graph_scc": q_graph_scc,  # NEW in r9
         "c4_rules": q_c4_rules,  # NEW in r9
+        "fuzzy_groups": q_fuzzy_groups,  # NEW in r9
         "global_shuffle": q_global_shuffle,
         "token_budget_mix": q_token_budget_mix,
         "topk_per_group": q_topk_per_group,
@@ -5005,6 +5025,20 @@ def oracle_sql() -> dict[str, str]:
             "FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id"
         ),
         "minhash_est": _MINHASH_EST_ORACLE,
+        "fuzzy_groups": (
+            "WITH RECURSIVE c AS (SELECT c_custkey AS id, c_name AS s "
+            "FROM customer WHERE c_custkey % 7 = 0), "
+            "p AS (SELECT a.id AS a, b.id AS b FROM c a JOIN c b "
+            "ON a.id < b.id AND abs(length(a.s) - length(b.s)) <= 1 "
+            "WHERE levenshtein(a.s, b.s) <= 1), "
+            "e AS (SELECT a AS u, b AS v FROM p UNION SELECT b, a FROM p), "
+            "reach(u, v) AS (SELECT u, u AS v FROM "
+            "(SELECT DISTINCT u FROM e) "
+            "UNION SELECT e.u, r.v FROM e JOIN reach r ON r.u = e.v), "
+            "comp AS (SELECT u, min(v) AS component FROM reach GROUP BY u) "
+            "SELECT c.id, coalesce(comp.component, c.id) AS canonical "
+            "FROM c LEFT JOIN comp ON comp.u = c.id"
+        ),
         "c4_rules": (
             "WITH seeded AS (SELECT doc_id, "
             "regexp_replace(text, '((\\S+ ){3}\\S+) ', '\\1.' || chr(10), 'g') "

@@ -594,6 +594,33 @@ def dedup_groups(
     )
 
 
+def fuzzy_match_groups(
+    df: DataFrame,
+    id_col: str = "id",
+    s_col: str = "s",
+    max_dist: int = 1,
+) -> DataFrame:
+    """Entity resolution end-to-end: cluster rows whose strings chain
+    within Levenshtein distance ``max_dist`` (a~b, b~c => one entity
+    even when dist(a, c) > max_dist — transitive closure over the
+    :func:`fuzzy_match_pairs` graph, the record-linkage analog of
+    ``dedup_groups``) and map every row to its cluster's smallest id.
+    Returns (id, canonical); rows with no fuzzy partner are their own
+    canonical, and a linkage pipeline keeps id = canonical.
+    """
+
+    pairs = fuzzy_match_pairs(df, id_col, s_col, max_dist)
+    comp = connected_components(pairs, "a", "b")
+    return (
+        df.select(F.col(id_col).cast("long").alias("id"))
+        .join(comp, "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("component"), F.col("id")).alias("canonical"),
+        )
+    )
+
+
 def _numpy_simhash(docs: DataFrame, bits: int, text_col: str):
     """Arrow-batched SimHash fingerprints: (doc_id, simhash) — the
     numpy engine under :func:`simhash`. Exact-integer parity with the

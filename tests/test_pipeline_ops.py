@@ -2408,3 +2408,37 @@ def test_minhash_est_error_bruteforce(spark):
     # exact duplicates appear and carry zero error
     dups = [(a, b) for (a, b), (e, j, r) in got.items() if e == 1.0]
     assert dups and all(got[p][2] == 0.0 for p in dups)
+
+def test_fuzzy_groups_matches_union_find(spark):
+    import random
+
+    from declarative_dataflow_spark.operators import dedup as dd
+
+    rng = random.Random(41)
+    rows = [
+        (i, "".join(rng.choice("abcd") for _ in range(rng.randint(4, 8))))
+        for i in range(80)
+    ]
+    got = {
+        r["id"]: r["canonical"]
+        for r in dd.fuzzy_match_groups(
+            spark.createDataFrame(rows, ["id", "s"]), id_col="id", s_col="s"
+        ).collect()
+    }
+    parent = {i: i for i, _ in rows}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for ia, sa in rows:
+        for ib, sb in rows:
+            if ia < ib and _lev(sa, sb) <= 1:
+                ra, rb = find(ia), find(ib)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    exp = {i: find(i) for i, _ in rows}
+    assert got == exp
+    assert len(set(exp.values())) > 1  # non-trivial clustering
