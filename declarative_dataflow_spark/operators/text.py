@@ -988,6 +988,27 @@ def c4_rules(
     blocklist_filter's job and composes on top).
     """
 
+    cols = c4_columns(text_col, min_words_per_line, min_lines)
+    return docs.select(
+        "doc_id",
+        cols["n_lines"].alias("n_lines"),
+        cols["n_kept"].alias("n_kept"),
+        cols["has_lorem"].alias("has_lorem"),
+        cols["has_brace"].alias("has_brace"),
+        cols["keep"].alias("keep"),
+        cols["text"].alias("text"),
+    )
+
+
+def c4_columns(
+    text_col: str = "text",
+    min_words_per_line: int = 5,
+    min_lines: int = 3,
+) -> dict[str, Column]:
+    """The C4 rules as raw Column expressions — composable into any
+    projection (streaming stages use these to stay map-only, the
+    gopher_columns discipline)."""
+
     lines = F.split(F.col(text_col), "\n")
 
     def _line_ok(line):
@@ -1004,14 +1025,11 @@ def c4_rules(
     has_lorem = F.contains(F.lower(F.col(text_col)), F.lit("lorem ipsum"))
     has_brace = F.contains(F.col(text_col), F.lit("{"))
     n_kept = F.size(kept)
-    return docs.select(
-        "doc_id",
-        F.size(lines).cast("long").alias("n_lines"),
-        n_kept.cast("long").alias("n_kept"),
-        has_lorem.alias("has_lorem"),
-        has_brace.alias("has_brace"),
-        (
-            (n_kept >= min_lines) & ~has_lorem & ~has_brace
-        ).alias("keep"),
-        F.array_join(kept, "\n").alias("text"),
-    )
+    return {
+        "n_lines": F.size(lines).cast("long"),
+        "n_kept": n_kept.cast("long"),
+        "has_lorem": has_lorem,
+        "has_brace": has_brace,
+        "keep": (n_kept >= min_lines) & ~has_lorem & ~has_brace,
+        "text": F.array_join(kept, "\n"),
+    }

@@ -235,6 +235,7 @@ def stream_curate(
     gopher: dict | None = None,
     blocklist: list[str] | None = None,
     entropy_band: tuple[float, float] | None = None,
+    c4: dict | None = None,
 ) -> DataFrame:
     """Map-only streaming curation stage: quality score, language ID,
     repetition ratio, PII scrubbing — and, when ``gopher`` is given
@@ -243,11 +244,22 @@ def stream_curate(
     ``blocklist`` is given, the word-delimited badwords gate (the
     row-local arrays_overlap form — zero joins, right for gate-sized
     lists); when ``entropy_band`` is given, the (lo, hi) char-entropy
-    keep-band — all composed as ONE projection (raw Column
-    expressions, no self-joins — a streaming self-join would demand
-    watermarks and state for what is purely map work). Zero state;
-    fuses into the micro-batch scan."""
+    keep-band; when ``c4`` is given (a dict of c4_columns threshold
+    overrides, ``{}`` for defaults), the C4 line-structural gate —
+    pages failing it drop, surviving pages carry only their KEPT
+    lines into the downstream stages (so the PII scrub and the
+    quality/repetition scores see the cleaned page, exactly as the
+    batch ``c4_rules``-then-curate pipeline would) — all composed as
+    ONE projection (raw Column expressions, no self-joins — a
+    streaming self-join would demand watermarks and state for what
+    is purely map work). Zero state; fuses into the micro-batch
+    scan."""
 
+    if c4 is not None:
+        c4c = text_ops.c4_columns(text_col, **c4)
+        stream = stream.filter(c4c["keep"]).withColumn(
+            text_col, c4c["text"]
+        )
     out = stream.select(
         "*",
         text_ops.quality_columns(text_col)["quality"].alias("quality"),

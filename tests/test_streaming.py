@@ -2127,3 +2127,47 @@ def test_prop_sliding_windows_match_duckdb_panes(spark, events):
     finally:
         con.close()
     assert got == want
+
+def test_stream_curate_c4_gate(spark, tmp_path):
+    """stream_curate(c4=...) drops pages failing the C4 structural
+    gate, and survivors flow downstream with ONLY their kept lines —
+    batch-equal to c4_rules then curate."""
+
+    from declarative_dataflow_spark.streaming.curation import stream_curate
+
+    src = tmp_path / "c4_in"
+    src.mkdir()
+    good = (
+        "the quick brown fox is here today.\n"
+        "a second fine line for the page.\n"
+        "and the third full line lands here.\n"
+        "trailing junk line without punctuation"
+    )
+    _write_jsonl(str(src / "b1.json"), [
+        {"doc_id": 1, "text": good},
+        {"doc_id": 2, "text": "only one good line is here today.\nshort."},
+        {"doc_id": 3, "text": good + "\nthis body is lorem ipsum filler."},
+    ])
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .json(str(src))
+    )
+    curated = stream_curate(
+        stream, min_quality=0.0, require_lang=False, c4={}
+    )
+    q = (
+        curated.writeStream.format("memory")
+        .queryName("c4_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "c4_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows_ = {r["doc_id"]: r for r in spark.table("c4_test").collect()}
+        assert set(rows_) == {1}  # 2: < 3 kept lines; 3: lorem ipsum
+        # the junk line was cut BEFORE downstream stages saw the page
+        assert "junk" not in rows_[1]["text"]
+        assert rows_[1]["text"].count("\n") == 2
+    finally:
+        q.stop()
