@@ -2630,10 +2630,16 @@ def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join, exact levenshtein verify per candidate — never an
     all-pairs comparison. The oracle IS the brute-force length-banded
     join, so the gate checks the blocking's completeness, not just
-    the verify."""
+    the verify. Declared on the % 7 slice: the scale replicas carry
+    duplicate names, so the full table's answer is Theta(replicas^2)
+    rows per name — output-bound by construction, a scaler artifact
+    rather than operator cost (full-table brute-force equality is
+    pytest-gated instead)."""
 
     return dedup.fuzzy_match_pairs(
-        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "customer").filter(
+            F.col("c_custkey") % 7 == 0
+        ),
         id_col="c_custkey",
         s_col="c_name",
         max_dist=1,
@@ -5090,7 +5096,8 @@ def oracle_sql() -> dict[str, str]:
             "CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist "
             "FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey "
             "AND abs(length(a.c_name) - length(b.c_name)) <= 1 "
-            "WHERE levenshtein(a.c_name, b.c_name) <= 1"
+            "WHERE levenshtein(a.c_name, b.c_name) <= 1 "
+            "AND a.c_custkey % 7 = 0 AND b.c_custkey % 7 = 0"
         ),
         "embed_drift": (
             "WITH ea AS (SELECT embedding AS e FROM embeddings "

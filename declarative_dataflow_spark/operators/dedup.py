@@ -959,9 +959,11 @@ def fuzzy_match_pairs(
 
     if max_dist != 1:
         raise ValueError("fuzzy_match_pairs supports max_dist=1 only")
-    base = df.select(
-        F.col(id_col).alias("id"), F.col(s_col).alias("s")
-    ).filter(F.col("s").isNotNull())
+    base = spread_input(
+        df.select(F.col(id_col).alias("id"), F.col(s_col).alias("s")).filter(
+            F.col("s").isNotNull()
+        )
+    )
     variants = F.array_distinct(
         F.concat(
             F.array(F.col("s")),

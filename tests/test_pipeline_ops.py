@@ -2442,3 +2442,35 @@ def test_fuzzy_groups_matches_union_find(spark):
     exp = {i: find(i) for i, _ in rows}
     assert got == exp
     assert len(set(exp.values())) > 1  # non-trivial clustering
+
+def test_fuzzy_match_full_table_bruteforce_duckdb(spark):
+    """Blocking completeness on the FULL sf0.01 customer table (the
+    declared query uses the % 7 slice for scale-sane output; this
+    pins the dense instance): equality with DuckDB's brute-force
+    length-banded levenshtein join."""
+
+    import duckdb
+
+    from declarative_dataflow_spark.operators import dedup as dd
+
+    c = spark.read.parquet("/root/testdata/sf0.01/customer.parquet")
+    got = sorted(
+        (r["a"], r["b"], r["dist"])
+        for r in dd.fuzzy_match_pairs(
+            c, id_col="c_custkey", s_col="c_name"
+        ).collect()
+    )
+    con = duckdb.connect()
+    exp = sorted(
+        tuple(r)
+        for r in con.execute(
+            "SELECT a.c_custkey, b.c_custkey, "
+            "levenshtein(a.c_name, b.c_name) "
+            "FROM read_parquet('/root/testdata/sf0.01/customer.parquet') a "
+            "JOIN read_parquet('/root/testdata/sf0.01/customer.parquet') b "
+            "ON a.c_custkey < b.c_custkey "
+            "AND abs(length(a.c_name) - length(b.c_name)) <= 1 "
+            "WHERE levenshtein(a.c_name, b.c_name) <= 1"
+        ).fetchall()
+    )
+    assert got == exp and len(got) > 10_000
