@@ -2474,3 +2474,53 @@ def test_fuzzy_match_full_table_bruteforce_duckdb(spark):
         ).fetchall()
     )
     assert got == exp and len(got) > 10_000
+
+import os as _os
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_FUZZ_PROP = settings(
+    max_examples=int(_os.environ.get("SPARK_GRAFT_PROP_EXAMPLES", "50")) // 2,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+
+@_FUZZ_PROP
+@given(
+    strings=st.lists(
+        st.text(alphabet="abc", min_size=0, max_size=6),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_prop_fuzzy_match_blocking_complete(spark, strings):
+    """PROPERTY: symmetric-deletion blocking is complete for edit
+    distance 1 on arbitrary strings — including empty strings (whose
+    deletion neighborhood is just themselves; Spark's
+    sequence(1, 0) descends, which the substr arithmetic must
+    tolerate), duplicates (dist 0), and insert/delete pairs. Equality
+    with the brute-force python DP on every generated corpus."""
+
+    rows = list(enumerate(strings))
+    got = sorted(
+        (r["a"], r["b"], r["dist"])
+        for r in __import__(
+            "declarative_dataflow_spark.operators.dedup",
+            fromlist=["dedup"],
+        )
+        .fuzzy_match_pairs(
+            spark.createDataFrame(rows, "id long, s string"),
+            id_col="id",
+            s_col="s",
+        )
+        .collect()
+    )
+    exp = sorted(
+        (ia, ib, _lev(sa, sb))
+        for ia, sa in rows
+        for ib, sb in rows
+        if ia < ib and _lev(sa, sb) <= 1
+    )
+    assert got == exp
