@@ -2621,6 +2621,26 @@ def q_minhash_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lsh_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banding-quality eval (NEW in r9): precision/recall of the
+    production MinHash-LSH pair set against the exact prefix-filtered
+    set-similarity join at the same threshold — what the banding
+    LOSES end-to-end, completing the sketch-eval family beside
+    ann_recall and minhash_est. threshold=0.05 reaches into the
+    corpus's low-similarity pair band (its exact-Jaccard distribution
+    is bimodal: a >= 0.9 near-dup mass plus a ~0.05-0.07 fringe), so
+    the gate exercises BOTH outcomes — found near-dups AND fringe
+    pairs the 4-band setting provably misses (recall < 1)."""
+
+    return dedup.lsh_precision_recall(
+        load_table(spark, sf_dir, "documents"),
+        k=16,
+        bands=4,
+        n=3,
+        threshold=0.05,
+    )
+
+
 def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate string self-join (NEW in r9): every customer-name
     pair within Levenshtein distance 1 — the record-linkage/entity-
@@ -3509,6 +3529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_scc": q_graph_scc,  # NEW in r9
         "c4_rules": q_c4_rules,  # NEW in r9
         "fuzzy_groups": q_fuzzy_groups,  # NEW in r9
+        "lsh_pr": q_lsh_pr,  # NEW in r9
         "global_shuffle": q_global_shuffle,
         "token_budget_mix": q_token_budget_mix,
         "topk_per_group": q_topk_per_group,
@@ -5033,6 +5054,52 @@ def oracle_sql() -> dict[str, str]:
             "FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id"
         ),
         "minhash_est": _MINHASH_EST_ORACLE,
+        "lsh_pr": (
+            # found = the minhash_lsh pipeline's pairs (hashed-set
+            # verify); truth = exact raw-shingle Jaccard >= t over the
+            # inverted-index join; then the confusion aggregate.
+            "WITH words AS (SELECT doc_id, string_split(lower(text), ' ') "
+            "AS w FROM documents), "
+            "sh AS (SELECT DISTINCT doc_id, "
+            "unnest([w[i] || '_' || w[i+1] || '_' || w[i+2] "
+            "for i in range(1, len(w) - 1)]) AS shingle "
+            "FROM words WHERE len(w) >= 3), "
+            "shh AS (SELECT DISTINCT doc_id, "
+            "('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h FROM sh), "
+            f"sig AS (SELECT doc_id, {_MINHASH_MINS} FROM shh GROUP BY doc_id), "
+            f"banded AS ({_MINHASH_BANDS}), "
+            "cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b "
+            "FROM banded l JOIN banded r ON l.band = r.band "
+            "AND l.key = r.key AND l.doc_id < r.doc_id), "
+            "hsizes AS (SELECT doc_id, count(*) AS sz FROM shh GROUP BY 1), "
+            "hinter AS (SELECT c.a, c.b, count(*) AS i FROM cand c "
+            "JOIN shh sa ON sa.doc_id = c.a "
+            "JOIN shh sb ON sb.doc_id = c.b AND sb.h = sa.h GROUP BY 1, 2), "
+            "found AS (SELECT a, b FROM hinter "
+            "JOIN hsizes za ON za.doc_id = a JOIN hsizes zb ON zb.doc_id = b "
+            "WHERE round(i / (za.sz + zb.sz - i), 4) >= 0.05), "
+            "rsizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1), "
+            "rinter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i "
+            "FROM sh x JOIN sh y ON x.shingle = y.shingle "
+            "AND x.doc_id < y.doc_id GROUP BY 1, 2), "
+            "truth AS (SELECT a, b FROM rinter "
+            "JOIN rsizes za ON za.doc_id = a JOIN rsizes zb ON zb.doc_id = b "
+            "WHERE round(i / (za.sz + zb.sz - i), 4) >= 0.05), "
+            "m AS (SELECT CASE WHEN f.a IS NOT NULL THEN 1 ELSE 0 END AS f, "
+            "CASE WHEN t.a IS NOT NULL THEN 1 ELSE 0 END AS t "
+            "FROM found f FULL OUTER JOIN truth t "
+            "ON f.a = t.a AND f.b = t.b), "
+            "agg AS (SELECT CAST(sum(t) AS BIGINT) AS n_true, "
+            "CAST(sum(f) AS BIGINT) AS n_found, "
+            "CAST(sum(f * t) AS BIGINT) AS tp, "
+            "CAST(sum(f * (1 - t)) AS BIGINT) AS fp, "
+            "CAST(sum((1 - f) * t) AS BIGINT) AS fn FROM m) "
+            "SELECT n_true, n_found, tp, fp, fn, "
+            "CASE WHEN n_found > 0 THEN round(tp / n_found, 4) "
+            "ELSE 1.0 END AS precision, "
+            "CASE WHEN n_true > 0 THEN round(tp / n_true, 4) "
+            "ELSE 1.0 END AS recall FROM agg"
+        ),
         "fuzzy_groups": (
             "WITH RECURSIVE c AS (SELECT c_custkey AS id, c_name AS s "
             "FROM customer WHERE c_custkey % 7 = 0), "

@@ -1096,3 +1096,71 @@ def minhash_est_error(
         )
     )
     return out
+
+
+def lsh_precision_recall(
+    docs: DataFrame,
+    k: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Banding-quality eval: precision/recall of the production
+    MinHash-LSH pair set (:func:`minhash_lsh_pairs` — banded
+    candidates, hashed-set Jaccard verify) against the EXACT
+    set-similarity join at the same threshold (:func:`jaccard_pairs`
+    with the prefix filter — ground truth over raw shingles). One
+    row: (n_true, n_found, tp, fp, fn, precision, recall).
+
+    This completes the sketch-eval family: ann_recall qualifies an
+    IVF nprobe, minhash_est_error sizes k from per-pair estimator
+    error, and this measures what the BANDING loses end-to-end —
+    recall < 1 comes from true pairs whose signatures never collide
+    on a full band; fp counts pairs the hashed-set verify admits but
+    raw-shingle truth rejects (md5-uint32 collisions — in practice
+    zero). Run it on a corpus sample when qualifying a (k, bands)
+    setting; both inputs are the production scale paths (banded
+    candidates; prefix-filtered truth), so the eval itself carries no
+    all-pairs step.
+    """
+
+    found = (
+        minhash_lsh_pairs(docs, k, bands, n, threshold, text_col)
+        .select("a", "b")
+        .withColumn("__f", F.lit(1))
+    )
+    truth = (
+        jaccard_pairs(docs, n, threshold, text_col, prefix_filter=True)
+        .select("a", "b")
+        .withColumn("__t", F.lit(1))
+    )
+    j = found.join(truth, ["a", "b"], "full").select(
+        F.coalesce(F.col("__f"), F.lit(0)).alias("f"),
+        F.coalesce(F.col("__t"), F.lit(0)).alias("t"),
+    )
+    agg = j.agg(
+        F.sum(F.col("t")).cast("long").alias("n_true"),
+        F.sum(F.col("f")).cast("long").alias("n_found"),
+        F.sum(F.col("f") * F.col("t")).cast("long").alias("tp"),
+        F.sum(F.col("f") * (1 - F.col("t"))).cast("long").alias("fp"),
+        F.sum((1 - F.col("f")) * F.col("t")).cast("long").alias("fn"),
+    )
+    return agg.select(
+        "n_true",
+        "n_found",
+        "tp",
+        "fp",
+        "fn",
+        F.when(
+            F.col("n_found") > 0,
+            F.round(F.col("tp") / F.col("n_found"), 4),
+        )
+        .otherwise(F.lit(1.0))
+        .alias("precision"),
+        F.when(
+            F.col("n_true") > 0, F.round(F.col("tp") / F.col("n_true"), 4)
+        )
+        .otherwise(F.lit(1.0))
+        .alias("recall"),
+    )

@@ -2524,3 +2524,44 @@ def test_prop_fuzzy_match_blocking_complete(spark, strings):
         if ia < ib and _lev(sa, sb) <= 1
     )
     assert got == exp
+
+
+def test_scc_state_dir_contract(spark, tmp_path):
+    """scc rebases fixpoint state through state_dir: a caller-provided
+    dir is used and left in place (cluster-FS contract); the default
+    temp dir is removed after the result materializes."""
+
+    from declarative_dataflow_spark.operators import graph as G
+
+    edges = [(1, 2), (2, 1), (2, 3)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    mine = str(tmp_path / "scc_state")
+    got = {r["node"]: r["scc"] for r in G.scc(df, state_dir=mine).collect()}
+    assert got == {1: 1, 2: 1, 3: 3}
+    import os as _o
+
+    assert _o.path.isdir(mine) and _o.listdir(mine)  # caller's dir kept
+
+
+def test_lsh_precision_recall_bounds(spark):
+    """The eval's identities: found == tp + fp, true == tp + fn,
+    precision/recall in [0,1]; at a saturating banding (bands == k,
+    1-row bands: any shared min collides) recall must reach every
+    pair that shares a single hashed min — strictly >= the 4-band
+    recall on the same corpus."""
+
+    from declarative_dataflow_spark.operators import dedup as dd
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    r4 = dd.lsh_precision_recall(
+        docs, k=16, bands=4, n=3, threshold=0.05
+    ).collect()[0]
+    assert r4["n_found"] == r4["tp"] + r4["fp"]
+    assert r4["n_true"] == r4["tp"] + r4["fn"]
+    assert 0.0 <= r4["precision"] <= 1.0
+    assert 0.0 <= r4["recall"] <= 1.0
+    r16 = dd.lsh_precision_recall(
+        docs, k=16, bands=16, n=3, threshold=0.05
+    ).collect()[0]
+    assert r16["recall"] >= r4["recall"]
+    assert r16["n_true"] == r4["n_true"]  # truth independent of banding
