@@ -115,9 +115,11 @@ HEADLINE = [
     "funnel",          # ordered 3-step funnel (per-key equi-join chain)
     "retention",       # daily cohort retention (two uniform-key shuffles)
     "fuzzy_match",     # symmetric-deletion blocked edit-distance join (r9)
+    "fuzzy_groups",    # entity resolution: fuzzy pairs -> closure (r9)
     "graph_scc",       # FW-BW strongly connected components (r9)
     "minhash_est",     # MinHash estimator-vs-exact quality eval (r9)
     "c4_rules",        # C4 line-structural cleaning (map-only) (r9)
+    "lsh_pr",          # banding precision/recall vs exact join (r9)
 ]
 
 
