@@ -2626,18 +2626,42 @@ def q_lsh_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
     production MinHash-LSH pair set against the exact prefix-filtered
     set-similarity join at the same threshold — what the banding
     LOSES end-to-end, completing the sketch-eval family beside
-    ann_recall and minhash_est. threshold=0.05 reaches into the
-    corpus's low-similarity pair band (its exact-Jaccard distribution
-    is bimodal: a >= 0.9 near-dup mass plus a ~0.05-0.07 fringe), so
-    the gate exercises BOTH outcomes — found near-dups AND fringe
-    pairs the 4-band setting provably misses (recall < 1)."""
+    ann_recall and minhash_est. The corpus's own pair distribution is
+    bimodal (>= 0.9 near-dups the banding always finds, plus a ~0.05
+    fringe whose exact join degenerates — a 0.05 threshold blunts the
+    prefix filter to ~0.95|d| prefixes), so the declared instance
+    SEEDS the interesting regime instead: every 10th doc gets a
+    mutant twin diluted by a constant 60-word suffix, putting pair
+    similarities on a 0.1-0.6 spread across the 16/4 banding's
+    S-curve. At threshold 0.2 the truth join keeps its prefix-filter
+    selectivity (scale-sane) and the gate exercises BOTH outcomes:
+    the found near-dup mass and seeded pairs banding provably
+    misses."""
 
+    # Evals run on a sample by design (the ann_recall discipline):
+    # the %5 slice keeps the exact-truth join's candidate work
+    # sample-sized at every scale factor while the seeded pairs give
+    # the banding a full similarity spread to lose.
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 5 == 0
+    )
+    # Per-doc dilution tokens: a CONSTANT suffix would make every
+    # mutant pair mutually similar (quadratic output); doc_id-salted
+    # tokens keep each mutant similar ONLY to its original.
+    suffix = F.expr(
+        "array_join(transform(sequence(1, 60), "
+        "i -> concat('d', doc_id, 'x', i)), ' ')"
+    )
+    mutants = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" "), suffix).alias("text"),
+    )
     return dedup.lsh_precision_recall(
-        load_table(spark, sf_dir, "documents"),
+        docs.select("doc_id", "text").union(mutants),
         k=16,
         bands=4,
         n=3,
-        threshold=0.05,
+        threshold=0.5,
     )
 
 
@@ -5058,8 +5082,14 @@ def oracle_sql() -> dict[str, str]:
             # found = the minhash_lsh pipeline's pairs (hashed-set
             # verify); truth = exact raw-shingle Jaccard >= t over the
             # inverted-index join; then the confusion aggregate.
-            "WITH words AS (SELECT doc_id, string_split(lower(text), ' ') "
-            "AS w FROM documents), "
+            "WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0), "
+            "corpus AS (SELECT doc_id, text FROM base "
+            "UNION ALL SELECT doc_id + 10000000 AS doc_id, "
+            "text || ' ' || array_to_string("
+            "['d' || doc_id || 'x' || i for i in range(1, 61)], ' ') "
+            "AS text FROM base WHERE doc_id % 10 = 0), "
+            "words AS (SELECT doc_id, string_split(lower(text), ' ') "
+            "AS w FROM corpus), "
             "sh AS (SELECT DISTINCT doc_id, "
             "unnest([w[i] || '_' || w[i+1] || '_' || w[i+2] "
             "for i in range(1, len(w) - 1)]) AS shingle "
@@ -5077,14 +5107,14 @@ def oracle_sql() -> dict[str, str]:
             "JOIN shh sb ON sb.doc_id = c.b AND sb.h = sa.h GROUP BY 1, 2), "
             "found AS (SELECT a, b FROM hinter "
             "JOIN hsizes za ON za.doc_id = a JOIN hsizes zb ON zb.doc_id = b "
-            "WHERE round(i / (za.sz + zb.sz - i), 4) >= 0.05), "
+            "WHERE round(i / (za.sz + zb.sz - i), 4) >= 0.5), "
             "rsizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1), "
             "rinter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i "
             "FROM sh x JOIN sh y ON x.shingle = y.shingle "
             "AND x.doc_id < y.doc_id GROUP BY 1, 2), "
             "truth AS (SELECT a, b FROM rinter "
             "JOIN rsizes za ON za.doc_id = a JOIN rsizes zb ON zb.doc_id = b "
-            "WHERE round(i / (za.sz + zb.sz - i), 4) >= 0.05), "
+            "WHERE round(i / (za.sz + zb.sz - i), 4) >= 0.5), "
             "m AS (SELECT CASE WHEN f.a IS NOT NULL THEN 1 ELSE 0 END AS f, "
             "CASE WHEN t.a IS NOT NULL THEN 1 ELSE 0 END AS t "
             "FROM found f FULL OUTER JOIN truth t "
