@@ -128,10 +128,21 @@ class StreamNearDedup:
         )
 
     def _state(self, exclude_epoch: Optional[int] = None) -> Optional[DataFrame]:
+        # Only "state dir not written yet" may mean "no state" — the
+        # StreamSemDeDup error discipline (ADVICE r8): a transient
+        # IO error must propagate so foreachBatch retries, not dedup
+        # the batch against nothing.
+        try:
+            from pyspark.errors import AnalysisException
+        except ImportError:  # pragma: no cover - pyspark < 3.4
+            from pyspark.sql.utils import AnalysisException
         try:
             df = self.spark.read.parquet(self.state_dir)
-        except Exception:
-            return None
+        except AnalysisException as exc:
+            msg = str(exc)
+            if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+                return None
+            raise
         if exclude_epoch is not None and "epoch" in df.columns:
             # A RETRIED micro-batch must not dedup against its own
             # prior contribution — it would drop every doc and then
@@ -727,6 +738,173 @@ class IncrementalDedupGroups:
             diffs = self.apply(added=adds, retracted=rets)
             self._last_epoch = epoch
             sink(diffs, epoch)
+
+        return (
+            stream.writeStream.foreachBatch(_on_batch)
+            .queryName(query_name)
+            .option("checkpointLocation", checkpoint)
+            .start()
+        )
+
+
+class StreamFuzzyDedup:
+    """Streaming fuzzy-key suppression: keep the first-accepted row of
+    every edit-distance-1 cluster of short keys (names, titles,
+    product codes) across an unbounded stream — the streaming twin of
+    ``operators/dedup.py::fuzzy_match_pairs``-then-``fuzzy_match_groups``,
+    with the StreamNearDedup state discipline.
+
+    The accumulated state is the ACCEPTED rows' (id, s) — the keys
+    are short by the operator family's assumption, so the state is a
+    few dozen bytes per entity (persisted as parquet under
+    ``state_dir``; a Delta/iceberg table at cluster scale). Each
+    micro-batch:
+
+    1. derives symmetric-deletion variant keys for the batch AND the
+       state rows (row-local maps on read — the variants are never
+       stored, only (id, s));
+    2. joins batch variants against state variants and against
+       themselves (constant-width xxhash64 keys — the COMPLETE
+       FastSS blocking, so a duplicate within the radius cannot slip
+       past the state);
+    3. verifies every candidate with exact ``levenshtein`` <= 1;
+    4. drops batch rows matching an accepted row; resolves in-batch
+       pairs greedily (lower id wins — the StreamNearDedup
+       over-suppression trade, documented there);
+    5. appends survivors' (id, s) to the state and emits them.
+
+    Per-epoch work tracks the batch: state is touched only via the
+    variant-key join, never rescanned per row. NULL keys pass through
+    unexamined and never enter state.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        id_col: str = "id",
+        s_col: str = "s",
+        max_dist: int = 1,
+    ) -> None:
+        if max_dist != 1:
+            raise ValueError("StreamFuzzyDedup supports max_dist=1 only")
+        self.spark = spark
+        self.state_dir = state_dir
+        self.id_col, self.s_col = id_col, s_col
+        self.max_dist = max_dist
+
+    # -- helpers -----------------------------------------------------
+    @staticmethod
+    def _variants(df: DataFrame) -> DataFrame:
+        """(id, s, __k): one row per {0,1}-deletion variant key."""
+
+        v = F.array_distinct(
+            F.concat(
+                F.array(F.col("s")),
+                F.expr(
+                    "transform(sequence(1, length(s)), i -> "
+                    "concat(substr(s, 1, i - 1), substr(s, i + 1)))"
+                ),
+            )
+        )
+        return df.select(
+            "id", "s", F.explode(v).alias("__v")
+        ).select("id", "s", F.xxhash64("__v").alias("__k"))
+
+    def _state(self, exclude_epoch: Optional[int] = None) -> Optional[DataFrame]:
+        # Only "state dir not written yet" may mean "no state" — the
+        # StreamSemDeDup error discipline (ADVICE r8).
+        try:
+            from pyspark.errors import AnalysisException
+        except ImportError:  # pragma: no cover - pyspark < 3.4
+            from pyspark.sql.utils import AnalysisException
+        try:
+            df = self.spark.read.parquet(self.state_dir)
+        except AnalysisException as exc:
+            msg = str(exc)
+            if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+                return None
+            raise
+        if exclude_epoch is not None and "epoch" in df.columns:
+            df = df.filter(F.col("epoch") != exclude_epoch)
+        return df.select("id", "s")
+
+    # -- one epoch ---------------------------------------------------
+    def process_batch(
+        self, batch: DataFrame, epoch: Optional[int] = None
+    ) -> DataFrame:
+        """One micro-batch: returns the accepted rows of ``batch`` and
+        appends their (id, s) to the state. With ``epoch`` set (the
+        foreachBatch path) the append is an epoch-keyed overwrite —
+        exactly-once state under at-least-once retries."""
+
+        named = batch.select(
+            F.col(self.id_col).alias("id"), F.col(self.s_col).alias("s")
+        )
+        keyed = named.filter(F.col("s").isNotNull())
+        bvar = self._variants(keyed).localCheckpoint(eager=True)
+        state = self._state(exclude_epoch=epoch)
+        dropped = None
+        if state is not None:
+            svar = self._variants(state)
+            vs_state = (
+                bvar.join(
+                    svar.select(
+                        "__k",
+                        F.col("id").alias("sid"),
+                        F.col("s").alias("ss"),
+                    ),
+                    "__k",
+                )
+                .filter(
+                    F.levenshtein(F.col("s"), F.col("ss")) <= self.max_dist
+                )
+                .select("id")
+                .distinct()
+            )
+            dropped = vs_state
+        internal = (
+            bvar.select(
+                "__k", F.col("id").alias("a"), F.col("s").alias("sa")
+            )
+            .join(
+                bvar.select(
+                    "__k", F.col("id").alias("b"), F.col("s").alias("sb")
+                ),
+                "__k",
+            )
+            .filter(F.col("a") < F.col("b"))
+            .filter(
+                F.levenshtein(F.col("sa"), F.col("sb")) <= self.max_dist
+            )
+            .select(F.col("b").alias("id"))
+            .distinct()
+        )
+        dropped = (
+            internal if dropped is None else dropped.union(internal).distinct()
+        )
+        kept = named.join(dropped, "id", "left_anti")
+        kept_state = keyed.join(dropped, "id", "left_anti")
+        if epoch is not None:
+            kept_state.write.mode("overwrite").parquet(
+                f"{self.state_dir}/epoch={epoch}"
+            )
+        else:
+            kept_state.write.mode("append").parquet(self.state_dir)
+        return kept.select(
+            F.col("id").alias(self.id_col), F.col("s").alias(self.s_col)
+        )
+
+    # -- streaming wiring --------------------------------------------
+    def attach(
+        self,
+        stream: DataFrame,
+        sink: Callable[[DataFrame, int], None],
+        checkpoint: str,
+        query_name: str = "fuzzy_dedup",
+    ):
+        def _on_batch(df: DataFrame, epoch: int) -> None:
+            sink(self.process_batch(df, epoch=epoch), epoch)
 
         return (
             stream.writeStream.foreachBatch(_on_batch)

