@@ -2621,6 +2621,31 @@ def q_minhash_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization (NEW in r9): the pass every
+    hash-keyed dedup runs first. The corpus is clean ASCII, so the
+    declared query seeds the dirt deterministically — accented vowels
+    for doc_id % 3, case + padding noise for % 5 — and the operator
+    must fold all of it back while flagging exactly the touched rows.
+    Map-only in both engines; the accent map is a FIXED table, not
+    locale NFKD."""
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.translate(F.col("text"), "aeiou", "áéíóú"),
+        )
+        .when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit("  "), F.upper(F.col("text")), F.lit("   ")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return text.text_norm(docs)
+
+
 def q_lsh_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banding-quality eval (NEW in r9): precision/recall of the
     production MinHash-LSH pair set against the exact prefix-filtered
@@ -3554,6 +3579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_rules": q_c4_rules,  # NEW in r9
         "fuzzy_groups": q_fuzzy_groups,  # NEW in r9
         "lsh_pr": q_lsh_pr,  # NEW in r9
+        "text_norm": q_text_norm,  # NEW in r9
         "global_shuffle": q_global_shuffle,
         "token_budget_mix": q_token_budget_mix,
         "topk_per_group": q_topk_per_group,
@@ -5078,6 +5104,20 @@ def oracle_sql() -> dict[str, str]:
             "FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id"
         ),
         "minhash_est": _MINHASH_EST_ORACLE,
+        "text_norm": (
+            "WITH seeded AS (SELECT doc_id, CASE "
+            "WHEN doc_id % 3 = 0 THEN translate(text, 'aeiou', 'áéíóú') "
+            "WHEN doc_id % 5 = 0 THEN '  ' || upper(text) || '   ' "
+            "ELSE text END AS text FROM documents) "
+            "SELECT doc_id, "
+            "trim(regexp_replace(translate(lower(text), "
+            "'áàâäãéèêëíìîïóòôöõúùûüñç', 'aaaaaeeeeiiiiooooouuuunc'), "
+            "'\\s+', ' ', 'g')) AS text, "
+            "(trim(regexp_replace(translate(lower(text), "
+            "'áàâäãéèêëíìîïóòôöõúùûüñç', 'aaaaaeeeeiiiiooooouuuunc'), "
+            "'\\s+', ' ', 'g')) <> text) AS changed "
+            "FROM seeded"
+        ),
         "lsh_pr": (
             # found = the minhash_lsh pipeline's pairs (hashed-set
             # verify); truth = exact raw-shingle Jaccard >= t over the

@@ -1033,3 +1033,40 @@ def c4_columns(
         "keep": (n_kept >= min_lines) & ~has_lorem & ~has_brace,
         "text": F.array_join(kept, "\n"),
     }
+
+
+# Fixed Latin accent fold — one deterministic map shared verbatim with
+# the DuckDB twin (NOT locale-dependent NFKD, which the two engines
+# could disagree on).
+ACCENT_FROM = "áàâäãéèêëíìîïóòôöõúùûüñç"
+ACCENT_TO = "aaaaaeeeeiiiiooooouuuunc"
+
+
+def text_norm(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Canonical text normalization — the pass every hash-keyed dedup
+    runs FIRST (exact_dedup, line_dedup, MinHash shingles all compare
+    byte-exactly, so 'Résumé ' and 'resume' must collapse before
+    hashing): lowercase, fixed-map accent folding, whitespace collapse
+    + trim. Returns (doc_id, text, changed) with ``changed`` marking
+    rows the normalization actually touched (the audit column a
+    backfill reads to bound its re-hash work).
+
+    Scale shape: zero shuffles — lower/translate/regexp_replace fuse
+    into one map-only scan stage at any corpus size. The accent map
+    is a FIXED table mirrored in the DuckDB twin rather than unicode
+    NFKD, so normalization is engine-portable by construction.
+    """
+
+    col = F.col(text_col)
+    norm = F.trim(
+        F.regexp_replace(
+            F.translate(F.lower(col), ACCENT_FROM, ACCENT_TO),
+            r"\s+",
+            " ",
+        )
+    )
+    return docs.select(
+        "doc_id",
+        norm.alias("text"),
+        (norm != col).alias("changed"),
+    )

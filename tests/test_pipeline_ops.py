@@ -2565,3 +2565,29 @@ def test_lsh_precision_recall_bounds(spark):
     ).collect()[0]
     assert r16["recall"] >= r4["recall"]
     assert r16["n_true"] == r4["n_true"]  # truth independent of banding
+
+
+def test_text_norm_directed(spark):
+    from declarative_dataflow_spark.operators import text as tx
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Résumé   café "),
+            (2, "ALREADY CLEAN"),
+            (3, "clean text"),
+            (4, "niño français über"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in tx.text_norm(docs).collect()}
+    assert rows[1]["text"] == "resume cafe" and rows[1]["changed"] is True
+    assert rows[2]["text"] == "already clean" and rows[2]["changed"] is True
+    assert rows[3]["text"] == "clean text" and rows[3]["changed"] is False
+    assert rows[4]["text"] == "nino francais uber"
+    # idempotent: normalizing the output changes nothing
+    again = tx.text_norm(
+        spark.createDataFrame(
+            [(i, r["text"]) for i, r in rows.items()], ["doc_id", "text"]
+        )
+    ).collect()
+    assert all(r["changed"] is False for r in again)
