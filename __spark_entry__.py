@@ -3660,9 +3660,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # snapshot_diff) deliberately wait for the r10 front — the r8
     # verdict's done-check for this rotation is "exactly the r05 tail"
     # — and are hash-verified in this round's local oracle runs
-    # (ORACLE_LOCAL.md). The FIVE later-r9 keys (fuzzy_match,
-    # minhash_est, graph_scc, c4_rules, fuzzy_groups) wait for the
-    # r10 front with them, hash-verified the same way.
+    # (ORACLE_LOCAL.md). The SEVEN later-r9 keys (fuzzy_match,
+    # minhash_est, graph_scc, c4_rules, fuzzy_groups, lsh_pr,
+    # text_norm) wait for the r10 front with them, hash-verified
+    # the same way.
     front = [
         "semdedup",  # pair engine changed this round — re-verify first
         # latest driver-green row = r05 (all 48)

@@ -120,6 +120,7 @@ HEADLINE = [
     "minhash_est",     # MinHash estimator-vs-exact quality eval (r9)
     "c4_rules",        # C4 line-structural cleaning (map-only) (r9)
     "lsh_pr",          # banding precision/recall vs exact join (r9)
+    "text_norm",       # canonicalization before hash-dedup (map-only) (r9)
 ]
 
 
