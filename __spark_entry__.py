@@ -2609,6 +2609,69 @@ def q_graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.scc(edges)
 
 
+def q_link_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction by the Resource-Allocation index (NEW in r9):
+    top-100 NON-adjacent pairs of the events-derived 10k-node graph
+    ranked by sum(1/deg) over common neighbors, plus the raw
+    common-neighbor count — the graph-completion/recommendation
+    companion to kcore/scc. RA over Adamic-Adar so the score is an
+    exact decimal sum (PageRank's determinism discipline) instead of
+    a libm ln(). Wedge volume is sum deg(v)^2, capped by the
+    max-center-degree lever (inert at this density, load-bearing on a
+    hub-skewed web graph); top-k lowers to TakeOrderedAndProject."""
+
+    ev = load_table(spark, sf_dir, "events")
+    edges = ev.filter(F.col("event_id") % 5 == 0).select(
+        (F.col("user_id") % 10000).alias("src"),
+        (F.col("event_id") % 10000).alias("dst"),
+    )
+    return graph.link_prediction(edges, top_k=100)
+
+
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware near-dup resolution (NEW in r9): dedup_groups'
+    LSH-pairs -> connected-components clustering, but the survivor is
+    the cluster's LONGEST document (n_chars, ties to smallest doc_id)
+    — "of these crawls of the same page, keep the best one", the form
+    curation pipelines actually deploy. Extra cost over dedup_groups:
+    one cluster-partitioned row_number window + one component-keyed
+    join."""
+
+    return dedup.dedup_keep_best(
+        load_table(spark, sf_dir, "documents"),
+        k=16,
+        bands=4,
+        n=3,
+        threshold=0.2,
+        quality_col="n_chars",
+    )
+
+
+def q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-shift changepoint profile (NEW in r9): per event_type,
+    daily value means compared across a 7-day-each-side sliding
+    window (two-sided CUSUM-style drift test — the monitor a data
+    pipeline runs on source metrics). The corpus's value column is
+    stationary noise, so the declared instance SEEDS a +5 level shift
+    on 2024-01-16T00:00Z (epoch-us constant, identical in both
+    engines) that the profile must surface at the boundary. Exact
+    decimal bin/window sums; the only float ops are final
+    correctly-rounded divisions."""
+
+    from declarative_dataflow_spark.operators import timeseries
+
+    ev = load_table(spark, sf_dir, "events")
+    seeded = ev.withColumn(
+        "value",
+        F.col("value")
+        + F.when(
+            timeseries._epoch_us("ts") >= F.lit(1705363200000000),
+            F.lit(5.0),
+        ).otherwise(F.lit(0.0)),
+    )
+    return timeseries.changepoint(seeded, window=7)
+
+
 def q_minhash_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash sketch-quality eval (NEW in r9): signature-estimated
     vs exact Jaccard with absolute error for every exact-band LSH
@@ -3580,6 +3643,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_groups": q_fuzzy_groups,  # NEW in r9
         "lsh_pr": q_lsh_pr,  # NEW in r9
         "text_norm": q_text_norm,  # NEW in r9
+        "link_pred": q_link_pred,  # NEW in r9
+        "dedup_keep_best": q_dedup_keep_best,  # NEW in r9
+        "changepoint": q_changepoint,  # NEW in r9
         "global_shuffle": q_global_shuffle,
         "token_budget_mix": q_token_budget_mix,
         "topk_per_group": q_topk_per_group,
@@ -4175,6 +4241,24 @@ _DEDUP_GROUPS_ORACLE = (
     "comp AS (SELECT u, min(v) AS component FROM reach GROUP BY u) "
     "SELECT d.doc_id, coalesce(c.component, d.doc_id) AS canonical "
     "FROM documents d LEFT JOIN comp c ON c.u = d.doc_id"
+)
+
+# dedup_keep_best oracle: identical LSH-pair + reachability-closure
+# CTEs (shared via the prefix of _DEDUP_GROUPS_ORACLE), but the
+# survivor per component is the highest-n_chars member (ties to the
+# smallest doc_id) via a component-partitioned row_number.
+_DEDUP_KEEP_BEST_ORACLE = _DEDUP_GROUPS_ORACLE[
+    : _DEDUP_GROUPS_ORACLE.rindex("SELECT d.doc_id")
+] + (
+    ", memb AS (SELECT d.doc_id, "
+    "coalesce(c.component, d.doc_id) AS component, d.n_chars "
+    "FROM documents d LEFT JOIN comp c ON c.u = d.doc_id), "
+    "best AS (SELECT component, doc_id AS canonical FROM ("
+    "SELECT component, doc_id, row_number() OVER ("
+    "PARTITION BY component ORDER BY n_chars DESC, doc_id) AS rn "
+    "FROM memb) WHERE rn = 1) "
+    "SELECT m.doc_id, b.canonical "
+    "FROM memb m JOIN best b USING (component)"
 )
 
 
@@ -5105,6 +5189,59 @@ def oracle_sql() -> dict[str, str]:
             "FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id"
         ),
         "minhash_est": _MINHASH_EST_ORACLE,
+        "dedup_keep_best": _DEDUP_KEEP_BEST_ORACLE,
+        "link_pred": (
+            # Resource-Allocation link prediction: symmetrized distinct
+            # edge set, exact-decimal 1/deg contributions (round-15 ->
+            # DECIMAL(24,15), the PageRank discipline), wedge join on
+            # the center with u < w, degree cap 64 on centers, existing
+            # edges anti-joined out, total (ra desc, u, w) order.
+            "WITH e0 AS (SELECT DISTINCT user_id % 10000 AS src, "
+            "event_id % 10000 AS dst FROM events WHERE event_id % 5 = 0), "
+            "und AS (SELECT src, dst FROM e0 WHERE src <> dst "
+            "UNION SELECT dst, src FROM e0 WHERE src <> dst), "
+            "deg AS (SELECT src AS v, count(*) AS d FROM und GROUP BY 1), "
+            "centers AS (SELECT v, CAST(round(CAST(1 AS DOUBLE) / d, 15) "
+            "AS DECIMAL(24,15)) AS contrib FROM deg WHERE d <= 64), "
+            "wedges AS (SELECT a1.dst AS u, a2.dst AS w, a1.src AS v "
+            "FROM und a1 JOIN und a2 ON a2.src = a1.src "
+            "AND a1.dst < a2.dst), "
+            "scored AS (SELECT x.u, x.w, count(*) AS cn, "
+            "sum(c.contrib) AS ra_sum "
+            "FROM wedges x JOIN centers c ON c.v = x.v GROUP BY 1, 2), "
+            "nonadj AS (SELECT s.u, s.w, s.cn, s.ra_sum FROM scored s "
+            "LEFT JOIN und ON und.src = s.u AND und.dst = s.w "
+            "WHERE und.src IS NULL) "
+            "SELECT u, w, cn, CAST(ra_sum AS DOUBLE) AS ra FROM nonadj "
+            "ORDER BY ra DESC, u, w LIMIT 100"
+        ),
+        "changepoint": (
+            # Two-sided 7-day mean-shift profile with the seeded +5
+            # level shift at 2024-01-16T00:00Z; exact decimal bin and
+            # window sums, doubles only in the final divisions.
+            "WITH seeded AS (SELECT event_type, ts, value + CASE "
+            "WHEN epoch_us(ts) >= 1705363200000000 THEN 5.0 ELSE 0.0 "
+            "END AS value FROM events), "
+            "daily AS (SELECT event_type AS key, "
+            "CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS bucket, "
+            "sum(CAST(value AS DECIMAL(18,6))) AS s, count(*) AS c "
+            "FROM seeded GROUP BY 1, 2), "
+            "win AS (SELECT key, bucket, "
+            "count(*) OVER wl AS nl, sum(s) OVER wl AS sl, "
+            "sum(c) OVER wl AS cl, "
+            "count(*) OVER wr AS nr, sum(s) OVER wr AS sr, "
+            "sum(c) OVER wr AS cr FROM daily "
+            "WINDOW wl AS (PARTITION BY key ORDER BY bucket "
+            "ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING), "
+            "wr AS (PARTITION BY key ORDER BY bucket "
+            "ROWS BETWEEN CURRENT ROW AND 6 FOLLOWING)) "
+            "SELECT key, bucket, "
+            "round(CAST(sl AS DOUBLE) / cl, 6) AS left_mean, "
+            "round(CAST(sr AS DOUBLE) / cr, 6) AS right_mean, "
+            "round(abs(CAST(sr AS DOUBLE) / cr - "
+            "CAST(sl AS DOUBLE) / cl), 6) AS mean_shift "
+            "FROM win WHERE nl = 7 AND nr = 7"
+        ),
         "text_norm": (
             "WITH seeded AS (SELECT doc_id, CASE "
             "WHEN doc_id % 3 = 0 THEN translate(text, 'aeiou', 'áéíóú') "

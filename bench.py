@@ -121,6 +121,9 @@ HEADLINE = [
     "c4_rules",        # C4 line-structural cleaning (map-only) (r9)
     "lsh_pr",          # banding precision/recall vs exact join (r9)
     "text_norm",       # canonicalization before hash-dedup (map-only) (r9)
+    "link_pred",       # Resource-Allocation link prediction, capped wedges (r9)
+    "dedup_keep_best",  # quality-aware near-dup survivor selection (r9)
+    "changepoint",     # two-sided mean-shift drift profile (r9)
 ]
 
 

@@ -594,6 +594,56 @@ def dedup_groups(
     )
 
 
+def dedup_keep_best(
+    docs: DataFrame,
+    k: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    quality_col: str = "n_chars",
+) -> DataFrame:
+    """Quality-aware duplicate-cluster resolution: (doc_id, canonical)
+    where canonical is the HIGHEST-``quality_col`` member of the
+    document's near-dup cluster (ties to the smallest doc_id), not the
+    smallest id as in :func:`dedup_groups`. This is the curation form
+    production pipelines actually want — "of these five crawls of the
+    same page, keep the longest/cleanest one" — while dedup_groups'
+    min-id canonical is the arbitrary-survivor form.
+
+    Same candidate discipline as dedup_groups (banded MinHash-LSH
+    pairs -> hash-min connected components); the only extra work is
+    one row_number window PARTITIONED BY component (cluster-sized
+    partitions — bounded by the largest duplicate cluster, never a
+    global sort) and one component-keyed join to map members to their
+    cluster's best. Singletons are their own canonical.
+    """
+
+    pairs = minhash_lsh_pairs(docs, k, bands, n, threshold, text_col)
+    comp = connected_components(pairs, "a", "b")
+    memb = (
+        docs.select("doc_id", quality_col)
+        .join(comp.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias(
+                "component"
+            ),
+            quality_col,
+        )
+        .localCheckpoint(eager=False)  # feeds the window and the join
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.desc(quality_col), F.asc("doc_id")
+    )
+    best = (
+        memb.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("component", F.col("doc_id").alias("canonical"))
+    )
+    return memb.join(best, "component").select("doc_id", "canonical")
+
+
 def fuzzy_match_groups(
     df: DataFrame,
     id_col: str = "id",

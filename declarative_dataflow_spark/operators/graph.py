@@ -613,3 +613,86 @@ def scc(
     finally:
         if own_dir:
             shutil.rmtree(base, ignore_errors=True)
+
+
+def link_prediction(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    top_k: int = 100,
+    max_center_degree: Optional[int] = 64,
+) -> DataFrame:
+    """Link prediction by the Resource-Allocation index (Zhou/Lü/Zhang
+    2009): for every NON-adjacent pair (u, w) sharing at least one
+    neighbor, score = sum over common neighbors v of 1/deg(v), plus
+    the raw common-neighbor count. Returns the ``top_k`` candidate
+    links as (u, w, cn, ra), u < w, ordered by (ra desc, u, w).
+    RA is chosen over Adamic-Adar (1/ln deg) deliberately: 1/deg is a
+    rational quotient, so the per-neighbor contribution can be
+    round()ed to 15 decimals and summed as an EXACT decimal — the
+    PageRank determinism discipline (see PR_CONTRIB_SQL above) — while
+    ln() would make the score depend on the engine's libm.
+
+    Shape: symmetrize+dedup the edge list, one degree aggregation,
+    then the wedge join adj(v,u) x adj(v,w) on the CENTER v with
+    u < w — candidate volume is sum_v deg(v)^2, so hubs are the
+    skew/scale hazard. ``max_center_degree`` is the lever: centers
+    above the cap are excluded from wedge generation (a documented
+    approximation — a hub shared by millions of pairs carries ~zero
+    RA weight anyway, 1/deg -> 0), bounding work at n*cap^2 on any
+    corpus. Every join/agg keys on a node id (uniform after the cap);
+    the final top-k lowers to TakeOrderedAndProject — no global sort.
+    Existing edges leave via a left-anti join against the symmetric
+    edge set (one direction suffices since u < w and the set is
+    symmetric). Beyond-reference operator; the graph-analytics family
+    companion to kcore/scc (reference anchor for the family:
+    experiments/src/bin/labelprop.rs:23-47).
+    """
+
+    und = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .union(edges.select(F.col(dst).alias("src"), F.col(src).alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=False)  # feeds deg, two wedge sides, anti-join
+    )
+    deg = und.groupBy(F.col("src").alias("v")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    if max_center_degree is not None:
+        deg = deg.filter(F.col("d") <= max_center_degree)
+    # Exact-decimal per-center contribution: 1/d is a correctly-rounded
+    # IEEE quotient in both engines; round-to-15 then DECIMAL(24,15)
+    # makes the sum associative/commutative => partition-order-free.
+    centers = deg.select(
+        "v",
+        F.expr(
+            "CAST(round(CAST(1 AS DOUBLE) / d, 15) AS DECIMAL(24,15))"
+        ).alias("contrib"),
+    )
+    a1 = und.select(F.col("src").alias("v"), F.col("dst").alias("u"))
+    a2 = und.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    wedges = (
+        a1.join(a2, "v")
+        .filter(F.col("u") < F.col("w"))
+        .join(centers, "v")  # also applies the degree cap to centers
+    )
+    scored = wedges.groupBy("u", "w").agg(
+        F.count(F.lit(1)).alias("cn"),
+        F.sum("contrib").alias("ra_sum"),
+    )
+    non_adjacent = scored.join(
+        und.select(F.col("src").alias("u"), F.col("dst").alias("w")),
+        ["u", "w"],
+        "left_anti",
+    )
+    return (
+        non_adjacent.select(
+            "u",
+            "w",
+            "cn",
+            F.expr("CAST(ra_sum AS DOUBLE)").alias("ra"),
+        )
+        .orderBy(F.desc("ra"), "u", "w")
+        .limit(top_k)
+    )

@@ -586,3 +586,72 @@ def rolling_zscore_us(
             "z",
         )
     )
+
+
+def changepoint(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    bucket_seconds: int = 86_400,
+    window: int = 7,
+    min_shift: float = 0.0,
+) -> DataFrame:
+    """Mean-shift changepoint profile per key: bucket events into
+    ``bucket_seconds`` bins, then at every bin compare the mean of the
+    PRECEDING ``window`` bins against the mean of the bin-inclusive
+    NEXT ``window`` bins (the two-sided sliding-window test — the
+    batch form of CUSUM-style drift detection a corpus/metrics monitor
+    runs when a new source lands). Returns (key, bucket, left_mean,
+    right_mean, mean_shift) for every bin where BOTH windows are full,
+    mean_shift >= ``min_shift``, ordered within the caller's compare.
+
+    Determinism discipline: per-row values cast to DECIMAL(18,6), bin
+    sums and window sums are exact decimal (associative — partition-
+    order-free), counts are integers; the ONLY float ops are the final
+    correctly-rounded double divisions/subtraction, identical in any
+    engine. ROWS frames over the per-key bin sequence (bins are unique
+    per key, so the order is total); partitions are key-sized bin
+    tables, never a global sort. One uniform (key, bin) aggregation
+    shuffle + one key-partitioned window — linear at any corpus size.
+    """
+
+    us = bucket_seconds * 1_000_000
+    daily = (
+        events.select(
+            F.col(key_col).alias("key"),
+            F.floor(_epoch_us(ts_col) / us).alias("bucket"),
+            F.col(value_col).cast("decimal(18,6)").alias("v"),
+        )
+        .groupBy("key", "bucket")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("c"))
+    )
+    wl = (
+        Window.partitionBy("key")
+        .orderBy("bucket")
+        .rowsBetween(-window, -1)
+    )
+    wr = (
+        Window.partitionBy("key")
+        .orderBy("bucket")
+        .rowsBetween(0, window - 1)
+    )
+    stats = daily.select(
+        "key",
+        "bucket",
+        F.count(F.lit(1)).over(wl).alias("nl"),
+        F.sum("s").over(wl).alias("sl"),
+        F.sum("c").over(wl).alias("cl"),
+        F.count(F.lit(1)).over(wr).alias("nr"),
+        F.sum("s").over(wr).alias("sr"),
+        F.sum("c").over(wr).alias("cr"),
+    ).filter((F.col("nl") == window) & (F.col("nr") == window))
+    l_mean = F.col("sl").cast("double") / F.col("cl")
+    r_mean = F.col("sr").cast("double") / F.col("cr")
+    return stats.select(
+        "key",
+        "bucket",
+        F.round(l_mean, 6).alias("left_mean"),
+        F.round(r_mean, 6).alias("right_mean"),
+        F.round(F.abs(r_mean - l_mean), 6).alias("mean_shift"),
+    ).filter(F.col("mean_shift") >= min_shift)

@@ -2591,3 +2591,72 @@ def test_text_norm_directed(spark):
         )
     ).collect()
     assert all(r["changed"] is False for r in again)
+
+
+def test_link_prediction_star_graph(spark):
+    """Star 1-{2,3,4} plus edge 2-3: the only predictable links are
+    (2,4) and (3,4) through center 1 (deg 3), each ra = round(1/3, 15);
+    adjacent pairs never appear; top_k=1 picks (2,4) by the u
+    tiebreak; capping centers at degree 2 removes the only center."""
+
+    from declarative_dataflow_spark.operators import graph as g
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3)], ["src", "dst"]
+    )
+    out = sorted(
+        tuple(r) for r in g.link_prediction(edges).collect()
+    )
+    third = round(1.0 / 3, 15)
+    assert out == [(2, 4, 1, third), (3, 4, 1, third)]
+    top1 = g.link_prediction(edges, top_k=1).collect()
+    assert [(r["u"], r["w"]) for r in top1] == [(2, 4)]
+    capped = g.link_prediction(edges, max_center_degree=2).collect()
+    assert capped == []
+
+
+def test_link_prediction_scores_sum_over_centers(spark):
+    """Two disjoint centers sharing the same leaf pair accumulate:
+    centers 10 (deg 2) and 20 (deg 3) both connect 1 and 2, so
+    ra(1,2) = 1/2 + 1/3 and cn = 2; direction of input edges is
+    irrelevant (symmetrized), duplicates collapse."""
+
+    from declarative_dataflow_spark.operators import graph as g
+
+    edges = spark.createDataFrame(
+        [(10, 1), (2, 10), (20, 1), (20, 2), (20, 3), (10, 1)],
+        ["src", "dst"],
+    )
+    out = {(r["u"], r["w"]): r for r in g.link_prediction(edges).collect()}
+    r12 = out[(1, 2)]
+    assert r12["cn"] == 2
+    assert r12["ra"] == float(round(1.0 / 2, 15) + round(1.0 / 3, 15))
+    # (1,3) and (2,3) via center 20 only
+    assert out[(1, 3)]["cn"] == 1 and out[(2, 3)]["cn"] == 1
+
+
+def test_dedup_keep_best_picks_highest_quality(spark):
+    """In a near-dup cluster the canonical is the highest-n_chars
+    member (ties to the smallest doc_id); singletons map to
+    themselves. Docs 1/2/3 are one chain cluster (shared shingles),
+    doc 9 is unrelated."""
+
+    from declarative_dataflow_spark.operators import dedup as dd
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            (1, base, 100),
+            (2, base + " extra", 260),
+            (3, base + " extra", 260),
+            (9, "totally different words nothing shared here at all x y", 50),
+        ],
+        ["doc_id", "text", "n_chars"],
+    )
+    out = {r["doc_id"]: r["canonical"] for r in
+           dd.dedup_keep_best(docs, threshold=0.2).collect()}
+    # cluster {1,2,3}: 2 and 3 tie on n_chars=260 -> smaller doc_id 2
+    assert out[1] == 2 and out[2] == 2 and out[3] == 2
+    assert out[9] == 9
+    # survivors: exactly one per cluster
+    assert sorted({v for v in out.values()}) == [2, 9]

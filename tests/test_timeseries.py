@@ -1220,3 +1220,59 @@ def test_prop_asof_join_matches_duckdb(spark, points, quotes):
     finally:
         con.close()
     assert got == want
+
+
+def test_changepoint_step_function(spark):
+    """A clean level shift (0 -> 10 at day 11) must put the max
+    mean_shift exactly at the boundary bucket with the full step
+    height, zero shift deep inside the flat regions, and only
+    full-window buckets in the output."""
+
+    rows = []
+    for day in range(1, 21):  # Jan 1..20
+        v = 0.0 if day <= 10 else 10.0
+        rows.append(("k", _ts(day, 1), v))
+        rows.append(("k", _ts(day, 13), v))
+    df = spark.createDataFrame(rows, ["event_type", "ts", "value"])
+    out = {
+        r["bucket"]: r
+        for r in timeseries.changepoint(df, window=3).collect()
+    }
+    # 20 daily buckets, both 3-wide windows full => buckets 4..18
+    # (1-indexed days; bucket ids are epoch days)
+    day1 = (dt.date(2024, 1, 1) - dt.date(1970, 1, 1)).days
+    assert len(out) == 15 and min(out) == day1 + 3 and max(out) == day1 + 17
+    boundary = out[day1 + 10]  # left = days 8,9,10; right = days 11,12,13
+    assert boundary["left_mean"] == 0.0
+    assert boundary["right_mean"] == 10.0
+    assert boundary["mean_shift"] == 10.0
+    assert max(r["mean_shift"] for r in out.values()) == 10.0
+    assert out[day1 + 3]["mean_shift"] == 0.0   # deep in the flat left
+    assert out[day1 + 17]["mean_shift"] == 0.0  # deep in the flat right
+
+
+def test_changepoint_weights_by_event_count(spark):
+    """Window means weight buckets by their EVENT counts (sum/sum),
+    not a mean-of-daily-means: a day with two 6.0 events and a day
+    with one 0.0 event average to 4.0, not 3.0."""
+
+    rows = [
+        ("k", _ts(1, 1), 6.0),
+        ("k", _ts(1, 2), 6.0),
+        ("k", _ts(2, 1), 0.0),
+        ("k", _ts(3, 1), 1.0),
+        ("k", _ts(4, 1), 1.0),
+    ]
+    df = spark.createDataFrame(rows, ["event_type", "ts", "value"])
+    out = {
+        r["bucket"]: r
+        for r in timeseries.changepoint(df, window=2).collect()
+    }
+    day1 = (dt.date(2024, 1, 1) - dt.date(1970, 1, 1)).days
+    r = out[day1 + 2]  # left = days 1,2 (3 events), right = days 3,4
+    assert r["left_mean"] == 4.0
+    assert r["right_mean"] == 1.0
+    assert r["mean_shift"] == 3.0
+    # min_shift filters
+    kept = timeseries.changepoint(df, window=2, min_shift=2.5).collect()
+    assert [k["bucket"] for k in kept] == [day1 + 2]
