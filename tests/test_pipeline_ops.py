@@ -2660,3 +2660,61 @@ def test_dedup_keep_best_picks_highest_quality(spark):
     assert out[9] == 9
     # survivors: exactly one per cluster
     assert sorted({v for v in out.values()}) == [2, 9]
+
+
+@_FUZZ_PROP
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)),
+        min_size=1,
+        max_size=25,
+    ),
+    cap=st.sampled_from([None, 2, 3]),
+)
+def test_prop_link_prediction_matches_bruteforce(spark, edges, cap):
+    """PROPERTY: link_prediction == the textbook RA computation on
+    random directed multigraphs (self-loops, duplicates, both
+    directions), for capped and uncapped centers: symmetrize, drop
+    loops, score every non-adjacent pair by sum(round(1/deg, 15))
+    over common neighbors below the cap."""
+
+    from declarative_dataflow_spark.operators import graph as g
+
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = sorted(
+        tuple(r)
+        for r in g.link_prediction(
+            df, top_k=1000, max_center_degree=cap
+        ).collect()
+    )
+
+    import decimal
+
+    adj = {}
+    for a, b in edges:
+        if a != b:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+    want = {}
+    q15 = decimal.Decimal("1e-15")
+    for v, nbrs in adj.items():
+        if cap is not None and len(nbrs) > cap:
+            continue
+        # mirror the operator's algebra EXACTLY: double quotient,
+        # quantized to 15 decimals, summed as exact decimals (a float
+        # accumulator can drift an ULP from the decimal sum)
+        contrib = decimal.Decimal(1.0 / len(nbrs)).quantize(
+            q15, rounding=decimal.ROUND_HALF_UP
+        )
+        ns = sorted(nbrs)
+        for i in range(len(ns)):
+            for j in range(i + 1, len(ns)):
+                u, w = ns[i], ns[j]
+                if w in adj.get(u, ()):
+                    continue  # already adjacent
+                cn, ra = want.get((u, w), (0, decimal.Decimal(0)))
+                want[(u, w)] = (cn + 1, ra + contrib)
+    want_rows = sorted(
+        (u, w, cn, float(ra)) for (u, w), (cn, ra) in want.items()
+    )
+    assert got == want_rows

@@ -1276,3 +1276,67 @@ def test_changepoint_weights_by_event_count(spark):
     # min_shift filters
     kept = timeseries.changepoint(df, window=2, min_shift=2.5).collect()
     assert [k["bucket"] for k in kept] == [day1 + 2]
+
+
+_cp_events = _st.lists(
+    _st.tuples(
+        _st.integers(0, 1),        # key
+        _st.integers(0, 12),       # day
+        _st.integers(0, 23),       # hour
+        _st.integers(-1000, 1000),  # value in hundredths
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@_PROP_TS
+@_given(events=_cp_events)
+def test_prop_changepoint_matches_duckdb(spark, events):
+    """changepoint == the DuckDB two-sided ROWS-frame formulation on
+    random sparse multi-key event sets — including duplicate
+    (key, day) rows (count weighting), GAPPED day sequences (ROWS
+    frames skip missing days in both engines), and negative values."""
+
+    from declarative_dataflow_spark.operators.timeseries import changepoint
+
+    rows = [
+        (f"k{k}", dt.datetime(2024, 1, 1 + d, h), v / 100.0)
+        for (k, d, h, v) in events
+    ]
+    df = spark.createDataFrame(rows, ["event_type", "ts", "value"])
+    got = sorted(tuple(r) for r in changepoint(df, window=2).collect())
+
+    con = _duckdb.connect()
+    try:
+        con.execute(
+            "CREATE TABLE ev (event_type VARCHAR, ts TIMESTAMP, "
+            "value DOUBLE)"
+        )
+        con.executemany("INSERT INTO ev VALUES (?, ?, ?)", rows)
+        want = sorted(
+            tuple(r)
+            for r in con.execute(
+                "WITH daily AS (SELECT event_type AS key, "
+                "CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) "
+                "AS bucket, sum(CAST(value AS DECIMAL(18,6))) AS s, "
+                "count(*) AS c FROM ev GROUP BY 1, 2), "
+                "win AS (SELECT key, bucket, "
+                "count(*) OVER wl AS nl, sum(s) OVER wl AS sl, "
+                "sum(c) OVER wl AS cl, count(*) OVER wr AS nr, "
+                "sum(s) OVER wr AS sr, sum(c) OVER wr AS cr FROM daily "
+                "WINDOW wl AS (PARTITION BY key ORDER BY bucket "
+                "ROWS BETWEEN 2 PRECEDING AND 1 PRECEDING), "
+                "wr AS (PARTITION BY key ORDER BY bucket "
+                "ROWS BETWEEN CURRENT ROW AND 1 FOLLOWING)) "
+                "SELECT key, bucket, "
+                "round(CAST(sl AS DOUBLE) / cl, 6), "
+                "round(CAST(sr AS DOUBLE) / cr, 6), "
+                "round(abs(CAST(sr AS DOUBLE) / cr - "
+                "CAST(sl AS DOUBLE) / cl), 6) "
+                "FROM win WHERE nl = 2 AND nr = 2"
+            ).fetchall()
+        )
+    finally:
+        con.close()
+    assert got == want
