@@ -626,6 +626,20 @@ def changepoint(
         .groupBy("key", "bucket")
         .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("c"))
     )
+    return changepoint_from_daily(daily, window=window, min_shift=min_shift)
+
+
+def changepoint_from_daily(
+    daily: DataFrame,
+    window: int = 7,
+    min_shift: float = 0.0,
+) -> DataFrame:
+    """:func:`changepoint` core over pre-aggregated (key, bucket, s, c)
+    bin sums — the maintainer's entry point (shared-core discipline:
+    the streaming twin re-derives through THIS function, so maintained
+    and batch semantics cannot drift). ``s`` must be an exact decimal
+    sum and ``c`` the bin's event count."""
+
     wl = (
         Window.partitionBy("key")
         .orderBy("bucket")

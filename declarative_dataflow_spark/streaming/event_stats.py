@@ -709,3 +709,155 @@ class IncrementalAnomalies(_GenerationalState):
             .filter(F.col("diff") != 0)
             .withColumnRenamed("k", self.key_col)
         )
+
+
+class IncrementalChangepoint(_GenerationalState):
+    """Maintained two-sided mean-shift profile (operators/
+    timeseries.py::changepoint). State: signed per-(key, bucket) bin
+    contributions (k, bucket, s DECIMAL, c) — retractions append the
+    NEGATED sums, so consolidation is one groupBy sum and bins whose
+    events all retract vanish (c <= 0). ``process_batch`` returns
+    (key, bucket, left_mean, right_mean, mean_shift, diff): touching
+    one bin shifts every window containing it, so profile rows up to
+    ``window`` bins away appear/disappear — the touched-key recompute
+    through the shared :func:`changepoint_from_daily` core re-derives
+    the whole key exactly (keys are few — event types, sources,
+    metrics — while bins per key grow with history; at larger key
+    cardinality the recompute could narrow to a bucket-range
+    left_semi, the state shape already supports it)."""
+
+    KEY_COL = "k"
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        key_col: str = "event_type",
+        ts_col: str = "ts",
+        value_col: str = "value",
+        bucket_seconds: int = 86_400,
+        window: int = 7,
+        min_shift: float = 0.0,
+    ) -> None:
+        self.spark = spark
+        self.state_dir = state_dir.rstrip("/")
+        self.key_col = key_col
+        self.ts_col = ts_col
+        self.value_col = value_col
+        self.bucket_us = bucket_seconds * 1_000_000
+        self.window = window
+        self.min_shift = min_shift
+
+    def _project(self, events: DataFrame, sign: int) -> DataFrame:
+        from ..operators.timeseries import _epoch_us
+
+        return (
+            events.select(
+                F.col(self.key_col).alias("k"),
+                F.floor(_epoch_us(self.ts_col) / self.bucket_us).alias(
+                    "bucket"
+                ),
+                F.col(self.value_col).cast("decimal(18,6)").alias("v"),
+            )
+            .groupBy("k", "bucket")
+            .agg(
+                (F.sum("v") * sign).cast("decimal(28,6)").alias("s"),
+                (F.count(F.lit(1)) * sign).alias("c"),
+            )
+        )
+
+    def _bins_state(self) -> Optional[DataFrame]:
+        inc = self._read_versioned("bins")
+        if inc is None:
+            return None
+        return (
+            inc.groupBy("k", "bucket")
+            .agg(
+                F.sum("s").cast("decimal(28,6)").alias("s"),
+                F.sum("c").alias("c"),
+            )
+            .filter(F.col("c") > 0)
+        )
+
+    def _profile_of(self, bins: Optional[DataFrame]) -> Optional[DataFrame]:
+        from ..operators.timeseries import changepoint_from_daily
+
+        if bins is None:
+            return None
+        return changepoint_from_daily(
+            bins.select(F.col("k").alias("key"), "bucket", "s", "c"),
+            window=self.window,
+            min_shift=self.min_shift,
+        )
+
+    def current(self) -> Optional[DataFrame]:
+        out = self._profile_of(self._bins_state())
+        if out is None:
+            return None
+        return out.withColumnRenamed("key", self.key_col)
+
+    def process_batch(
+        self,
+        adds: Optional[DataFrame] = None,
+        retracts: Optional[DataFrame] = None,
+        epoch: Optional[int] = None,
+    ) -> Optional[DataFrame]:
+        parts = []
+        if adds is not None:
+            parts.append(self._project(adds, 1))
+        if retracts is not None:
+            parts.append(self._project(retracts, -1))
+        if not parts:
+            return None
+        delta = parts[0] if len(parts) == 1 else parts[0].unionByName(
+            parts[1]
+        )
+        delta = (
+            delta.groupBy("k", "bucket")
+            .agg(
+                F.sum("s").cast("decimal(28,6)").alias("s"),
+                F.sum("c").alias("c"),
+            )
+            .filter((F.col("c") != 0) | (F.col("s") != 0))
+            .localCheckpoint(eager=True)
+        )
+        touched = delta.select("k").distinct()
+        before = self._bins_state()
+        old = (
+            None
+            if before is None
+            else self._profile_of(
+                before.join(touched, "k", "left_semi")
+            ).localCheckpoint(eager=True)
+        )
+        self._append("bins", delta, epoch=epoch)
+        self._epochs = getattr(self, "_epochs", 0) + 1
+        if self._epochs % self.compact_every == 0:
+            consolidated = self._bins_state()
+            if consolidated is not None:
+                self._compact("bins", consolidated)
+        after = self._bins_state()
+        new = (
+            None
+            if after is None
+            else self._profile_of(after.join(touched, "k", "left_semi"))
+        )
+        cols = ["key", "bucket", "left_mean", "right_mean", "mean_shift"]
+
+        def tag(df: Optional[DataFrame], w: int) -> Optional[DataFrame]:
+            if df is None:
+                return None
+            return df.select(*cols, F.lit(w).alias("diff"))
+
+        olds, news = tag(old, -1), tag(new, 1)
+        if olds is None and news is None:
+            return None
+        both = news if olds is None else (
+            olds if news is None else olds.unionByName(news)
+        )
+        return (
+            both.groupBy(*cols)
+            .agg(F.sum("diff").alias("diff"))
+            .filter(F.col("diff") != 0)
+            .withColumnRenamed("key", self.key_col)
+        )

@@ -537,3 +537,106 @@ def test_incremental_anomalies_randomized_churn_equals_batch(spark, tmp_path):
         got = sorted(tuple(r) for r in inc.current().collect())
         want = _anomaly_rows(_vdf(spark, list(live.values())), **kw)
         assert got == want, f"epoch {epoch}"
+
+
+# ---------------------------------------------------------------------------
+# IncrementalChangepoint
+# ---------------------------------------------------------------------------
+
+from declarative_dataflow_spark.streaming.event_stats import (  # noqa: E402
+    IncrementalChangepoint,
+)
+
+CP_COLS = ["event_type", "ts", "value"]
+
+
+def _cpdf(spark, rows):
+    return spark.createDataFrame(rows, CP_COLS)
+
+
+def _cp_rows(df, **kw):
+    out = timeseries.changepoint(df, **kw).collect()
+    return sorted(tuple(r) for r in out)
+
+
+def test_incremental_changepoint_retraction_moves_boundary(spark, tmp_path):
+    """A clean step at day 5 flags shift 10 at the boundary; retracting
+    the high half's first day moves the boundary bucket's windows —
+    profile rows change AWAY from the touched bin (window reach), and
+    the diff stream reflects exactly the changed rows."""
+
+    inc = IncrementalChangepoint(
+        spark, str(tmp_path / "cp"), window=2
+    )
+    rows = [
+        ("k", dt.datetime(2024, 1, d, 6), 0.0 if d <= 4 else 10.0)
+        for d in range(1, 9)
+    ]
+    d0 = inc.process_batch(adds=_cpdf(spark, rows), epoch=0)
+    day1 = (dt.date(2024, 1, 1) - dt.date(1970, 1, 1)).days
+    prof0 = {r["bucket"]: r for r in inc.current().collect()}
+    assert prof0[day1 + 4]["mean_shift"] == 10.0
+    assert sorted(r["diff"] for r in d0.collect()) == [1] * len(prof0)
+
+    # retract day 5's event: buckets shift left of the old boundary
+    d1 = inc.process_batch(
+        retracts=_cpdf(spark, [rows[4]]), epoch=1
+    )
+    live = rows[:4] + rows[5:]
+    assert sorted(
+        tuple(r) for r in inc.current().collect()
+    ) == _cp_rows(_cpdf(spark, live), window=2)
+    # diffs: old rows out (-1), new rows in (+1), net folds to current
+    net = {}
+    for r in list(d0.collect()) + list(d1.collect()):
+        key = (r["event_type"], r["bucket"], r["left_mean"],
+               r["right_mean"], r["mean_shift"])
+        net[key] = net.get(key, 0) + r["diff"]
+    folded = sorted(k for k, v in net.items() if v != 0)
+    assert folded == sorted(tuple(r) for r in inc.current().collect())
+
+
+def test_incremental_changepoint_randomized_churn_equals_batch(
+    spark, tmp_path
+):
+    """Randomized multi-epoch add/retract feeds (duplicate (key, day)
+    events, multi-key, full-bin retractions) keep current() ==
+    batch changepoint on the surviving multiset; a replayed epoch
+    (foreachBatch retry) changes nothing."""
+
+    rng = random.Random(83)
+    inc = IncrementalChangepoint(
+        spark, str(tmp_path / "cp"), window=2
+    )
+    live = []
+    for epoch in range(5):
+        adds = [
+            (
+                f"k{rng.randrange(2)}",
+                dt.datetime(2024, 1, 1 + rng.randrange(8), rng.randrange(24)),
+                float(rng.randint(-20, 20)),
+            )
+            for _ in range(rng.randrange(3, 8))
+        ]
+        retracts = []
+        if live and epoch >= 2:
+            for idx in sorted(
+                rng.sample(range(len(live)), min(2, len(live))),
+                reverse=True,
+            ):
+                retracts.append(live.pop(idx))
+        inc.process_batch(
+            adds=_cpdf(spark, adds),
+            retracts=_cpdf(spark, retracts) if retracts else None,
+            epoch=epoch,
+        )
+        if epoch == 3:  # foreachBatch retry replay: must be a no-op
+            inc.process_batch(
+                adds=_cpdf(spark, adds),
+                retracts=_cpdf(spark, retracts) if retracts else None,
+                epoch=epoch,
+            )
+        live.extend(adds)
+        got = sorted(tuple(r) for r in inc.current().collect())
+        want = _cp_rows(_cpdf(spark, live), window=2)
+        assert got == want, f"epoch {epoch}"
