@@ -2802,6 +2802,20 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (NEW in r9): per probe, the top-5
+    most-similar vectors with a DIFFERENT label — the contrastive-
+    training companion to cosine_topk. Same engine ladder and
+    determinism contract; the label filter runs before the rank
+    window, one corpus scan + broadcast probe labels."""
+
+    return similarity.hard_negatives(
+        load_table(spark, sf_dir, "embeddings"),
+        query_ids=list(range(10)),
+        k=5,
+    )
+
+
 def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MRR + nDCG@10 of cosine retrieval against label ground truth
     for 32 probe queries — probe-bounded (broadcast probes + label
@@ -3659,6 +3673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_subwords": q_text_subwords,
         "simhash": q_simhash,
         "cosine_topk": q_cosine_topk,
+        "hard_negatives": q_hard_negatives,  # NEW in r9
         "ann_quantized": q_ann_quantized,
         "ann_ivf": q_ann_ivf,
         "ann_ivf_kmeans": q_ann_ivf_kmeans,
@@ -5465,6 +5480,24 @@ def oracle_sql() -> dict[str, str]:
             "round(list_dot_product(q.qv, e.v) / "
             "(sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))), 4) AS sim "
             "FROM e CROSS JOIN q WHERE e.vec_id != q.q) "
+            "SELECT q, neighbor, sim, rank FROM ("
+            "SELECT *, CAST(row_number() OVER (PARTITION BY q "
+            "ORDER BY sim DESC, neighbor) AS INT) AS rank FROM s) "
+            "WHERE rank <= 5"
+        ),
+        "hard_negatives": (
+            # cosine_topk's scoring with a different-label gate BEFORE
+            # the rank window; NULL labels drop via the != algebra.
+            "WITH e AS (SELECT vec_id, label, "
+            "CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+            "q AS (SELECT vec_id AS q, label AS q_label, v AS qv "
+            "FROM e WHERE vec_id < 10), "
+            "s AS (SELECT q.q, e.vec_id AS neighbor, "
+            "round(list_dot_product(q.qv, e.v) / "
+            "(sqrt(list_dot_product(q.qv, q.qv)) * "
+            "sqrt(list_dot_product(e.v, e.v))), 4) AS sim "
+            "FROM e CROSS JOIN q "
+            "WHERE e.vec_id != q.q AND e.label != q.q_label) "
             "SELECT q, neighbor, sim, rank FROM ("
             "SELECT *, CAST(row_number() OVER (PARTITION BY q "
             "ORDER BY sim DESC, neighbor) AS INT) AS rank FROM s) "

@@ -124,6 +124,7 @@ HEADLINE = [
     "link_pred",       # Resource-Allocation link prediction, capped wedges (r9)
     "dedup_keep_best",  # quality-aware near-dup survivor selection (r9)
     "changepoint",     # two-sided mean-shift drift profile (r9)
+    "hard_negatives",  # different-label top-k mining (contrastive) (r9)
 ]
 
 

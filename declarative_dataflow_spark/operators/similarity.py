@@ -136,6 +136,78 @@ def cosine_topk(
     )
 
 
+def hard_negatives(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    vector, the top-``k`` most-similar corpus vectors whose
+    ``label_col`` DIFFERS from the query's — the near-misses a
+    contrastive or reranker trainer wants in the batch, as opposed to
+    random negatives cosine already separates. Returns (q, neighbor,
+    sim, rank); same determinism contract as :func:`cosine_topk`
+    (round(sim, 4), neighbor-id tiebreak), rows with a NULL label on
+    either side drop (SQL != algebra, identical in any engine).
+
+    Scoring rides the same engine ladder as cosine_topk (Arrow numpy
+    kernel, JVM broadcast fallback); labels attach via one id-keyed
+    equi-join on the corpus side plus a broadcast of the probe-sized
+    query-label table, so the pass stays one corpus scan. The
+    label filter runs BEFORE the rank window, so the per-query
+    partition the window sorts is candidate-sized, never appended-k.
+    """
+
+    from pyspark.sql.window import Window
+
+    labels = embeddings.select(
+        F.col(id_col).alias("neighbor"), F.col(label_col).alias("n_label")
+    )
+    q_labels = embeddings.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("q"), F.col(label_col).alias("q_label")
+    )
+    scored = _numpy_cosine_scores(embeddings, query_ids, id_col, vec_col)
+    if scored is None:
+        q = embeddings.filter(F.col(id_col).isin(query_ids)).select(
+            F.col(id_col).alias("q"),
+            F.col(vec_col).alias("qv"),
+            _norm(vec_col).alias("q_norm"),
+        )
+        n = embeddings.select(
+            F.col(id_col).alias("neighbor"),
+            F.col(vec_col).alias("nv"),
+            _norm(vec_col).alias("n_norm"),
+        )
+        scored = (
+            n.crossJoin(F.broadcast(q))
+            .filter(F.col("q") != F.col("neighbor"))
+            .withColumn(
+                "sim",
+                _dot("qv", "nv")
+                / F.nullif(F.col("q_norm") * F.col("n_norm"), F.lit(0.0)),
+            )
+            .select("q", "neighbor", "sim")
+        )
+    sims = (
+        scored.withColumn("sim", F.round(F.col("sim"), 4))
+        .filter(F.col("sim").isNotNull())
+        .join(labels, "neighbor")
+        .join(F.broadcast(q_labels), "q")
+        .filter(F.col("n_label") != F.col("q_label"))
+    )
+    w = Window.partitionBy("q").orderBy(
+        F.col("sim").desc(), F.col("neighbor").asc()
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q", "neighbor", "sim", "rank")
+    )
+
+
 def _numpy_cosine_scores(
     embeddings: DataFrame,
     query_ids: list[int],

@@ -2718,3 +2718,28 @@ def test_prop_link_prediction_matches_bruteforce(spark, edges, cap):
         (u, w, cn, float(ra)) for (u, w), (cn, ra) in want.items()
     )
     assert got == want_rows
+
+
+def test_hard_negatives_excludes_same_label(spark):
+    """Only different-label neighbors rank: the query's own class —
+    including its most-similar twin — never appears; NULL-label rows
+    drop on either side; ranking is (sim desc, neighbor) within the
+    surviving candidates."""
+
+    from declarative_dataflow_spark.operators import similarity as sim
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0], 7),     # query, label 7
+            (1, [0.99, 0.1, 0.0], 7),    # same label: excluded
+            (2, [0.9, 0.2, 0.0], 8),     # hard negative (closest)
+            (3, [0.0, 1.0, 0.0], 8),     # easy negative
+            (4, [0.8, 0.3, 0.0], None),  # NULL label: drops
+        ],
+        ["vec_id", "embedding", "label"],
+    )
+    out = sim.hard_negatives(emb, query_ids=[0], k=3).collect()
+    assert [(r["neighbor"], r["rank"]) for r in out] == [(2, 1), (3, 2)]
+    # equal-label-count sanity: a NULL-label QUERY yields no rows
+    out_null = sim.hard_negatives(emb, query_ids=[4], k=3).collect()
+    assert out_null == []
