@@ -3749,9 +3749,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_neardup", "token_kl_shift", "embed_drift",
         "snapshot_diff", "fuzzy_match", "minhash_est", "graph_scc",
         "c4_rules", "fuzzy_groups", "lsh_pr", "text_norm",
+        "link_pred", "dedup_keep_best", "changepoint",
+        "hard_negatives",
         # pair engine changed this round — re-verify
         "semdedup",
-        # latest driver-green row = r05 (38 stalest by past-row count)
+        # latest driver-green row = r05 (34 stalest by past-row count)
         "shortest_cost", "wco_clique5", "datalog_text",
         "coarsen_batch", "window_tumbling", "window_sliding",
         "window_session", "embed_quantize", "topk_plan", "agg_rollup",
@@ -3761,8 +3763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bitemporal_timeline", "fingerprint", "lang_id",
         "text_quality", "distinct_ingest", "pull_all", "agg_min",
         "agg_max", "agg_count", "agg_sum", "agg_avg", "agg_variance",
-        "negate_setdiff", "filter_vars", "transform_truncate",
-        "transform_add", "transform_subtract",
+        "negate_setdiff",
     ]
     assert len(front) == 50 and set(front) <= set(q), "rotation list drift"
     return {**{k: q[k] for k in front}, **{k: v for k, v in q.items() if k not in front}}
