@@ -3191,6 +3191,19 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embed_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prototypicality pruning (NEW in r9): the SemDeDup complement —
+    within each deterministic k-means cell, flag the least-
+    prototypical 25% by cosine-to-own-centroid (SSL-prototypes-style
+    "prune the weird tail of every semantic cluster"). One n x 1
+    scoring pass over the assignment (never n x k), cell-partitioned
+    window, exact floor(cell_size * frac) cut in both engines."""
+
+    return similarity.embed_prune(
+        load_table(spark, sf_dir, "embeddings"), k=8, iters=2, frac=0.25
+    )
+
+
 def q_nb_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classifier-based quality filter: multinomial NB trained on the
     corpus's own Gopher gate (min_words=40, the declared gopher_rules
@@ -3599,6 +3612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans": q_dup_spans,  # NEW in r6
         "nb_quality": q_nb_quality,  # NEW in r6
         "kmeans": q_kmeans,  # NEW in r6
+        "embed_prune": q_embed_prune,  # NEW in r9
         "dsir_weights": q_dsir_weights,  # NEW in r6
         "bloom_contam": q_bloom_contam,  # NEW in r6
         "weighted_sample": q_weighted_sample,  # NEW in r6
@@ -3750,10 +3764,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff", "fuzzy_match", "minhash_est", "graph_scc",
         "c4_rules", "fuzzy_groups", "lsh_pr", "text_norm",
         "link_pred", "dedup_keep_best", "changepoint",
-        "hard_negatives",
+        "hard_negatives", "embed_prune",
         # pair engine changed this round — re-verify
         "semdedup",
-        # latest driver-green row = r05 (34 stalest by past-row count)
+        # latest driver-green row = r05 (33 stalest by past-row count)
         "shortest_cost", "wco_clique5", "datalog_text",
         "coarsen_batch", "window_tumbling", "window_sliding",
         "window_session", "embed_quantize", "topk_plan", "agg_rollup",
@@ -3763,7 +3777,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bitemporal_timeline", "fingerprint", "lang_id",
         "text_quality", "distinct_ingest", "pull_all", "agg_min",
         "agg_max", "agg_count", "agg_sum", "agg_avg", "agg_variance",
-        "negate_setdiff",
     ]
     assert len(front) == 50 and set(front) <= set(q), "rotation list drift"
     return {**{k: q[k] for k in front}, **{k: v for k, v in q.items() if k not in front}}
@@ -3896,7 +3909,9 @@ def _kcore_oracle_sql(k: int = 12, iters: int = 8) -> str:
     return "".join(parts)
 
 
-def _kmeans_oracle_sql(k: int = 8, iters: int = 2, k_sql: str = "") -> str:
+def _kmeans_oracle_sql(
+    k: int = 8, iters: int = 2, k_sql: str = "", tail: str = ""
+) -> str:
     """DuckDB twin of similarity.kmeans_assign: the ann_ivf_kmeans
     one-step Lloyd CTE unrolled ``iters`` times (lowest-id seeds,
     cosine argmax assignment with cell tiebreak, per-component means
@@ -3905,7 +3920,12 @@ def _kmeans_oracle_sql(k: int = 8, iters: int = 2, k_sql: str = "") -> str:
     ``k_sql`` (a scalar SQL expression over the corpus, e.g. the
     density_cells form) overrides the literal ``k`` — the seed CTE
     then takes the lowest-rn rows under a row_number filter instead
-    of a LIMIT, mirroring semdedup's k="auto"."""
+    of a LIMIT, mirroring semdedup's k="auto".
+
+    ``tail`` replaces the default final SELECT: it runs after an extra
+    ``af`` CTE holding the final assignment WITH vectors (vec_id, v,
+    cell) beside the final centroid CTE ``cf`` (cell, cv) — the hook
+    consumers like embed_prune use to share the exact Lloyd CTEs."""
 
     def assign(src: str, cents: str, cols: str) -> str:
         return (
@@ -3950,6 +3970,12 @@ def _kmeans_oracle_sql(k: int = 8, iters: int = 2, k_sql: str = "") -> str:
             f"c{i} AS (SELECT {prev}.cell, coalesce(m{i}.mv, {prev}.cv) "
             f"AS cv FROM {prev} LEFT JOIN m{i} USING (cell))"
         )
+    if tail:
+        ctes.append(
+            f"af AS " + assign("e", f"c{iters}", "vec_id, v, cell")
+        )
+        ctes.append(f"cf AS (SELECT cell, cv FROM c{iters})")
+        return "WITH " + ", ".join(ctes) + " " + tail
     return (
         "WITH " + ", ".join(ctes) + " SELECT vec_id, cell FROM "
         + assign("e", f"c{iters}", "vec_id, cell") + " t"
@@ -5933,6 +5959,22 @@ def oracle_sql() -> dict[str, str]:
         ),
         "bpe_encode": _bpe_encode_oracle_sql(8),
         "kmeans": _kmeans_oracle_sql(8, 2),
+        # embed_prune: the same Lloyd CTEs via tail= (af/cf hook),
+        # then cosine-to-own-centroid + per-cell bottom-frac cut.
+        "embed_prune": _kmeans_oracle_sql(8, 2, tail=(
+            ", sims AS (SELECT a.vec_id, a.cell, "
+            "round(list_dot_product(a.v, c.cv) / "
+            "(sqrt(list_dot_product(a.v, a.v)) * "
+            "sqrt(list_dot_product(c.cv, c.cv))), 4) AS sim_c "
+            "FROM af a JOIN cf c USING (cell)), "
+            "ranked AS (SELECT s.vec_id, s.cell, s.sim_c, "
+            "row_number() OVER (PARTITION BY s.cell "
+            "ORDER BY coalesce(s.sim_c, -2.0), s.vec_id) AS rn, "
+            "count(*) OVER (PARTITION BY s.cell) AS n FROM sims s) "
+            "SELECT vec_id, cell, sim_c, "
+            "rn <= CAST(floor(n * 0.25) AS BIGINT) AS pruned "
+            "FROM ranked"
+        )),
         "graph_cc": (
             # Reachability closure + min via recursive CTE — exact on
             # the sparse instance; the Spark operator converges by

@@ -125,6 +125,7 @@ HEADLINE = [
     "dedup_keep_best",  # quality-aware near-dup survivor selection (r9)
     "changepoint",     # two-sided mean-shift drift profile (r9)
     "hard_negatives",  # different-label top-k mining (contrastive) (r9)
+    "embed_prune",     # prototypicality pruning (SemDeDup complement) (r9)
 ]
 
 

@@ -1463,6 +1463,68 @@ def pq_topk(
         .select("q", "neighbor", "adist", "rank")
     )
 
+def embed_prune(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    frac: float = 0.25,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Prototypicality pruning (the SemDeDup COMPLEMENT — SSL-
+    prototypes-style): cluster the corpus with the same deterministic
+    Lloyd machinery as :func:`kmeans_assign`, score every vector by
+    cosine to its OWN centroid, and flag the least-prototypical
+    ``frac`` of each cell — the "prune the weird/broken tail of every
+    semantic cluster" curation pass. Returns (vec_id, cell, sim_c,
+    pruned); sim_c rounds to 4 decimals, the per-cell cut ranks by
+    (sim_c asc, vec_id) with NULL cosines (zero-norm vectors) sorted
+    first via an explicit coalesce(-2.0) key (cosine >= -1, and
+    Spark/DuckDB disagree on default NULL order), and the cut count
+    is floor(cell_size * frac) — exact and engine-free.
+
+    Cost over kmeans_assign: one id-keyed join to re-attach vectors,
+    one broadcast of the k x dim centroid table, ONE dot per row
+    (n x 1, never n x k — the assignment already picked the cell),
+    and a cell-partitioned window (cluster-sized partitions). Linear
+    at any corpus size.
+    """
+
+    from pyspark.sql.window import Window
+
+    cents = ivf_centroids(embeddings, k, iters, id_col, vec_col)
+    assign = _assign_cells(embeddings, cents, id_col, vec_col)
+    vecs = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")
+    )
+    scored = (
+        vecs.join(assign, "vec_id")
+        .join(F.broadcast(cents), "cell")
+        .select(
+            "vec_id",
+            "cell",
+            F.round(
+                _dot("v", "cv")
+                / F.nullif(_norm("v") * _norm("cv"), F.lit(0.0)),
+                4,
+            ).alias("sim_c"),
+        )
+    )
+    w = Window.partitionBy("cell").orderBy(
+        F.coalesce(F.col("sim_c"), F.lit(-2.0)).asc(), F.asc("vec_id")
+    )
+    wc = Window.partitionBy("cell")
+    return scored.select(
+        "vec_id",
+        "cell",
+        "sim_c",
+        (
+            F.row_number().over(w)
+            <= F.floor(F.count(F.lit(1)).over(wc) * frac)
+        ).alias("pruned"),
+    )
+
+
 def kmeans_assign(
     embeddings: DataFrame,
     k: int = 8,

@@ -2743,3 +2743,29 @@ def test_hard_negatives_excludes_same_label(spark):
     # equal-label-count sanity: a NULL-label QUERY yields no rows
     out_null = sim.hard_negatives(emb, query_ids=[4], k=3).collect()
     assert out_null == []
+
+
+def test_embed_prune_cuts_cell_tail(spark):
+    """floor(n * frac) least-prototypical members of each cell flag
+    pruned: with one tight cluster of 4 around e1 and an outlier
+    pointing away, frac=0.25 prunes exactly the outlier; frac too
+    small for one row (floor < 1) prunes nothing."""
+
+    from declarative_dataflow_spark.operators import similarity as sim
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.98, 0.05]),
+            (2, [0.97, 0.08]),
+            (3, [0.2, 0.9]),  # least aligned with the cell mean
+        ],
+        ["vec_id", "embedding"],
+    )
+    out = {r["vec_id"]: r for r in
+           sim.embed_prune(emb, k=1, iters=1, frac=0.25).collect()}
+    assert len(out) == 4 and all(r["cell"] == 0 for r in out.values())
+    assert [i for i, r in out.items() if r["pruned"]] == [3]
+    assert out[3]["sim_c"] == min(r["sim_c"] for r in out.values())
+    none_pruned = sim.embed_prune(emb, k=1, iters=1, frac=0.2).collect()
+    assert all(not r["pruned"] for r in none_pruned)  # floor(4*0.2)=0
