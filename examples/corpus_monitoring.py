@@ -88,6 +88,40 @@ def main() -> None:
         js = inc.current().collect()[0]["js"]
         print(f"epoch {ep + 1}: live JS divergence vs old snapshot = {js}")
 
+    # -- 6. metric changepoints over the ingest timeline --------------
+    # The same monitor, pointed at pipeline metrics instead of text:
+    # a two-sided mean-shift profile over daily per-type event values
+    # surfaces WHEN a source's behavior changed (the seeded +5 shift
+    # here stands in for a crawler config change). The maintained
+    # twin folds per-epoch batches into (key, day) decimal bin sums
+    # and re-derives only touched keys.
+    from declarative_dataflow_spark.operators import timeseries
+    from declarative_dataflow_spark.streaming.event_stats import (
+        IncrementalChangepoint,
+    )
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    seeded = events.withColumn(
+        "value",
+        F.col("value")
+        + F.when(
+            timeseries._epoch_us("ts") >= F.lit(1705363200000000), F.lit(5.0)
+        ).otherwise(F.lit(0.0)),
+    )
+    print("top metric mean-shifts (two-sided 7-day windows):")
+    timeseries.changepoint(seeded, window=7).orderBy(
+        F.desc("mean_shift")
+    ).show(5)
+
+    cp_state = tempfile.mkdtemp(prefix="cp_state_")
+    cp = IncrementalChangepoint(spark, cp_state, window=7)
+    for ep in range(3):
+        cp.process_batch(
+            adds=seeded.filter(F.col("event_id") % 3 == ep), epoch=ep
+        )
+    live = cp.current()
+    print(f"maintained profile rows after 3 epochs: {live.count()}")
+
     spark.stop()
 
 
