@@ -2769,3 +2769,101 @@ def test_embed_prune_cuts_cell_tail(spark):
     assert out[3]["sim_c"] == min(r["sim_c"] for r in out.values())
     none_pruned = sim.embed_prune(emb, k=1, iters=1, frac=0.2).collect()
     assert all(not r["pruned"] for r in none_pruned)  # floor(4*0.2)=0
+
+
+@_FUZZ_PROP
+@given(
+    data=st.lists(
+        st.tuples(
+            st.lists(
+                st.integers(-5, 5), min_size=3, max_size=3
+            ),  # vector
+            st.one_of(st.none(), st.integers(0, 2)),  # label
+        ),
+        min_size=2,
+        max_size=16,
+    )
+)
+def test_prop_hard_negatives_consistent_with_cosine_topk(spark, data):
+    """PROPERTY: hard_negatives == cosine_topk's full ranking filtered
+    to valid different-label pairs and re-ranked — the label gate and
+    re-rank are the ONLY differences from the already-oracle-verified
+    ranking (NULL labels drop on either side, ties keep cosine_topk's
+    neighbor order)."""
+
+    from declarative_dataflow_spark.operators import similarity as sim
+
+    rows = [(i, [float(x) for x in v], lab) for i, (v, lab) in
+            enumerate(data)]
+    emb = spark.createDataFrame(  # explicit schema: labels may be all-NULL
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    qids = [0, 1]
+    n = len(rows)
+    full = sim.cosine_topk(emb, qids, k=n).collect()
+    labels = {i: lab for i, _, lab in rows}
+    k = 3
+    want = []
+    for q in qids:
+        ranked = sorted(
+            (r for r in full if r["q"] == q), key=lambda r: r["rank"]
+        )
+        kept = [
+            r for r in ranked
+            if labels[q] is not None
+            and labels[r["neighbor"]] is not None
+            and labels[r["neighbor"]] != labels[q]
+        ][:k]
+        want.extend(
+            (q, r["neighbor"], r["sim"], i + 1)
+            for i, r in enumerate(kept)
+        )
+    got = sorted(
+        tuple(r) for r in sim.hard_negatives(emb, qids, k=k).collect()
+    )
+    assert got == sorted(want)
+
+
+@_FUZZ_PROP
+@given(
+    vecs=st.lists(
+        st.lists(st.integers(-4, 4), min_size=2, max_size=2),
+        min_size=3,
+        max_size=14,
+    ),
+    frac=st.sampled_from([0.2, 0.25, 0.5]),
+)
+def test_prop_embed_prune_cut_arithmetic(spark, vecs, frac):
+    """PROPERTY: embed_prune's assignment equals kmeans_assign (the
+    oracle-verified clustering), exactly floor(n_cell * frac) rows
+    flag per cell, and the flagged set is the bottom of the
+    (coalesce(sim_c, -2.0), vec_id) order — for random low-dim
+    corpora including zero vectors (NULL cosine)."""
+
+    import math
+
+    from declarative_dataflow_spark.operators import similarity as sim
+
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    k = 3
+    out = sim.embed_prune(emb, k=k, iters=1, frac=frac).collect()
+    assign = {
+        r["vec_id"]: r["cell"]
+        for r in sim.kmeans_assign(emb, k=k, iters=1).collect()
+    }
+    assert {r["vec_id"]: r["cell"] for r in out} == assign
+    by_cell = {}
+    for r in out:
+        by_cell.setdefault(r["cell"], []).append(r)
+    for cell, members in by_cell.items():
+        members.sort(
+            key=lambda r: (
+                -2.0 if r["sim_c"] is None else r["sim_c"],
+                r["vec_id"],
+            )
+        )
+        cut = math.floor(len(members) * frac)
+        assert [r["vec_id"] for r in members if r["pruned"]] == [
+            r["vec_id"] for r in members[:cut]
+        ], f"cell {cell}"
