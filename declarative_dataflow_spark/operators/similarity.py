@@ -1497,18 +1497,37 @@ def embed_prune(
     vecs = embeddings.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")
     )
+    # n x 1 rescore (each vector against its OWN centroid only). The
+    # zip_with/aggregate fold evaluates as an interpreted per-element
+    # lambda (~3s of the sf1 wall for 50k x 64); positionally-unrolled
+    # dim-sized sums stay inside whole-stage codegen and are
+    # bit-identical (same left-assoc dim-ascending order). Falls back
+    # to the fold only if the corpus is empty (no dim to unroll).
+    dim_row = embeddings.select(F.size(F.col(vec_col)).alias("d")).first()
+    if dim_row is not None and dim_row["d"] is not None:
+        dim = dim_row["d"]
+
+        def psum(a: str, b: str) -> str:
+            return " + ".join(
+                f"CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE)"
+                for i in range(dim)
+            )
+
+        sim = F.expr(
+            f"round(({psum('v', 'cv')}) / "
+            f"nullif(sqrt({psum('v', 'v')}) * "
+            f"sqrt({psum('cv', 'cv')}), 0.0), 4)"
+        )
+    else:
+        sim = F.round(
+            _dot("v", "cv")
+            / F.nullif(_norm("v") * _norm("cv"), F.lit(0.0)),
+            4,
+        )
     scored = (
         vecs.join(assign, "vec_id")
         .join(F.broadcast(cents), "cell")
-        .select(
-            "vec_id",
-            "cell",
-            F.round(
-                _dot("v", "cv")
-                / F.nullif(_norm("v") * _norm("cv"), F.lit(0.0)),
-                4,
-            ).alias("sim_c"),
-        )
+        .select("vec_id", "cell", sim.alias("sim_c"))
     )
     w = Window.partitionBy("cell").orderBy(
         F.coalesce(F.col("sim_c"), F.lit(-2.0)).asc(), F.asc("vec_id")
