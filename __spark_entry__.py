@@ -2672,6 +2672,20 @@ def q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return timeseries.changepoint(seeded, window=7)
 
 
+def q_edge_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-edge triangle support (NEW in r9): the k-truss measure over
+    the wco_4clause graph (1000 nodes, 1/11 sparsifier — moduli the
+    sf-scaler preserves). Two node-keyed wedge joins + one uniform
+    count; zero-support edges kept via the left join."""
+
+    ev = load_table(spark, sf_dir, "events")
+    edges = ev.filter(F.col("event_id") % 11 == 0).select(
+        (F.col("user_id") % 1000).alias("src"),
+        (F.col("event_id") % 1000).alias("dst"),
+    )
+    return graph.edge_triangle_support(edges)
+
+
 def q_minhash_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash sketch-quality eval (NEW in r9): signature-estimated
     vs exact Jaccard with absolute error for every exact-band LSH
@@ -3613,6 +3627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_quality": q_nb_quality,  # NEW in r6
         "kmeans": q_kmeans,  # NEW in r6
         "embed_prune": q_embed_prune,  # NEW in r9
+        "edge_support": q_edge_support,  # NEW in r9
         "dsir_weights": q_dsir_weights,  # NEW in r6
         "bloom_contam": q_bloom_contam,  # NEW in r6
         "weighted_sample": q_weighted_sample,  # NEW in r6
@@ -3764,10 +3779,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff", "fuzzy_match", "minhash_est", "graph_scc",
         "c4_rules", "fuzzy_groups", "lsh_pr", "text_norm",
         "link_pred", "dedup_keep_best", "changepoint",
-        "hard_negatives", "embed_prune",
+        "hard_negatives", "embed_prune", "edge_support",
         # pair engine changed this round — re-verify
         "semdedup",
-        # latest driver-green row = r05 (33 stalest by past-row count)
+        # latest driver-green row = r05 (32 stalest by past-row count)
         "shortest_cost", "wco_clique5", "datalog_text",
         "coarsen_batch", "window_tumbling", "window_sliding",
         "window_session", "embed_quantize", "topk_plan", "agg_rollup",
@@ -3776,7 +3791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hector_constants", "name_expr", "bitemporal_asof",
         "bitemporal_timeline", "fingerprint", "lang_id",
         "text_quality", "distinct_ingest", "pull_all", "agg_min",
-        "agg_max", "agg_count", "agg_sum", "agg_avg", "agg_variance",
+        "agg_max", "agg_count", "agg_sum", "agg_avg",
     ]
     assert len(front) == 50 and set(front) <= set(q), "rotation list drift"
     return {**{k: q[k] for k in front}, **{k: v for k, v in q.items() if k not in front}}
@@ -5958,6 +5973,22 @@ def oracle_sql() -> dict[str, str]:
             ("doc_id", "text", "lang", "source", "n_chars")
         ),
         "bpe_encode": _bpe_encode_oracle_sql(8),
+        "edge_support": (
+            # canonical a < b undirected edges; support = common
+            # neighbors of the endpoints; zero-support edges kept.
+            "WITH e0 AS (SELECT DISTINCT user_id % 1000 AS src, "
+            "event_id % 1000 AS dst FROM events WHERE event_id % 11 = 0), "
+            "und AS (SELECT src, dst FROM e0 WHERE src <> dst "
+            "UNION SELECT dst, src FROM e0 WHERE src <> dst), "
+            "canon AS (SELECT src AS a, dst AS b FROM und "
+            "WHERE src < dst), "
+            "tri AS (SELECT c.a, c.b, count(*) AS support FROM canon c "
+            "JOIN und n1 ON n1.src = c.a "
+            "JOIN und n2 ON n2.src = c.b AND n2.dst = n1.dst "
+            "GROUP BY 1, 2) "
+            "SELECT c.a, c.b, coalesce(t.support, 0) AS support "
+            "FROM canon c LEFT JOIN tri t ON t.a = c.a AND t.b = c.b"
+        ),
         "kmeans": _kmeans_oracle_sql(8, 2),
         # embed_prune: the same Lloyd CTEs via tail= (af/cf hook),
         # then cosine-to-own-centroid + per-cell bottom-frac cut.

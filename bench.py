@@ -126,6 +126,7 @@ HEADLINE = [
     "changepoint",     # two-sided mean-shift drift profile (r9)
     "hard_negatives",  # different-label top-k mining (contrastive) (r9)
     "embed_prune",     # prototypicality pruning (SemDeDup complement) (r9)
+    "edge_support",    # per-edge triangle support (k-truss measure) (r9)
 ]
 
 

@@ -696,3 +696,98 @@ def link_prediction(
         .orderBy(F.desc("ra"), "u", "w")
         .limit(top_k)
     )
+
+
+def edge_triangle_support(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Per-edge triangle support: for every undirected edge {a, b}
+    (canonicalized a < b, self-loops dropped), the number of common
+    neighbors of its endpoints — the number of triangles the edge
+    closes, and the quantity k-truss peeling (:func:`ktruss`)
+    thresholds on. Returns (a, b, support), support 0 for edges in no
+    triangle (kept via the left join — a cohesion report that silently
+    drops the acyclic fringe would overstate density).
+
+    Shape: two node-keyed equi-joins enumerate the wedges that close
+    each edge (cost ~ sum over edges of the smaller endpoint degree —
+    the standard triangle-enumeration bound) and one uniform (a, b)
+    count; nothing sorts, nothing broadcasts data-sized state.
+    Reference anchor for the triangle family:
+    experiments/src/bin/graphs-interactive-neu.rs (Hector's triangle
+    queries); this is the per-EDGE aggregate of the same wedge
+    closure.
+    """
+
+    und = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .union(edges.select(F.col(dst).alias("src"), F.col(src).alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=False)  # feeds canon + both wedge sides
+    )
+    canon = und.filter(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("a"), F.col("dst").alias("b")
+    )
+    n1 = und.select(F.col("src").alias("a"), F.col("dst").alias("v"))
+    n2 = und.select(F.col("src").alias("b"), F.col("dst").alias("v"))
+    tri = (
+        canon.join(n1, "a")
+        .join(n2, ["b", "v"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+    return (
+        canon.join(tri, ["a", "b"], "left")
+        .select(
+            "a",
+            "b",
+            F.coalesce(F.col("support"), F.lit(0)).alias("support"),
+        )
+    )
+
+
+def ktruss(
+    edges: DataFrame,
+    t: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_iters: int = 30,
+    require_convergence: bool = True,
+) -> DataFrame:
+    """k-truss: the maximal subgraph in which every edge closes at
+    least ``t`` triangles WITHIN the subgraph — the edge-cohesion
+    analog of :func:`kcore` (a (t+2)-truss edge set is denser than any
+    same-k core; community cores, spam cliques). Returns the surviving
+    (a, b, support) with a < b.
+
+    Peeling is non-monotone (dropping an edge lowers neighbors'
+    support), so this is kcore's shrink-to-fixpoint loop with
+    :func:`edge_triangle_support` as the per-round measure: recompute
+    support on the surviving edges, drop those under ``t``, stop when
+    a limit(1) probe finds nothing under threshold. Rounds are bounded
+    by peel depth; each round is the triangle-enumeration joins on a
+    SHRINKING edge set, lineage truncated per round."""
+
+    cur = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .localCheckpoint(eager=False)
+    )
+    sup = None
+    converged = False
+    for _ in range(max_iters):
+        sup = edge_triangle_support(cur).localCheckpoint(eager=False)
+        if sup.filter(F.col("support") < t).limit(1).isEmpty():
+            converged = True
+            break
+        cur = (
+            sup.filter(F.col("support") >= t)
+            .select(F.col("a").alias("src"), F.col("b").alias("dst"))
+            .localCheckpoint()
+        )
+    if require_convergence and not converged:
+        raise RuntimeError(f"ktruss: no fixpoint within {max_iters} rounds")
+    return sup

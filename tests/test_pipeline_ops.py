@@ -2867,3 +2867,64 @@ def test_prop_embed_prune_cut_arithmetic(spark, vecs, frac):
         assert [r["vec_id"] for r in members if r["pruned"]] == [
             r["vec_id"] for r in members[:cut]
         ], f"cell {cell}"
+
+
+def test_edge_support_and_ktruss_directed(spark):
+    """A 4-clique (every edge closes 2 triangles) plus a pendant
+    triangle sharing one vertex: supports are exact, zero-support
+    edges stay in the report, and t=2 truss peeling keeps exactly the
+    clique (the pendant triangle's edges have support 1 and peel in
+    round one; the shared vertex does not save them)."""
+
+    from declarative_dataflow_spark.operators import graph as g
+
+    clique = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    pendant = [(3, 10), (3, 11), (10, 11), (11, 99)]
+    edges = spark.createDataFrame(clique + pendant, ["src", "dst"])
+
+    sup = {(r["a"], r["b"]): r["support"]
+           for r in g.edge_triangle_support(edges).collect()}
+    assert all(sup[e] == 2 for e in clique)
+    assert sup[(3, 10)] == 1 and sup[(3, 11)] == 1 and sup[(10, 11)] == 1
+    assert sup[(11, 99)] == 0  # kept, not dropped
+
+    truss = sorted(
+        (r["a"], r["b"]) for r in g.ktruss(edges, t=2).collect()
+    )
+    assert truss == sorted(clique)
+    # t above the densest support: empty, and it must CONVERGE
+    assert g.ktruss(edges, t=3).count() == 0
+
+
+@_FUZZ_PROP
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 8), st.integers(0, 8)),
+        min_size=1,
+        max_size=22,
+    )
+)
+def test_prop_edge_support_matches_bruteforce(spark, edges):
+    """PROPERTY: edge_triangle_support == |N(a) n N(b)| for every
+    canonical undirected edge of random directed multigraphs
+    (self-loops and duplicates collapse; zero-support edges present
+    with 0)."""
+
+    from declarative_dataflow_spark.operators import graph as g
+
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = sorted(
+        tuple(r) for r in g.edge_triangle_support(df).collect()
+    )
+    adj = {}
+    for a, b in edges:
+        if a != b:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+    want = sorted(
+        (a, b, len(adj[a] & adj[b]))
+        for a in adj
+        for b in adj[a]
+        if a < b
+    )
+    assert got == want
