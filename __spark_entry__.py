@@ -3211,10 +3211,14 @@ def q_embed_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     prototypical 25% by cosine-to-own-centroid (SSL-prototypes-style
     "prune the weird tail of every semantic cluster"). One n x 1
     scoring pass over the assignment (never n x k), cell-partitioned
-    window, exact floor(cell_size * frac) cut in both engines."""
+    window, exact floor(cell_size * frac) cut in both engines.
+    k="auto" (r10): density-derived cell count so each row_number
+    partition stays ~target_cell rows at any corpus size — a fixed
+    k=8 is 8 single-reducer sorts of n/8 rows each at 100x data."""
 
     return similarity.embed_prune(
-        load_table(spark, sf_dir, "embeddings"), k=8, iters=2, frac=0.25
+        load_table(spark, sf_dir, "embeddings"), k="auto", iters=2,
+        frac=0.25,
     )
 
 
@@ -4271,7 +4275,11 @@ _MINHASH_EST_ORACLE = (
 # reachability closure over the undirected pair graph; canonical =
 # min reachable doc_id (independent formulation of the hash-min label
 # propagation in dedup.connected_components).
-_DEDUP_GROUPS_ORACLE = (
+# Shared LSH-pair + reachability-closure CTE prefix: both the
+# dedup_groups and dedup_keep_best oracles append their final SELECT
+# to this named constant (never substring surgery — a reworded final
+# SELECT can't silently change the derived SQL).
+_DEDUP_CLOSURE_CTES = (
     "WITH RECURSIVE words AS (SELECT doc_id, "
     "string_split(lower(text), ' ') AS w FROM documents), "
     "sh AS (SELECT DISTINCT doc_id, "
@@ -4298,17 +4306,18 @@ _DEDUP_GROUPS_ORACLE = (
     "reach(u, v) AS (SELECT u, u AS v FROM (SELECT DISTINCT u FROM edges) "
     "UNION SELECT e.u, r.v FROM edges e JOIN reach r ON r.u = e.v), "
     "comp AS (SELECT u, min(v) AS component FROM reach GROUP BY u) "
+)
+
+_DEDUP_GROUPS_ORACLE = _DEDUP_CLOSURE_CTES + (
     "SELECT d.doc_id, coalesce(c.component, d.doc_id) AS canonical "
     "FROM documents d LEFT JOIN comp c ON c.u = d.doc_id"
 )
 
 # dedup_keep_best oracle: identical LSH-pair + reachability-closure
-# CTEs (shared via the prefix of _DEDUP_GROUPS_ORACLE), but the
-# survivor per component is the highest-n_chars member (ties to the
-# smallest doc_id) via a component-partitioned row_number.
-_DEDUP_KEEP_BEST_ORACLE = _DEDUP_GROUPS_ORACLE[
-    : _DEDUP_GROUPS_ORACLE.rindex("SELECT d.doc_id")
-] + (
+# CTEs (the shared _DEDUP_CLOSURE_CTES constant), but the survivor
+# per component is the highest-n_chars member (ties to the smallest
+# doc_id) via a component-partitioned row_number.
+_DEDUP_KEEP_BEST_ORACLE = _DEDUP_CLOSURE_CTES + (
     ", memb AS (SELECT d.doc_id, "
     "coalesce(c.component, d.doc_id) AS component, d.n_chars "
     "FROM documents d LEFT JOIN comp c ON c.u = d.doc_id), "
@@ -5992,9 +6001,12 @@ def oracle_sql() -> dict[str, str]:
             "FROM canon c LEFT JOIN tri t ON t.a = c.a AND t.b = c.b"
         ),
         "kmeans": _kmeans_oracle_sql(8, 2),
-        # embed_prune: the same Lloyd CTEs via tail= (af/cf hook),
+        # embed_prune: the same Lloyd CTEs via tail= (af/cf hook) with
+        # the density-derived k (semdedup's k_sql form — mirrors
+        # similarity.density_cells exactly in integer arithmetic),
         # then cosine-to-own-centroid + per-cell bottom-frac cut.
-        "embed_prune": _kmeans_oracle_sql(8, 2, tail=(
+        "embed_prune": _kmeans_oracle_sql(
+            8, 2, k_sql="greatest(8, (count(*) + 255) // 256)", tail=(
             ", sims AS (SELECT a.vec_id, a.cell, "
             "round(list_dot_product(a.v, c.cv) / "
             "(sqrt(list_dot_product(a.v, a.v)) * "

@@ -130,6 +130,40 @@ HEADLINE = [
 ]
 
 
+def host_speed_probe(spark) -> float:
+    """Mechanical host-speed index (VERDICT r9 #3): the wall of a
+    PINNED synthetic probe suite — fixed row counts, fixed partition
+    counts, no testdata dependence — so cross-round totals normalize
+    by ratio instead of prose disclosure (the r9 final record rode a
+    uniformly ~1.3-1.5x slower container window; kmeans spot-checks
+    were the only evidence). Three probes cover the three cost axes:
+    codegen arithmetic throughput, hash/string throughput, and one
+    real shuffle. Runs TWICE, keeps the faster sample (a one-off
+    container stall must not redefine the round's index); ~2s on an
+    idle host. NEVER change these shapes — the index is only
+    comparable across rounds while the suite is frozen."""
+
+    from pyspark.sql import functions as F
+
+    def once() -> float:
+        t0 = time.perf_counter()
+        # 1. codegen arithmetic: 16M-row fold, 32 fixed partitions
+        spark.range(0, 16_000_000, 1, 32).selectExpr(
+            "sum(id * 3 + (id % 7)) AS s"
+        ).collect()
+        # 2. hash/string: md5 over 2M rows
+        spark.range(0, 2_000_000, 1, 32).selectExpr(
+            "max(md5(CAST(id AS STRING))) AS m"
+        ).collect()
+        # 3. shuffle: 4M rows -> 100k keys -> count -> max
+        spark.range(0, 4_000_000, 1, 32).groupBy(
+            (F.col("id") % 100000).alias("k")
+        ).count().selectExpr("max(count) AS c").collect()
+        return time.perf_counter() - t0
+
+    return round(min(once(), once()), 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -173,6 +207,9 @@ def main() -> None:
     similarity.lsh_topk(tiny_emb, [0], k=1, planes=6).count()
 
     retimes: dict[str, dict[str, list[float]]] = {}
+    # Host-speed index sampled once per timed block (keyed by block
+    # dir); the pre-primary sample is the record's headline index.
+    host_index: dict[str, float] = {}
 
     # Previous committed per-query records (this file's own last
     # committed output): any query that comes in >2x its prior record
@@ -193,6 +230,9 @@ def main() -> None:
         pass
 
     def time_block(block_dir: str) -> dict[str, float]:
+        host_index["primary" if block_dir == sf_dir else "sf1"] = (
+            host_speed_probe(spark)
+        )
         out: dict[str, float] = {}
         for name in HEADLINE:
             if name not in qs:
@@ -316,6 +356,10 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "load1": load1,
+        # Pinned synthetic probe walls per block (see host_speed_probe)
+        # — divide two rounds' totals by their host_index ratio to
+        # compare across container-speed windows.
+        "host_index": host_index,
         "retimes": retimes,
         # Methodology marker (ADVICE r8): totals since r8 keep
         # min-of-two for retimed queries, so naive comparison against
@@ -384,6 +428,7 @@ def main() -> None:
         "unit": "sec",
         "sf": result["sf"],
         "load1": load1,
+        "host_index": host_index,
         "n_queries": len(timings),
         "queries": slowest(timings),
         "full": "BENCH_LOCAL.json",

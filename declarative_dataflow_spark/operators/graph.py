@@ -625,8 +625,14 @@ def link_prediction(
     """Link prediction by the Resource-Allocation index (Zhou/Lü/Zhang
     2009): for every NON-adjacent pair (u, w) sharing at least one
     neighbor, score = sum over common neighbors v of 1/deg(v), plus
-    the raw common-neighbor count. Returns the ``top_k`` candidate
-    links as (u, w, cn, ra), u < w, ordered by (ra desc, u, w).
+    the common-neighbor count over the SAME capped center set — with
+    ``max_center_degree`` set, ``cn`` counts only common neighbors of
+    degree <= the cap (hub-mediated common neighbors are excluded from
+    cn exactly as from ra; one wedge pass feeds both aggregates — an
+    uncapped cn would reintroduce the hub wedge blowup the cap
+    removes). Pass ``max_center_degree=None`` for the exact textbook
+    pair. Returns the ``top_k`` candidate links as (u, w, cn, ra),
+    u < w, ordered by (ra desc, u, w).
     RA is chosen over Adamic-Adar (1/ln deg) deliberately: 1/deg is a
     rational quotient, so the per-neighbor contribution can be
     round()ed to 15 decimals and summed as an EXACT decimal — the
@@ -769,8 +775,16 @@ def ktruss(
     support on the surviving edges, drop those under ``t``, stop when
     a limit(1) probe finds nothing under threshold. Rounds are bounded
     by peel depth; each round is the triangle-enumeration joins on a
-    SHRINKING edge set, lineage truncated per round."""
+    SHRINKING edge set, lineage truncated per round.
 
+    ``max_iters`` must be >= 1 (validated — 0 would return nothing
+    meaningful). With ``require_convergence=False`` a NON-converged
+    run returns the last support snapshot, which may still contain
+    edges with support < ``t`` (the peel was cut mid-flight); callers
+    that need the contract guaranteed keep the default."""
+
+    if max_iters < 1:
+        raise ValueError(f"ktruss: max_iters must be >= 1, got {max_iters}")
     cur = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .filter(F.col("src") != F.col("dst"))

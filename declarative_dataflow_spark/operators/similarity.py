@@ -1465,11 +1465,12 @@ def pq_topk(
 
 def embed_prune(
     embeddings: DataFrame,
-    k: int = 8,
+    k="auto",
     iters: int = 2,
     frac: float = 0.25,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    target_cell: int = 256,
 ) -> DataFrame:
     """Prototypicality pruning (the SemDeDup COMPLEMENT — SSL-
     prototypes-style): cluster the corpus with the same deterministic
@@ -1486,11 +1487,32 @@ def embed_prune(
     Cost over kmeans_assign: one id-keyed join to re-attach vectors,
     one broadcast of the k x dim centroid table, ONE dot per row
     (n x 1, never n x k — the assignment already picked the cell),
-    and a cell-partitioned window (cluster-sized partitions). Linear
-    at any corpus size.
+    and a cell-partitioned window whose partitions are CELL-sized —
+    so the wall is linear in n only while k tracks the corpus.
+    ``k="auto"`` (the default, and the declared query's form) derives
+    ``k = density_cells(n, target_cell)``, capping expected cell
+    occupancy at ~``target_cell`` rows: each row_number partition is
+    a bounded single-reducer sort at any corpus size. A FIXED k is
+    the semdedup trap transposed to windows — k partitions of ~n/k
+    rows each land on one reducer apiece, i.e. k giant single-task
+    sorts at 100x data.
     """
 
     from pyspark.sql.window import Window
+
+    # One stats pass: corpus count for the density-derived k, and the
+    # dimension bounds for the unrolled rescore below. min==max probes
+    # the uniform-dimension precondition the kmeans machinery already
+    # assumes — inferring dim from an arbitrary first() row would, on
+    # a mixed-length corpus, index out of bounds and preferentially
+    # prune the NULL-sim rows of every other length.
+    stats = embeddings.select(
+        F.count(F.lit(1)).alias("n"),
+        F.min(F.size(F.col(vec_col))).alias("dmin"),
+        F.max(F.size(F.col(vec_col))).alias("dmax"),
+    ).first()
+    if k == "auto":
+        k = density_cells(stats["n"], target_cell)
 
     cents = ivf_centroids(embeddings, k, iters, id_col, vec_col)
     assign = _assign_cells(embeddings, cents, id_col, vec_col)
@@ -1502,10 +1524,10 @@ def embed_prune(
     # lambda (~3s of the sf1 wall for 50k x 64); positionally-unrolled
     # dim-sized sums stay inside whole-stage codegen and are
     # bit-identical (same left-assoc dim-ascending order). Falls back
-    # to the fold only if the corpus is empty (no dim to unroll).
-    dim_row = embeddings.select(F.size(F.col(vec_col)).alias("d")).first()
-    if dim_row is not None and dim_row["d"] is not None:
-        dim = dim_row["d"]
+    # to the fold if the corpus is empty (no dim to unroll) or the
+    # dimension varies (the unroll would index out of bounds).
+    if stats["dmin"] is not None and stats["dmin"] == stats["dmax"]:
+        dim = stats["dmax"]
 
         def psum(a: str, b: str) -> str:
             return " + ".join(

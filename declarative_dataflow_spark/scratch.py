@@ -1,0 +1,129 @@
+"""Scratch-materialization router: one switch between executor-local
+and cluster-reliable lineage truncation.
+
+Every operator in this package truncates lineage on scratch tables
+(shingle sets, fixpoint rounds, both sides of self-joins) via
+``DataFrame.localCheckpoint`` — the right default locally AND the
+right mechanics generally: blocks are reaped by the ContextCleaner as
+soon as the caller drops the result, where a ``persist()`` holds a
+strong CacheManager reference a lazy operator can never unpersist
+(the r7 marathon leak). But localCheckpoint blocks are EXECUTOR-LOCAL
+and unreplicated: on a real cluster, losing one executor kills every
+job whose truncated lineage lived there instead of recomputing
+(documented trade, operators/dedup.py). A 1000-executor deployment
+that wants recompute-on-loss sets::
+
+    spark.conf.set("spark.declarativeDataflow.reliableScratch", "true")
+    # optional; defaults to a temp dir locally — point it at the
+    # cluster FS (HDFS/S3) in a real deployment:
+    spark.conf.set("spark.declarativeDataflow.scratchDir", "hdfs://...")
+
+and every scratch materialization in the package routes through
+RELIABLE ``DataFrame.checkpoint`` (written to the checkpoint dir,
+re-readable after executor loss) instead. Default is off — behavior
+is bit-identical to stock localCheckpoint.
+
+Mechanism: the package has ~170 scratch sites; rather than threading
+a flag through every operator signature, :func:`install` (called once
+at package import) replaces ``DataFrame.localCheckpoint`` with a
+router that reads the session conf PER CALL — so the flag can be
+flipped per session, mid-session, or per operator block, and code
+that never sets it sees the stock method's exact semantics (the
+original bound method handles the default path). The patch is
+process-wide by construction (it is a class attribute), which is the
+deliberate trade for zero signature churn; it is idempotent and keeps
+a handle to the original for tests.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame
+
+RELIABLE_FLAG = "spark.declarativeDataflow.reliableScratch"
+SCRATCH_DIR = "spark.declarativeDataflow.scratchDir"
+
+# The stock method, kept for the default path and for tests.
+_stock_local_checkpoint = None
+
+
+def reliable_scratch_enabled(spark) -> bool:
+    """True iff this session opted into reliable scratch checkpoints."""
+
+    try:
+        return str(spark.conf.get(RELIABLE_FLAG, "false")).lower() == "true"
+    except Exception:
+        return False
+
+
+def ensure_checkpoint_dir(spark) -> str:
+    """Make sure the SparkContext has a checkpoint dir; returns it.
+    Order: an already-set context dir wins (the deployment's choice),
+    then the ``scratchDir`` conf, then a temp dir keyed by application
+    id (local-mode convenience — a cluster MUST point scratchDir or
+    setCheckpointDir at a shared FS for the reliability to be real)."""
+
+    sc = spark.sparkContext
+    current = sc.getCheckpointDir()
+    if current:
+        return current
+    configured = None
+    try:
+        configured = spark.conf.get(SCRATCH_DIR, None)
+    except Exception:
+        configured = None
+    d = configured or os.path.join(
+        tempfile.gettempdir(), f"ddf_scratch_{sc.applicationId}"
+    )
+    sc.setCheckpointDir(d)
+    return d
+
+
+def install() -> None:
+    """Install the scratch router onto DataFrame.localCheckpoint.
+    Idempotent; called at package import (declarative_dataflow_spark
+    and .session both import this module).
+
+    Spark 4 note: ``pyspark.sql.DataFrame`` is the ABSTRACT parent —
+    classic-mode instances are ``pyspark.sql.classic.dataframe.
+    DataFrame``, whose own ``localCheckpoint`` would shadow a patch on
+    the base class (verified: a base-class patch never routes). The
+    router therefore lands on the concrete classic class, falling back
+    to the base for older/newer layouts."""
+
+    global _stock_local_checkpoint
+    if _stock_local_checkpoint is not None:
+        return
+    target = DataFrame
+    try:
+        from pyspark.sql.classic.dataframe import (  # type: ignore
+            DataFrame as _ClassicDataFrame,
+        )
+
+        if "localCheckpoint" in vars(_ClassicDataFrame):
+            target = _ClassicDataFrame
+    except ImportError:
+        pass
+    _stock_local_checkpoint = target.localCheckpoint
+
+    def _routed_local_checkpoint(self, eager: bool = True):
+        spark = self.sparkSession
+        if reliable_scratch_enabled(spark):
+            ensure_checkpoint_dir(spark)
+            return self.checkpoint(eager=eager)
+        return _stock_local_checkpoint(self, eager=eager)
+
+    _routed_local_checkpoint.__doc__ = (
+        "Scratch router (declarative_dataflow_spark.scratch): stock "
+        "localCheckpoint unless the session sets "
+        f"{RELIABLE_FLAG}=true, in which case a RELIABLE checkpoint "
+        "to the checkpoint dir (cluster-FS recompute-on-loss). See "
+        "the module docstring."
+    )
+    _routed_local_checkpoint.__name__ = "localCheckpoint"
+    target.localCheckpoint = _routed_local_checkpoint
+
+
+install()

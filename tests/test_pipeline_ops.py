@@ -2928,3 +2928,57 @@ def test_prop_edge_support_matches_bruteforce(spark, edges):
         if a < b
     )
     assert got == want
+
+
+def _bruteforce_ktruss(edges, t):
+    """Textbook iterative peel: recount support on the surviving
+    undirected edge set, drop sub-threshold edges, repeat to fixpoint."""
+
+    und = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    while True:
+        adj = {}
+        for a, b in und:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        sup = {(a, b): len(adj[a] & adj[b]) for a, b in und}
+        drop = {e for e, s in sup.items() if s < t}
+        if not drop:
+            return sup
+        und -= drop
+
+
+@_FUZZ_PROP
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 8), st.integers(0, 8)),
+        min_size=1,
+        max_size=24,
+    ),
+    t=st.sampled_from([1, 2, 3]),
+)
+def test_prop_ktruss_matches_bruteforce(spark, edges, t):
+    """PROPERTY: ktruss == the textbook iterative recount-and-peel on
+    random directed multigraphs — surviving edge set AND the reported
+    per-edge supports (which must be the supports WITHIN the surviving
+    subgraph, not a stale pre-peel snapshot)."""
+
+    from declarative_dataflow_spark.operators import graph as g
+
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = sorted(
+        tuple(r) for r in g.ktruss(df, t=t, max_iters=40).collect()
+    )
+    want = sorted(
+        (a, b, s) for (a, b), s in _bruteforce_ktruss(edges, t).items()
+    )
+    assert got == want
+
+
+def test_ktruss_validates_max_iters(spark):
+    import pytest
+
+    from declarative_dataflow_spark.operators import graph as g
+
+    df = spark.createDataFrame([(1, 2)], ["src", "dst"])
+    with pytest.raises(ValueError, match="max_iters"):
+        g.ktruss(df, t=2, max_iters=0)
