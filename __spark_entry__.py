@@ -2686,6 +2686,37 @@ def q_edge_support(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.edge_triangle_support(edges)
 
 
+def q_clustering_coef(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficient (NEW in r10): the
+    Watts-Strogatz density measure over the edge_support graph
+    (1000 nodes, 1/11 sparsifier — moduli the sf-scaler preserves).
+    Wedge joins centered on the node + a left-semi closure probe, one
+    uniform count; cc = round(2T/(d(d−1)), 6) — one IEEE division of
+    exact ints, identical in both engines."""
+
+    ev = load_table(spark, sf_dir, "events")
+    edges = ev.filter(F.col("event_id") % 11 == 0).select(
+        (F.col("user_id") % 1000).alias("src"),
+        (F.col("event_id") % 1000).alias("dst"),
+    )
+    return graph.clustering_coefficient(edges)
+
+
+def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (NEW in r10): variable-length token
+    chunks split where the local bigram hash ≡ 0 mod 16 (the
+    rsync/FastCDC alignment trick — an upstream edit perturbs only
+    its own chunk, so shared passages keep matching), plus the
+    corpus-wide count of documents sharing each chunk hash — the
+    dedup granularity between md5-exact and dup_spans-substring.
+    Boundary flags are row-local; chunk ids come from a DOC-
+    partitioned running sum; n_docs is one hash-keyed aggregation."""
+
+    return dedup.cdc_chunks(
+        load_table(spark, sf_dir, "documents"), divisor=16
+    )
+
+
 def q_minhash_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash sketch-quality eval (NEW in r9): signature-estimated
     vs exact Jaccard with absolute error for every exact-band LSH
@@ -3632,6 +3663,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans": q_kmeans,  # NEW in r6
         "embed_prune": q_embed_prune,  # NEW in r9
         "edge_support": q_edge_support,  # NEW in r9
+        "clustering_coef": q_clustering_coef,  # NEW in r10
+        "cdc_chunks": q_cdc_chunks,  # NEW in r10
         "dsir_weights": q_dsir_weights,  # NEW in r6
         "bloom_contam": q_bloom_contam,  # NEW in r6
         "weighted_sample": q_weighted_sample,  # NEW in r6
@@ -5999,6 +6032,53 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY 1, 2) "
             "SELECT c.a, c.b, coalesce(t.support, 0) AS support "
             "FROM canon c LEFT JOIN tri t ON t.a = c.a AND t.b = c.b"
+        ),
+        "cdc_chunks": (
+            # 1-indexed DuckDB arrays: i in 1..len, pos = i-1, the
+            # boundary bigram is (w[i-1], w[i]) for i >= 2 — exactly
+            # Spark's (w[i-1], w[i]) at 0-indexed i >= 1.
+            "WITH w0 AS (SELECT doc_id, "
+            "string_split(lower(text), ' ') AS w FROM documents), "
+            "toks AS (SELECT doc_id, i - 1 AS pos, w[i] AS tok, "
+            "CASE WHEN i >= 2 AND "
+            "('0x' || substr(md5(w[i-1] || '_' || w[i]), 1, 8))::BIGINT "
+            "% 16 = 0 THEN 1 ELSE 0 END AS b "
+            "FROM w0, unnest(generate_series(1, len(w))) AS t(i) "
+            "WHERE len(w) >= 1), "
+            "asg AS (SELECT doc_id, pos, tok, "
+            "(sum(b) OVER (PARTITION BY doc_id ORDER BY pos))::BIGINT "
+            "AS chunk_id FROM toks), "
+            "ch AS (SELECT doc_id, chunk_id, count(*)::BIGINT AS "
+            "n_tokens, md5(string_agg(tok, ' ' ORDER BY pos)) AS "
+            "chunk_hash FROM asg GROUP BY 1, 2), "
+            "sh AS (SELECT chunk_hash, count(DISTINCT doc_id)::BIGINT "
+            "AS n_docs FROM ch GROUP BY 1) "
+            "SELECT c.doc_id, c.chunk_id, c.n_tokens, c.chunk_hash, "
+            "s.n_docs FROM ch c JOIN sh s USING (chunk_hash)"
+        ),
+        "clustering_coef": (
+            # same graph as edge_support; wedges centered on the node,
+            # closure via EXISTS against canonical a < b edges.
+            "WITH e0 AS (SELECT DISTINCT user_id % 1000 AS src, "
+            "event_id % 1000 AS dst FROM events WHERE event_id % 11 = 0), "
+            "und AS (SELECT src, dst FROM e0 WHERE src <> dst "
+            "UNION SELECT dst, src FROM e0 WHERE src <> dst), "
+            "deg AS (SELECT src AS node, count(*) AS degree "
+            "FROM und GROUP BY 1), "
+            "canon AS (SELECT src AS u, dst AS w FROM und "
+            "WHERE src < dst), "
+            "tri AS (SELECT a1.src AS node, count(*) AS triangles "
+            "FROM und a1 JOIN und a2 "
+            "ON a2.src = a1.src AND a1.dst < a2.dst "
+            "WHERE EXISTS (SELECT 1 FROM canon c "
+            "WHERE c.u = a1.dst AND c.w = a2.dst) "
+            "GROUP BY 1) "
+            "SELECT d.node, d.degree, "
+            "coalesce(t.triangles, 0) AS triangles, "
+            "CASE WHEN d.degree >= 2 THEN "
+            "round(2.0 * coalesce(t.triangles, 0) / "
+            "(d.degree * (d.degree - 1)), 6) ELSE 0.0 END AS cc "
+            "FROM deg d LEFT JOIN tri t USING (node)"
         ),
         "kmeans": _kmeans_oracle_sql(8, 2),
         # embed_prune: the same Lloyd CTEs via tail= (af/cf hook) with

@@ -1214,3 +1214,84 @@ def lsh_precision_recall(
         .otherwise(F.lit(1.0))
         .alias("recall"),
     )
+
+
+def cdc_chunks(
+    docs: DataFrame,
+    divisor: int = 16,
+    text_col: str = "text",
+) -> DataFrame:
+    """Content-defined chunking (CDC) + chunk-level duplication
+    signal: split every document into variable-length token chunks at
+    CONTENT-DEFINED boundaries — a boundary falls after token i
+    whenever the md5-uint32 hash of the bigram (w[i], w[i+1]) is
+    ≡ 0 mod ``divisor`` — then report, per chunk, how many DISTINCT
+    documents in the corpus share its content hash. Returns (doc_id,
+    chunk_id, n_tokens, chunk_hash, n_docs). Expected chunk length is
+    ~``divisor`` tokens.
+
+    Why content-defined (the rsync/LBFS/FastCDC idea): fixed-width
+    chunks lose all alignment after one token is inserted upstream,
+    so shared passages stop matching; CDC boundaries depend only on
+    the LOCAL bigram, so an edit perturbs at most its own chunk and
+    every other shared chunk still hashes equal — the dedup
+    granularity between exact-document (md5) and substring
+    (dup_spans), and the form storage-level dedup actually deploys.
+
+    Shape: the boundary flags and token positions are computed
+    ROW-LOCALLY (one transform over the token array — no explode
+    before the flags exist); the running boundary count that assigns
+    chunk ids is a DOC-partitioned window over the exploded tokens
+    (per-document partitions, the dup_spans discipline — bounded by
+    document length, never corpus-global); the chunk hash is one md5
+    over the position-ordered token join, and the corpus-wide n_docs
+    is one uniform hash-keyed aggregation + one hash-keyed join.
+    Every shuffle keys on doc_id or chunk_hash — linear at any corpus
+    size."""
+
+    words = F.split(F.lower(F.col(text_col)), " ")
+    base = spread_input(docs).select("doc_id", words.alias("w")).filter(
+        F.size("w") >= 1
+    )
+    # b[i] = 1 iff a boundary falls BEFORE token i (i >= 1, when the
+    # bigram (w[i-1], w[i]) hashes to 0 mod divisor); b[0] = 0. The
+    # chunk id of token i is then sum(b[0..i]) — a running count the
+    # window below computes after the explode.
+    toks = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(w) - 1), i -> struct("
+                "i AS pos, w[i] AS tok, CASE WHEN i >= 1 AND "
+                "CAST(conv(substring(md5(concat_ws('_', w[i-1], w[i])), "
+                f"1, 8), 16, 10) AS BIGINT) % {divisor} = 0 "
+                "THEN 1 ELSE 0 END AS b))"
+            )
+        ).alias("t"),
+    ).select("doc_id", "t.pos", "t.tok", "t.b")
+    w_doc = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    assigned = toks.select(
+        "doc_id", "pos", "tok", F.sum("b").over(w_doc).alias("chunk_id")
+    )
+    chunks = assigned.groupBy("doc_id", "chunk_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.expr(
+                    "transform(sort_array(collect_list(struct(pos, tok)))"
+                    ", s -> s.tok)"
+                ),
+            )
+        ).alias("chunk_hash"),
+    )
+    shared = chunks.groupBy("chunk_hash").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    return chunks.join(shared, "chunk_hash").select(
+        "doc_id", "chunk_id", "n_tokens", "chunk_hash", "n_docs"
+    )

@@ -755,6 +755,72 @@ def edge_triangle_support(
     )
 
 
+def clustering_coefficient(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Per-node LOCAL clustering coefficient over the symmetrized
+    simple graph: cc(v) = 2·T(v) / (deg(v)·(deg(v)−1)) where T(v) is
+    the number of edges among v's neighbors — the standard
+    Watts-Strogatz local density measure (community tightness, spam
+    ring detection, the per-node view of the triangle family).
+    Returns (node, degree, triangles, cc) for every node; deg < 2
+    nodes get cc = 0.0 (no possible wedge), and cc rounds to 6
+    decimals — one IEEE double division of exact integers (correctly
+    rounded, engine-independent) then one half-up round, the repo's
+    cross-engine float discipline.
+
+    Shape: T(v) counts wedges (u, w) ∈ N(v)² with u < w whose closing
+    edge {u, w} exists — two node-keyed equi-joins (the
+    :func:`edge_triangle_support` wedge machinery centered on v
+    instead of the edge) plus a LEFT SEMI join against the canonical
+    edge set, then one uniform per-node count. Cost is the standard
+    sum-of-deg² wedge bound; every join keys on a node id, nothing
+    sorts globally, nothing broadcasts data-sized state. Beyond-
+    reference graph-family operator (reference triangle anchor:
+    experiments/src/bin/graphs-interactive-neu.rs)."""
+
+    und = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .union(edges.select(F.col(dst).alias("src"), F.col(src).alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=False)  # feeds deg, both wedge sides, closure probe
+    )
+    deg = und.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    canon = und.filter(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("u"), F.col("dst").alias("w")
+    )
+    a1 = und.select(F.col("src").alias("node"), F.col("dst").alias("u"))
+    a2 = und.select(F.col("src").alias("node"), F.col("dst").alias("w"))
+    tri = (
+        a1.join(a2, "node")
+        .filter(F.col("u") < F.col("w"))
+        .join(canon, ["u", "w"], "left_semi")
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    return deg.join(tri, "node", "left").select(
+        "node",
+        "degree",
+        F.coalesce(F.col("triangles"), F.lit(0)).alias("triangles"),
+        F.when(
+            F.col("degree") >= 2,
+            F.round(
+                F.lit(2.0)
+                * F.coalesce(F.col("triangles"), F.lit(0))
+                / (F.col("degree") * (F.col("degree") - F.lit(1))),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("cc"),
+    )
+
+
 def ktruss(
     edges: DataFrame,
     t: int,
