@@ -2702,6 +2702,28 @@ def q_clustering_coef(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.clustering_coefficient(edges)
 
 
+def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining by lift (NEW in r10): top-100 adjacent word
+    pairs (seen >= 5 times) ranked by c(xy)·N / (c(x)·c(y)) — the
+    exact monotone core of PMI with no libm log anywhere. Row-local
+    bigrams, two uniform-key counts, word-keyed joins, one-row N
+    broadcast, TakeOrderedAndProject top-k."""
+
+    return text.collocations(
+        load_table(spark, sf_dir, "documents"), min_count=5, top_k=100
+    )
+
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve (NEW in r10): corpus token mass
+    covered by the top-{64, 256, 1024, 4096} words — the Zipf curve a
+    tokenizer budget is sized against (OOV rate = 1 − coverage). One
+    uniform count, one TakeOrdered of max(ks) rows, rank window over
+    the survivors only, 4-row cut-point broadcast join."""
+
+    return text.vocab_coverage(load_table(spark, sf_dir, "documents"))
+
+
 def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-defined chunking (NEW in r10): variable-length token
     chunks split where the local bigram hash ≡ 0 mod 16 (the
@@ -3665,6 +3687,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edge_support": q_edge_support,  # NEW in r9
         "clustering_coef": q_clustering_coef,  # NEW in r10
         "cdc_chunks": q_cdc_chunks,  # NEW in r10
+        "collocations": q_collocations,  # NEW in r10
+        "vocab_coverage": q_vocab_coverage,  # NEW in r10
         "dsir_weights": q_dsir_weights,  # NEW in r6
         "bloom_contam": q_bloom_contam,  # NEW in r6
         "weighted_sample": q_weighted_sample,  # NEW in r6
@@ -6032,6 +6056,42 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY 1, 2) "
             "SELECT c.a, c.b, coalesce(t.support, 0) AS support "
             "FROM canon c LEFT JOIN tri t ON t.a = c.a AND t.b = c.b"
+        ),
+        "collocations": (
+            "WITH w0 AS (SELECT "
+            "regexp_split_to_array(trim(lower(text)), '\\s+') AS w "
+            "FROM documents), "
+            "toks AS (SELECT unnest(w) AS w FROM w0), "
+            "bg AS (SELECT w[i] AS w, w[i+1] AS w2 FROM w0, "
+            "unnest(generate_series(1, len(w) - 1)) AS t(i) "
+            "WHERE len(w) >= 2), "
+            "c2 AS (SELECT w, w2, count(*)::BIGINT AS c_xy FROM bg "
+            "GROUP BY 1, 2 HAVING count(*) >= 5), "
+            "c1 AS (SELECT w, count(*)::BIGINT AS c_x FROM toks "
+            "GROUP BY 1), "
+            "n AS (SELECT count(*)::BIGINT AS n_tokens FROM toks) "
+            "SELECT c2.w, c2.w2, c2.c_xy, a.c_x, b.c_x AS c_y, "
+            "round(c2.c_xy::DOUBLE * n.n_tokens::DOUBLE / "
+            "(a.c_x::DOUBLE * b.c_x::DOUBLE), 6) AS lift "
+            "FROM c2 JOIN c1 a ON a.w = c2.w "
+            "JOIN c1 b ON b.w = c2.w2, n "
+            "ORDER BY lift DESC, c2.w, c2.w2 LIMIT 100"
+        ),
+        "vocab_coverage": (
+            "WITH toks AS (SELECT "
+            "unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) "
+            "AS w FROM documents), "
+            "c AS (SELECT w, count(*)::BIGINT AS cnt FROM toks "
+            "GROUP BY 1), "
+            "r AS (SELECT w, cnt, (row_number() OVER "
+            "(ORDER BY cnt DESC, w))::BIGINT AS rk FROM c), "
+            "n AS (SELECT count(*)::BIGINT AS n_tokens FROM toks), "
+            "ks AS (SELECT unnest([64, 256, 1024, 4096]) AS k) "
+            "SELECT ks.k::BIGINT AS k, sum(r.cnt)::BIGINT AS covered, "
+            "n.n_tokens, round(sum(r.cnt)::DOUBLE / "
+            "n.n_tokens::DOUBLE, 6) AS coverage "
+            "FROM r JOIN ks ON r.rk <= ks.k, n "
+            "GROUP BY ks.k, n.n_tokens"
         ),
         "cdc_chunks": (
             # 1-indexed DuckDB arrays: i in 1..len, pos = i-1, the

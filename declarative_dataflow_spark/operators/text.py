@@ -1070,3 +1070,132 @@ def text_norm(docs: DataFrame, text_col: str = "text") -> DataFrame:
         norm.alias("text"),
         (norm != col).alias("changed"),
     )
+
+
+def collocations(
+    docs: DataFrame,
+    min_count: int = 5,
+    top_k: int = 100,
+    text_col: str = "text",
+) -> DataFrame:
+    """Collocation (multi-word-expression) mining by LIFT — the
+    phrase-detection pass a tokenizer/vocab builder runs to promote
+    "new york"-style bigrams to single units. For every adjacent word
+    pair seen >= ``min_count`` times: lift = c(xy)·N / (c(x)·c(y))
+    (N = total tokens), the exact monotone core of PMI = log(lift) —
+    ranking by lift IS ranking by PMI while never evaluating a libm
+    log, the repo's determinism discipline (see link_prediction's RA-
+    over-Adamic-Adar choice). Returns the ``top_k`` rows (w, w2, c_xy,
+    c_x, c_y, lift), lift desc then (w, w2) asc; lift rounds to 6
+    decimals — products and quotient are single IEEE double ops,
+    identical in both engines.
+
+    Shape: bigrams form ROW-LOCALLY (the ngram_lm_score discipline —
+    never a (doc, pos) self-join); unigram and bigram counts are two
+    uniform-key aggregations; the pair table joins its two unigram
+    counts on the word keys (uniform hash joins); N rides a one-row
+    broadcast; top-k lowers to TakeOrderedAndProject — no global
+    sort, linear at any corpus size."""
+
+    from declarative_dataflow_spark.operators.dedup import spread_input
+
+    docs = spread_input(docs)
+    warr = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    toks = docs.select(F.explode(warr).alias("w"))
+    bigrams = (
+        docs.select(warr.alias("__w"))
+        .filter(F.size("__w") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(__w) - 2), "
+                    "i -> struct(__w[i] AS w, __w[i+1] AS w2))"
+                )
+            ).alias("bg")
+        )
+        .select("bg.w", "bg.w2")
+    )
+    c2 = (
+        bigrams.groupBy("w", "w2")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .filter(F.col("c_xy") >= min_count)
+    )
+    c1 = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c_x"))
+    n = toks.select(F.count(F.lit(1)).alias("n_tokens"))
+    scored = (
+        c2.join(c1, "w")
+        .join(
+            c1.select(F.col("w").alias("w2"), F.col("c_x").alias("c_y")),
+            "w2",
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "w",
+            "w2",
+            "c_xy",
+            "c_x",
+            "c_y",
+            F.round(
+                (
+                    F.col("c_xy").cast("double")
+                    * F.col("n_tokens").cast("double")
+                )
+                / (
+                    F.col("c_x").cast("double")
+                    * F.col("c_y").cast("double")
+                ),
+                6,
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(F.desc("lift"), "w", "w2").limit(top_k)
+
+
+def vocab_coverage(
+    docs: DataFrame,
+    ks: tuple = (64, 256, 1024, 4096),
+    text_col: str = "text",
+) -> DataFrame:
+    """Vocabulary coverage curve — the tokenizer-SIZING eval: for each
+    candidate vocab size k, what fraction of all corpus token
+    occurrences the top-k words by frequency cover (the Zipf-mass
+    curve a team reads before picking a vocab budget; the OOV rate is
+    1 − coverage). Returns one row per k: (k, covered, n_tokens,
+    coverage), coverage = round(covered / N, 6) — one IEEE division.
+
+    Shape: one uniform-key word count, then ONE TakeOrderedAndProject
+    of max(ks) rows (per-partition k-heaps — the vocab_topk
+    discipline: a 100M-word vocabulary never single-partitions); the
+    rank window runs over those <= max(ks) survivors only, and each
+    cut point is a filtered sum over the same tiny table via a
+    broadcast k-list join. Total tokens ride a one-row broadcast —
+    nothing corpus-sized sorts or collects."""
+
+    from pyspark.sql import Window
+
+    max_k = max(ks)
+    warr = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    toks = docs.select(F.explode(warr).alias("w"))
+    counts = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    top = counts.orderBy(F.col("cnt").desc(), F.col("w")).limit(max_k)
+    w_rk = Window.orderBy(F.col("cnt").desc(), F.col("w"))
+    ranked = top.withColumn("rk", F.row_number().over(w_rk).cast("long"))
+    spark = docs.sparkSession
+    kdf = spark.createDataFrame([(int(k),) for k in sorted(ks)], "k long")
+    n = toks.select(F.count(F.lit(1)).alias("n_tokens"))
+    return (
+        ranked.join(F.broadcast(kdf), F.col("rk") <= F.col("k"))
+        .groupBy("k")
+        .agg(F.sum("cnt").alias("covered"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "k",
+            "covered",
+            "n_tokens",
+            F.round(
+                F.col("covered").cast("double")
+                / F.col("n_tokens").cast("double"),
+                6,
+            ).alias("coverage"),
+        )
+    )

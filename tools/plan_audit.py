@@ -56,6 +56,17 @@ ALLOWLIST: dict[tuple[str, str], str] = {
     ("token_kl_shift", "BroadcastNestedLoopJoin"): (
         "one-row (vocab, NA, NB) totals broadcast"
     ),
+    ("collocations", "BroadcastNestedLoopJoin"): (
+        "one-row total-token-count broadcast"
+    ),
+    ("vocab_coverage", "BroadcastNestedLoopJoin"): (
+        "rk <= k inequality join of the <= max(ks) TakeOrdered "
+        "survivors against the 4-row cut-point list, plus the "
+        "one-row total broadcast"
+    ),
+    ("vocab_coverage", "GlobalWindow"): (
+        "rank over the max(ks) TakeOrdered survivors"
+    ),
     ("embed_drift", "BroadcastNestedLoopJoin"): (
         "one-row slice-count broadcasts onto the one-row mean fold"
     ),
