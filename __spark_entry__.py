@@ -2714,6 +2714,61 @@ def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pca_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-iteration top singular direction + per-vector projection
+    (NEW in r10): uncentered PCA by v ← normalize(Xᵀ(Xv)), two steps
+    from the deterministic 1/sqrt(dim) start — the spectral primitive
+    for whitening/spectral-hash init/1-D corpus ordering. Each step is
+    one corpus pass; contributions round-15 into exact DECIMAL(38,15)
+    sums (partition-order-free), components round to 6 — bit parity
+    with the DuckDB twin at every step."""
+
+    return similarity.top_component(
+        load_table(spark, sf_dir, "embeddings"), iters=2
+    )
+
+
+def _pca_oracle_sql(iters: int = 2) -> str:
+    """DuckDB twin of similarity.top_component: the power steps
+    unrolled as CTEs — list_dot_product (left-assoc ascending, the
+    Spark unroll's exact fold order), round-15 DECIMAL(38,15)
+    contribution and norm-square sums, round-6 components."""
+
+    ctes = [
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        "FROM embeddings)",
+        "d AS (SELECT max(len(v)) AS dim FROM e)",
+        "v0 AS (SELECT list_transform(range(1, d.dim + 1), "
+        "x -> 1.0 / sqrt(d.dim::DOUBLE)) AS v FROM d)",
+    ]
+    for t in range(1, iters + 1):
+        p = t - 1
+        ctes.append(
+            f"s{t} AS (SELECT list_dot_product(e.v, "
+            f"(SELECT v FROM v{p})) AS dot, e.v FROM e)"
+        )
+        ctes.append(
+            f"c{t} AS (SELECT i, sum(CAST(round(dot * x, 15) AS "
+            "DECIMAL(38,15))) AS w FROM (SELECT dot, unnest(v) AS x, "
+            f"unnest(range(1, len(v) + 1)) AS i FROM s{t}) GROUP BY i)"
+        )
+        ctes.append(
+            f"n{t} AS (SELECT sqrt(CAST(sum(CAST(round("
+            "CAST(w AS DOUBLE) * CAST(w AS DOUBLE), 15) AS "
+            f"DECIMAL(38,15))) AS DOUBLE)) AS nrm FROM c{t})"
+        )
+        ctes.append(
+            f"v{t} AS (SELECT list(round(CAST(w AS DOUBLE) / "
+            f"nullif((SELECT nrm FROM n{t}), 0.0), 6) ORDER BY i) "
+            f"AS v FROM c{t})"
+        )
+    return (
+        "WITH " + ", ".join(ctes)
+        + " SELECT e.vec_id, round(list_dot_product(e.v, "
+        f"(SELECT v FROM v{iters})), 6) AS proj FROM e"
+    )
+
+
 def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary coverage curve (NEW in r10): corpus token mass
     covered by the top-{64, 256, 1024, 4096} words — the Zipf curve a
@@ -3689,6 +3744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_chunks": q_cdc_chunks,  # NEW in r10
         "collocations": q_collocations,  # NEW in r10
         "vocab_coverage": q_vocab_coverage,  # NEW in r10
+        "pca_top1": q_pca_top1,  # NEW in r10
         "dsir_weights": q_dsir_weights,  # NEW in r6
         "bloom_contam": q_bloom_contam,  # NEW in r6
         "weighted_sample": q_weighted_sample,  # NEW in r6
@@ -6077,6 +6133,7 @@ def oracle_sql() -> dict[str, str]:
             "JOIN c1 b ON b.w = c2.w2, n "
             "ORDER BY lift DESC, c2.w, c2.w2 LIMIT 100"
         ),
+        "pca_top1": _pca_oracle_sql(2),
         "vocab_coverage": (
             "WITH toks AS (SELECT "
             "unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) "

@@ -1591,3 +1591,97 @@ def kmeans_assign(
     return _assign_cells(embeddings, cents, id_col, vec_col).select(
         "vec_id", "cell"
     )
+
+
+def top_component(
+    embeddings: DataFrame,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top singular direction by POWER ITERATION (uncentered PCA) +
+    per-vector projection: v_{t+1} = normalize(Xᵀ(Xv_t)) from the
+    deterministic start v_0 = 1/sqrt(dim)·(1..1), then proj_i =
+    round(x_i · v_final, 6) — the spectral primitive behind embedding
+    whitening, spectral hashing init, and 1-D corpus ordering; compose
+    with a mean-subtract projection for centered PCA. Returns
+    (vec_id, proj).
+
+    Determinism discipline (the PageRank/centroid pattern made
+    iterative-linear-algebra): each power step is ONE corpus pass — a
+    row computes dot = x·v_t as a positionally-unrolled left-assoc
+    double chain (codegen-resident; v_t rides as dim literals, the
+    centroid trick), the per-component contribution round(dot·x_j, 15)
+    casts to DECIMAL(38,15) and sums EXACTLY (partition-order-free),
+    the norm squares those sums through the same round-15 decimal path,
+    and the refreshed component rounds to 6 decimals — so Spark and
+    the DuckDB twin agree bit-for-bit at every step. Driver traffic is
+    one dim-sized row per iteration; nothing corpus-sized sorts,
+    collects, or broadcasts."""
+
+    import math
+
+    stats = embeddings.select(
+        F.count(F.lit(1)).alias("n"),
+        F.min(F.size(F.col(vec_col))).alias("dmin"),
+        F.max(F.size(F.col(vec_col))).alias("dmax"),
+    ).first()
+    if not stats["n"] or stats["dmin"] is None:
+        return embeddings.select(
+            F.col(id_col).alias("vec_id"),
+            F.lit(None).cast("double").alias("proj"),
+        )
+    if stats["dmin"] != stats["dmax"]:
+        raise ValueError(
+            "top_component requires a uniform embedding dimension "
+            f"(got {stats['dmin']}..{stats['dmax']})"
+        )
+    dim = stats["dmax"]
+
+    base = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")
+    )
+
+    def dot_expr(vlits: list) -> str:
+        # left-assoc ascending — list_dot_product's exact fold order
+        return " + ".join(
+            f"CAST(v[{j}] AS DOUBLE) * CAST('{vlits[j]!r}' AS DOUBLE)"
+            for j in range(dim)
+        )
+
+    v = [1.0 / math.sqrt(dim)] * dim
+    for _ in range(max(0, iters)):
+        scored = base.select(F.expr(f"({dot_expr(v)})").alias("dot"), "v")
+        agg = scored.agg(
+            *[
+                F.sum(
+                    F.expr(
+                        f"CAST(round(dot * CAST(v[{j}] AS DOUBLE), 15) "
+                        "AS DECIMAL(38,15))"
+                    )
+                ).alias(f"w{j}")
+                for j in range(dim)
+            ]
+        )
+        sq = " + ".join(
+            f"CAST(round(CAST(w{j} AS DOUBLE) * CAST(w{j} AS DOUBLE), 15)"
+            " AS DECIMAL(38,15))"
+            for j in range(dim)
+        )
+        row = agg.select(
+            *[
+                F.expr(
+                    f"round(CAST(w{j} AS DOUBLE) / "
+                    f"nullif(sqrt(CAST(({sq}) AS DOUBLE)), 0.0), 6)"
+                ).alias(f"v{j}")
+                for j in range(dim)
+            ]
+        ).first()
+        nxt = [row[f"v{j}"] for j in range(dim)]
+        if any(c is None for c in nxt):  # zero-norm corpus: keep v_t
+            break
+        v = nxt
+
+    return base.select(
+        "vec_id", F.expr(f"round(({dot_expr(v)}), 6)").alias("proj")
+    )

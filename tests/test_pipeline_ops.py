@@ -3068,3 +3068,54 @@ def test_cdc_chunks_single_token_and_empty(spark):
     assert {(r["doc_id"], r["chunk_id"], r["n_tokens"]) for r in rows} == {
         (0, 0, 1), (1, 0, 1)
     }
+
+
+def test_top_component_finds_dominant_direction(spark):
+    """Power iteration on a synthetic anisotropic cloud recovers the
+    dominant singular direction: projections correlate ~1 (up to
+    sign) with numpy's exact top right-singular vector's."""
+
+    import numpy as np
+
+    from declarative_dataflow_spark.operators import similarity as sim
+
+    rng = np.random.RandomState(7)
+    direction = np.array([3.0, 1.0, -2.0, 0.5])
+    direction /= np.linalg.norm(direction)
+    coeff = rng.randn(200, 1) * 10.0          # dominant axis
+    noise = rng.randn(200, 4) * 0.1
+    x = coeff * direction + noise
+    rows = [(i, [float(v) for v in x[i]]) for i in range(len(x))]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    got = {r["vec_id"]: r["proj"]
+           for r in sim.top_component(emb, iters=3).collect()}
+    proj = np.array([got[i] for i in range(len(x))])
+
+    _, _, vt = np.linalg.svd(x, full_matrices=False)
+    want = x @ vt[0]
+    corr = np.corrcoef(proj, want)[0, 1]
+    assert abs(corr) > 0.999, f"corr={corr}"
+
+
+def test_top_component_validates_and_degrades(spark):
+    import pytest
+
+    from declarative_dataflow_spark.operators import similarity as sim
+
+    mixed = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [1.0, 2.0, 3.0])], ["vec_id", "embedding"]
+    )
+    with pytest.raises(ValueError, match="uniform"):
+        sim.top_component(mixed)
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert sim.top_component(empty).count() == 0
+
+    # zero-norm corpus: power step degenerates, projection stays the
+    # (well-defined) dot with the start vector = 0.0
+    zeros = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [0.0, 0.0])], ["vec_id", "embedding"]
+    )
+    out = {r["vec_id"]: r["proj"] for r in sim.top_component(zeros).collect()}
+    assert out == {0: 0.0, 1: 0.0}
