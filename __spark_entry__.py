@@ -2714,6 +2714,97 @@ def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversity re-ranking (NEW in r10): greedy top-5 from each
+    probe's 20 most-relevant candidates, λ=0.5 relevance-vs-redundancy
+    trade — the RAG diversity pass between ANN and the context window.
+    Every post-candidate table is |q| x depth or smaller; the k-step
+    greedy loop is driver-orchestrated, never driver-evaluated."""
+
+    return retrieval.mmr_rerank(
+        load_table(spark, sf_dir, "embeddings"),
+        query_ids=list(range(10)),
+        k=5,
+        depth=20,
+    )
+
+
+def _mmr_oracle_sql(k: int = 5, depth: int = 20) -> str:
+    """DuckDB twin of retrieval.mmr_rerank: the greedy steps unrolled
+    as CTEs — candidate top-``depth`` by cosine (tie: neighbor asc),
+    per-step score 0.5·rel − 0.5·max-sim-to-selected ordered UNROUNDED
+    (the Spark argmax's exact key), winners rounded to 6."""
+
+    ctes = [
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        "FROM embeddings)",
+        "q AS (SELECT vec_id AS q, v AS qv FROM e WHERE vec_id < 10)",
+        "xs AS (SELECT q.q, e.vec_id AS neighbor, "
+        "round(list_dot_product(q.qv, e.v) / "
+        "nullif(sqrt(list_dot_product(q.qv, q.qv)) * "
+        "sqrt(list_dot_product(e.v, e.v)), 0.0), 4) AS rel "
+        "FROM e CROSS JOIN q WHERE e.vec_id != q.q)",
+        "cand AS (SELECT q, neighbor, rel FROM (SELECT *, row_number() "
+        "OVER (PARTITION BY q ORDER BY rel DESC, neighbor) AS rn "
+        f"FROM xs) WHERE rn <= {depth})",
+        "ps AS (SELECT ca.q, ca.neighbor AS a, cb.neighbor AS b, "
+        "round(list_dot_product(ea.v, eb.v) / "
+        "nullif(sqrt(list_dot_product(ea.v, ea.v)) * "
+        "sqrt(list_dot_product(eb.v, eb.v)), 0.0), 4) AS psim "
+        "FROM cand ca JOIN cand cb ON cb.q = ca.q "
+        "AND cb.neighbor != ca.neighbor "
+        "JOIN e ea ON ea.vec_id = ca.neighbor "
+        "JOIN e eb ON eb.vec_id = cb.neighbor)",
+        "s1 AS (SELECT q, neighbor, 1 AS step, round(score, 6) AS score "
+        "FROM (SELECT q, neighbor, 0.5 * rel AS score, row_number() "
+        "OVER (PARTITION BY q ORDER BY 0.5 * rel DESC, neighbor) AS rn "
+        "FROM cand) WHERE rn = 1)",
+        "sel1 AS (SELECT q, neighbor FROM s1)",
+    ]
+    for t in range(2, k + 1):
+        p = t - 1
+        ctes.append(
+            f"s{t} AS (SELECT q, neighbor, {t} AS step, "
+            "round(score, 6) AS score FROM ("
+            "SELECT r.q, r.neighbor, "
+            "0.5 * r.rel - 0.5 * coalesce(m.msim, 0.0) AS score, "
+            "row_number() OVER (PARTITION BY r.q ORDER BY "
+            "0.5 * r.rel - 0.5 * coalesce(m.msim, 0.0) DESC, "
+            "r.neighbor) AS rn "
+            "FROM (SELECT c.* FROM cand c WHERE NOT EXISTS ("
+            f"SELECT 1 FROM sel{p} s WHERE s.q = c.q "
+            "AND s.neighbor = c.neighbor)) r "
+            "LEFT JOIN (SELECT p.q, p.a AS neighbor, "
+            f"max(p.psim) AS msim FROM ps p JOIN sel{p} s "
+            "ON s.q = p.q AND s.neighbor = p.b GROUP BY 1, 2) m "
+            "ON m.q = r.q AND m.neighbor = r.neighbor) WHERE rn = 1)"
+        )
+        ctes.append(
+            f"sel{t} AS (SELECT q, neighbor FROM sel{p} "
+            f"UNION ALL SELECT q, neighbor FROM s{t})"
+        )
+    union = " UNION ALL ".join(
+        f"SELECT q, neighbor, step, score FROM s{t}"
+        for t in range(1, k + 1)
+    )
+    return "WITH " + ", ".join(ctes) + " " + union
+
+
+def q_trunc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation eval (NEW in r10): recall@5 of exact
+    cosine search over the first 32 of 64 dims vs full-dim exact —
+    the eval gating a 2x scan-cost dim cut (MRL serving). Two
+    cosine_topk passes (truncated side = row-local array slice), one
+    |q| x k intersection join; probe-bounded."""
+
+    return similarity.truncation_recall(
+        load_table(spark, sf_dir, "embeddings"),
+        query_ids=list(range(10)),
+        k=5,
+        trunc_dim=32,
+    )
+
+
 def q_pca_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Power-iteration top singular direction + per-vector projection
     (NEW in r10): uncentered PCA by v ← normalize(Xᵀ(Xv)), two steps
@@ -3745,6 +3836,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collocations": q_collocations,  # NEW in r10
         "vocab_coverage": q_vocab_coverage,  # NEW in r10
         "pca_top1": q_pca_top1,  # NEW in r10
+        "trunc_recall": q_trunc_recall,  # NEW in r10
+        "mmr_rerank": q_mmr_rerank,  # NEW in r10
         "dsir_weights": q_dsir_weights,  # NEW in r6
         "bloom_contam": q_bloom_contam,  # NEW in r6
         "weighted_sample": q_weighted_sample,  # NEW in r6
@@ -6132,6 +6225,39 @@ def oracle_sql() -> dict[str, str]:
             "FROM c2 JOIN c1 a ON a.w = c2.w "
             "JOIN c1 b ON b.w = c2.w2, n "
             "ORDER BY lift DESC, c2.w, c2.w2 LIMIT 100"
+        ),
+        "mmr_rerank": _mmr_oracle_sql(5, 20),
+        "trunc_recall": (
+            # full-dim and v[1:32]-truncated cosine_topk pipelines
+            # composed verbatim; recall per probe over the exact side.
+            "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+            "FROM embeddings), "
+            "te AS (SELECT vec_id, v[1:32] AS v FROM e), "
+            "q AS (SELECT vec_id AS q, v AS qv FROM e WHERE vec_id < 10), "
+            "tq AS (SELECT vec_id AS q, v AS qv FROM te "
+            "WHERE vec_id < 10), "
+            "xs AS (SELECT q.q, e.vec_id AS neighbor, "
+            "round(list_dot_product(q.qv, e.v) / "
+            "(sqrt(list_dot_product(q.qv, q.qv)) * "
+            "sqrt(list_dot_product(e.v, e.v))), 4) AS sim "
+            "FROM e CROSS JOIN q WHERE e.vec_id != q.q), "
+            "ex AS (SELECT q, neighbor FROM (SELECT *, row_number() "
+            "OVER (PARTITION BY q ORDER BY sim DESC, neighbor) AS rn "
+            "FROM xs) WHERE rn <= 5), "
+            "ts AS (SELECT t.q, te.vec_id AS neighbor, "
+            "round(list_dot_product(t.qv, te.v) / "
+            "(sqrt(list_dot_product(t.qv, t.qv)) * "
+            "sqrt(list_dot_product(te.v, te.v))), 4) AS sim "
+            "FROM te CROSS JOIN tq t WHERE te.vec_id != t.q), "
+            "ap AS (SELECT q, neighbor FROM (SELECT *, row_number() "
+            "OVER (PARTITION BY q ORDER BY sim DESC, neighbor) AS rn "
+            "FROM ts) WHERE rn <= 5), "
+            "hits AS (SELECT ex.q, count(*) AS h FROM ex "
+            "JOIN ap ON ap.q = ex.q AND ap.neighbor = ex.neighbor "
+            "GROUP BY 1), "
+            "base AS (SELECT q, count(*) AS kk FROM ex GROUP BY 1) "
+            "SELECT base.q, round(coalesce(h, 0) / kk, 4) AS recall "
+            "FROM base LEFT JOIN hits ON hits.q = base.q"
         ),
         "pca_top1": _pca_oracle_sql(2),
         "vocab_coverage": (

@@ -305,3 +305,112 @@ def retrieval_eval(
         )
         .alias("ndcg"),
     )
+
+
+def mmr_rerank(
+    embeddings: DataFrame,
+    query_ids: list,
+    k: int = 5,
+    depth: int = 20,
+    lam: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998): greedily pick ``k`` results per probe from its ``depth``
+    most-relevant candidates, each step maximizing λ·rel(d) −
+    (1−λ)·max_{s∈S} sim(d, s) — relevance traded against redundancy,
+    the diversity pass a RAG retriever runs between ANN and the
+    context window. Returns (q, neighbor, step, score), step 1..k;
+    step 1 is the pure-relevance argmax (empty selected set).
+
+    Scale shape: candidates come from :func:`..similarity.cosine_topk`
+    (probe-bounded, the engine ladder + tie discipline), so EVERY
+    table the greedy loop touches is |queries| × depth or smaller —
+    the candidate pair-sim table (|q|·depth² rows, computed ONCE and
+    checkpointed) and k per-step argmax windows partitioned by q over
+    ≤ depth rows. The k-step loop is driver-orchestrated but never
+    driver-evaluated; nothing corpus-sized moves after the candidate
+    pass. Determinism: rel and pair sims round to 4 (cosine_topk's
+    contract), λ = 0.5 makes λ·x exact halving, scores round to 6,
+    ties break (score desc, neighbor asc)."""
+
+    from pyspark.sql.window import Window
+
+    from .similarity import cosine_topk, _dot, _norm
+
+    cand = cosine_topk(
+        embeddings, query_ids, k=depth, id_col=id_col, vec_col=vec_col
+    ).select("q", "neighbor", F.col("sim").alias("rel"))
+    cand = cand.localCheckpoint(eager=False)
+
+    vecs = embeddings.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
+    )
+    a = cand.select("q", F.col("neighbor").alias("a")).join(
+        vecs.withColumnRenamed("__id", "a").withColumnRenamed("__v", "va"),
+        "a",
+    )
+    b = cand.select("q", F.col("neighbor").alias("b")).join(
+        vecs.withColumnRenamed("__id", "b").withColumnRenamed("__v", "vb"),
+        "b",
+    )
+    pair_sims = (
+        a.join(b, "q")
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            "q",
+            "a",
+            "b",
+            F.round(
+                _dot("va", "vb")
+                / F.nullif(_norm("va") * _norm("vb"), F.lit(0.0)),
+                4,
+            ).alias("psim"),
+        )
+        .localCheckpoint(eager=False)
+    )
+
+    w_q = Window.partitionBy("q")
+
+    def argmax(scored: DataFrame, step: int) -> DataFrame:
+        w = w_q.orderBy(F.desc("score"), F.asc("neighbor"))
+        return (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(
+                "q",
+                "neighbor",
+                F.lit(step).alias("step"),
+                F.round(F.col("score"), 6).alias("score"),
+            )
+        )
+
+    lam_c = F.lit(lam)
+    selected = argmax(
+        cand.select("q", "neighbor", (lam_c * F.col("rel")).alias("score")),
+        1,
+    ).localCheckpoint(eager=False)
+    out = selected
+    for step in range(2, k + 1):
+        remaining = cand.join(
+            out.select("q", "neighbor"), ["q", "neighbor"], "left_anti"
+        )
+        msim = (
+            pair_sims.join(
+                out.select("q", F.col("neighbor").alias("b")), ["q", "b"]
+            )
+            .groupBy("q", F.col("a").alias("neighbor"))
+            .agg(F.max("psim").alias("msim"))
+        )
+        scored = remaining.join(msim, ["q", "neighbor"], "left").select(
+            "q",
+            "neighbor",
+            (
+                lam_c * F.col("rel")
+                - (F.lit(1.0) - lam_c)
+                * F.coalesce(F.col("msim"), F.lit(0.0))
+            ).alias("score"),
+        )
+        out = out.union(argmax(scored, step)).localCheckpoint(eager=False)
+    return out.select("q", "neighbor", "step", "score")

@@ -1685,3 +1685,51 @@ def top_component(
     return base.select(
         "vec_id", F.expr(f"round(({dot_expr(v)}), 6)").alias("proj")
     )
+
+
+def truncation_recall(
+    embeddings: DataFrame,
+    query_ids: list,
+    k: int = 5,
+    trunc_dim: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Matryoshka truncation eval (Kusupati et al. 2022 MRL): recall@k
+    of exact cosine search over the FIRST ``trunc_dim`` dimensions
+    against exact full-dimension search — the eval that decides
+    whether a deployment can serve the cheap dim-truncated index (a
+    2x dim cut is a 2x scan-cost/RAM cut at 100 TB) before committing
+    to it. Returns (q, recall) per probe; recall = |trunc-top-k ∩
+    full-top-k| / |full-top-k|, denominator = the exact side's actual
+    result size (== k unless the corpus is smaller).
+
+    Shape: two :func:`cosine_topk` passes (same engine ladder and
+    determinism contract — ties by neighbor id in both engines), the
+    truncated side over a row-local array slice (map-side, no extra
+    shuffle); the intersection joins two |queries| x k result sets.
+    Probe-bounded like ann_recall."""
+
+    exact = cosine_topk(
+        embeddings, query_ids, k=k, id_col=id_col, vec_col=vec_col
+    )
+    trunc = embeddings.select(
+        F.col(id_col),
+        F.slice(F.col(vec_col), 1, trunc_dim).alias(vec_col),
+    )
+    approx = cosine_topk(
+        trunc, query_ids, k=k, id_col=id_col, vec_col=vec_col
+    )
+    hits = (
+        exact.select("q", "neighbor")
+        .join(approx.select("q", "neighbor"), ["q", "neighbor"])
+        .groupBy("q")
+        .agg(F.count(F.lit(1)).alias("__hits"))
+    )
+    base = exact.groupBy("q").agg(F.count(F.lit(1)).alias("__k"))
+    return base.join(hits, "q", "left").select(
+        "q",
+        F.round(
+            F.coalesce(F.col("__hits"), F.lit(0)) / F.col("__k"), 4
+        ).alias("recall"),
+    )

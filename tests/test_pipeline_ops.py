@@ -3119,3 +3119,65 @@ def test_top_component_validates_and_degrades(spark):
     )
     out = {r["vec_id"]: r["proj"] for r in sim.top_component(zeros).collect()}
     assert out == {0: 0.0, 1: 0.0}
+
+
+def _mmr_bruteforce(vecs, probe, k, depth, lam=0.5):
+    """Textbook greedy MMR over round-4 cosines (ties: neighbor asc)."""
+
+    import math
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return round(d / (na * nb), 4) if na * nb else None
+
+    rel = {i: cos(v, vecs[probe]) for i, v in vecs.items() if i != probe}
+    cand = sorted(rel, key=lambda i: (-rel[i], i))[:depth]
+    picked, out = [], []
+    for step in range(1, k + 1):
+        best = None
+        for d in cand:
+            if d in picked:
+                continue
+            sims = [cos(vecs[d], vecs[s]) for s in picked]
+            msim = max((s for s in sims if s is not None), default=0.0)
+            score = lam * rel[d] - (1 - lam) * msim
+            key = (-score, d)
+            if best is None or key < best[0]:
+                best = (key, d, score)
+        picked.append(best[1])
+        out.append((step, best[1], round(best[2], 6)))
+    return out
+
+
+def test_mmr_rerank_matches_bruteforce_and_diversifies(spark):
+    """mmr_rerank == textbook greedy MMR on a corpus holding the
+    probe's near-duplicate twice — and the redundant second copy is
+    NOT picked immediately after the first (the diversity penalty
+    visibly reorders pure relevance)."""
+
+    from declarative_dataflow_spark.operators import retrieval
+
+    vecs = {
+        0: [1.0, 0.0, 0.0],    # probe
+        1: [0.99, 0.01, 0.0],  # near-dup of probe (copy A)
+        2: [0.99, 0.011, 0.0],  # near-dup (copy B) — redundant with A
+        3: [0.5, 0.5, 0.0],    # diverse, still relevant
+        4: [0.0, 0.0, 1.0],    # orthogonal
+    }
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], ["vec_id", "embedding"]
+    )
+    got = sorted(
+        (r["step"], r["neighbor"], r["score"])
+        for r in retrieval.mmr_rerank(
+            emb, query_ids=[0], k=3, depth=4
+        ).collect()
+    )
+    want = _mmr_bruteforce(vecs, probe=0, k=3, depth=4)
+    assert [(s, n) for s, n, _ in got] == [(s, n) for s, n, _ in want]
+    for (_, _, gs), (_, _, ws) in zip(got, want):
+        assert abs(gs - ws) < 1e-9
+    # relevance order would be (1, 2, ...); MMR defers the twin copy
+    assert [n for _, n, _ in got][:2] != [1, 2]
