@@ -737,6 +737,17 @@ def edge_triangle_support(
     canon = und.filter(F.col("src") < F.col("dst")).select(
         F.col("src").alias("a"), F.col("dst").alias("b")
     )
+    return support_of(und, canon)
+
+
+def support_of(und: DataFrame, canon: DataFrame) -> DataFrame:
+    """Triangle support for a SUBSET of canonical edges over the full
+    symmetric adjacency ``und`` (src, dst): the edge_triangle_support
+    core factored so the incremental maintainer can recount ONLY the
+    touched edges while the wedge joins still see every neighbor.
+    ``canon`` carries (a, b) with a < b; returns (a, b, support) for
+    exactly those rows, zero-support kept."""
+
     n1 = und.select(F.col("src").alias("a"), F.col("dst").alias("v"))
     n2 = und.select(F.col("src").alias("b"), F.col("dst").alias("v"))
     tri = (

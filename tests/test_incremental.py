@@ -1774,3 +1774,91 @@ def test_incremental_dedup_groups_churn_equals_batch(spark):
         assert set(folded) == got and all(
             v == 1 for v in folded.values()
         ), (epoch, folded)
+
+
+def test_incremental_edge_support_randomized_churn_equals_batch(
+    spark, tmp_path
+):
+    """IncrementalEdgeSupport: across randomized add/retract epochs,
+    (1) current() == the batch edge_triangle_support on the surviving
+    edge set, and (2) the folded diff stream equals the same batch
+    result — including edges whose support drops to 0 but that
+    survive, and edges removed outright."""
+
+    import random
+
+    from declarative_dataflow_spark.operators import graph as G
+    from declarative_dataflow_spark.streaming.incremental import (
+        IncrementalEdgeSupport,
+    )
+
+    from collections import Counter
+
+    rng = random.Random(4242)
+    maint = IncrementalEdgeSupport(spark, str(tmp_path / "es_state"))
+    counts: Counter = Counter()  # signed multiset, live = cnt > 0
+    folded: dict = {}
+
+    def fold(diffs):
+        if diffs is None:
+            return
+        for r in diffs.collect():
+            key = (r["a"], r["b"])
+            if r["diff"] > 0:
+                folded[key] = r["support"]
+            elif folded.get(key) == r["support"]:
+                del folded[key]
+
+    for epoch in range(6):
+        adds = [
+            (rng.randrange(12), rng.randrange(12)) for _ in range(10)
+        ]
+        retractable = [
+            e for e, c in counts.items() if c > 0 and rng.random() < 0.3
+        ]
+        add_df = spark.createDataFrame(adds, "src long, dst long")
+        ret_df = (
+            spark.createDataFrame(retractable, "src long, dst long")
+            if retractable
+            else None
+        )
+        fold(maint.process_batch(add_df, ret_df, epoch=epoch))
+        for a, b in adds:
+            if a != b:
+                counts[(min(a, b), max(a, b))] += 1
+        for a, b in retractable:
+            counts[(min(a, b), max(a, b))] -= 1
+
+        batch_edges = spark.createDataFrame(
+            [e for e, c in counts.items() if c > 0],
+            "src long, dst long",
+        )
+        want = {
+            (r["a"], r["b"]): r["support"]
+            for r in G.edge_triangle_support(batch_edges).collect()
+        }
+        got = {
+            (r["a"], r["b"]): r["support"]
+            for r in maint.current().collect()
+        }
+        assert got == want, f"current() drift at epoch {epoch}"
+        assert folded == want, f"diff-fold drift at epoch {epoch}"
+
+
+def test_incremental_edge_support_retry_is_noop(spark, tmp_path):
+    """A RETRIED epoch (same epoch id, same payload — foreachBatch's
+    at-least-once) overwrites its own state partition and emits no
+    diff: old == new by construction."""
+
+    from declarative_dataflow_spark.streaming.incremental import (
+        IncrementalEdgeSupport,
+    )
+
+    maint = IncrementalEdgeSupport(spark, str(tmp_path / "es_state"))
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "src long, dst long"
+    )
+    first = maint.process_batch(edges, epoch=0)
+    assert first is not None and first.count() == 4
+    retry = maint.process_batch(edges, epoch=0)
+    assert retry is None or retry.count() == 0
