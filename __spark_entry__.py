@@ -2686,6 +2686,51 @@ def q_edge_support(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.edge_triangle_support(edges)
 
 
+def q_period_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal coalesce/normalize (NEW in r10): each user's 30-min
+    validity windows merged into maximal disjoint periods — the
+    SQL:2011 temporal-table primitive over the events stream. One
+    key-partitioned running-max window + one (key, island) aggregate."""
+
+    from declarative_dataflow_spark.operators import bitemporal
+    from declarative_dataflow_spark.operators.timeseries import _epoch_us
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("k"),
+        _epoch_us("ts").alias("s"),
+        (_epoch_us("ts") + F.lit(1800000000)).alias("e"),
+    )
+    return bitemporal.period_coalesce(ev)
+
+
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution (NEW in r10): each purchase credited to
+    the user's most recent strictly-preceding click/view (NULL =
+    direct). One key-partitioned window ordered (tu, event_id) with a
+    1-PRECEDING frame; other event types drop at the scan."""
+
+    from declarative_dataflow_spark.operators import timeseries
+
+    return timeseries.last_touch_attribution(
+        load_table(spark, sf_dir, "events")
+    )
+
+
+def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (NEW in r10): Newman's Pearson correlation
+    of endpoint degrees over the edge_support graph — hubs-link-hubs
+    vs hubs-link-leaves, one row. Exact DECIMAL(38,0) moment sums
+    (partition-order-free, overflow-safe); floats only in the final
+    sqrt/division, rounded to 6."""
+
+    ev = load_table(spark, sf_dir, "events")
+    edges = ev.filter(F.col("event_id") % 11 == 0).select(
+        (F.col("user_id") % 1000).alias("src"),
+        (F.col("event_id") % 1000).alias("dst"),
+    )
+    return graph.degree_assortativity(edges)
+
+
 def q_clustering_coef(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node local clustering coefficient (NEW in r10): the
     Watts-Strogatz density measure over the edge_support graph
@@ -3838,6 +3883,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pca_top1": q_pca_top1,  # NEW in r10
         "trunc_recall": q_trunc_recall,  # NEW in r10
         "mmr_rerank": q_mmr_rerank,  # NEW in r10
+        "assortativity": q_assortativity,  # NEW in r10
+        "attribution": q_attribution,  # NEW in r10
+        "period_coalesce": q_period_coalesce,  # NEW in r10
         "dsir_weights": q_dsir_weights,  # NEW in r6
         "bloom_contam": q_bloom_contam,  # NEW in r6
         "weighted_sample": q_weighted_sample,  # NEW in r6
@@ -6298,6 +6346,58 @@ def oracle_sql() -> dict[str, str]:
             "AS n_docs FROM ch GROUP BY 1) "
             "SELECT c.doc_id, c.chunk_id, c.n_tokens, c.chunk_hash, "
             "s.n_docs FROM ch c JOIN sh s USING (chunk_hash)"
+        ),
+        "period_coalesce": (
+            "WITH iv AS (SELECT user_id AS k, epoch_us(ts) AS s, "
+            "epoch_us(ts) + 1800000000 AS e FROM events), "
+            "flagged AS (SELECT k, s, e, "
+            "CASE WHEN max(e) OVER wp IS NULL OR s > max(e) OVER wp "
+            "THEN 1 ELSE 0 END AS nf FROM iv WINDOW wp AS ("
+            "PARTITION BY k ORDER BY s, e "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)), "
+            "isl AS (SELECT k, s, e, (sum(nf) OVER (PARTITION BY k "
+            "ORDER BY s, e ROWS UNBOUNDED PRECEDING))::BIGINT "
+            "AS period_seq FROM flagged) "
+            "SELECT k, period_seq, min(s) AS s, max(e) AS e, "
+            "count(*)::BIGINT AS n_intervals FROM isl GROUP BY 1, 2"
+        ),
+        "attribution": (
+            "WITH ev AS (SELECT user_id AS k, event_id, "
+            "event_type AS t, epoch_us(ts) AS tu FROM events "
+            "WHERE event_type IN ('purchase', 'click', 'view')), "
+            "flagged AS (SELECT k, event_id, t, tu, "
+            "last_value(CASE WHEN t != 'purchase' THEN tu END "
+            "IGNORE NULLS) OVER w AS touch_tu, "
+            "last_value(CASE WHEN t != 'purchase' THEN event_id END "
+            "IGNORE NULLS) OVER w AS touch_event_id, "
+            "last_value(CASE WHEN t != 'purchase' THEN t END "
+            "IGNORE NULLS) OVER w AS touch_type "
+            "FROM ev WINDOW w AS (PARTITION BY k ORDER BY tu, event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)) "
+            "SELECT event_id, k AS user_id, tu AS conv_tu, "
+            "touch_event_id, touch_type, tu - touch_tu AS gap_us "
+            "FROM flagged WHERE t = 'purchase'"
+        ),
+        "assortativity": (
+            "WITH e0 AS (SELECT DISTINCT user_id % 1000 AS src, "
+            "event_id % 1000 AS dst FROM events WHERE event_id % 11 = 0), "
+            "und AS (SELECT src, dst FROM e0 WHERE src <> dst "
+            "UNION SELECT dst, src FROM e0 WHERE src <> dst), "
+            "deg AS (SELECT src AS n, count(*)::BIGINT AS d FROM und "
+            "GROUP BY 1), "
+            "p AS (SELECT a.d AS du, b.d AS dv FROM und "
+            "JOIN deg a ON a.n = und.src JOIN deg b ON b.n = und.dst), "
+            "m AS (SELECT count(*)::BIGINT AS m_edges, "
+            "sum(du::DECIMAL(38,0) * dv::DECIMAL(38,0)) AS sxy, "
+            "sum(du::DECIMAL(38,0)) AS sx, "
+            "sum(dv::DECIMAL(38,0)) AS sy, "
+            "sum(du::DECIMAL(38,0) * du::DECIMAL(38,0)) AS sxx, "
+            "sum(dv::DECIMAL(38,0) * dv::DECIMAL(38,0)) AS syy FROM p) "
+            "SELECT m_edges, "
+            "round(CAST(m_edges * sxy - sx * sy AS DOUBLE) / "
+            "nullif(sqrt(CAST(m_edges * sxx - sx * sx AS DOUBLE)) * "
+            "sqrt(CAST(m_edges * syy - sy * sy AS DOUBLE)), 0.0), 6) "
+            "AS assortativity FROM m"
         ),
         "clustering_coef": (
             # same graph as edge_support; wedges centered on the node,

@@ -92,3 +92,68 @@ def history_at_each_correction(
     return facts.withColumn(
         "superseded", F.col(sys_col) < F.max(sys_col).over(w)
     )
+
+
+def period_coalesce(
+    intervals: DataFrame,
+    key_col: str = "k",
+    start_col: str = "s",
+    end_col: str = "e",
+) -> DataFrame:
+    """Temporal COALESCE / NORMALIZE (the SQL:2011 temporal-table
+    primitive): merge a key's overlapping-or-touching validity periods
+    into maximal disjoint periods — the pass a bitemporal store runs
+    so "valid 1-5" + "valid 3-8" + "valid 8-9" reads back as one fact
+    valid 1-9. Returns (k, period_seq, s, e, n_intervals) with
+    period_seq numbering a key's merged periods in time order.
+
+    Shape: gaps-and-islands with a RUNNING MAX — order a key's
+    intervals by (s, e), a new island starts where s strictly exceeds
+    the max end seen so far (touching intervals s == max merge, the
+    coalesce convention), island id = running count of starts. ONE
+    key-partitioned window pass + one (key, island) aggregation —
+    the sessionize discipline: per-key partitions, never a global
+    sort. Degenerate/reversed intervals (e < s) are kept as-is and
+    merge by the same rule."""
+
+    iv = intervals.select(
+        F.col(key_col).alias("k"),
+        F.col(start_col).alias("s"),
+        F.col(end_col).alias("e"),
+    )
+    w_prev = (
+        Window.partitionBy("k")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = iv.select(
+        "k",
+        "s",
+        "e",
+        F.when(
+            F.col("s") > F.coalesce(
+                F.max("e").over(w_prev), F.lit(None)
+            ),
+            1,
+        )
+        .otherwise(
+            F.when(F.max("e").over(w_prev).isNull(), 1).otherwise(0)
+        )
+        .alias("nf"),
+    )
+    w_run = (
+        Window.partitionBy("k")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = flagged.select(
+        "k",
+        "s",
+        "e",
+        F.sum("nf").over(w_run).alias("period_seq"),
+    )
+    return islands.groupBy("k", "period_seq").agg(
+        F.min("s").alias("s"),
+        F.max("e").alias("e"),
+        F.count(F.lit(1)).alias("n_intervals"),
+    )

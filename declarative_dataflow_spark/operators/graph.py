@@ -882,3 +882,62 @@ def ktruss(
     if require_convergence and not converged:
         raise RuntimeError(f"ktruss: no fixpoint within {max_iters} rounds")
     return sup
+
+
+def degree_assortativity(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002): the Pearson
+    correlation of endpoint degrees over the symmetrized edge list —
+    positive = hubs link hubs (social graphs), negative = hubs link
+    leaves (the web, biology). Returns ONE row (m_edges,
+    assortativity); m_edges counts directed representations (2x the
+    undirected edge count, the standard convention).
+
+    Determinism discipline: every moment (Σdudv, Σdu, Σdu², ...) is an
+    EXACT integer sum — degree products cast to DECIMAL(38,0) before
+    summing so the aggregation is associative/commutative at any
+    partitioning and immune to BIGINT overflow at web scale — and the
+    only float ops are the final two sqrt's and one division
+    (correctly-rounded IEEE, identical in both engines), rounded to 6.
+    Shape: one degree aggregation, two node-keyed joins to attach
+    endpoint degrees, one keyless moment aggregation — nothing sorts,
+    nothing broadcasts data-sized state."""
+
+    und = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .union(edges.select(F.col(dst).alias("src"), F.col(src).alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=False)  # feeds deg + the pair scan
+    )
+    deg = und.groupBy(F.col("src").alias("n")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    pairs = (
+        und.join(deg.withColumnRenamed("n", "src"), "src")
+        .withColumnRenamed("d", "du")
+        .join(
+            deg.select(F.col("n").alias("dst"), F.col("d").alias("dv")),
+            "dst",
+        )
+    )
+    dec = "DECIMAL(38,0)"
+    m = pairs.agg(
+        F.count(F.lit(1)).alias("m_edges"),
+        F.sum(F.expr(f"CAST(du AS {dec}) * CAST(dv AS {dec})")).alias("sxy"),
+        F.sum(F.expr(f"CAST(du AS {dec})")).alias("sx"),
+        F.sum(F.expr(f"CAST(dv AS {dec})")).alias("sy"),
+        F.sum(F.expr(f"CAST(du AS {dec}) * CAST(du AS {dec})")).alias("sxx"),
+        F.sum(F.expr(f"CAST(dv AS {dec}) * CAST(dv AS {dec})")).alias("syy"),
+    )
+    return m.select(
+        "m_edges",
+        F.expr(
+            "round(CAST(m_edges * sxy - sx * sy AS DOUBLE) / "
+            "nullif(sqrt(CAST(m_edges * sxx - sx * sx AS DOUBLE)) * "
+            "sqrt(CAST(m_edges * syy - sy * sy AS DOUBLE)), 0.0), 6)"
+        ).alias("assortativity"),
+    )

@@ -669,3 +669,70 @@ def changepoint_from_daily(
         F.round(r_mean, 6).alias("right_mean"),
         F.round(F.abs(r_mean - l_mean), 6).alias("mean_shift"),
     ).filter(F.col("mean_shift") >= min_shift)
+
+
+def last_touch_attribution(
+    events: DataFrame,
+    conversion: str = "purchase",
+    touches: tuple = ("click", "view"),
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Last-touch conversion attribution: for every ``conversion``
+    event, the same key's most recent STRICTLY-preceding touch event
+    (type in ``touches``) — the credit assignment a growth/ads
+    pipeline runs nightly, and the event-analytics sibling of funnel
+    (funnel asks "did the ordered steps happen"; attribution asks
+    "which touch gets the conversion"). Returns (event_id, user_id,
+    conv_tu, touch_event_id, touch_type, gap_us); a conversion with no
+    prior touch keeps NULL touch columns (a "direct" conversion — a
+    report that dropped it would overstate attributed volume).
+
+    Shape: ONE key-partitioned window over the touch+conversion events
+    ordered (tu, event_id) — ties at the same microsecond break by
+    event id, so "strictly preceding" is total and engine-portable —
+    with a ROWS frame ending at 1 PRECEDING and last(... ignorenulls)
+    picking the latest touch. The three touch columns derive from the
+    same CASE, so they always come from the same row. Per-key
+    partitions, never a global sort; events of other types are dropped
+    at the scan."""
+
+    ev = events.filter(
+        F.col(type_col).isin([conversion, *touches])
+    ).select(
+        F.col(key_col).alias("k"),
+        F.col(id_col).alias("event_id"),
+        F.col(type_col).alias("t"),
+        _epoch_us(ts_col).alias("tu"),
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy("tu", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_touch = F.col("t") != conversion
+    flagged = ev.select(
+        "k",
+        "event_id",
+        "t",
+        "tu",
+        F.last(F.when(is_touch, F.col("tu")), ignorenulls=True)
+        .over(w)
+        .alias("touch_tu"),
+        F.last(F.when(is_touch, F.col("event_id")), ignorenulls=True)
+        .over(w)
+        .alias("touch_event_id"),
+        F.last(F.when(is_touch, F.col("t")), ignorenulls=True)
+        .over(w)
+        .alias("touch_type"),
+    )
+    return flagged.filter(F.col("t") == conversion).select(
+        "event_id",
+        F.col("k").alias("user_id"),
+        F.col("tu").alias("conv_tu"),
+        "touch_event_id",
+        "touch_type",
+        (F.col("tu") - F.col("touch_tu")).alias("gap_us"),
+    )

@@ -179,3 +179,57 @@ def test_prop_as_of_matches_duckdb(spark, facts, t):
     finally:
         con.close()
     assert got == want
+
+
+@_settings(
+    max_examples=int(_os.environ.get("SPARK_GRAFT_PROP_EXAMPLES", "50")) // 2,
+    deadline=None,
+    suppress_health_check=[_HealthCheck.too_slow],
+)
+@_given(
+    ivs=_st.lists(
+        _st.tuples(
+            _st.integers(0, 2),    # key
+            _st.integers(0, 30),   # start
+            _st.integers(0, 12),   # length
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_prop_period_coalesce_matches_bruteforce(spark, ivs):
+    """PROPERTY: period_coalesce == the textbook sweep merge
+    (overlapping-or-touching intervals fold; strictly-later starts
+    open a new period) on random per-key interval sets."""
+
+    from declarative_dataflow_spark.operators import bitemporal as B
+
+    rows = [(k, s, s + ln) for k, s, ln in ivs]
+    df = spark.createDataFrame(rows, "k long, s long, e long")
+    got = sorted(
+        tuple(r)
+        for r in B.period_coalesce(df).select(
+            "k", "period_seq", "s", "e", "n_intervals"
+        ).collect()
+    )
+
+    want = []
+    by_key: dict = {}
+    for k, s, e in rows:
+        by_key.setdefault(k, []).append((s, e))
+    for k, items in by_key.items():
+        items.sort()
+        seq = 0
+        cur_s = cur_e = None
+        n = 0
+        for s, e in items:
+            if cur_s is None or s > cur_e:
+                if cur_s is not None:
+                    want.append((k, seq, cur_s, cur_e, n))
+                seq += 1
+                cur_s, cur_e, n = s, e, 1
+            else:
+                cur_e = max(cur_e, e)
+                n += 1
+        want.append((k, seq, cur_s, cur_e, n))
+    assert got == sorted(want)

@@ -3181,3 +3181,49 @@ def test_mmr_rerank_matches_bruteforce_and_diversifies(spark):
         assert abs(gs - ws) < 1e-9
     # relevance order would be (1, 2, ...); MMR defers the twin copy
     assert [n for _, n, _ in got][:2] != [1, 2]
+
+
+@_FUZZ_PROP
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 7), st.integers(0, 7)),
+        min_size=2,
+        max_size=20,
+    )
+)
+def test_prop_assortativity_matches_bruteforce(spark, edges):
+    """PROPERTY: degree_assortativity == the textbook Pearson over
+    endpoint degrees of the symmetrized simple graph (exact integer
+    moments, float only at the end) on random directed multigraphs;
+    degenerate graphs (zero variance) yield NULL."""
+
+    import math
+
+    from declarative_dataflow_spark.operators import graph as g
+
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    row = g.degree_assortativity(df).collect()[0]
+
+    und = {(a, b) for a, b in edges if a != b}
+    und |= {(b, a) for a, b in und}
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+    deg = {v: len(ns) for v, ns in adj.items()}
+    pairs = [(deg[a], deg[b]) for a, b in und]
+    m = len(pairs)
+    assert row["m_edges"] == m
+    if m == 0:
+        assert row["assortativity"] is None
+        return
+    sxy = sum(x * y for x, y in pairs)
+    sx = sum(x for x, _ in pairs)
+    sy = sum(y for _, y in pairs)
+    sxx = sum(x * x for x, _ in pairs)
+    syy = sum(y * y for _, y in pairs)
+    den = math.sqrt(m * sxx - sx * sx) * math.sqrt(m * syy - sy * sy)
+    if den == 0:
+        assert row["assortativity"] is None
+    else:
+        want = round((m * sxy - sx * sy) / den, 6)
+        assert abs(row["assortativity"] - want) <= 1e-6

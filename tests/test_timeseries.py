@@ -1340,3 +1340,64 @@ def test_prop_changepoint_matches_duckdb(spark, events):
     finally:
         con.close()
     assert got == want
+
+
+@_PROP_TS
+@_given(
+    events=_st.lists(
+        _st.tuples(
+            _st.integers(0, 3),               # user
+            _st.integers(0, 40),              # time (seconds-ish)
+            _st.sampled_from(["view", "click", "purchase", "error"]),
+        ),
+        min_size=1,
+        max_size=24,
+    )
+)
+def test_prop_last_touch_attribution_matches_bruteforce(spark, events):
+    """PROPERTY: last_touch_attribution == the obvious per-user scan
+    (latest strictly-preceding touch by (tu, event_id) order; NULL for
+    direct conversions; non-touch non-conversion types invisible)."""
+
+    import datetime
+
+    from declarative_dataflow_spark.operators import timeseries as T
+
+    rows = [
+        (
+            i,
+            datetime.datetime(2024, 1, 1)
+            + datetime.timedelta(seconds=t),
+            u,
+            ty,
+        )
+        for i, (u, t, ty) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, event_type string"
+    )
+    got = sorted(
+        (r["event_id"], r["touch_event_id"], r["touch_type"], r["gap_us"])
+        for r in T.last_touch_attribution(df).collect()
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    tu = {i: int((r[1] - base).total_seconds() * 1_000_000)
+          for i, r in zip(range(len(rows)), rows)}
+    want = []
+    for i, (u, t, ty) in enumerate(events):
+        if ty != "purchase":
+            continue
+        touches = [
+            (tu[j], j)
+            for j, (u2, _, ty2) in enumerate(events)
+            if u2 == u
+            and ty2 in ("view", "click")
+            and (tu[j], j) < (tu[i], i)
+        ]
+        if touches:
+            bt, bj = max(touches)
+            want.append((i, bj, events[bj][2], tu[i] - bt))
+        else:
+            want.append((i, None, None, None))
+    assert got == sorted(want)
