@@ -2686,6 +2686,30 @@ def q_edge_support(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.edge_triangle_support(edges)
 
 
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram novelty scoring (NEW in r10): per document, the fraction
+    of its distinct 3-gram shingles seen in no earlier doc_id — the
+    curriculum/redundancy signal. Row-local shingles, one uniform
+    min(doc_id) aggregation, shingle-keyed join back."""
+
+    return curation.ngram_novelty(
+        load_table(spark, sf_dir, "documents"), n=3
+    )
+
+
+def q_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced subsampling (NEW in r10): keep at most 32
+    members per deterministic k-means cell by reproducible md5 order —
+    the topic-balancing pass before a training mix. k="auto" derives
+    density_cells(n); one cell-partitioned window over ~256-row
+    partitions."""
+
+    return similarity.cluster_sample(
+        load_table(spark, sf_dir, "embeddings"), quota=32, k="auto",
+        iters=2,
+    )
+
+
 def q_period_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temporal coalesce/normalize (NEW in r10): each user's 30-min
     validity windows merged into maximal disjoint periods — the
@@ -3886,6 +3910,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assortativity": q_assortativity,  # NEW in r10
         "attribution": q_attribution,  # NEW in r10
         "period_coalesce": q_period_coalesce,  # NEW in r10
+        "ngram_novelty": q_ngram_novelty,  # NEW in r10
+        "cluster_sample": q_cluster_sample,  # NEW in r10
         "dsir_weights": q_dsir_weights,  # NEW in r6
         "bloom_contam": q_bloom_contam,  # NEW in r6
         "weighted_sample": q_weighted_sample,  # NEW in r6
@@ -4033,25 +4059,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # alongside sorted_neighborhood; all are hash-verified in this
     # round's full local oracle runs (ORACLE_LOCAL.md, 164/164 OK +
     # edge_support in its own gated runs at three scale factors).
+    # Round-10 rotation: the TWELVE r10-new keys (first-ever driver rows)
+    # lead, then embed_prune (its declared k moved to the density-
+    # derived "auto" this round — re-verify under the driver), then
+    # the SIXTEEN r05-stale core keys the r9 verdict ask #2 names
+    # (their latest driver row is 5 rounds old; all re-verified in
+    # this round's full local oracle run), then the 21 stalest r07
+    # keys by queries() order. The remaining 28 r07 keys defer to r11
+    # (all green r07 + every full local run since).
     front = [
-        # r9-new keys — first-ever driver rows
-        "cross_neardup", "token_kl_shift", "embed_drift",
-        "snapshot_diff", "fuzzy_match", "minhash_est", "graph_scc",
-        "c4_rules", "fuzzy_groups", "lsh_pr", "text_norm",
-        "link_pred", "dedup_keep_best", "changepoint",
-        "hard_negatives", "embed_prune", "edge_support",
-        # pair engine changed this round — re-verify
-        "semdedup",
-        # latest driver-green row = r05 (32 stalest by past-row count)
-        "shortest_cost", "wco_clique5", "datalog_text",
-        "coarsen_batch", "window_tumbling", "window_sliding",
-        "window_session", "embed_quantize", "topk_plan", "agg_rollup",
-        "agg_stddev", "ann_lsh", "multimodal_meta", "frame_sample",
-        "hash_split", "stratified_sample", "ngram_jaccard", "graphql",
-        "hector_constants", "name_expr", "bitemporal_asof",
-        "bitemporal_timeline", "fingerprint", "lang_id",
-        "text_quality", "distinct_ingest", "pull_all", "agg_min",
-        "agg_max", "agg_count", "agg_sum", "agg_avg",
+        # r10-new keys — first-ever driver rows
+        "clustering_coef", "cdc_chunks", "collocations",
+        "vocab_coverage", "pca_top1", "trunc_recall", "mmr_rerank",
+        "assortativity", "attribution", "period_coalesce",
+        "ngram_novelty", "cluster_sample",
+        # declared form changed this round (k="auto") — re-verify
+        "embed_prune",
+        # the 16 r05-stale core keys (VERDICT r9 ask #2)
+        "match_a", "match_av", "match_ea", "project", "join_binary",
+        "hector_fused", "antijoin", "union", "negate_setdiff",
+        "filter_lt", "filter_vars", "transform_truncate",
+        "transform_add", "transform_subtract", "agg_median",
+        "agg_variance",
+        # stalest r07 keys (latest driver row r07)
+        "embed_neardup", "embed_groups", "kcore", "graph_cc",
+        "retrieval_eval", "tpch_q5", "tpch_q4", "tpch_q12",
+        "tpch_q19", "sorted_neighborhood", "simhash_neardup",
+        "pq_topk", "gopher_rules", "line_dedup", "bm25_topk",
+        "ngram_lm_score", "bpe_merges", "mix_weights", "tfidf_topk",
+        "hll_distinct", "cms_topk",
     ]
     assert len(front) == 50 and set(front) <= set(q), "rotation list drift"
     return {**{k: q[k] for k in front}, **{k: v for k, v in q.items() if k not in front}}
@@ -6346,6 +6382,31 @@ def oracle_sql() -> dict[str, str]:
             "AS n_docs FROM ch GROUP BY 1) "
             "SELECT c.doc_id, c.chunk_id, c.n_tokens, c.chunk_hash, "
             "s.n_docs FROM ch c JOIN sh s USING (chunk_hash)"
+        ),
+        "ngram_novelty": (
+            "WITH words AS (SELECT doc_id, "
+            "string_split(lower(text), ' ') AS w FROM documents), "
+            "sh AS (SELECT DISTINCT doc_id, "
+            "unnest([w[i] || '_' || w[i+1] || '_' || w[i+2] "
+            "for i in range(1, len(w) - 1)]) AS shingle "
+            "FROM words WHERE len(w) >= 3), "
+            "fs AS (SELECT shingle, min(doc_id) AS fd FROM sh "
+            "GROUP BY 1) "
+            "SELECT s.doc_id, count(*)::BIGINT AS n_shingles, "
+            "sum(CASE WHEN f.fd = s.doc_id THEN 1 ELSE 0 END)::BIGINT "
+            "AS n_novel, "
+            "round(sum(CASE WHEN f.fd = s.doc_id THEN 1 ELSE 0 "
+            "END)::DOUBLE / count(*)::DOUBLE, 4) AS novelty "
+            "FROM sh s JOIN fs f USING (shingle) GROUP BY 1"
+        ),
+        "cluster_sample": _kmeans_oracle_sql(
+            8, 2, k_sql="greatest(8, (count(*) + 255) // 256)", tail=(
+                ", r AS (SELECT vec_id, cell, row_number() OVER ("
+                "PARTITION BY cell ORDER BY "
+                "('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::BIGINT, "
+                "vec_id) AS rn FROM af) "
+                "SELECT vec_id, cell, rn <= 32 AS kept FROM r"
+            )
         ),
         "period_coalesce": (
             "WITH iv AS (SELECT user_id AS k, epoch_us(ts) AS s, "

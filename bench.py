@@ -127,6 +127,18 @@ HEADLINE = [
     "hard_negatives",  # different-label top-k mining (contrastive) (r9)
     "embed_prune",     # prototypicality pruning (SemDeDup complement) (r9)
     "edge_support",    # per-edge triangle support (k-truss measure) (r9)
+    "clustering_coef",  # per-node local clustering coefficient (r10)
+    "cdc_chunks",      # content-defined chunking + chunk dedup signal (r10)
+    "collocations",    # bigram lift/PMI phrase mining (r10)
+    "vocab_coverage",  # Zipf coverage curve for tokenizer sizing (r10)
+    "pca_top1",        # power-iteration top component + projections (r10)
+    "trunc_recall",    # Matryoshka dim-truncation recall eval (r10)
+    "mmr_rerank",      # MMR diversity re-ranking (r10)
+    "assortativity",   # degree assortativity coefficient (r10)
+    "attribution",     # last-touch conversion attribution (r10)
+    "period_coalesce",  # temporal interval normalize (r10)
+    "ngram_novelty",   # first-seen n-gram curriculum signal (r10)
+    "cluster_sample",  # cluster-balanced quota subsampling (r10)
 ]
 
 

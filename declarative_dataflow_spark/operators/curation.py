@@ -964,3 +964,50 @@ def snapshot_diff(
             .alias("status"),
         )
     )
+
+
+def ngram_novelty(
+    docs: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """N-gram novelty scoring for curriculum/ordering decisions: per
+    document, the fraction of its distinct n-gram shingles seen in NO
+    earlier document (doc_id order — the corpus's canonical arrival
+    order). A doc full of already-seen n-grams is redundant with the
+    prefix; a high-novelty doc carries new content — the signal
+    curriculum builders and dedup-aware samplers rank by. Returns
+    (doc_id, n_shingles, n_novel, novelty) for documents with >= n
+    tokens; novelty = round(n_novel / n_shingles, 4), one IEEE
+    division.
+
+    Shape: the shared row-local shingle pass (dedup.shingles — no
+    corpus-wide shuffle of raw n-grams), ONE uniform shingle-keyed
+    min(doc_id) aggregation ("first seen"), one shingle-keyed join
+    back, one doc-keyed count aggregation — every shuffle keys on the
+    shingle hash or doc_id, linear at any corpus size."""
+
+    from .dedup import shingles
+
+    sh = shingles(docs, n, text_col).localCheckpoint(eager=False)
+    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        sh.join(first, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            F.round(
+                F.col("n_novel").cast("double")
+                / F.col("n_shingles").cast("double"),
+                4,
+            ).alias("novelty"),
+        )
+    )

@@ -1733,3 +1733,45 @@ def truncation_recall(
             F.coalesce(F.col("__hits"), F.lit(0)) / F.col("__k"), 4
         ).alias("recall"),
     )
+
+
+def cluster_sample(
+    embeddings: DataFrame,
+    quota: int = 32,
+    k="auto",
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    target_cell: int = 256,
+) -> DataFrame:
+    """Cluster-balanced subsampling (the DataComp/SSL-prototypes
+    topic-balancing pass): cluster the corpus with the deterministic
+    Lloyd machinery and keep at most ``quota`` members per cell,
+    chosen by a REPRODUCIBLE pseudo-random order — the md5-uint32 of
+    the member id (ties by id) — so a dominant topic cannot flood the
+    training mix and the same corpus always samples the same rows.
+    Returns (vec_id, cell, kept).
+
+    Shape: kmeans_assign (broadcast-centroid passes) + ONE
+    cell-partitioned row_number window. ``k="auto"`` (default) derives
+    density_cells(n) so window partitions stay ~``target_cell`` rows
+    at any corpus size — the embed_prune bound; a fixed k would be k
+    single-reducer sorts at 100x data."""
+
+    from pyspark.sql.window import Window
+
+    if k == "auto":
+        n = embeddings.count()
+        k = density_cells(n, target_cell)
+    assign = kmeans_assign(embeddings, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+    w = Window.partitionBy("cell").orderBy(
+        F.conv(
+            F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10
+        ).cast("long"),
+        F.asc("vec_id"),
+    )
+    return assign.select(
+        "vec_id",
+        "cell",
+        (F.row_number().over(w) <= quota).alias("kept"),
+    )
