@@ -1288,7 +1288,7 @@ def cdc_chunks(
                 ),
             )
         ).alias("chunk_hash"),
-    )
+    ).localCheckpoint(eager=False)  # feeds the sharing count AND the join
     shared = chunks.groupBy("chunk_hash").agg(
         F.countDistinct("doc_id").alias("n_docs")
     )

@@ -1120,8 +1120,15 @@ def collocations(
         .agg(F.count(F.lit(1)).alias("c_xy"))
         .filter(F.col("c_xy") >= min_count)
     )
-    c1 = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c_x"))
-    n = toks.select(F.count(F.lit(1)).alias("n_tokens"))
+    # c1 feeds THREE consumers (both unigram joins and the total) —
+    # checkpoint once, and derive N = sum(c_x) from it instead of a
+    # second full token pass (identical value: both count tokens).
+    c1 = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c_x"))
+        .localCheckpoint(eager=False)
+    )
+    n = c1.select(F.sum("c_x").alias("n_tokens"))
     scored = (
         c2.join(c1, "w")
         .join(
@@ -1176,13 +1183,19 @@ def vocab_coverage(
     max_k = max(ks)
     warr = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     toks = docs.select(F.explode(warr).alias("w"))
-    counts = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    # counts feeds the TakeOrdered AND the total — checkpoint once;
+    # N = sum(cnt) over the count table, never a second token pass.
+    counts = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
     top = counts.orderBy(F.col("cnt").desc(), F.col("w")).limit(max_k)
     w_rk = Window.orderBy(F.col("cnt").desc(), F.col("w"))
     ranked = top.withColumn("rk", F.row_number().over(w_rk).cast("long"))
     spark = docs.sparkSession
     kdf = spark.createDataFrame([(int(k),) for k in sorted(ks)], "k long")
-    n = toks.select(F.count(F.lit(1)).alias("n_tokens"))
+    n = counts.select(F.sum("cnt").alias("n_tokens"))
     return (
         ranked.join(F.broadcast(kdf), F.col("rk") <= F.col("k"))
         .groupBy("k")
