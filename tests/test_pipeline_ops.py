@@ -3227,3 +3227,45 @@ def test_prop_assortativity_matches_bruteforce(spark, edges):
     else:
         want = round((m * sxy - sx * sy) / den, 6)
         assert abs(row["assortativity"] - want) <= 1e-6
+
+
+def test_cluster_sample_quota_and_determinism(spark):
+    """At most quota kept per cell, assignment equals kmeans_assign,
+    and two runs pick the IDENTICAL rows (reproducible md5 order)."""
+
+    from declarative_dataflow_spark.operators import similarity as sim
+
+    rows = [(i, [float(i % 7), float((i * 3) % 5)]) for i in range(60)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out1 = {(r["vec_id"], r["cell"], r["kept"])
+            for r in sim.cluster_sample(emb, quota=4, k=3, iters=1).collect()}
+    out2 = {(r["vec_id"], r["cell"], r["kept"])
+            for r in sim.cluster_sample(emb, quota=4, k=3, iters=1).collect()}
+    assert out1 == out2 and len(out1) == 60
+    per_cell = {}
+    for _, cell, kept in out1:
+        if kept:
+            per_cell[cell] = per_cell.get(cell, 0) + 1
+    assert per_cell and all(v <= 4 for v in per_cell.values())
+    assign = {(r["vec_id"], r["cell"])
+              for r in sim.kmeans_assign(emb, k=3, iters=1).collect()}
+    assert {(v, c) for v, c, _ in out1} == assign
+
+
+def test_ngram_novelty_first_doc_is_fully_novel(spark):
+    """The earliest doc is 100% novel; an exact copy later is 0%; a
+    half-overlapping doc scores the exact shingle fraction."""
+
+    from declarative_dataflow_spark.operators import curation
+
+    a = "one two three four five six"
+    docs = spark.createDataFrame(
+        [(1, a), (2, a), (3, a + " seven eight nine")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in curation.ngram_novelty(docs, n=3).collect()}
+    assert out[1]["novelty"] == 1.0
+    assert out[2]["novelty"] == 0.0
+    # doc 3 has 7 shingles; the 4 from doc 1's text are old, 3 new
+    assert out[3]["n_shingles"] == 7 and out[3]["n_novel"] == 3
+    assert out[3]["novelty"] == round(3 / 7, 4)
