@@ -679,6 +679,7 @@ def last_touch_attribution(
     ts_col: str = "ts",
     type_col: str = "event_type",
     id_col: str = "event_id",
+    tu_col: str | None = None,
 ) -> DataFrame:
     """Last-touch conversion attribution: for every ``conversion``
     event, the same key's most recent STRICTLY-preceding touch event
@@ -699,13 +700,17 @@ def last_touch_attribution(
     partitions, never a global sort; events of other types are dropped
     at the scan."""
 
+    # tu_col: callers that already hold epoch-micros (the incremental
+    # maintainer's state) pass it directly — no timestamp round-trip,
+    # no session-zone exposure.
+    tu = F.col(tu_col) if tu_col else _epoch_us(ts_col)
     ev = events.filter(
         F.col(type_col).isin([conversion, *touches])
     ).select(
         F.col(key_col).alias("k"),
         F.col(id_col).alias("event_id"),
         F.col(type_col).alias("t"),
-        _epoch_us(ts_col).alias("tu"),
+        tu.alias("tu"),
     )
     w = (
         Window.partitionBy("k")

@@ -861,3 +861,147 @@ class IncrementalChangepoint(_GenerationalState):
             .filter(F.col("diff") != 0)
             .withColumnRenamed("key", self.key_col)
         )
+
+
+class IncrementalAttribution(_GenerationalState):
+    """Maintained last-touch attribution (operators/timeseries.py::
+    last_touch_attribution): per-conversion credit kept up to date
+    under streaming adds AND retractions. A conversion's credited
+    touch depends only on its OWN key's events, so this is the
+    IncrementalFunnel discipline verbatim — signed support rows keyed
+    (k, event_id, type, tu), touched keys re-derived through the SAME
+    batch core, new-minus-old ±1 diffs on the attribution rows.
+    Retracting a credited touch re-credits its conversions to the
+    next-latest touch exactly (the old rows retract, the re-derived
+    rows assert); retracting a conversion retracts its row."""
+
+    KEY_COL = "user_id"
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        conversion: str = "purchase",
+        touches: tuple = ("click", "view"),
+        key_col: str = "user_id",
+        ts_col: str = "ts",
+        type_col: str = "event_type",
+        id_col: str = "event_id",
+    ) -> None:
+        self.spark = spark
+        self.state_dir = state_dir.rstrip("/")
+        self.conversion = conversion
+        self.touches = tuple(touches)
+        self.key_col = key_col
+        self.ts_col = ts_col
+        self.type_col = type_col
+        self.id_col = id_col
+
+    def _project(self, events: DataFrame) -> DataFrame:
+        from ..operators.timeseries import _epoch_us
+
+        return events.filter(
+            F.col(self.type_col).isin([self.conversion, *self.touches])
+        ).select(
+            F.col(self.key_col).alias("k"),
+            F.col(self.id_col).alias("event_id"),
+            F.col(self.type_col).alias("t"),
+            _epoch_us(self.ts_col).alias("tu"),
+        )
+
+    def _events_state(self) -> Optional[DataFrame]:
+        inc = self._read_versioned("events")
+        if inc is None:
+            return None
+        return (
+            inc.groupBy("k", "event_id", "t", "tu")
+            .agg(F.sum("cnt").alias("cnt"))
+            .filter(F.col("cnt") > 0)
+        )
+
+    def _attrib_of(self, ev: Optional[DataFrame]) -> Optional[DataFrame]:
+        from ..operators.timeseries import last_touch_attribution
+
+        if ev is None:
+            return None
+        return last_touch_attribution(
+            ev,
+            conversion=self.conversion,
+            touches=self.touches,
+            key_col="k",
+            type_col="t",
+            id_col="event_id",
+            tu_col="tu",
+        )
+
+    def current(self) -> Optional[DataFrame]:
+        """Full maintained result recomputed from state — the
+        equality-gate read; per-epoch diffs never take this path."""
+
+        out = self._attrib_of(self._events_state())
+        if out is None:
+            return None
+        return out.withColumnRenamed("user_id", self.key_col)
+
+    def process_batch(
+        self,
+        adds: Optional[DataFrame] = None,
+        retracts: Optional[DataFrame] = None,
+        epoch: Optional[int] = None,
+    ) -> Optional[DataFrame]:
+        delta = _signed_union(
+            None if adds is None else self._project(adds),
+            None if retracts is None else self._project(retracts),
+            ["k", "event_id", "t", "tu"],
+        )
+        if delta is None:
+            return None
+        delta = (
+            delta.groupBy("k", "event_id", "t", "tu")
+            .agg(F.sum("cnt").alias("cnt"))
+            .filter(F.col("cnt") != 0)
+            .localCheckpoint(eager=True)
+        )
+        touched = delta.select("k").distinct()
+        before = self._events_state()
+        old = (
+            None
+            if before is None
+            else self._attrib_of(
+                before.join(touched, "k", "left_semi")
+            ).localCheckpoint(eager=True)
+        )
+        self._append("events", delta, epoch=epoch)
+        self._epochs = getattr(self, "_epochs", 0) + 1
+        if self._epochs % self.compact_every == 0:
+            consolidated = self._events_state()
+            if consolidated is not None:
+                self._compact("events", consolidated)
+        after = self._events_state()
+        new = (
+            None
+            if after is None
+            else self._attrib_of(after.join(touched, "k", "left_semi"))
+        )
+        cols = [
+            "event_id", "user_id", "conv_tu",
+            "touch_event_id", "touch_type", "gap_us",
+        ]
+
+        def tag(df: Optional[DataFrame], w: int) -> Optional[DataFrame]:
+            if df is None:
+                return None
+            return df.select(*cols, F.lit(w).alias("diff"))
+
+        olds, news = tag(old, -1), tag(new, 1)
+        if olds is None and news is None:
+            return None
+        both = news if olds is None else (
+            olds if news is None else olds.unionByName(news)
+        )
+        return (
+            both.groupBy(*cols)
+            .agg(F.sum("diff").alias("diff"))
+            .filter(F.col("diff") != 0)
+            .withColumnRenamed("user_id", self.key_col)
+        )

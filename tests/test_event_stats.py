@@ -640,3 +640,117 @@ def test_incremental_changepoint_randomized_churn_equals_batch(
         got = sorted(tuple(r) for r in inc.current().collect())
         want = _cp_rows(_cpdf(spark, live), window=2)
         assert got == want, f"epoch {epoch}"
+
+
+def test_incremental_attribution_randomized_churn_equals_batch(
+    spark, tmp_path
+):
+    """IncrementalAttribution: across randomized add/retract epochs,
+    current() == the batch last_touch_attribution on the surviving
+    events, and the folded diff stream equals the same result —
+    including a conversion RE-CREDITED to the next-latest touch when
+    its credited touch retracts."""
+
+    import datetime
+    import random
+
+    from declarative_dataflow_spark.operators import timeseries as T
+    from declarative_dataflow_spark.streaming.event_stats import (
+        IncrementalAttribution,
+    )
+
+    rng = random.Random(77)
+    base = datetime.datetime(2024, 1, 1)
+    schema = (
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string"
+    )
+    maint = IncrementalAttribution(spark, str(tmp_path / "attr_state"))
+    live: dict = {}
+    folded: dict = {}
+    next_id = 0
+
+    def fold(diffs):
+        if diffs is None:
+            return
+        for r in diffs.collect():
+            key = r["event_id"]
+            val = (
+                r["user_id"], r["conv_tu"], r["touch_event_id"],
+                r["touch_type"], r["gap_us"],
+            )
+            if r["diff"] > 0:
+                folded[key] = val
+            elif folded.get(key) == val:
+                del folded[key]
+
+    for epoch in range(5):
+        adds = []
+        for _ in range(8):
+            adds.append(
+                (
+                    next_id,
+                    base + datetime.timedelta(seconds=rng.randrange(60)),
+                    rng.randrange(3),
+                    rng.choice(["view", "click", "purchase", "error"]),
+                )
+            )
+            next_id += 1
+        retractable = [
+            live[i] for i in list(live) if rng.random() < 0.25
+        ]
+        add_df = spark.createDataFrame(adds, schema)
+        ret_df = (
+            spark.createDataFrame(retractable, schema)
+            if retractable
+            else None
+        )
+        fold(maint.process_batch(add_df, ret_df, epoch=epoch))
+        for row in adds:
+            live[row[0]] = row
+        for row in retractable:
+            del live[row[0]]
+
+        batch = spark.createDataFrame(list(live.values()), schema)
+        want = {
+            r["event_id"]: (
+                r["user_id"], r["conv_tu"], r["touch_event_id"],
+                r["touch_type"], r["gap_us"],
+            )
+            for r in T.last_touch_attribution(batch).collect()
+        }
+        got = {
+            r["event_id"]: (
+                r["user_id"], r["conv_tu"], r["touch_event_id"],
+                r["touch_type"], r["gap_us"],
+            )
+            for r in (maint.current() or batch.limit(0)).collect()
+        }
+        assert got == want, f"current() drift at epoch {epoch}"
+        assert folded == want, f"diff-fold drift at epoch {epoch}"
+
+
+def test_incremental_attribution_retry_is_noop(spark, tmp_path):
+    import datetime
+
+    from declarative_dataflow_spark.streaming.event_stats import (
+        IncrementalAttribution,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    schema = (
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string"
+    )
+    ev = spark.createDataFrame(
+        [
+            (0, base, 1, "view"),
+            (1, base + datetime.timedelta(seconds=5), 1, "purchase"),
+        ],
+        schema,
+    )
+    maint = IncrementalAttribution(spark, str(tmp_path / "attr_state"))
+    first = maint.process_batch(ev, epoch=0)
+    assert first is not None and first.count() == 1
+    retry = maint.process_batch(ev, epoch=0)
+    assert retry is None or retry.count() == 0
