@@ -108,11 +108,18 @@ def install() -> None:
         pass
     _stock_local_checkpoint = target.localCheckpoint
 
-    def _routed_local_checkpoint(self, eager: bool = True):
+    def _routed_local_checkpoint(self, eager: bool = True, storageLevel=None):
         spark = self.sparkSession
         if reliable_scratch_enabled(spark):
+            # reliable checkpoint has no storage-level knob (blocks go
+            # to the checkpoint dir, not the block manager) — the
+            # caller's preference is moot on this path by construction.
             ensure_checkpoint_dir(spark)
             return self.checkpoint(eager=eager)
+        if storageLevel is not None:
+            return _stock_local_checkpoint(
+                self, eager=eager, storageLevel=storageLevel
+            )
         return _stock_local_checkpoint(self, eager=eager)
 
     _routed_local_checkpoint.__doc__ = (
