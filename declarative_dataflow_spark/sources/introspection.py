@@ -134,3 +134,82 @@ def attach_streaming_logging(engine: Engine) -> Any:
     listener = _Listener()
     engine.spark.streams.addListener(listener)
     return listener
+
+
+DECLARATIVE_ATTRIBUTES = [
+    "3df/event-kind",
+    "3df/event-subject",
+    "3df/event-count",
+]
+
+
+def attach_declarative_logging(engine: Engine):
+    """The third logging source: the ENGINE'S OWN events as queryable
+    attributes — parity with the reference's DeclarativeLogging
+    (src/sources/declarative_logging.rs re-enters 3DF's own log stream
+    the way timely_logging/differential_logging re-enter the layers
+    below). Where the reference taps its dataflow logger, this wraps
+    the Engine's public mutation surface: every attribute creation,
+    query registration, and user transaction transacts one meta-event
+    entity carrying (3df/event-kind, 3df/event-subject,
+    3df/event-count) — so `[?e 3df/event-kind "transact"]` composes
+    with any other query and an operator can watch the engine with the
+    engine.
+
+    Meta-transactions do NOT log themselves (a re-entrancy flag guards
+    the wrapper — the reference's logger has the same property: log
+    events are not re-logged). Returns a ``detach()`` callable that
+    restores the unwrapped methods."""
+
+    for aid in DECLARATIVE_ATTRIBUTES:
+        if aid not in engine._transacted:
+            engine.create_attribute(aid)
+
+    state = {"next_id": 0, "in_log": False}
+    orig_transact = engine.transact
+    orig_create = engine.create_attribute
+    orig_register = engine.register
+
+    def _log(kind: str, subject: str, count: int) -> None:
+        if state["in_log"]:
+            return
+        state["in_log"] = True
+        try:
+            eid = state["next_id"]
+            state["next_id"] += 1
+            orig_transact(
+                [
+                    Datom.add(eid, "3df/event-kind", kind),
+                    Datom.add(eid, "3df/event-subject", subject),
+                    Datom.add(eid, "3df/event-count", count),
+                ]
+            )
+        finally:
+            state["in_log"] = False
+
+    def transact(datoms):
+        ds = list(datoms)
+        out = orig_transact(ds)
+        _log("transact", "", len(ds))
+        return out
+
+    def create_attribute(name, *args, **kwargs):
+        out = orig_create(name, *args, **kwargs)
+        _log("attribute-created", name, 1)
+        return out
+
+    def register(name, plan):
+        out = orig_register(name, plan)
+        _log("query-registered", name, 1)
+        return out
+
+    engine.transact = transact
+    engine.create_attribute = create_attribute
+    engine.register = register
+
+    def detach() -> None:
+        engine.transact = orig_transact
+        engine.create_attribute = orig_create
+        engine.register = orig_register
+
+    return detach

@@ -55,3 +55,46 @@ def test_streaming_progress_queryable(engine, tmp_path):
             q.stop()
     finally:
         spark.streams.removeListener(listener)
+
+
+def test_declarative_logging_queryable_and_detaches(engine):
+    """The engine's OWN events (attribute creation, registration,
+    transactions) become queryable attributes; meta-events never log
+    themselves; detach() restores the unwrapped surface."""
+
+    from declarative_dataflow_spark.engine import Datom
+    from declarative_dataflow_spark.sources.introspection import (
+        attach_declarative_logging,
+    )
+
+    detach = attach_declarative_logging(engine)
+    try:
+        engine.create_attribute("probe/attr")
+        engine.transact([Datom.add(1, "probe/attr", 10),
+                         Datom.add(2, "probe/attr", 20)])
+        kinds = engine.implement(
+            MatchA("?e", "3df/event-kind", "?k")
+        ).collect()
+        by_kind = {}
+        for e, k in [(r[0], r[1]) for r in kinds]:
+            by_kind.setdefault(k, []).append(e)
+        assert "attribute-created" in by_kind
+        assert "transact" in by_kind
+        counts = {
+            r[0]: r[1]
+            for r in engine.implement(
+                MatchA("?e", "3df/event-count", "?n")
+            ).collect()
+        }
+        # the user transaction logged exactly its own datom count —
+        # and the meta-transaction did NOT log itself
+        tr = by_kind["transact"]
+        assert len(tr) == 1 and counts[tr[0]] == 2
+        n_events_before = len(kinds)
+    finally:
+        detach()
+    engine.transact([Datom.add(3, "probe/attr", 30)])
+    kinds_after = engine.implement(
+        MatchA("?e", "3df/event-kind", "?k")
+    ).collect()
+    assert len(kinds_after) == n_events_before, "detach did not restore"
