@@ -150,10 +150,13 @@ def host_speed_probe(spark) -> float:
     uniformly ~1.3-1.5x slower container window; kmeans spot-checks
     were the only evidence). Three probes cover the three cost axes:
     codegen arithmetic throughput, hash/string throughput, and one
-    real shuffle. Runs TWICE, keeps the faster sample (a one-off
-    container stall must not redefine the round's index); ~2s on an
-    idle host. NEVER change these shapes — the index is only
-    comparable across rounds while the suite is frozen."""
+    real shuffle. One UNTIMED warmup pass first (the probe's own
+    codegen compile otherwise lands in the first block's sample — the
+    first r10 record read 5.6 cold vs 3.7 hot in the same window),
+    then TWICE timed keeping the faster sample (a one-off container
+    stall must not redefine the round's index); ~1.3s on an idle
+    host. NEVER change these shapes — the index is only comparable
+    across rounds while the suite is frozen."""
 
     from pyspark.sql import functions as F
 
@@ -173,6 +176,7 @@ def host_speed_probe(spark) -> float:
         ).count().selectExpr("max(count) AS c").collect()
         return time.perf_counter() - t0
 
+    once()  # untimed codegen/JIT warmup of the probe shapes
     return round(min(once(), once()), 3)
 
 

@@ -1641,6 +1641,16 @@ def top_component(
     base = embeddings.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")
     )
+    # Every power step AND the final projection re-scan base with a
+    # dim-unrolled arithmetic chain — CPU-bound work that a mid-sized
+    # parquet corpus would run 1-2 splits wide (measured 7.9s vs 1.7s
+    # per step at 20k x 64 on one split). Spread ONLY when
+    # under-parallelized (the spread_input discipline — a no-op at
+    # real scale) and materialize once for the iters+1 consumers.
+    spark_ctx = embeddings.sparkSession.sparkContext
+    if base.rdd.getNumPartitions() < spark_ctx.defaultParallelism:
+        base = base.repartition(spark_ctx.defaultParallelism)
+    base = base.localCheckpoint(eager=False)
 
     def dot_expr(vlits: list) -> str:
         # left-assoc ascending — list_dot_product's exact fold order
@@ -1650,9 +1660,10 @@ def top_component(
         )
 
     v = [1.0 / math.sqrt(dim)] * dim
+    spark = embeddings.sparkSession
     for _ in range(max(0, iters)):
         scored = base.select(F.expr(f"({dot_expr(v)})").alias("dot"), "v")
-        agg = scored.agg(
+        wrow = scored.agg(
             *[
                 F.sum(
                     F.expr(
@@ -1662,25 +1673,38 @@ def top_component(
                 ).alias(f"w{j}")
                 for j in range(dim)
             ]
-        )
+        ).first()
+        if wrow[0] is None:  # empty corpus after filters
+            break
+        # Normalize through SQL on LITERALS, one tiny 1-row query per
+        # step: embedding the 64-term norm sum inside every one of the
+        # 64 output columns (the first cut) handed Catalyst a
+        # 4096-term tree per iteration — measured ~3s of ANALYSIS per
+        # step, dwarfing the 1.7s corpus pass. float(Decimal) is the
+        # correctly-rounded CAST(w AS DOUBLE); repr literals are
+        # shortest-round-trip, so the SQL sees the identical doubles.
+        wd = [repr(float(wrow[f"w{j}"])) for j in range(dim)]
         sq = " + ".join(
-            f"CAST(round(CAST(w{j} AS DOUBLE) * CAST(w{j} AS DOUBLE), 15)"
-            " AS DECIMAL(38,15))"
-            for j in range(dim)
+            f"CAST(round(CAST('{x}' AS DOUBLE) * CAST('{x}' AS DOUBLE), "
+            "15) AS DECIMAL(38,15))"
+            for x in wd
         )
-        row = agg.select(
+        nrm = spark.range(1).select(
+            F.expr(f"sqrt(CAST(({sq}) AS DOUBLE))").alias("n")
+        ).first()["n"]
+        if nrm is None or nrm == 0.0:  # zero-norm corpus: keep v_t
+            break
+        nl = repr(nrm)
+        nxt_row = spark.range(1).select(
             *[
                 F.expr(
-                    f"round(CAST(w{j} AS DOUBLE) / "
-                    f"nullif(sqrt(CAST(({sq}) AS DOUBLE)), 0.0), 6)"
+                    f"round(CAST('{x}' AS DOUBLE) / "
+                    f"CAST('{nl}' AS DOUBLE), 6)"
                 ).alias(f"v{j}")
-                for j in range(dim)
+                for j, x in enumerate(wd)
             ]
         ).first()
-        nxt = [row[f"v{j}"] for j in range(dim)]
-        if any(c is None for c in nxt):  # zero-norm corpus: keep v_t
-            break
-        v = nxt
+        v = [nxt_row[f"v{j}"] for j in range(dim)]
 
     return base.select(
         "vec_id", F.expr(f"round(({dot_expr(v)}), 6)").alias("proj")
