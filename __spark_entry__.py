@@ -2740,6 +2740,46 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_window_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-based tumbling windows (NEW in r10): each user's events
+    in (tu, event_id) order chopped into 50-row windows — the
+    "every N events" trigger time windows can't express (volume
+    micro-batching, N-event bars). One key-partitioned row_number
+    window (exact integer DIV) + one (key, win_seq) aggregation."""
+
+    from declarative_dataflow_spark.operators.timeseries import _epoch_us
+    from declarative_dataflow_spark.streaming import windows
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "value", _epoch_us("ts").alias("tu")
+    )
+    return windows.count_window_agg(
+        ev,
+        50,
+        ["user_id"],
+        ["tu", "event_id"],
+        {
+            "start_us": "min(tu)",
+            "end_us": "max(tu)",
+            "total": "round(sum(value), 2)",
+        },
+    )
+
+
+def q_node_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood-Jaccard node similarity (NEW in r10): per node,
+    the top-5 most similar others by |N∩|/|N∪| over the edge_support
+    graph — structural-role detection. link_pred's wedge machinery
+    with a per-node rank window over wedge-bounded partitions."""
+
+    ev = load_table(spark, sf_dir, "events")
+    edges = ev.filter(F.col("event_id") % 11 == 0).select(
+        (F.col("user_id") % 1000).alias("src"),
+        (F.col("event_id") % 1000).alias("dst"),
+    )
+    return graph.node_similarity(edges, top_k=5)
+
+
 def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree assortativity (NEW in r10): Newman's Pearson correlation
     of endpoint degrees over the edge_support graph — hubs-link-hubs
@@ -3912,6 +3952,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "period_coalesce": q_period_coalesce,  # NEW in r10
         "ngram_novelty": q_ngram_novelty,  # NEW in r10
         "cluster_sample": q_cluster_sample,  # NEW in r10
+        "node_sim": q_node_sim,  # NEW in r10
+        "window_count": q_window_count,  # NEW in r10
         "dsir_weights": q_dsir_weights,  # NEW in r6
         "bloom_contam": q_bloom_contam,  # NEW in r6
         "weighted_sample": q_weighted_sample,  # NEW in r6
@@ -4059,20 +4101,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # alongside sorted_neighborhood; all are hash-verified in this
     # round's full local oracle runs (ORACLE_LOCAL.md, 164/164 OK +
     # edge_support in its own gated runs at three scale factors).
-    # Round-10 rotation: the TWELVE r10-new keys (first-ever driver rows)
+    # Round-10 rotation: the FOURTEEN r10-new keys (first-ever driver rows)
     # lead, then embed_prune (its declared k moved to the density-
     # derived "auto" this round — re-verify under the driver), then
     # the SIXTEEN r05-stale core keys the r9 verdict ask #2 names
     # (their latest driver row is 5 rounds old; all re-verified in
-    # this round's full local oracle run), then the 21 stalest r07
-    # keys by queries() order. The remaining 28 r07 keys defer to r11
+    # this round's full local oracle run), then the 19 stalest r07
+    # keys by queries() order. The remaining 30 r07 keys defer to r11
     # (all green r07 + every full local run since).
     front = [
         # r10-new keys — first-ever driver rows
         "clustering_coef", "cdc_chunks", "collocations",
         "vocab_coverage", "pca_top1", "trunc_recall", "mmr_rerank",
         "assortativity", "attribution", "period_coalesce",
-        "ngram_novelty", "cluster_sample",
+        "ngram_novelty", "cluster_sample", "node_sim",
+        "window_count",
         # declared form changed this round (k="auto") — re-verify
         "embed_prune",
         # the 16 r05-stale core keys (VERDICT r9 ask #2)
@@ -4087,7 +4130,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q19", "sorted_neighborhood", "simhash_neardup",
         "pq_topk", "gopher_rules", "line_dedup", "bm25_topk",
         "ngram_lm_score", "bpe_merges", "mix_weights", "tfidf_topk",
-        "hll_distinct", "cms_topk",
     ]
     assert len(front) == 50 and set(front) <= set(q), "rotation list drift"
     return {**{k: q[k] for k in front}, **{k: v for k, v in q.items() if k not in front}}
@@ -6438,6 +6480,40 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, k AS user_id, tu AS conv_tu, "
             "touch_event_id, touch_type, tu - touch_tu AS gap_us "
             "FROM flagged WHERE t = 'purchase'"
+        ),
+        "window_count": (
+            "WITH ev AS (SELECT user_id, event_id, value, "
+            "epoch_us(ts) AS tu FROM events), "
+            "r AS (SELECT user_id, tu, value, "
+            "(row_number() OVER (PARTITION BY user_id "
+            "ORDER BY tu, event_id) - 1) // 50 AS win_seq FROM ev) "
+            "SELECT user_id, win_seq::BIGINT AS win_seq, "
+            "count(*)::BIGINT AS n_rows, min(tu) AS start_us, "
+            "max(tu) AS end_us, round(sum(value), 2) AS total "
+            "FROM r GROUP BY 1, 2"
+        ),
+        "node_sim": (
+            "WITH e0 AS (SELECT DISTINCT user_id % 1000 AS src, "
+            "event_id % 1000 AS dst FROM events WHERE event_id % 11 = 0), "
+            "und AS (SELECT src, dst FROM e0 WHERE src <> dst "
+            "UNION SELECT dst, src FROM e0 WHERE src <> dst), "
+            "deg AS (SELECT src AS n, count(*)::BIGINT AS d FROM und "
+            "GROUP BY 1), "
+            "i0 AS (SELECT a1.dst AS u, a2.dst AS w, "
+            "count(*)::BIGINT AS inter FROM und a1 "
+            "JOIN und a2 ON a2.src = a1.src AND a1.dst < a2.dst "
+            "WHERE a1.src IN (SELECT n FROM deg WHERE d <= 64) "
+            "GROUP BY 1, 2), "
+            "b AS (SELECT u, w, inter FROM i0 "
+            "UNION ALL SELECT w, u, inter FROM i0), "
+            "s AS (SELECT b.u AS node, b.w AS other, b.inter, "
+            "round(b.inter::DOUBLE / (du.d + dw.d - b.inter)::DOUBLE, 6) "
+            "AS jac FROM b JOIN deg du ON du.n = b.u "
+            "JOIN deg dw ON dw.n = b.w) "
+            "SELECT node, other, inter, jac, rank FROM ("
+            "SELECT *, (row_number() OVER (PARTITION BY node "
+            "ORDER BY jac DESC, other))::BIGINT AS rank FROM s) "
+            "WHERE rank <= 5"
         ),
         "assortativity": (
             "WITH e0 AS (SELECT DISTINCT user_id % 1000 AS src, "

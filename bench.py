@@ -139,6 +139,8 @@ HEADLINE = [
     "period_coalesce",  # temporal interval normalize (r10)
     "ngram_novelty",   # first-seen n-gram curriculum signal (r10)
     "cluster_sample",  # cluster-balanced quota subsampling (r10)
+    "node_sim",        # neighborhood-Jaccard node similarity (r10)
+    "window_count",    # count-based tumbling windows (r10)
 ]
 
 

@@ -941,3 +941,82 @@ def degree_assortativity(
             "sqrt(CAST(m_edges * syy - sy * sy AS DOUBLE)), 0.0), 6)"
         ).alias("assortativity"),
     )
+
+
+def node_similarity(
+    edges: DataFrame,
+    top_k: int = 5,
+    src: str = "src",
+    dst: str = "dst",
+    max_center_degree: Optional[int] = 64,
+) -> DataFrame:
+    """Neighborhood-Jaccard node similarity: for every node, the
+    ``top_k`` most similar OTHER nodes by |N(u) ∩ N(w)| / |N(u) ∪ N(w)|
+    — structural-role detection, account-correlation, the graph
+    analog of document Jaccard. Returns (node, other, inter, jac,
+    rank), rank by (jac desc, other asc); jac = round of one IEEE
+    division of exact integers.
+
+    Shape: the link_prediction wedge machinery — candidates are pairs
+    sharing >= 1 common neighbor (wedge join on the center), counted
+    once per unordered pair then mirrored for the per-node rank
+    window (per-node partitions, wedge-bounded width — never a global
+    sort). ``max_center_degree`` caps wedge volume at n·cap² exactly
+    as in link_prediction, and as there the intersection counts only
+    sub-cap centers when the cap is set (a hub shared by millions of
+    pairs contributes the same tiny Jaccard mass to all of them);
+    degrees in the union stay EXACT. Pass ``max_center_degree=None``
+    for the textbook measure."""
+
+    und = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .union(edges.select(F.col(dst).alias("src"), F.col(src).alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=False)  # feeds deg + both wedge sides
+    )
+    deg = und.groupBy(F.col("src").alias("n")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    centers = deg
+    if max_center_degree is not None:
+        centers = deg.filter(F.col("d") <= max_center_degree)
+    a1 = und.select(F.col("src").alias("v"), F.col("dst").alias("u"))
+    a2 = und.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    inter = (
+        a1.join(a2, "v")
+        .filter(F.col("u") < F.col("w"))
+        .join(centers.select(F.col("n").alias("v")), "v", "left_semi")
+        .groupBy("u", "w")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    both = inter.union(
+        inter.select(
+            F.col("w").alias("u"), F.col("u").alias("w"), "inter"
+        )
+    )
+    scored = (
+        both.join(deg.select(F.col("n").alias("u"), F.col("d").alias("du")), "u")
+        .join(deg.select(F.col("n").alias("w"), F.col("d").alias("dw")), "w")
+        .select(
+            F.col("u").alias("node"),
+            F.col("w").alias("other"),
+            "inter",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("du") + F.col("dw") - F.col("inter")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("jac"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w_rk = Window.partitionBy("node").orderBy(
+        F.desc("jac"), F.asc("other")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rk).cast("long"))
+        .filter(F.col("rank") <= top_k)
+    )

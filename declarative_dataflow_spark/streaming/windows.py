@@ -11,6 +11,7 @@ reference's output coarsening and trace slack.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
 
 
 def tumbling_agg(
@@ -101,4 +102,39 @@ def session_agg(
             *key_cols,
             *[F.col(name) for name in aggs],
         )
+    )
+
+
+def count_window_agg(
+    df: DataFrame,
+    n: int,
+    key_cols: list,
+    order_cols: list,
+    aggs: dict,
+) -> DataFrame:
+    """COUNT-based tumbling windows: each key's rows, in
+    ``order_cols`` order, chop into consecutive windows of exactly
+    ``n`` rows (the last window may be partial) — the "every N events"
+    trigger the time-based windows can't express (micro-batching by
+    volume, fixed-size training shards per key, N-trade bars in
+    finance). Returns the key columns, ``win_seq`` (0-based window
+    index), ``n_rows``, and the requested aggregates.
+
+    Shape: ONE key-partitioned row_number window ((row_number-1) div n
+    = the window id — per-key partitions, the sessionize discipline,
+    never a global sort) + one (key, win_seq) aggregation. Ties in
+    ``order_cols`` must be broken by a unique column for cross-engine
+    determinism — pass one (e.g. an event id) as the last entry."""
+
+    w = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    # exact integer DIV, never a float quotient (the winsorize/prefix
+    # discipline: a double quotient of an exact multiple can round up)
+    assigned = df.withColumn(
+        "__rn", F.row_number().over(w)
+    ).withColumn("win_seq", F.expr(f"CAST((__rn - 1) DIV {n} AS BIGINT)"))
+    agg_cols = [
+        F.expr(expr).alias(name) for name, expr in aggs.items()
+    ]
+    return assigned.groupBy(*key_cols, "win_seq").agg(
+        F.count(F.lit(1)).alias("n_rows"), *agg_cols
     )

@@ -3269,3 +3269,47 @@ def test_ngram_novelty_first_doc_is_fully_novel(spark):
     # doc 3 has 7 shingles; the 4 from doc 1's text are old, 3 new
     assert out[3]["n_shingles"] == 7 and out[3]["n_novel"] == 3
     assert out[3]["novelty"] == round(3 / 7, 4)
+
+
+@_FUZZ_PROP
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 7), st.integers(0, 7)),
+        min_size=2,
+        max_size=20,
+    )
+)
+def test_prop_node_similarity_matches_bruteforce(spark, edges):
+    """PROPERTY (uncapped): node_similarity == textbook neighborhood
+    Jaccard top-k with (jac desc, other asc) ties, candidates = pairs
+    sharing >= 1 neighbor."""
+
+    from declarative_dataflow_spark.operators import graph as g
+
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = sorted(
+        tuple(r)
+        for r in g.node_similarity(
+            df, top_k=3, max_center_degree=None
+        ).collect()
+    )
+    adj = {}
+    for a, b in edges:
+        if a != b:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+    want = []
+    for u in adj:
+        cands = []
+        for w in adj:
+            if w == u:
+                continue
+            inter = len(adj[u] & adj[w])
+            if inter == 0:
+                continue
+            jac = round(inter / (len(adj[u]) + len(adj[w]) - inter), 6)
+            cands.append((-jac, w, inter, jac))
+        cands.sort()
+        for rk, (_, w, inter, jac) in enumerate(cands[:3], 1):
+            want.append((u, w, inter, jac, rk))
+    assert got == sorted(want)

@@ -2256,3 +2256,49 @@ def test_stream_fuzzy_dedup_matches_batch_on_prefix(spark, tmp_path):
     pair_rows = dd.fuzzy_match_pairs(full, id_col="id", s_col="s").collect()
     for r in pair_rows:
         assert not (r["a"] in acc and r["b"] in acc) or r["dist"] > 1
+
+
+@_settings(
+    max_examples=int(_os.environ.get("SPARK_GRAFT_PROP_EXAMPLES", "50")) // 2,
+    deadline=None,
+    suppress_health_check=[_HealthCheck.too_slow],
+)
+@_given(
+    rows=_st.lists(
+        _st.tuples(_st.integers(0, 2), _st.integers(0, 30)),
+        min_size=1,
+        max_size=24,
+        unique=True,
+    ),
+    n=_st.sampled_from([1, 2, 3, 5]),
+)
+def test_prop_count_window_matches_bruteforce(spark, rows, n):
+    """PROPERTY: count_window_agg == chopping each key's ordered rows
+    into n-row chunks (last partial) — counts, bounds, and sums."""
+
+    from declarative_dataflow_spark.streaming.windows import (
+        count_window_agg,
+    )
+
+    df = spark.createDataFrame(
+        [(k, t, float(t)) for k, t in rows], ["k", "t", "v"]
+    )
+    got = sorted(
+        tuple(r)
+        for r in count_window_agg(
+            df, n, ["k"], ["t"], {"lo": "min(t)", "s": "round(sum(v), 2)"}
+        ).collect()
+    )
+    want = []
+    by_key = {}
+    for k, t in rows:
+        by_key.setdefault(k, []).append(t)
+    for k, ts in by_key.items():
+        ts.sort()
+        for w in range(0, len(ts), n):
+            chunk = ts[w : w + n]
+            want.append(
+                (k, w // n, len(chunk), min(chunk),
+                 round(float(sum(chunk)), 2))
+            )
+    assert got == sorted(want)
