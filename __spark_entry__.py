@@ -6530,10 +6530,16 @@ def oracle_sql() -> dict[str, str]:
             "sum(dv::DECIMAL(38,0)) AS sy, "
             "sum(du::DECIMAL(38,0) * du::DECIMAL(38,0)) AS sxx, "
             "sum(dv::DECIMAL(38,0) * dv::DECIMAL(38,0)) AS syy FROM p) "
+            # divide-through-by-m combination, bit-matching the Spark
+            # side (per-mean doubles; a DECIMAL m*sxy product caps at
+            # precision 38 and overflows to NULL at extreme scale)
             "SELECT m_edges, "
-            "round(CAST(m_edges * sxy - sx * sy AS DOUBLE) / "
-            "nullif(sqrt(CAST(m_edges * sxx - sx * sx AS DOUBLE)) * "
-            "sqrt(CAST(m_edges * syy - sy * sy AS DOUBLE)), 0.0), 6) "
+            "round(((sxy::DOUBLE / m_edges) - "
+            "(sx::DOUBLE / m_edges) * (sy::DOUBLE / m_edges)) / "
+            "nullif(sqrt((sxx::DOUBLE / m_edges) - "
+            "(sx::DOUBLE / m_edges) * (sx::DOUBLE / m_edges)) * "
+            "sqrt((syy::DOUBLE / m_edges) - "
+            "(sy::DOUBLE / m_edges) * (sy::DOUBLE / m_edges)), 0.0), 6) "
             "AS assortativity FROM m"
         ),
         "clustering_coef": (

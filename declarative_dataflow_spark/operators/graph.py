@@ -899,9 +899,13 @@ def degree_assortativity(
     Determinism discipline: every moment (Σdudv, Σdu, Σdu², ...) is an
     EXACT integer sum — degree products cast to DECIMAL(38,0) before
     summing so the aggregation is associative/commutative at any
-    partitioning and immune to BIGINT overflow at web scale — and the
-    only float ops are the final two sqrt's and one division
-    (correctly-rounded IEEE, identical in both engines), rounded to 6.
+    partitioning and the SUMS never overflow BIGINT at web scale (sxy
+    <= m * max_deg^2 stays under 1e38 for any real graph). The final
+    combination divides each sum through by m BEFORE multiplying
+    (per-mean doubles <= max_deg^2 — a raw DECIMAL product m*sxy
+    would cap at precision 38 and NULL silently), so the float ops
+    are a handful of correctly-rounded IEEE divisions/products/sqrt's
+    identical in both engines, rounded to 6.
     Shape: one degree aggregation, two node-keyed joins to attach
     endpoint degrees, one keyless moment aggregation — nothing sorts,
     nothing broadcasts data-sized state."""
@@ -933,12 +937,23 @@ def degree_assortativity(
         F.sum(F.expr(f"CAST(du AS {dec}) * CAST(du AS {dec})")).alias("sxx"),
         F.sum(F.expr(f"CAST(dv AS {dec}) * CAST(dv AS {dec})")).alias("syy"),
     )
+    # Combine the exact sums by dividing through by m BEFORE any
+    # multiplication: r = (E[xy] - E[x]E[y]) / (sd(x) * sd(y)). A
+    # DECIMAL(38,0) product m_edges * sxy is capped at precision 38
+    # and Spark's non-ANSI decimal overflow returns NULL silently —
+    # per-mean doubles instead stay <= max_degree^2 at ANY scale, so
+    # nothing can overflow; the only cost is IEEE rounding in the
+    # final combination, far below the round-6 output for any graph
+    # with non-degenerate degree variance.
+    mean = "(CAST({s} AS DOUBLE) / m_edges)"
+    exy, ex, ey = (mean.format(s=s) for s in ("sxy", "sx", "sy"))
+    exx, eyy = (mean.format(s=s) for s in ("sxx", "syy"))
     return m.select(
         "m_edges",
         F.expr(
-            "round(CAST(m_edges * sxy - sx * sy AS DOUBLE) / "
-            "nullif(sqrt(CAST(m_edges * sxx - sx * sx AS DOUBLE)) * "
-            "sqrt(CAST(m_edges * syy - sy * sy AS DOUBLE)), 0.0), 6)"
+            f"round(({exy} - {ex} * {ey}) / "
+            f"nullif(sqrt({exx} - {ex} * {ex}) * "
+            f"sqrt({eyy} - {ey} * {ey}), 0.0), 6)"
         ).alias("assortativity"),
     )
 

@@ -373,8 +373,10 @@ def mmr_rerank(
 
     w_q = Window.partitionBy("q")
 
-    def argmax(scored: DataFrame, step: int) -> DataFrame:
-        w = w_q.orderBy(F.desc("score"), F.asc("neighbor"))
+    def argmax(
+        scored: DataFrame, step: int, order_col: str = "score"
+    ) -> DataFrame:
+        w = w_q.orderBy(F.desc(order_col), F.asc("neighbor"))
         return (
             scored.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
@@ -387,9 +389,16 @@ def mmr_rerank(
         )
 
     lam_c = F.lit(lam)
+    # Step 1 picks by RELEVANCE itself, not λ·rel: they order the same
+    # for λ > 0, but at λ = 0 every λ·rel is 0 and the pick would
+    # silently degenerate to the lowest neighbor id. The reported
+    # score stays λ·rel (the MMR objective with an empty selected set).
     selected = argmax(
-        cand.select("q", "neighbor", (lam_c * F.col("rel")).alias("score")),
+        cand.select(
+            "q", "neighbor", "rel", (lam_c * F.col("rel")).alias("score")
+        ),
         1,
+        order_col="rel",
     ).localCheckpoint(eager=False)
     out = selected
     for step in range(2, k + 1):

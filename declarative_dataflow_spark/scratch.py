@@ -23,6 +23,33 @@ RELIABLE ``DataFrame.checkpoint`` (written to the checkpoint dir,
 re-readable after executor loss) instead. Default is off — behavior
 is bit-identical to stock localCheckpoint.
 
+DISK-GROWTH TRADE (reliable mode): Spark never deletes reliable
+checkpoint files on its own — the ContextCleaner only reaps them when
+``spark.cleaner.referenceTracking.cleanCheckpoints=true`` was set at
+SparkContext CREATION time (it is a static conf; it cannot be flipped
+mid-session, so :func:`ensure_checkpoint_dir` can only verify it, not
+set it). With ~170 scratch sites per workload, a long-running flagged
+session without that conf grows the checkpoint dir without bound —
+the exact leak class the localCheckpoint default was chosen to avoid.
+A deployment that flips ``reliableScratch`` on MUST either start the
+context with the cleaner conf::
+
+    SparkSession.builder.config(
+        "spark.cleaner.referenceTracking.cleanCheckpoints", "true")
+
+or reap the scratchDir externally (ttl'd bucket / cron). In local
+mode :func:`ensure_checkpoint_dir` emits a one-time warning when the
+flag is on and the cleaner conf is not.
+
+Scope note: because the router is a process-wide class-attribute
+patch, a session that sets ``reliableScratch=true`` also reroutes the
+USER'S OWN ``df.localCheckpoint()`` calls in that session to reliable
+checkpoints (same storage-level caveat as below). That is usually
+what a cluster deployment wants — all lineage truncation survives
+executor loss — but it is a behavior change beyond this package's
+operators; flip the flag per operator block if user scratch should
+stay executor-local.
+
 Mechanism: the package has ~170 scratch sites; rather than threading
 a flag through every operator signature, :func:`install` (called once
 at package import) replaces ``DataFrame.localCheckpoint`` with a
@@ -58,6 +85,40 @@ def reliable_scratch_enabled(spark) -> bool:
         return False
 
 
+_cleaner_warned = False
+
+
+def _warn_if_no_cleaner(sc) -> None:
+    """One-time warning when reliable scratch will leak checkpoint
+    files: spark.cleaner.referenceTracking.cleanCheckpoints is a
+    STATIC conf (read at context creation — cannot be set here), so
+    the best the router can do at runtime is tell the operator the
+    dir will grow without bound until it is reaped externally."""
+
+    global _cleaner_warned
+    if _cleaner_warned:
+        return
+    _cleaner_warned = True
+    try:
+        clean = sc.getConf().get(
+            "spark.cleaner.referenceTracking.cleanCheckpoints", "false"
+        )
+    except Exception:
+        return
+    if str(clean).lower() != "true":
+        import warnings
+
+        warnings.warn(
+            "reliableScratch is on but spark.cleaner.referenceTracking"
+            ".cleanCheckpoints was not set at context creation: Spark "
+            "will never delete reliable checkpoint files, so the "
+            "checkpoint dir grows without bound in long sessions. Set "
+            "the conf on the builder or reap the scratchDir externally "
+            "(see declarative_dataflow_spark.scratch docstring).",
+            stacklevel=3,
+        )
+
+
 def ensure_checkpoint_dir(spark) -> str:
     """Make sure the SparkContext has a checkpoint dir; returns it.
     Order: an already-set context dir wins (the deployment's choice),
@@ -66,6 +127,7 @@ def ensure_checkpoint_dir(spark) -> str:
     setCheckpointDir at a shared FS for the reliability to be real)."""
 
     sc = spark.sparkContext
+    _warn_if_no_cleaner(sc)
     current = sc.getCheckpointDir()
     if current:
         return current

@@ -142,6 +142,42 @@ DECLARATIVE_ATTRIBUTES = [
     "3df/event-count",
 ]
 
+# Meta-event entities live in a RESERVED id range so they can never
+# collide with user entity ids: a query joining a user attribute and
+# 3df/event-kind on ?e must only unify when the user genuinely
+# transacted onto a meta entity, not because the log counter happened
+# to reuse eid 0..n. 2^62 leaves the whole positive int64 range below
+# it to users while staying a plain BIGINT in every engine.
+META_EID_BASE = 1 << 62
+
+
+def _seed_meta_eid(engine: Engine) -> int:
+    """First free meta-event eid: the engine-level high-water mark if
+    one exists (survives detach()/re-attach in-process), raised past
+    any 3df/event-kind entities already in the attribute's history
+    (covers an engine whose meta datoms were restored/transacted
+    externally). Spilled history is scanned with one tiny max()
+    aggregation only when a spill tier exists."""
+
+    nxt = getattr(engine, "_meta_next_eid", META_EID_BASE)
+    ta = engine._transacted.get("3df/event-kind")
+    if ta is not None:
+        for r in ta.rows:
+            if r[0] >= META_EID_BASE:
+                nxt = max(nxt, r[0] + 1)
+        if ta._spill_dir is not None:
+            from pyspark.sql import functions as F
+
+            row = (
+                ta.dataframe()
+                .filter(F.col("e") >= META_EID_BASE)
+                .agg(F.max("e").alias("m"))
+                .first()
+            )
+            if row is not None and row["m"] is not None:
+                nxt = max(nxt, row["m"] + 1)
+    return nxt
+
 
 def attach_declarative_logging(engine: Engine):
     """The third logging source: the ENGINE'S OWN events as queryable
@@ -158,14 +194,19 @@ def attach_declarative_logging(engine: Engine):
 
     Meta-transactions do NOT log themselves (a re-entrancy flag guards
     the wrapper — the reference's logger has the same property: log
-    events are not re-logged). Returns a ``detach()`` callable that
-    restores the unwrapped methods."""
+    events are not re-logged). Meta-event entity ids are allocated
+    from the reserved range starting at :data:`META_EID_BASE` and the
+    counter is seeded past any existing meta events on attach, so
+    (a) meta entities can never collide with user entity ids and
+    (b) detach()/re-attach never reuses an earlier meta eid (which
+    would stack duplicate event-kind datoms on one entity). Returns a
+    ``detach()`` callable that restores the unwrapped methods."""
 
     for aid in DECLARATIVE_ATTRIBUTES:
         if aid not in engine._transacted:
             engine.create_attribute(aid)
 
-    state = {"next_id": 0, "in_log": False}
+    state = {"next_id": _seed_meta_eid(engine), "in_log": False}
     orig_transact = engine.transact
     orig_create = engine.create_attribute
     orig_register = engine.register
@@ -177,6 +218,8 @@ def attach_declarative_logging(engine: Engine):
         try:
             eid = state["next_id"]
             state["next_id"] += 1
+            # engine-level high-water mark: survives detach()/attach
+            engine._meta_next_eid = state["next_id"]
             orig_transact(
                 [
                     Datom.add(eid, "3df/event-kind", kind),

@@ -126,6 +126,11 @@ def count_window_agg(
     ``order_cols`` must be broken by a unique column for cross-engine
     determinism — pass one (e.g. an event id) as the last entry."""
 
+    if n < 1:
+        # n=0 would make (__rn - 1) DIV 0 a silent NULL win_seq,
+        # collapsing every key into one NULL window (the ktruss
+        # max_iters discipline: fail loudly, never degrade silently)
+        raise ValueError(f"count_window_agg requires n >= 1, got {n}")
     w = Window.partitionBy(*key_cols).orderBy(*order_cols)
     # exact integer DIV, never a float quotient (the winsorize/prefix
     # discipline: a double quotient of an exact multiple can round up)

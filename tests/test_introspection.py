@@ -98,3 +98,49 @@ def test_declarative_logging_queryable_and_detaches(engine):
         MatchA("?e", "3df/event-kind", "?k")
     ).collect()
     assert len(kinds_after) == n_events_before, "detach did not restore"
+
+
+def test_declarative_logging_meta_eids_reserved_and_never_reused(engine):
+    """Meta-event entities live in the reserved range (>= 2^62, never
+    colliding with user entity ids) and a detach()/re-attach cycle
+    continues PAST earlier meta eids instead of resetting to the base
+    (a reset would stack duplicate event-kind datoms on one entity)."""
+
+    from declarative_dataflow_spark.engine import Datom
+    from declarative_dataflow_spark.sources.introspection import (
+        META_EID_BASE,
+        attach_declarative_logging,
+    )
+
+    detach = attach_declarative_logging(engine)
+    try:
+        engine.create_attribute("probe/attr")
+        # a user datom on eid 0 — the old counter's first meta eid
+        engine.transact([Datom.add(0, "probe/attr", 1)])
+        rows = engine.implement(
+            MatchA("?e", "3df/event-kind", "?k")
+        ).collect()
+        eids_first = {r[0] for r in rows}
+        assert eids_first, "no meta events logged"
+        assert all(e >= META_EID_BASE for e in eids_first), (
+            "meta eids must sit in the reserved range, "
+            f"got {sorted(eids_first)[:3]}"
+        )
+        # joining user attrs and meta attrs on ?e must NOT unify:
+        # eid 0 carries probe/attr but no event-kind
+        assert 0 not in eids_first
+    finally:
+        detach()
+    detach2 = attach_declarative_logging(engine)
+    try:
+        engine.transact([Datom.add(5, "probe/attr", 2)])
+        rows2 = engine.implement(
+            MatchA("?e", "3df/event-kind", "?k")
+        ).collect()
+        new_eids = {r[0] for r in rows2} - eids_first
+        assert new_eids, "re-attached logger logged nothing"
+        assert min(new_eids) > max(eids_first), (
+            "re-attach reused earlier meta eids"
+        )
+    finally:
+        detach2()

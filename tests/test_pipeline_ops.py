@@ -3313,3 +3313,29 @@ def test_prop_node_similarity_matches_bruteforce(spark, edges):
         for rk, (_, w, inter, jac) in enumerate(cands[:3], 1):
             want.append((u, w, inter, jac, rk))
     assert got == sorted(want)
+
+
+def test_mmr_step1_is_pure_relevance_even_at_lambda_zero(spark):
+    """λ=0 (pure diversity) must still pick the MOST RELEVANT doc at
+    step 1 (the selected set is empty — there is nothing to be diverse
+    from); before the fix every step-1 score was λ·rel = 0 and the
+    argmax degenerated to the lowest neighbor id."""
+
+    from declarative_dataflow_spark.operators import retrieval
+
+    vecs = {
+        0: [1.0, 0.0, 0.0],     # probe
+        5: [0.99, 0.01, 0.0],   # most relevant — HIGH id on purpose
+        1: [0.5, 0.5, 0.0],     # lower rel, LOWEST id among candidates
+        2: [0.0, 1.0, 0.0],
+    }
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], ["vec_id", "embedding"]
+    )
+    got = {
+        r["step"]: r["neighbor"]
+        for r in retrieval.mmr_rerank(
+            emb, query_ids=[0], k=2, depth=3, lam=0.0
+        ).collect()
+    }
+    assert got[1] == 5, f"step 1 must be the relevance argmax, got {got}"

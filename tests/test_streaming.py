@@ -2302,3 +2302,19 @@ def test_prop_count_window_matches_bruteforce(spark, rows, n):
                  round(float(sum(chunk)), 2))
             )
     assert got == sorted(want)
+
+
+def test_count_window_rejects_nonpositive_n(spark):
+    """n < 1 must fail loudly: n=0 would make (rn-1) DIV 0 a silent
+    NULL win_seq collapsing each key into one NULL window."""
+
+    import pytest as _pytest
+
+    from declarative_dataflow_spark.streaming.windows import (
+        count_window_agg,
+    )
+
+    df = spark.createDataFrame([(1, 1, 1.0)], ["k", "t", "v"])
+    for bad in (0, -3):
+        with _pytest.raises(ValueError, match="n >= 1"):
+            count_window_agg(df, bad, ["k"], ["t"], {"s": "sum(v)"})
