@@ -2686,6 +2686,71 @@ def q_edge_support(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.edge_triangle_support(edges)
 
 
+def q_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-truss (declared in r11 — closing the one §2-adjacent key with
+    no driver-recordable oracle): recount-and-peel until every
+    surviving edge closes >= t triangles within the subgraph. The
+    declared instance peels the DENSER 200-node /5 graph (the /11
+    wco_4clause graph converges to empty at sf0.01) at t=3 — measured
+    peel depth 6 at sf0.01, 3 at sf0.001, 1 at sf0.1; the DuckDB twin
+    unrolls the peel to 8 chained rounds (post-convergence rounds are
+    exact no-ops: recount over a fixed set drops nothing), the
+    _bpe_oracle_sql / _pca_oracle_sql discipline for iterative ops."""
+
+    ev = load_table(spark, sf_dir, "events")
+    edges = ev.filter(F.col("event_id") % 5 == 0).select(
+        (F.col("user_id") % 200).alias("src"),
+        (F.col("event_id") % 200).alias("dst"),
+    )
+    return graph.ktruss(edges, t=3)
+
+
+def _ktruss_oracle_sql(t: int = 3, rounds: int = 8) -> str:
+    """DuckDB twin of q_ktruss: the recount-and-peel loop unrolled as
+    chained CTEs. Round i recounts triangle support over the current
+    canonical edge set e{i} (symmetrized per round for the wedge
+    neighbor sets, zero-support edges kept via the left join) and
+    e{i+1} keeps support >= t; after convergence every further round
+    is a no-op, so any unroll depth >= the true peel depth yields the
+    exact fixpoint. rounds=8 > the measured depth at every shipped
+    sf (6 at sf0.01)."""
+
+    # Every CTE is MATERIALIZED: DuckDB inlines plain CTEs at each
+    # reference site, and each round references the previous ~5x — an
+    # inlined 8-round unroll re-expands the base scan exponentially
+    # (hundreds of thousands of parquet opens; observed as "Too many
+    # open files"). Materialization makes the unroll linear in rounds.
+    ctes = [
+        "e1 AS MATERIALIZED (SELECT DISTINCT least(s, d) AS a, "
+        "greatest(s, d) AS b "
+        "FROM (SELECT user_id % 200 AS s, event_id % 200 AS d "
+        "FROM events WHERE event_id % 5 = 0) WHERE s <> d)"
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"u{i} AS MATERIALIZED (SELECT a AS src, b AS dst FROM e{i} "
+            f"UNION ALL SELECT b, a FROM e{i})"
+        )
+        ctes.append(
+            f"s{i} AS MATERIALIZED (SELECT c.a, c.b, "
+            "coalesce(t.n, 0::BIGINT) AS support "
+            f"FROM e{i} c LEFT JOIN ("
+            f"SELECT c2.a, c2.b, count(*)::BIGINT AS n FROM e{i} c2 "
+            f"JOIN u{i} n1 ON n1.src = c2.a "
+            f"JOIN u{i} n2 ON n2.src = c2.b AND n2.dst = n1.dst "
+            "GROUP BY 1, 2) t ON t.a = c.a AND t.b = c.b)"
+        )
+        if i < rounds:
+            ctes.append(
+                f"e{i + 1} AS MATERIALIZED (SELECT a, b FROM s{i} "
+                f"WHERE support >= {t})"
+            )
+    return (
+        "WITH " + ", ".join(ctes)
+        + f" SELECT a, b, support FROM s{rounds}"
+    )
+
+
 def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N-gram novelty scoring (NEW in r10): per document, the fraction
     of its distinct 3-gram shingles seen in no earlier doc_id — the
@@ -3940,6 +4005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans": q_kmeans,  # NEW in r6
         "embed_prune": q_embed_prune,  # NEW in r9
         "edge_support": q_edge_support,  # NEW in r9
+        "ktruss": q_ktruss,  # NEW in r11
         "clustering_coef": q_clustering_coef,  # NEW in r10
         "cdc_chunks": q_cdc_chunks,  # NEW in r10
         "collocations": q_collocations,  # NEW in r10
@@ -6332,6 +6398,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c.a, c.b, coalesce(t.support, 0) AS support "
             "FROM canon c LEFT JOIN tri t ON t.a = c.a AND t.b = c.b"
         ),
+        "ktruss": _ktruss_oracle_sql(),
         "collocations": (
             "WITH w0 AS (SELECT "
             "regexp_split_to_array(trim(lower(text)), '\\s+') AS w "

@@ -315,6 +315,14 @@ def main() -> None:
             block_retimes[name] = [out[name], second]
             out[name] = min(out[name], second)
         retimes[block_dir] = block_retimes
+        # POST-block probe (VERDICT r10 #2b): the pre-block sample
+        # cannot see a throttle storm that starts mid-block — r10's
+        # shipped record probed 2.245 yet ran 1.39x FASTER than the
+        # driver's probe-1.815 window. The pre/post PAIR brackets the
+        # block; a post much slower than pre flags in-block weather.
+        host_index[
+            ("primary" if block_dir == sf_dir else "sf1") + "_post"
+        ] = host_speed_probe(spark)
         return out
 
     timings = time_block(sf_dir)
@@ -336,9 +344,23 @@ def main() -> None:
         .selectExpr("user_id % 10000 AS src", "event_id % 10000 AS dst")
         .distinct()
     )
-    t0 = time.perf_counter()
-    triangle_count_wco(raw_edges).count()
-    timings["triangle_large_recompute"] = round(time.perf_counter() - t0, 3)
+    # Retime discipline for the incremental block (VERDICT r10 #2a):
+    # these two run OUTSIDE the per-query loop, and single-shot they
+    # ship storm artifacts as the headline slowest entry (r10's driver
+    # record: incremental_epoch 14.15s vs 1.39s shipped — pure
+    # weather). Both are min-of-two ALWAYS, both samples recorded in
+    # retimes like every other retimed query.
+    inc_retimes = retimes.setdefault(sf_dir, {})
+
+    def _recompute_once() -> float:
+        spark.sparkContext._jvm.System.gc()
+        t0 = time.perf_counter()
+        triangle_count_wco(raw_edges).count()
+        return round(time.perf_counter() - t0, 3)
+
+    rec = [_recompute_once(), _recompute_once()]
+    inc_retimes["triangle_large_recompute"] = rec
+    timings["triangle_large_recompute"] = min(rec)
 
     dj = DeltaJoin(
         spark,
@@ -357,14 +379,25 @@ def main() -> None:
     dj.transact(
         [Datom.add(i % 10000, "edge", (i * 7 + 1) % 10000) for i in range(100)]
     ).count()  # warm epoch
-    t0 = time.perf_counter()
-    dj.transact(
-        [
-            Datom.add((i * 3) % 10000, "edge", (i * 11 + 5) % 10000)
-            for i in range(100)
-        ]
-    ).count()
-    timings["incremental_epoch"] = round(time.perf_counter() - t0, 3)
+    # min-of-two over two DISTINCT 100-datom epochs (an epoch mutates
+    # delta-join state, so the same datoms can't be replayed — a
+    # second fresh epoch is the same workload shape and cost model).
+    epochs = []
+    for salt in (3, 13):
+        spark.sparkContext._jvm.System.gc()
+        t0 = time.perf_counter()
+        dj.transact(
+            [
+                Datom.add((i * salt) % 10000, "edge", (i * 11 + salt + 2) % 10000)
+                for i in range(100)
+            ]
+        ).count()
+        epochs.append(round(time.perf_counter() - t0, 3))
+    inc_retimes["incremental_epoch"] = epochs
+    timings["incremental_epoch"] = min(epochs)
+    # bracket the incremental block the way time_block brackets its
+    # own queries — primary_post landed before this block ran.
+    host_index["incremental_post"] = host_speed_probe(spark)
 
     total = round(sum(timings.values()), 3)
     result = {
@@ -376,7 +409,11 @@ def main() -> None:
         "load1": load1,
         # Pinned synthetic probe walls per block (see host_speed_probe)
         # — divide two rounds' totals by their host_index ratio to
-        # compare across container-speed windows.
+        # compare across container-speed windows. Since r11 each block
+        # ships a PRE and POST probe ("<block>" / "<block>_post"): a
+        # pre-block sample alone cannot see a mid-block throttle storm
+        # (r10's shipped probe 2.245 ran 1.39x faster than the
+        # driver's probe-1.815 window).
         "host_index": host_index,
         "retimes": retimes,
         # Methodology marker (ADVICE r8): totals since r8 keep
@@ -385,7 +422,9 @@ def main() -> None:
         # samples of every retime are in `retimes`.
         "timing_policy": (
             "min-of-two for each block's 10 slowest plus any query "
-            ">2x its previous committed record; single-shot otherwise"
+            ">2x its previous committed record; the incremental block "
+            "(triangle_large_recompute, incremental_epoch) is always "
+            "min-of-two; single-shot otherwise"
         ),
     }
 
