@@ -488,8 +488,17 @@ def _numpy_assign_cells(
     id_col: str,
     vec_col: str,
     dim: int,
+    keep_vec: bool = False,
+    with_sim: bool = False,
 ) -> Optional[DataFrame]:
-    """Arrow-batched argmax-cosine assignment: (vec_id, cell).
+    """Arrow-batched argmax-cosine assignment: (vec_id, cell), plus
+    optionally the input vector passed through (``keep_vec`` — column
+    ``v``, saving the Lloyd means pass a full corpus join-back) and
+    the WINNING cosine (``with_sim`` — column ``csim``, the exact
+    value an n x 1 rescore against the assigned centroid would
+    recompute; -inf marks rows whose every score poisoned to -inf,
+    i.e. NULL/short/zero-norm vectors or an all-zero-norm centroid
+    set — the rescore's NULL, mapped by the caller).
 
     The large-k scoring engine behind :func:`_assign_cells` — see the
     call site for why the JVM paths cap out (janino's 64 KB method
@@ -566,14 +575,24 @@ def _numpy_assign_cells(
                 take = s > best_s
                 best_s = np.where(take, s, best_s)
                 best_c = np.where(take, cells_b[j], best_c)
-            yield pd.DataFrame({"vec_id": pdf[id_col], "cell": best_c})
+            out = {"vec_id": pdf[id_col], "cell": best_c}
+            if keep_vec:
+                out["v"] = pdf[vec_col]
+            if with_sim:
+                out["csim"] = best_s
+            yield pd.DataFrame(out)
 
     src = embeddings.select(id_col, vec_col)
     par = spark.sparkContext.defaultParallelism
     if embeddings.rdd.getNumPartitions() < par:
         src = src.repartition(par)
-    id_type = dict(src.dtypes)[id_col]
-    return src.mapInPandas(score, f"vec_id {id_type}, cell long")
+    dt = dict(src.dtypes)
+    schema = f"vec_id {dt[id_col]}, cell long"
+    if keep_vec:
+        schema += f", v {dt[vec_col]}"
+    if with_sim:
+        schema += ", csim double"
+    return src.mapInPandas(score, schema)
 
 
 def _assign_cells(
@@ -582,33 +601,57 @@ def _assign_cells(
     id_col: str,
     vec_col: str,
     keep_vec: bool = False,
+    with_sim: bool = False,
 ) -> DataFrame:
     """(vec_id, cell): each vector's argmax-cosine centroid, ties
-    broken by lowest cell id.
+    broken by lowest cell id. ``keep_vec`` rides the input vector
+    through as ``v``; ``with_sim`` adds the winning cosine as ``csim``
+    (engine-dependent — callers MUST check the returned columns and
+    fall back to a join/rescore when absent).
 
-    Centroids broadcast (k x dim — driver-small by construction), so
-    scoring is a map-side broadcast join; the argmax is a HASH
-    aggregate over max(struct(csim, -cell, cell)) with map-side
-    partial combine, so the one exchange carries ~n pre-reduced SKINNY
-    rows (the winning (vec_id, cell) per map task), never the n x k
-    scored expansion — and nothing sorts (the previous form ranked
-    that expansion with a vec_id window: a sort shuffle of corpus x k
-    x dim bytes per Lloyd pass). The max-struct is all-primitive on
-    purpose: an array field in the aggregate buffer (or in the
-    grouping key) silently downgrades Spark to SortAggregate, which is
-    why the vectors do NOT ride through the argmax — the one consumer
-    that needs them (the Lloyd means pass) joins them back on the
-    already-hash-partitioned vec_id. A NULL cosine (zero-norm vector)
-    coalesces to -inf so such vectors fall back to the lowest cell id,
-    exactly the old (csim DESC NULLS LAST, cell ASC) order. (A fully
+    Engine ladder (r11): the ARROW-BATCHED numpy argmax is preferred
+    at EVERY shape, not just past the 512-term codegen budget — the
+    Lloyd-ladder attribution (SCALE.md round-11) measured the JVM
+    literal unroll's per-pass cost as ANALYSIS + codegen of a fresh
+    k x dim literal tree every iteration (centroid literals change
+    each pass, so the codegen cache never hits), at parity with numpy
+    per pass at the largest compiled shape (k=8, dim=64) and ~15x
+    behind it at k=79 — and only the numpy kernel can carry the
+    vector and the winning cosine through the argmax, which deletes
+    the means pass's corpus join-back and embed_prune's n x 1 rescore
+    join. Bit-parity is by construction (dim-ascending IEEE
+    accumulation, strict-> ascending cell scan; see
+    :func:`_numpy_assign_cells`).
+
+    JVM fallbacks when pandas/numpy are unavailable: k x dim <= 512
+    compiles a literal-unrolled scoring array (honors keep_vec, not
+    with_sim); larger shapes score against the broadcast centroid
+    table with dim-sized positional dots and pre-reduce the argmax in
+    a max(struct(csim, -cell)) HASH aggregate — the one exchange
+    carries ~n pre-reduced SKINNY rows (never the n x k expansion),
+    and nothing sorts. The max-struct is all-primitive on purpose: an
+    array field in the aggregate buffer silently downgrades Spark to
+    SortAggregate. A NULL cosine (zero-norm vector) coalesces to -inf
+    so such vectors fall back to the lowest cell id. (A fully
     shuffle-free variant — folding a literal centroid array per row
     with transform/aggregate — measured 1.5x SLOWER at sf0.1: nested
-    higher-order lambdas evaluate interpreted, losing more to per-row
-    overhead than the pre-reduced exchange costs.)"""
+    higher-order lambdas evaluate interpreted.)"""
 
     import math
 
     rows = sorted(cents.collect(), key=lambda r: r["cell"])
+    if rows and rows[0]["cv"] is not None:
+        numpy_assign = _numpy_assign_cells(
+            embeddings,
+            rows,
+            id_col,
+            vec_col,
+            len(rows[0]["cv"]),
+            keep_vec=keep_vec,
+            with_sim=with_sim,
+        )
+        if numpy_assign is not None:
+            return numpy_assign
     if not rows or rows[0]["cv"] is None:
         scored = (
             embeddings.select(
@@ -665,36 +708,22 @@ def _assign_cells(
         # janino's `Code grows beyond 64 KB` — reproduced on the
         # declared ann_ivf query, a 3x interpreted-fallback slowdown.
         # 512 terms is the largest shape verified to compile fused.
+        # (The preferred engine at EVERY shape is the Arrow-batched
+        # numpy argmax, attempted at the top of this function — this
+        # branch only runs when pandas/numpy are unavailable. The
+        # broadcast-table alternative here compiles at any k, but its
+        # fused consume method lands past HotSpot's huge-method JIT
+        # ceiling and runs INTERPRETED: measured ~9s for 20k x 79 x 64
+        # vs 0.6s numpy on identical results.)
         #
-        # Preferred large-k engine: an ARROW-BATCHED numpy argmax
-        # (below). The pure-JVM alternative — scoring against a
-        # broadcast centroid table with dim-sized positional dots —
-        # compiles at any k, but its fused consume method lands past
-        # HotSpot's huge-method JIT ceiling, so the compiled bytecode
-        # runs INTERPRETED anyway: measured ~9s for 20k x 79 x 64 vs
-        # 0.6s for the numpy path on identical results. The numpy
-        # scorer is bit-identical BY CONSTRUCTION: it accumulates
-        # dots and norms dim-ascending with IEEE doubles (the exact
-        # fold order of the SQL left-assoc chains), float->double
-        # element casts are exact, zero-norm rows coalesce to -inf,
-        # and cells are scanned ascending with a strict > so ties
-        # keep the LOWEST cell id — the same (s, -cell) order as
-        # every other path. Arrow batching keeps the transfer
-        # columnar; nothing is per-row Python.
-        numpy_assign = _numpy_assign_cells(
-            embeddings, rows, id_col, vec_col, dim
-        )
-        if numpy_assign is not None:
-            return numpy_assign
-        # numpy/pandas unavailable: score against
-        # the BROADCAST centroid table with positionally-unrolled
-        # dots: every expression stays dim-sized (codegen-friendly at
-        # any k), the n x k expansion is map-side, and the argmax
-        # pre-reduces in the same max-struct hash aggregate as the
-        # dynamic fallback. Bit-identical to the unroll: SQL
-        # left-assoc sums == the Python-accumulated literal norms,
-        # ties and zero-norm rows resolve to the lowest cell id
-        # through the same (s, -cell) order.
+        # Score against the BROADCAST centroid table with
+        # positionally-unrolled dots: every expression stays dim-sized
+        # (codegen-friendly at any k), the n x k expansion is
+        # map-side, and the argmax pre-reduces in the same max-struct
+        # hash aggregate as the dynamic fallback. Bit-identical to the
+        # unroll: SQL left-assoc sums == the Python-accumulated
+        # literal norms, ties and zero-norm rows resolve to the lowest
+        # cell id through the same (s, -cell) order.
         def psum(a: str, b: str) -> str:
             return " + ".join(
                 f"CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE)"
@@ -806,7 +835,12 @@ def ivf_centroids(
     an ``n_centroids``-group aggregate of per-component means — ``dim``
     AVG columns with map-side partial aggregation, so the shuffle
     carries n_centroids x dim partials per task, never the vectors
-    (and never an exploded n x dim row blow-up). New components are
+    (and never an exploded n x dim row blow-up). On the preferred
+    numpy assignment engine the input vector rides THROUGH the argmax
+    kernel (keep_vec), so each Lloyd step is ONE job — kernel into
+    map-side-combined means — with no checkpoint and no corpus
+    join-back shuffle (the r11 Lloyd-ladder fusion; the JVM fallback
+    paths keep the checkpoint + vec_id join-back). New components are
     rounded to 6 decimals each step so refinement is reproducible
     across engines and cluster layouts; cells that capture no vectors
     keep their previous centroid. The refined centroid set (k x dim
@@ -1484,11 +1518,15 @@ def embed_prune(
     Spark/DuckDB disagree on default NULL order), and the cut count
     is floor(cell_size * frac) — exact and engine-free.
 
-    Cost over kmeans_assign: one id-keyed join to re-attach vectors,
-    one broadcast of the k x dim centroid table, ONE dot per row
-    (n x 1, never n x k — the assignment already picked the cell),
-    and a cell-partitioned window whose partitions are CELL-sized —
-    so the wall is linear in n only while k tracks the corpus.
+    Cost over kmeans_assign (numpy engine, the preferred path): ZERO
+    extra corpus passes — the final assignment kernel already
+    computed cosine(v, own centroid) to pick the cell, and rides it
+    out as ``csim`` (the r11 Lloyd-ladder fusion), leaving only a
+    cell-partitioned window whose partitions are CELL-sized. JVM
+    fallback: one id-keyed join to re-attach vectors, one broadcast
+    of the k x dim centroid table, ONE dot per row (n x 1, never
+    n x k). Either way the wall is linear in n while k tracks the
+    corpus.
     ``k="auto"`` (the default, and the declared query's form) derives
     ``k = density_cells(n, target_cell)``, capping expected cell
     occupancy at ~``target_cell`` rows: each row_number partition is
@@ -1515,42 +1553,64 @@ def embed_prune(
         k = density_cells(stats["n"], target_cell)
 
     cents = ivf_centroids(embeddings, k, iters, id_col, vec_col)
-    assign = _assign_cells(embeddings, cents, id_col, vec_col)
-    vecs = embeddings.select(
-        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")
+    assign = _assign_cells(
+        embeddings, cents, id_col, vec_col, with_sim=True
     )
-    # n x 1 rescore (each vector against its OWN centroid only). The
-    # zip_with/aggregate fold evaluates as an interpreted per-element
-    # lambda (~3s of the sf1 wall for 50k x 64); positionally-unrolled
-    # dim-sized sums stay inside whole-stage codegen and are
-    # bit-identical (same left-assoc dim-ascending order). Falls back
-    # to the fold if the corpus is empty (no dim to unroll) or the
-    # dimension varies (the unroll would index out of bounds).
-    if stats["dmin"] is not None and stats["dmin"] == stats["dmax"]:
-        dim = stats["dmax"]
-
-        def psum(a: str, b: str) -> str:
-            return " + ".join(
-                f"CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE)"
-                for i in range(dim)
-            )
-
-        sim = F.expr(
-            f"round(({psum('v', 'cv')}) / "
-            f"nullif(sqrt({psum('v', 'v')}) * "
-            f"sqrt({psum('cv', 'cv')}), 0.0), 4)"
+    if "csim" in assign.columns:
+        # Fused path (numpy engine): the winning cosine IS the
+        # rescore value — the kernel computed cosine(v, own centroid)
+        # to pick the cell, so the n x 1 rescore join + centroid
+        # broadcast disappear (the r11 Lloyd-ladder fusion). -inf
+        # marks rows whose every score poisoned (NULL/zero-norm
+        # vectors) — exactly the rows the SQL rescore nulls via
+        # nullif(den, 0), mapped back to NULL here.
+        scored = assign.select(
+            "vec_id",
+            "cell",
+            F.round(
+                F.when(
+                    F.col("csim") == F.lit(float("-inf")), F.lit(None)
+                ).otherwise(F.col("csim")),
+                4,
+            ).alias("sim_c"),
         )
     else:
-        sim = F.round(
-            _dot("v", "cv")
-            / F.nullif(_norm("v") * _norm("cv"), F.lit(0.0)),
-            4,
+        vecs = embeddings.select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")
         )
-    scored = (
-        vecs.join(assign, "vec_id")
-        .join(F.broadcast(cents), "cell")
-        .select("vec_id", "cell", sim.alias("sim_c"))
-    )
+        # n x 1 rescore (each vector against its OWN centroid only).
+        # The zip_with/aggregate fold evaluates as an interpreted
+        # per-element lambda (~3s of the sf1 wall for 50k x 64);
+        # positionally-unrolled dim-sized sums stay inside whole-stage
+        # codegen and are bit-identical (same left-assoc dim-ascending
+        # order). Falls back to the fold if the corpus is empty (no
+        # dim to unroll) or the dimension varies (the unroll would
+        # index out of bounds).
+        if stats["dmin"] is not None and stats["dmin"] == stats["dmax"]:
+            dim = stats["dmax"]
+
+            def psum(a: str, b: str) -> str:
+                return " + ".join(
+                    f"CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE)"
+                    for i in range(dim)
+                )
+
+            sim = F.expr(
+                f"round(({psum('v', 'cv')}) / "
+                f"nullif(sqrt({psum('v', 'v')}) * "
+                f"sqrt({psum('cv', 'cv')}), 0.0), 4)"
+            )
+        else:
+            sim = F.round(
+                _dot("v", "cv")
+                / F.nullif(_norm("v") * _norm("cv"), F.lit(0.0)),
+                4,
+            )
+        scored = (
+            vecs.join(assign, "vec_id")
+            .join(F.broadcast(cents), "cell")
+            .select("vec_id", "cell", sim.alias("sim_c"))
+        )
     w = Window.partitionBy("cell").orderBy(
         F.coalesce(F.col("sim_c"), F.lit(-2.0)).asc(), F.asc("vec_id")
     )
