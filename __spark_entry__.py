@@ -2751,6 +2751,285 @@ def _ktruss_oracle_sql(t: int = 3, rounds: int = 8) -> str:
     )
 
 
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dyadic-exact EWMA smoothing (NEW in r11): per-user half-life
+    smoothing truncated to 8 FIR taps — every weight a power of two,
+    so each term is exact and the left-assoc chain is bit-identical
+    in both engines. ONE key-partitioned window."""
+
+    from declarative_dataflow_spark.operators import timeseries
+
+    return timeseries.ewma_dyadic(load_table(spark, sf_dir, "events"))
+
+
+def _ewma_oracle_sql(taps: int = 8) -> str:
+    """DuckDB twin of timeseries.ewma_dyadic: the IDENTICAL
+    exact-decimal tap chain — each term comes from the shared
+    ewma_term_sql generator, so both engines evaluate the same
+    DECIMAL expression (a pure-double chain measured FAIL at .5e-6
+    rounding midpoints: Spark rounds the exact decimal, DuckDB
+    rounds x*1e6 in floats)."""
+
+    from declarative_dataflow_spark.operators.timeseries import (
+        ewma_term_sql,
+    )
+
+    term = " + ".join(ewma_term_sql(j, window="w") for j in range(taps))
+    return (
+        "WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS tu, "
+        "CAST(value AS DOUBLE) AS value FROM events) "
+        "SELECT event_id, user_id, tu, value, "
+        f"CAST(round({term}, 6) AS DOUBLE) AS ewma "
+        "FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY tu, event_id)"
+    )
+
+
+def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (NEW in r11): per-user TWAP over the
+    irregular event series — exact integer holding durations, exact
+    DECIMAL(18,6) value x duration sums, one final IEEE division."""
+
+    from declarative_dataflow_spark.operators import timeseries
+
+    return timeseries.time_weighted_avg(
+        load_table(spark, sf_dir, "events")
+    )
+
+
+def q_markov_trans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type transition matrix (NEW in r11): first-order Markov
+    (from, to, n, p) over consecutive same-user events — one lead()
+    window, one uniform count, one broadcast normalization."""
+
+    from declarative_dataflow_spark.operators import timeseries
+
+    return timeseries.transition_matrix(
+        load_table(spark, sf_dir, "events")
+    )
+
+
+def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival burstiness (NEW in r11): per-user index of
+    dispersion of event gaps — exact DECIMAL(38,0) gap moments, the
+    anomalies/assortativity discipline."""
+
+    from declarative_dataflow_spark.operators import timeseries
+
+    return timeseries.burstiness(load_table(spark, sf_dir, "events"))
+
+
+def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded RFM segmentation (NEW in r11): per-customer recency/
+    frequency/monetary with FIXED policy bands (quantile scoring would
+    be a global sort over the dimension — the banned shape); exact
+    DECIMAL(18,2) money sums, exact integer day arithmetic."""
+
+    from declarative_dataflow_spark.operators import timeseries
+
+    return timeseries.rfm_segments(load_table(spark, sf_dir, "orders"))
+
+
+def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities (NEW in r11): 2 fixed mutual-reinforcement
+    iterations over the wco_4clause graph — exact DECIMAL(18,6) score
+    sums, max-normalized round-6 per half-step (the pagerank
+    determinism discipline); DuckDB twin unrolls the iterations as
+    chained CTEs."""
+
+    ev = load_table(spark, sf_dir, "events")
+    edges = ev.filter(F.col("event_id") % 11 == 0).select(
+        (F.col("user_id") % 1000).alias("src"),
+        (F.col("event_id") % 1000).alias("dst"),
+    )
+    return graph.hits(edges, iters=2)
+
+
+def _hits_oracle_sql(iters: int = 2) -> str:
+    """DuckDB twin of graph.hits: the mutual-reinforcement loop
+    unrolled (MATERIALIZED — the ktruss inlining lesson), same exact
+    DECIMAL(18,6) sums, same round-6 max-normalization per half-step."""
+
+    dec = "DECIMAL(18,6)"
+    ctes = [
+        "e0 AS MATERIALIZED (SELECT DISTINCT user_id % 1000 AS s, "
+        "event_id % 1000 AS t FROM events WHERE event_id % 11 = 0)",
+        "e AS MATERIALIZED (SELECT s, t FROM e0 WHERE s <> t)",
+        "nodes AS MATERIALIZED (SELECT s AS node FROM e "
+        "UNION SELECT t FROM e)",
+        f"h0 AS MATERIALIZED (SELECT node, CAST(1 AS {dec}) AS h "
+        "FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"ar{i} AS MATERIALIZED (SELECT e.t AS node, "
+            f"sum(h.h) AS a_raw FROM e JOIN h{i - 1} h ON h.node = e.s "
+            "GROUP BY 1)"
+        )
+        ctes.append(
+            f"a{i} AS MATERIALIZED (SELECT n.node, "
+            "CAST(round(CAST(coalesce(r.a_raw, 0) AS DOUBLE) / "
+            f"CAST((SELECT max(a_raw) FROM ar{i}) AS DOUBLE), 6) "
+            f"AS {dec}) AS a FROM nodes n LEFT JOIN ar{i} r USING (node))"
+        )
+        ctes.append(
+            f"hr{i} AS MATERIALIZED (SELECT e.s AS node, "
+            f"sum(a.a) AS h_raw FROM e JOIN a{i} a ON a.node = e.t "
+            "GROUP BY 1)"
+        )
+        ctes.append(
+            f"h{i} AS MATERIALIZED (SELECT n.node, "
+            "CAST(round(CAST(coalesce(r.h_raw, 0) AS DOUBLE) / "
+            f"CAST((SELECT max(h_raw) FROM hr{i}) AS DOUBLE), 6) "
+            f"AS {dec}) AS h FROM nodes n LEFT JOIN hr{i} r USING (node))"
+        )
+    return (
+        "WITH " + ", ".join(ctes)
+        + " SELECT n.node, CAST(coalesce(h.h, 0) AS DOUBLE) AS hub, "
+        "CAST(coalesce(a.a, 0) AS DOUBLE) AS authority "
+        f"FROM nodes n LEFT JOIN h{iters} h USING (node) "
+        f"LEFT JOIN a{iters} a USING (node)"
+    )
+
+
+PPR_SEEDS = (0, 1, 2)
+
+
+def q_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (NEW in r11): 6 fixed iterations with the
+    random jump pinned to seeds {0,1,2} over the pagerank graph — the
+    PR_CONTRIB_SQL exact-decimal discipline, only the teleport vector
+    changes."""
+
+    ev = load_table(spark, sf_dir, "events")
+    edges = ev.select(
+        (F.col("user_id") % 100).alias("src"),
+        (F.col("event_id") % 100).alias("dst"),
+    )
+    return graph.personalized_pagerank(
+        edges, seeds=list(PPR_SEEDS), iters=6
+    )
+
+
+def _ppr_oracle_sql(iters: int = 6, d: float = 0.85) -> str:
+    """DuckDB twin of graph.personalized_pagerank: _pagerank_oracle
+    with the uniform base swapped for the seed-indicator CASE — the
+    base/init literals come from the same Python round() as the Spark
+    side, so both engines see identical scalars."""
+
+    seeds = ", ".join(str(s) for s in PPR_SEEDS)
+    base = f"{round((1.0 - d) / len(PPR_SEEDS), 6):.6f}"
+    init = f"{round(1.0 / len(PPR_SEEDS), 6):.6f}"
+    seed_term = (
+        f"CASE WHEN n.node IN ({seeds}) "
+        f"THEN CAST('{base}' AS DECIMAL(8,6)) "
+        "ELSE CAST(0 AS DECIMAL(8,6)) END"
+    )
+    rank_expr = (
+        f"CAST(round({seed_term} + CAST('{d:.8f}' AS DECIMAL(10,8)) * "
+        "coalesce(CAST(c.in_sum AS DECIMAL(24,15)), "
+        "CAST(0 AS DECIMAL(24,15))), 6) AS DOUBLE)"
+    )
+    parts = [
+        "edges AS (SELECT DISTINCT user_id % 100 AS s, "
+        "event_id % 100 AS t FROM events)",
+        "nodes AS (SELECT s AS node FROM edges UNION SELECT t FROM edges)",
+        "outdeg AS (SELECT s AS node, count(*) AS deg FROM edges "
+        "GROUP BY s)",
+        f"pr0 AS (SELECT node, CASE WHEN node IN ({seeds}) "
+        f"THEN CAST('{init}' AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END "
+        "AS rank FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"pr{i} AS (SELECT n.node, {rank_expr} AS rank "
+            "FROM nodes n LEFT JOIN ("
+            "SELECT e.t AS node, "
+            "sum(CAST(round(p.rank / o.deg, 15) AS DECIMAL(24,15))) "
+            "AS in_sum "
+            f"FROM pr{i - 1} p JOIN outdeg o ON p.node = o.node "
+            "JOIN edges e ON p.node = e.s GROUP BY e.t) c "
+            "ON n.node = c.node)"
+        )
+    return "WITH " + ", ".join(parts) + f" SELECT node, rank FROM pr{iters}"
+
+
+def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual k-NN graph (NEW in r11): reciprocated top-5 cosine
+    neighbors within density-derived k-means cells — the graph whose
+    components drive density-based dedup clustering. Cell-bucketed
+    candidates, cell-bounded rank windows, mutual filter on the
+    reduced edge set."""
+
+    return similarity.knn_graph(
+        load_table(spark, sf_dir, "embeddings"), k_neighbors=5
+    )
+
+
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease (NEW in r11): integer-exact word/sentence/
+    vowel-group counts, one fixed IEEE combination — map-only."""
+
+    return text.readability(load_table(spark, sf_dir, "documents"))
+
+
+def q_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix (NEW in r11): the marker-word
+    classifier scored against the corpus's lang labels — (true, pred,
+    n, rate), |langs|^2 output at any scale."""
+
+    return text.langid_eval(load_table(spark, sf_dir, "documents"))
+
+
+PIVOT_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_pivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot long->wide (NEW in r11): per-user event-kind count matrix
+    with a PINNED value list — ONE hash aggregate of conditional sums
+    (never the open pivot's distinct pre-pass)."""
+
+    from declarative_dataflow_spark.operators import reshape
+
+    return reshape.pivot_counts(
+        load_table(spark, sf_dir, "events"),
+        "user_id",
+        "event_type",
+        list(PIVOT_EVENT_TYPES),
+    )
+
+
+UNPIVOT_METRICS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot wide->long (NEW in r11): lineitem's four metric columns
+    melted to (orderkey, linenumber, metric, val) through Spark's
+    built-in Expand — map-side generator, no shuffle."""
+
+    from declarative_dataflow_spark.operators import reshape
+
+    return reshape.unpivot_metrics(
+        load_table(spark, sf_dir, "lineitem"),
+        ["l_orderkey", "l_linenumber"],
+        list(UNPIVOT_METRICS),
+    )
+
+
+def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS aggregation (NEW in r11): the explicit-sets
+    sibling of the rollup/cube family — (source), (lang),
+    (source, lang), and the grand total in ONE Expand + hash
+    aggregate pass."""
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("__r11_gs_docs")
+    return spark.sql(
+        "SELECT source, lang, count(*) AS n, "
+        "CAST(sum(n_chars) AS BIGINT) AS chars FROM __r11_gs_docs "
+        "GROUP BY GROUPING SETS ((source), (lang), (source, lang), ())"
+    )
+
+
 def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N-gram novelty scoring (NEW in r10): per document, the fraction
     of its distinct 3-gram shingles seen in no earlier doc_id — the
@@ -4006,6 +4285,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_prune": q_embed_prune,  # NEW in r9
         "edge_support": q_edge_support,  # NEW in r9
         "ktruss": q_ktruss,  # NEW in r11
+        "ewma": q_ewma,  # NEW in r11
+        "twap": q_twap,  # NEW in r11
+        "markov_trans": q_markov_trans,  # NEW in r11
+        "burstiness": q_burstiness,  # NEW in r11
+        "rfm": q_rfm,  # NEW in r11
+        "hits": q_hits,  # NEW in r11
+        "ppr": q_ppr,  # NEW in r11
+        "knn_graph": q_knn_graph,  # NEW in r11
+        "readability": q_readability,  # NEW in r11
+        "langid_eval": q_langid_eval,  # NEW in r11
+        "pivot_counts": q_pivot_counts,  # NEW in r11
+        "unpivot_metrics": q_unpivot_metrics,  # NEW in r11
+        "agg_grouping_sets": q_agg_grouping_sets,  # NEW in r11
         "clustering_coef": q_clustering_coef,  # NEW in r10
         "cdc_chunks": q_cdc_chunks,  # NEW in r10
         "collocations": q_collocations,  # NEW in r10
@@ -4167,35 +4459,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # alongside sorted_neighborhood; all are hash-verified in this
     # round's full local oracle runs (ORACLE_LOCAL.md, 164/164 OK +
     # edge_support in its own gated runs at three scale factors).
-    # Round-10 rotation: the FOURTEEN r10-new keys (first-ever driver rows)
-    # lead, then embed_prune (its declared k moved to the density-
-    # derived "auto" this round — re-verify under the driver), then
-    # the SIXTEEN r05-stale core keys the r9 verdict ask #2 names
-    # (their latest driver row is 5 rounds old; all re-verified in
-    # this round's full local oracle run), then the 19 stalest r07
-    # keys by queries() order. The remaining 30 r07 keys defer to r11
-    # (all green r07 + every full local run since).
+    # Round-10 rotation (history): the 14 r10-new keys, embed_prune
+    # (declared k moved to "auto"), the 16 r05-stale core keys, then
+    # the 19 stalest r07 keys.
+    # Round-11 rotation (VERDICT r10 ask #1): the THIRTY keys whose
+    # latest driver row is r07 lead (after r11 every declared key's
+    # latest driver row is <= 2 rounds old — the rotation debt is
+    # fully amortized), then the FOURTEEN r11-new keys (first-ever
+    # driver rows: ktruss + the r11 operator batch), then embed_prune
+    # and semdedup (their shared Lloyd machinery changed this round —
+    # the assignment kernel now carries the vector and winning cosine
+    # through; re-verify under the driver), then the 4 stalest r08
+    # keys by queries() order.
     front = [
-        # r10-new keys — first-ever driver rows
-        "clustering_coef", "cdc_chunks", "collocations",
-        "vocab_coverage", "pca_top1", "trunc_recall", "mmr_rerank",
-        "assortativity", "attribution", "period_coalesce",
-        "ngram_novelty", "cluster_sample", "node_sim",
-        "window_count",
-        # declared form changed this round (k="auto") — re-verify
-        "embed_prune",
-        # the 16 r05-stale core keys (VERDICT r9 ask #2)
-        "match_a", "match_av", "match_ea", "project", "join_binary",
-        "hector_fused", "antijoin", "union", "negate_setdiff",
-        "filter_lt", "filter_vars", "transform_truncate",
-        "transform_add", "transform_subtract", "agg_median",
-        "agg_variance",
-        # stalest r07 keys (latest driver row r07)
-        "embed_neardup", "embed_groups", "kcore", "graph_cc",
-        "retrieval_eval", "tpch_q5", "tpch_q4", "tpch_q12",
-        "tpch_q19", "sorted_neighborhood", "simhash_neardup",
-        "pq_topk", "gopher_rules", "line_dedup", "bm25_topk",
-        "ngram_lm_score", "bpe_merges", "mix_weights", "tfidf_topk",
+        # the 30 r07-stale keys (VERDICT r10 ask #1, named list)
+        "anomalies", "asof_join", "blocklist", "bloom_contam",
+        "bpe_encode", "char_entropy", "chunk_docs", "cms_topk",
+        "corpus_profile", "dsir_weights", "dup_spans", "funnel",
+        "hash_embed", "hist_quantiles", "hll_distinct",
+        "interval_join", "json_props", "kmeans", "lm_buckets",
+        "nb_quality", "quality_calibrate", "resample_locf",
+        "retention", "rolling_stats", "rrf_fusion", "sessionize",
+        "tok_fertility", "weighted_sample", "winsorize", "zorder_key",
+        # r11-new keys — first-ever driver rows
+        "ktruss", "ewma", "twap", "markov_trans", "burstiness",
+        "rfm", "hits", "ppr", "knn_graph", "readability",
+        "langid_eval", "pivot_counts", "unpivot_metrics",
+        "agg_grouping_sets",
+        # Lloyd machinery changed this round (fused kernel) — re-verify
+        "embed_prune", "semdedup",
+        # stalest r08 keys by queries() order
+        "tpch_q6", "tpch_q10", "tpch_q14", "tpch_q18",
     ]
     assert len(front) == 50 and set(front) <= set(q), "rotation list drift"
     return {**{k: q[k] for k in front}, **{k: v for k, v in q.items() if k not in front}}
@@ -6399,6 +6693,165 @@ def oracle_sql() -> dict[str, str]:
             "FROM canon c LEFT JOIN tri t ON t.a = c.a AND t.b = c.b"
         ),
         "ktruss": _ktruss_oracle_sql(),
+        "ewma": _ewma_oracle_sql(),
+        "twap": (
+            "WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS tu, "
+            "value FROM events), "
+            "h AS (SELECT user_id, value, "
+            "lead(tu) OVER (PARTITION BY user_id ORDER BY tu, event_id) "
+            "- tu AS hold_us FROM ev) "
+            "SELECT user_id, count(*)::BIGINT AS n_holds, "
+            "sum(hold_us)::BIGINT AS held_us, "
+            "round(CAST(sum(CAST(value AS DECIMAL(18,6)) * hold_us) "
+            "AS DOUBLE) / nullif(CAST(sum(hold_us) AS DOUBLE), 0.0), 6) "
+            "AS twap FROM h WHERE hold_us IS NOT NULL GROUP BY 1"
+        ),
+        "markov_trans": (
+            "WITH ev AS (SELECT user_id, event_type AS t, "
+            "epoch_us(ts) AS tu, event_id AS eid FROM events), "
+            "pr AS (SELECT t AS from_type, lead(t) OVER ("
+            "PARTITION BY user_id ORDER BY tu, eid) AS to_type FROM ev), "
+            "c AS (SELECT from_type, to_type, count(*)::BIGINT AS n "
+            "FROM pr WHERE to_type IS NOT NULL GROUP BY 1, 2), "
+            "tot AS (SELECT from_type, sum(n)::BIGINT AS out_n FROM c "
+            "GROUP BY 1) "
+            "SELECT c.from_type, c.to_type, c.n, "
+            "round(CAST(c.n AS DOUBLE) / t.out_n, 6) AS p "
+            "FROM c JOIN tot t USING (from_type)"
+        ),
+        "burstiness": (
+            "WITH ev AS (SELECT user_id, event_id AS eid, "
+            "epoch_us(ts) AS tu FROM events), "
+            "g0 AS (SELECT user_id, lead(tu) OVER (PARTITION BY user_id "
+            "ORDER BY tu, eid) - tu AS g FROM ev), "
+            "m AS (SELECT user_id, count(*)::BIGINT AS n_gaps, "
+            "sum(CAST(g AS DECIMAL(38,0))) AS sg, "
+            "sum(CAST(g AS DECIMAL(38,0)) * CAST(g AS DECIMAL(38,0))) "
+            "AS sgg FROM g0 WHERE g IS NOT NULL GROUP BY 1) "
+            # seconds, not microseconds: round-6 at 1e10 magnitude is
+            # past double's 2^53 exact-integer range (measured FAIL)
+            "SELECT user_id, n_gaps, "
+            "round(CAST(sg AS DOUBLE) / n_gaps / 1000000.0, 6) "
+            "AS mean_gap_s, "
+            "round(greatest(CAST(sgg AS DOUBLE) / n_gaps - "
+            "(CAST(sg AS DOUBLE) / n_gaps) * (CAST(sg AS DOUBLE) "
+            "/ n_gaps), 0.0) / nullif(CAST(sg AS DOUBLE) / n_gaps, 0.0) "
+            "/ 1000000.0, 6) AS dispersion_s FROM m WHERE n_gaps >= 2"
+        ),
+        "rfm": (
+            # fixed policy bands — keep thresholds in lockstep with
+            # timeseries.RFM_* (the Spark side prints the same CASE)
+            "WITH a AS (SELECT o_custkey AS custkey, "
+            "max(epoch_us(o_orderdate)) AS last_us, "
+            "count(*)::BIGINT AS frequency, "
+            "sum(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary "
+            "FROM orders GROUP BY 1), "
+            "mx AS (SELECT max(epoch_us(o_orderdate)) AS corpus_max_us "
+            "FROM orders), "
+            "s AS (SELECT custkey, CAST((corpus_max_us - last_us) "
+            "// 86400000000 AS INT) AS recency_days, frequency, "
+            "round(CAST(monetary AS DOUBLE), 2) AS monetary "
+            "FROM a, mx) "
+            "SELECT custkey, recency_days, frequency, monetary, "
+            "CASE WHEN recency_days <= 30 THEN 4 "
+            "WHEN recency_days <= 90 THEN 3 "
+            "WHEN recency_days <= 365 THEN 2 ELSE 1 END AS r_score, "
+            "CASE WHEN frequency >= 10 THEN 4 WHEN frequency >= 5 THEN 3 "
+            "WHEN frequency >= 2 THEN 2 ELSE 1 END AS f_score, "
+            "CASE WHEN monetary >= 20000 THEN 4 "
+            "WHEN monetary >= 5000 THEN 3 "
+            "WHEN monetary >= 1000 THEN 2 ELSE 1 END AS m_score, "
+            "CAST(100 * (CASE WHEN recency_days <= 30 THEN 4 "
+            "WHEN recency_days <= 90 THEN 3 "
+            "WHEN recency_days <= 365 THEN 2 ELSE 1 END) + 10 * "
+            "(CASE WHEN frequency >= 10 THEN 4 WHEN frequency >= 5 THEN 3 "
+            "WHEN frequency >= 2 THEN 2 ELSE 1 END) + "
+            "(CASE WHEN monetary >= 20000 THEN 4 "
+            "WHEN monetary >= 5000 THEN 3 "
+            "WHEN monetary >= 1000 THEN 2 ELSE 1 END) AS INT) AS segment "
+            "FROM s"
+        ),
+        "hits": _hits_oracle_sql(),
+        "ppr": _ppr_oracle_sql(),
+        "knn_graph": _kmeans_oracle_sql(
+            8, 2, k_sql="greatest(8, (count(*) + 255) // 256)", tail=(
+                ", pr AS (SELECT a.cell, a.vec_id AS a, b.vec_id AS b, "
+                "round(list_dot_product(a.v, b.v) / "
+                "nullif(sqrt(list_dot_product(a.v, a.v)) * "
+                "sqrt(list_dot_product(b.v, b.v)), 0), 4) AS sim "
+                "FROM af a JOIN af b ON a.cell = b.cell "
+                "AND a.vec_id <> b.vec_id), "
+                "r AS (SELECT a, b, sim, row_number() OVER ("
+                "PARTITION BY cell, a "
+                "ORDER BY sim DESC NULLS LAST, b) AS rnk FROM pr), "
+                "knn AS (SELECT a, b, sim FROM r WHERE rnk <= 5) "
+                "SELECT k1.a, k1.b, k1.sim FROM knn k1 "
+                "JOIN knn k2 ON k1.a = k2.b AND k1.b = k2.a "
+                "WHERE k1.a < k1.b"
+            )
+        ),
+        "readability": (
+            "WITH c AS (SELECT doc_id, "
+            "CAST(len(regexp_extract_all(trim(lower(text)), "
+            "'[^\\s]+')) AS INT) AS n_words, "
+            "CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) "
+            "AS INT) AS n_sents, "
+            "CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) "
+            "AS INT) AS n_syll FROM documents) "
+            "SELECT doc_id, n_words, n_sents, n_syll, "
+            "CASE WHEN n_words > 0 THEN "
+            "round(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sents) "
+            "- 84.6 * (CAST(n_syll AS DOUBLE) / n_words), 4) END "
+            "AS flesch FROM c"
+        ),
+        "langid_eval": (
+            "WITH cnt AS (SELECT lang AS true_lang, "
+            f"len(list_filter(string_split(lower(text), ' '), "
+            f"w -> w IN {_SQL_EN})) AS c_en, "
+            f"len(list_filter(string_split(lower(text), ' '), "
+            f"w -> w IN {_SQL_ES})) AS c_es, "
+            f"len(list_filter(string_split(lower(text), ' '), "
+            f"w -> w IN {_SQL_DE})) AS c_de, "
+            f"len(list_filter(string_split(lower(text), ' '), "
+            f"w -> w IN {_SQL_FR})) AS c_fr FROM documents), "
+            "p AS (SELECT true_lang, CASE "
+            "WHEN c_en = 0 AND c_es = 0 AND c_de = 0 AND c_fr = 0 "
+            "THEN 'und' "
+            "WHEN c_en >= c_es AND c_en >= c_de AND c_en >= c_fr "
+            "THEN 'en' "
+            "WHEN c_es >= c_de AND c_es >= c_fr THEN 'es' "
+            "WHEN c_de >= c_fr THEN 'de' ELSE 'fr' END AS pred_lang "
+            "FROM cnt), "
+            "c AS (SELECT true_lang, pred_lang, count(*)::BIGINT AS n "
+            "FROM p GROUP BY 1, 2), "
+            "tot AS (SELECT true_lang, sum(n)::BIGINT AS tot FROM c "
+            "GROUP BY 1) "
+            "SELECT c.true_lang, c.pred_lang, c.n, "
+            "round(CAST(c.n AS DOUBLE) / t.tot, 6) AS rate "
+            "FROM c JOIN tot t USING (true_lang)"
+        ),
+        "pivot_counts": (
+            "SELECT user_id, "
+            + ", ".join(
+                f"sum(CASE WHEN event_type = '{v}' THEN 1 ELSE 0 END)"
+                f"::BIGINT AS n_{v}"
+                for v in PIVOT_EVENT_TYPES
+            )
+            + " FROM events GROUP BY 1"
+        ),
+        "unpivot_metrics": (
+            " UNION ALL ".join(
+                f"SELECT l_orderkey, l_linenumber, '{c}' AS metric, "
+                f"CAST({c} AS DOUBLE) AS val FROM lineitem"
+                for c in UNPIVOT_METRICS
+            )
+        ),
+        "agg_grouping_sets": (
+            "SELECT source, lang, count(*)::BIGINT AS n, "
+            "CAST(sum(n_chars) AS BIGINT) AS chars FROM documents "
+            "GROUP BY GROUPING SETS ((source), (lang), (source, lang), "
+            "())"
+        ),
         "collocations": (
             "WITH w0 AS (SELECT "
             "regexp_split_to_array(trim(lower(text)), '\\s+') AS w "

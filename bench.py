@@ -141,6 +141,20 @@ HEADLINE = [
     "cluster_sample",  # cluster-balanced quota subsampling (r10)
     "node_sim",        # neighborhood-Jaccard node similarity (r10)
     "window_count",    # count-based tumbling windows (r10)
+    "ktruss",          # k-truss recount-and-peel (declared r11)
+    "ewma",            # dyadic-exact EWMA smoothing (r11)
+    "twap",            # time-weighted average (r11)
+    "markov_trans",    # event-type transition matrix (r11)
+    "burstiness",      # inter-arrival index of dispersion (r11)
+    "rfm",             # banded RFM segmentation (r11)
+    "hits",            # HITS hubs/authorities (r11)
+    "ppr",             # personalized PageRank (r11)
+    "knn_graph",       # mutual k-NN graph over k-means cells (r11)
+    "readability",     # Flesch reading-ease proxies (r11)
+    "langid_eval",     # language-ID confusion matrix (r11)
+    "pivot_counts",    # long->wide pinned pivot (r11)
+    "unpivot_metrics",  # wide->long Expand unpivot (r11)
+    "agg_grouping_sets",  # explicit grouping-sets aggregate (r11)
 ]
 
 

@@ -1035,3 +1035,172 @@ def node_similarity(
         scored.withColumn("rank", F.row_number().over(w_rk).cast("long"))
         .filter(F.col("rank") <= top_k)
     )
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: list,
+    iters: int = 6,
+    damping: float = 0.85,
+    scale: int = 6,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Personalized PageRank: PageRank whose random jump returns to a
+    SEED SET instead of the uniform vector — the locality-aware
+    importance behind related-item recommendation, local community
+    scoring, and seed-expansion labeling (one labeled account, a
+    thousand candidates ranked by proximity). Returns (node, rank);
+    nodes unreachable from the seeds score 0.
+
+    p(v) = (1-d)·s(v) + d·Σ_{u→v} p(u)/outdeg(u), with s(v) = 1/|seeds|
+    on the seed set and 0 elsewhere — the only change from
+    :func:`pagerank` is the teleport vector, and the determinism
+    discipline is IDENTICAL (the PR_CONTRIB_SQL round-15 exact-decimal
+    contribution sums, per-iteration round-6 ranks, fixed iteration
+    count — reproducible across engines and partitionings). Per
+    iteration one contribution shuffle + one broadcast-able outdegree
+    join; the seed indicator is a CASE over a literal list (seed sets
+    are human-sized by construction — validate upstream if not).
+    """
+
+    if not seeds:
+        raise ValueError("personalized_pagerank: seeds must be non-empty")
+    e = edges.select(
+        F.col(src).alias("s"), F.col(dst).alias("t")
+    ).distinct()
+    nodes = (
+        e.select(F.col("s").alias("node"))
+        .unionByName(e.select(F.col("t").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    outdeg = e.groupBy(F.col("s").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    seed_lits = ", ".join(str(int(x)) for x in sorted(set(seeds)))
+    base = f"{round((1.0 - damping) / len(set(seeds)), scale):.{scale}f}"
+    seed_term = (
+        f"CASE WHEN node IN ({seed_lits}) "
+        f"THEN CAST('{base}' AS DECIMAL({scale + 2},{scale})) "
+        f"ELSE CAST(0 AS DECIMAL({scale + 2},{scale})) END"
+    )
+    init = f"{round(1.0 / len(set(seeds)), scale):.{scale}f}"
+    ranks = nodes.select(
+        "node",
+        F.expr(
+            f"CASE WHEN node IN ({seed_lits}) THEN CAST('{init}' AS DOUBLE) "
+            "ELSE CAST(0.0 AS DOUBLE) END"
+        ).alias("rank"),
+    )
+    for _ in range(iters):
+        contrib = (
+            ranks.join(outdeg, "node")
+            .join(e, ranks["node"] == e["s"])
+            .select(
+                F.col("t").alias("node"),
+                F.expr(
+                    PR_CONTRIB_SQL.format(rank="rank", deg="deg")
+                ).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        ranks = nodes.join(contrib, "node", "left").select(
+            "node",
+            F.expr(
+                f"CAST(round({seed_term} + "
+                f"CAST('{damping:.8f}' AS DECIMAL(10,8)) * "
+                "coalesce(CAST(in_sum AS DECIMAL(24,15)), "
+                f"CAST(0 AS DECIMAL(24,15))), {scale}) AS DOUBLE)"
+            ).alias("rank"),
+        )
+    return ranks
+
+
+def hits(
+    edges: DataFrame,
+    iters: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """HITS (Kleinberg 1999): hub and authority scores by mutual
+    reinforcement — a good hub points at good authorities, a good
+    authority is pointed at by good hubs. The directed-graph dual of
+    PageRank for citation/link corpora: authorities are the canonical
+    pages, hubs the curated link lists. Returns (node, hub,
+    authority), max-normalized to 1.0, after ``iters`` fixed
+    iterations (the pagerank/ivf_centroids determinism discipline —
+    no convergence test, a pure function of the edge set).
+
+    Per half-iteration: authority(v) = Σ_{u→v} hub(u), then hub(u) =
+    Σ_{u→v} authority(v), each a single node-keyed shuffle of exact
+    DECIMAL(18,6) values (scores round to 6 before summing, so the
+    Σ is associative at any partitioning); the max for normalization
+    is a 1-row broadcast and the one float op per half-step is the
+    correctly-rounded division. Isolated nodes on the missing side
+    score 0 via the left join + coalesce.
+    """
+
+    e = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
+        .filter(F.col("s") != F.col("t"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    nodes = (
+        e.select(F.col("s").alias("node"))
+        .unionByName(e.select(F.col("t").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    dec = "DECIMAL(18,6)"
+    hub = nodes.select("node", F.expr(f"CAST(1 AS {dec})").alias("h"))
+    auth = None
+    for _ in range(max(1, iters)):
+        asum = (
+            e.join(hub.withColumnRenamed("node", "s"), "s")
+            .groupBy(F.col("t").alias("node"))
+            .agg(F.sum("h").alias("a_raw"))
+        )
+        amax = asum.agg(F.max("a_raw").alias("mx"))
+        auth = (
+            nodes.join(asum, "node", "left")
+            .crossJoin(F.broadcast(amax))
+            .select(
+                "node",
+                F.expr(
+                    "CAST(round(CAST(coalesce(a_raw, 0) AS DOUBLE) / "
+                    f"CAST(mx AS DOUBLE), 6) AS {dec})"
+                ).alias("a"),
+            )
+        )
+        hsum = (
+            e.join(auth.withColumnRenamed("node", "t"), "t")
+            .groupBy(F.col("s").alias("node"))
+            .agg(F.sum("a").alias("h_raw"))
+        )
+        hmax = hsum.agg(F.max("h_raw").alias("mx"))
+        hub = (
+            nodes.join(hsum, "node", "left")
+            .crossJoin(F.broadcast(hmax))
+            .select(
+                "node",
+                F.expr(
+                    "CAST(round(CAST(coalesce(h_raw, 0) AS DOUBLE) / "
+                    f"CAST(mx AS DOUBLE), 6) AS {dec})"
+                ).alias("h"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return (
+        nodes.join(hub, "node", "left")
+        .join(auth.withColumnRenamed("a", "authority"), "node", "left")
+        .select(
+            "node",
+            F.expr("CAST(coalesce(h, 0) AS DOUBLE)").alias("hub"),
+            F.expr("CAST(coalesce(authority, 0) AS DOUBLE)").alias(
+                "authority"
+            ),
+        )
+    )

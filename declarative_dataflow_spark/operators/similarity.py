@@ -1859,3 +1859,93 @@ def cluster_sample(
         "cell",
         (F.row_number().over(w) <= quota).alias("kept"),
     )
+
+
+def knn_graph(
+    embeddings: DataFrame,
+    k_neighbors: int = 5,
+    k="auto",
+    iters: int = 2,
+    mutual: bool = True,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    target_cell: int = 256,
+) -> DataFrame:
+    """k-NN graph construction: for every vector, its ``k_neighbors``
+    most-cosine-similar OTHER vectors — restricted to its k-means cell
+    (the SemDeDup candidate discipline: cross-cell pairs are far by
+    construction, so candidates are cell-bucketed, never all-pairs).
+    With ``mutual=True`` (the default) only RECIPROCATED edges
+    survive, canonicalized a < b — the mutual-kNN graph whose
+    connected components drive density-based dedup clustering and
+    whose edges feed graph-based label propagation over embeddings.
+    Returns (a, b, sim), sim rounded to 4 (cosine_topk's contract),
+    ties (sim desc, neighbor asc).
+
+    Scale shape: cells come from the shared Lloyd machinery
+    (:func:`kmeans_assign`, ``k="auto"`` density-derived so expected
+    cell occupancy caps at ~``target_cell``); the pair join is an
+    equi-join on the cell id (~n·target_cell rows total), the per-node
+    rank window partitions by (cell, node) over ≤ target_cell rows,
+    and the mutual filter is a self-join on the REDUCED k-NN edge set
+    (≤ n·k_neighbors rows). Nothing global, nothing quadratic
+    off-cell."""
+
+    stats = embeddings.select(
+        F.count(F.lit(1)).alias("n"),
+        F.min(F.size(F.col(vec_col))).alias("dmin"),
+        F.max(F.size(F.col(vec_col))).alias("dmax"),
+    ).first()
+    if k == "auto":
+        k = density_cells(stats["n"], target_cell)
+    cells = kmeans_assign(
+        embeddings, k=k, iters=iters, id_col=id_col, vec_col=vec_col
+    ).localCheckpoint(eager=False)
+    vecs = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")
+    )
+    side = cells.join(vecs, "vec_id")
+    a = side.select(
+        "cell", F.col("vec_id").alias("a"), F.col("v").alias("va")
+    )
+    b = side.select(
+        "cell", F.col("vec_id").alias("b"), F.col("v").alias("vb")
+    )
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            "cell",
+            "a",
+            "b",
+            F.round(
+                _dot("va", "vb")
+                / F.nullif(_norm("va") * _norm("vb"), F.lit(0.0)),
+                4,
+            ).alias("sim"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    # (cell, a) partitions: every candidate of a lives in a's cell,
+    # so ranking inside (cell, a) == ranking inside a, on bounded
+    # partitions.
+    w = Window.partitionBy("cell", "a").orderBy(
+        F.desc_nulls_last("sim"), F.asc("b")
+    )
+    knn = (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k_neighbors)
+        .select("a", "b", "sim")
+        .localCheckpoint(eager=False)
+    )
+    if not mutual:
+        return knn
+    rev = knn.select(
+        F.col("b").alias("a"), F.col("a").alias("b")
+    )
+    return (
+        knn.join(rev, ["a", "b"], "left_semi")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "sim")
+    )

@@ -1212,3 +1212,78 @@ def vocab_coverage(
             ).alias("coverage"),
         )
     )
+
+
+def readability(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Flesch reading-ease scoring with integer-exact proxies: words =
+    whitespace tokens, sentences = terminal-punctuation runs ([.!?]+,
+    min 1), syllables = vowel GROUPS ([aeiouy]+ in the lowercased
+    text) — the standard cheap approximations (true syllabification
+    needs a dictionary; vowel-group counting is the textbook proxy).
+    The curation signal between the pure length ratios (text_quality)
+    and model-based scoring (nb_quality): flags both walls of unbroken
+    jargon (low score) and listicle fragments (implausibly high).
+    Returns (doc_id, n_words, n_sents, n_syll, flesch), flesch =
+    round(206.835 − 1.015·(words/sents) − 84.6·(syll/words), 4) —
+    every count exact, the combination a fixed chain of IEEE ops
+    identical in both engines, NULL for empty docs (0 words).
+
+    Map-only: three regexp counts per row, no shuffle at all."""
+
+    words = F.expr(
+        f"size(regexp_extract_all(trim(lower({text_col})), '[^\\\\s]+', 0))"
+    )
+    sents = F.expr(
+        f"greatest(size(regexp_extract_all({text_col}, '[.!?]+', 0)), 1)"
+    )
+    syll = F.expr(
+        f"size(regexp_extract_all(lower({text_col}), '[aeiouy]+', 0))"
+    )
+    counts = docs.select(
+        "doc_id",
+        words.alias("n_words"),
+        sents.alias("n_sents"),
+        syll.alias("n_syll"),
+    )
+    return counts.select(
+        "doc_id",
+        "n_words",
+        "n_sents",
+        "n_syll",
+        F.expr(
+            "CASE WHEN n_words > 0 THEN "
+            "round(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sents) "
+            "- 84.6 * (CAST(n_syll AS DOUBLE) / n_words), 4) END"
+        ).alias("flesch"),
+    )
+
+
+def langid_eval(
+    docs: DataFrame, text_col: str = "text", label_col: str = "lang"
+) -> DataFrame:
+    """Language-ID confusion matrix: the marker-word classifier
+    (:func:`lang_id_column`) scored against the corpus's own language
+    labels — (true_lang, pred_lang, n, rate), rate row-normalized to
+    the true language's total, round 6. The eval loop a curation
+    pipeline closes before trusting a cheap classifier to route
+    millions of documents (which languages leak into which).
+
+    Shape: one map-only prediction pass + one uniform (true, pred)
+    count + a broadcast join against the |langs|-row totals — the
+    transition_matrix discipline; output is |langs|² regardless of
+    corpus size."""
+
+    preds = docs.select(
+        F.col(label_col).alias("true_lang"),
+        lang_id_column(text_col).alias("pred_lang"),
+    )
+    counts = preds.groupBy("true_lang", "pred_lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    totals = counts.groupBy("true_lang").agg(F.sum("n").alias("tot"))
+    return counts.join(F.broadcast(totals), "true_lang").select(
+        "true_lang",
+        "pred_lang",
+        "n",
+        F.expr("round(CAST(n AS DOUBLE) / tot, 6)").alias("rate"),
+    )

@@ -741,3 +741,294 @@ def last_touch_attribution(
         "touch_type",
         (F.col("tu") - F.col("touch_tu")).alias("gap_us"),
     )
+
+
+def ewma_term_sql(
+    j: int, window: str = "(PARTITION BY user_id ORDER BY tu, event_id)"
+) -> str:
+    """One exact-decimal EWMA tap: lag(value, j) x 2^-(j+1), shared
+    verbatim by the Spark operator and the DuckDB oracle so both
+    engines evaluate the identical decimal expression. The weight
+    prints at 8 decimals — every dyadic weight down to 2^-8
+    terminates there exactly."""
+
+    return (
+        f"CAST(coalesce(lag(CAST(value AS DECIMAL(18,6)), {j}) "
+        f"OVER {window} "
+        f"* CAST('{2.0 ** -(j + 1):.8f}' AS DECIMAL(10,8)), 0) "
+        "AS DECIMAL(30,14))"
+    )
+
+
+def ewma_dyadic(
+    events: DataFrame,
+    taps: int = 8,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Half-life EWMA smoothing, dyadic-exact: per key, in (ts, id)
+    order, the classic recursion s_t = v_t/2 + s_{t-1}/2 truncated to
+    a ``taps``-term FIR — the j-th most recent value weighs 2^-(j+1)
+    (tail weight past 8 taps is < 0.4%). The smoothing pass a metrics
+    or feature pipeline runs before thresholding noisy per-entity
+    series. Returns (event_id, user_id, tu, value, ewma).
+
+    Determinism discipline: EXACT DECIMAL end-to-end. Every dyadic
+    weight 2^-(j+1) terminates within 8 decimals (that is WHY the
+    kernel is dyadic rather than the usual alpha=0.1 — arbitrary alpha
+    powers don't terminate), values cast to DECIMAL(18,6) (the
+    rolling_stats cross-engine cast), so each term, the sum, and the
+    final HALF_UP round-6 are exact decimal arithmetic that cannot
+    land between engines — a pure-double chain measured FAIL here:
+    dyadic sums of 2-decimal-ish values hit .5e-6 rounding midpoints
+    routinely, where Spark rounds the exact decimal and DuckDB rounds
+    x*1e6 in floats (the PR_CONTRIB_SQL lesson, transposed to
+    windows). Missing lags (the first taps-1 rows of each key)
+    contribute 0 — the standard seed-at-zero warm-up of streaming
+    EWMA implementations, documented rather than renormalized. Shape:
+    ONE key-partitioned window, taps lag() columns over the same
+    frame, no joins, no global sort."""
+
+    if taps < 1:
+        raise ValueError(f"ewma_dyadic: taps must be >= 1, got {taps}")
+    tu = _epoch_us(ts_col)
+    ev = events.select(
+        F.col(id_col).alias("event_id"),
+        F.col(key_col).alias("user_id"),
+        tu.alias("tu"),
+        F.col(val_col).cast("double").alias("value"),
+    )
+    term = " + ".join(ewma_term_sql(j) for j in range(taps))
+    return ev.withColumn(
+        "ewma", F.expr(f"CAST(round({term}, 6) AS DOUBLE)")
+    )
+
+
+def time_weighted_avg(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Time-weighted average (TWAP): per key, each value held until
+    the NEXT observation weighs by its holding duration — the honest
+    mean of an irregularly-sampled series (a plain AVG over-weights
+    bursts; finance's TWAP, monitoring's time-weighted utilization).
+    The last observation of each key has no successor and carries no
+    weight (standard left-closed convention). Returns (user_id,
+    n_holds, held_us, twap).
+
+    Determinism discipline: durations are exact integer microseconds
+    (lead over a (tu, id)-total order); each value casts to
+    DECIMAL(18,6) — the established cross-engine-exact cast for this
+    corpus (rolling_stats) — so value x duration products and their
+    sums are EXACT decimals at any partitioning; the single float op
+    is the final correctly-rounded division, rounded to 6. Shape: one
+    key-partitioned lead window + one key aggregation; nothing global,
+    nothing joins."""
+
+    tu = _epoch_us(ts_col)
+    ev = events.select(
+        F.col(key_col).alias("user_id"),
+        F.col(id_col).alias("event_id"),
+        tu.alias("tu"),
+        F.col(val_col).alias("value"),
+    )
+    w = Window.partitionBy("user_id").orderBy("tu", "event_id")
+    held = ev.withColumn(
+        "hold_us", F.lead("tu").over(w) - F.col("tu")
+    ).filter(F.col("hold_us").isNotNull())
+    return held.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_holds"),
+        F.sum("hold_us").alias("held_us"),
+        F.expr(
+            "round(CAST(sum(CAST(value AS DECIMAL(18,6)) * hold_us) "
+            "AS DOUBLE) / nullif(CAST(sum(hold_us) AS DOUBLE), 0.0), 6)"
+        ).alias("twap"),
+    )
+
+
+def transition_matrix(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix of event types: for every
+    observed (from_type, to_type) pair of CONSECUTIVE events of the
+    same key, the transition count and row-normalized probability —
+    the sequence model behind next-action prediction, bot detection
+    (improbable chains), and session-shape drift. Returns (from_type,
+    to_type, n, p), p = round(n / out_total(from_type), 6).
+
+    Shape: one key-partitioned lead() window (the attribution/funnel
+    discipline — per-key partitions, ties broken by event id), one
+    uniform (from, to) count, and a broadcast join against the
+    type-level totals (|types| rows) for the normalization — no
+    window over the count table, no global sort. At 100 TB the pair
+    table is |types|² regardless of corpus size."""
+
+    tu = _epoch_us(ts_col)
+    ev = events.select(
+        F.col(key_col).alias("k"),
+        F.col(type_col).alias("t"),
+        tu.alias("tu"),
+        F.col(id_col).alias("eid"),
+    )
+    w = Window.partitionBy("k").orderBy("tu", "eid")
+    pairs = (
+        ev.withColumn("to_type", F.lead("t").over(w))
+        .filter(F.col("to_type").isNotNull())
+        .groupBy(F.col("t").alias("from_type"), "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = pairs.groupBy("from_type").agg(F.sum("n").alias("out_n"))
+    return pairs.join(F.broadcast(totals), "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        F.expr("round(CAST(n AS DOUBLE) / out_n, 6)").alias("p"),
+    )
+
+
+def burstiness(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    min_gaps: int = 2,
+) -> DataFrame:
+    """Inter-arrival burstiness per key: the index of dispersion
+    (variance / mean) of the gaps between consecutive events — ~mean
+    for a Poisson process, far above it for bursty bots/retry storms,
+    near 0 for schedulers. The arrival-process feature a traffic or
+    abuse pipeline computes per entity. Returns (user_id, n_gaps,
+    mean_gap_s, dispersion_s) — both in SECONDS; keys with fewer than
+    ``min_gaps`` gaps are dropped (a 1-gap variance is 0 by
+    construction and reads as 'perfectly regular').
+
+    Determinism discipline: gaps are exact integer microseconds; the
+    two moments (Σg, Σg²) aggregate as exact DECIMAL(38,0) — the
+    assortativity/anomalies discipline, associative at any
+    partitioning — and the float ops are the final divisions
+    (population variance via E[g²] − E[g]², clamped at 0 against
+    exact-cancellation dust), rounded to 6. The outputs are in
+    SECONDS deliberately: a microsecond mean gap is ~1e10, and
+    round-6 at that magnitude needs 1e16 scaled integers — past
+    double's 2^53, where the two engines' nearest-representable
+    values differ in the last digit (measured FAIL). Seconds keep
+    the scaled value far inside exact-integer range. Shape: one
+    key-partitioned lead window + one key aggregation."""
+
+    tu = _epoch_us(ts_col)
+    ev = events.select(
+        F.col(key_col).alias("user_id"),
+        F.col(id_col).alias("eid"),
+        tu.alias("tu"),
+    )
+    w = Window.partitionBy("user_id").orderBy("tu", "eid")
+    gaps = ev.withColumn(
+        "g", F.lead("tu").over(w) - F.col("tu")
+    ).filter(F.col("g").isNotNull())
+    m = gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum(F.expr("CAST(g AS DECIMAL(38,0))")).alias("sg"),
+        F.sum(
+            F.expr("CAST(g AS DECIMAL(38,0)) * CAST(g AS DECIMAL(38,0))")
+        ).alias("sgg"),
+    )
+    return m.filter(F.col("n_gaps") >= min_gaps).select(
+        "user_id",
+        "n_gaps",
+        F.expr(
+            "round(CAST(sg AS DOUBLE) / n_gaps / 1000000.0, 6)"
+        ).alias("mean_gap_s"),
+        F.expr(
+            "round(greatest(CAST(sgg AS DOUBLE) / n_gaps - "
+            "(CAST(sg AS DOUBLE) / n_gaps) * "
+            "(CAST(sg AS DOUBLE) / n_gaps), 0.0) / "
+            "nullif(CAST(sg AS DOUBLE) / n_gaps, 0.0) / 1000000.0, 6)"
+        ).alias("dispersion_s"),
+    )
+
+
+RFM_RECENCY_DAYS = (30, 90, 365)
+RFM_FREQUENCY = (2, 5, 10)
+RFM_MONETARY = (1_000, 5_000, 20_000)
+
+
+def rfm_segments(
+    orders: DataFrame,
+    key_col: str = "o_custkey",
+    date_col: str = "o_orderdate",
+    amount_col: str = "o_totalprice",
+) -> DataFrame:
+    """Banded RFM segmentation: per customer, Recency (days since
+    last order, vs the corpus max date), Frequency (order count) and
+    Monetary (exact DECIMAL(18,2) revenue sum), each banded 1-4 by
+    FIXED policy thresholds (RFM_* above) — the lifecycle segmentation
+    a CRM/growth pipeline materializes nightly. Returns (custkey,
+    recency_days, frequency, monetary, r_score, f_score, m_score,
+    segment) with segment = 100·r + 10·f + m.
+
+    Fixed bands rather than quantiles ON PURPOSE: quantile scoring
+    needs a rank over all customers — a global sort that lands the
+    whole dimension on a handful of reducers at 100 TB (the
+    plan-audit's banned shape) — while policy bands are one CASE
+    ladder over an already-aggregated row, stable across runs, and
+    comparable across corpus snapshots (a quantile RFM silently
+    re-defines 'good' every night). Shape: one key aggregation + one
+    1-row broadcast of the corpus max date; monetary sums exact
+    DECIMAL(18,2) (the TPC-H money cast), day arithmetic exact
+    integers."""
+
+    du = _epoch_us(date_col)
+    agg = orders.groupBy(F.col(key_col).alias("custkey")).agg(
+        F.max(du).alias("last_us"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.expr(f"CAST({amount_col} AS DECIMAL(18,2))")).alias(
+            "monetary"
+        ),
+    )
+    maxd = orders.agg(F.max(du).alias("corpus_max_us"))
+    r1, r2, r3 = RFM_RECENCY_DAYS
+    f1, f2, f3 = RFM_FREQUENCY
+    m1, m2, m3 = RFM_MONETARY
+    scored = agg.crossJoin(F.broadcast(maxd)).select(
+        "custkey",
+        # exact integer day arithmetic on epoch micros — the corpus
+        # max is the 1-row broadcast, never a second pass per row
+        F.expr(
+            "CAST((corpus_max_us - last_us) DIV 86400000000 AS INT)"
+        ).alias("recency_days"),
+        "frequency",
+        "monetary",
+    ).select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.expr(
+            f"CASE WHEN recency_days <= {r1} THEN 4 "
+            f"WHEN recency_days <= {r2} THEN 3 "
+            f"WHEN recency_days <= {r3} THEN 2 ELSE 1 END"
+        ).alias("r_score"),
+        F.expr(
+            f"CASE WHEN frequency >= {f3} THEN 4 "
+            f"WHEN frequency >= {f2} THEN 3 "
+            f"WHEN frequency >= {f1} THEN 2 ELSE 1 END"
+        ).alias("f_score"),
+        F.expr(
+            f"CASE WHEN monetary >= {m3} THEN 4 "
+            f"WHEN monetary >= {m2} THEN 3 "
+            f"WHEN monetary >= {m1} THEN 2 ELSE 1 END"
+        ).alias("m_score"),
+    )
+    return scored.withColumn(
+        "segment",
+        F.expr("CAST(100 * r_score + 10 * f_score + m_score AS INT)"),
+    )

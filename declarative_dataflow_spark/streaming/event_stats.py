@@ -1005,3 +1005,161 @@ class IncrementalAttribution(_GenerationalState):
             .filter(F.col("diff") != 0)
             .withColumnRenamed("user_id", self.key_col)
         )
+
+
+class IncrementalAsOf(_GenerationalState):
+    """Maintained bitemporal as-of view (operators/bitemporal.py::
+    as_of): corrections arriving live as new (e, ev_t, sys_t, v[,
+    retracted]) rows — the reference's bitemporal correction tests
+    (tests/input_semantics.rs:337-510) run as a stream — with the
+    visible state per (entity, event-time) kept current per epoch.
+    Completes the §2.6 bitemporal story the way the other maintained
+    twins complete theirs: same batch core, churn-equality by
+    construction.
+
+    A fact's visible row depends only on its OWN (e, ev_t) history,
+    so this is the IncrementalAttribution discipline verbatim: signed
+    fact rows keyed (e, ev_t, sys_t, v, retracted); per epoch the
+    touched ENTITIES re-derive old and new through the SAME
+    :func:`..operators.bitemporal.as_of` core and emit new-minus-old
+    ±1 diffs. A late correction (higher sys_t) retracts the previously
+    visible row and asserts itself; a correction with
+    ``retracted=true`` retracts without asserting (the delete case);
+    retracting a correction row resurfaces the one beneath it —
+    exactly, because the touched entities re-derive from surviving
+    state.
+
+    ``as_of_sys`` pins the observation point; the default None means
+    "latest knowledge" (every correction visible) — the live-view
+    deployment. Per-epoch compute is O(batch + touched entities'
+    history); persistence is the shared append-only generational
+    machinery."""
+
+    KEY_COL = "e"
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        as_of_sys=None,
+        e_col: str = "e",
+        ev_col: str = "ev_t",
+        sys_col: str = "sys_t",
+        v_col: str = "v",
+    ) -> None:
+        self.spark = spark
+        self.state_dir = state_dir.rstrip("/")
+        self.as_of_sys = as_of_sys
+        self.e_col = e_col
+        self.ev_col = ev_col
+        self.sys_col = sys_col
+        self.v_col = v_col
+
+    @property
+    def _cols(self) -> list[str]:
+        return ["e", "ev_t", "sys_t", "v", "retracted"]
+
+    def _project(self, facts: DataFrame) -> DataFrame:
+        retracted = (
+            F.coalesce(F.col("retracted"), F.lit(False))
+            if "retracted" in facts.columns
+            else F.lit(False)
+        )
+        return facts.select(
+            F.col(self.e_col).alias("e"),
+            F.col(self.ev_col).alias("ev_t"),
+            F.col(self.sys_col).alias("sys_t"),
+            F.col(self.v_col).alias("v"),
+            retracted.alias("retracted"),
+        )
+
+    def _facts_state(self) -> Optional[DataFrame]:
+        inc = self._read_versioned("facts")
+        if inc is None:
+            return None
+        return (
+            inc.groupBy(*self._cols)
+            .agg(F.sum("cnt").alias("cnt"))
+            .filter(F.col("cnt") > 0)
+        )
+
+    def _view_of(self, facts: Optional[DataFrame]) -> Optional[DataFrame]:
+        from ..operators.bitemporal import as_of
+
+        if facts is None:
+            return None
+        sys_hi = (
+            self.as_of_sys if self.as_of_sys is not None else (1 << 62)
+        )
+        return as_of(
+            facts, sys_hi, ["e"], ev_col="ev_t", sys_col="sys_t"
+        ).select("e", "ev_t", "sys_t", "v")
+
+    def current(self) -> Optional[DataFrame]:
+        """Full maintained as-of view recomputed from state — the
+        equality-gate read; per-epoch diffs never take this path."""
+
+        out = self._view_of(self._facts_state())
+        if out is None:
+            return None
+        return out.withColumnRenamed("e", self.e_col)
+
+    def process_batch(
+        self,
+        adds: Optional[DataFrame] = None,
+        retracts: Optional[DataFrame] = None,
+        epoch: Optional[int] = None,
+    ) -> Optional[DataFrame]:
+        delta = _signed_union(
+            None if adds is None else self._project(adds),
+            None if retracts is None else self._project(retracts),
+            self._cols,
+        )
+        if delta is None:
+            return None
+        delta = (
+            delta.groupBy(*self._cols)
+            .agg(F.sum("cnt").alias("cnt"))
+            .filter(F.col("cnt") != 0)
+            .localCheckpoint(eager=True)
+        )
+        touched = delta.select("e").distinct()
+        before = self._facts_state()
+        old = (
+            None
+            if before is None
+            else self._view_of(
+                before.join(touched, "e", "left_semi")
+            ).localCheckpoint(eager=True)
+        )
+        self._append("facts", delta, epoch=epoch)
+        self._epochs = getattr(self, "_epochs", 0) + 1
+        if self._epochs % self.compact_every == 0:
+            consolidated = self._facts_state()
+            if consolidated is not None:
+                self._compact("facts", consolidated)
+        after = self._facts_state()
+        new = (
+            None
+            if after is None
+            else self._view_of(after.join(touched, "e", "left_semi"))
+        )
+        cols = ["e", "ev_t", "sys_t", "v"]
+
+        def tag(df: Optional[DataFrame], w: int) -> Optional[DataFrame]:
+            if df is None:
+                return None
+            return df.select(*cols, F.lit(w).alias("diff"))
+
+        olds, news = tag(old, -1), tag(new, 1)
+        if olds is None and news is None:
+            return None
+        both = news if olds is None else (
+            olds if news is None else olds.unionByName(news)
+        )
+        return (
+            both.groupBy(*cols)
+            .agg(F.sum("diff").alias("diff"))
+            .filter(F.col("diff") != 0)
+            .withColumnRenamed("e", self.e_col)
+        )

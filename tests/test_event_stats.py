@@ -754,3 +754,84 @@ def test_incremental_attribution_retry_is_noop(spark, tmp_path):
     assert first is not None and first.count() == 1
     retry = maint.process_batch(ev, epoch=0)
     assert retry is None or retry.count() == 0
+
+
+def test_incremental_asof_randomized_corrections_equal_batch(
+    spark, tmp_path
+):
+    """IncrementalAsOf: across randomized epochs of corrections —
+    value updates, tombstones (retracted=true), and retractions of
+    earlier correction rows (resurfacing the one beneath) —
+    current() == the batch as_of on the surviving fact rows, and the
+    folded diff stream equals the same view."""
+
+    import random
+
+    from declarative_dataflow_spark.operators.bitemporal import as_of
+    from declarative_dataflow_spark.streaming.event_stats import (
+        IncrementalAsOf,
+    )
+
+    rng = random.Random(31)
+    schema = "e long, ev_t long, sys_t long, v string, retracted boolean"
+    maint = IncrementalAsOf(spark, str(tmp_path / "asof_state"))
+    live: set = set()
+    folded: dict = {}
+    sys_clock = 0
+
+    def fold(diffs):
+        if diffs is None:
+            return
+        for r in diffs.collect():
+            key = (r["e"], r["ev_t"])
+            val = (r["sys_t"], r["v"])
+            if r["diff"] > 0:
+                folded[key] = val
+            elif folded.get(key) == val:
+                del folded[key]
+
+    for epoch in range(5):
+        adds = []
+        for _ in range(6):
+            sys_clock += 1
+            adds.append(
+                (
+                    rng.randrange(3),
+                    rng.randrange(4) * 10,
+                    sys_clock,
+                    rng.choice(["red", "green", "blue"]),
+                    rng.random() < 0.15,  # occasional tombstone
+                )
+            )
+        retractable = [r for r in list(live) if rng.random() < 0.2]
+        add_df = spark.createDataFrame(adds, schema)
+        ret_df = (
+            spark.createDataFrame(retractable, schema)
+            if retractable
+            else None
+        )
+        fold(maint.process_batch(add_df, ret_df, epoch=epoch))
+        if epoch == 2:  # foreachBatch retry replay: must be a no-op
+            before = sorted(folded.items())
+            fold(
+                maint.process_batch(
+                    spark.createDataFrame(adds, schema),
+                    ret_df,
+                    epoch=epoch,
+                )
+            )
+            assert sorted(folded.items()) == before, "retry not idempotent"
+        live.update(adds)
+        live.difference_update(retractable)
+
+        batch = spark.createDataFrame(sorted(live), schema)
+        want = {
+            (r["e"], r["ev_t"]): (r["sys_t"], r["v"])
+            for r in as_of(batch, 1 << 62, ["e"]).collect()
+        }
+        got = {
+            (r["e"], r["ev_t"]): (r["sys_t"], r["v"])
+            for r in (maint.current() or batch.limit(0)).collect()
+        }
+        assert got == want, f"current() drift at epoch {epoch}"
+        assert folded == want, f"diff-fold drift at epoch {epoch}"

@@ -3339,3 +3339,203 @@ def test_mmr_step1_is_pure_relevance_even_at_lambda_zero(spark):
         ).collect()
     }
     assert got[1] == 5, f"step 1 must be the relevance argmax, got {got}"
+
+
+# ---------------------------------------------------------------------------
+# r11: hits / personalized_pagerank / knn_graph / readability / langid_eval /
+#      reshape / grouping sets
+# ---------------------------------------------------------------------------
+
+from declarative_dataflow_spark.operators import graph  # noqa: E402
+
+
+def test_hits_matches_bruteforce_power_iteration(spark):
+    """hits == the textbook mutual-reinforcement loop (exact Fractions,
+    max-normalized, rounded HALF_UP to 6 each half-step) on a small
+    directed graph with a clear hub and authority."""
+
+    from fractions import Fraction
+
+    edges = [(1, 10), (2, 10), (3, 10), (1, 20), (9, 9)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        r["node"]: (r["hub"], r["authority"])
+        for r in graph.hits(df, iters=2).collect()
+    }
+
+    def r6(x: Fraction) -> Fraction:
+        scaled = x * 10**6
+        fl = scaled.numerator // scaled.denominator
+        rem = scaled - fl
+        return Fraction(fl + (1 if rem >= Fraction(1, 2) else 0), 10**6)
+
+    e = {(a, b) for a, b in edges if a != b}
+    nodes = {a for a, _ in e} | {b for _, b in e}
+    h = {n: Fraction(1) for n in nodes}
+    a = {}
+    for _ in range(2):
+        raw = {n: sum((h[u] for u, v in e if v == n), Fraction(0)) for n in nodes}
+        mx = max(v for v in raw.values() if v > 0)
+        a = {n: r6(raw[n] / mx) for n in nodes}
+        raw_h = {n: sum((a[v] for u, v in e if u == n), Fraction(0)) for n in nodes}
+        mxh = max(v for v in raw_h.values() if v > 0)
+        h = {n: r6(raw_h[n] / mxh) for n in nodes}
+    assert set(got) == nodes
+    for n in nodes:
+        assert abs(got[n][0] - float(h[n])) < 1e-9, (n, got[n], h[n])
+        assert abs(got[n][1] - float(a[n])) < 1e-9, (n, got[n], a[n])
+    # node 10 is THE authority; nodes 1 is the best hub (points at both)
+    assert got[10][1] == 1.0 and got[1][0] == 1.0
+
+
+def test_personalized_pagerank_localizes_to_seeds(spark):
+    """PPR mass concentrates near the seed set: the seed and its
+    out-neighborhood outrank a node the same hops from the graph's
+    center but unreachable from the seeds; unreachable nodes score
+    exactly 0; and an empty seed list raises."""
+
+    import pytest as _pytest
+
+    # two disjoint stars: seeds live in component A
+    edges = [(0, 1), (1, 2), (2, 0), (50, 51), (51, 52), (52, 50)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        r["node"]: r["rank"]
+        for r in graph.personalized_pagerank(
+            df, seeds=[0], iters=6
+        ).collect()
+    }
+    assert got[0] > got[1] > 0
+    for n in (50, 51, 52):
+        assert got[n] == 0.0, (n, got[n])
+    with _pytest.raises(ValueError, match="seeds"):
+        graph.personalized_pagerank(df, seeds=[])
+
+
+def test_knn_graph_mutual_edges_match_bruteforce(spark):
+    """With k covering the whole corpus (one cell), the mutual k-NN
+    graph equals the brute-force reciprocal top-k in exact cosine."""
+
+    import itertools
+    import math
+
+    vecs = {
+        0: [1.0, 0.0], 1: [0.9, 0.1], 2: [0.0, 1.0],
+        3: [0.1, 0.9], 4: [0.7, 0.7], 5: [-1.0, 0.2],
+    }
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], ["vec_id", "embedding"]
+    )
+    got = sorted(
+        (r["a"], r["b"]) for r in similarity.knn_graph(
+            emb, k_neighbors=2, k=1, iters=0
+        ).collect()
+    )
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return round(d / (na * nb), 4)
+
+    topk = {}
+    for i in vecs:
+        scored = sorted(
+            ((cos(vecs[i], vecs[j]), -j) for j in vecs if j != i),
+            reverse=True,
+        )[:2]
+        topk[i] = {-nj for _, nj in scored}
+    want = sorted(
+        (a, b)
+        for a, b in itertools.combinations(sorted(vecs), 2)
+        if b in topk[a] and a in topk[b]
+    )
+    assert got == want and got, got
+
+
+def test_readability_hand_counts(spark):
+    """Hand-checked counts: words, sentence runs ([.!?]+ counts once
+    per run), vowel groups; empty text yields NULL flesch."""
+
+    df = spark.createDataFrame(
+        [
+            (1, "The cat sat. It purred!"),
+            (2, ""),
+            (3, "Wow... really?!"),
+        ],
+        ["doc_id", "text"],
+    )
+    from declarative_dataflow_spark.operators import text as _text
+
+    got = {r["doc_id"]: r.asDict() for r in _text.readability(df).collect()}
+    # doc 1: 5 words, 2 sentence runs, vowel groups: e,a,a,i,u,e = 6
+    assert (got[1]["n_words"], got[1]["n_sents"], got[1]["n_syll"]) == (5, 2, 6)
+    want = round(206.835 - 1.015 * (5 / 2) - 84.6 * (6 / 5), 4)
+    assert abs(got[1]["flesch"] - want) < 1e-9
+    assert got[2]["n_words"] == 0 and got[2]["flesch"] is None
+    # doc 3: runs '...' and '?!' -> 2 sentence runs, 2 words
+    assert (got[3]["n_words"], got[3]["n_sents"]) == (2, 2)
+
+
+def test_langid_eval_confusion_rows_normalize(spark):
+    """Each true language's rates sum to 1; the English row's diagonal
+    dominates on marker-heavy text."""
+
+    from declarative_dataflow_spark.operators import text as _text
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog is here", "en"),
+            (2, "the fish and the bird", "en"),
+            (3, "el la los y de", "es"),
+            (4, "zzz qqq", "en"),  # no markers -> 'und'
+        ],
+        ["doc_id", "text", "lang"],
+    )
+    got = {
+        (r["true_lang"], r["pred_lang"]): (r["n"], r["rate"])
+        for r in _text.langid_eval(df).collect()
+    }
+    assert got[("en", "en")] == (2, round(2 / 3, 6))
+    assert got[("en", "und")] == (1, round(1 / 3, 6))
+    assert got[("es", "es")] == (1, 1.0)
+
+
+def test_pivot_counts_and_unpivot_roundtrip(spark):
+    """pivot_counts matches hand counts (absent values count 0, values
+    outside the pinned list are ignored); unpivot_metrics emits one
+    row per (row, metric) with exact values; n=0 inputs raise."""
+
+    import pytest as _pytest
+
+    from declarative_dataflow_spark.operators import reshape
+
+    ev = spark.createDataFrame(
+        [(1, "click"), (1, "click"), (1, "view"), (2, "error"), (2, "other")],
+        ["user_id", "event_type"],
+    )
+    got = {
+        r["user_id"]: (r["n_click"], r["n_view"], r["n_error"])
+        for r in reshape.pivot_counts(
+            ev, "user_id", "event_type", ["click", "view", "error"]
+        ).collect()
+    }
+    assert got[1] == (2, 1, 0) and got[2] == (0, 0, 1)
+    with _pytest.raises(ValueError, match="values"):
+        reshape.pivot_counts(ev, "user_id", "event_type", [])
+
+    wide = spark.createDataFrame(
+        [(1, 1, 2.0, 30.5), (2, 1, 4.0, 0.25)],
+        ["k1", "k2", "m_a", "m_b"],
+    )
+    long = sorted(
+        (r["k1"], r["metric"], r["val"])
+        for r in reshape.unpivot_metrics(
+            wide, ["k1", "k2"], ["m_a", "m_b"]
+        ).collect()
+    )
+    assert long == [
+        (1, "m_a", 2.0), (1, "m_b", 30.5), (2, "m_a", 4.0), (2, "m_b", 0.25),
+    ]
+    with _pytest.raises(ValueError, match="metric_cols"):
+        reshape.unpivot_metrics(wide, ["k1"], [])

@@ -1401,3 +1401,231 @@ def test_prop_last_touch_attribution_matches_bruteforce(spark, events):
         else:
             want.append((i, None, None, None))
     assert got == sorted(want)
+
+
+# ---------------------------------------------------------------------------
+# r11: ewma_dyadic / time_weighted_avg / transition_matrix / burstiness / rfm
+# ---------------------------------------------------------------------------
+
+
+@_PROP_TS
+@_given(
+    rows=_st.lists(
+        _st.tuples(
+            _st.integers(0, 1),            # user
+            _st.integers(0, 50),           # second offset
+            _st.integers(-400, 400),       # value in 0.25 steps
+        ),
+        min_size=1,
+        max_size=20,
+        unique_by=lambda r: (r[0], r[1]),
+    )
+)
+def test_prop_ewma_matches_bruteforce(spark, rows):
+    """PROPERTY: ewma_dyadic == the truncated dyadic convolution
+    computed in plain Python Fractions (exact arithmetic — the
+    operator's decimal chain must equal the mathematical value
+    rounded HALF_UP to 6)."""
+
+    from fractions import Fraction
+
+    data = [
+        (i, dt.datetime(2024, 1, 1, 0, 0, s), u, q / 4.0)
+        for i, (u, s, q) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(data, ["event_id", "ts", "user_id", "value"])
+    got = {
+        r["event_id"]: r["ewma"]
+        for r in timeseries.ewma_dyadic(df, taps=4).collect()
+    }
+    series = {}
+    for i, (u, s, q) in enumerate(rows):
+        series.setdefault(u, []).append((s, i, Fraction(q, 4)))
+    want = {}
+    for u, evs in series.items():
+        evs.sort()
+        for pos, (_, i, _) in enumerate(evs):
+            acc = Fraction(0)
+            for j in range(4):
+                if pos - j >= 0:
+                    # value quantized to 6 decimals first (the
+                    # DECIMAL(18,6) cast), then the dyadic weight
+                    v6 = round(evs[pos - j][2], 6)
+                    acc += Fraction(v6).limit_denominator(10**7) * Fraction(
+                        1, 2 ** (j + 1)
+                    )
+            # HALF_UP round to 6 in exact arithmetic
+            scaled = acc * 10**6
+            fl = scaled.numerator // scaled.denominator
+            rem = scaled - fl
+            want[i] = float(
+                Fraction(fl + (1 if rem >= Fraction(1, 2) else 0), 10**6)
+            )
+    for i in got:
+        assert abs(got[i] - want[i]) < 1e-12, (i, got[i], want[i])
+
+
+@_PROP_TS
+@_given(
+    rows=_st.lists(
+        _st.tuples(
+            _st.integers(0, 1),
+            _st.integers(0, 50),
+            _st.integers(-40, 40),
+        ),
+        min_size=1,
+        max_size=16,
+        unique_by=lambda r: (r[0], r[1]),
+    )
+)
+def test_prop_twap_matches_bruteforce(spark, rows):
+    """PROPERTY: time_weighted_avg == sum(v*gap)/sum(gap) computed in
+    exact Fractions over each key's ordered series (keys with a single
+    event vanish — no holding period)."""
+
+    from fractions import Fraction
+
+    data = [
+        (i, dt.datetime(2024, 1, 1, 0, 0, s), u, q / 4.0)
+        for i, (u, s, q) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(data, ["event_id", "ts", "user_id", "value"])
+    got = {
+        r["user_id"]: (r["n_holds"], r["held_us"], r["twap"])
+        for r in timeseries.time_weighted_avg(df).collect()
+    }
+    series = {}
+    for i, (u, s, q) in enumerate(rows):
+        series.setdefault(u, []).append((s * 1_000_000, Fraction(q, 4)))
+    want = {}
+    for u, evs in series.items():
+        evs.sort()
+        if len(evs) < 2:
+            continue
+        num = Fraction(0)
+        den = 0
+        for (t0, v), (t1, _) in zip(evs, evs[1:]):
+            num += round(v, 6) * (t1 - t0)
+            den += t1 - t0
+        # emulate the engines: IEEE double quotient, then HALF_UP on
+        # the double's exact decimal expansion (Spark's round =
+        # BigDecimal(double).setScale(6, HALF_UP))
+        import decimal
+
+        qd = float(Fraction(num, den))
+        want_val = float(
+            decimal.Decimal(qd).quantize(
+                decimal.Decimal("1e-6"), rounding=decimal.ROUND_HALF_UP
+            )
+        )
+        want[u] = (len(evs) - 1, den, want_val)
+    assert set(got) == set(want)
+    for u in want:
+        assert got[u][0] == want[u][0] and got[u][1] == want[u][1]
+        assert abs(got[u][2] - want[u][2]) < 5e-7, (u, got[u], want[u])
+
+
+def test_transition_matrix_counts_and_rows_normalize(spark):
+    """Directed chain per user; probabilities row-normalize to 1 and
+    counts match the hand-traced consecutive pairs."""
+
+    rows = [
+        (1, _ts(1, 0), 1, "a"),
+        (2, _ts(1, 1), 1, "b"),
+        (3, _ts(1, 2), 1, "a"),
+        (4, _ts(1, 3), 1, "b"),
+        (5, _ts(1, 0), 2, "a"),
+        (6, _ts(1, 1), 2, "c"),
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "ts", "user_id", "event_type"])
+    got = {
+        (r["from_type"], r["to_type"]): (r["n"], r["p"])
+        for r in timeseries.transition_matrix(df).collect()
+    }
+    # from 'a': a->b twice (user1), a->c once (user2); from 'b': b->a once
+    assert got[("a", "b")] == (2, round(2 / 3, 6))
+    assert got[("a", "c")] == (1, round(1 / 3, 6))
+    assert got[("b", "a")] == (1, 1.0)
+    from collections import defaultdict
+
+    sums = defaultdict(float)
+    for (f, _), (_, p) in got.items():
+        sums[f] += p
+    for f, s in sums.items():
+        assert abs(s - 1.0) < 1e-5, (f, s)
+
+
+@_PROP_TS
+@_given(
+    rows=_st.lists(
+        _st.tuples(_st.integers(0, 1), _st.integers(0, 1000)),
+        min_size=3,
+        max_size=24,
+        unique=True,
+    )
+)
+def test_prop_burstiness_matches_bruteforce(spark, rows):
+    """PROPERTY: burstiness == population variance/mean of integer
+    second gaps (converted to seconds), computed in exact Fractions."""
+
+    from fractions import Fraction
+
+    data = [
+        (i, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s), u)
+        for i, (u, s) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(data, ["event_id", "ts", "user_id"])
+    got = {
+        r["user_id"]: (r["n_gaps"], r["mean_gap_s"], r["dispersion_s"])
+        for r in timeseries.burstiness(df).collect()
+    }
+    series = {}
+    for i, (u, s) in enumerate(rows):
+        series.setdefault(u, []).append(s * 1_000_000)
+    want = {}
+    for u, ts in series.items():
+        ts.sort()
+        gaps = [b - a for a, b in zip(ts, ts[1:])]
+        if len(gaps) < 2:
+            continue
+        mean = Fraction(sum(gaps), len(gaps))
+        var = Fraction(sum(g * g for g in gaps), len(gaps)) - mean * mean
+        disp = var / mean if mean else None
+        want[u] = (len(gaps), float(mean / 10**6), float(disp / 10**6))
+    assert set(got) == set(want)
+    for u in want:
+        assert got[u][0] == want[u][0]
+        assert abs(got[u][1] - want[u][1]) < 5e-6
+        assert abs(got[u][2] - want[u][2]) < 5e-6
+
+
+def test_rfm_segments_banding_edges(spark):
+    """Hand-pinned customers on the exact band boundaries: 30/90/365
+    days, 2/5/10 orders, 1k/5k/20k revenue — the CASE ladders must be
+    inclusive on the documented side."""
+
+    base = dt.datetime(2024, 12, 31)
+    rows = []
+    # cust 1: newest order on corpus max (recency 0 -> r=4), 10 orders
+    # of 2000 each (f=4, m=4 at 20k)
+    for i in range(10):
+        rows.append((100 + i, 1, 2000.0, base - dt.timedelta(days=i)))
+    # cust 2: one order 366 days old, 500 total -> r=1, f=1, m=1
+    rows.append((200, 2, 500.0, base - dt.timedelta(days=366)))
+    # cust 3: two orders, newest exactly 90 days old, 5000 total
+    # -> r=3 (<=90), f=2, m=3
+    rows.append((300, 3, 2500.0, base - dt.timedelta(days=90)))
+    rows.append((301, 3, 2500.0, base - dt.timedelta(days=100)))
+    df = spark.createDataFrame(
+        rows, ["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"]
+    )
+    got = {
+        r["custkey"]: (
+            r["recency_days"], r["frequency"], r["r_score"],
+            r["f_score"], r["m_score"], r["segment"],
+        )
+        for r in timeseries.rfm_segments(df).collect()
+    }
+    assert got[1] == (0, 10, 4, 4, 4, 444)
+    assert got[2] == (366, 1, 1, 1, 1, 111)
+    assert got[3] == (90, 2, 3, 2, 3, 323)

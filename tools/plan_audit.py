@@ -74,6 +74,14 @@ ALLOWLIST: dict[tuple[str, str], str] = {
         "one-row global-average-balance broadcast (keyless plan "
         "Aggregate joined via Join([]))"
     ),
+    ("rfm", "BroadcastNestedLoopJoin"): (
+        "one-row corpus-max-date broadcast onto the per-customer "
+        "aggregate"
+    ),
+    ("hits", "BroadcastNestedLoopJoin"): (
+        "one-row max-score normalizer broadcast per half-iteration "
+        "(4 one-row joins at iters=2)"
+    ),
     # Empty-partition rank windows that run over BOUNDED inputs: the
     # global sort they imply touches <= k (or <= 2*depth) rows that a
     # TakeOrderedAndProject already reduced — not the corpus.
