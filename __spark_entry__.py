@@ -6782,8 +6782,9 @@ def oracle_sql() -> dict[str, str]:
                 "FROM af a JOIN af b ON a.cell = b.cell "
                 "AND a.vec_id <> b.vec_id), "
                 "r AS (SELECT a, b, sim, row_number() OVER ("
-                "PARTITION BY cell, a "
-                "ORDER BY sim DESC NULLS LAST, b) AS rnk FROM pr), "
+                "PARTITION BY a "
+                "ORDER BY sim DESC NULLS LAST, b) AS rnk FROM pr "
+                "WHERE sim IS NOT NULL), "
                 "knn AS (SELECT a, b, sim FROM r WHERE rnk <= 5) "
                 "SELECT k1.a, k1.b, k1.sim FROM knn k1 "
                 "JOIN knn k2 ON k1.a = k2.b AND k1.b = k2.a "

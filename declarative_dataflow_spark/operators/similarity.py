@@ -1884,12 +1884,19 @@ def knn_graph(
 
     Scale shape: cells come from the shared Lloyd machinery
     (:func:`kmeans_assign`, ``k="auto"`` density-derived so expected
-    cell occupancy caps at ~``target_cell``); the pair join is an
-    equi-join on the cell id (~n·target_cell rows total), the per-node
-    rank window partitions by (cell, node) over ≤ target_cell rows,
-    and the mutual filter is a self-join on the REDUCED k-NN edge set
-    (≤ n·k_neighbors rows). Nothing global, nothing quadratic
-    off-cell."""
+    cell occupancy caps at ~``target_cell``); pair cosines come from
+    semdedup's Arrow-batched per-cell numpy kernel
+    (curation._numpy_cell_pairs — a JVM pair join scoring ~n·cell
+    pairs through the interpreted aggregate/zip_with fold measured
+    51 s at sf1 where the kernel path takes ~3 s; bit-parity by the
+    kernel's dim-ascending accumulation, round-4 applied JVM-side so
+    the rank sees the same values as the SQL fallback), the per-node
+    rank window partitions by node over ≤ target_cell candidates
+    (each node's candidates all live in its one cell), and the mutual
+    filter is a self-join on the REDUCED k-NN edge set
+    (≤ n·k_neighbors rows). Zero-norm/NULL vectors drop their pairs
+    (sim IS NULL in the SQL form — filtered in both engines). Nothing
+    global, nothing quadratic off-cell."""
 
     stats = embeddings.select(
         F.count(F.lit(1)).alias("n"),
@@ -1905,32 +1912,51 @@ def knn_graph(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")
     )
     side = cells.join(vecs, "vec_id")
-    a = side.select(
-        "cell", F.col("vec_id").alias("a"), F.col("v").alias("va")
-    )
-    b = side.select(
-        "cell", F.col("vec_id").alias("b"), F.col("v").alias("vb")
-    )
-    pairs = (
-        a.join(b, "cell")
-        .filter(F.col("a") != F.col("b"))
-        .select(
-            "cell",
-            "a",
-            "b",
-            F.round(
-                _dot("va", "vb")
-                / F.nullif(_norm("va") * _norm("vb"), F.lit(0.0)),
-                4,
-            ).alias("sim"),
+    pairs = None
+    if stats["dmin"] is not None and stats["dmin"] == stats["dmax"]:
+        from .curation import _numpy_cell_pairs
+
+        tri = _numpy_cell_pairs(
+            side.select("cell", F.col("vec_id").alias("id"), "v"),
+            threshold=-2.0,  # keep every pair; -1 <= cosine
+            dim=stats["dmax"],
         )
-    )
+        if tri is not None:
+            # the kernel emits the a < b triangle once; the per-node
+            # rank needs both directions
+            pairs = tri.select("a", "b", F.col("cos").alias("sim")).unionByName(
+                tri.select(
+                    F.col("b").alias("a"),
+                    F.col("a").alias("b"),
+                    F.col("cos").alias("sim"),
+                )
+            )
+    if pairs is None:
+        a = side.select(
+            "cell", F.col("vec_id").alias("a"), F.col("v").alias("va")
+        )
+        b = side.select(
+            "cell", F.col("vec_id").alias("b"), F.col("v").alias("vb")
+        )
+        pairs = (
+            a.join(b, "cell")
+            .filter(F.col("a") != F.col("b"))
+            .select(
+                "a",
+                "b",
+                F.round(
+                    _dot("va", "vb")
+                    / F.nullif(_norm("va") * _norm("vb"), F.lit(0.0)),
+                    4,
+                ).alias("sim"),
+            )
+        )
+    pairs = pairs.filter(F.col("sim").isNotNull())
     from pyspark.sql.window import Window
 
-    # (cell, a) partitions: every candidate of a lives in a's cell,
-    # so ranking inside (cell, a) == ranking inside a, on bounded
-    # partitions.
-    w = Window.partitionBy("cell", "a").orderBy(
+    # per-node partitions: every candidate of a lives in a's one
+    # cell, so partitioning by a alone is still <= target_cell rows.
+    w = Window.partitionBy("a").orderBy(
         F.desc_nulls_last("sim"), F.asc("b")
     )
     knn = (
