@@ -2965,6 +2965,84 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path mining (NEW in r11): top-20 most frequent 3-step
+    consecutive event-type sequences — one lead window, one uniform
+    count, TakeOrderedAndProject with a total tie order."""
+
+    from declarative_dataflow_spark.operators import timeseries
+
+    return timeseries.top_paths(load_table(spark, sf_dir, "events"))
+
+
+def q_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality profile (NEW in r11): per event type,
+    (dow, n, share, avg_value) with dow from exact integer epoch-day
+    arithmetic — engine dayofweek() builtins disagree on numbering."""
+
+    from declarative_dataflow_spark.operators import timeseries
+
+    return timeseries.seasonality(load_table(spark, sf_dir, "events"))
+
+
+def q_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source log-bucket quantiles (NEW in r11): p50/p90/p99 of
+    n_chars per source from <= 41 rows of state per group — the
+    hist_quantiles ladder with a key column; the cum table is a
+    key-partitioned window over <= 41-row partitions."""
+
+    return sketch.group_hist_quantiles(
+        load_table(spark, sf_dir, "documents")
+    )
+
+
+def _group_hist_oracle_sql(
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> str:
+    """DuckDB twin of sketch.group_hist_quantiles on documents.source
+    x n_chars: same bit-length CASE ladder, same fraction-arithmetic
+    ranks, cum via a bounded key-partitioned window."""
+
+    from fractions import Fraction
+
+    bits = sketch.HIST_BITS
+    bl = sketch._bitlen_case_sql("n_chars", bits)
+    rows = ", ".join(
+        f"({float(q)!r}, {Fraction(str(q)).numerator}, "
+        f"{Fraction(str(q)).denominator})"
+        for q in qs
+    )
+    return (
+        f"WITH h AS (SELECT source AS k, {bl} AS bucket, "
+        "count(*)::BIGINT AS cnt FROM documents GROUP BY 1, 2), "
+        "cum AS (SELECT k, bucket, sum(cnt) OVER (PARTITION BY k "
+        "ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND "
+        "CURRENT ROW)::BIGINT AS n_le FROM h), "
+        "t AS (SELECT k, sum(cnt)::BIGINT AS n FROM h GROUP BY 1), "
+        f"qv AS (SELECT CAST(q AS DOUBLE) AS q, num, den FROM "
+        f"(VALUES {rows}) v(q, num, den)), "
+        "r AS (SELECT t.k, qv.q, CAST((t.n * qv.num + qv.den - 1) "
+        "// qv.den AS BIGINT) AS rk, t.n FROM t, qv), "
+        "picked AS (SELECT r.k, r.q, r.rk, r.n, min(c.bucket) AS bucket "
+        "FROM r JOIN cum c ON c.k = r.k AND c.n_le >= r.rk "
+        "GROUP BY 1, 2, 3, 4) "
+        "SELECT p.k AS source, p.q, p.bucket, "
+        "(CASE WHEN p.bucket = 0 THEN 0 "
+        "ELSE (1::BIGINT << (p.bucket - 1)) END)::BIGINT AS lb, "
+        "((1::BIGINT << p.bucket) - 1)::BIGINT AS ub, "
+        "c.n_le, p.rk, p.n "
+        "FROM picked p JOIN cum c ON c.k = p.k AND c.bucket = p.bucket"
+    )
+
+
+def q_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN label-noise detection (NEW in r11): each vector's label vs
+    the majority label of its 5 nearest within-cell neighbors — the
+    knn_graph directed edges + one vote count + a per-node argmax."""
+
+    return similarity.label_noise(load_table(spark, sf_dir, "embeddings"))
+
+
 def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flesch reading-ease (NEW in r11): integer-exact word/sentence/
     vowel-group counts, one fixed IEEE combination — map-only."""
@@ -4298,6 +4376,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_counts": q_pivot_counts,  # NEW in r11
         "unpivot_metrics": q_unpivot_metrics,  # NEW in r11
         "agg_grouping_sets": q_agg_grouping_sets,  # NEW in r11
+        "top_paths": q_top_paths,  # NEW in r11 (batch 2)
+        "seasonality": q_seasonality,  # NEW in r11 (batch 2)
+        "group_quantiles": q_group_quantiles,  # NEW in r11 (batch 2)
+        "label_noise": q_label_noise,  # NEW in r11 (batch 2)
         "clustering_coef": q_clustering_coef,  # NEW in r10
         "cdc_chunks": q_cdc_chunks,  # NEW in r10
         "collocations": q_collocations,  # NEW in r10
@@ -6852,6 +6934,59 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(n_chars) AS BIGINT) AS chars FROM documents "
             "GROUP BY GROUPING SETS ((source), (lang), (source, lang), "
             "())"
+        ),
+        "top_paths": (
+            "WITH ev AS (SELECT user_id AS k, event_type AS t1, "
+            "epoch_us(ts) AS tu, event_id AS eid FROM events), "
+            "p AS (SELECT t1, lead(t1, 1) OVER w AS t2, "
+            "lead(t1, 2) OVER w AS t3 FROM ev "
+            "WINDOW w AS (PARTITION BY k ORDER BY tu, eid)), "
+            "c AS (SELECT t1, t2, t3, count(*)::BIGINT AS n FROM p "
+            "WHERE t3 IS NOT NULL GROUP BY 1, 2, 3) "
+            "SELECT t1, t2, t3, n FROM c "
+            "ORDER BY n DESC, t1, t2, t3 LIMIT 20"
+        ),
+        "seasonality": (
+            # dow from exact integer epoch-day arithmetic — engine
+            # dayofweek() builtins disagree on Sunday's number
+            "WITH base AS (SELECT event_type AS k, "
+            "CAST(((epoch_us(ts) // 86400000000) + 3) % 7 AS INT) "
+            "AS dow, value AS v FROM events), "
+            "p AS (SELECT k, dow, count(*)::BIGINT AS n, "
+            "sum(CAST(v AS DECIMAL(18,6))) AS sv FROM base "
+            "GROUP BY 1, 2), "
+            "t AS (SELECT k, sum(n)::BIGINT AS tot FROM p GROUP BY 1) "
+            "SELECT p.k AS event_type, p.dow, p.n, "
+            "round(CAST(p.n AS DOUBLE) / t.tot, 6) AS share, "
+            "round(CAST(p.sv AS DOUBLE) / p.n, 6) AS avg_value "
+            "FROM p JOIN t USING (k)"
+        ),
+        "group_quantiles": _group_hist_oracle_sql(),
+        "label_noise": _kmeans_oracle_sql(
+            8, 2, k_sql="greatest(8, (count(*) + 255) // 256)", tail=(
+                ", pr AS (SELECT a.cell, a.vec_id AS a, b.vec_id AS b, "
+                "round(list_dot_product(a.v, b.v) / "
+                "nullif(sqrt(list_dot_product(a.v, a.v)) * "
+                "sqrt(list_dot_product(b.v, b.v)), 0), 4) AS sim "
+                "FROM af a JOIN af b ON a.cell = b.cell "
+                "AND a.vec_id <> b.vec_id), "
+                "r AS (SELECT a, b, sim, row_number() OVER ("
+                "PARTITION BY a "
+                "ORDER BY sim DESC NULLS LAST, b) AS rnk FROM pr "
+                "WHERE sim IS NOT NULL), "
+                "knn AS (SELECT a, b FROM r WHERE rnk <= 5), "
+                "v AS (SELECT knn.a, emb.label AS nbr_label, "
+                "count(*)::BIGINT AS votes FROM knn "
+                "JOIN embeddings emb ON emb.vec_id = knn.b "
+                "GROUP BY 1, 2), "
+                "mj AS (SELECT a, nbr_label AS maj_label, votes FROM ("
+                "SELECT *, row_number() OVER (PARTITION BY a "
+                "ORDER BY votes DESC, nbr_label) AS rn FROM v) "
+                "WHERE rn = 1) "
+                "SELECT mj.a AS vec_id, emb.label, mj.maj_label, "
+                "mj.votes, emb.label <> mj.maj_label AS mismatch "
+                "FROM mj JOIN embeddings emb ON emb.vec_id = mj.a"
+            )
         ),
         "collocations": (
             "WITH w0 AS (SELECT "

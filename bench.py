@@ -155,6 +155,10 @@ HEADLINE = [
     "pivot_counts",    # long->wide pinned pivot (r11)
     "unpivot_metrics",  # wide->long Expand unpivot (r11)
     "agg_grouping_sets",  # explicit grouping-sets aggregate (r11)
+    "top_paths",       # top-k 3-step event paths (r11 batch 2)
+    "seasonality",     # day-of-week profile (r11 batch 2)
+    "group_quantiles",  # per-source log-bucket quantiles (r11 batch 2)
+    "label_noise",     # kNN majority-label noise detection (r11 batch 2)
 ]
 
 

@@ -1975,3 +1975,68 @@ def knn_graph(
         .filter(F.col("a") < F.col("b"))
         .select("a", "b", "sim")
     )
+
+
+def label_noise(
+    embeddings: DataFrame,
+    k_neighbors: int = 5,
+    k="auto",
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    target_cell: int = 256,
+) -> DataFrame:
+    """k-NN label-noise detection (Confident-Learning-style): each
+    vector's label vs the MAJORITY label of its ``k_neighbors``
+    nearest within-cell neighbors — a mismatch flags a likely
+    mislabeled example before it poisons a classifier or a quality
+    filter trained on the corpus. Returns (vec_id, label, maj_label,
+    votes, mismatch); majority ties break (votes desc, label asc),
+    every tiebreak total.
+
+    Shape: the DIRECTED top-k edges from :func:`knn_graph`
+    (mutual=False — cell-bucketed candidates through semdedup's
+    Arrow pair kernel, per-node rank over ≤ target_cell rows), one
+    id-keyed join to attach neighbor labels, one (node, label) count,
+    and a per-node argmax window over ≤ min(k_neighbors, |labels|)
+    rows. Nothing global, nothing quadratic off-cell."""
+
+    from pyspark.sql.window import Window
+
+    knn = knn_graph(
+        embeddings,
+        k_neighbors=k_neighbors,
+        k=k,
+        iters=iters,
+        mutual=False,
+        id_col=id_col,
+        vec_col=vec_col,
+        target_cell=target_cell,
+    )
+    labels = embeddings.select(
+        F.col(id_col).alias("__id"), F.col(label_col).alias("__lbl")
+    )
+    votes = (
+        knn.join(labels.withColumnRenamed("__id", "b"), "b")
+        .groupBy("a", F.col("__lbl").alias("nbr_label"))
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    w = Window.partitionBy("a").orderBy(
+        F.desc("votes"), F.asc("nbr_label")
+    )
+    maj = (
+        votes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("a", F.col("nbr_label").alias("maj_label"), "votes")
+    )
+    return (
+        maj.join(labels.withColumnRenamed("__id", "a"), "a")
+        .select(
+            F.col("a").alias("vec_id"),
+            F.col("__lbl").alias(label_col),
+            "maj_label",
+            "votes",
+            (F.col("__lbl") != F.col("maj_label")).alias("mismatch"),
+        )
+    )

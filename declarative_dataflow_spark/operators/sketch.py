@@ -371,3 +371,92 @@ def hist_quantiles_from(
         )
         .orderBy("q")
     )
+
+
+def group_hist_quantiles(
+    df: DataFrame,
+    key_col: str = "source",
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    value_col: str = "n_chars",
+    bits: int = HIST_BITS,
+) -> DataFrame:
+    """Per-GROUP log-bucket quantiles: :func:`hist_quantiles` with a
+    key column — p50/p90/p99 of a value per source/language/segment
+    from <= (bits+1) rows of state PER GROUP, the data-card slice a
+    curation dashboard wants without a per-group sort (exact
+    quantiles per group would global-sort each group's rows; the
+    log-bucket envelope answers from constant state with the same
+    <= 2x bound). Returns (key, q, bucket, lb, ub, n_le, rk, n).
+
+    Integer-exact and engine-portable like the global form: the same
+    bit-length CASE ladder, fraction-arithmetic ranks, and a cum table
+    built by a key-partitioned window over <= bits+1 rows per key
+    (bounded partitions — the sessionize discipline, never a global
+    sort)."""
+
+    from fractions import Fraction
+
+    from pyspark.sql.window import Window
+
+    b = F.expr(_bitlen_case_sql(value_col, bits))
+    hist = (
+        df.select(F.col(key_col).alias("k"), b.alias("bucket"))
+        .groupBy("k", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.select(
+        "k", "bucket", F.sum("cnt").over(w).alias("n_le")
+    ).localCheckpoint(eager=False)
+    tot = hist.groupBy("k").agg(F.sum("cnt").alias("n"))
+    fracs = [Fraction(str(q)) for q in qs]
+    qarr = F.array(
+        *[
+            F.struct(
+                F.lit(float(q)).alias("q"),
+                F.lit(int(fr.numerator)).cast("long").alias("num"),
+                F.lit(int(fr.denominator)).cast("long").alias("den"),
+            )
+            for q, fr in zip(qs, fracs)
+        ]
+    )
+    ranks = tot.select("k", F.explode(qarr).alias("qr"), "n").select(
+        "k",
+        F.col("qr.q").alias("q"),
+        F.expr("CAST((n * qr.num + qr.den - 1) DIV qr.den AS BIGINT)").alias(
+            "rk"
+        ),
+        "n",
+    )
+    picked = (
+        ranks.join(cum, "k")
+        .filter(F.col("n_le") >= F.col("rk"))
+        .groupBy("k", "q", "rk", "n")
+        .agg(F.min("bucket").alias("bucket"))
+    )
+    return (
+        picked.join(cum, ["k", "bucket"])
+        .select(
+            F.col("k").alias(key_col),
+            "q",
+            "bucket",
+            F.when(F.col("bucket") == 0, F.lit(0))
+            .otherwise(
+                F.expr(
+                    "shiftleft(CAST(1 AS BIGINT), CAST(bucket AS INT) - 1)"
+                )
+            )
+            .cast("long")
+            .alias("lb"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bucket AS INT)) - 1")
+            .cast("long")
+            .alias("ub"),
+            "n_le",
+            "rk",
+            "n",
+        )
+    )

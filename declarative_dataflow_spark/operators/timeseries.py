@@ -1032,3 +1032,97 @@ def rfm_segments(
         "segment",
         F.expr("CAST(100 * r_score + 10 * f_score + m_score AS INT)"),
     )
+
+
+def top_paths(
+    events: DataFrame,
+    depth: int = 3,
+    top_k: int = 20,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Most common event paths: the ``top_k`` most frequent
+    ``depth``-step consecutive event-type sequences across all keys —
+    the path-mining view behind UX flow analysis and bot-signature
+    discovery (transition_matrix is the depth-2 marginal of this).
+    Returns (t1..t<depth>, n) with a TOTAL tie order (n desc, then
+    the path lexicographically), so the top-k cut is deterministic in
+    any engine.
+
+    Shape: ONE key-partitioned window producing depth-1 lead()
+    columns, one uniform path count, and a TakeOrderedAndProject of
+    top_k rows — the output is |types|^depth at worst and top_k
+    always; nothing global sorts the data."""
+
+    if depth < 2:
+        raise ValueError(f"top_paths: depth must be >= 2, got {depth}")
+    tu = _epoch_us(ts_col)
+    ev = events.select(
+        F.col(key_col).alias("k"),
+        F.col(type_col).alias("t1"),
+        tu.alias("tu"),
+        F.col(id_col).alias("eid"),
+    )
+    w = Window.partitionBy("k").orderBy("tu", "eid")
+    cols = ["t1"]
+    for j in range(1, depth):
+        name = f"t{j + 1}"
+        ev = ev.withColumn(name, F.lead("t1", j).over(w))
+        cols.append(name)
+    paths = (
+        ev.filter(F.col(cols[-1]).isNotNull())
+        .groupBy(*cols)
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    order = [F.desc("n")] + [F.asc(c) for c in cols]
+    return paths.orderBy(*order).limit(top_k)
+
+
+def seasonality(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    val_col: str = "value",
+) -> DataFrame:
+    """Day-of-week seasonality profile per key: (key, dow, n, share,
+    avg_value) — the weekly-shape fingerprint behind load forecasting
+    and anomaly baselines (a metric that breaks its own weekday
+    profile is the alert). dow is 0=Monday..6=Sunday computed as
+    exact INTEGER arithmetic on epoch days ((days + 3) % 7 —
+    1970-01-01 was a Thursday), NEVER an engine dayofweek() builtin:
+    Spark numbers Sunday=1, DuckDB Sunday=0, and both answers depend
+    on session settings somewhere. share = n / key total (round 6);
+    avg_value sums exact DECIMAL(18,6) first.
+
+    Shape: one |keys| x 7 aggregation with map-side combine + a
+    broadcast join against the |keys|-row totals."""
+
+    tu = _epoch_us(ts_col)
+    # integer day arithmetic: FLOOR division of epoch micros (the
+    # timestamps here are non-negative; a DIV would truncate toward
+    # zero and mislabel pre-1970 rows — guard with floor for generality)
+    base = events.select(
+        F.col(key_col).alias("k"),
+        (F.floor(tu / F.lit(86_400_000_000)).cast("long") + F.lit(3)).alias(
+            "__days3"
+        ),
+        F.col(val_col).alias("v"),
+    ).select(
+        "k",
+        F.expr("CAST(__days3 % 7 AS INT)").alias("dow"),
+        "v",
+    )
+    prof = base.groupBy("k", "dow").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.expr("CAST(v AS DECIMAL(18,6))")).alias("sv"),
+    )
+    tot = prof.groupBy("k").agg(F.sum("n").alias("tot"))
+    return prof.join(F.broadcast(tot), "k").select(
+        F.col("k").alias(key_col),
+        "dow",
+        "n",
+        F.expr("round(CAST(n AS DOUBLE) / tot, 6)").alias("share"),
+        F.expr("round(CAST(sv AS DOUBLE) / n, 6)").alias("avg_value"),
+    )

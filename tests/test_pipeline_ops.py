@@ -3539,3 +3539,51 @@ def test_pivot_counts_and_unpivot_roundtrip(spark):
     ]
     with _pytest.raises(ValueError, match="metric_cols"):
         reshape.unpivot_metrics(wide, ["k1"], [])
+
+
+def test_group_hist_quantiles_matches_global_per_group(spark):
+    """Per-group quantiles == hist_quantiles run on each group's rows
+    alone (the global machinery is the oracle)."""
+
+    from declarative_dataflow_spark.operators import sketch
+
+    rows = [("a", v) for v in (1, 2, 3, 100, 5000)] + [
+        ("b", v) for v in (7, 7, 9)
+    ]
+    df = spark.createDataFrame(rows, ["source", "n_chars"])
+    got = {
+        (r["source"], r["q"]): (r["bucket"], r["lb"], r["ub"], r["rk"], r["n"])
+        for r in sketch.group_hist_quantiles(df).collect()
+    }
+    for src in ("a", "b"):
+        solo = {
+            r["q"]: (r["bucket"], r["lb"], r["ub"], r["rk"], r["n"])
+            for r in sketch.hist_quantiles(
+                df.filter(df.source == src)
+            ).collect()
+        }
+        for q, want in solo.items():
+            assert got[(src, q)] == want, (src, q, got[(src, q)], want)
+
+
+def test_label_noise_flags_planted_mislabels(spark):
+    """A corpus of two tight clusters with one vector labeled into the
+    WRONG cluster: only that vector flags mismatch (k=1 cell keeps
+    everything comparable; directed top-k over the numpy pair
+    kernel)."""
+
+    rows = []
+    for i in range(6):
+        rows.append((i, [1.0 + i * 1e-3, 0.0], 0))
+    for i in range(6, 12):
+        rows.append((i, [0.0, 1.0 + i * 1e-3], 1))
+    rows.append((12, [1.0, 1e-4], 1))  # geometrically cluster 0, labeled 1
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    got = {
+        r["vec_id"]: (r["label"], r["maj_label"], r["mismatch"])
+        for r in similarity.label_noise(
+            emb, k_neighbors=3, k=1, iters=0
+        ).collect()
+    }
+    assert got[12] == (1, 0, True)
+    assert sum(1 for v in got.values() if v[2]) == 1, got

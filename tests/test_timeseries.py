@@ -1629,3 +1629,44 @@ def test_rfm_segments_banding_edges(spark):
     assert got[1] == (0, 10, 4, 4, 4, 444)
     assert got[2] == (366, 1, 1, 1, 1, 111)
     assert got[3] == (90, 2, 3, 2, 3, 323)
+
+
+def test_top_paths_counts_and_tie_order(spark):
+    """Hand-traced 3-step paths + the deterministic (n desc, path asc)
+    cut; depth < 2 raises."""
+
+    rows = [
+        (1, _ts(1, 0), 1, "a"), (2, _ts(1, 1), 1, "b"),
+        (3, _ts(1, 2), 1, "c"), (4, _ts(1, 3), 1, "a"),
+        (5, _ts(1, 0), 2, "a"), (6, _ts(1, 1), 2, "b"),
+        (7, _ts(1, 2), 2, "c"),
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "ts", "user_id", "event_type"])
+    got = [
+        (r["t1"], r["t2"], r["t3"], r["n"])
+        for r in timeseries.top_paths(df, top_k=2).collect()
+    ]
+    # paths: u1: abc, bca; u2: abc -> abc x2, bca x1; top-2 cut
+    assert got == [("a", "b", "c", 2), ("b", "c", "a", 1)]
+    with pytest.raises(ValueError, match="depth"):
+        timeseries.top_paths(df, depth=1)
+
+
+def test_seasonality_dow_and_shares(spark):
+    """2024-01-01 was a Monday (dow 0); shares row-normalize per key;
+    avg is the exact decimal mean."""
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1), "click", 2.0),   # Monday
+        (2, dt.datetime(2024, 1, 2), "click", 4.0),   # Tuesday
+        (3, dt.datetime(2024, 1, 8), "click", 6.0),   # Monday
+        (4, dt.datetime(2024, 1, 7), "view", 1.0),    # Sunday
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "ts", "event_type", "value"])
+    got = {
+        (r["event_type"], r["dow"]): (r["n"], r["share"], r["avg_value"])
+        for r in timeseries.seasonality(df).collect()
+    }
+    assert got[("click", 0)] == (2, round(2 / 3, 6), 4.0)
+    assert got[("click", 1)] == (1, round(1 / 3, 6), 4.0)
+    assert got[("view", 6)] == (1, 1.0, 1.0)
