@@ -574,14 +574,31 @@ def test_cell_assignment_combines_before_exchange(spark):
 
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
 
-    # Small k (k*dim under the JIT budget): the literal unroll is a
-    # pure per-row Project — NO exchange, no window, no join at all.
+    # Small k, preferred engine (r11: the Arrow-batched numpy argmax
+    # at EVERY shape — fresh centroid literals defeat the codegen
+    # cache per Lloyd pass): MAP-ONLY — no window, no join, no hash
+    # shuffle; the only permissible Exchange is the
+    # under-parallelized-input round-robin widening.
     cents = similarity.ivf_centroids(emb, n_centroids=4, iters=0)
     df = similarity._assign_cells(emb, cents, "vec_id", "embedding")
     phys = _executed(df).split("== Initial Plan ==")[0]
+    assert "MapInPandas" in phys, phys
     assert "Window" not in phys, phys
-    assert "Exchange" not in phys, phys
+    assert "Exchange hashpartitioning" not in phys, phys
     assert "CartesianProduct" not in phys, phys
+
+    # Small k, JVM literal-unroll fallback (numpy unavailable): a pure
+    # per-row Project — NO exchange, no window, no join at all.
+    real_small = similarity._numpy_assign_cells
+    similarity._numpy_assign_cells = lambda *a, **k: None
+    try:
+        udf_ = similarity._assign_cells(emb, cents, "vec_id", "embedding")
+        uphys = _executed(udf_).split("== Initial Plan ==")[0]
+    finally:
+        similarity._numpy_assign_cells = real_small
+    assert "Window" not in uphys, uphys
+    assert "Exchange" not in uphys, uphys
+    assert "CartesianProduct" not in uphys, uphys
 
     # Large k (k*dim past the budget): the Arrow-batched numpy argmax
     # is MAP-ONLY — no window, no join, no hash shuffle at all (the
