@@ -3043,6 +3043,82 @@ def q_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.label_noise(load_table(spark, sf_dir, "embeddings"))
 
 
+def q_incremental_asof_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintained bitemporal as-of view under a deterministic
+    correction/retraction churn script (NEW in r12; VERDICT r11 ask
+    #5): the events table becomes a correction stream — (user,
+    event-day, sys_t=event_id, value) facts with every 31st correction
+    a tombstone — pushed through streaming.IncrementalAsOf in 4
+    epochs, each retracting some of the previous epoch's corrections
+    (resurfacing the correction beneath, or un-deleting a tombstoned
+    fact). The final current() equals the batch as_of over the
+    SURVIVING corrections — the closed form the DuckDB twin states in
+    one WHERE clause (streaming/churn.py has the fixed script).
+    Reference: bitemporal corrections, tests/input_semantics.rs:337-510."""
+
+    from declarative_dataflow_spark.streaming.churn import run_churn
+    from declarative_dataflow_spark.streaming.event_stats import (
+        IncrementalAsOf,
+    )
+    from declarative_dataflow_spark.operators.timeseries import _epoch_us
+
+    ev = load_table(spark, sf_dir, "events")
+    facts = ev.select(
+        "event_id",
+        "user_id",
+        # integer DIV, exact at any magnitude (no double quotient)
+        _epoch_us("ts").alias("__us"),
+        F.col("event_id").alias("sys_t"),
+        F.col("value").alias("v"),
+        (F.col("event_id") % 31 == 0).alias("retracted"),
+    ).withColumn("ev_t", F.expr("__us DIV 86400000000")).drop("__us")
+    return run_churn(
+        lambda d: IncrementalAsOf(spark, d, e_col="user_id"), facts
+    )
+
+
+def q_incremental_sessionize_churn(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Maintained session stats under the fixed churn script (NEW in
+    r12): 4 epochs of adds with per-epoch retractions of bridging
+    events — the session SPLIT / renumber case the maintainer's
+    touched-key recompute must handle exactly. Final current() ==
+    batch session_stats over the surviving events (the sessionize
+    oracle with the surviving WHERE clause)."""
+
+    from declarative_dataflow_spark.streaming.churn import run_churn
+    from declarative_dataflow_spark.streaming.event_stats import (
+        IncrementalSessionize,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return run_churn(lambda d: IncrementalSessionize(spark, d), ev)
+
+
+def q_incremental_funnel_churn(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Maintained ordered-funnel depths under the fixed churn script
+    (NEW in r12): retracting a step completion can REGRESS a user's
+    depth and shift later completion times earlier/later — the
+    new-minus-old diff machinery under genuine retraction. Final
+    current() == batch funnel over the surviving events."""
+
+    from declarative_dataflow_spark.streaming.churn import run_churn
+    from declarative_dataflow_spark.streaming.event_stats import (
+        IncrementalFunnel,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return run_churn(
+        lambda d: IncrementalFunnel(
+            spark, d, ["view", "click", "purchase"]
+        ),
+        ev,
+    )
+
+
 def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flesch reading-ease (NEW in r11): integer-exact word/sentence/
     vowel-group counts, one fixed IEEE combination — map-only."""
@@ -4380,6 +4456,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonality": q_seasonality,  # NEW in r11 (batch 2)
         "group_quantiles": q_group_quantiles,  # NEW in r11 (batch 2)
         "label_noise": q_label_noise,  # NEW in r11 (batch 2)
+        "incremental_asof_churn": q_incremental_asof_churn,  # NEW in r12
+        "incremental_sessionize_churn": q_incremental_sessionize_churn,  # NEW in r12
+        "incremental_funnel_churn": q_incremental_funnel_churn,  # NEW in r12
         "clustering_coef": q_clustering_coef,  # NEW in r10
         "cdc_chunks": q_cdc_chunks,  # NEW in r10
         "collocations": q_collocations,  # NEW in r10
@@ -5145,6 +5224,19 @@ def _hash_embed_oracle_sql(dim: int) -> str:
         f"n AS (SELECT *, sqrt({sq}) AS nrm FROM c) "
         f"SELECT doc_id, {es} FROM n"
     )
+
+
+def _churn_surviving_sql(
+    id_col: str = "event_id", key_col: str = "user_id"
+) -> str:
+    """Parenthesized surviving-set predicate of the fixed churn script
+    (streaming/churn.py) — the DuckDB side of the maintained-twin
+    churn keys, generated from the SAME policy constants the Spark
+    driver loop uses so the two can never drift."""
+
+    from declarative_dataflow_spark.streaming.churn import surviving_sql
+
+    return "(" + surviving_sql(id_col, key_col) + ")"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -7603,6 +7695,61 @@ def oracle_sql() -> dict[str, str]:
             "count(*) AS n_users "
             "FROM a JOIN f ON a.user_id = f.user_id "
             "GROUP BY f.cohort, a.bucket - f.cohort"
+        ),
+        # --- maintained-twin churn keys (r12): the batch operator
+        # over the SURVIVING rows of streaming/churn.py's fixed
+        # correction script — what the maintainer's final current()
+        # must equal by the touched-key recompute discipline ---
+        "incremental_asof_churn": (
+            "WITH f AS (SELECT user_id, "
+            "epoch_us(ts) // 86400000000 AS ev_t, "
+            "event_id AS sys_t, value AS v, "
+            "(event_id % 31 = 0) AS retr FROM events "
+            f"WHERE {_churn_surviving_sql()}), "
+            "r AS (SELECT user_id, ev_t, sys_t, v, retr, "
+            "row_number() OVER (PARTITION BY user_id, ev_t "
+            "ORDER BY sys_t DESC) AS rn FROM f) "
+            "SELECT user_id, ev_t, sys_t, v FROM r "
+            "WHERE rn = 1 AND NOT retr"
+        ),
+        "incremental_sessionize_churn": (
+            "WITH t AS (SELECT user_id, event_id, epoch_us(ts) AS tu "
+            f"FROM events WHERE {_churn_surviving_sql()}), "
+            "flagged AS (SELECT user_id, event_id, tu, "
+            "CASE WHEN lag(tu) OVER w IS NULL "
+            "OR tu - lag(tu) OVER w > 1800000000 THEN 1 ELSE 0 END AS nf "
+            "FROM t WINDOW w AS (PARTITION BY user_id ORDER BY tu, event_id)), "
+            "sess AS (SELECT user_id, tu, "
+            "CAST(sum(nf) OVER (PARTITION BY user_id ORDER BY tu, event_id "
+            "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq "
+            "FROM flagged) "
+            "SELECT user_id, session_seq, count(*) AS n_events, "
+            "min(tu) AS start_us, max(tu) AS end_us, "
+            "(max(tu) - min(tu)) / 1000000.0 AS duration_s "
+            "FROM sess GROUP BY user_id, session_seq"
+        ),
+        "incremental_funnel_churn": (
+            "WITH s1 AS (SELECT user_id, min(epoch_us(ts)) AS t1 "
+            "FROM events WHERE event_type = 'view' "
+            f"AND {_churn_surviving_sql()} GROUP BY user_id), "
+            "s2 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t2 "
+            "FROM events e JOIN s1 ON e.user_id = s1.user_id "
+            "AND epoch_us(e.ts) > s1.t1 "
+            "WHERE e.event_type = 'click' "
+            f"AND {_churn_surviving_sql('e.event_id', 'e.user_id')} "
+            "GROUP BY e.user_id), "
+            "s3 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t3 "
+            "FROM events e JOIN s2 ON e.user_id = s2.user_id "
+            "AND epoch_us(e.ts) > s2.t2 "
+            "WHERE e.event_type = 'purchase' "
+            f"AND {_churn_surviving_sql('e.event_id', 'e.user_id')} "
+            "GROUP BY e.user_id) "
+            "SELECT s1.user_id, CAST(1 "
+            "+ CASE WHEN s2.t2 IS NOT NULL THEN 1 ELSE 0 END "
+            "+ CASE WHEN s3.t3 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) "
+            "AS depth, s1.t1, s2.t2, s3.t3 "
+            "FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id "
+            "LEFT JOIN s3 ON s1.user_id = s3.user_id"
         ),
         "zorder_key": _zorder_oracle_sql(8),
         "hash_embed": _hash_embed_oracle_sql(16),

@@ -1031,6 +1031,14 @@ def rfm_segments(
     return scored.withColumn(
         "segment",
         F.expr("CAST(100 * r_score + 10 * f_score + m_score AS INT)"),
+    ).withColumn(
+        # engine lockstep: band comparisons above ran on the exact
+        # DECIMAL(18,2) sum; the EMITTED column is the cast-round
+        # double every TPC-H money key uses, so Spark and the DuckDB
+        # twin hash identically (DECIMAL "3916451.10" vs double
+        # "3916451.1" was the r11 driver-red seam).
+        "monetary",
+        F.round(F.col("monetary").cast("double"), 2),
     )
 
 

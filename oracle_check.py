@@ -37,7 +37,13 @@ def _canon(v) -> str:
     if isinstance(v, bool):
         return "true" if v else "false"
     if isinstance(v, Decimal):
-        v = float(v)
+        # STRICT on purpose (r11 driver-red lesson): collapsing
+        # Decimal->float here made the local gate blind to the
+        # decimal-vs-double seam the driver's hash catches
+        # (Decimal('3916451.10') vs 3916451.1). Preserve scale and
+        # trailing zeros so Spark DECIMAL output only matches a
+        # DuckDB DECIMAL of identical value+scale.
+        return format(v, "f")
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
