@@ -846,7 +846,12 @@ def semdedup(
     join stays linear.
     """
 
-    from .similarity import density_cells, kmeans_assign, _norm
+    from .similarity import (
+        _assign_cells,
+        density_cells,
+        ivf_centroids,
+        _norm,
+    )
 
     stats = embeddings.select(
         F.count(F.lit(1)).alias("n"),
@@ -855,12 +860,21 @@ def semdedup(
     dim = stats["d"] or 0
     if k == "auto":
         k = density_cells(stats["n"], target_cell)
-    cells = kmeans_assign(embeddings, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
-    base = embeddings.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        _norm(vec_col).alias("nrm"),
-    ).join(cells.withColumnRenamed("vec_id", "id"), "id")
+    # Fused assignment (r12): keep_vec rides the vector through the
+    # argmax kernel, so the (id, v, cell) base table needs no corpus
+    # join-back — the r11 shape paid one full exchange of the vector
+    # table plus one of the assignment for the equi-join here. The
+    # per-row norm is only needed by the JVM fallback pair join (the
+    # numpy pair kernel recomputes norms batch-side), so it moves
+    # into that branch instead of being computed for every row here.
+    cents = ivf_centroids(embeddings, k, iters, id_col, vec_col)
+    assigned = _assign_cells(embeddings, cents, id_col, vec_col, keep_vec=True)
+    if "v" in assigned.columns:
+        base = assigned.select(F.col("vec_id").alias("id"), "v", "cell")
+    else:
+        base = embeddings.select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+        ).join(assigned.withColumnRenamed("vec_id", "id"), "id")
     # Both sides of the pair join derive from this table — checkpoint
     # once (the materialize-once discipline).
     base = base.localCheckpoint(eager=False)
@@ -883,6 +897,7 @@ def semdedup(
     numpy_pairs = _numpy_cell_pairs(base, threshold, dim)
     if numpy_pairs is not None:
         return numpy_pairs
+    base = base.withColumn("nrm", _norm("v"))
     left = base.select(
         F.col("cell"),
         F.col("id").alias("a"),

@@ -832,63 +832,92 @@ def ivf_centroids(
     Lloyd (k-means) steps.
 
     Each step is one broadcast-assign pass over the corpus followed by
-    an ``n_centroids``-group aggregate of per-component means — ``dim``
-    AVG columns with map-side partial aggregation, so the shuffle
-    carries n_centroids x dim partials per task, never the vectors
-    (and never an exploded n x dim row blow-up). On the preferred
-    numpy assignment engine the input vector rides THROUGH the argmax
-    kernel (keep_vec), so each Lloyd step is ONE job — kernel into
-    map-side-combined means — with no checkpoint and no corpus
-    join-back shuffle (the r11 Lloyd-ladder fusion; the JVM fallback
-    paths keep the checkpoint + vec_id join-back). New components are
-    rounded to 6 decimals each step so refinement is reproducible
-    across engines and cluster layouts; cells that capture no vectors
-    keep their previous centroid. The refined centroid set (k x dim
-    doubles) is collected to the driver per step and re-broadcast —
-    the same structure Spark MLlib's KMeans uses, and the property
-    that keeps each iteration a single corpus pass at any scale.
+    a (cell, component)-keyed aggregate of per-component means. The
+    means run over ``posexplode(v)`` — one (cell, i) AVG with map-side
+    partial aggregation, so the shuffle carries n_centroids x dim
+    partial rows per task, never the vectors. The values are identical
+    to the wide per-column ``avg(v[i])`` form this replaced (same AVG
+    operator over the same rows, same per-partition accumulation
+    order, same 6-decimal round), but Catalyst analyzes ~4 expressions
+    instead of ``dim`` round(avg(getItem)) trees — the wide form's
+    per-step re-analysis measured 1.7s against 0.8s for this one at
+    dim=64 (r12, driver-side serial cost that no executor count
+    hides). On the preferred numpy assignment engine the input vector
+    rides THROUGH the argmax kernel (keep_vec), so each Lloyd step is
+    ONE job — kernel into map-side-combined means — with no checkpoint
+    and no corpus join-back shuffle (the r11 Lloyd-ladder fusion; the
+    JVM fallback paths keep the checkpoint + vec_id join-back). New
+    components are rounded to 6 decimals each step so refinement is
+    reproducible across engines and cluster layouts; cells that
+    capture no vectors keep their previous centroid. The centroid
+    table lives driver-side across steps (k x dim doubles — the same
+    structure Spark MLlib's KMeans collects per iteration); each step
+    collects only the k x dim mean rows, and the seed/dim probe jobs
+    of the r11 shape are gone: dim comes off the collected seed rows
+    instead of a separate ``first()`` pass.
     """
 
-    if dim is None:
-        dim_row = embeddings.select(F.size(F.col(vec_col)).alias("d")).first()
-        dim = dim_row["d"] if dim_row else 0
     spark = embeddings.sparkSession
-    cents = _seed_centroids(embeddings, n_centroids, id_col, vec_col)
+    rows: list = [
+        (r["cell"], list(r["cv"]) if r["cv"] is not None else None)
+        for r in sorted(
+            _seed_centroids(embeddings, n_centroids, id_col, vec_col)
+            .collect(),
+            key=lambda r: r["cell"],
+        )
+    ]
+    if dim is None:
+        dim = len(rows[0][1]) if rows and rows[0][1] is not None else 0
     for _ in range(max(0, iters)):
-        assigned = _assign_cells(
-            embeddings, cents, id_col, vec_col, keep_vec=True
-        )
-        if "v" not in assigned.columns:
-            # Aggregating argmax path drops the vector. Checkpoint the
-            # SKINNY (vec_id, cell) table before joining vectors back:
-            # without the boundary the means job below re-executes AND
-            # re-optimizes the whole n x k scoring expansion fused
-            # with its 64 avg aggregates — measured ~12s of the ~20s
-            # Lloyd pass at n=20k, k=79 (the assignment itself runs in
-            # ~2s). With it, each pass scores once, the means plan sits
-            # on a materialized two-column table, and the pass's
-            # generated code is literal-free so the codegen cache hits
-            # on every subsequent iteration.
-            assigned = assigned.localCheckpoint(eager=True).join(
-                embeddings.select(
-                    F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")
-                ),
-                "vec_id",
+        assigned = None
+        if rows and rows[0][1] is not None:
+            assigned = _numpy_assign_cells(
+                embeddings,
+                [{"cell": c, "cv": cv} for c, cv in rows],
+                id_col,
+                vec_col,
+                dim,
+                keep_vec=True,
             )
-        means = assigned.groupBy("cell").agg(
-            F.array(
-                *[F.round(F.avg(F.col("v").getItem(i)), 6) for i in range(dim)]
-            ).alias("mv")
-        )
-        refined = (
-            cents.join(means, "cell", "left")
-            .select(
-                "cell", F.coalesce(F.col("mv"), F.col("cv")).alias("cv")
+        if assigned is None:
+            cents = spark.createDataFrame(rows, "cell long, cv array<double>")
+            assigned = _assign_cells(
+                embeddings, cents, id_col, vec_col, keep_vec=True
             )
+            if "v" not in assigned.columns:
+                # Aggregating argmax path drops the vector. Checkpoint
+                # the SKINNY (vec_id, cell) table before joining
+                # vectors back: without the boundary the means job
+                # below re-executes AND re-optimizes the whole n x k
+                # scoring expansion fused with the means aggregate —
+                # measured ~12s of the ~20s Lloyd pass at n=20k, k=79
+                # (the assignment itself runs in ~2s).
+                assigned = assigned.localCheckpoint(eager=True).join(
+                    embeddings.select(
+                        F.col(id_col).alias("vec_id"),
+                        F.col(vec_col).alias("v"),
+                    ),
+                    "vec_id",
+                )
+        mrows = (
+            assigned.select("cell", F.posexplode("v").alias("__i", "__x"))
+            .groupBy("cell", "__i")
+            .agg(F.round(F.avg("__x"), 6).alias("m"))
             .collect()
         )
-        cents = spark.createDataFrame(refined, "cell long, cv array<double>")
-    return cents
+        by_cell: dict = {}
+        for r in mrows:
+            by_cell.setdefault(r["cell"], {})[r["__i"]] = r["m"]
+        rows = [
+            (
+                c,
+                [by_cell[c].get(i) for i in range(dim)]
+                if c in by_cell
+                else cv,
+            )
+            for c, cv in rows
+        ]
+    return spark.createDataFrame(rows, "cell long, cv array<double>")
 
 
 def ivf_assign(
@@ -1905,13 +1934,25 @@ def knn_graph(
     ).first()
     if k == "auto":
         k = density_cells(stats["n"], target_cell)
-    cells = kmeans_assign(
-        embeddings, k=k, iters=iters, id_col=id_col, vec_col=vec_col
-    ).localCheckpoint(eager=False)
-    vecs = embeddings.select(
-        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")
+    # Fused assignment (r12): the argmax kernel rides the vector
+    # through (keep_vec), so the (vec_id, cell, v) side table needs NO
+    # corpus join-back — the kmeans_assign + vecs equi-join of the r11
+    # shape (one full exchange of the vector table plus one of the
+    # assignment) is gone; the JVM fallback keeps the join.
+    cents = ivf_centroids(embeddings, k, iters, id_col, vec_col)
+    assigned = _assign_cells(
+        embeddings, cents, id_col, vec_col, keep_vec=True
     )
-    side = cells.join(vecs, "vec_id")
+    if "v" in assigned.columns:
+        side = assigned.select("vec_id", "cell", "v")
+    else:
+        side = assigned.select("vec_id", "cell").join(
+            embeddings.select(
+                F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")
+            ),
+            "vec_id",
+        )
+    side = side.localCheckpoint(eager=False)
     pairs = None
     if stats["dmin"] is not None and stats["dmin"] == stats["dmax"]:
         from .curation import _numpy_cell_pairs
