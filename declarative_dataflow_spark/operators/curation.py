@@ -96,13 +96,20 @@ def dup_ngram_frac(
     does the heavy lifting map-side.
     """
 
-    # The shingle table feeds BOTH the corpus-wide count and the join
-    # back — checkpoint once (the materialize-once discipline).
-    sh = shingles(docs, n, text_col).localCheckpoint(eager=False)
-    counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__docs"))
+    # Corpus-wide occurrence count as a window COUNT over the shingle
+    # partition instead of the r11 aggregate + join-back: the window
+    # reuses the single shingle-keyed exchange where the agg+join
+    # shape shuffled the shingle table twice and needed a lineage
+    # checkpoint for its two consumers (guide §2.4 — a window
+    # partitioned like the preceding aggregation needs no second
+    # shuffle). Each (doc, n-gram) row is already distinct, so
+    # count(*) still counts distinct documents; values are identical.
+    sh = shingles(docs, n, text_col)
+    counted = sh.withColumn(
+        "__docs", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+    )
     return (
-        sh.join(counts, "shingle")
-        .groupBy("doc_id")
+        counted.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_ngrams"),
             F.sum(F.when(F.col("__docs") >= 2, 1).otherwise(0))
@@ -366,13 +373,29 @@ def dup_spans(
             )
         ).alias("g"),
     ).select("doc_id", "g.i", "g.h")
-    hot = (
-        wins.groupBy("h")
-        .agg(F.countDistinct("doc_id").alias("__docs"))
-        .filter(F.col("__docs") >= min_docs)
-        .select("h")
-    )
-    marked = wins.join(hot, "h").select("doc_id", "i")
+    if min_docs == 2:
+        # ">= 2 distinct documents" ⟺ min(doc_id) != max(doc_id)
+        # within the window-hash partition — two window MINMAXes over
+        # ONE h-keyed exchange instead of the r11 countDistinct
+        # aggregate + join-back (three exchanges of the position
+        # table; guide §2.4). A window repeated inside one document
+        # has min == max and stays unmarked, exactly like its
+        # countDistinct(doc_id) == 1. Values identical.
+        wh = Window.partitionBy("h")
+        marked = (
+            wins.withColumn("__mn", F.min("doc_id").over(wh))
+            .withColumn("__mx", F.max("doc_id").over(wh))
+            .filter(F.col("__mn") != F.col("__mx"))
+            .select("doc_id", "i")
+        )
+    else:
+        hot = (
+            wins.groupBy("h")
+            .agg(F.countDistinct("doc_id").alias("__docs"))
+            .filter(F.col("__docs") >= min_docs)
+            .select("h")
+        )
+        marked = wins.join(hot, "h").select("doc_id", "i")
     w_doc = Window.partitionBy("doc_id").orderBy("i")
     brk = F.when(
         F.col("i") - F.lag("i").over(w_doc) <= n - 1, 0
@@ -1002,13 +1025,22 @@ def ngram_novelty(
     back, one doc-keyed count aggregation — every shuffle keys on the
     shingle hash or doc_id, linear at any corpus size."""
 
+    from pyspark.sql.window import Window
+
     from .dedup import shingles
 
-    sh = shingles(docs, n, text_col).localCheckpoint(eager=False)
-    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    # "first seen" as a window MIN over the shingle partition instead
+    # of the r11 aggregate + join-back: the window reuses the single
+    # shingle-keyed exchange, where the agg+join shape shuffled the
+    # shingle table twice (guide §2.4 — a window partitioned like the
+    # preceding aggregation needs no second shuffle). Values are
+    # identical (same MIN over the same groups).
+    sh = shingles(docs, n, text_col)
+    first = sh.withColumn(
+        "first_doc", F.min("doc_id").over(Window.partitionBy("shingle"))
+    )
     return (
-        sh.join(first, "shingle")
-        .groupBy("doc_id")
+        first.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_shingles"),
             F.sum(

@@ -112,6 +112,11 @@ def jaccard_pairs(
     candidates only.
     """
 
+    # NOTE (r12): materializing the shingle table here (localCheckpoint
+    # before its five consumers) was measured a WASH at the 10x bench
+    # scale (33s vs 31s) — the wall is the candidate join +
+    # intersection counting, not the explode recompute — so the frame
+    # stays lazy and column-pruned per consumer.
     sh = shingles(docs, n, text_col)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     if prefix_filter:

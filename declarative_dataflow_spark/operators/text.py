@@ -364,10 +364,15 @@ def ngram_lm_score(
         .localCheckpoint(eager=False)
     )
     c2 = bigrams.groupBy("w", "w2").agg(F.count(F.lit(1)).alias("c2"))
-    c1 = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
-    vocab = toks.select(
-        F.countDistinct("w").alias("v")
+    # c1 feeds BOTH the model join and the vocabulary size: |V| is by
+    # definition the row count of the unigram table, so deriving it
+    # there removes a second full countDistinct pass over the token
+    # table (r12; one corpus-token scan + two-stage distinct shuffle
+    # gone at any scale — guide §2.4).
+    c1 = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c1")).localCheckpoint(
+        eager=False
     )
+    vocab = c1.select(F.count(F.lit(1)).alias("v"))
     model = c2.join(c1, "w").crossJoin(F.broadcast(vocab)).select(
         "w",
         "w2",
