@@ -1428,13 +1428,29 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
             ["?o", sv], [lnv],
         )
 
-    pairs = late_pairs("?s", "?ln")           # (o, s, ln=line count)
-    n_late = Aggregate(                        # (o, s1 = #late suppliers)
-        ["?o", "?s1", "?lnb"],
-        late_pairs("?s1", "?lnb"),
-        [AggregationFn.COUNT],
-        ["?o"],
-        ["?s1"],
+    # The late (order, supplier) pair relation feeds BOTH the per-pair
+    # side of the final join AND the #late-suppliers-per-order count.
+    # The r11 shape built the SAME DSL subtree twice under different
+    # variable names (the DSL needs distinct names for the later Join,
+    # which defeats Spark's canonical exchange reuse), so the
+    # orders ⋈ lineitem lateness join + two-level aggregate ran TWICE
+    # per query — visible as two full scan+join+agg chains in
+    # plans/r12/tpch_q21_before.txt (nodes 1-12 vs 15-29). r12:
+    # implement the subplan ONCE, checkpoint it, and derive both
+    # consumers from the materialized pair table. The EXISTS/NOT-EXISTS
+    # algebra is unchanged: n_late counts rows of the (o, s) pair
+    # table per order (one row per distinct late supplier, exactly the
+    # DSL's COUNT over group ["?o"]), and the == 1 / > 1 filters and
+    # the final per-supplier count are the same operations on the same
+    # multisets — oracle-verified identical.
+    pairs_df = eng.implement(
+        late_pairs("?s", "?ln"), ["o", "s", "ln"]
+    ).localCheckpoint(eager=False)
+    n_late_df = (
+        pairs_df.groupBy("o")
+        .agg(F.count(F.lit(1)).alias("__nlate"))
+        .filter(F.col("__nlate") == 1)
+        .select("o")
     )
     all_pairs = Aggregate(                     # (o, s2, ln2) distinct pairs
         ["?o", "?s2", "?ln2"],
@@ -1457,16 +1473,21 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["?o"],
         ["?s2"],
     )
-    j = Join(["?o"], pairs, n_late)
-    j = Filter(["?s1"], Predicate.EQ, j, {1: 1})
-    j = Join(["?o"], j, n_supp)
-    j = Filter(["?s2"], Predicate.GT, j, {1: 1})
-    sup = Scan("supplier", {"s_suppkey": "?s", "s_name": "?sn"})
-    plan = Join(["?s"], j, sup)
-    names = [v[1:] for v in plan.variables()]
-    df = eng.implement(plan, names)
+    n_supp_df = (
+        eng.implement(n_supp, ["o", "s2"])
+        .filter(F.col("s2") > 1)
+        .select("o")
+    )
+    sup_df = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("s"), F.col("s_name").alias("sn")
+    )
+    joined = (
+        pairs_df.join(n_late_df, "o")
+        .join(n_supp_df, "o")
+        .join(sup_df, "s")
+    )
     return (
-        df.groupBy(F.col("s").alias("suppkey"), F.col("sn").alias("name"))
+        joined.groupBy(F.col("s").alias("suppkey"), F.col("sn").alias("name"))
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.col("numwait").desc(), "suppkey")
         .limit(20)

@@ -100,20 +100,36 @@ def shortest_hops(
     )
     delta = dist
     for _ in range(max_iters):
+        # Change detection via the tag column riding through the
+        # min-combine (the connected_components / shortest_paths
+        # shape, r12): candidate rows carry a NULL tag, min(tag)
+        # recovers the round-start hop count, and the improved set is
+        # a filter over the materialized merge — no per-round
+        # anti-join against the full distance table, no separate
+        # delta checkpoint.
         cand = (
             delta.join(e, delta["y"] == e["s"])
-            .select("x", F.col("t").alias("y"), (F.col("hops") + 1).alias("hops"))
+            .select(
+                "x",
+                F.col("t").alias("y"),
+                (F.col("hops") + 1).alias("hops"),
+                F.expr("CAST(NULL AS INT)").alias("__old"),
+            )
         )
         merged = (
-            dist.unionByName(cand)
+            dist.select("x", "y", "hops", F.col("hops").alias("__old"))
+            .unionByName(cand)
             .groupBy("x", "y")
-            .agg(F.min("hops").alias("hops"))
-            .localCheckpoint(eager=False)
+            .agg(
+                F.min("hops").alias("hops"),
+                F.min("__old").alias("__old"),
+            )
+            .localCheckpoint(eager=True)
         )
-        delta = merged.join(dist, ["x", "y", "hops"], "left_anti").localCheckpoint(
-            eager=True
-        )
-        dist = merged
+        delta = merged.filter(
+            F.col("__old").isNull() | (F.col("hops") < F.col("__old"))
+        ).select("x", "y", "hops")
+        dist = merged.select("x", "y", "hops")
         if delta.limit(1).isEmpty():
             return dist
     raise RuntimeError(f"shortest_hops did not converge in {max_iters} rounds")
@@ -248,8 +264,21 @@ def shortest_paths(
     step = max(1, step)
     max_step = step if max_step is None else max(step, max_step)
     prev_count: int | None = None
+    ctype = dict(dist.dtypes)["cost"]
     for _ in range(max_iters):
-        acc = dist
+        # The round-start cost rides along as a tag column that
+        # extension rows carry as NULL, so min(tag) recovers the
+        # previous distance inside the SAME min-combine (the
+        # connected_components change-flag shape, r12): the improved
+        # set is then a FILTER over the materialized merge — the
+        # per-round (x, y, cost) anti-join against the full distance
+        # table (two more exchanges of pair-sized state) and the
+        # separate delta checkpoint are gone. Improved ⟺ the pair is
+        # new (tag NULL) or its min cost strictly dropped — exactly
+        # the rows the anti-join kept.
+        acc = dist.select(
+            "x", "y", "cost", F.col("cost").alias("__old")
+        )
         ext = delta
         for _ in range(step):
             ext = (
@@ -262,26 +291,36 @@ def shortest_paths(
                 .groupBy("x", "y")
                 .agg(F.min("cost").alias("cost"))
             )
-            acc = acc.unionByName(ext)
+            acc = acc.unionByName(
+                ext.select(
+                    "x",
+                    "y",
+                    "cost",
+                    F.expr(f"CAST(NULL AS {ctype})").alias("__old"),
+                )
+            )
         merged = (
             acc.groupBy("x", "y")
-            .agg(F.min("cost").alias("cost"))
-            .localCheckpoint(eager=False)
+            .agg(
+                F.min("cost").alias("cost"),
+                F.min("__old").alias("__old"),
+            )
+            .localCheckpoint(eager=True)
         )
-        delta = merged.join(dist, ["x", "y", "cost"], "left_anti").localCheckpoint(
-            eager=True
-        )
-        dist = merged
+        delta = merged.filter(
+            F.col("__old").isNull() | (F.col("cost") < F.col("__old"))
+        ).select("x", "y", "cost")
+        dist = merged.select("x", "y", "cost")
         if max_step == step and prev_count is None:
             # Fixed-step mode never reads the delta SIZE — the cheap
             # limit(1) emptiness probe beats a full count() on the
-            # checkpointed delta by ~1.5s across a 5-round sf0.1 run
+            # checkpointed merge by ~1.5s across a 5-round sf0.1 run
             # (count scans every cached partition; limit(1) stops at
             # the first non-empty one).
             if delta.limit(1).isEmpty():
                 return dist
             continue
-        n_delta = delta.count()  # materialized by the eager checkpoint
+        n_delta = delta.count()  # scans the materialized merge
         if n_delta == 0:
             return dist
         if prev_count is not None:
