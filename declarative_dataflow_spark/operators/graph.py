@@ -536,11 +536,16 @@ def scc(
             cur = cur.select("v", "c")
             # pointer jump: c <- c(c) (inner self-join; every label is
             # a node id whose own label exists, is <= it, and reaches
-            # everything it reaches)
+            # everything it reaches). LAZY checkpoint (r12): the jump
+            # reads only the already-materialized round checkpoint, so
+            # deferring its materialization into the next round's
+            # checkpoint job removes one job launch per non-final
+            # round without re-computation (both self-join sides read
+            # the same cached blocks).
             cur = (
                 cur.join(cur.toDF("c", "__c2"), "c")
                 .select("v", F.col("__c2").alias("c"))
-                .localCheckpoint()
+                .localCheckpoint(eager=False)
             )
         return cur
 
@@ -579,7 +584,10 @@ def scc(
                 trivial.select("v", F.col("v").alias("scc"))
             ).localCheckpoint(eager=False)
             nodes = new_nodes
-            E = work_e.localCheckpoint()
+            # Lazy (r12): materializes inside the next trim round's
+            # nodes-checkpoint job (or the forward fixpoint's first
+            # round) instead of as its own job.
+            E = work_e.localCheckpoint(eager=False)
         if nodes.limit(1).isEmpty():
             converged = True
             break
@@ -607,7 +615,10 @@ def scc(
             )
             .filter(F.col("ca") == F.col("cb"))
             .select("a", "b")
-            .localCheckpoint()
+            # Lazy (r12): the backward fixpoint's first-round
+            # checkpoint job materializes it; later rounds reuse the
+            # cached blocks.
+            .localCheckpoint(eager=False)
         )
         # Backward pass as a MIN fixpoint rather than a frontier BFS so
         # it pointer-jumps too: bc(v) = min id reachable FROM v along
@@ -637,7 +648,9 @@ def scc(
             E.join(nodes.withColumnRenamed("v", "a"), "a")
             .join(nodes.withColumnRenamed("v", "b"), "b")
             .select("a", "b")
-            .localCheckpoint()
+            # Lazy (r12): first consumer in the next outer round's
+            # trim materializes it; empty-graph exits never pay it.
+            .localCheckpoint(eager=False)
         )
     try:
         if require_convergence and not converged:
