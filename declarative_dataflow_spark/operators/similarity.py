@@ -1752,18 +1752,31 @@ def top_component(
     spark = embeddings.sparkSession
     for _ in range(max(0, iters)):
         scored = base.select(F.expr(f"({dot_expr(v)})").alias("dot"), "v")
-        wrow = scored.agg(
-            *[
+        # Contribution sums via posexplode + one 2-column hash agg
+        # (r12, the Lloyd-means shape): the dim-wide literal agg built
+        # 64 fresh round(sum) trees PER STEP — Catalyst re-analysis +
+        # codegen dominated the corpus pass at every scale where the
+        # scan doesn't. SUM over DECIMAL(38,15) of the identical
+        # round-15 terms is exact and partition-order-free, so the
+        # per-j results are bit-identical to the unrolled form.
+        wrows = (
+            scored.select("dot", F.posexplode("v").alias("j", "xj"))
+            .groupBy("j")
+            .agg(
                 F.sum(
                     F.expr(
-                        f"CAST(round(dot * CAST(v[{j}] AS DOUBLE), 15) "
+                        "CAST(round(dot * CAST(xj AS DOUBLE), 15) "
                         "AS DECIMAL(38,15))"
                     )
-                ).alias(f"w{j}")
-                for j in range(dim)
-            ]
-        ).first()
-        if wrow[0] is None:  # empty corpus after filters
+                ).alias("w")
+            )
+            .collect()
+        )
+        if not wrows:  # empty corpus after filters
+            break
+        wmap = {r["j"]: r["w"] for r in wrows}
+        wrow = {f"w{j}": wmap[j] for j in range(dim)}
+        if wrow["w0"] is None:
             break
         # Normalize through SQL on LITERALS, one tiny 1-row query per
         # step: embedding the 64-term norm sum inside every one of the
