@@ -1443,9 +1443,19 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     # DSL's COUNT over group ["?o"]), and the == 1 / > 1 filters and
     # the final per-supplier count are the same operations on the same
     # multisets — oracle-verified identical.
-    pairs_df = eng.implement(
-        late_pairs("?s", "?ln"), ["o", "s", "ln"]
-    ).localCheckpoint(eager=False)
+    # NO checkpoint (r12 follow-up): materializing the pair table wins
+    # at sf0.1 (job count) but LOSES ~30% at sf1 — the ExistingRDD
+    # comes back with UnknownPartitioning, so every downstream o-keyed
+    # join re-shuffles what the aggregate had already partitioned.
+    # Referencing the ONE pairs_df twice is enough: the subtrees are
+    # canonically IDENTICAL now (the r11 problem was the DSL's
+    # α-renamed twin trees, which defeat canonicalization), so AQE's
+    # runtime exchange reuse deduplicates the shared
+    # scan+join+aggregate chain — the static plan still prints both
+    # chains (plans/r12/tpch_q21_after.txt), but measured cost matches
+    # one chain: sf0.1 noop 3.39 (r11) / 2.4 (checkpointed) / 1.9
+    # (this form); sf1 noop 8.0 / 10.4 / 7.6.
+    pairs_df = eng.implement(late_pairs("?s", "?ln"), ["o", "s", "ln"])
     n_late_df = (
         pairs_df.groupBy("o")
         .agg(F.count(F.lit(1)).alias("__nlate"))

@@ -449,13 +449,19 @@ def dsir_weights(
     discipline) so dsir_logw is order-independent.
     """
 
-    # Materialize the raw feature table once: it feeds BOTH the raw
-    # bucket model and the final scoring join, and without the
-    # checkpoint each consumer replays the full explode+hash lineage
-    # (the simhash/embedding-neardup materialize-once discipline).
-    feats = dsir_features(docs, n_buckets, n, text_col).localCheckpoint(
+    # Materialize the raw features once — but as the DOC-scale bucket
+    # ARRAY table, not the exploded (doc_id, bucket) rows (r12): the
+    # md5+mod hashing runs once either way, while the checkpoint
+    # writes one compact row per document instead of one row per
+    # feature; the two consumers (raw bucket model, scoring join)
+    # re-explode the arrays map-side, which is far cheaper than
+    # materializing the corpus-token-scale explode was (the
+    # simhash/embedding-neardup materialize-once discipline, sharpened
+    # by the cdc_chunks row-local lesson).
+    arr = dsir_feature_arrays(docs, n_buckets, n, text_col).localCheckpoint(
         eager=False
     )
+    feats = arr.select("doc_id", F.explode("barr").alias("bucket"))
     tgt_feats = dsir_features(target, n_buckets, n, text_col)
     raw_b = feats.groupBy("bucket").agg(F.count(F.lit(1)).alias("cr"))
     tgt_b = tgt_feats.groupBy("bucket").agg(F.count(F.lit(1)).alias("ct"))
@@ -483,6 +489,38 @@ def dsir_features(
             % n_buckets
         ).alias("bucket"),
     )
+
+
+def dsir_feature_arrays(
+    docs: DataFrame, n_buckets: int, n: int = 2, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, barr array<bigint>): the same features as
+    :func:`dsir_features` kept ROW-LOCAL — one array element per
+    distinct n-gram (bucket values may repeat when distinct shingles
+    collide mod n_buckets, exactly like the exploded rows), hashed by
+    the identical md5 expression. Exploding this table yields
+    dsir_features verbatim."""
+
+    from declarative_dataflow_spark.operators.dedup import spread_input
+
+    words = F.split(F.lower(F.col(text_col)), " ")
+    base = spread_input(docs).select("doc_id", words.alias("w")).filter(
+        F.size("w") >= n
+    )
+    if n == 1:
+        sh_expr = "w"
+    else:
+        parts = " , ".join(f"w[i + {j}]" for j in range(n))
+        sh_expr = (
+            f"transform(sequence(0, size(w) - {n}), "
+            f"i -> concat_ws('_', {parts}))"
+        )
+    barr = F.expr(
+        f"transform(array_distinct({sh_expr}), s -> "
+        "CAST(conv(substring(md5(concat('dsir_', s)), 1, 8), 16, 10) "
+        f"AS BIGINT) % {n_buckets})"
+    )
+    return base.select("doc_id", barr.alias("barr"))
 
 
 def dsir_model(

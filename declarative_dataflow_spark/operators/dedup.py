@@ -112,23 +112,49 @@ def jaccard_pairs(
     candidates only.
     """
 
-    # NOTE (r12): materializing the shingle table here (localCheckpoint
-    # before its five consumers) was measured a WASH at the 10x bench
-    # scale (33s vs 31s) — the wall is the candidate join +
-    # intersection counting, not the explode recompute — so the frame
-    # stays lazy and column-pruned per consumer.
-    sh = shingles(docs, n, text_col)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    # r12 shape: the per-document DISTINCT shingle set lives as a
+    # row-local ARRAY (the hashed_shingle_sets discipline, here over
+    # raw strings because the oracle pins string-set Jaccard), so
+    # |d| is size(ss) carried THROUGH the explode — the r9 form
+    # re-derived it with a doc_id-keyed count aggregation and joined
+    # it back onto the verified pairs TWICE. Verification stays the
+    # exploded cand ⋈ shingles ⋈ shingles join + count: an
+    # array_intersect-per-candidate variant was measured WORSE in the
+    # degenerate unigram regime (ngram_jaccard at the 10x bench scale:
+    # noop 137s -> 201s) because ~quadratic candidate pairs each ship
+    # two ~|d|-element string arrays through two joins, while the
+    # exploded join's intermediate collapses map-side into the (a, b)
+    # partial aggregate before anything shuffles.
+    words = F.split(F.lower(F.col(text_col)), " ")
+    base = spread_input(docs).select("doc_id", words.alias("w")).filter(
+        F.size("w") >= n
+    )
+    if n == 1:
+        sh_arr = F.array_distinct(F.col("w"))
+    else:
+        parts = " , ".join(f"w[i + {j}]" for j in range(n))
+        sh_arr = F.array_distinct(
+            F.expr(
+                f"transform(sequence(0, size(w) - {n}), "
+                f"i -> concat_ws('_', {parts}))"
+            )
+        )
+    ss = base.select("doc_id", sh_arr.alias("ss"))
     if prefix_filter:
         from pyspark.sql.window import Window
 
+        # Feeds the frequency count, the prefix explode, and both
+        # verify sides — materialize once (the minhash discipline).
+        ss = ss.localCheckpoint(eager=False)
+        sh = ss.select(
+            "doc_id", F.size("ss").alias("sz"), F.explode("ss").alias("shingle")
+        )
         freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
         w = Window.partitionBy("doc_id").orderBy(
             F.col("__df").asc(), F.col("shingle").asc()
         )
         pref = (
             sh.join(freq, "shingle")
-            .join(sizes, "doc_id")
             .withColumn("__rn", F.row_number().over(w))
             # ceil over an epsilon-slack product: double arithmetic can
             # round an exactly-integral t*|d| UP (0.07*100 ->
@@ -153,37 +179,43 @@ def jaccard_pairs(
             .select("a", "b")
             .distinct()
         )
-        fa = sh.toDF("a", "shingle")
-        fb = sh.toDF("b", "shingle")
-        # work proportional to candidates' shingles, not corpus^2
+        fa = sh.toDF("a", "sz_a", "shingle")
+        fb = sh.toDF("b", "sz_b", "shingle")
+        # work proportional to candidates' shingles, not corpus^2; the
+        # set sizes ride the exploded rows (constant per group) and
+        # collapse in the same partial aggregate — no join-back.
         inter = (
             cand.join(fa, "a")
             .join(fb, ["b", "shingle"])
             .groupBy("a", "b")
-            .agg(F.count(F.lit(1)).alias("i"))
+            .agg(
+                F.count(F.lit(1)).alias("i"),
+                F.first("sz_a").alias("sz_a"),
+                F.first("sz_b").alias("sz_b"),
+            )
         )
     else:
-        a = sh.toDF("a", "shingle")
-        b = sh.toDF("b", "shingle")
+        sh = ss.select(
+            "doc_id", F.size("ss").alias("sz"), F.explode("ss").alias("shingle")
+        )
+        a = sh.toDF("a", "sz_a", "shingle")
+        b = sh.toDF("b", "sz_b", "shingle")
         inter = (
             a.join(b, "shingle")
             .filter(F.col("a") < F.col("b"))
             .groupBy("a", "b")
-            .agg(F.count(F.lit(1)).alias("i"))
+            .agg(
+                F.count(F.lit(1)).alias("i"),
+                F.first("sz_a").alias("sz_a"),
+                F.first("sz_b").alias("sz_b"),
+            )
         )
-    sz_a = sizes.toDF("a", "sz_a")
-    sz_b = sizes.toDF("b", "sz_b")
-    jac = (
-        inter.join(sz_a, "a")
-        .join(sz_b, "b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("i") / (F.col("sz_a") + F.col("sz_b") - F.col("i")), 4
-            ),
-        )
-        .filter(F.col("jaccard") >= threshold)
-    )
+    jac = inter.withColumn(
+        "jaccard",
+        F.round(
+            F.col("i") / (F.col("sz_a") + F.col("sz_b") - F.col("i")), 4
+        ),
+    ).filter(F.col("jaccard") >= threshold)
     return jac.select("a", "b", "jaccard")
 
 
@@ -497,11 +529,14 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=False)
     )
+    # Lazy (r12, the scc defer discipline): the vertex table is
+    # consumed only by round 1's hop chain — its materialization folds
+    # into that round's job instead of launching its own.
     labels = (
         sym.select(F.col("u").alias("id"))
         .distinct()
         .select("id", F.col("id").alias("component"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     ctype = dict(labels.dtypes)["component"]
     for _ in range(max_iters):
@@ -531,7 +566,13 @@ def connected_components(
                 F.min("component").alias("component"),
                 F.min("__old").alias("__old"),
             )
-            .localCheckpoint(eager=True)
+            # Lazy (r12): the convergence probe right below is the
+            # first consumer, so the round's materialization runs
+            # inside the probe's job rather than as a separate eager
+            # checkpoint job — one fewer job launch per round. On the
+            # final round the probe scans every partition (it finds no
+            # improved row), fully materializing the result table.
+            .localCheckpoint(eager=False)
         )
         changed = (
             new.filter(F.col("component") < F.col("__old")).limit(1).count()
@@ -552,10 +593,14 @@ def connected_components(
         # The join key is skewed toward component roots, but each hot
         # key matches exactly ONE right row (the root's own label) —
         # the AQE skew-join splits the fat side cleanly at scale.
+        # Lazy (r12, the scc defer discipline): the jump reads only the
+        # already-materialized round table; deferring its own
+        # materialization into the next round's probe job removes one
+        # job launch per non-final round without re-computation.
         labels = (
             labels.join(labels.toDF("component", "__c2"), "component")
             .select("id", F.col("__c2").alias("component"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     else:
         if strict:
@@ -618,35 +663,31 @@ def dedup_keep_best(
 
     Same candidate discipline as dedup_groups (banded MinHash-LSH
     pairs -> hash-min connected components); the only extra work is
-    one row_number window PARTITIONED BY component (cluster-sized
+    ONE first_value window PARTITIONED BY component (cluster-sized
     partitions — bounded by the largest duplicate cluster, never a
-    global sort) and one component-keyed join to map members to their
-    cluster's best. Singletons are their own canonical.
+    global sort): the head of each partition under (quality desc,
+    doc_id asc) IS the cluster's best, so every member reads its
+    canonical off the same window — no rn=1 filter and no
+    component-keyed join-back (the r9 form shuffled the membership
+    table twice more for exactly that). Singletons are their own
+    canonical.
     """
 
     pairs = minhash_lsh_pairs(docs, k, bands, n, threshold, text_col)
     comp = connected_components(pairs, "a", "b")
-    memb = (
-        docs.select("doc_id", quality_col)
-        .join(comp.withColumnRenamed("id", "doc_id"), "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce(F.col("component"), F.col("doc_id")).alias(
-                "component"
-            ),
-            quality_col,
-        )
-        .localCheckpoint(eager=False)  # feeds the window and the join
+    memb = docs.select("doc_id", quality_col).join(
+        comp.withColumnRenamed("id", "doc_id"), "doc_id", "left"
+    ).select(
+        "doc_id",
+        F.coalesce(F.col("component"), F.col("doc_id")).alias("component"),
+        quality_col,
     )
     w = Window.partitionBy("component").orderBy(
         F.desc(quality_col), F.asc("doc_id")
     )
-    best = (
-        memb.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("component", F.col("doc_id").alias("canonical"))
+    return memb.select(
+        "doc_id", F.first("doc_id").over(w).alias("canonical")
     )
-    return memb.join(best, "component").select("doc_id", "canonical")
 
 
 def fuzzy_match_groups(
@@ -1082,9 +1123,15 @@ def minhash_est_error(
     target = docs.sparkSession.sparkContext.defaultParallelism
     if docs.rdd.getNumPartitions() < target:
         docs = docs.repartition(target)
-    sets = hashed_shingle_sets(docs, n, text_col).localCheckpoint(eager=False)
-    sig = sets.select("doc_id", _sig_array(k).alias("sig")).localCheckpoint(
-        eager=False
+    # ONE materialized side table carrying both the signature and the
+    # hashed set (r12): the r9 form checkpointed sets and sig
+    # separately and joined candidates to each — four id-keyed joins
+    # of the pair table. Candidates now join this table once per side,
+    # reading est and exact Jaccard from the same row.
+    sig = (
+        hashed_shingle_sets(docs, n, text_col)
+        .select("doc_id", "hs", _sig_array(k).alias("sig"))
+        .localCheckpoint(eager=False)
     )
     banded = sig.select(
         "doc_id",
@@ -1108,8 +1155,16 @@ def minhash_est_error(
         .select("a", "b")
         .dropDuplicates(["a", "b"])
     )
-    sa = sig.select(F.col("doc_id").alias("a"), F.col("sig").alias("sa"))
-    sb = sig.select(F.col("doc_id").alias("b"), F.col("sig").alias("sb"))
+    sa = sig.select(
+        F.col("doc_id").alias("a"),
+        F.col("sig").alias("sa"),
+        F.col("hs").alias("ha"),
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("b"),
+        F.col("sig").alias("sb"),
+        F.col("hs").alias("hb"),
+    )
     exact_band = F.expr(
         " OR ".join(
             f"(slice(sa, {bi * rows + 1}, {rows}) = "
@@ -1124,14 +1179,10 @@ def minhash_est_error(
         )
         / F.lit(float(k))
     )
-    ha = sets.select(F.col("doc_id").alias("a"), F.col("hs").alias("ha"))
-    hb = sets.select(F.col("doc_id").alias("b"), F.col("hs").alias("hb"))
     out = (
         candidates.join(sa, "a")
         .join(sb, "b")
         .filter(exact_band)
-        .join(ha, "a")
-        .join(hb, "b")
         .select(
             "a",
             "b",
@@ -1243,57 +1294,57 @@ def cdc_chunks(
     granularity between exact-document (md5) and substring
     (dup_spans), and the form storage-level dedup actually deploys.
 
-    Shape: the boundary flags and token positions are computed
-    ROW-LOCALLY (one transform over the token array — no explode
-    before the flags exist); the running boundary count that assigns
-    chunk ids is a DOC-partitioned window over the exploded tokens
-    (per-document partitions, the dup_spans discipline — bounded by
-    document length, never corpus-global); the chunk hash is one md5
-    over the position-ordered token join, and the corpus-wide n_docs
-    is one uniform hash-keyed aggregation + one hash-keyed join.
-    Every shuffle keys on doc_id or chunk_hash — linear at any corpus
-    size."""
+    Shape (r12): the ENTIRE chunking is row-local — boundary
+    positions, chunk slicing, token counts, and chunk hashes are all
+    array expressions over the document's own token array, and only
+    the finished (doc_id, chunk_id, n_tokens, chunk_hash) rows ever
+    explode. The r10 form exploded every TOKEN, ran a doc-partitioned
+    running-sum window (one doc_id exchange + sort) and re-assembled
+    chunks with a collect_list aggregate (a second exchange); a
+    chunk's id is just its index among the boundary-delimited slices,
+    so both corpus-token-sized shuffles were computing something the
+    row already knew. What remains is exactly the irreducible part:
+    one uniform chunk_hash aggregation + one chunk_hash-keyed join
+    for the corpus-wide n_docs — linear at any corpus size."""
 
     words = F.split(F.lower(F.col(text_col)), " ")
     base = spread_input(docs).select("doc_id", words.alias("w")).filter(
         F.size("w") >= 1
     )
-    # b[i] = 1 iff a boundary falls BEFORE token i (i >= 1, when the
-    # bigram (w[i-1], w[i]) hashes to 0 mod divisor); b[0] = 0. The
-    # chunk id of token i is then sum(b[0..i]) — a running count the
-    # window below computes after the explode.
-    toks = base.select(
+    # bp = ascending 0-based positions i (i >= 1) where a boundary
+    # falls BEFORE token i: the bigram (w[i-1], w[i]) hashes to
+    # 0 mod divisor. Chunk ci then spans tokens
+    # [bp[ci-1], bp[ci]) with bp[-1] := 0 and bp[size] := size(w) —
+    # identical to the running sum of boundary flags the r10 window
+    # computed, because that sum increments exactly at each bp entry.
+    # (sequence(0, ...) not sequence(1, ...): a 1-token doc would make
+    # the latter a DESCENDING [1, 0] sequence.)
+    withbp = base.select(
         "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(0, size(w) - 1), i -> struct("
-                "i AS pos, w[i] AS tok, CASE WHEN i >= 1 AND "
-                "CAST(conv(substring(md5(concat_ws('_', w[i-1], w[i])), "
-                f"1, 8), 16, 10) AS BIGINT) % {divisor} = 0 "
-                "THEN 1 ELSE 0 END AS b))"
-            )
-        ).alias("t"),
-    ).select("doc_id", "t.pos", "t.tok", "t.b")
-    w_doc = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        "w",
+        F.expr(
+            "filter(sequence(0, size(w) - 1), i -> i >= 1 AND "
+            "CAST(conv(substring(md5(concat_ws('_', w[i-1], w[i])), "
+            f"1, 8), 16, 10) AS BIGINT) % {divisor} = 0)"
+        ).alias("bp"),
     )
-    assigned = toks.select(
-        "doc_id", "pos", "tok", F.sum("b").over(w_doc).alias("chunk_id")
+    chunk_structs = F.expr(
+        "transform(sequence(0, size(bp)), ci -> named_struct("
+        "'chunk_id', CAST(ci AS BIGINT), "
+        "'toks', slice(w, IF(ci = 0, 1, bp[ci - 1] + 1), "
+        "IF(ci = size(bp), size(w), bp[ci]) "
+        "- IF(ci = 0, 0, bp[ci - 1]))))"
     )
-    chunks = assigned.groupBy("doc_id", "chunk_id").agg(
-        F.count(F.lit(1)).alias("n_tokens"),
-        F.md5(
-            F.concat_ws(
-                " ",
-                F.expr(
-                    "transform(sort_array(collect_list(struct(pos, tok)))"
-                    ", s -> s.tok)"
-                ),
-            )
-        ).alias("chunk_hash"),
-    ).localCheckpoint(eager=False)  # feeds the sharing count AND the join
+    chunks = (
+        withbp.select("doc_id", F.explode(chunk_structs).alias("c"))
+        .select(
+            "doc_id",
+            F.col("c.chunk_id").alias("chunk_id"),
+            F.size("c.toks").cast("bigint").alias("n_tokens"),
+            F.md5(F.concat_ws(" ", F.col("c.toks"))).alias("chunk_hash"),
+        )
+        .localCheckpoint(eager=False)  # feeds the sharing count AND the join
+    )
     shared = chunks.groupBy("chunk_hash").agg(
         F.countDistinct("doc_id").alias("n_docs")
     )

@@ -326,16 +326,23 @@ def mmr_rerank(
 
     Scale shape: candidates come from :func:`..similarity.cosine_topk`
     (probe-bounded, the engine ladder + tie discipline), so EVERY
-    table the greedy loop touches is |queries| × depth or smaller —
-    the candidate pair-sim table (|q|·depth² rows, computed ONCE and
-    checkpointed) and k per-step argmax windows partitioned by q over
-    ≤ depth rows. The k-step loop is driver-orchestrated but never
-    driver-evaluated; nothing corpus-sized moves after the candidate
-    pass. Determinism: rel and pair sims round to 4 (cosine_topk's
-    contract), λ = 0.5 makes λ·x exact halving, scores round to 6,
-    ties break (score desc, neighbor asc)."""
+    table after the candidate pass is |queries| × depth or smaller —
+    the candidate pair-sim table is |q|·depth² rows. Both are
+    PROBE-BOUNDED, so (r12) they collect to the driver and the k-step
+    greedy argmax runs THERE, like the Lloyd centroid loop and the
+    BPE merge argmax: the r10 form orchestrated k rounds of
+    anti-join + max-aggregate + argmax window + union over these tiny
+    tables — ~5 Spark jobs per step of pure scheduling latency at any
+    scale, with nothing corpus-sized ever in them. The corpus-scale
+    work (cosine_topk's scan, the candidate-vector pair-sim join)
+    stays distributed, and the pair sims are computed by the SAME
+    Spark expressions as before (identical fold order → identical
+    doubles). Determinism: rel and pair sims round to 4 (cosine_topk's
+    contract), selection compares the UNROUNDED score (ties score
+    desc, neighbor asc), reported scores round to 6 via the exact
+    shortest-repr HALF_UP Spark's round() applies to doubles."""
 
-    from pyspark.sql.window import Window
+    from decimal import ROUND_HALF_UP, Decimal
 
     from .similarity import cosine_topk, _dot, _norm
 
@@ -368,58 +375,61 @@ def mmr_rerank(
                 4,
             ).alias("psim"),
         )
-        .localCheckpoint(eager=False)
     )
 
-    w_q = Window.partitionBy("q")
+    cand_rows = cand.collect()
+    psim_map: dict = {}
+    for r in pair_sims.collect():
+        psim_map[(r["q"], r["a"], r["b"])] = r["psim"]
 
-    def argmax(
-        scored: DataFrame, step: int, order_col: str = "score"
-    ) -> DataFrame:
-        w = w_q.orderBy(F.desc(order_col), F.asc("neighbor"))
-        return (
-            scored.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .select(
-                "q",
-                "neighbor",
-                F.lit(step).alias("step"),
-                F.round(F.col("score"), 6).alias("score"),
-            )
+    def _round6(v: float) -> float:
+        # Spark's round(double, 6): BigDecimal.valueOf (shortest
+        # decimal repr, same algorithm as Python's repr) + HALF_UP.
+        return float(
+            Decimal(repr(v)).quantize(Decimal("1e-6"), rounding=ROUND_HALF_UP)
         )
 
-    lam_c = F.lit(lam)
-    # Step 1 picks by RELEVANCE itself, not λ·rel: they order the same
-    # for λ > 0, but at λ = 0 every λ·rel is 0 and the pick would
-    # silently degenerate to the lowest neighbor id. The reported
-    # score stays λ·rel (the MMR objective with an empty selected set).
-    selected = argmax(
-        cand.select(
-            "q", "neighbor", "rel", (lam_c * F.col("rel")).alias("score")
-        ),
-        1,
-        order_col="rel",
-    ).localCheckpoint(eager=False)
-    out = selected
-    for step in range(2, k + 1):
-        remaining = cand.join(
-            out.select("q", "neighbor"), ["q", "neighbor"], "left_anti"
-        )
-        msim = (
-            pair_sims.join(
-                out.select("q", F.col("neighbor").alias("b")), ["q", "b"]
-            )
-            .groupBy("q", F.col("a").alias("neighbor"))
-            .agg(F.max("psim").alias("msim"))
-        )
-        scored = remaining.join(msim, ["q", "neighbor"], "left").select(
-            "q",
-            "neighbor",
-            (
-                lam_c * F.col("rel")
-                - (F.lit(1.0) - lam_c)
-                * F.coalesce(F.col("msim"), F.lit(0.0))
-            ).alias("score"),
-        )
-        out = out.union(argmax(scored, step)).localCheckpoint(eager=False)
-    return out.select("q", "neighbor", "step", "score")
+    by_q: dict = {}
+    for r in cand_rows:
+        by_q.setdefault(r["q"], []).append((r["neighbor"], r["rel"]))
+    out_rows = []
+    for q in sorted(by_q):
+        remaining = dict(by_q[q])
+        selected: list = []
+        # Step 1 picks by RELEVANCE itself, not λ·rel: they order the
+        # same for λ > 0, but at λ = 0 every λ·rel is 0 and the pick
+        # would silently degenerate to the lowest neighbor id. The
+        # reported score stays λ·rel (the MMR objective with an empty
+        # selected set).
+        if not remaining:
+            continue
+        first = min(remaining.items(), key=lambda nr: (-nr[1], nr[0]))
+        out_rows.append((q, first[0], 1, _round6(lam * first[1])))
+        selected.append(first[0])
+        del remaining[first[0]]
+        for step in range(2, k + 1):
+            if not remaining:
+                break
+            best = None
+            for nb, rel in remaining.items():
+                msims = [
+                    psim_map[(q, nb, s)]
+                    for s in selected
+                    if (q, nb, s) in psim_map
+                    and psim_map[(q, nb, s)] is not None
+                ]
+                msim = max(msims) if msims else 0.0
+                score = lam * rel - (1.0 - lam) * msim
+                key = (-score, nb)
+                if best is None or key < best[0]:
+                    best = (key, nb, score)
+            out_rows.append((q, best[1], step, _round6(best[2])))
+            selected.append(best[1])
+            del remaining[best[1]]
+
+    fields = {f.name: f.dataType.simpleString() for f in cand.schema.fields}
+    schema = (
+        f"q {fields['q']}, neighbor {fields['neighbor']}, "
+        "step int, score double"
+    )
+    return embeddings.sparkSession.createDataFrame(out_rows, schema)

@@ -1095,13 +1095,29 @@ def lsh_topk(
 
     if planes == "auto":
         planes = density_planes(embeddings.count(), target_bucket)
-    sig = hyperplane_signature(embeddings, planes, id_col, vec_col, dim=dim)
-    emb = embeddings.join(sig, embeddings[id_col] == sig["vec_id"]).select(
-        embeddings[id_col].alias("id"),
+    if dim is None:
+        dim_row = embeddings.select(F.size(F.col(vec_col)).alias("d")).first()
+        dim = dim_row["d"] if dim_row else 0
+    # Bucket attached INLINE on the vector rows (the embedding_neardup
+    # keep-vec discipline, r12): the r5 form computed the signature
+    # table separately and equi-joined it back on id — a corpus-wide
+    # exchange pair moving the vectors just to re-attach a value that
+    # was computed FROM those same rows. Materialized once: the query
+    # side and the corpus side both read it, and the planes x dim
+    # interpreted bucket fold re-run per consumer costs more than the
+    # pass itself.
+    base = embeddings.select(
+        F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         _norm(vec_col).alias("nrm"),
-        "bucket",
     )
+    if planes <= 0 or dim <= 0:
+        emb = base.withColumn("bucket", F.lit(0))
+    else:
+        emb = _with_bucket(base, planes, dim, "v").select(
+            "id", "v", "nrm", "bucket"
+        )
+    emb = emb.localCheckpoint(eager=False)
     q = emb.filter(F.col("id").isin(query_ids)).select(
         F.col("id").alias("q"),
         F.col("v").alias("qv"),

@@ -436,19 +436,39 @@ def bpe_merges(
         )
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .select(
-            F.concat(
-                F.lit("  "),
-                F.array_join(
-                    F.regexp_extract_all(F.col("word"), F.lit("(?s)."), 0),
-                    "  ",
-                ),
-                F.lit("  "),
-            ).alias("seq"),
-            "cnt",
-        )
+        .select(_spell_seq("word").alias("seq"), "cnt")
     )
-    spark = docs.sparkSession
+    merges, _ = _bpe_train(words, n_merges)
+    return docs.sparkSession.createDataFrame(
+        merges, "rk INT, left STRING, right STRING, merged STRING, n BIGINT"
+    )
+
+
+def _spell_seq(word_col: str) -> Column:
+    """word -> its double-space-delimited symbol spelling
+    ``"  c1  c2  ...  "`` (the BPE working representation)."""
+
+    return F.concat(
+        F.lit("  "),
+        F.array_join(
+            F.regexp_extract_all(F.col(word_col), F.lit("(?s)."), 0),
+            "  ",
+        ),
+        F.lit("  "),
+    )
+
+
+def _bpe_train(
+    words: DataFrame, n_merges: int
+) -> tuple[list[tuple[int, str, str, str, int]], DataFrame]:
+    """The BPE merge-learning loop over a ``(seq, cnt, ...)`` symbol
+    table: ``n_merges`` rounds of pair explode + uniform count + a
+    single-row argmax collect, each followed by the map-only fuse.
+    Returns (merge list, the FINAL fused table) — passthrough columns
+    (e.g. the original ``word``) survive every round, so a caller that
+    needs the post-merge spelling per word reads it off the final
+    state instead of re-applying the merge chain (bpe_encode, r12)."""
+
     merges: list[tuple[int, str, str, str, int]] = []
     for rk in range(1, n_merges + 1):
         syms = F.split(F.trim(F.col("seq")), "  ")
@@ -472,17 +492,15 @@ def bpe_merges(
             break
         row = best[0]
         merges.append((rk, row["l"], row["r"], row["l"] + row["r"], row["n"]))
-        words = words.select(
+        words = words.withColumn(
+            "seq",
             F.replace(
                 F.col("seq"),
                 F.lit(f" {row['l']}  {row['r']} "),
                 F.lit(f" {row['l']}{row['r']} "),
-            ).alias("seq"),
-            "cnt",
+            ),
         ).localCheckpoint(eager=False)
-    return spark.createDataFrame(
-        merges, "rk INT, left STRING, right STRING, merged STRING, n BIGINT"
-    )
+    return merges, words
 
 
 def bpe_encode(
@@ -494,48 +512,36 @@ def bpe_encode(
     number an LLM data pipeline budgets against. Returns
     (doc_id, n_words, n_tokens).
 
-    Scale shape: merges apply to the DISTINCT-word table only
-    (vocabulary-sized), as a chain of ``n_merges`` static map-only
-    replaces over the double-space-delimited symbol string (same
-    semantics as training — greedy left-to-right, exact BPE). The
-    corpus-sized work is one (doc_id, word) aggregation and one
-    word-keyed join of per-doc word counts against the
-    vocabulary-sized symbol-count table; AQE handles stopword skew.
-    The only driver traffic is training's n_merges one-row argmax
-    collects.
+    Scale shape (r12): ONE corpus tokenize feeds everything. The
+    per-doc (doc_id, word) count table is materialized once; the
+    TRAINING word-count table is its vocabulary-sized re-aggregation
+    (the r6 form ran bpe_merges(docs) separately — a second corpus
+    explode + corpus-wide word shuffle), and the ``word`` column rides
+    THROUGH the merge loop so the final training state already holds
+    every word's post-merge spelling — no separate distinct-word table
+    and no second application of the merge chain. The corpus-sized
+    work left is the (doc_id, word) aggregation and one word-keyed
+    join against the vocabulary-sized symbol table; AQE handles
+    stopword skew. The only driver traffic is training's n_merges
+    one-row argmax collects.
     """
 
-    learned = bpe_merges(docs, n_merges, text_col).collect()
     toks = docs.select(
         "doc_id",
         F.explode(
             F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
         ).alias("word"),
     )
-    per_doc = toks.groupBy("doc_id", "word").agg(
-        F.count(F.lit(1)).alias("c")
+    per_doc = (
+        toks.groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)  # feeds training AND the join
     )
-    words = per_doc.select("word").distinct().select(
-        "word",
-        F.concat(
-            F.lit("  "),
-            F.array_join(
-                F.regexp_extract_all(F.col("word"), F.lit("(?s)."), 0),
-                "  ",
-            ),
-            F.lit("  "),
-        ).alias("seq"),
+    words = per_doc.groupBy("word").agg(F.sum("c").alias("cnt")).select(
+        "word", _spell_seq("word").alias("seq"), "cnt"
     )
-    for m in learned:
-        words = words.withColumn(
-            "seq",
-            F.replace(
-                F.col("seq"),
-                F.lit(f" {m['left']}  {m['right']} "),
-                F.lit(f" {m['left']}{m['right']} "),
-            ),
-        )
-    n_sym = words.select(
+    _, fused = _bpe_train(words, n_merges)
+    n_sym = fused.select(
         "word",
         F.size(F.split(F.trim(F.col("seq")), "  ")).alias("n_sym"),
     )
