@@ -1105,59 +1105,65 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q7-shaped bilateral shipping volume through the PLAN DSL:
-    the (supp=N1 ∧ cust=N2) ∨ (supp=N2 ∧ cust=N1) disjunction is a
-    Union of two conjunctive 5-join branches (the q19 discipline —
-    each branch pushes its nation literal into the nation scan, so
-    both sides of every join arrive pre-filtered), ship years ride as
+    the (supp=N1 ∧ cust=N2) ∨ (supp=N2 ∧ cust=N1) disjunction as ONE
+    5-join chain (r12): each nation dim is the 2-row Union of the two
+    filtered nation scans, and a VAR-VAR NEQ Filter (?sn != ?cn)
+    excludes the same-nation combinations — set-identical to the r8
+    two-branch Union on ANY input (the branches were exactly the
+    sn,cn ∈ {N1,N2}², sn≠cn rows, and the top-level Union wrapper
+    keeps the reference's distinct semantics) while scanning lineitem
+    / orders / customer / supplier ONCE instead of per branch — the
+    r8 form compiled the whole fact-side chain twice (guide §2.4; at
+    100 TB that is a full duplicate corpus pass). Ship years ride as
     year() scan expressions, revenue as the exact-decimal expression.
     Nation scans are 25-row dims: AQE broadcasts them."""
 
     eng = _engine(spark, sf_dir)
 
-    def branch(sn: str, cn: str) -> Join:
-        sup = Scan("supplier", {"s_suppkey": "?s", "s_nationkey": "?snk"})
-        nat_s = Filter(
-            ["?sn"],
-            Predicate.EQ,
-            Scan("nation", {"n_nationkey": "?snk", "n_name": "?sn"}),
-            {1: sn},
+    def nat_pair(nk_var: str, n_var: str) -> Union:
+        return Union(
+            [nk_var, n_var],
+            [
+                Filter(
+                    [n_var],
+                    Predicate.EQ,
+                    Scan("nation", {"n_nationkey": nk_var, "n_name": n_var}),
+                    {1: lit},
+                )
+                for lit in ("NATION_1", "NATION_2")
+            ],
         )
-        li = Filter(
-            ["?yr"],
-            Predicate.LTE,
-            Filter(
-                ["?yr"],
-                Predicate.GTE,
-                Scan(
-                    "lineitem",
-                    {
-                        "l_suppkey": "?s",
-                        "l_orderkey": "?o",
-                        _REV_SQL: "?rev",
-                        "year(l_shipdate)": "?yr",
-                        "l_linenumber": "?ln",
-                    },
-                ),
-                {1: 1996},
-            ),
-            {1: 1997},
-        )
-        ords = Scan("orders", {"o_orderkey": "?o", "o_custkey": "?c"})
-        cust = Scan("customer", {"c_custkey": "?c", "c_nationkey": "?cnk"})
-        nat_c = Filter(
-            ["?cn"],
-            Predicate.EQ,
-            Scan("nation", {"n_nationkey": "?cnk", "n_name": "?cn"}),
-            {1: cn},
-        )
-        j = Join(["?snk"], sup, nat_s)
-        j = Join(["?s"], j, li)
-        j = Join(["?o"], j, ords)
-        j = Join(["?c"], j, cust)
-        return Join(["?cnk"], j, nat_c)
 
-    b1 = branch("NATION_1", "NATION_2")
-    plan = Union(b1.variables(), [b1, branch("NATION_2", "NATION_1")])
+    sup = Scan("supplier", {"s_suppkey": "?s", "s_nationkey": "?snk"})
+    li = Filter(
+        ["?yr"],
+        Predicate.LTE,
+        Filter(
+            ["?yr"],
+            Predicate.GTE,
+            Scan(
+                "lineitem",
+                {
+                    "l_suppkey": "?s",
+                    "l_orderkey": "?o",
+                    _REV_SQL: "?rev",
+                    "year(l_shipdate)": "?yr",
+                    "l_linenumber": "?ln",
+                },
+            ),
+            {1: 1996},
+        ),
+        {1: 1997},
+    )
+    ords = Scan("orders", {"o_orderkey": "?o", "o_custkey": "?c"})
+    cust = Scan("customer", {"c_custkey": "?c", "c_nationkey": "?cnk"})
+    j = Join(["?snk"], sup, nat_pair("?snk", "?sn"))
+    j = Join(["?s"], j, li)
+    j = Join(["?o"], j, ords)
+    j = Join(["?c"], j, cust)
+    j = Join(["?cnk"], j, nat_pair("?cnk", "?cn"))
+    filt = Filter(["?sn", "?cn"], Predicate.NEQ, j)
+    plan = Union(filt.variables(), [filt])
     names = [v[1:] for v in plan.variables()]
     df = eng.implement(plan, names)
     return (

@@ -892,7 +892,8 @@ def simhash_neardup_pairs(
         # both sides of the self-join read this table, and without the
         # checkpoint each side re-runs the interpreted per-token
         # fingerprint fold — measured 3.5x wall at sf0.1 (8.5s -> 2.4s).
-        .localCheckpoint(eager=True)
+        # Lazy (r12): the self-join's first side materializes it.
+        .localCheckpoint(eager=False)
     )
     a = banded.toDF("a", "ha", "band", "key")
     b = banded.toDF("b", "hb", "band", "key")

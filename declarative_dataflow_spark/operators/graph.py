@@ -96,7 +96,9 @@ def shortest_hops(
             F.col("t").alias("y"),
             F.lit(1).alias("hops"),
         )
-        .localCheckpoint(eager=True)
+        # Lazy (r12, the scc defer discipline): round 1's merge job
+        # materializes it.
+        .localCheckpoint(eager=False)
     )
     delta = dist
     for _ in range(max_iters):
@@ -124,7 +126,9 @@ def shortest_hops(
                 F.min("hops").alias("hops"),
                 F.min("__old").alias("__old"),
             )
-            .localCheckpoint(eager=True)
+            # Lazy (r12): the emptiness probe below is the first
+            # consumer — materialization folds into its job.
+            .localCheckpoint(eager=False)
         )
         delta = merged.filter(
             F.col("__old").isNull() | (F.col("hops") < F.col("__old"))
@@ -168,7 +172,9 @@ def pagerank(
         e.select(F.col("s").alias("node"))
         .unionByName(e.select(F.col("t").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
+        # Lazy (r12): the count() right below materializes it in the
+        # same job instead of two.
+        .localCheckpoint(eager=False)
     )
     n = nodes.count()
     outdeg = e.groupBy(F.col("s").alias("node")).agg(
@@ -259,7 +265,9 @@ def shortest_paths(
         )
     dist = seed.select(
         F.col("s").alias("x"), F.col("t").alias("y"), F.col("w").alias("cost")
-    ).localCheckpoint(eager=True)
+    # Lazy (r12, the scc defer discipline): round 1's merge job
+    # materializes it.
+    ).localCheckpoint(eager=False)
     delta = dist
     step = max(1, step)
     max_step = step if max_step is None else max(step, max_step)
@@ -305,7 +313,9 @@ def shortest_paths(
                 F.min("cost").alias("cost"),
                 F.min("__old").alias("__old"),
             )
-            .localCheckpoint(eager=True)
+            # Lazy (r12): the convergence probe below is the first
+            # consumer — materialization folds into its job.
+            .localCheckpoint(eager=False)
         )
         delta = merged.filter(
             F.col("__old").isNull() | (F.col("cost") < F.col("__old"))
@@ -366,7 +376,8 @@ def kcore(
         .union(edges.select(F.col(dst).alias("src"), F.col(src).alias("dst")))
         .filter(F.col("src") != F.col("dst"))
         .distinct()
-        .localCheckpoint()
+        # Lazy (r12): round 1's degree aggregate materializes it.
+        .localCheckpoint(eager=False)
     )
     deg = None
     converged = False
@@ -390,7 +401,9 @@ def kcore(
             und.join(keep, "src")
             .join(keep.withColumnRenamed("src", "dst"), "dst")
             .select("src", "dst")
-            .localCheckpoint()
+            # Lazy (r12): the next round's degree aggregate is the
+            # first consumer.
+            .localCheckpoint(eager=False)
         )
     if require_convergence and not converged:
         raise RuntimeError(
@@ -471,13 +484,15 @@ def scc(
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint()
+        # Lazy (r12): the nodes distinct below is the first consumer.
+        .localCheckpoint(eager=False)
     )
     nodes = (
         E.select(F.col("a").alias("v"))
         .union(E.select(F.col("b").alias("v")))
         .distinct()
-        .localCheckpoint()
+        # Lazy (r12): the first trim round materializes it.
+        .localCheckpoint(eager=False)
     )
     spark = edges.sparkSession
     out_schema = "v long, scc long"
@@ -530,7 +545,9 @@ def scc(
                         F.min("__old").alias("__old"),
                     )
                 )
-            cur = work.localCheckpoint()
+            # Lazy (r12): the change probe on the next line is the
+            # first consumer — materialization folds into its job.
+            cur = work.localCheckpoint(eager=False)
             if cur.filter(F.col("c") < F.col("__old")).limit(1).isEmpty():
                 return cur.select("v", "c")
             cur = cur.select("v", "c")
@@ -576,7 +593,8 @@ def scc(
                     .join(cyc.withColumnRenamed("v", "b"), "b")
                     .select("a", "b")
                 )
-            new_nodes = nodes.join(cyc, "v").localCheckpoint()
+            # Lazy (r12): the trivial-set probe below materializes it.
+            new_nodes = nodes.join(cyc, "v").localCheckpoint(eager=False)
             trivial = nodes.join(new_nodes, "v", "left_anti")
             if trivial.limit(1).isEmpty():
                 break
@@ -929,7 +947,9 @@ def ktruss(
         cur = (
             sup.filter(F.col("support") >= t)
             .select(F.col("a").alias("src"), F.col("b").alias("dst"))
-            .localCheckpoint()
+            # Lazy (r12): next round's support computation is the
+            # first consumer.
+            .localCheckpoint(eager=False)
         )
     if require_convergence and not converged:
         raise RuntimeError(f"ktruss: no fixpoint within {max_iters} rounds")
@@ -1125,7 +1145,8 @@ def personalized_pagerank(
         e.select(F.col("s").alias("node"))
         .unionByName(e.select(F.col("t").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
+        # Lazy (r12): iteration 1's contribution join materializes it.
+        .localCheckpoint(eager=False)
     )
     outdeg = e.groupBy(F.col("s").alias("node")).agg(
         F.count(F.lit(1)).alias("deg")
@@ -1204,16 +1225,21 @@ def hits(
         e.select(F.col("s").alias("node"))
         .unionByName(e.select(F.col("t").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
+        # Lazy (r12): half-iteration 1's hub join materializes it.
+        .localCheckpoint(eager=False)
     )
     dec = "DECIMAL(18,6)"
     hub = nodes.select("node", F.expr(f"CAST(1 AS {dec})").alias("h"))
     auth = None
     for _ in range(max(1, iters)):
+        # Lazy checkpoint (r12): asum feeds BOTH the max broadcast
+        # and the normalization join — without it the edge⋈hub
+        # shuffle+aggregate computes twice per half-iteration.
         asum = (
             e.join(hub.withColumnRenamed("node", "s"), "s")
             .groupBy(F.col("t").alias("node"))
             .agg(F.sum("h").alias("a_raw"))
+            .localCheckpoint(eager=False)
         )
         amax = asum.agg(F.max("a_raw").alias("mx"))
         auth = (
@@ -1226,11 +1252,16 @@ def hits(
                     f"CAST(mx AS DOUBLE), 6) AS {dec})"
                 ).alias("a"),
             )
+            # Lazy (r12): consumed by hsum and (last iteration) the
+            # final projection — cache the node-scale table.
+            .localCheckpoint(eager=False)
         )
+        # Lazy (r12): same double-compute as asum.
         hsum = (
             e.join(auth.withColumnRenamed("node", "t"), "t")
             .groupBy(F.col("s").alias("node"))
             .agg(F.sum("a").alias("h_raw"))
+            .localCheckpoint(eager=False)
         )
         hmax = hsum.agg(F.max("h_raw").alias("mx"))
         hub = (

@@ -444,7 +444,8 @@ def embedding_neardup(
         # 20k x 64-dim vectors; the minhash/simhash discipline).
         base = _with_bucket(base, planes, dim, "v").select(
             "id", "v", "nrm", "bucket"
-        ).localCheckpoint(eager=True)
+        # Lazy (r12): the self-join's first side materializes it.
+        ).localCheckpoint(eager=False)
         left = base.toDF("a", "va", "na", "bucket")
         right = base.toDF("b", "vb", "nb", "bucket")
         pairs = left.join(right, "bucket").filter(F.col("a") < F.col("b"))
@@ -892,7 +893,7 @@ def ivf_centroids(
                 # scoring expansion fused with the means aggregate —
                 # measured ~12s of the ~20s Lloyd pass at n=20k, k=79
                 # (the assignment itself runs in ~2s).
-                assigned = assigned.localCheckpoint(eager=True).join(
+                assigned = assigned.localCheckpoint(eager=False).join(
                     embeddings.select(
                         F.col(id_col).alias("vec_id"),
                         F.col(vec_col).alias("v"),

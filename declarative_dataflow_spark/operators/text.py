@@ -334,21 +334,25 @@ def ngram_lm_score(
     from declarative_dataflow_spark.operators.dedup import spread_input
 
     docs = spread_input(docs)
-    toks = docs.select(
-        F.col("doc_id"),
-        F.explode(
-            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-        ).alias("w"),
+    # ONE tokenize feeds everything (r12, the dsir_feature_arrays
+    # lesson): the corpus scan + split/lower runs once and the
+    # materialized state is the DOC-scale token-array table, not the
+    # corpus-bigram-scale (doc_id, w, w2) rows the r11 form
+    # checkpointed. The unigram counts and both bigram consumers
+    # (model counts, scoring join) re-derive their explodes MAP-SIDE
+    # from the cached arrays — the shuffles downstream are identical.
+    warr = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    base = docs.select("doc_id", warr.alias("__w")).localCheckpoint(
+        eager=False
     )
+    toks = base.select(F.col("doc_id"), F.explode("__w").alias("w"))
     # Bigrams form ROW-LOCALLY (consecutive pairs of the token array)
     # — a (doc_id, pos) self-join would shuffle the whole token table
     # twice just to pair neighbors that already live in the same row.
     # The size >= 2 filter guards sequence(), which DESCENDS when its
     # stop is below its start (a 1-token doc must yield no bigrams).
-    warr = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     bigrams = (
-        docs.select("doc_id", warr.alias("__w"))
-        .filter(F.size("__w") >= 2)
+        base.filter(F.size("__w") >= 2)
         .select(
             "doc_id",
             F.explode(
@@ -359,9 +363,6 @@ def ngram_lm_score(
             ).alias("bg"),
         )
         .select("doc_id", "bg.w", "bg.w2")
-        # feeds BOTH the model counts and the scoring join — the
-        # materialize-once discipline.
-        .localCheckpoint(eager=False)
     )
     c2 = bigrams.groupBy("w", "w2").agg(F.count(F.lit(1)).alias("c2"))
     # c1 feeds BOTH the model join and the vocabulary size: |V| is by
@@ -664,22 +665,23 @@ def nb_quality_score(
             F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
         ).alias("term"),
     ).localCheckpoint(eager=False)
-    cls = labeled.agg(
-        F.sum(F.when(F.col("label"), 1).otherwise(0)).alias("d_pass"),
-        F.sum(F.when(F.col("label"), 0).otherwise(1)).alias("d_fail"),
-    )
+    # Per-term conditional counts feed BOTH the vocabulary size and
+    # the log-odds weights — materialize once. |V| is by definition
+    # the row count of this table (r12, the ngram_lm_score |V|
+    # discipline): deriving it here removes the countDistinct Expand
+    # pass over the corpus-token table the r11 form ran; the class
+    # token totals stay a plain single-pass aggregate of toks.
+    counts = toks.groupBy("term").agg(
+        F.sum(F.when(F.col("label"), 1).otherwise(0)).alias("cp"),
+        F.sum(F.when(F.col("label"), 0).otherwise(1)).alias("cf"),
+    ).localCheckpoint(eager=False)
+    vocab = counts.select(F.count(F.lit(1)).alias("v"))
     tot = toks.agg(
         F.sum(F.when(F.col("label"), 1).otherwise(0)).alias("n_pass"),
         F.sum(F.when(F.col("label"), 0).otherwise(1)).alias("n_fail"),
-        F.countDistinct("term").alias("v"),
-    )
+    ).crossJoin(F.broadcast(vocab))
     model = (
-        toks.groupBy("term")
-        .agg(
-            F.sum(F.when(F.col("label"), 1).otherwise(0)).alias("cp"),
-            F.sum(F.when(F.col("label"), 0).otherwise(1)).alias("cf"),
-        )
-        .crossJoin(F.broadcast(tot))
+        counts.crossJoin(F.broadcast(tot))
         .select(
             "term",
             F.round(
@@ -700,20 +702,30 @@ def nb_quality_score(
     prior = F.round(
         F.log((F.col("d_pass") + alpha) / (F.col("d_fail") + alpha)), 9
     )
-    return (
+    # The class priors derive from the per-doc aggregate instead of a
+    # separate corpus scan re-running the Gopher label fold (r12):
+    # every document lands in per_doc exactly once (tokenizing a
+    # non-null string yields >= 1 token, the model holds every term,
+    # and a doc has ONE label), so counting labels here is the same
+    # count the r11 labeled.agg() pass produced.
+    per_doc = (
         toks.join(model, "term")
         .groupBy("doc_id", "label")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
             F.sum("w").cast("double").alias("__s"),
         )
-        .crossJoin(F.broadcast(cls))
-        .select(
-            "doc_id",
-            "n_tokens",
-            "label",
-            F.round(F.col("__s") + prior, 6).alias("score"),
-        )
+        .localCheckpoint(eager=False)
+    )
+    cls = per_doc.agg(
+        F.sum(F.when(F.col("label"), 1).otherwise(0)).alias("d_pass"),
+        F.sum(F.when(F.col("label"), 0).otherwise(1)).alias("d_fail"),
+    )
+    return per_doc.crossJoin(F.broadcast(cls)).select(
+        "doc_id",
+        "n_tokens",
+        "label",
+        F.round(F.col("__s") + prior, 6).alias("score"),
     )
 
 

@@ -37,7 +37,6 @@ ALLOWLIST: dict[tuple[str, str], str] = {
     # One-row broadcasts: Spark lowers a one-row cross join to
     # BroadcastNestedLoopJoin; the "loop" side is a single row of
     # plane weights / corpus scalars — constant work per row.
-    ("ann_lsh", "BroadcastNestedLoopJoin"): "one-row plane-weights broadcast",
     ("ann_ivf", "BroadcastNestedLoopJoin"): "one-row query-vector broadcast",
     ("ann_recall", "BroadcastNestedLoopJoin"): (
         "probe broadcasts riding cosine_topk (exact side) and "
@@ -77,10 +76,6 @@ ALLOWLIST: dict[tuple[str, str], str] = {
     ("rfm", "BroadcastNestedLoopJoin"): (
         "one-row corpus-max-date broadcast onto the per-customer "
         "aggregate"
-    ),
-    ("hits", "BroadcastNestedLoopJoin"): (
-        "one-row max-score normalizer broadcast per half-iteration "
-        "(4 one-row joins at iters=2)"
     ),
     # Empty-partition rank windows that run over BOUNDED inputs: the
     # global sort they imply touches <= k (or <= 2*depth) rows that a
