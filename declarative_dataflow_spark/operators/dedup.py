@@ -523,6 +523,12 @@ def connected_components(
     reachability implies (the kcore convergence discipline).
     """
 
+    # Cache the input edges ONCE (r12): the symmetrization below
+    # references them in BOTH union branches, so without the boundary
+    # every caller's pair PIPELINE (banded MinHash verify, fuzzy
+    # deletion-variant join, ...) computes twice. Lazy — sym's round-1
+    # materialization pulls it in.
+    edges = edges.localCheckpoint(eager=False)
     sym = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
@@ -1070,9 +1076,14 @@ def fuzzy_match_pairs(
             ),
         )
     )
+    # Materialize ONCE (r12, the minhash/simhash discipline): both
+    # self-join sides read this table, and without the boundary the
+    # per-row deletion-variant explode + hash re-runs per side.
     keyed = base.select(
         "id", "s", F.explode(variants).alias("__v")
-    ).select("id", "s", F.xxhash64("__v").alias("__k"))
+    ).select("id", "s", F.xxhash64("__v").alias("__k")).localCheckpoint(
+        eager=False
+    )
     left = keyed.select(
         F.col("id").alias("a"), F.col("s").alias("__sa"), "__k"
     )

@@ -1123,11 +1123,14 @@ def collocations(
     from declarative_dataflow_spark.operators.dedup import spread_input
 
     docs = spread_input(docs)
+    # ONE tokenize feeds both explodes (r12, the ngram_lm_score
+    # base-array discipline): materialize the doc-scale token-array
+    # table; unigrams and bigrams re-derive map-side.
     warr = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-    toks = docs.select(F.explode(warr).alias("w"))
+    base = docs.select(warr.alias("__w")).localCheckpoint(eager=False)
+    toks = base.select(F.explode("__w").alias("w"))
     bigrams = (
-        docs.select(warr.alias("__w"))
-        .filter(F.size("__w") >= 2)
+        base.filter(F.size("__w") >= 2)
         .select(
             F.explode(
                 F.expr(
