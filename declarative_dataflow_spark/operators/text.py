@@ -1303,9 +1303,12 @@ def langid_eval(
         F.col(label_col).alias("true_lang"),
         lang_id_column(text_col).alias("pred_lang"),
     )
+    # Materialize once (r12): counts feeds BOTH the totals broadcast
+    # and the output join — without the boundary the regexp-heavy
+    # prediction pass runs corpus-wide twice.
     counts = preds.groupBy("true_lang", "pred_lang").agg(
         F.count(F.lit(1)).alias("n")
-    )
+    ).localCheckpoint(eager=False)
     totals = counts.groupBy("true_lang").agg(F.sum("n").alias("tot"))
     return counts.join(F.broadcast(totals), "true_lang").select(
         "true_lang",
