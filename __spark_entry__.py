@@ -644,13 +644,24 @@ def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         {1: hi},
     )
-    li = Scan(
-        "lineitem",
-        {
-            "l_orderkey": "?o",
-            _EPOCH_US_SQL.format(c="l_shipdate"): "?sd",
-            "l_linenumber": "?ln",
-        },
+    # r12 batch 10 (guide §2.2 shuffle fewer bytes): ?odp = ?od + 60d
+    # and ?od >= lo, so the lateness test ?sd > ?odp entails
+    # ?sd > lo + 60d — a derived constant pre-filter on the lineitem
+    # scan that drops every ship date at or below the window floor
+    # BEFORE the join, without changing which rows can ever satisfy
+    # the var-var filter (oracle-verified identical).
+    li = Filter(
+        ["?sd"],
+        Predicate.GT,
+        Scan(
+            "lineitem",
+            {
+                "l_orderkey": "?o",
+                _EPOCH_US_SQL.format(c="l_shipdate"): "?sd",
+                "l_linenumber": "?ln",
+            },
+        ),
+        {1: lo + off},
     )
     plan = Filter(["?sd", "?odp"], Predicate.GT, Join(["?o"], ords, li))
     names = [v[1:] for v in plan.variables()]
@@ -1468,29 +1479,28 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__nlate") == 1)
         .select("o")
     )
-    all_pairs = Aggregate(                     # (o, s2, ln2) distinct pairs
-        ["?o", "?s2", "?ln2"],
-        Scan(
-            "lineitem",
-            {
-                "l_orderkey": "?o",
-                "l_suppkey": "?s2",
-                "l_linenumber": "?ln2",
-            },
-        ),
-        [AggregationFn.COUNT],
-        ["?o", "?s2"],
-        ["?ln2"],
-    )
-    n_supp = Aggregate(                        # (o, s2 = #suppliers)
-        ["?o", "?s2"],
-        all_pairs,
-        [AggregationFn.COUNT],
-        ["?o"],
-        ["?s2"],
+    # r12 batch 10 (guide §3 semi-join pre-filter): n_supp_df is
+    # consumed ONLY through an inner join with n_late_df, so the
+    # distinct-supplier count need only run over sole-late orders —
+    # a left-semi pre-filter on the n_late_df order set (tiny:
+    # one row per sole-blame order, AQE broadcasts it) shrinks the
+    # two-level aggregate's input from ALL lineitem rows to the
+    # sole-late fraction BEFORE any shuffle. Restricting an
+    # inner-join input to the join's own key set is an identity, so
+    # the final multiset is unchanged (oracle-verified). The
+    # two-level DSL COUNT chain (dedupe (o,s2), count per o) is
+    # exactly countDistinct(s2) per o on never-null suppkeys.
+    li_pairs = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_orderkey").alias("o"),
+            F.col("l_suppkey").alias("s2"),
+        )
+        .join(n_late_df, "o", "left_semi")
     )
     n_supp_df = (
-        eng.implement(n_supp, ["o", "s2"])
+        li_pairs.groupBy("o")
+        .agg(F.count_distinct(F.col("s2")).alias("s2"))
         .filter(F.col("s2") > 1)
         .select("o")
     )
