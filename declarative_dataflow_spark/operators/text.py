@@ -654,17 +654,26 @@ def nb_quality_score(
         labeled = docs.select(
             "doc_id", F.col(text_col), F.col(label_col).alias("label")
         )
-    # The token table (with its per-row Gopher label fold) feeds THREE
-    # consumers (class totals, the model counts, the scoring join) —
-    # materialize once or the label fold re-runs corpus-wide per
-    # consumer (the materialize-once discipline).
-    toks = labeled.select(
+    # The tokenized corpus (with its per-row Gopher label fold) feeds
+    # THREE consumers (class totals, the model counts, the scoring
+    # join) — materialize once or the label fold re-runs corpus-wide
+    # per consumer. r12 batch 10 (the ngram_lm_score/dsir doc-array
+    # lesson): the materialized state is the DOC-scale token-array
+    # table, not corpus-token-scale (doc_id, label, term) rows — the
+    # two exploding consumers re-derive their explodes MAP-SIDE from
+    # the cached arrays, and the class token totals need no explode at
+    # all (sum of size(__t) per label over doc rows — identical to
+    # counting exploded token rows: explode emits exactly size(__t)
+    # rows per doc, and a null/absent array contributes NULL to the
+    # sum exactly as it contributes zero exploded rows).
+    base = labeled.select(
         "doc_id",
         "label",
-        F.explode(
-            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-        ).alias("term"),
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("__t"),
     ).localCheckpoint(eager=False)
+    toks = base.select(
+        "doc_id", "label", F.explode("__t").alias("term")
+    )
     # Per-term conditional counts feed BOTH the vocabulary size and
     # the log-odds weights — materialize once. |V| is by definition
     # the row count of this table (r12, the ngram_lm_score |V|
@@ -676,9 +685,13 @@ def nb_quality_score(
         F.sum(F.when(F.col("label"), 0).otherwise(1)).alias("cf"),
     ).localCheckpoint(eager=False)
     vocab = counts.select(F.count(F.lit(1)).alias("v"))
-    tot = toks.agg(
-        F.sum(F.when(F.col("label"), 1).otherwise(0)).alias("n_pass"),
-        F.sum(F.when(F.col("label"), 0).otherwise(1)).alias("n_fail"),
+    tot = base.agg(
+        F.sum(
+            F.when(F.col("label"), F.size("__t")).otherwise(0)
+        ).alias("n_pass"),
+        F.sum(
+            F.when(F.col("label"), 0).otherwise(F.size("__t"))
+        ).alias("n_fail"),
     ).crossJoin(F.broadcast(vocab))
     model = (
         counts.crossJoin(F.broadcast(tot))
