@@ -37,21 +37,42 @@ def bm25_topk(
 
     Returns (doc_id, score, rk); ties break by doc_id so the ranking
     is total and engine-portable.
+
+    r12 (guide §2.4, the batch-7 base-array discipline): ONE corpus
+    tokenize feeds everything. The r6 form exploded every token,
+    shuffled the full token stream into the per-doc length aggregate,
+    and — because the dl chain and the filtered tf chain are not
+    canonically identical subtrees — Spark re-ran the corpus tokenize
+    for every consumer (executed plan: 8 document scans, zero reuse).
+    Now the doc-scale token-ARRAY table materializes once (lazy
+    localCheckpoint, one array row per document); dl = size(array) is
+    map-side, the tf explode re-derives map-side from the cached
+    arrays and filters to the |q| query literals BEFORE its shuffle,
+    so nothing corpus-token-scale ever crosses the wire. (A first cut
+    computed tf row-locally with size(filter(arr, == t)) per term —
+    higher-order functions fall out of whole-stage codegen and
+    re-evaluated the split per expression: measured 2.3x WORSE at sf1.
+    The codegen explode over cached arrays wins.) Identical on any
+    input: split emits [""] for empty non-null text exactly like the
+    exploded form, so the isNotNull filter reproduces the old dl row
+    set.
     """
 
-    from pyspark.sql import Window
-
-    toks = docs.select(
-        "doc_id",
-        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias(
-            "term"
-        ),
+    base = (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(
+            "doc_id",
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("__t"),
+        )
+        .localCheckpoint(eager=False)
     )
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    dl = base.select("doc_id", F.size("__t").cast("long").alias("dl"))
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
     )
-    qtoks = toks.filter(F.col("term").isin(list(query_terms)))
+    qtoks = base.select("doc_id", F.explode("__t").alias("term")).filter(
+        F.col("term").isin(list(query_terms))
+    )
     tf = qtoks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     return rank_bm25(tf, df_, dl, stats, k=k, k1=k1, b=b)
