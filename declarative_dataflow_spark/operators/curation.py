@@ -252,25 +252,41 @@ def line_dedup(
     surviving lines re-joined in their original order; documents whose
     every line was boilerplate survive with empty text.
 
-    Scale shape: explode to (doc_id, pos, line), one uniform-key
-    count-distinct on the normalized line (map-side partials), one
-    uniform-key hash join back, then a per-document re-assembly via
-    groupBy + in-group array_sort — never a global window. No step
-    touches more than one line-row at a time, so the operator is two
-    shuffles regardless of corpus size.
+    Scale shape (r12, the dup_spans discipline): ONE explode to
+    (doc_id, pos, line). For the declared min_docs=2 form,
+    "in >= 2 distinct docs" ⟺ min(doc_id) != max(doc_id) over the
+    norm-line window partition, so the boilerplate test reuses the one
+    norm-keyed exchange instead of count-distinct + join-back (the r9
+    form re-ran the corpus line explode for each of its three
+    consumers — executed plan: 6 document scans, zero reuse); the
+    per-document line total is size(split(text)) — row-local, no
+    explode at all. General min_docs keeps the aggregate shape. Then
+    the per-document re-assembly via groupBy + in-group array_sort —
+    never a global window.
     """
 
     lines = docs.select(
         "doc_id",
         F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
     ).withColumn("norm", F.trim(F.lower(F.col("line"))))
-    counts = lines.groupBy("norm").agg(
-        F.countDistinct("doc_id").alias("nd")
-    )
-    flagged = lines.join(counts, "norm")
-    kept = flagged.filter(F.col("nd") < min_docs)
-    totals = lines.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_lines")
+    if min_docs == 2:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("norm")
+        kept = (
+            lines.withColumn("__mn", F.min("doc_id").over(w))
+            .withColumn("__mx", F.max("doc_id").over(w))
+            .filter(F.col("__mn") == F.col("__mx"))
+            .drop("__mn", "__mx")
+        )
+    else:
+        counts = lines.groupBy("norm").agg(
+            F.countDistinct("doc_id").alias("nd")
+        )
+        kept = lines.join(counts, "norm").filter(F.col("nd") < min_docs)
+    totals = docs.filter(F.col(text_col).isNotNull()).select(
+        "doc_id",
+        F.size(F.split(F.col(text_col), "\n")).cast("long").alias("n_lines"),
     )
     rebuilt = kept.groupBy("doc_id").agg(
         F.array_join(

@@ -147,10 +147,13 @@ def tfidf_topk_terms(
     ties break by term so the ranking is total and engine-portable.
 
     Scale shape: one token explode; tf aggregates on the uniform
-    (doc_id, term) key, df on the uniform term key; the df join is
-    term-keyed (AQE handles stopword skew) and the final rank is a
-    window PARTITIONED by doc_id — parallel across documents, never a
-    global sort.
+    (doc_id, term) key; df = count over the term WINDOW partition of
+    the same tf table (r12, the dup_ngram_frac discipline — the r6
+    form aggregated df separately and joined it back, which recompiled
+    the whole explode + (doc, term) aggregate once per consumer:
+    executed plan showed the corpus tokenize running twice, zero
+    reuse); the final rank is a window PARTITIONED by doc_id —
+    parallel across documents, never a global sort.
     """
 
     from pyspark.sql import Window
@@ -162,9 +165,13 @@ def tfidf_topk_terms(
         ),
     )
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # count(*) over the term partition == the old per-term row count of
+    # tf (each row is one distinct (doc, term) pair) — identical df.
+    tf = tf.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+    )
     n_docs = docs.select(F.countDistinct("doc_id").alias("n_docs"))
-    scored = tf.join(df_, "term").crossJoin(F.broadcast(n_docs)).select(
+    scored = tf.crossJoin(F.broadcast(n_docs)).select(
         "doc_id",
         "term",
         F.round(
