@@ -87,6 +87,24 @@ def _tokens(docs: DataFrame, text_col: str) -> DataFrame:
     )
 
 
+def _registers_from_terms(terms: DataFrame) -> DataFrame:
+    """(bucket, r) register table from a ``term`` column — the shared
+    body of :func:`hll_registers`; max over rho is idempotent, so the
+    input may be the raw token stream or its distinct-term set."""
+
+    h32 = _SPARK_H32.format(t="term")
+    # Spark has no integer-div `//`; build the exprs directly.
+    bucket = F.expr(f"{h32} % {HLL_M}")
+    rho = F.lit(HLL_VBITS + 1) - F.expr(
+        _bitlen_case_sql(f"CAST({h32} / {HLL_M} AS BIGINT)", HLL_VBITS)
+    )
+    return (
+        terms.select(bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("r"))
+    )
+
+
 def hll_registers(
     docs: DataFrame, text_col: str = "text"
 ) -> DataFrame:
@@ -94,19 +112,7 @@ def hll_registers(
     multiset — constant-size, mergeable by max. Only occupied buckets
     appear (absent bucket == register 0)."""
 
-    h32 = _SPARK_H32.format(t="term")
-    # Spark has no integer-div `//`; build the exprs directly.
-    bucket = F.expr(f"{h32} % {HLL_M}")
-    v = F.expr(f"CAST({h32} / {HLL_M} AS BIGINT)")  # floor: h32 >= 0
-    rho = F.lit(HLL_VBITS + 1) - F.expr(
-        _bitlen_case_sql(f"CAST({h32} / {HLL_M} AS BIGINT)", HLL_VBITS)
-    )
-    return (
-        _tokens(docs, text_col)
-        .select(bucket.alias("bucket"), rho.alias("rho"))
-        .groupBy("bucket")
-        .agg(F.max("rho").alias("r"))
-    )
+    return _registers_from_terms(_tokens(docs, text_col))
 
 
 def hll_estimate_from_registers(registers: DataFrame) -> DataFrame:
@@ -141,12 +147,23 @@ def hll_distinct(docs: DataFrame, text_col: str = "text") -> DataFrame:
     Scale shape: the sketch side never materializes the vocabulary —
     per-partition partial maxes reduce into <= m rows. The exact side
     (countDistinct) is the expensive baseline being avoided.
+
+    r12 (guide §2.4): ONE corpus token pass. The r7 form ran the
+    register aggregate and the exact countDistinct as separate corpus
+    explodes; max over rho is idempotent, so the registers computed
+    from the DISTINCT term set are identical to registers over the
+    raw stream — the distinct-term table materializes once
+    (vocabulary-scale; the duplicated upstream is a corpus explode +
+    distinct shuffle, passing the batch-12 boundary criterion) and
+    both sides derive from it. hll_registers itself is unchanged —
+    the streaming maintainer folds raw tokens.
     """
 
-    sk = hll_estimate_from_registers(hll_registers(docs, text_col))
-    exact = _tokens(docs, text_col).agg(
-        F.countDistinct("term").alias("exact")
+    terms = (
+        _tokens(docs, text_col).distinct().localCheckpoint(eager=False)
     )
+    sk = hll_estimate_from_registers(_registers_from_terms(terms))
+    exact = terms.agg(F.count(F.lit(1)).alias("exact"))
     return sk.crossJoin(F.broadcast(exact)).select(
         "m",
         "used",
@@ -212,15 +229,27 @@ def cms_topk(
     join + a min-groupBy on the uniform term key. The final rank is
     orderBy+limit (TakeOrderedAndProject). Pure integer arithmetic —
     no float parity risk.
+
+    r12 (guide §2.4): ONE corpus token pass. The operator reports est
+    AND exact, and the r7 form ran cms_sketch's token explode AND the
+    exact-count explode as separate corpus passes. But the sketch is
+    DERIVABLE from the exact table: a cell's token count is the sum of
+    the exact counts of the terms hashing into it (same _SPARK_H32
+    cell keys) — so the per-term table materializes once (lazy
+    localCheckpoint, vocabulary-scale state; the duplicated upstream
+    is a corpus explode + shuffle, which passes the batch-12
+    boundary criterion) and the sketch becomes a <= d*w-row
+    re-aggregation of it. cms_sketch itself is unchanged — the
+    streaming maintainer still builds the grid directly.
     """
 
     from pyspark.sql import Window
 
-    sketch = cms_sketch(docs, depth, width, text_col)
     exact = (
         _tokens(docs, text_col)
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("exact"))
+        .localCheckpoint(eager=False)
     )
     cells = F.array(
         *[
@@ -233,6 +262,14 @@ def cms_topk(
             )
             for j in range(depth)
         ]
+    )
+    # cnt(j, c) = sum over terms in the cell of their exact counts ==
+    # cms_sketch's per-token count of the cell (same hash, same grid).
+    sketch = (
+        exact.select("exact", F.explode(cells).alias("cell"))
+        .select("exact", "cell.j", "cell.c")
+        .groupBy("j", "c")
+        .agg(F.sum("exact").alias("cnt"))
     )
     est = (
         exact.select("term", "exact", F.explode(cells).alias("cell"))
