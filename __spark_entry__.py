@@ -1342,23 +1342,31 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums = Aggregate(
         li.variables(), li, [AggregationFn.SUM], ["?s"], ["?rev"], ["?ln"]
     )
-    eng.register_table(
-        "q15_rev_view",
-        eng.implement(sums, ["s", "rev"]).localCheckpoint(eager=False),
-    )
-    view = Scan("q15_rev_view", {"s": "?s", "rev": "?rev"})
-    mx = Aggregate(
-        ["?rev"],
-        Project(["?rev"], view),
-        [AggregationFn.MAX],
-        [],
-        ["?rev"],
-    )
-    top = Join(["?rev"], view, mx)
-    sup = Scan("supplier", {"s_suppkey": "?s", "s_name": "?sn"})
-    plan = Join(["?s"], top, sup)
-    names = [v[1:] for v in plan.variables()]
-    df = eng.implement(plan, names)
+    # Query-local scratch view (ADVICE r12): a UNIQUE per-call name,
+    # deregistered right after compilation — the shared process-cached
+    # engine's table namespace is never left mutated, repeated bench /
+    # gate invocations don't accumulate registered checkpoint frames,
+    # and no future query can silently collide with the name. The
+    # compiled plan keeps its DataFrame reference after deregistration.
+    view_df = eng.implement(sums, ["s", "rev"]).localCheckpoint(eager=False)
+    vname = f"__q15_rev_view_{id(view_df)}"
+    eng.register_table(vname, view_df)
+    try:
+        view = Scan(vname, {"s": "?s", "rev": "?rev"})
+        mx = Aggregate(
+            ["?rev"],
+            Project(["?rev"], view),
+            [AggregationFn.MAX],
+            [],
+            ["?rev"],
+        )
+        top = Join(["?rev"], view, mx)
+        sup = Scan("supplier", {"s_suppkey": "?s", "s_name": "?sn"})
+        plan = Join(["?s"], top, sup)
+        names = [v[1:] for v in plan.variables()]
+        df = eng.implement(plan, names)
+    finally:
+        eng.deregister_table(vname)
     return df.select(
         F.col("s").alias("suppkey"),
         F.col("sn").alias("name"),

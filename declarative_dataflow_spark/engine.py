@@ -604,6 +604,14 @@ class Engine:
 
         self._table_cache[table_name] = df
 
+    def deregister_table(self, table_name: str) -> None:
+        """Drop a registered table (query-local scratch views: register
+        under a unique name, compile, deregister — plans compiled while
+        it was registered keep their DataFrame reference). Dropping a
+        name that was never registered is a no-op."""
+
+        self._table_cache.pop(table_name, None)
+
     def register_table_attribute(
         self,
         aid: str,

@@ -405,6 +405,18 @@ def mmr_rerank(
         )
     )
 
+    # Probe-bound guard (VERDICT r12 #9): the driver-side greedy is
+    # safe ONLY because every collected table is probe-bounded —
+    # |q|·depth candidates and at most |q|·depth² pair sims. Enforce
+    # the bound at the operator boundary instead of trusting callers:
+    # a future |q| in the thousands would otherwise collect a
+    # corpus-scale table to the driver.
+    if len(query_ids) * depth * depth > 1_000_000:
+        raise ValueError(
+            "mmr_rerank collects |q|*depth^2 pair sims driver-side; "
+            f"{len(query_ids)}*{depth}^2 exceeds the 1e6-row bound — "
+            "shard query_ids or lower depth"
+        )
     cand_rows = cand.collect()
     psim_map: dict = {}
     for r in pair_sims.collect():

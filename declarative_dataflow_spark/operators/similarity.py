@@ -641,6 +641,14 @@ def _assign_cells(
     import math
 
     rows = sorted(cents.collect(), key=lambda r: r["cell"])
+    # Probe-bound guard (VERDICT r12 #9): the centroid table is
+    # collected and (on the numpy path) broadcast per task — keep it
+    # provably cell-count-bounded whatever DataFrame a caller passes.
+    if len(rows) > 65536:
+        raise ValueError(
+            f"_assign_cells: {len(rows)} centroid rows exceed the "
+            "65536 driver-side bound"
+        )
     if rows and rows[0]["cv"] is not None:
         numpy_assign = _numpy_assign_cells(
             embeddings,
@@ -859,6 +867,13 @@ def ivf_centroids(
     """
 
     spark = embeddings.sparkSession
+    # Probe-bound guard (VERDICT r12 #9): the centroid table lives
+    # driver-side, so its k x dim size must stay provably tiny.
+    if n_centroids > 65536:
+        raise ValueError(
+            f"ivf_centroids: n_centroids={n_centroids} exceeds the "
+            "65536 driver-side centroid bound"
+        )
     rows: list = [
         (r["cell"], list(r["cv"]) if r["cv"] is not None else None)
         for r in sorted(
@@ -869,6 +884,11 @@ def ivf_centroids(
     ]
     if dim is None:
         dim = len(rows[0][1]) if rows and rows[0][1] is not None else 0
+    if n_centroids * max(dim, 1) > 8_388_608:
+        raise ValueError(
+            f"ivf_centroids: k*dim = {n_centroids}*{dim} exceeds the "
+            "2^23 driver-side state bound — lower k or the dimension"
+        )
     for _ in range(max(0, iters)):
         assigned = None
         if rows and rows[0][1] is not None:
