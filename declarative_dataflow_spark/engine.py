@@ -923,6 +923,15 @@ class Engine:
         outside the conjunctive fragment.
         """
 
+        from .plan.compiler import push_scan_date_filters
+
+        # Date-predicate pushdown prepass (guide §6): mirror
+        # constant filters over derived epoch-us / year() bindings
+        # into their Scan leaves as raw timestamp-column predicates,
+        # so they land in the parquet scan's PushedFilters. Purely
+        # additive — the mirrored conjunct is exactly equivalent, the
+        # original Filter stays, the result multiset is unchanged.
+        plan = push_scan_date_filters(plan)
         if optimize:
             plan = self.optimized(plan)
         rel = compile_plan(plan, self.catalog()).consolidated()

@@ -89,30 +89,42 @@ def dup_ngram_frac(
     values mark boilerplate. Returns (doc_id, n_ngrams, n_dup,
     dup_frac).
 
-    Shape: one aggregation over n-grams (each (doc, n-gram) pair is
-    already distinct, so count(*) counts distinct documents), joined
-    back to the per-doc n-grams, then one per-doc aggregation. Both
-    group keys are high-cardinality and uniform; partial aggregation
-    does the heavy lifting map-side.
+    Shape (r13, ADVICE r12 — the r12 window form put every row of a
+    hot n-gram into ONE window task with no partial reduction): ONE
+    tokenize into the checkpointed doc-scale array table; n_ngrams is
+    size(sarr) — row-local, no doc-keyed shuffle at all; the
+    per-shingle (count, min doc) aggregate partial-reduces map-side
+    (hot boilerplate shingles collapse per task), and a shingle
+    occurring ONCE belongs to exactly one document — so the per-doc
+    UNIQUE count is a doc-keyed re-aggregation of that shingle-scale
+    table and n_dup = n_ngrams - n_unique. Nothing corpus-scale is
+    ever joined or windowed; both exchanges carry partial-reduced
+    rows. Values identical: each (doc, n-gram) pair is distinct, so
+    the shingle count counts distinct documents.
     """
 
-    # Corpus-wide occurrence count as a window COUNT over the shingle
-    # partition instead of the r11 aggregate + join-back: the window
-    # reuses the single shingle-keyed exchange where the agg+join
-    # shape shuffled the shingle table twice and needed a lineage
-    # checkpoint for its two consumers (guide §2.4 — a window
-    # partitioned like the preceding aggregation needs no second
-    # shuffle). Each (doc, n-gram) row is already distinct, so
-    # count(*) still counts distinct documents; values are identical.
-    sh = shingles(docs, n, text_col)
-    counted = sh.withColumn(
-        "__docs", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+    from .dedup import shingle_arrays
+
+    arr = shingle_arrays(docs, n, text_col).localCheckpoint(eager=False)
+    totals = arr.select(
+        "doc_id", F.size("sarr").cast("long").alias("n_ngrams")
+    )
+    g = (
+        arr.select("doc_id", F.explode("sarr").alias("shingle"))
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("__c"), F.min("doc_id").alias("__d"))
+    )
+    uniq = (
+        g.filter(F.col("__c") == 1)
+        .groupBy(F.col("__d").alias("doc_id"))
+        .agg(F.count(F.lit(1)).alias("__nu"))
     )
     return (
-        counted.groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_ngrams"),
-            F.sum(F.when(F.col("__docs") >= 2, 1).otherwise(0))
+        totals.join(uniq, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_ngrams",
+            (F.col("n_ngrams") - F.coalesce(F.col("__nu"), F.lit(0)))
             .cast("long")
             .alias("n_dup"),
         )
@@ -252,13 +264,22 @@ def line_dedup(
     surviving lines re-joined in their original order; documents whose
     every line was boilerplate survive with empty text.
 
-    Scale shape (r12, the dup_spans discipline): ONE explode to
-    (doc_id, pos, line). For the declared min_docs=2 form,
-    "in >= 2 distinct docs" ⟺ min(doc_id) != max(doc_id) over the
-    norm-line window partition, so the boilerplate test reuses the one
-    norm-keyed exchange instead of count-distinct + join-back (the r9
-    form re-ran the corpus line explode for each of its three
-    consumers — executed plan: 6 document scans, zero reuse); the
+    Scale shape (r13, ADVICE r12): ONE explode to (doc_id, pos,
+    line). For the declared min_docs=2 form, "in >= 2 distinct docs"
+    ⟺ min(doc_id) != max(doc_id) per norm — computed as a
+    groupBy('norm') min/max AGGREGATE (map-side partial reduction, so
+    a boilerplate line occurring in billions of documents — the
+    operator's explicit target — collapses per map task instead of
+    concentrating in one window task; the r12 window form had no
+    partial reduction and no AQE skew help), filtered DOWN to the
+    boilerplate norms (mn != mx — the small side by construction:
+    only repeated lines survive), and removed from the line table
+    with a LEFT ANTI join that AQE broadcasts when the boilerplate
+    set fits and skew-splits otherwise. When it doesn't broadcast,
+    the anti-join's line side re-shuffles on the same norm key as the
+    aggregate's input — a canonically identical exchange, so runtime
+    reuse keeps the explode single-pass (the r9 problem was three
+    separate COMPILATIONS of the explode, not the join). The
     per-document line total is size(split(text)) — row-local, no
     explode at all. General min_docs keeps the aggregate shape. Then
     the per-document re-assembly via groupBy + in-group array_sort —
@@ -270,15 +291,13 @@ def line_dedup(
         F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
     ).withColumn("norm", F.trim(F.lower(F.col("line"))))
     if min_docs == 2:
-        from pyspark.sql.window import Window
-
-        w = Window.partitionBy("norm")
-        kept = (
-            lines.withColumn("__mn", F.min("doc_id").over(w))
-            .withColumn("__mx", F.max("doc_id").over(w))
-            .filter(F.col("__mn") == F.col("__mx"))
-            .drop("__mn", "__mx")
+        boiler = (
+            lines.groupBy("norm")
+            .agg(F.min("doc_id").alias("__mn"), F.max("doc_id").alias("__mx"))
+            .filter(F.col("__mn") != F.col("__mx"))
+            .select("norm")
         )
+        kept = lines.join(boiler, "norm", "left_anti")
     else:
         counts = lines.groupBy("norm").agg(
             F.countDistinct("doc_id").alias("nd")
@@ -397,6 +416,15 @@ def dup_spans(
         # table; guide §2.4). A window repeated inside one document
         # has min == max and stays unmarked, exactly like its
         # countDistinct(doc_id) == 1. Values identical.
+        # Skew note (r13): a single span hash occurring in billions of
+        # documents lands its position rows in ONE window task with no
+        # partial reduction. The skew-safe aggregate + LEFT SEMI form
+        # (the line_dedup r13 shape) was built, oracle-verified, and
+        # measured +23% count / +35-67% noop at both bench SFs — here
+        # the duplicated-hash set is the operator's whole TARGET, so
+        # it is never a small broadcast side and the semi join pays a
+        # full extra pass of the position table. Kept the window;
+        # revisit only with evidence of an actual hot-span corpus.
         wh = Window.partitionBy("h")
         marked = (
             wins.withColumn("__mn", F.min("doc_id").over(wh))
@@ -1073,40 +1101,38 @@ def ngram_novelty(
     tokens; novelty = round(n_novel / n_shingles, 4), one IEEE
     division.
 
-    Shape: the shared row-local shingle pass (dedup.shingles — no
-    corpus-wide shuffle of raw n-grams), ONE uniform shingle-keyed
-    min(doc_id) aggregation ("first seen"), one shingle-keyed join
-    back, one doc-keyed count aggregation — every shuffle keys on the
-    shingle hash or doc_id, linear at any corpus size."""
+    Shape (r13, ADVICE r12 — the r12 window form put every row of a
+    hot shingle into ONE window task with no partial reduction): ONE
+    tokenize into the checkpointed doc-scale array table; n_shingles
+    is size(sarr) — row-local, no doc-keyed corpus shuffle; "first
+    seen" is the shingle-keyed min(doc_id) aggregate (map-side
+    partial reduction handles hot shingles), and n_novel is a
+    doc-keyed re-aggregation of THAT shingle-scale table — a doc's
+    novel count is how many shingles name it as their minimum, so no
+    corpus-scale join back is needed at all. Values identical (same
+    MIN over the same groups)."""
 
-    from pyspark.sql.window import Window
+    from .dedup import shingle_arrays
 
-    from .dedup import shingles
-
-    # "first seen" as a window MIN over the shingle partition instead
-    # of the r11 aggregate + join-back: the window reuses the single
-    # shingle-keyed exchange, where the agg+join shape shuffled the
-    # shingle table twice (guide §2.4 — a window partitioned like the
-    # preceding aggregation needs no second shuffle). Values are
-    # identical (same MIN over the same groups).
-    sh = shingles(docs, n, text_col)
-    first = sh.withColumn(
-        "first_doc", F.min("doc_id").over(Window.partitionBy("shingle"))
+    arr = shingle_arrays(docs, n, text_col).localCheckpoint(eager=False)
+    totals = arr.select(
+        "doc_id", F.size("sarr").cast("long").alias("n_shingles")
+    )
+    novel = (
+        arr.select("doc_id", F.explode("sarr").alias("shingle"))
+        .groupBy("shingle")
+        .agg(F.min("doc_id").alias("__d"))
+        .groupBy(F.col("__d").alias("doc_id"))
+        .agg(F.count(F.lit(1)).alias("__nn"))
     )
     return (
-        first.groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_shingles"),
-            F.sum(
-                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
-            ).alias("n_novel"),
-        )
+        totals.join(novel, "doc_id", "left")
         .select(
             "doc_id",
             "n_shingles",
-            "n_novel",
+            F.coalesce(F.col("__nn"), F.lit(0)).cast("long").alias("n_novel"),
             F.round(
-                F.col("n_novel").cast("double")
+                F.coalesce(F.col("__nn"), F.lit(0)).cast("double")
                 / F.col("n_shingles").cast("double"),
                 4,
             ).alias("novelty"),

@@ -54,6 +54,42 @@ def exact_dedup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def shingle_arrays(
+    docs: DataFrame, n: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """Distinct word n-gram shingles per document as ONE row-local
+    ARRAY row: (doc_id, sarr). The doc-scale form of :func:`shingles`
+    — consumers that need both a per-document size and the exploded
+    stream checkpoint THIS table once and re-derive the explode
+    map-side (the r12 base-array discipline), paying the tokenize a
+    single time with only doc-scale state materialized.
+
+    CONSUMERS MUST localCheckpoint this table BEFORE exploding it:
+    the transform subscripts w[i+j] and is only safe on rows passing
+    the size filter; an explode directly over the expression lets
+    Catalyst evaluate its inferred `size(...) > 0` predicate ahead of
+    the size filter (INVALID_ARRAY_INDEX under ANSI mode — observed).
+    The checkpoint is a plan barrier, so post-checkpoint explodes
+    only ever see materialized arrays. (A CASE-guarded total
+    expression was tried instead and REJECTED: conditionals disable
+    codegen subexpression elimination, and the un-cached
+    double-evaluation under generate + inferred filter measured 10x
+    on contamination.)"""
+
+    words = F.split(F.lower(F.col(text_col)), " ")
+    base = spread_input(docs).select("doc_id", words.alias("w")).filter(
+        F.size("w") >= n
+    )
+    if n == 1:
+        sh = F.col("w")
+    else:
+        parts = " , ".join(f"w[i + {j}]" for j in range(n))
+        sh = F.expr(
+            f"transform(sequence(0, size(w) - {n}), i -> concat_ws('_', {parts}))"
+        )
+    return base.select("doc_id", F.array_distinct(sh).alias("sarr"))
+
+
 def shingles(
     docs: DataFrame, n: int = 3, text_col: str = "text"
 ) -> DataFrame:
@@ -68,6 +104,12 @@ def shingles(
     data movement — at corpus scale this removes an entire
     full-width shuffle of raw n-gram strings from every consumer
     (contamination, dup_ngram_frac, jaccard, MinHash, DSIR, Bloom).
+
+    Kept as the DIRECT explode-over-expression form (not a hop
+    through :func:`shingle_arrays`): this exact shape has a safe
+    predicate order, while the named-column hop reordered the
+    generate-inferred size predicate ahead of the size filter (see
+    shingle_arrays' docstring).
     """
 
     words = F.split(F.lower(F.col(text_col)), " ")
@@ -92,6 +134,7 @@ def jaccard_pairs(
     threshold: float = 0.5,
     text_col: str = "text",
     prefix_filter: bool = False,
+    group_identical: bool = False,
 ) -> DataFrame:
     """Document pairs with shingle-set Jaccard >= threshold.
 
@@ -109,22 +152,34 @@ def jaccard_pairs(
     shingles that dominate fanout (one stopword shingle otherwise
     joins everything against everything at corpus scale).
     Verification then counts full intersections for the surviving
-    candidates only.
+    candidates only. r13 adds the PPJoin POSITIONAL filter on top:
+    every prefix collision at sorted positions (ra, rb) bounds the
+    achievable overlap by min(ra-1, rb-1) + min(|a|-ra+1, |b|-rb+1)
+    (common tokens ordered before the match are capped by the earlier
+    positions, those from the match on by the remaining suffixes —
+    valid under ANY shared total token order); Jaccard >= t needs
+    overlap >= t(|a|+|b|)/(1+t), so candidates whose tightest bound
+    falls short never enter the verify join. The bound rides the
+    candidate-dedup aggregate that already exists (min() instead of
+    distinct()) — zero extra joins, unlike the r12-rejected
+    length-filter variant.
+
+    ``group_identical=True`` deduplicates IDENTICAL shingle sets
+    before pairing (r13): docs group by their sorted set (exact array
+    equality — never a hash, which could merge distinct sets), one
+    representative per group runs the pair pipeline, and results
+    expand back — cross-group pairs inherit the representatives'
+    Jaccard (identical sets ⟹ identical similarity to everything),
+    within-group pairs are Jaccard 1.0 by definition. On templated /
+    near-duplicated corpora (the regime this operator targets) the
+    quadratic pair work shrinks by the mean squared group size; the
+    price is one doc-scale shuffle of the compact set arrays. The
+    per-group doc list is collect_list-aggregated — bounded by the
+    largest identical-template group (a corpus that is ONE template
+    would concentrate in one task; acceptable because the pair
+    pipeline it replaces is quadratic in exactly that case).
     """
 
-    # r12 shape: the per-document DISTINCT shingle set lives as a
-    # row-local ARRAY (the hashed_shingle_sets discipline, here over
-    # raw strings because the oracle pins string-set Jaccard), so
-    # |d| is size(ss) carried THROUGH the explode — the r9 form
-    # re-derived it with a doc_id-keyed count aggregation and joined
-    # it back onto the verified pairs TWICE. Verification stays the
-    # exploded cand ⋈ shingles ⋈ shingles join + count: an
-    # array_intersect-per-candidate variant was measured WORSE in the
-    # degenerate unigram regime (ngram_jaccard at the 10x bench scale:
-    # noop 137s -> 201s) because ~quadratic candidate pairs each ship
-    # two ~|d|-element string arrays through two joins, while the
-    # exploded join's intermediate collapses map-side into the (a, b)
-    # partial aggregate before anything shuffles.
     words = F.split(F.lower(F.col(text_col)), " ")
     base = spread_input(docs).select("doc_id", words.alias("w")).filter(
         F.size("w") >= n
@@ -133,13 +188,34 @@ def jaccard_pairs(
         sh_arr = F.array_distinct(F.col("w"))
     else:
         parts = " , ".join(f"w[i + {j}]" for j in range(n))
+        # TOTAL expression (same guard as shingle_arrays): safe on any
+        # row regardless of Catalyst's predicate evaluation order.
         sh_arr = F.array_distinct(
             F.expr(
+                f"CASE WHEN size(w) < {n} THEN array() ELSE "
                 f"transform(sequence(0, size(w) - {n}), "
-                f"i -> concat_ws('_', {parts}))"
+                f"i -> concat_ws('_', {parts})) END"
             )
         )
-    ss = base.select("doc_id", sh_arr.alias("ss"))
+    members = None
+    if group_identical:
+        groups = (
+            base.select("doc_id", F.array_sort(sh_arr).alias("ss"))
+            .groupBy("ss")
+            .agg(
+                F.min("doc_id").alias("gid"),
+                F.collect_list("doc_id").alias("ds"),
+            )
+            # Feeds the rep pipeline AND the member expansion —
+            # materialize once (the minhash discipline).
+            .localCheckpoint(eager=False)
+        )
+        members = groups.select(
+            F.col("gid"), F.explode("ds").alias("doc_id")
+        )
+        ss = groups.select(F.col("gid").alias("doc_id"), "ss")
+    else:
+        ss = base.select("doc_id", sh_arr.alias("ss"))
     if prefix_filter:
         from pyspark.sql.window import Window
 
@@ -169,15 +245,38 @@ def jaccard_pairs(
                 - F.ceil(F.lit(threshold) * F.col("sz") - F.lit(1e-9))
                 + 1
             )
-            .select("doc_id", "shingle")
+            .select("doc_id", "sz", "shingle", F.col("__rn").alias("rn"))
         )
-        pa = pref.toDF("a", "shingle")
-        pb = pref.toDF("b", "shingle")
+        pa = pref.toDF("a", "sz_a", "shingle", "rn_a")
+        pb = pref.toDF("b", "sz_b", "shingle", "rn_b")
+        # Candidate dedup + positional bound in ONE aggregate over the
+        # same (a, b) shuffle the old distinct() paid. Discard only
+        # when even the tightest bound cannot reach the required
+        # overlap: ub*(1+t) >= t*(sz_a+sz_b) - eps. The slack only
+        # ever ADMITS borderline candidates (the verify join decides
+        # exactly), never drops one: a qualifying pair has true
+        # overlap i <= ub with i >= t(sz_a+sz_b)/(1+t), so ub passes.
+        ub_match = F.least(
+            F.col("rn_a") - 1, F.col("rn_b") - 1
+        ) + F.least(
+            F.col("sz_a") - F.col("rn_a") + 1,
+            F.col("sz_b") - F.col("rn_b") + 1,
+        )
         cand = (
             pa.join(pb, "shingle")
             .filter(F.col("a") < F.col("b"))
+            .groupBy("a", "b")
+            .agg(
+                F.min(ub_match).alias("__ub"),
+                F.first("sz_a").alias("__sa"),
+                F.first("sz_b").alias("__sb"),
+            )
+            .filter(
+                F.col("__ub") * F.lit(1.0 + threshold)
+                >= F.lit(threshold) * (F.col("__sa") + F.col("__sb"))
+                - F.lit(1e-6)
+            )
             .select("a", "b")
-            .distinct()
         )
         fa = sh.toDF("a", "sz_a", "shingle")
         fb = sh.toDF("b", "sz_b", "shingle")
@@ -216,7 +315,40 @@ def jaccard_pairs(
             F.col("i") / (F.col("sz_a") + F.col("sz_b") - F.col("i")), 4
         ),
     ).filter(F.col("jaccard") >= threshold)
-    return jac.select("a", "b", "jaccard")
+    out = jac.select("a", "b", "jaccard")
+    if not group_identical:
+        return out
+    # Expand representative pairs back to document pairs. Cross-group:
+    # every (da in A, db in B) doc pair has exactly the reps' Jaccard;
+    # least/greatest restores the a < b convention (group ids don't
+    # order member ids). Within-group: identical sets are Jaccard 1.0
+    # exactly (round(m/(m+m-m), 4) = 1.0), emitted directly for
+    # threshold <= 1 without ever entering the pair pipeline.
+    ma = members.toDF("ga", "da")
+    mb = members.toDF("gb", "db")
+    cross = (
+        out.withColumnRenamed("a", "ga")
+        .withColumnRenamed("b", "gb")
+        .join(ma, "ga")
+        .join(mb, "gb")
+        .select(
+            F.least("da", "db").alias("a"),
+            F.greatest("da", "db").alias("b"),
+            "jaccard",
+        )
+    )
+    if threshold > 1.0:
+        return cross
+    within = (
+        ma.join(mb, F.col("ga") == F.col("gb"))
+        .filter(F.col("da") < F.col("db"))
+        .select(
+            F.col("da").alias("a"),
+            F.col("db").alias("b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return cross.unionByName(within)
 
 
 # Linear-permutation MinHash: one md5 per shingle, then k cheap

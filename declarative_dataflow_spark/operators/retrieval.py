@@ -56,6 +56,20 @@ def bm25_topk(
     input: split emits [""] for empty non-null text exactly like the
     exploded form, so the isNotNull filter reproduces the old dl row
     set.
+
+    Fault-tolerance note (ADVICE r12): the base table is CORPUS-scale
+    and localCheckpoint stores it as unreplicated executor-local
+    blocks with TRUNCATED lineage — on a multi-node cluster an
+    executor loss (or dynamic-allocation decommission) during the
+    query fails it unrecoverably, and the scratch space scales with
+    the corpus rather than the dimension-sized state other operators
+    checkpoint. That trade is deliberate here: the alternative
+    (persist(DISK_ONLY), recomputable lineage) re-tokenizes the lost
+    partitions but keeps the full plan under every consumer, which
+    re-inflates the per-consumer Catalyst cost this rewrite removed.
+    Deployments with preemptible executors should prefer
+    spark.decommission.enabled block migration or swap this boundary
+    for persist(DISK_ONLY) and accept the compile-cost regression.
     """
 
     base = (
@@ -147,13 +161,17 @@ def tfidf_topk_terms(
     ties break by term so the ranking is total and engine-portable.
 
     Scale shape: one token explode; tf aggregates on the uniform
-    (doc_id, term) key; df = count over the term WINDOW partition of
-    the same tf table (r12, the dup_ngram_frac discipline — the r6
-    form aggregated df separately and joined it back, which recompiled
-    the whole explode + (doc, term) aggregate once per consumer:
-    executed plan showed the corpus tokenize running twice, zero
-    reuse); the final rank is a window PARTITIONED by doc_id —
-    parallel across documents, never a global sort.
+    (doc_id, term) key; df = groupBy('term') count of the same tf
+    table joined back (r13, ADVICE r12: the r12 term-WINDOW form put
+    every (doc, term) row of a stopword — a term present in EVERY
+    document, this operator's common case — into ONE window task with
+    no map-side reduction and no AQE help; the aggregate form partial-
+    reduces map-side and the join back is AQE-skew-splittable. The tf
+    subtree under both consumers is canonically identical, so runtime
+    exchange reuse runs the explode+aggregate once — the r6 problem
+    this replaced was TWO SEPARATE compilations of the explode, not
+    the join itself); the final rank is a window PARTITIONED by
+    doc_id — parallel across documents, never a global sort.
     """
 
     from pyspark.sql import Window
@@ -165,11 +183,19 @@ def tfidf_topk_terms(
         ),
     )
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    # count(*) over the term partition == the old per-term row count of
-    # tf (each row is one distinct (doc, term) pair) — identical df.
-    tf = tf.withColumn(
-        "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
-    )
+    # Materialize tf once: its two consumers (the df aggregate and the
+    # join's probe side) do NOT canonicalize to a reusable exchange
+    # (verified on the executed plan: 6 document scans, 0 Reused
+    # markers without the boundary; 0 extra scans with it), and the
+    # duplicated subtree is the corpus explode + (doc, term) aggregate
+    # — exactly the batch-12 "boundary pays" criterion. The df partial
+    # aggregate scans every partition, so the lazy checkpoint
+    # materializes fully (no early-exit hazard).
+    tf = tf.localCheckpoint(eager=False)
+    # count(*) per term == the old per-term row count of tf (each row
+    # is one distinct (doc, term) pair) — identical df.
+    dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    tf = tf.join(dft, "term")
     n_docs = docs.select(F.countDistinct("doc_id").alias("n_docs"))
     scored = tf.crossJoin(F.broadcast(n_docs)).select(
         "doc_id",

@@ -261,25 +261,50 @@ def funnel_us(
 ) -> DataFrame:
     """:func:`funnel` core over a precomputed epoch-microseconds long
     column — the form the incremental maintainer feeds from its event
-    state (which stores epoch-us, not timestamps)."""
+    state (which stores epoch-us, not timestamps).
+
+    ONE event scan (r13; guide §2.4 — the r10 form ran k filtered
+    scans + k per-key aggregates + k-1 equi-joins for a k-step
+    funnel): the single scan filters to the step types, ONE grouped
+    aggregate collects each key's per-step timestamp list, and the
+    greedy chain — t_i = min{t in step_i : t > t_{i-1}} — becomes
+    row-local ``array_min(filter(...))`` over those lists. The chain
+    semantics is EXACTLY the old join chain's: array_min of an empty
+    or null filter result is NULL, a NULL t_{i-1} nulls every later
+    comparison, so chain-break propagation is identical; keys qualify
+    by having >= 1 step-1 EVENT (counted separately, so a key whose
+    step-1 timestamps are all NULL still surfaces with t1 NULL,
+    exactly like min() over nulls in the old per-step aggregate).
+    Cost: k corpus scans -> 1, k-1 joins -> 0, at the price of ONE
+    un-pre-aggregated shuffle of the step-typed events (collect_list
+    has no map-side reduction) — at 100 TB that trades k full column
+    scans for one shuffle of the filtered rows, a win whenever the
+    steps cover < (k-1)/k of the stream. Skew note (guide §2.5): a
+    single hyperactive key's events concentrate in one task's
+    collect_list; per-key event counts bound the array, and the
+    filter HOFs run over already-built arrays (not the bm25 hazard
+    of re-evaluating an expensive producer per expression)."""
 
     t = F.col(tu_col)
-    out = (
-        events.filter(F.col(type_col) == steps[0])
+    aggs = [
+        F.count(F.when(F.col(type_col) == steps[0], F.lit(1))).alias("__n1")
+    ] + [
+        F.collect_list(F.when(F.col(type_col) == step, t)).alias(f"__c{i}")
+        for i, step in enumerate(steps, start=1)
+    ]
+    per_key = (
+        events.filter(F.col(type_col).isin(list(steps)))
         .groupBy(key_col)
-        .agg(F.min(t).alias("t1"))
+        .agg(*aggs)
+        .filter(F.col("__n1") > 0)
     )
-    for i, step in enumerate(steps[1:], start=2):
-        ev = events.filter(F.col(type_col) == step).select(
-            F.col(key_col), t.alias("__t")
+    out = per_key.withColumn("t1", F.array_min("__c1"))
+    for i in range(2, len(steps) + 1):
+        prev = F.col(f"t{i-1}")
+        out = out.withColumn(
+            f"t{i}",
+            F.array_min(F.filter(F.col(f"__c{i}"), lambda x: x > prev)),
         )
-        nxt = (
-            ev.join(out.select(key_col, f"t{i-1}"), key_col)
-            .filter(F.col("__t") > F.col(f"t{i-1}"))
-            .groupBy(key_col)
-            .agg(F.min("__t").alias(f"t{i}"))
-        )
-        out = out.join(nxt, key_col, "left")
     depth = F.lit(1)
     for i in range(2, len(steps) + 1):
         depth = depth + F.when(F.col(f"t{i}").isNotNull(), 1).otherwise(0)

@@ -323,6 +323,14 @@ def compile_plan(plan: Plan, catalog: Catalog) -> Relation:
     if isinstance(plan, Scan):
         # Keys may be plain column names or SQL expressions.
         df = catalog.table(plan.table)
+        # Raw-column date predicates mirrored down by the pushdown
+        # prepass (see push_scan_date_filters): applied BEFORE the
+        # select so the parquet scan sees bare-column comparisons it
+        # can turn into PushedFilters / row-group skipping. Exactly
+        # redundant with the Filter nodes above — the row multiset is
+        # unchanged.
+        for kind, col, pred, lit in getattr(plan, "pushed", ()):
+            df = df.filter(_raw_date_pred(kind, col, pred, lit))
         cols = [F.expr(c).alias(vcol(v)) for c, v in plan.columns.items()]
         return Relation(list(plan.columns.values()), df.select(*cols), False)
     if isinstance(plan, MatchA):
@@ -530,6 +538,155 @@ def _filter(plan: Filter, catalog: Catalog) -> Relation:
     ops = _operands(plan.variables_, plan.constants, lambda v: F.col(vcol(v)))
     pred = _PREDICATES[plan.predicate](ops[0], ops[1])
     return Relation(rel.variables, rel.df.filter(pred), rel.has_diff)
+
+
+# ---------------------------------------------------------------------------
+# Date-predicate scan pushdown (guide §6: PushedFilters must reach the
+# parquet scan). The DSL's binding model filters VARIABLES, and date
+# variables bind DERIVED scan expressions — epoch-us via
+# timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01', col) or
+# year(col) — so the range predicates evaluate post-decode in the scan
+# stage and never reach PushedFilters / parquet row-group statistics.
+# This prepass walks each plan once; for every Filter-vs-constant over a
+# variable that a chain of Filters below binds via one of those two
+# shapes, it mirrors an EXACTLY EQUIVALENT raw-column predicate into the
+# Scan leaf (Scan.pushed). The original Filter stays — the added
+# conjunct is redundant, so the row multiset is provably unchanged:
+#   timestampdiff(us, epoch, c) CMP k  <=>  c CMP (epoch + k us)
+#     (both sides integral microseconds; the map is a strictly
+#      monotone bijection, so every CMP carries over, EQ/NEQ included)
+#   year(c) = y   <=> ts(y-01-01) <= c < ts(y+1-01-01)
+#   year(c) >= y  <=> c >= ts(y-01-01)       (and dually for <=, <, >)
+# ---------------------------------------------------------------------------
+
+import datetime as _dt
+import re as _re
+
+_EPOCH_BIND_RE = _re.compile(
+    r"^timestampdiff\(\s*MICROSECOND\s*,\s*TIMESTAMP_NTZ\s*"
+    r"'1970-01-01(?: 00:00:00)?'\s*,\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)$"
+)
+_YEAR_BIND_RE = _re.compile(r"^year\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)$")
+
+# Predicate seen from the VARIABLE side when the constant sits at
+# position 0 (const CMP var  <=>  var FLIP(CMP) const).
+_FLIP = {
+    Predicate.LT: Predicate.GT,
+    Predicate.GT: Predicate.LT,
+    Predicate.LTE: Predicate.GTE,
+    Predicate.GTE: Predicate.LTE,
+    Predicate.EQ: Predicate.EQ,
+    Predicate.NEQ: Predicate.NEQ,
+}
+
+_MAX_EPOCH_US = 253_402_300_799_999_999  # 9999-12-31, datetime's ceiling
+
+
+def _ntz_lit(us: int) -> Column:
+    ts = _dt.datetime(1970, 1, 1) + _dt.timedelta(microseconds=us)
+    return F.expr(f"TIMESTAMP_NTZ '{ts.strftime('%Y-%m-%d %H:%M:%S.%f')}'")
+
+
+def _raw_date_pred(kind: str, col: str, pred: Predicate, lit: int) -> Column:
+    c = F.col(col)
+    if kind == "epoch_us":
+        t = _ntz_lit(lit)
+        return {
+            Predicate.LT: c < t,
+            Predicate.GT: c > t,
+            Predicate.LTE: c <= t,
+            Predicate.GTE: c >= t,
+            Predicate.EQ: c == t,
+            Predicate.NEQ: c != t,
+        }[pred]
+    # kind == "year": year boundaries as NTZ timestamps
+    lo = F.expr(f"TIMESTAMP_NTZ '{lit:04d}-01-01 00:00:00'")
+    hi = F.expr(f"TIMESTAMP_NTZ '{lit + 1:04d}-01-01 00:00:00'")
+    return {
+        Predicate.EQ: (c >= lo) & (c < hi),
+        Predicate.GTE: c >= lo,
+        Predicate.GT: c >= hi,
+        Predicate.LTE: c < hi,
+        Predicate.LT: c < lo,
+    }[pred]
+
+
+def _pushable(kind: str, pred: Predicate, lit: Any) -> bool:
+    if isinstance(lit, bool) or not isinstance(lit, int):
+        return False
+    if kind == "epoch_us":
+        return 0 <= lit <= _MAX_EPOCH_US
+    return pred != Predicate.NEQ and 1 <= lit <= 9998
+
+
+def _push_into_scans(plan: Plan, var: Var, pred: Predicate, lit: int) -> Plan:
+    """Mirror ``var PRED lit`` into the Scan leaf(s) reachable from
+    ``plan`` through Filter nodes only, when the Scan binds ``var`` via
+    a recognized derived-date expression. Returns a rebuilt plan (new
+    nodes; inputs are never mutated) or the original when nothing
+    matched. Descending through Filters only is conservative and
+    sufficient: the TPC-H shapes are Filter chains over Scan, and a
+    Filter between the predicate and the Scan commutes with the added
+    conjunct."""
+
+    if isinstance(plan, Filter):
+        child = _push_into_scans(plan.plan, var, pred, lit)
+        if child is plan.plan:
+            return plan
+        return Filter(plan.variables_, plan.predicate, child, plan.constants)
+    if isinstance(plan, Scan):
+        for expr, v in plan.columns.items():
+            if v != var:
+                continue
+            m = _EPOCH_BIND_RE.match(expr.strip())
+            kind = "epoch_us" if m else "year"
+            if m is None:
+                m = _YEAR_BIND_RE.match(expr.strip())
+            if m is None or not _pushable(kind, pred, lit):
+                return plan
+            entry = (kind, m.group(1), pred, lit)
+            if entry in plan.pushed:
+                return plan
+            return Scan(plan.table, plan.columns, plan.pushed + (entry,))
+    return plan
+
+
+def push_scan_date_filters(plan: Plan) -> Plan:
+    """The prepass entry point: rebuild ``plan`` with every
+    constant-vs-derived-date Filter mirrored into its Scan leaf as a
+    raw-column predicate (see the block comment above). Structurally
+    a no-op for plans without such Filters."""
+
+    import dataclasses
+
+    if isinstance(plan, Filter) and len(plan.variables_) == 1 and len(
+        plan.constants
+    ) == 1:
+        pos, lit = next(iter(plan.constants.items()))
+        pred = plan.predicate if pos == 1 else _FLIP[plan.predicate]
+        child = push_scan_date_filters(plan.plan)
+        child = _push_into_scans(child, plan.variables_[0], pred, lit)
+        if child is plan.plan:
+            return plan
+        return Filter(plan.variables_, plan.predicate, child, plan.constants)
+
+    changed = False
+    updates: dict[str, Any] = {}
+    for f in dataclasses.fields(plan):
+        val = getattr(plan, f.name)
+        if isinstance(val, Plan):
+            new = push_scan_date_filters(val)
+            if new is not val:
+                updates[f.name] = new
+                changed = True
+        elif isinstance(val, list) and val and isinstance(val[0], Plan):
+            news = [push_scan_date_filters(p) for p in val]
+            if any(n is not o for n, o in zip(news, val)):
+                updates[f.name] = news
+                changed = True
+    if not changed:
+        return plan
+    return dataclasses.replace(plan, **updates)
 
 
 _TRUNCATE_BUCKETS = {

@@ -121,10 +121,23 @@ class Scan(Plan):
     reference's attribute-only data model, for tables without a unique
     entity key (e.g. fact tables like lineitem). Binds each selected
     column to a variable; rows keep bag semantics.
+
+    ``pushed`` holds raw-column scan predicates the compiler's
+    date-pushdown prepass derived from Filter nodes over DERIVED date
+    expressions (epoch-us / year() bindings): each entry is
+    ``(kind, column, predicate, literal)`` with kind one of
+    "epoch_us" / "year". They are REDUNDANT with the Filters they
+    mirror (exactly equivalent predicates on the raw timestamp
+    column), added only so the parquet reader sees a bare-column
+    comparison it can push into PushedFilters / row-group skipping —
+    the filter on the derived expression cannot push because the scan
+    expression wraps the column. Never set by query authors; never on
+    the wire (Scan is not wire-serialized).
     """
 
     table: str
     columns: dict[str, Var]  # column name -> variable
+    pushed: tuple = ()
 
     def variables(self) -> list[Var]:
         return list(self.columns.values())

@@ -44,3 +44,31 @@ def pytest_configure(config):
         "kafka: needs a real Kafka broker + spark-sql-kafka connector "
         "(skipped in the development container)",
     )
+
+
+# The long tail that outgrew the driver's verify budget (VERDICT r12
+# #2): property-based brute-force comparisons, randomized-churn
+# maintenance marathons, and the two whole-repo sweep gates (every
+# declared query's schema/oracle-SQL contract, every declared plan's
+# scale audit). Measured r13: these 66 tests are 869 s of the suite's
+# 1600 s call time. They are marked ``slow`` centrally by NAME PATTERN
+# (one rule instead of 66 decorators, so a new prop_/churn test is
+# covered automatically) and deselected by default via pytest.ini;
+# `pytest tests/ -m slow` runs exactly this tail.
+_SLOW_NAME_RE = None
+
+
+def pytest_collection_modifyitems(config, items):
+    global _SLOW_NAME_RE
+    if _SLOW_NAME_RE is None:
+        import re
+
+        _SLOW_NAME_RE = re.compile(
+            r"prop_|randomized|churn|random_epochs|marathon|soak"
+            r"|declared_queries_have_scalar_schemas"
+            r"|oracle_sql_selects_matching_columns"
+            r"|every_declared_plan_is_scale_clean"
+        )
+    for item in items:
+        if _SLOW_NAME_RE.search(item.name):
+            item.add_marker(pytest.mark.slow)
